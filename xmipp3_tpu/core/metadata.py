@@ -1,0 +1,236 @@
+"""MetaData — STAR-table metadata engine (pandas-backed).
+
+Equivalent of xmippCore's MetaDataVec (in-memory table keyed by MDL labels;
+behavioral contract in SURVEY.md §1.1: block addressing "block@file.xmd",
+unionAll/sort for MPI-style gathers, per-row get/set, firstObject).
+The reference keeps a second SQLite-backed impl (MetaDataDb) for huge tables;
+here one pandas impl covers both roles (vectorized columns feed device batches
+directly, which is the TPU-native reason to be columnar).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+
+from xmipp3_tpu.core.errors import ErrCode, XmippError
+from xmipp3_tpu.core.filename import as_filename
+from xmipp3_tpu.core.star import StarBlock, format_star, read_star, write_star
+
+
+class Row(dict):
+    """One metadata object (label -> value)."""
+
+    def getValue(self, label: str, default=None):
+        return self.get(label, default)
+
+    def setValue(self, label: str, value) -> None:
+        self[label] = value
+
+
+class MetaData:
+    def __init__(self, source=None, block: str | None = None):
+        self._df = pd.DataFrame()
+        self.row_format = False
+        self.comment = ""
+        self._block_read = "noname"
+        if source is not None:
+            if isinstance(source, pd.DataFrame):
+                self._df = source.reset_index(drop=True)
+            elif isinstance(source, MetaData):
+                self._df = source._df.copy()
+                self.row_format = source.row_format
+            elif isinstance(source, (list, tuple)) and source and isinstance(source[0], dict):
+                self._df = pd.DataFrame(list(source))
+            else:
+                self.read(source, block=block)
+
+    # ---------------- properties ----------------
+    @property
+    def df(self) -> pd.DataFrame:
+        return self._df
+
+    def size(self) -> int:
+        return len(self._df)
+
+    def __len__(self) -> int:
+        return len(self._df)
+
+    def isEmpty(self) -> bool:
+        return len(self._df) == 0
+
+    def getActiveLabels(self) -> list[str]:
+        return list(self._df.columns)
+
+    def containsLabel(self, label: str) -> bool:
+        return label in self._df.columns
+
+    # ---------------- I/O ----------------
+    def read(self, fn, block: str | None = None) -> "MetaData":
+        fn = as_filename(fn)
+        block = block or fn.block
+        path = fn.path
+        if not os.path.exists(path):
+            raise XmippError(ErrCode.IO_NOTEXIST, path)
+        blocks = read_star(path)
+        if not blocks:
+            self._df = pd.DataFrame()
+            return self
+        if block is None:
+            chosen = blocks[0]
+        else:
+            named = [b for b in blocks if b.name == block]
+            if not named:
+                raise XmippError(ErrCode.MD_BADBLOCK, f"{block}@{path}")
+            chosen = named[0]
+        self._df = chosen.df.reset_index(drop=True)
+        self.row_format = chosen.row_format
+        self._block_read = chosen.name
+        return self
+
+    def write(self, fn, block: str | None = None, append: bool = False) -> None:
+        fn = as_filename(fn)
+        block = block or fn.block or "noname"
+        write_star(fn.path, [StarBlock(block, self._df, self.row_format)],
+                   append=append or fn.block is not None and os.path.exists(fn.path))
+
+    def __str__(self) -> str:
+        return format_star([StarBlock("noname", self._df, self.row_format)])
+
+    @staticmethod
+    def blocksInFile(path: str) -> list[str]:
+        return [b.name for b in read_star(as_filename(path).path)]
+
+    # ---------------- object access ----------------
+    def addObject(self) -> int:
+        idx = len(self._df)
+        self._df.loc[idx] = pd.Series(dtype=object)
+        return idx
+
+    def addRow(self, row: dict) -> int:
+        idx = len(self._df)
+        new = pd.DataFrame(index=[idx])
+        for k, v in row.items():
+            if isinstance(v, (np.ndarray, list, tuple)):
+                new[k] = pd.Series([np.asarray(v)], index=[idx], dtype=object)
+            else:
+                new[k] = [_store(v)]
+        self._df = pd.concat([self._df, new]) if len(self._df) else new
+        return idx
+
+    @staticmethod
+    def fromRows(rows: Iterable[dict]) -> "MetaData":
+        """Bulk constructor (preferred over addRow in loops)."""
+        return MetaData(pd.DataFrame(list(rows)))
+
+    def setValue(self, label: str, value, objId: int) -> None:
+        self._df.loc[objId, label] = _store(value)
+
+    def getValue(self, label: str, objId: int):
+        if label not in self._df.columns:
+            return None
+        v = self._df.loc[objId, label]
+        return v.item() if isinstance(v, np.generic) else v
+
+    def getColumnValues(self, label: str) -> list:
+        if label not in self._df.columns:
+            raise XmippError(ErrCode.MD_MISSINGLABEL, label)
+        return list(self._df[label])
+
+    def setColumnValues(self, label: str, values: Iterable) -> None:
+        vals = list(values)
+        if len(self._df) == 0 and vals:
+            self._df = pd.DataFrame(index=range(len(vals)))
+        self._df[label] = vals
+
+    def getColumn(self, label: str, default=None) -> np.ndarray:
+        """Vectorized column fetch (the device-batch feeder)."""
+        if label not in self._df.columns:
+            if default is None:
+                raise XmippError(ErrCode.MD_MISSINGLABEL, label)
+            return np.full(len(self._df), default)
+        return self._df[label].to_numpy()
+
+    def firstObject(self) -> int:
+        if self.isEmpty():
+            raise XmippError(ErrCode.MD_NOACTIVE, "empty metadata")
+        return int(self._df.index[0])
+
+    def getRow(self, objId: int) -> Row:
+        r = Row(self._df.loc[objId].dropna().to_dict())
+        return Row({k: (v.item() if isinstance(v, np.generic) else v)
+                    for k, v in r.items()})
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(self._df.index)
+
+    def iterRows(self) -> Iterator[Row]:
+        for i in self._df.index:
+            yield self.getRow(i)
+
+    # ---------------- algebra ----------------
+    def unionAll(self, other: "MetaData") -> None:
+        self._df = pd.concat([self._df, other._df], ignore_index=True)
+
+    def sort(self, label: str = "itemId") -> None:
+        self._df = self._df.sort_values(label, kind="stable").reset_index(drop=True)
+
+    def removeObjects(self, mask) -> None:
+        self._df = self._df[~np.asarray(mask)].reset_index(drop=True)
+
+    def removeDisabled(self) -> None:
+        if "enabled" in self._df.columns:
+            self._df = self._df[self._df["enabled"] != -1].reset_index(drop=True)
+
+    def select(self, expr: str) -> "MetaData":
+        return MetaData(self._df.query(expr))
+
+    def fillConstant(self, label: str, value) -> None:
+        self._df[label] = [value] * len(self._df)
+
+    def fillLinear(self, label: str, start: float, step: float) -> None:
+        self._df[label] = start + step * np.arange(len(self._df))
+
+    def renameColumn(self, old: str, new: str) -> None:
+        self._df = self._df.rename(columns={old: new})
+
+    def removeLabel(self, label: str) -> None:
+        if label in self._df.columns:
+            self._df = self._df.drop(columns=[label])
+
+    def copy(self) -> "MetaData":
+        out = MetaData(self._df.copy())
+        out.row_format = self.row_format
+        return out
+
+    def aggregate(self, op: str, label: str):
+        return getattr(self._df[label], op)()
+
+
+def _store(v):
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def compare_two_metadata_files(fn1: str, fn2: str, rtol=1e-5, atol=1e-4) -> bool:
+    """Semantic comparison of two STAR files (reference: compareTwoMetadataFiles,
+    bindings/python/xmippmodule.cpp:1392-1502 area + tests/test.py:174-200)."""
+    b1, b2 = read_star(as_filename(fn1).path), read_star(as_filename(fn2).path)
+    if [b.name for b in b1] != [b.name for b in b2]:
+        return False
+    for x, y in zip(b1, b2):
+        if set(x.df.columns) != set(y.df.columns) or len(x.df) != len(y.df):
+            return False
+        for col in x.df.columns:
+            a, b = x.df[col].to_numpy(), y.df[col].to_numpy()
+            if a.dtype.kind in "fiu" and b.dtype.kind in "fiu":
+                if not np.allclose(a.astype(float), b.astype(float),
+                                   rtol=rtol, atol=atol):
+                    return False
+            else:
+                if not all(str(u) == str(v) for u, v in zip(a, b)):
+                    return False
+    return True

@@ -1,0 +1,202 @@
+"""STAR / .xmd codec (the XMIPP_STAR_1 dialect).
+
+Contract pinned by reference fixtures:
+  /root/reference/src/xmipp/resources/test/metadata/mDsource.xmd (loop block),
+  .../ReadWriteAppendBlock.xmd (multiple blocks), .../sampling/ref_sampling.xmd
+  (key-value "row format" block + empty loop blocks).
+
+Grammar:
+  header comment lines starting with '#' (first is '# XMIPP_STAR_1 * ');
+  'data_<name>' opens a block; a block is either
+    row format:   ' _label value' lines (one object), or
+    column format: 'loop_' + ' _label' lines + whitespace-separated data rows.
+Values: int / float / string; vector labels serialize bracketed
+"[v1 v2 ...]"; strings with spaces may be single-quoted.
+"""
+from __future__ import annotations
+
+import io
+import re
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from xmipp3_tpu.core.errors import ErrCode, XmippError
+from xmipp3_tpu.core.labels import ALIASES, LabelType, label_type
+
+STAR_HEADER = "# XMIPP_STAR_1 * "
+
+
+@dataclass
+class StarBlock:
+    name: str
+    df: pd.DataFrame
+    row_format: bool = False  # True = key/value single-object block
+
+
+def _parse_value(tok: str):
+    """Infer int/float/str from a token."""
+    try:
+        return int(tok)
+    except ValueError:
+        pass
+    try:
+        return float(tok)
+    except ValueError:
+        pass
+    return tok
+
+
+_VEC_RE = re.compile(r"^\[(.*)\]$")
+
+
+def _tokenize_row(line: str) -> list:
+    """Split a data row into tokens, honoring '...' quoting and [v1 v2] vectors."""
+    out, i, n = [], 0, len(line)
+    while i < n:
+        c = line[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "'":
+            j = line.find("'", i + 1)
+            if j < 0:
+                raise XmippError(ErrCode.MD_BADLABEL, f"unterminated quote: {line}")
+            out.append(line[i + 1:j])
+            i = j + 1
+        elif c == "[":
+            j = line.find("]", i)
+            if j < 0:
+                raise XmippError(ErrCode.MD_BADLABEL, f"unterminated vector: {line}")
+            body = line[i + 1:j].replace(",", " ")
+            out.append(np.array([float(t) for t in body.split()]))
+            i = j + 1
+        else:
+            j = i
+            while j < n and not line[j].isspace():
+                j += 1
+            out.append(_parse_value(line[i:j]))
+            i = j
+    return out
+
+
+def parse_star(text: str) -> list[StarBlock]:
+    blocks: list[StarBlock] = []
+    lines = text.splitlines()
+    i, n = 0, len(lines)
+
+    def skip_blank_comments(i):
+        while i < n and (not lines[i].strip() or lines[i].lstrip().startswith("#")):
+            i += 1
+        return i
+
+    i = skip_blank_comments(i)
+    while i < n:
+        line = lines[i].strip()
+        if not line.startswith("data_"):
+            i += 1
+            continue
+        name = line[len("data_"):]
+        i = skip_blank_comments(i + 1)
+        # Decide block style
+        if i < n and lines[i].strip() == "loop_":
+            i += 1
+            labels: list[str] = []
+            while i < n:
+                s = lines[i].strip()
+                if s.startswith("_"):
+                    labels.append(ALIASES.get(s.split()[0][1:], s.split()[0][1:]))
+                    i += 1
+                elif s.startswith("#") or not s:
+                    i += 1
+                    # blank after labels may end an empty loop block
+                    if not s and labels:
+                        break
+                else:
+                    break
+            rows = []
+            while i < n:
+                s = lines[i].strip()
+                if not s or s.startswith("#") or s.startswith("data_"):
+                    break
+                rows.append(_tokenize_row(lines[i]))
+                i += 1
+            if labels:
+                df = pd.DataFrame(rows, columns=labels[: len(rows[0])] if rows else labels)
+                if not rows:
+                    df = pd.DataFrame({l: [] for l in labels})
+            else:
+                df = pd.DataFrame()
+            blocks.append(StarBlock(name, df, row_format=False))
+        elif i < n and lines[i].strip().startswith("_"):
+            # row (key/value) format
+            kv = {}
+            while i < n:
+                s = lines[i].strip()
+                if not s.startswith("_"):
+                    break
+                toks = s.split(None, 1)
+                key = ALIASES.get(toks[0][1:], toks[0][1:])
+                val = _tokenize_row(toks[1])[0] if len(toks) > 1 else ""
+                kv[key] = val
+                i += 1
+            blocks.append(StarBlock(name, pd.DataFrame([kv]), row_format=True))
+        else:
+            # empty block
+            blocks.append(StarBlock(name, pd.DataFrame(), row_format=False))
+    return blocks
+
+
+def read_star(path: str) -> list[StarBlock]:
+    with open(path, "r", errors="replace") as f:
+        return parse_star(f.read())
+
+
+def _fmt_value(label: str, v) -> str:
+    if isinstance(v, (np.ndarray, list, tuple)):
+        body = " ".join(f"{float(x):g}" for x in np.asarray(v).ravel())
+        return f"[{body}]"
+    t = label_type(label)
+    if isinstance(v, (bool, np.bool_)):
+        return f"{int(v):6d}"
+    if isinstance(v, (int, np.integer)):
+        return f"{int(v):6d}"
+    if isinstance(v, (float, np.floating)):
+        if t is LabelType.INT or t is LabelType.LONG:
+            return f"{int(v):6d}"
+        return f"{float(v):12.6f}"
+    s = str(v)
+    if s == "" or any(ch.isspace() for ch in s):
+        return f"'{s}'"
+    return s
+
+
+def format_star(blocks: list[StarBlock]) -> str:
+    out = io.StringIO()
+    out.write(STAR_HEADER + "\n# \n")
+    for blk in blocks:
+        out.write(f"data_{blk.name}\n")
+        df = blk.df
+        if blk.row_format and len(df) == 1:
+            row = df.iloc[0]
+            for label in df.columns:
+                out.write(f" _{label} {_fmt_value(label, row[label]).strip()}\n")
+        else:
+            out.write("loop_\n")
+            for label in df.columns:
+                out.write(f" _{label}\n")
+            for _, row in df.iterrows():
+                out.write(" ".join(_fmt_value(l, row[l]) for l in df.columns) + " \n")
+        out.write("\n")
+    return out.getvalue()
+
+
+def write_star(path: str, blocks: list[StarBlock], append: bool = False) -> None:
+    if append:
+        import os
+        existing = read_star(path) if os.path.exists(path) else []
+        names = {b.name for b in blocks}
+        blocks = [b for b in existing if b.name not in names] + blocks
+    with open(path, "w") as f:
+        f.write(format_star(blocks))
