@@ -1,0 +1,121 @@
+"""Geometry: Euler conventions, rotation matrices, alignment transforms.
+
+Contract: Xmipp's ZYZ Euler convention (xmippCore core/geometry.h /
+transformations.h, used by every angular program; SURVEY.md §1.1):
+    A(rot, tilt, psi) = Rz(psi) · Ry(tilt) · Rz(rot)
+with the "passive" row-rotation form Rz(t) = [[c, s, 0], [-s, c, 0], [0, 0, 1]].
+Rows of A are the projection-plane axes expressed in volume coordinates; the
+projection direction is A[2] (the rotated z axis).
+
+Centered-origin convention: logical origin of an n-pixel axis sits at index
+floor(n/2) (xmipp FIRST_XMIPP_INDEX = -floor(n/2)).
+
+All functions accept/return numpy or jax arrays (pure jnp-compatible math) and
+are batch-friendly (leading dims broadcast).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+try:
+    import jax.numpy as jnp
+except Exception:  # pragma: no cover
+    jnp = np
+
+
+def _np_of(x):
+    return jnp if not isinstance(x, (int, float, np.ndarray, list, tuple)) else np
+
+
+def euler_matrix(rot, tilt, psi, degrees: bool = True):
+    """ZYZ Euler angles -> 3x3 matrix (batched over leading dims)."""
+    xp = jnp if any(hasattr(a, "aval") for a in (rot, tilt, psi)) else np
+    rot, tilt, psi = (xp.asarray(a, dtype=xp.float32) for a in (rot, tilt, psi))
+    if degrees:
+        rot, tilt, psi = (xp.deg2rad(a) for a in (rot, tilt, psi))
+    c1, s1 = xp.cos(rot), xp.sin(rot)
+    c2, s2 = xp.cos(tilt), xp.sin(tilt)
+    c3, s3 = xp.cos(psi), xp.sin(psi)
+    row0 = xp.stack([c3 * c2 * c1 - s3 * s1, c3 * c2 * s1 + s3 * c1, -c3 * s2],
+                    axis=-1)
+    row1 = xp.stack([-s3 * c2 * c1 - c3 * s1, -s3 * c2 * s1 + c3 * c1, s3 * s2],
+                    axis=-1)
+    row2 = xp.stack([s2 * c1, s2 * s1, c2], axis=-1)
+    return xp.stack([row0, row1, row2], axis=-2)
+
+
+def matrix_to_euler(A):
+    """Inverse of euler_matrix (degrees). Matches Euler_matrix2angles."""
+    A = np.asarray(A, dtype=np.float64)
+    abs_sb = np.sqrt(A[0, 2] ** 2 + A[1, 2] ** 2)
+    if abs_sb > 16 * np.finfo(np.float64).eps:
+        gamma = np.arctan2(A[1, 2], -A[0, 2])
+        alpha = np.arctan2(A[2, 1], A[2, 0])
+        if abs(np.sin(gamma)) < np.finfo(np.float64).eps:
+            sign_sb = np.sign(-A[0, 2] / np.cos(gamma))
+        else:
+            sign_sb = np.sign(A[1, 2]) if np.sin(gamma) > 0 else -np.sign(A[1, 2])
+        beta = np.arctan2(sign_sb * abs_sb, A[2, 2])
+    else:
+        if np.sign(A[2, 2]) > 0:
+            alpha = 0.0
+            beta = 0.0
+            gamma = np.arctan2(-A[1, 0], A[0, 0])
+        else:
+            alpha = 0.0
+            beta = np.pi
+            gamma = np.arctan2(A[1, 0], -A[0, 0])
+    return (np.degrees(alpha), np.degrees(beta), np.degrees(gamma))
+
+
+def rotation2d_matrix(angle, degrees: bool = True):
+    """2D rotation (3x3 homogeneous, image convention).
+
+    Matches xmipp rotation2DMatrix: rotating an image by +angle rotates
+    features counter-clockwise when y points down-to-up in logical coords.
+    """
+    xp = np
+    a = np.deg2rad(angle) if degrees else angle
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, s, 0.0], [-s, c, 0.0], [0.0, 0.0, 1.0]],
+                    dtype=np.float32)
+
+
+def translation2d_matrix(sx, sy):
+    return np.array([[1.0, 0.0, sx], [0.0, 1.0, sy], [0.0, 0.0, 1.0]],
+                    dtype=np.float32)
+
+
+def alignment_matrix_2d(psi=0.0, shiftx=0.0, shifty=0.0, flip=False,
+                        scale=1.0, degrees=True):
+    """Compose the 2D alignment transform used by metadata geometry
+    (anglePsi/shiftX/shiftY/flip columns): A = T(shift) · S(scale) · R(psi),
+    optionally premultiplied by an x-mirror."""
+    A = rotation2d_matrix(psi, degrees)
+    A[:2, :] *= scale
+    A = translation2d_matrix(shiftx, shifty) @ A
+    if flip:
+        M = np.diag([-1.0, 1.0, 1.0]).astype(np.float32)
+        A = M @ A
+    return A
+
+
+def center_of(n: int) -> int:
+    """Index of the logical origin of an n-sample axis."""
+    return n // 2
+
+
+def frequency_grid(shape, real: bool = True):
+    """Normalized frequency grids (cycles/pixel in [-0.5, 0.5)).
+
+    Returns (fy, fx) for 2D or (fz, fy, fx) for 3D, each of the rfft layout
+    when real=True (last axis halved)."""
+    axes = []
+    nd = len(shape)
+    for i, n in enumerate(shape):
+        if real and i == nd - 1:
+            f = np.fft.rfftfreq(n).astype(np.float32)
+        else:
+            f = np.fft.fftfreq(n).astype(np.float32)
+        axes.append(f)
+    return np.meshgrid(*axes, indexing="ij")

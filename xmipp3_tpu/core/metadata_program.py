@@ -1,0 +1,178 @@
+"""XmippMetadataProgram — the batched per-image pipeline base.
+
+Reference contract (SURVEY.md §1.1): subclasses override
+preProcess/processImage/postProcess and the base iterates input metadata,
+managing -i/-o/--oroot and geometry application. 86 reference programs use it.
+
+TPU-native redesign: the iteration unit is a *batch*, not an image. Subclasses
+preferably override `processBatch(imgs, rows) -> imgs_out` operating on a
+float32 (B, Y, X) array — fed straight to jitted device code with a fixed
+batch size (padded), so XLA compiles once. `processImage` remains available
+for host-side per-item programs; the default processBatch falls back to it.
+
+Output semantics:
+  -i metadata (.xmd/.star/.sel) or stack (.mrcs/.stk) or single image
+  -o output stack/metadata/image (absent -> in-place on a copy of input name)
+  --oroot per-image output root (rarely needed; stacks preferred on TPU)
+  --save_metadata_stack [md] writes the output metadata table
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from xmipp3_tpu.core.errors import ErrCode, XmippError
+from xmipp3_tpu.core.filename import as_filename
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.program import XmippProgram
+
+_MD_EXTS = {"xmd", "sel", "doc", "star", "ctfparam"}
+
+
+def is_metadata_file(fn) -> bool:
+    return as_filename(fn).ext in _MD_EXTS
+
+
+class XmippMetadataProgram(XmippProgram):
+    #: subclasses may set a preferred device batch size
+    batch_size = 256
+    produces_an_output = True
+    apply_geo = False
+
+    def defineParams(self):
+        self.addParamsLine(" -i <input_file>   : Input metadata, stack, or image")
+        self.addParamsLine("   alias --input;")
+        if self.produces_an_output:
+            self.addParamsLine(" [-o <output_file=\"\">]  : Output stack, metadata or image")
+            self.addParamsLine("   alias --output;")
+            self.addParamsLine(" [--oroot <root=\"\">]    : Rootname for per-image outputs")
+        self.addParamsLine(" [--save_metadata_stack <output_md=\"\">] : Write output metadata")
+        self.addParamsLine(" [--keep_input_columns]  : Keep input metadata columns")
+        self.addParamsLine(" [--dont_apply_geo]      : Do not apply metadata transformations")
+        self.addParamsLine(" [--mode <mode=overwrite>] : Output file write mode")
+        self.addParamsLine("    where <mode>")
+        self.addParamsLine("      overwrite   : Replace output")
+        self.addParamsLine("      append      : Append to output")
+        self.defineProcessParams()
+
+    def defineProcessParams(self):
+        """Subclass hook for program-specific params."""
+
+    def readParams(self):
+        self.fn_in = self.getParam("-i")
+        self.fn_out = self.getParam("-o") if (self.produces_an_output and
+                                              self.checkParam("-o")) else ""
+        self.oroot = self.getParam("--oroot") if self.checkParam("--oroot") else ""
+        self.fn_out_md = (self.getParam("--save_metadata_stack")
+                          if self.checkParam("--save_metadata_stack") else "")
+        self.do_apply_geo = self.apply_geo and not self.checkParam("--dont_apply_geo")
+        self.readProcessParams()
+
+    def readProcessParams(self):
+        """Subclass hook."""
+
+    # ------------------------------------------------------------------
+    def setup_input(self):
+        fn = as_filename(self.fn_in)
+        self.single_image = False
+        if is_metadata_file(fn):
+            self.mdIn = MetaData(fn)
+            if self.mdIn.isEmpty():
+                raise XmippError(ErrCode.MD_NOACTIVE, f"empty metadata {fn}")
+        else:
+            img = Image()
+            img.read(fn, header_only=True)
+            n = img.header.n_images
+            self.mdIn = MetaData()
+            if n > 1:
+                self.mdIn = MetaData.fromRows(
+                    [{"image": f"{i + 1:06d}@{fn.path}", "enabled": 1,
+                      "itemId": i + 1} for i in range(n)])
+            else:
+                self.mdIn = MetaData.fromRows(
+                    [{"image": str(fn), "enabled": 1, "itemId": 1}])
+                self.single_image = img.header.shape[1] == 1
+        self.mdIn.removeDisabled()
+
+    def load_batch(self, rows: list[dict]) -> np.ndarray:
+        imgs = [Image(r["image"]).data for r in rows]
+        arr = np.stack([np.squeeze(i) for i in imgs]).astype(np.float32)
+        if self.do_apply_geo:
+            arr = self.apply_geometry_batch(arr, rows)
+        return arr
+
+    def apply_geometry_batch(self, arr, rows):
+        from xmipp3_tpu.ops.geo import apply_alignment_2d
+        psi = np.array([r.get("anglePsi", 0.0) for r in rows], np.float32)
+        sx = np.array([r.get("shiftX", 0.0) for r in rows], np.float32)
+        sy = np.array([r.get("shiftY", 0.0) for r in rows], np.float32)
+        flip = np.array([bool(r.get("flip", 0)) for r in rows])
+        return np.asarray(apply_alignment_2d(arr, psi, sx, sy, flip))
+
+    # ------------------------------------------------------------------
+    def preProcess(self):
+        pass
+
+    def postProcess(self):
+        pass
+
+    def processImage(self, img: np.ndarray, row: dict) -> np.ndarray:
+        raise XmippError(ErrCode.NOT_IMPLEMENTED,
+                         f"{self.name}: processImage/processBatch")
+
+    def processBatch(self, imgs: np.ndarray, rows: list[dict]) -> np.ndarray:
+        return np.stack([np.asarray(self.processImage(imgs[i], rows[i]))
+                         for i in range(len(rows))])
+
+    # ------------------------------------------------------------------
+    def run(self):
+        self.setup_input()
+        self.preProcess()
+        rows = list(self.mdIn.iterRows())
+        n = len(rows)
+        out_is_stack = bool(self.fn_out) and not is_metadata_file(self.fn_out)
+        in_place = not self.fn_out and not self.oroot
+        results: list[np.ndarray] = []
+        out_rows: list[dict] = []
+
+        B = self.batch_size
+        for start in range(0, n, B):
+            chunk = rows[start:start + B]
+            imgs = self.load_batch(chunk)
+            out = np.asarray(self.processBatch(imgs, chunk))
+            for i, r in enumerate(chunk):
+                results.append(out[i])
+                out_rows.append(dict(r))
+
+        # write outputs
+        if self.produces_an_output and results:
+            stack = np.stack(results)
+            if self.oroot:
+                for i, r in enumerate(out_rows):
+                    fn_i = f"{self.oroot}{i + 1:06d}.mrc"
+                    save_image(fn_i, results[i])
+                    r["image"] = fn_i
+            elif out_is_stack or in_place:
+                target = self.fn_out if out_is_stack else \
+                    as_filename(self.fn_in).path
+                if self.single_image and len(results) == 1:
+                    save_image(target, results[0])
+                    out_rows[0]["image"] = target
+                else:
+                    ext = as_filename(target).ext
+                    if ext not in ("mrcs", "stk", "mrc"):
+                        # metadata input, stack output beside it
+                        target = os.path.splitext(target)[0] + ".mrcs"
+                    save_image(target, stack)
+                    for i, r in enumerate(out_rows):
+                        r["image"] = f"{i + 1:06d}@{target}"
+            self.mdOut = MetaData.fromRows(out_rows)
+            if self.fn_out and is_metadata_file(self.fn_out):
+                self.mdOut.write(self.fn_out)
+            if self.fn_out_md:
+                self.mdOut.write(self.fn_out_md)
+        else:
+            self.mdOut = MetaData.fromRows(out_rows)
+        self.postProcess()

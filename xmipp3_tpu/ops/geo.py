@@ -1,0 +1,270 @@
+"""Batched geometric transforms (the AGeoTransformer / applyGeometry stack).
+
+Replaces: applyGeometry+transformations.h (xmippCore), BSplineGeoTransformer
+(reference reconstruction/bspline_geo_transformer.{h,cpp}), CUDA kernels
+cuda_gpu_geo_transformer.cu / cuda_geo_linear_interpolator.cu — as batched
+gather kernels under jit/vmap.
+
+Conventions:
+  - images are (B, H, W) float32, logical origin at (H//2, W//2);
+  - a 3x3 homogeneous matrix A maps INPUT logical coords to OUTPUT logical
+    coords (so sampling uses A^-1: out(x) = in(A^-1 x));
+  - `wrap=True` wraps coordinates periodically (xmipp WRAP), else zero-fill.
+Interpolation: order 1 (bilinear) or 3 (cubic B-spline with FFT prefilter —
+periodic-boundary variant of the reference's mirror IIR prefilter,
+cuda_gpu_iirconvolve.cu:63-232).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# interpolation kernels
+# ---------------------------------------------------------------------------
+
+def _gather_bilinear(img, yy, xx, wrap: bool):
+    H, W = img.shape
+    y0 = jnp.floor(yy)
+    x0 = jnp.floor(xx)
+    fy = yy - y0
+    fx = xx - x0
+    y0 = y0.astype(jnp.int32)
+    x0 = x0.astype(jnp.int32)
+
+    def tap(dy, dx):
+        yi, xi = y0 + dy, x0 + dx
+        if wrap:
+            yi, xi = jnp.mod(yi, H), jnp.mod(xi, W)
+            val = img[yi, xi]
+        else:
+            inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            yi = jnp.clip(yi, 0, H - 1)
+            xi = jnp.clip(xi, 0, W - 1)
+            val = jnp.where(inside, img[yi, xi], 0.0)
+        return val
+
+    w00 = (1 - fy) * (1 - fx)
+    w01 = (1 - fy) * fx
+    w10 = fy * (1 - fx)
+    w11 = fy * fx
+    return (tap(0, 0) * w00 + tap(0, 1) * w01 +
+            tap(1, 0) * w10 + tap(1, 1) * w11)
+
+
+def _bspline3_weight(t):
+    """Cubic B-spline kernel B3(|t|), |t| < 2."""
+    a = jnp.abs(t)
+    w_inner = (4.0 - 6.0 * a * a + 3.0 * a * a * a) / 6.0
+    w_outer = ((2.0 - a) ** 3) / 6.0
+    return jnp.where(a < 1.0, w_inner, jnp.where(a < 2.0, w_outer, 0.0))
+
+
+def bspline3_prefilter_2d(img):
+    """B-spline coefficient prefilter (periodic boundary, via FFT).
+
+    The direct B-spline transform: coeffs = img ⊛^-1 b3 where b3 is the
+    sampled cubic kernel [1/6, 4/6, 1/6] per axis."""
+    H, W = img.shape[-2:]
+    ky = jnp.zeros(H, img.dtype).at[0].set(4 / 6).at[1].set(1 / 6).at[H - 1].set(1 / 6)
+    kx = jnp.zeros(W, img.dtype).at[0].set(4 / 6).at[1].set(1 / 6).at[W - 1].set(1 / 6)
+    denom = jnp.outer(jnp.fft.fft(ky), jnp.fft.fft(kx))
+    return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(img) / denom)).astype(img.dtype)
+
+
+def _gather_bspline3(coeffs, yy, xx, wrap: bool):
+    H, W = coeffs.shape
+    y0 = jnp.floor(yy).astype(jnp.int32)
+    x0 = jnp.floor(xx).astype(jnp.int32)
+    out = jnp.zeros_like(yy)
+    for dy in range(-1, 3):
+        wy = _bspline3_weight(yy - (y0 + dy).astype(yy.dtype))
+        yi = y0 + dy
+        if wrap:
+            yi = jnp.mod(yi, H)
+        for dx in range(-1, 3):
+            wx = _bspline3_weight(xx - (x0 + dx).astype(xx.dtype))
+            xi = x0 + dx
+            if wrap:
+                xi = jnp.mod(xi, W)
+                val = coeffs[yi, xi]
+            else:
+                inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+                val = jnp.where(inside,
+                                coeffs[jnp.clip(yi, 0, H - 1),
+                                       jnp.clip(xi, 0, W - 1)], 0.0)
+            out = out + val * wy * wx
+    return out
+
+
+# ---------------------------------------------------------------------------
+# affine application
+# ---------------------------------------------------------------------------
+
+def _out_coords(H, W, dtype=jnp.float32):
+    cy, cx = H // 2, W // 2
+    yy = jnp.arange(H, dtype=dtype)[:, None] - cy
+    xx = jnp.arange(W, dtype=dtype)[None, :] - cx
+    return jnp.broadcast_to(yy, (H, W)), jnp.broadcast_to(xx, (H, W))
+
+
+@partial(jax.jit, static_argnames=("order", "wrap", "inverse"))
+def apply_affine_2d(imgs, mats, order: int = 1, wrap: bool = False,
+                    inverse: bool = False):
+    """Warp a batch: imgs (B,H,W), mats (B,3,3) mapping input->output coords
+    in (x, y) logical order. Returns (B,H,W)."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    mats = jnp.asarray(mats, jnp.float32)
+    if imgs.ndim == 2:
+        imgs = imgs[None]
+    if mats.ndim == 2:
+        mats = jnp.broadcast_to(mats[None], (imgs.shape[0], 3, 3))
+    B, H, W = imgs.shape
+    Ainv = mats if inverse else jnp.linalg.inv(mats)
+    yy, xx = _out_coords(H, W)
+
+    def one(img, M):
+        xs = M[0, 0] * xx + M[0, 1] * yy + M[0, 2]
+        ys = M[1, 0] * xx + M[1, 1] * yy + M[1, 2]
+        yy_in = ys + H // 2
+        xx_in = xs + W // 2
+        if order == 3:
+            coeffs = bspline3_prefilter_2d(img)
+            return _gather_bspline3(coeffs, yy_in, xx_in, wrap)
+        return _gather_bilinear(img, yy_in, xx_in, wrap)
+
+    return jax.vmap(one)(imgs, Ainv)
+
+
+def alignment_matrices_2d(psi, sx, sy, flip=None, scale=None):
+    """Batched alignment matrices: T(shift)·S·R(psi) (optionally mirrored).
+
+    jnp implementation of core.geometry.alignment_matrix_2d for traced args."""
+    psi = jnp.deg2rad(jnp.asarray(psi, jnp.float32))
+    sx = jnp.asarray(sx, jnp.float32)
+    sy = jnp.asarray(sy, jnp.float32)
+    B = psi.shape[0]
+    sc = jnp.ones(B, jnp.float32) if scale is None else jnp.asarray(scale)
+    c, s = jnp.cos(psi) * sc, jnp.sin(psi) * sc
+    zeros = jnp.zeros(B, jnp.float32)
+    ones = jnp.ones(B, jnp.float32)
+    A = jnp.stack([
+        jnp.stack([c, s, sx], axis=-1),
+        jnp.stack([-s, c, sy], axis=-1),
+        jnp.stack([zeros, zeros, ones], axis=-1),
+    ], axis=-2)
+    if flip is not None:
+        f = jnp.asarray(flip)
+        M = jnp.where(f[:, None, None],
+                      jnp.array([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]),
+                      jnp.eye(3))
+        A = M @ A
+    return A
+
+
+@partial(jax.jit, static_argnames=("order", "wrap"))
+def apply_alignment_2d(imgs, psi, sx, sy, flip=None, order: int = 1,
+                       wrap: bool = False):
+    """Apply per-image alignment (rotate by psi, then shift) to register a
+    batch — the metadata-geometry application of XmippMetadataProgram."""
+    A = alignment_matrices_2d(psi, sx, sy, flip)
+    return apply_affine_2d(imgs, A, order=order, wrap=wrap)
+
+
+def rotate_2d(imgs, angles, order: int = 1, wrap: bool = False):
+    B = imgs.shape[0] if imgs.ndim == 3 else 1
+    z = jnp.zeros(B, jnp.float32)
+    ang = jnp.broadcast_to(jnp.asarray(angles, jnp.float32), (B,))
+    return apply_affine_2d(imgs, alignment_matrices_2d(ang, z, z), order=order,
+                           wrap=wrap)
+
+
+def shift_2d_real(imgs, sx, sy, order: int = 1, wrap: bool = False):
+    B = imgs.shape[0] if imgs.ndim == 3 else 1
+    z = jnp.zeros(B, jnp.float32)
+    return apply_affine_2d(imgs, alignment_matrices_2d(
+        z, jnp.broadcast_to(jnp.asarray(sx, jnp.float32), (B,)),
+        jnp.broadcast_to(jnp.asarray(sy, jnp.float32), (B,))),
+        order=order, wrap=wrap)
+
+
+# ---------------------------------------------------------------------------
+# 3D affine (volumes): used by symmetrize / volume align
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("wrap",))
+def apply_affine_3d(vol, mats, wrap: bool = False):
+    """vol (D,H,W), mats (S,3,3) rotation-only (or (S,3,4) with translation);
+    returns (S,D,H,W) — one warped copy per matrix (symmetry replication)."""
+    vol = jnp.asarray(vol, jnp.float32)
+    D, H, W = vol.shape
+    mats = jnp.asarray(mats, jnp.float32)
+    if mats.ndim == 2:
+        mats = mats[None]
+    if mats.shape[-1] == 3:
+        mats = jnp.concatenate(
+            [mats, jnp.zeros(mats.shape[:-1] + (1,), mats.dtype)], axis=-1)
+    cz, cy, cx = D // 2, H // 2, W // 2
+    zz = jnp.arange(D, dtype=jnp.float32)[:, None, None] - cz
+    yy = jnp.arange(H, dtype=jnp.float32)[None, :, None] - cy
+    xx = jnp.arange(W, dtype=jnp.float32)[None, None, :] - cx
+
+    def one(M):
+        R = jnp.linalg.inv(M[:, :3])
+        t = M[:, 3]
+        xs = R[0, 0] * (xx - t[0]) + R[0, 1] * (yy - t[1]) + R[0, 2] * (zz - t[2])
+        ys = R[1, 0] * (xx - t[0]) + R[1, 1] * (yy - t[1]) + R[1, 2] * (zz - t[2])
+        zs = R[2, 0] * (xx - t[0]) + R[2, 1] * (yy - t[1]) + R[2, 2] * (zz - t[2])
+        zi = zs + cz
+        yi = ys + cy
+        xi = xs + cx
+        z0 = jnp.floor(zi).astype(jnp.int32)
+        y0 = jnp.floor(yi).astype(jnp.int32)
+        x0 = jnp.floor(xi).astype(jnp.int32)
+        fz, fy, fx = zi - z0, yi - y0, xi - x0
+        out = jnp.zeros((D, H, W), jnp.float32)
+        for dz in range(2):
+            for dy in range(2):
+                for dx in range(2):
+                    zj, yj, xj = z0 + dz, y0 + dy, x0 + dx
+                    w = (jnp.where(dz, fz, 1 - fz) * jnp.where(dy, fy, 1 - fy)
+                         * jnp.where(dx, fx, 1 - fx))
+                    if wrap:
+                        val = vol[jnp.mod(zj, D), jnp.mod(yj, H), jnp.mod(xj, W)]
+                    else:
+                        inside = ((zj >= 0) & (zj < D) & (yj >= 0) & (yj < H)
+                                  & (xj >= 0) & (xj < W))
+                        val = jnp.where(
+                            inside, vol[jnp.clip(zj, 0, D - 1),
+                                        jnp.clip(yj, 0, H - 1),
+                                        jnp.clip(xj, 0, W - 1)], 0.0)
+                    out = out + w * val
+        return out
+
+    return jax.vmap(one)(mats)
+
+
+def window_2d(imgs, out_h: int, out_w: int, fill: float = 0.0):
+    """Center crop/pad (xmipp transform_window semantics, centered origins)."""
+    imgs = jnp.asarray(imgs)
+    single = imgs.ndim == 2
+    if single:
+        imgs = imgs[None]
+    B, H, W = imgs.shape
+    out = jnp.full((B, out_h, out_w), fill, imgs.dtype)
+    # align logical centers
+    cy, cx = H // 2, W // 2
+    oy, ox = out_h // 2, out_w // 2
+    y0_src = max(0, cy - oy)
+    x0_src = max(0, cx - ox)
+    y0_dst = max(0, oy - cy)
+    x0_dst = max(0, ox - cx)
+    hh = min(H - y0_src, out_h - y0_dst)
+    ww = min(W - x0_src, out_w - x0_dst)
+    out = out.at[:, y0_dst:y0_dst + hh, x0_dst:x0_dst + ww].set(
+        imgs[:, y0_src:y0_src + hh, x0_src:x0_src + ww])
+    return out[0] if single else out
