@@ -99,8 +99,11 @@ class XmippMetadataProgram(XmippProgram):
     def load_batch(self, rows: list[dict]) -> np.ndarray:
         imgs = [Image(r["image"]).data for r in rows]
         arr = np.stack([np.squeeze(i) for i in imgs]).astype(np.float32)
-        if self.do_apply_geo:
-            arr = self.apply_geometry_batch(arr, rows)
+        if self.do_apply_geo and arr.ndim == 3:
+            psi_or_shift = any(r.get(k) for r in rows
+                               for k in ("anglePsi", "shiftX", "shiftY", "flip"))
+            if psi_or_shift:
+                arr = self.apply_geometry_batch(arr, rows)
         return arr
 
     def apply_geometry_batch(self, arr, rows):
@@ -157,7 +160,8 @@ class XmippMetadataProgram(XmippProgram):
             elif out_is_stack or in_place:
                 target = self.fn_out if out_is_stack else \
                     as_filename(self.fn_in).path
-                if self.single_image and len(results) == 1:
+                if len(results) == 1 and (self.single_image or
+                                          results[0].ndim == 3):
                     save_image(target, results[0])
                     out_rows[0]["image"] = target
                 else:

@@ -87,6 +87,8 @@ class ParamsGrammar:
         self._alias_map: dict[str, str] = {}
         self._last_param: ParamDef | None = None
         self._where_arg: ArgDef | None = None
+        self._last_choice: str | None = None
+        self._choice_requires: dict[tuple[str, str], list[str]] = {}
         self._section = ""
 
     # -- declaration ----------------------------------------------------
@@ -112,7 +114,12 @@ class ParamsGrammar:
             return
         if s.startswith("requires"):
             body = s[len("requires"):].strip().rstrip(";").strip()
-            if self._last_param is not None:
+            if self._where_arg is not None and self._last_choice is not None:
+                # choice-scoped dependency (e.g. "bfactor ... requires --sampling")
+                self._choice_requires.setdefault(
+                    (self._last_param.name, self._last_choice), []).extend(
+                        body.split())
+            elif self._last_param is not None:
                 self._last_param.requires.extend(body.split())
             return
         if s.startswith("where"):
@@ -158,6 +165,7 @@ class ParamsGrammar:
             choice = toks[0]
             self._where_arg.choices[choice] = (
                 _parse_args_spec(toks[1]) if len(toks) > 1 else [])
+            self._last_choice = choice
             return
         # free text — treat as usage comment
         if self._last_param is not None and comment:
@@ -220,12 +228,22 @@ class ParamsGrammar:
         for name, p in self.params.items():
             if not p.optional and name not in values:
                 raise XmippError(ErrCode.ARG_MISSING, f"param {name} not found")
-        # dependencies
+        # dependencies (param-level and choice-level)
         for name in list(values):
+            if name == "__defaults__":
+                continue
             for req in self.params[name].requires:
                 if self.canonical(req) not in values:
                     raise XmippError(ErrCode.ARG_MISSING,
                                      f"param {name} requires {req}")
+            toks = set(values[name])
+            for (pname, choice), reqs in self._choice_requires.items():
+                if pname == name and choice in toks:
+                    for req in reqs:
+                        if self.canonical(req) not in values:
+                            raise XmippError(
+                                ErrCode.ARG_MISSING,
+                                f"param {name} {choice} requires {req}")
         # defaults for absent optional params (so getParam works uniformly)
         for name, p in self.params.items():
             if name not in values and p.args and all(

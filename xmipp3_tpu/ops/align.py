@@ -1,0 +1,182 @@
+"""2-D alignment: iterative rotation+shift estimation, mirror handling,
+multireference alignment.
+
+Replaces the reference's IterativeAlignmentEstimator
+(reconstruction/iterative_alignment_estimator.h:46-90), alignImages /
+alignImagesConsideringMirrors (data/filters.h:538-623), and the exhaustive
+multireference correlation paths (aalign_significant / cuda_gpu_correlation)
+with batched jit pipelines: every step processes the whole (B,H,W) stack.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmipp3_tpu.ops.geo import apply_affine_2d, alignment_matrices_2d
+from xmipp3_tpu.ops.polar import (best_rotation_from_ffts, cartesian_to_polar,
+                                  ring_ffts)
+from xmipp3_tpu.ops.shift import best_shift, correlation_index
+
+
+@partial(jax.jit, static_argnames=("radius_min", "radius_max"))
+def rotation_from_fourier_mag(ref, others, radius_min: int = 3,
+                              radius_max: int | None = None):
+    """Shift-invariant rotation estimate from |FFT| polar correlation.
+
+    |F(img)| is invariant to translation and rotates with the image, so the
+    polar ring correlation of magnitudes gives psi regardless of shifts — the
+    approach of the reference's angular_assignment_mag
+    (reconstruction/angular_assignment_mag.h:49). |F| is centrosymmetric, so
+    the result carries a 180° ambiguity the caller resolves by merit."""
+    ref = jnp.asarray(ref, jnp.float32)
+    others = jnp.asarray(others, jnp.float32)
+    if others.ndim == 2:
+        others = others[None]
+    H, W = others.shape[-2:]
+    if radius_max is None:
+        radius_max = H // 2 - 2
+
+    def logmag(x):
+        m = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(x), axes=(-2, -1)))
+        return jnp.log1p(m)
+
+    f_ref = ring_ffts(cartesian_to_polar(logmag(ref), radius_min, radius_max))
+    f_oth = ring_ffts(cartesian_to_polar(logmag(others), radius_min, radius_max))
+    ang, peak = best_rotation_from_ffts(f_ref, f_oth, radius_min)
+    return ang, peak
+
+
+def iterative_align(ref, others, n_iters: int = 3, max_shift: int | None = None,
+                    radius_min: int = 2, radius_max: int | None = None,
+                    order: int = 1):
+    """Estimate (psi, sx, sy) registering each of `others` onto `ref`.
+
+    TPU-first redesign of the reference IterativeAlignmentEstimator
+    (iterative_alignment_estimator.h:46): instead of alternating
+    shift/rotation steps that couple badly at large poses, the rotation is
+    solved shift-invariantly from Fourier magnitudes (180°-ambiguous), both
+    candidates are completed with a shift estimate, the better one is kept by
+    correlation merit, and n_iters small spatial-domain refinement passes
+    polish the pose. Everything is batched over the stack.
+
+    Composition convention matches ops.geo.apply_alignment_2d:
+    aligned = shift(rotate(other, psi), sx, sy).
+    Returns (psi_deg, sx, sy, corr, aligned)."""
+    ref = jnp.asarray(ref, jnp.float32)
+    others = jnp.asarray(others, jnp.float32)
+    if others.ndim == 2:
+        others = others[None]
+    B, H, W = others.shape
+    if radius_max is None:
+        radius_max = H // 2 - 2
+
+    ang, _ = rotation_from_fourier_mag(ref, others,
+                                       radius_min=max(radius_min, 3),
+                                       radius_max=radius_max)
+
+    def candidate(psi):
+        rotated = apply_affine_2d(
+            others, alignment_matrices_2d(psi, jnp.zeros(B), jnp.zeros(B)),
+            order=order)
+        dsx, dsy, _ = best_shift(ref, rotated, max_shift=max_shift)
+        aligned = apply_affine_2d(
+            others, alignment_matrices_2d(psi, dsx, dsy), order=order)
+        return psi, dsx, dsy, correlation_index(ref, aligned)
+
+    cands = [candidate(ang), candidate(ang + 180.0)]
+    use2 = cands[1][3] > cands[0][3]
+    pick = lambda i: jnp.where(use2, cands[1][i], cands[0][i])
+    psi, sx, sy = pick(0), pick(1), pick(2)
+
+    # spatial refinement passes (small corrections now that pose is near)
+    refined = _iterative_align_refine(ref, others, psi, sx, sy, n_iters,
+                                      max_shift, radius_min, radius_max, order)
+    psi, sx, sy = refined
+    aligned = apply_affine_2d(others, alignment_matrices_2d(psi, sx, sy),
+                              order=order)
+    corr = correlation_index(ref, aligned)
+    psi = jnp.mod(psi + 180.0, 360.0) - 180.0
+    return psi, sx, sy, corr, aligned
+
+
+@partial(jax.jit, static_argnames=("n_iters", "max_shift", "radius_min",
+                                   "radius_max", "order"))
+def _iterative_align_refine(ref, others, psi, sx, sy, n_iters: int,
+                            max_shift, radius_min: int, radius_max: int,
+                            order: int):
+    ref = jnp.asarray(ref, jnp.float32)
+    f_ref = ring_ffts(cartesian_to_polar(ref, radius_min, radius_max))
+
+    def body(carry, _):
+        psi, sx, sy = carry
+        cur = apply_affine_2d(others, alignment_matrices_2d(psi, sx, sy),
+                              order=order)
+        f_cur = ring_ffts(cartesian_to_polar(cur, radius_min, radius_max))
+        dpsi, _ = best_rotation_from_ffts(f_ref, f_cur, radius_min)
+        rad = jnp.deg2rad(dpsi)
+        c, s = jnp.cos(rad), jnp.sin(rad)
+        psi, sx, sy = psi + dpsi, c * sx + s * sy, -s * sx + c * sy
+        cur = apply_affine_2d(others, alignment_matrices_2d(psi, sx, sy),
+                              order=order)
+        dsx, dsy, _ = best_shift(ref, cur, max_shift=max_shift)
+        return (psi, sx + dsx, sy + dsy), None
+
+    (psi, sx, sy), _ = jax.lax.scan(body, (psi, sx, sy), None, length=n_iters)
+    return psi, sx, sy
+
+
+def align_considering_mirrors(ref, others, **kw):
+    """Try straight and x-mirrored alignment, keep the better
+    (reference alignImagesConsideringMirrors, data/filters.h:544,623).
+
+    Returns (psi, sx, sy, flip, corr, aligned)."""
+    others = jnp.asarray(others, jnp.float32)
+    if others.ndim == 2:
+        others = others[None]
+    mirrored = others[:, :, ::-1]
+    psi1, sx1, sy1, c1, a1 = iterative_align(ref, others, **kw)
+    psi2, sx2, sy2, c2, a2 = iterative_align(ref, mirrored, **kw)
+    use2 = c2 > c1
+    psi = jnp.where(use2, psi2, psi1)
+    sx = jnp.where(use2, sx2, sx1)
+    sy = jnp.where(use2, sy2, sy1)
+    corr = jnp.where(use2, c2, c1)
+    aligned = jnp.where(use2[:, None, None], a2, a1)
+    return psi, sx, sy, use2, corr, aligned
+
+
+@partial(jax.jit, static_argnames=("max_shift", "radius_min", "radius_max",
+                                   "n_iters", "order"))
+def multireference_align(refs, others, max_shift: int | None = None,
+                         radius_min: int = 2, radius_max: int | None = None,
+                         n_iters: int = 2, order: int = 1):
+    """Align every image against every reference; return per-image best.
+
+    The TPU replacement for the projection-matching / align_significant inner
+    loop: (R) refs x (B) images evaluated as one batched computation.
+
+    Returns dict with ref_idx, psi, sx, sy, corr — each (B,)
+    and the full correlation matrix (B, R)."""
+    refs = jnp.asarray(refs, jnp.float32)
+    others = jnp.asarray(others, jnp.float32)
+    if refs.ndim == 2:
+        refs = refs[None]
+    if others.ndim == 2:
+        others = others[None]
+    R = refs.shape[0]
+    B = others.shape[0]
+
+    def per_ref(ref):
+        psi, sx, sy, corr, _ = iterative_align(
+            ref, others, n_iters=n_iters, max_shift=max_shift,
+            radius_min=radius_min, radius_max=radius_max, order=order)
+        return psi, sx, sy, corr
+
+    psi, sx, sy, corr = jax.lax.map(per_ref, refs)   # (R, B) each
+    best = jnp.argmax(corr, axis=0)                   # (B,)
+    take = lambda M: M[best, jnp.arange(B)]
+    return dict(ref_idx=best, psi=take(psi), sx=take(sx), sy=take(sy),
+                corr=take(corr), corr_matrix=corr.T)

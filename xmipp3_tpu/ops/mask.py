@@ -1,0 +1,101 @@
+"""Parametric masks (circular/crown/gaussian/raised-cosine/wedge...).
+
+Rebuilds the reference Mask engine (data/mask.h:360, ProgMask :1039) as mask
+*generators* returning float32 arrays; application is elementwise multiply
+(fused by XLA into neighbors). Centered-origin convention: logical origin at
+n//2 (xmipp FIRST_XMIPP_INDEX).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _radius2_2d(h, w, cy=None, cx=None):
+    cy = h // 2 if cy is None else cy
+    cx = w // 2 if cx is None else cx
+    y = np.arange(h, dtype=np.float32)[:, None] - cy
+    x = np.arange(w, dtype=np.float32)[None, :] - cx
+    return y * y + x * x
+
+
+def _radius2_3d(d, h, w):
+    z = np.arange(d, dtype=np.float32)[:, None, None] - d // 2
+    y = np.arange(h, dtype=np.float32)[None, :, None] - h // 2
+    x = np.arange(w, dtype=np.float32)[None, None, :] - w // 2
+    return z * z + y * y + x * x
+
+
+def circular_mask(shape, radius: float | None = None, inner: float = 0.0,
+                  mode: str = "binary"):
+    """Binary/smooth circular (2D) or spherical (3D) mask.
+
+    radius<0 in the reference CLI means "use dim/2 + radius"; None = dim/2.
+    inner>0 makes a crown/shell. mode: binary | gaussian | raised_cosine."""
+    if len(shape) == 2:
+        r2 = _radius2_2d(*shape)
+    else:
+        r2 = _radius2_3d(*shape)
+    n = min(shape)
+    if radius is None:
+        radius = n // 2
+    elif radius < 0:
+        radius = n // 2 + radius
+    r = np.sqrt(r2)
+    if mode == "binary":
+        m = (r <= radius).astype(np.float32)
+    elif mode == "gaussian":
+        m = np.exp(-r2 / (2 * radius ** 2)).astype(np.float32)
+    elif mode == "raised_cosine":
+        t = np.clip((r - inner) / max(radius - inner, 1e-6), 0, 1)
+        m = (0.5 * (1 + np.cos(np.pi * t))).astype(np.float32)
+        inner = 0.0
+    else:
+        raise ValueError(mode)
+    if inner > 0:
+        m = m * (r >= inner).astype(np.float32)
+    return m
+
+
+def crown_mask(shape, r_inner: float, r_outer: float):
+    return circular_mask(shape, r_outer, inner=r_inner)
+
+
+def background_mask(shape, radius: float | None = None):
+    """Complement of the circular mask — the 'background' ring used by
+    normalization (reference ProgNormalize background definitions)."""
+    return 1.0 - circular_mask(shape, radius)
+
+
+def rectangular_mask(shape, half_x: int, half_y: int, half_z: int | None = None):
+    if len(shape) == 2:
+        h, w = shape
+        y = np.abs(np.arange(h)[:, None] - h // 2)
+        x = np.abs(np.arange(w)[None, :] - w // 2)
+        return ((y <= half_y) & (x <= half_x)).astype(np.float32)
+    d, h, w = shape
+    z = np.abs(np.arange(d)[:, None, None] - d // 2)
+    y = np.abs(np.arange(h)[None, :, None] - h // 2)
+    x = np.abs(np.arange(w)[None, None, :] - w // 2)
+    return ((z <= (half_z if half_z is not None else d)) & (y <= half_y)
+            & (x <= half_x)).astype(np.float32)
+
+
+def gaussian_mask(shape, sigma: float):
+    if len(shape) == 2:
+        r2 = _radius2_2d(*shape)
+    else:
+        r2 = _radius2_3d(*shape)
+    return np.exp(-r2 / (2 * sigma ** 2)).astype(np.float32)
+
+
+def raised_cosine_window_1d(n: int, overlap_frac: float = 0.5):
+    """Separable piece smoother used by PSD estimation tiles (reference
+    constructPieceSmoother, ctf_estimate_from_micrograph.cpp:348)."""
+    x = np.arange(n, dtype=np.float32)
+    ramp = int(n * overlap_frac / 2)
+    wnd = np.ones(n, np.float32)
+    if ramp > 0:
+        t = 0.5 * (1 - np.cos(np.pi * (x[:ramp] + 0.5) / ramp))
+        wnd[:ramp] = t
+        wnd[-ramp:] = t[::-1]
+    return wnd

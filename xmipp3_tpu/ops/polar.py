@@ -1,0 +1,123 @@
+"""Polar resampling + rotational correlation over ring FFTs.
+
+Replaces the reference Polar stack (data/polar.h:67 Polar<T>,
+getPolarFromCartesianBSpline :625, fourierTransformRings :760,
+rotationalCorrelation :828, best_rotation :852) and its GPU twin
+(cuda_rot_polar_estimator + cuda_gpu_polar.cu) with batched gathers + a 1-D
+FFT correlation along the angular axis — a single fused jit kernel per batch.
+
+Layout: polar stacks are (B, n_rings, n_angles) float32; ring radii are
+radius_min + i (1 px spacing, as the reference defaults to full rings);
+angular samples θ_j = 2π j / n_angles, x = c + r cosθ, y = c + r sinθ.
+Ring weighting for correlation: w_i ∝ r_i (annulus area, matching the
+reference's ring weights in rotationalCorrelation).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmipp3_tpu.ops.shift import _parabola_peak_1d
+
+
+def polar_grid(h: int, w: int, radius_min: int, radius_max: int,
+               n_angles: int | None = None):
+    """Sampling coordinates (yy, xx) of shape (n_rings, n_angles)."""
+    if n_angles is None:
+        # enough angular samples for the outermost ring (power of 2 friendly)
+        n_angles = int(2 ** np.ceil(np.log2(2 * np.pi * radius_max)))
+    radii = np.arange(radius_min, radius_max + 1, dtype=np.float32)
+    theta = (2 * np.pi * np.arange(n_angles) / n_angles).astype(np.float32)
+    cy, cx = h // 2, w // 2
+    yy = cy + radii[:, None] * np.sin(theta)[None, :]
+    xx = cx + radii[:, None] * np.cos(theta)[None, :]
+    return yy.astype(np.float32), xx.astype(np.float32), radii
+
+
+@partial(jax.jit, static_argnames=("radius_min", "radius_max", "n_angles"))
+def cartesian_to_polar(imgs, radius_min: int = 2, radius_max: int | None = None,
+                       n_angles: int | None = None):
+    """Batched polar resampling (bilinear). imgs (B,H,W) -> (B,R,A)."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    single = imgs.ndim == 2
+    if single:
+        imgs = imgs[None]
+    B, H, W = imgs.shape
+    if radius_max is None:
+        radius_max = H // 2 - 2
+    yy, xx, _ = polar_grid(H, W, radius_min, radius_max, n_angles)
+    y0 = jnp.floor(yy).astype(jnp.int32)
+    x0 = jnp.floor(xx).astype(jnp.int32)
+    fy = yy - y0
+    fx = xx - x0
+
+    def one(img):
+        def tap(dy, dx):
+            return img[jnp.clip(y0 + dy, 0, H - 1), jnp.clip(x0 + dx, 0, W - 1)]
+        return (tap(0, 0) * (1 - fy) * (1 - fx) + tap(0, 1) * (1 - fy) * fx +
+                tap(1, 0) * fy * (1 - fx) + tap(1, 1) * fy * fx)
+
+    out = jax.vmap(one)(imgs)
+    return out[0] if single else out
+
+
+@jax.jit
+def ring_ffts(polar):
+    """FFT along the angular axis (reference fourierTransformRings)."""
+    return jnp.fft.rfft(jnp.asarray(polar, jnp.float32), axis=-1)
+
+
+@partial(jax.jit, static_argnames=("radius_min",))
+def rotational_correlation(f_ref, f_others, radius_min: int = 2):
+    """Angular cross-correlation c(θ) summed over rings with r-weights.
+
+    f_ref: (R, A//2+1) or (B, R, A//2+1); f_others: (B, R, A//2+1).
+    Returns (B, A) correlation curves."""
+    if f_ref.ndim == 2:
+        f_ref = f_ref[None]
+    R = f_others.shape[-2]
+    A = 2 * (f_others.shape[-1] - 1)
+    radii = jnp.arange(radius_min, radius_min + R, dtype=jnp.float32)
+    w = radii / radii.sum()
+    cross = f_others * jnp.conj(f_ref)           # (B, R, A//2+1)
+    weighted = (cross * w[None, :, None]).sum(axis=-2)
+    return jnp.fft.irfft(weighted, n=A, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("radius_min",))
+def best_rotation_from_ffts(f_ref, f_others, radius_min: int = 2):
+    """Best in-plane rotation angle (degrees) and correlation peak.
+
+    Angle returned is the rotation to apply to `other` so it matches `ref`
+    (same sense as ops.geo.rotate_2d)."""
+    corr = rotational_correlation(f_ref, f_others, radius_min)
+    B, A = corr.shape
+    idx = jnp.argmax(corr, axis=-1)
+    ym1 = corr[jnp.arange(B), (idx - 1) % A]
+    y0 = corr[jnp.arange(B), idx]
+    yp1 = corr[jnp.arange(B), (idx + 1) % A]
+    off = _parabola_peak_1d(ym1, y0, yp1)
+    ang = (idx.astype(jnp.float32) + off) * (360.0 / A)
+    # wrap to (-180, 180]
+    ang = jnp.where(ang > 180.0, ang - 360.0, ang)
+    return ang, y0
+
+
+def best_rotation(ref, others, radius_min: int = 2, radius_max: int | None = None,
+                  n_angles: int | None = None):
+    """End-to-end 1-vs-N rotation estimation on Cartesian images."""
+    ref = jnp.asarray(ref, jnp.float32)
+    others = jnp.asarray(others, jnp.float32)
+    if others.ndim == 2:
+        others = others[None]
+    H = others.shape[-2]
+    if radius_max is None:
+        radius_max = H // 2 - 2
+    p_ref = cartesian_to_polar(ref, radius_min, radius_max, n_angles)
+    p_oth = cartesian_to_polar(others, radius_min, radius_max, n_angles)
+    f_ref = ring_ffts(p_ref)
+    f_oth = ring_ffts(p_oth)
+    return best_rotation_from_ffts(f_ref, f_oth, radius_min)

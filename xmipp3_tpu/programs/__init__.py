@@ -18,13 +18,21 @@ def register(name: str, module: str) -> None:
 
 
 def get_program(name: str):
-    """Instantiate a program class by CLI name (lazy import)."""
+    """Instantiate a program class by CLI name (lazy import).
+
+    Registry values are "module.path" (uses module PROGRAM attr) or
+    "module.path:ClassName"."""
     import importlib
 
     _populate()
     if name not in _REGISTRY:
         return None
-    mod = importlib.import_module(_REGISTRY[name])
+    target = _REGISTRY[name]
+    if ":" in target:
+        modname, clsname = target.split(":", 1)
+        mod = importlib.import_module(modname)
+        return getattr(mod, clsname)()
+    mod = importlib.import_module(target)
     return mod.PROGRAM()
 
 
@@ -63,7 +71,13 @@ def main(argv=None) -> int:
         print(f"xmipp: unknown program '{name}' (try 'xmipp --help')",
               file=sys.stderr)
         return 1
-    program.read(["xmipp_" + name] + args)
+    from xmipp3_tpu.core.errors import XmippError
+    try:
+        program.read(["xmipp_" + name] + args)
+    except XmippError as e:
+        print(f"XMIPP_ERROR: {e}\nRun 'xmipp_{name} --help' for usage.",
+              file=sys.stderr)
+        return 1
     return program.tryRun()
 
 

@@ -1,0 +1,87 @@
+"""xmipp_image_align — 2-D alignment of a stack to a reference (or
+reference-free with iterative average refinement).
+
+Contract: reference align2d / image_align CLI (reconstruction/align2d.h:36);
+compute path is the batched TPU aligner (ops.align).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.metadata_program import XmippMetadataProgram
+from xmipp3_tpu.ops.align import align_considering_mirrors, iterative_align
+
+
+class ProgImageAlign(XmippMetadataProgram):
+    name = "xmipp_image_align"
+    batch_size = 1024
+
+    def defineProcessParams(self):
+        self.addUsageLine("Align a stack of images: to a reference image, or "
+                          "reference-free (iterative average).")
+        self.addParamsLine("[--ref <reference=\"\">]  : Reference image; if absent, reference-free")
+        self.addParamsLine("[--iter <n=5>]        : Reference-free refinement iterations")
+        self.addParamsLine("[--max_shift <s=-1>]  : Maximum shift (pixels; -1 = dim/4)")
+        self.addParamsLine("[--dont_mirror]       : Do not check mirrored alignment")
+        self.addParamsLine("[--oaligned <stk=\"\">] : Also write the aligned stack here")
+
+    def readProcessParams(self):
+        self.fn_ref = self.getParam("--ref") if self.checkParam("--ref") else ""
+        self.n_ref_iters = self.getIntParam("--iter") if self.checkParam("--iter") else 5
+        self.max_shift = self.getIntParam("--max_shift") if self.checkParam("--max_shift") else -1
+        self.use_mirror = not self.checkParam("--dont_mirror")
+        self.fn_aligned = self.getParam("--oaligned") if self.checkParam("--oaligned") else ""
+
+    def run(self):
+        self.setup_input()
+        rows = list(self.mdIn.iterRows())
+        imgs = self.load_batch(rows)
+        B, H, W = imgs.shape
+        max_shift = self.max_shift if self.max_shift > 0 else H // 4
+
+        if self.fn_ref:
+            ref = np.squeeze(Image(self.fn_ref).data).astype(np.float32)
+        else:
+            # reference-free: start from the plain average, iterate
+            ref = imgs.mean(axis=0)
+
+        n_outer = 1 if self.fn_ref else self.n_ref_iters
+        for it in range(n_outer):
+            if self.use_mirror:
+                psi, sx, sy, flip, corr, aligned = (
+                    align_considering_mirrors(ref, imgs, n_iters=3,
+                                              max_shift=max_shift))
+            else:
+                psi, sx, sy, corr, aligned = iterative_align(
+                    ref, imgs, n_iters=3, max_shift=max_shift)
+                flip = np.zeros(B, bool)
+            if not self.fn_ref:
+                ref = np.asarray(aligned).mean(axis=0)
+            if self.verbose:
+                print(f"iter {it + 1}: mean corr "
+                      f"{float(np.asarray(corr).mean()):.4f}")
+
+        psi, sx, sy, corr = (np.asarray(v) for v in (psi, sx, sy, corr))
+        flip = np.asarray(flip)
+        aligned = np.asarray(aligned)
+
+        for i, r in enumerate(rows):
+            r["anglePsi"] = float(psi[i])
+            r["shiftX"] = float(sx[i])
+            r["shiftY"] = float(sy[i])
+            r["flip"] = int(flip[i])
+            r["maxCC"] = float(corr[i])
+        self.mdOut = MetaData.fromRows(rows)
+        if self.fn_out:
+            self.mdOut.write(self.fn_out)
+        if self.fn_aligned:
+            save_image(self.fn_aligned, aligned)
+            if not self.fn_ref:
+                save_image(self.fn_aligned.replace(".", "_avg.", 1),
+                           aligned.mean(axis=0))
+        self.postProcess()
+
+
+PROGRAM = ProgImageAlign

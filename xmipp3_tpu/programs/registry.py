@@ -1,8 +1,26 @@
-"""Program registry: every CLI endpoint maps to its implementing module.
+"""Program registry: every CLI endpoint maps to module[:class].
 
 Grows toward the full 209-program surface of SURVEY.md Appendix A.
 """
 from xmipp3_tpu.programs import register
 
-# phase-2 slice
-# (populated as programs land)
+P = "xmipp3_tpu.programs."
+
+register("transform_filter", P + "transform_filter")
+register("transform_geometry", P + "transform_geometry")
+register("transform_normalize", P + "transform_normalize")
+register("transform_window", P + "transform_misc:ProgTransformWindow")
+register("transform_add_noise", P + "transform_misc:ProgTransformAddNoise")
+register("transform_threshold", P + "transform_misc:ProgTransformThreshold")
+register("transform_mirror", P + "transform_misc:ProgTransformMirror")
+register("transform_randomize_phases",
+         P + "transform_misc:ProgTransformRandomizePhases")
+register("transform_downsample", P + "transform_misc:ProgTransformDownsample")
+register("image_operate", P + "image_operate")
+register("image_align", P + "image_align")
+register("image_resize", P + "image_misc:ProgImageResize")
+register("image_convert", P + "image_misc:ProgImageConvert")
+register("image_header", P + "image_misc:ProgImageHeader")
+register("image_statistics", P + "image_misc:ProgImageStatistics")
+register("image_histogram", P + "image_misc:ProgImageHistogram")
+register("metadata_utilities", P + "metadata_utilities")
