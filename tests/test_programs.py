@@ -178,7 +178,10 @@ def test_cli_dispatcher_subprocess(stack, tmp_path):
     """The real installed CLI entry point end-to-end."""
     fn, _ = stack
     out = str(tmp_path / "cli.mrcs")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # PALLAS_AXON_POOL_IPS="" skips the remote-TPU plugin registration in the
+    # child: its PJRT init dials a relay that intermittently blocks for
+    # minutes, even when JAX_PLATFORMS=cpu.
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     r = subprocess.run(
         [sys.executable, "-m", "xmipp3_tpu.programs", "transform_filter",
          "-i", fn, "-o", out, "--fourier", "low_pass", "0.2"],

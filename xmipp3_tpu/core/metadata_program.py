@@ -107,12 +107,12 @@ class XmippMetadataProgram(XmippProgram):
         return arr
 
     def apply_geometry_batch(self, arr, rows):
-        from xmipp3_tpu.ops.geo import apply_alignment_2d
+        from xmipp3_tpu.ops.geo import apply_md_geometry
         psi = np.array([r.get("anglePsi", 0.0) for r in rows], np.float32)
         sx = np.array([r.get("shiftX", 0.0) for r in rows], np.float32)
         sy = np.array([r.get("shiftY", 0.0) for r in rows], np.float32)
         flip = np.array([bool(r.get("flip", 0)) for r in rows])
-        return np.asarray(apply_alignment_2d(arr, psi, sx, sy, flip))
+        return np.asarray(apply_md_geometry(arr, psi, sx, sy, flip))
 
     # ------------------------------------------------------------------
     def preProcess(self):

@@ -175,6 +175,82 @@ def apply_alignment_2d(imgs, psi, sx, sy, flip=None, order: int = 1,
     return apply_affine_2d(imgs, A, order=order, wrap=wrap)
 
 
+# ---------------------------------------------------------------------------
+# Metadata pose convention (the single framework-wide contract):
+#   stored (rot, tilt, psi, shiftX, shiftY, flip) satisfy
+#       shift(img, (sx, sy)) ≈ M_x^flip · proj(A(rot, tilt, psi))
+#   i.e. the registered (reference-frame) image is
+#       registered = M_x^flip · R(-psi) · T(sx, sy) · img
+# matching the reference behavior where reconstruct applies stored shifts to
+# the image and uses (rot,tilt,psi) directly as the pose
+# (reconstruct_fourier.cpp:199 PRELOAD applies shifts, pose from MD).
+# ---------------------------------------------------------------------------
+
+def metadata_alignment_matrices(psi, sx, sy, flip=None):
+    """Matrices of the registration transform M_x^f·R(-psi)·T(s) (batched)."""
+    psi_r = jnp.deg2rad(jnp.asarray(psi, jnp.float32))
+    sx = jnp.asarray(sx, jnp.float32)
+    sy = jnp.asarray(sy, jnp.float32)
+    B = psi_r.shape[0]
+    c, s = jnp.cos(-psi_r), jnp.sin(-psi_r)
+    zeros = jnp.zeros(B, jnp.float32)
+    ones = jnp.ones(B, jnp.float32)
+    R = jnp.stack([
+        jnp.stack([c, s, zeros], axis=-1),
+        jnp.stack([-s, c, zeros], axis=-1),
+        jnp.stack([zeros, zeros, ones], axis=-1)], axis=-2)
+    T = jnp.stack([
+        jnp.stack([ones, zeros, sx], axis=-1),
+        jnp.stack([zeros, ones, sy], axis=-1),
+        jnp.stack([zeros, zeros, ones], axis=-1)], axis=-2)
+    A = R @ T
+    if flip is not None:
+        f = jnp.asarray(flip)
+        M = jnp.where(f[:, None, None],
+                      jnp.array([[-1.0, 0, 0], [0, 1.0, 0], [0, 0, 1.0]]),
+                      jnp.eye(3))
+        A = M @ A
+    return A
+
+
+@partial(jax.jit, static_argnames=("order", "wrap"))
+def apply_md_geometry(imgs, psi, sx, sy, flip=None, order: int = 1,
+                      wrap: bool = False):
+    """Register a batch using stored metadata pose parameters."""
+    A = metadata_alignment_matrices(psi, sx, sy, flip)
+    return apply_affine_2d(imgs, A, order=order, wrap=wrap)
+
+
+def rotate_vector_2d(vx, vy, angle_deg):
+    """Rotate 2-vectors by angle (consistent with R(a) composition:
+    v' = (c·vx + s·vy, -s·vx + c·vy))."""
+    a = jnp.deg2rad(jnp.asarray(angle_deg, jnp.float32))
+    c, s = jnp.cos(a), jnp.sin(a)
+    return c * vx + s * vy, -s * vx + c * vy
+
+
+def alignment_to_md_pose(psi_align, sx, sy, flip=None):
+    """Convert 'applied alignment' params (aligned = T(s)·R(ψ)·img, possibly
+    of the y-flipped image) into the stored metadata pose convention.
+
+    Derivation: T(s)R(ψ)img = proj  =>  shift(img, R(-ψ)s) = proj(A(...,-ψ)).
+    For flip (aligned = T(s)R(ψ)·F_y·img): ψ' = 180-ψ, s' = (-sx, sy), then
+    psi_md = -ψ', s_md = R(-ψ')s', flip=1."""
+    psi_align = jnp.asarray(psi_align, jnp.float32)
+    sx = jnp.asarray(sx, jnp.float32)
+    sy = jnp.asarray(sy, jnp.float32)
+    if flip is None:
+        flip = jnp.zeros(psi_align.shape, bool)
+    f = jnp.asarray(flip)
+    psi_eff = jnp.where(f, 180.0 - psi_align, psi_align)
+    sx_eff = jnp.where(f, -sx, sx)
+    sy_eff = sy
+    psi_md = -psi_eff
+    sx_md, sy_md = rotate_vector_2d(sx_eff, sy_eff, -psi_eff)
+    psi_md = jnp.mod(psi_md + 180.0, 360.0) - 180.0
+    return psi_md, sx_md, sy_md, f
+
+
 def rotate_2d(imgs, angles, order: int = 1, wrap: bool = False):
     B = imgs.shape[0] if imgs.ndim == 3 else 1
     z = jnp.zeros(B, jnp.float32)

@@ -1,0 +1,206 @@
+"""Gallery matching: batched multireference rotational correlation + shift
+refinement — the projection-matching inner loop.
+
+Replaces the reference's per-image pthread loop with LRU reference cache
+(angular_projection_matching.cpp:530-770, HOT LOOP) and the CUDA exhaustive
+correlation (cuda_gpu_correlation): gallery ring-FFTs are computed once; each
+particle batch correlates against ALL references as one einsum over
+(rings x angular-frequencies) — an MXU-shaped contraction — followed by a
+batched irfft and argmax. Mirrors come free as conjugate ring-FFTs. Shift is
+then refined only for the winning reference (as the reference does:
+rotational alignment over neighbors, translational on the winner,
+angular_projection_matching.cpp:776-860).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmipp3_tpu.ops.geo import apply_affine_2d, alignment_matrices_2d
+from xmipp3_tpu.ops.polar import cartesian_to_polar, ring_ffts
+from xmipp3_tpu.ops.shift import _parabola_peak_1d, best_shift, correlation_index
+
+
+@partial(jax.jit, static_argnames=("radius_min",))
+def rotational_corr_matrix(f_refs, f_imgs, radius_min: int = 2):
+    """All-pairs angular correlation curves.
+
+    f_refs (R, nr, k), f_imgs (B, nr, k) complex ring FFTs ->
+    (B, R, A) correlation curves (A = 2*(k-1))."""
+    R, nr, k = f_refs.shape
+    A = 2 * (k - 1)
+    radii = jnp.arange(radius_min, radius_min + nr, dtype=jnp.float32)
+    w = radii / radii.sum()
+    # drop k=0 (per-ring mean) so flat background doesn't dominate, and
+    # normalize by per-image/per-ref ring energies -> correlation coefficient
+    mask = jnp.ones(k, jnp.float32).at[0].set(0.0)
+    fi = f_imgs * mask[None, None, :]
+    fr = f_refs * mask[None, None, :]
+    # rfft energy: interior bins count twice (conjugate half)
+    dup = (2.0 * jnp.ones(k)).at[0].set(1.0).at[-1].set(1.0 if A % 2 == 0 else 2.0)
+    e_img = jnp.einsum("brk,r,k->b", jnp.abs(fi) ** 2, w, dup)
+    e_ref = jnp.einsum("Rrk,r,k->R", jnp.abs(fr) ** 2, w, dup)
+    cross = jnp.einsum("brk,Rrk->bRk", fi * w[None, :, None], jnp.conj(fr))
+    corr = jnp.fft.irfft(cross, n=A, axis=-1) * A
+    norm = jnp.sqrt(jnp.maximum(e_img[:, None] * e_ref[None, :], 1e-20))
+    return corr / norm[:, :, None]
+
+
+@partial(jax.jit, static_argnames=("radius_min",))
+def best_rotation_matrix(f_refs, f_imgs, radius_min: int = 2):
+    """Best psi + peak for every (image, ref) pair, straight and mirrored.
+
+    Mirroring an image about x reverses its polar angle axis; the ring FFT of
+    the mirrored image is the conjugate of the original's (up to angle
+    reversal), so mirror correlations reuse the same gallery FFTs.
+
+    Returns (psi (B,R), peak (B,R), psi_m (B,R), peak_m (B,R))."""
+    def peaks(corr):
+        B, R, A = corr.shape
+        idx = jnp.argmax(corr, axis=-1)
+        bi = jnp.arange(B)[:, None]
+        ri = jnp.arange(R)[None, :]
+        y0 = corr[bi, ri, idx]
+        ym1 = corr[bi, ri, (idx - 1) % A]
+        yp1 = corr[bi, ri, (idx + 1) % A]
+        off = _parabola_peak_1d(ym1, y0, yp1)
+        ang = (idx.astype(jnp.float32) + off) * (360.0 / A)
+        ang = jnp.where(ang > 180.0, ang - 360.0, ang)
+        return ang, y0
+
+    corr = rotational_corr_matrix(f_refs, f_imgs, radius_min)
+    psi, peak = peaks(corr)
+    corr_m = rotational_corr_matrix(f_refs, jnp.conj(f_imgs), radius_min)
+    psi_m, peak_m = peaks(corr_m)
+    return psi, peak, psi_m, peak_m
+
+
+def _trial_shift_grid(max_shift: int, step: float | None = None):
+    """Coarse translation search grid (reference search5d itrans loop,
+    angular_projection_matching.cpp:570-584)."""
+    if max_shift <= 0:
+        return np.zeros((1, 2), np.float32)
+    if step is None:
+        step = max(max_shift / 2.0, 1.0)
+    v = np.arange(-max_shift, max_shift + 1e-6, step, dtype=np.float32)
+    tx, ty = np.meshgrid(v, v)
+    pts = np.stack([tx.ravel(), ty.ravel()], axis=1)
+    keep = np.linalg.norm(pts, axis=1) <= max_shift + 1e-6
+    return pts[keep].astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("radius_min", "radius_max", "check_mirror"))
+def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
+                 check_mirror: bool):
+    """Rotational matching over a trial-translation grid.
+
+    Returns per-image best (ref, psi, trial_idx, flip, peak)."""
+    from xmipp3_tpu.ops.fourier import fourier_shift_2d
+    B = imgs.shape[0]
+    f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max))
+
+    def body(carry, t):
+        best_peak, best_psi, best_ref, best_trial, best_flip, ti = carry
+        shifted = fourier_shift_2d(imgs, t[0], t[1])
+        f_im = ring_ffts(cartesian_to_polar(shifted, radius_min, radius_max))
+        psi, peak, psi_m, peak_m = best_rotation_matrix(f_refs, f_im,
+                                                        radius_min)
+        if check_mirror:
+            use_m = peak_m > peak
+            peak_t = jnp.where(use_m, peak_m, peak)
+            psi_t = jnp.where(use_m, psi_m, psi)
+        else:
+            use_m = jnp.zeros_like(peak, dtype=bool)
+            peak_t = peak
+            psi_t = psi
+        ref_t = jnp.argmax(peak_t, axis=1)
+        bi = jnp.arange(B)
+        pk = peak_t[bi, ref_t]
+        better = pk > best_peak
+        carry = (jnp.where(better, pk, best_peak),
+                 jnp.where(better, psi_t[bi, ref_t], best_psi),
+                 jnp.where(better, ref_t, best_ref),
+                 jnp.where(better, ti, best_trial),
+                 jnp.where(better, use_m[bi, ref_t], best_flip),
+                 ti + 1)
+        return carry, None
+
+    init = (jnp.full(B, -jnp.inf), jnp.zeros(B), jnp.zeros(B, jnp.int32),
+            jnp.zeros(B, jnp.int32), jnp.zeros(B, bool),
+            jnp.asarray(0, jnp.int32))
+    (peak, psi, ref, trial, flip, _), _ = jax.lax.scan(body, init, trials)
+    return peak, psi, ref, trial, flip
+
+
+def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
+                     radius_max: int | None = None, refine_iters: int = 2,
+                     check_mirror: bool = True, trial_step: float | None = None):
+    """Match each image to its best gallery reference + in-plane pose.
+
+    5-D search: rotational ring correlation against all references at each
+    trial translation of a coarse grid, then shift+rotation refinement of the
+    winner. Returns dict(ref_idx, psi, sx, sy, corr, flip) — each (B,)."""
+    refs = jnp.asarray(refs, jnp.float32)
+    imgs = jnp.asarray(imgs, jnp.float32)
+    if imgs.ndim == 2:
+        imgs = imgs[None]
+    B, H, W = imgs.shape
+    R = refs.shape[0]
+    if radius_max is None:
+        radius_max = H // 2 - 2
+
+    trials = jnp.asarray(_trial_shift_grid(max_shift, trial_step))
+    peak0, psi0, best_ref, trial_idx, flip = _scan_trials(
+        refs, imgs, trials, radius_min, radius_max, check_mirror)
+
+    bi = jnp.arange(B)
+    chosen_refs = refs[best_ref]                             # (B,H,W)
+    t = trials[trial_idx]                                     # (B,2)
+
+    # Mirror convention: conj ring-FFT correlation corresponds to the
+    # y-flipped image (polar angle reversal θ -> -θ); y-flipping T(t)·img
+    # gives T(tx,-ty)·yflip(img).
+    work = jnp.where(flip[:, None, None], imgs[:, ::-1, :], imgs)
+    tx = t[:, 0]
+    ty = jnp.where(flip, -t[:, 1], t[:, 1])
+
+    # initial pose: R(psi)·T(t) == T(R(psi) t)·R(psi)
+    rad = jnp.deg2rad(psi0)
+    c, s = jnp.cos(rad), jnp.sin(rad)
+    sx = c * tx + s * ty
+    sy = -s * tx + c * ty
+    psi_cur = psi0
+
+    f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max))
+    f_chosen = f_refs[best_ref]
+    for _ in range(refine_iters):
+        aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
+        dsx, dsy, _ = best_shift(chosen_refs, aligned, max_shift=max_shift)
+        sx = sx + dsx
+        sy = sy + dsy
+        aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
+        f_al = ring_ffts(cartesian_to_polar(aligned, radius_min, radius_max))
+        # small rotation correction vs chosen ref (per-image pairwise)
+        from xmipp3_tpu.ops.polar import best_rotation_from_ffts
+        dpsi, _ = jax.vmap(
+            lambda fr, fi: best_rotation_from_ffts(fr[None], fi[None],
+                                                   radius_min))(
+            f_chosen, f_al)
+        dpsi = dpsi[:, 0]
+        rad = jnp.deg2rad(dpsi)
+        c, s = jnp.cos(rad), jnp.sin(rad)
+        psi_cur = psi_cur + dpsi
+        sx, sy = c * sx + s * sy, -s * sx + c * sy
+
+    aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
+    corr = correlation_index(chosen_refs, aligned)
+
+    # Convert to the framework-wide metadata pose convention
+    # (ops.geo: shift(img, s_md) ≈ M_x^flip proj(A(rot, tilt, psi_md))).
+    from xmipp3_tpu.ops.geo import alignment_to_md_pose
+    psi_md, sx_md, sy_md, _ = alignment_to_md_pose(psi_cur, sx, sy, flip)
+    return dict(ref_idx=best_ref, psi=psi_md, sx=sx_md, sy=sy_md, corr=corr,
+                flip=flip, peak=peak0, aligned=aligned)

@@ -63,14 +63,26 @@ class ProgImageAlign(XmippMetadataProgram):
                 print(f"iter {it + 1}: mean corr "
                       f"{float(np.asarray(corr).mean()):.4f}")
 
+        # convert applied-alignment params to the stored metadata pose
+        # convention (ops.geo.alignment_to_md_pose). NOTE: iterative_align /
+        # align_considering_mirrors return aligned = M_x^f(T·R·img) with the
+        # x-mirror applied to the INPUT (mirrored = others[:, :, ::-1] before
+        # aligning), i.e. aligned = T(s)R(ψ)·M_x·img. M_x = F_y·R(180), so
+        # this equals T(s)R(ψ+180)·F_y·img — shift ψ by 180 for the F_y form
+        # the converter expects.
         psi, sx, sy, corr = (np.asarray(v) for v in (psi, sx, sy, corr))
         flip = np.asarray(flip)
         aligned = np.asarray(aligned)
+        from xmipp3_tpu.ops.geo import alignment_to_md_pose
+        psi_c = np.where(flip, psi + 180.0, psi)
+        psi_md, sx_md, sy_md, _ = (np.asarray(v) for v in alignment_to_md_pose(
+            psi_c.astype(np.float32), sx.astype(np.float32),
+            sy.astype(np.float32), flip))
 
         for i, r in enumerate(rows):
-            r["anglePsi"] = float(psi[i])
-            r["shiftX"] = float(sx[i])
-            r["shiftY"] = float(sy[i])
+            r["anglePsi"] = float(psi_md[i])
+            r["shiftX"] = float(sx_md[i])
+            r["shiftY"] = float(sy_md[i])
             r["flip"] = int(flip[i])
             r["maxCC"] = float(corr[i])
         self.mdOut = MetaData.fromRows(rows)

@@ -24,3 +24,7 @@ register("image_header", P + "image_misc:ProgImageHeader")
 register("image_statistics", P + "image_misc:ProgImageStatistics")
 register("image_histogram", P + "image_misc:ProgImageHistogram")
 register("metadata_utilities", P + "metadata_utilities")
+register("reconstruct_fourier", P + "reconstruct_fourier")
+register("angular_project_library", P + "angular_project_library")
+register("angular_projection_matching", P + "angular_projection_matching")
+register("resolution_fsc", P + "resolution_fsc")
