@@ -1,0 +1,116 @@
+"""Benchmark: 2-D alignment + angular assignment throughput (BASELINE.md
+config 4 — the projection-matching hot path on one chip).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "particles/s/chip", "vs_baseline": R}
+
+vs_baseline: ratio against a single-host-CPU run of the same pipeline
+(measured once on this machine and cached in bench_baseline.json — a proxy
+for the reference's serial CPU path; the reference repo publishes no numbers,
+BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SIZE = 128          # particle box (BASELINE 128^2 stack)
+N_REFS = 128        # gallery size
+BATCH = 1024        # particles per device batch
+N_BATCHES = 8       # measured batches (8192 particles)
+MAX_SHIFT = 8
+
+
+def make_data(seed=0):
+    rng = np.random.default_rng(seed)
+    z, y, x = np.mgrid[0:SIZE, 0:SIZE, 0:SIZE:].astype(np.float32)
+    z, y, x = z - SIZE // 2, y - SIZE // 2, x - SIZE // 2
+    vol = np.zeros((SIZE, SIZE, SIZE), np.float32)
+    for _ in range(12):
+        c = rng.uniform(-SIZE // 4, SIZE // 4, 3)
+        s = rng.uniform(2, 6)
+        a = rng.uniform(0.5, 1.2)
+        vol += a * np.exp(-((z - c[0]) ** 2 + (y - c[1]) ** 2 +
+                            (x - c[2]) ** 2) / (2 * s ** 2))
+    from xmipp3_tpu.core.sampling import compute_sampling_points
+    from xmipp3_tpu.ops.project import FourierProjector
+
+    angles = compute_sampling_points(13.0)[:N_REFS]
+    proj = FourierProjector(vol, pad_factor=2.0)
+    refs = []
+    for s0 in range(0, len(angles), 64):
+        a = angles[s0:s0 + 64]
+        refs.append(np.asarray(proj.project_euler(
+            a[:, 0].astype(np.float32), a[:, 1].astype(np.float32),
+            np.zeros(len(a), np.float32))))
+    refs = np.concatenate(refs)
+    pick = rng.integers(0, len(refs), BATCH)
+    imgs = refs[pick] + 0.5 * refs.std() * rng.standard_normal(
+        (BATCH, SIZE, SIZE)).astype(np.float32)
+    return refs, imgs
+
+
+def run_match(refs, imgs, n_batches):
+    import jax
+    from xmipp3_tpu.ops.match import match_to_gallery
+
+    # warmup/compile
+    out = match_to_gallery(refs, imgs, max_shift=MAX_SHIFT)
+    jax.block_until_ready(out["corr"])
+    t0 = time.time()
+    for i in range(n_batches):
+        out = match_to_gallery(refs, imgs, max_shift=MAX_SHIFT)
+    jax.block_until_ready(out["corr"])
+    dt = time.time() - t0
+    return n_batches * imgs.shape[0] / dt
+
+
+def cpu_baseline_pps(refs, imgs) -> float:
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_baseline.json")
+    if os.path.exists(cache):
+        with open(cache) as f:
+            return json.load(f)["cpu_particles_per_sec"]
+    # measure on host CPU with a reduced load, same kernel
+    sub = imgs[:128]
+    import jax
+    with jax.default_device(jax.devices("cpu")[0]):
+        from xmipp3_tpu.ops.match import match_to_gallery
+        out = match_to_gallery(refs, sub, max_shift=MAX_SHIFT)
+        jax.block_until_ready(out["corr"])
+        t0 = time.time()
+        out = match_to_gallery(refs, sub, max_shift=MAX_SHIFT)
+        jax.block_until_ready(out["corr"])
+        pps = len(sub) / (time.time() - t0)
+    with open(cache, "w") as f:
+        json.dump({"cpu_particles_per_sec": pps,
+                   "note": "same jitted pipeline on host CPU (proxy for the "
+                           "reference's serial path; no published numbers in "
+                           "the reference repo)"}, f)
+    return pps
+
+
+def main():
+    import jax
+    platform = jax.devices()[0].platform
+    refs, imgs = make_data()
+    pps = run_match(refs, imgs, N_BATCHES)
+    try:
+        base = cpu_baseline_pps(refs, imgs)
+    except Exception:
+        base = float("nan")
+    print(json.dumps({
+        "metric": "projection_matching_2d_align_assign_128px_128refs",
+        "value": round(pps, 2),
+        "unit": "particles/s/chip",
+        "vs_baseline": round(pps / base, 2) if base == base else None,
+        "platform": platform,
+    }))
+
+
+if __name__ == "__main__":
+    main()

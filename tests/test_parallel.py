@@ -1,0 +1,78 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (the reference's
+'mpirun -np 2 equals serial' strategy, SURVEY.md §4, tested as
+'mesh result equals single-device result')."""
+import numpy as np
+import pytest
+
+import jax
+
+from xmipp3_tpu.parallel import data_mesh, parallel_match, parallel_reconstruct
+from xmipp3_tpu.core.sampling import compute_sampling_points
+from xmipp3_tpu.ops.project import FourierProjector
+from xmipp3_tpu.ops.reconstruct import reconstruct_fourier
+
+
+def make_phantom(n=32):
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    z, y, x = z - n // 2, y - n // 2, x - n // 2
+    vol = np.zeros((n, n, n), np.float32)
+    for cz, cy, cx, s, a in [(0, 0, 0, 2.5, 1.0), (4, -3, 3, 1.5, 0.8),
+                             (-3, 3, -2, 1.8, 0.6), (-5, -4, 1, 1.0, 1.1)]:
+        vol += a * np.exp(-((z - cz) ** 2 + (y - cy) ** 2 + (x - cx) ** 2)
+                          / (2 * s ** 2))
+    return vol
+
+
+def test_virtual_mesh_present():
+    assert len(jax.devices()) == 8
+
+
+def test_parallel_reconstruct_matches_serial():
+    vol = make_phantom(32)
+    angles = compute_sampling_points(14.0)
+    proj = FourierProjector(vol)
+    psis = np.zeros(len(angles), np.float32)
+    imgs = np.asarray(proj.project_euler(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        psis))
+    serial = np.asarray(reconstruct_fourier(
+        imgs, angles[:, 0], angles[:, 1], psis, batch=len(imgs)))
+    mesh = data_mesh(8)
+    par = np.asarray(parallel_reconstruct(
+        mesh, imgs, angles[:, 0], angles[:, 1], psis))
+    # same algorithm, different partition: must agree to float tolerance
+    scale = np.abs(serial).max()
+    assert np.abs(par - serial).max() < 1e-3 * scale
+    c = np.corrcoef(par.ravel(), vol.ravel())[0, 1]
+    assert c > 0.95
+
+
+def test_parallel_reconstruct_mesh_size_invariance():
+    vol = make_phantom(32)
+    angles = compute_sampling_points(20.0)
+    proj = FourierProjector(vol)
+    psis = np.zeros(len(angles), np.float32)
+    imgs = np.asarray(proj.project_euler(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        psis))
+    m2 = np.asarray(parallel_reconstruct(
+        data_mesh(2), imgs, angles[:, 0], angles[:, 1], psis))
+    m8 = np.asarray(parallel_reconstruct(
+        data_mesh(8), imgs, angles[:, 0], angles[:, 1], psis))
+    scale = np.abs(m8).max()
+    assert np.abs(m2 - m8).max() < 1e-3 * scale
+
+
+def test_parallel_match_agrees_with_local():
+    vol = make_phantom(32)
+    angles = compute_sampling_points(18.0)
+    proj = FourierProjector(vol)
+    refs = np.asarray(proj.project_euler(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        np.zeros(len(angles), np.float32)))
+    rng = np.random.default_rng(0)
+    pick = rng.integers(0, len(refs), 16)
+    imgs = refs[pick]
+    mesh = data_mesh(8)
+    out = parallel_match(mesh, refs, imgs, max_shift=2, check_mirror=False)
+    assert (out["ref_idx"] == pick).mean() > 0.9

@@ -1,0 +1,87 @@
+"""PSD estimation: periodogram averaging over overlapped windowed tiles.
+
+Replaces the reference PSDEstimator (reconstruction/psd_estimator.cpp:74
+estimatePSD with ctpl thread pool + piece smoother window,
+ctf_estimate_from_micrograph.cpp:310-350) with one batched rfft2 over all
+tiles — tiling is a reshape/gather, the window multiply fuses into the FFT
+pipeline, and the average is a single reduction.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmipp3_tpu.ops.mask import raised_cosine_window_1d
+
+
+def tile_positions(n: int, piece: int, overlap: float = 0.5) -> np.ndarray:
+    """Start offsets of overlapped tiles covering an axis (reference
+    division math, ctf_estimate_from_micrograph.cpp:310-327)."""
+    step = max(int(piece * (1.0 - overlap)), 1)
+    pos = list(range(0, max(n - piece, 0) + 1, step))
+    if pos and pos[-1] != n - piece:
+        pos.append(n - piece)
+    return np.array(pos or [0], np.int32)
+
+
+def extract_tiles(mic: np.ndarray, piece: int, overlap: float = 0.5):
+    """(H,W) -> (T, piece, piece) tile stack."""
+    H, W = mic.shape
+    ys = tile_positions(H, piece, overlap)
+    xs = tile_positions(W, piece, overlap)
+    tiles = np.empty((len(ys) * len(xs), piece, piece), np.float32)
+    k = 0
+    for y0 in ys:
+        for x0 in xs:
+            tiles[k] = mic[y0:y0 + piece, x0:x0 + piece]
+            k += 1
+    return tiles
+
+
+@jax.jit
+def periodogram_average(tiles, window):
+    """Mean windowed |FFT|^2 / N over the tile stack -> rfft-layout PSD."""
+    tiles = jnp.asarray(tiles, jnp.float32)
+    t = tiles - tiles.mean(axis=(-2, -1), keepdims=True)
+    t = t * window[None]
+    N = t.shape[-1] * t.shape[-2]
+    spec = jnp.fft.rfft2(t)
+    return (jnp.abs(spec) ** 2 / N).mean(axis=0)
+
+
+def estimate_psd(mic: np.ndarray, piece: int = 512, overlap: float = 0.5):
+    """Micrograph -> averaged PSD (rfft layout, (piece, piece//2+1))."""
+    mic = np.asarray(np.squeeze(mic), np.float32)
+    piece = min(piece, *mic.shape)
+    tiles = extract_tiles(mic, piece, overlap)
+    w1 = raised_cosine_window_1d(piece, overlap_frac=0.4)
+    window = jnp.asarray(np.outer(w1, w1), jnp.float32)
+    return periodogram_average(jnp.asarray(tiles), window)
+
+
+def psd_half_to_full_centered(psd_half, n: int):
+    """rfft-layout PSD -> full centered (fftshifted) image for display/fit
+    (reference half2whole, psd_estimator.h:53)."""
+    psd_half = np.asarray(psd_half)
+    full = np.zeros((n, n), np.float32)
+    h = psd_half.shape[1]
+    full[:, :h] = psd_half
+    # mirror: P(-f) = P(f)
+    for xi in range(h, n):
+        src = (n - xi) % n
+        full[:, xi] = psd_half[(-np.arange(n)) % n, src]
+    return np.fft.fftshift(full)
+
+
+def radial_profile(psd_half, nbins: int | None = None):
+    """Radially averaged 1-D profile of an rfft-layout PSD."""
+    from xmipp3_tpu.ops.fourier import radial_average_half
+    H = psd_half.shape[0]
+    if nbins is None:
+        nbins = H // 2
+    prof = np.asarray(radial_average_half(jnp.asarray(psd_half)[None], nbins))[0]
+    freqs = (np.arange(nbins) + 0.5) * (0.5 / nbins)
+    return freqs, prof

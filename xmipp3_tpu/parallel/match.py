@@ -1,0 +1,50 @@
+"""Data-parallel gallery matching over a device mesh.
+
+Replaces BasicMpiMetadataProgram work-dealing for the matching path
+(SURVEY.md §2.4): particles shard over the "data" axis, the gallery is
+replicated; results are fixed-shape arrays gathered implicitly by the output
+sharding (the all_gather equivalent of the reference's gatherMetadatas).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from xmipp3_tpu.ops.match import _scan_trials, _trial_shift_grid
+from xmipp3_tpu.ops.geo import (alignment_to_md_pose, alignment_matrices_2d,
+                                apply_affine_2d)
+from xmipp3_tpu.ops.polar import cartesian_to_polar, ring_ffts
+from xmipp3_tpu.ops.shift import best_shift, correlation_index
+from xmipp3_tpu.parallel.mesh import pad_to_multiple, replicate, shard_particles
+
+
+def parallel_match(mesh, refs, imgs, max_shift: int = 8, radius_min: int = 2,
+                   radius_max: int | None = None, check_mirror: bool = True,
+                   axis_name: str = "data"):
+    """match_to_gallery with the particle axis sharded over the mesh.
+
+    Being a pure batch computation, data parallelism is expressed by input
+    shardings alone — XLA partitions the whole pipeline (polar gathers, ring
+    einsum, FFTs) with no collectives until results are fetched."""
+    refs = np.asarray(refs, np.float32)
+    imgs = np.asarray(imgs, np.float32)
+    n_dev = mesh.shape[axis_name]
+    imgs_p, n_valid = pad_to_multiple(imgs, n_dev)
+    H = imgs.shape[-1]
+    if radius_max is None:
+        radius_max = H // 2 - 2
+
+    refs_d = replicate(jnp.asarray(refs), mesh)
+    imgs_d = shard_particles(jnp.asarray(imgs_p), mesh, axis_name)
+    trials = replicate(jnp.asarray(_trial_shift_grid(max_shift)), mesh)
+
+    peak, psi, ref, trial, flip = _scan_trials(
+        refs_d, imgs_d, trials, radius_min, radius_max, check_mirror)
+    out = {k: np.asarray(v)[:n_valid] for k, v in
+           dict(peak=peak, psi=psi, ref_idx=ref, trial=trial,
+                flip=flip).items()}
+    return out

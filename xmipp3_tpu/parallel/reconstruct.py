@@ -1,0 +1,80 @@
+"""Data-parallel Fourier reconstruction over a device mesh.
+
+The TPU replacement for mpi_reconstruct_fourier (SURVEY.md §2.4: per-node
+partial Fourier volumes + chunked MPI_Reduce at master,
+parallel/mpi_reconstruct_fourier.cpp:325-420): every device backprojects its
+particle shard into a local cube, then ONE psum over the ICI mesh axis fuses
+them. Deterministic regardless of mesh size (addition order inside a shard is
+fixed; cross-shard combination is a tree-reduce of identical partials).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from xmipp3_tpu.core.geometry import euler_matrix
+from xmipp3_tpu.ops.reconstruct import backproject_chunk, finalize_volume
+from xmipp3_tpu.parallel.mesh import pad_to_multiple, shard_particles
+
+
+def parallel_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
+                         weights=None, pad_factor: float = 2.0,
+                         sym: str = "c1", max_freq: float = 0.5,
+                         axis_name: str = "data"):
+    """Reconstruct a volume with the particle axis sharded over `mesh`.
+
+    imgs: (B, N, N) float32 (padded to a mesh multiple internally).
+    Returns the (N,N,N) volume (replicated)."""
+    from xmipp3_tpu.core.sym import SymList
+
+    imgs = np.asarray(imgs, np.float32)
+    B, N, _ = imgs.shape
+    n_dev = mesh.shape[axis_name]
+    P_ = int(round(N * pad_factor))
+    P_ += P_ % 2
+
+    imgs_p, n_valid = pad_to_multiple(imgs, n_dev)
+    z = np.zeros(B, np.float32)
+    def prep(v, fill=0.0):
+        v = z if v is None else np.asarray(v, np.float32)
+        return pad_to_multiple(v, n_dev)[0]
+    rot_p, tilt_p, psi_p = prep(rot), prep(tilt), prep(psi)
+    sx_p, sy_p = prep(sx), prep(sy)
+    w = np.ones(B, np.float32) if weights is None else np.asarray(weights,
+                                                                  np.float32)
+    w_p = pad_to_multiple(w, n_dev)[0]
+    w_p[n_valid:] = 0.0          # padded rows contribute nothing
+
+    mats = np.asarray(euler_matrix(rot_p, tilt_p, psi_p), np.float32)
+    sym_mats = SymList(sym).sym_matrices()
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(axis_name), P(axis_name), P(axis_name),
+                       P(axis_name), P(axis_name)),
+             out_specs=(P(), P(), P()))
+    def shard_backproject(imgs_l, mats_l, sx_l, sy_l, w_l):
+        dr = jnp.zeros((P_, P_, P_), jnp.float32)
+        di = jnp.zeros((P_, P_, P_), jnp.float32)
+        dw = jnp.zeros((P_, P_, P_), jnp.float32)
+        for S in sym_mats:
+            m = jnp.einsum("cij,jk->cik", mats_l,
+                           jnp.asarray(S, jnp.float32))
+            dr, di, dw = backproject_chunk(dr, di, dw, imgs_l, m, sx_l, sy_l,
+                                           w_l, P_, max_freq)
+        # the MPI_Reduce replacement: one psum over the ICI axis
+        dr = jax.lax.psum(dr, axis_name)
+        di = jax.lax.psum(di, axis_name)
+        dw = jax.lax.psum(dw, axis_name)
+        return dr, di, dw
+
+    sh = lambda a: shard_particles(a, mesh, axis_name)
+    dr, di, dw = shard_backproject(sh(jnp.asarray(imgs_p)),
+                                   sh(jnp.asarray(mats)),
+                                   sh(jnp.asarray(sx_p)),
+                                   sh(jnp.asarray(sy_p)),
+                                   sh(jnp.asarray(w_p)))
+    return finalize_volume(dr, di, dw, N, P_)

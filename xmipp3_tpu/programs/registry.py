@@ -28,3 +28,6 @@ register("reconstruct_fourier", P + "reconstruct_fourier")
 register("angular_project_library", P + "angular_project_library")
 register("angular_projection_matching", P + "angular_projection_matching")
 register("resolution_fsc", P + "resolution_fsc")
+register("ctf_estimate_from_micrograph",
+         P + "ctf_estimate:ProgCTFEstimateFromMicrograph")
+register("ctf_estimate_from_psd", P + "ctf_estimate:ProgCTFEstimateFromPSD")
