@@ -1,0 +1,101 @@
+"""Classification tests: CL2D, ML2D, SOM on synthetic two/three-class data."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.models.cl2d import classify_cl2d
+from xmipp3_tpu.models.ml2d import ml2d
+from xmipp3_tpu.models.som import kerdensom, som
+
+
+def two_class_stack(n_per=20, size=48, seed=0, noise=0.5, max_pose=True):
+    from xmipp3_tpu.ops.fourier_filter import apply_fourier_mask_2d, band_pass_mask
+    from xmipp3_tpu.ops.geo import apply_alignment_2d
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:size, 0:size].astype(np.float32)
+    r = np.sqrt((y - size // 2) ** 2 + (x - size // 2) ** 2)
+    apod = np.clip(1.5 - r / (size // 2 - 2), 0, 1)
+    protos = []
+    for s in (1, 2):
+        p = rng.standard_normal((size, size)).astype(np.float32)
+        p = np.asarray(apply_fourier_mask_2d(p, band_pass_mask(size, size,
+                                                               0.05, 0.2)))
+        protos.append((p * apod).astype(np.float32))
+    imgs, labels = [], []
+    for k, proto in enumerate(protos):
+        for i in range(n_per):
+            if max_pose:
+                psi = rng.uniform(-180, 180)
+                sx, sy = rng.uniform(-3, 3, 2)
+            else:
+                psi, sx, sy = 0.0, 0.0, 0.0
+            img = np.asarray(apply_alignment_2d(
+                proto[None], np.float32([psi]), np.float32([sx]),
+                np.float32([sy])))[0]
+            img = img + noise * proto.std() * rng.standard_normal(
+                (size, size)).astype(np.float32)
+            imgs.append(img)
+            labels.append(k)
+    order = rng.permutation(len(imgs))
+    return np.stack(imgs)[order], np.array(labels)[order]
+
+
+def purity(assign, labels):
+    """Best-case accuracy over label permutations (2 classes)."""
+    a = (assign == assign[0]).astype(int)
+    l = (labels == labels[0]).astype(int)
+    return max((a == l).mean(), (a != l).mean())
+
+
+def test_cl2d_separates_two_classes():
+    imgs, labels = two_class_stack()
+    res = classify_cl2d(imgs, n_refs=2, n_iters=8, max_shift=4)
+    p = purity(res["assignments"], labels)
+    assert p > 0.9, f"purity {p}"
+
+
+def test_ml2d_separates_two_classes():
+    imgs, labels = two_class_stack(noise=0.3)
+    res = ml2d(imgs, n_refs=2, n_iters=8, max_shift=4)
+    p = purity(res["assignments"], labels)
+    assert p > 0.85, f"purity {p}"
+    assert res["loglike"][-1] >= res["loglike"][0]
+
+
+def test_som_clusters_gaussians():
+    rng = np.random.default_rng(0)
+    c1 = rng.standard_normal((40, 5)) + np.array([5, 0, 0, 0, 0])
+    c2 = rng.standard_normal((40, 5)) - np.array([5, 0, 0, 0, 0])
+    X = np.vstack([c1, c2])
+    code, assign = som(X, (2, 2), n_iters=100)
+    # units should separate the two clusters
+    a1 = set(assign[:40])
+    a2 = set(assign[40:])
+    assert not (a1 & a2)
+
+
+def test_kerdensom_runs_and_separates():
+    rng = np.random.default_rng(1)
+    c1 = rng.standard_normal((30, 4)) + 4
+    c2 = rng.standard_normal((30, 4)) - 4
+    X = np.vstack([c1, c2])
+    code, assign = kerdensom(X, (2, 2), n_iters=40, reg0=10, regF=0.1)
+    assert not (set(assign[:30]) & set(assign[30:]))
+
+
+def test_cl2d_program(tmp_path):
+    from xmipp3_tpu.core.image import save_image
+    from xmipp3_tpu.core.metadata import MetaData
+    from xmipp3_tpu.programs import get_program
+    imgs, labels = two_class_stack(n_per=12)
+    fn = str(tmp_path / "parts.mrcs")
+    save_image(fn, imgs)
+    prog = get_program("classify_CL2D")
+    rc = prog.run_with_args(f"-i {fn} --odir {tmp_path} --oroot cl "
+                            f"--nref 2 --iter 6 -v 0")
+    assert rc == 0
+    md = MetaData(str(tmp_path / "cl_images.xmd"))
+    assert md.size() == len(imgs)
+    p = purity(md.getColumn("ref"), labels)
+    assert p > 0.85
+    md_c = MetaData(str(tmp_path / "cl_classes.xmd"))
+    assert md_c.size() == 2

@@ -1,0 +1,251 @@
+"""Movie (dose-fractionated stack) alignment — the FlexAlign pipeline.
+
+Replaces the reference CUDA FlexAlign suite (cuda_flexalign_scale /
+cuda_flexalign_correlate + kernels, SURVEY.md §2.5; host choreography in
+movie_alignment_correlation_base.cpp:530-570 and
+movie_alignment_correlation_gpu.cpp:633-) with batched device ops:
+
+  global:  frames -> (crop/bin in Fourier + LPF) -> ALL-PAIRS cross-power
+           correlations in one batched irfft2 -> subpixel peaks -> host
+           least-squares solve of per-frame trajectory
+  local:   overlapped patches; per-patch the same correlation pipeline gives
+           per-(patch, frame) shifts; a control-point shift field is fit and
+           frames are warped with its interpolation before summing
+  dose:    Grant & Grigorieff critical-exposure weighting applied as a
+           frequency filter during the weighted sum (movie_filter_dose.h:72)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from xmipp3_tpu.ops.fourier import freq_grid_2d
+from xmipp3_tpu.ops.shift import correlation_peaks_2d
+
+
+# ---------------------------------------------------------------------------
+# global alignment
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("corr_n",))
+def frame_ffts_scaled(frames, corr_n: int, lpf_cutoff: float = 0.5):
+    """Per-frame rfft, Fourier-cropped to corr_n and low-pass filtered
+    (the CUDAFlexAlignScale stage)."""
+    frames = jnp.asarray(frames, jnp.float32)
+    F, H, W = frames.shape
+    spec = jnp.fft.rfft2(frames - frames.mean(axis=(-2, -1), keepdims=True))
+    # crop to corr_n x corr_n//2+1 (take low frequencies)
+    h2 = corr_n // 2
+    top = spec[:, :h2, : corr_n // 2 + 1]
+    bot = spec[:, H - h2:, : corr_n // 2 + 1]
+    small = jnp.concatenate([top, bot], axis=1)
+    fy, fx = freq_grid_2d(corr_n, corr_n)
+    r = jnp.sqrt(fy * fy + fx * fx)
+    lpf = jnp.exp(-0.5 * (r / (lpf_cutoff / 2.355)) ** 2)  # gaussian LPF
+    return small * lpf[None]
+
+
+@partial(jax.jit, static_argnames=("corr_n", "max_shift_px"))
+def pairwise_shifts(specs, corr_n: int, max_shift_px: int):
+    """Relative shifts between ALL frame pairs (i<j).
+
+    Returns (n_pairs, 2) shifts in the cropped-grid pixels and the pair
+    index arrays (i_idx, j_idx)."""
+    F = specs.shape[0]
+    ii, jj = np.triu_indices(F, k=1)
+    cross = specs[jj] * jnp.conj(specs[ii])
+    corr = jnp.fft.fftshift(jnp.fft.irfft2(cross, s=(corr_n, corr_n)),
+                            axes=(-2, -1))
+    sx, sy, peak = correlation_peaks_2d(corr, max_shift_px)
+    # correlation peak at +s means frame j content sits at +s relative to i
+    return jnp.stack([sx, sy], axis=1), np.stack([ii, jj], axis=1), peak
+
+
+def solve_frame_trajectory(pair_shifts, pairs, n_frames: int,
+                           weights=None) -> np.ndarray:
+    """Least-squares per-frame positions from pairwise measurements
+    (the reference's host LSQ after FlexAlign correlations).
+
+    pair_shifts (P,2): measured x_j - x_i. Gauge: mean position = 0.
+    Returns (F,2) frame positions."""
+    P = len(pairs)
+    A = np.zeros((P + 1, n_frames))
+    b = np.zeros((P + 1, 2))
+    w = np.ones(P) if weights is None else np.asarray(weights)
+    for k, (i, j) in enumerate(pairs):
+        A[k, i] = -w[k]
+        A[k, j] = w[k]
+        b[k] = w[k] * np.asarray(pair_shifts)[k]
+    A[P, :] = 1.0  # gauge fixing
+    sol, *_ = np.linalg.lstsq(A, b, rcond=None)
+    return sol
+
+
+@partial(jax.jit, static_argnames=())
+def shift_sum_frames(frames, shifts_x, shifts_y, dose_filter=None):
+    """Shift every frame by its correction (undo motion) and sum — in one
+    Fourier pass; optional per-frame frequency weights (dose filter)."""
+    frames = jnp.asarray(frames, jnp.float32)
+    F, H, W = frames.shape
+    fy, fx = freq_grid_2d(H, W)
+    spec = jnp.fft.rfft2(frames)
+    sx = jnp.asarray(shifts_x, jnp.float32)[:, None, None]
+    sy = jnp.asarray(shifts_y, jnp.float32)[:, None, None]
+    phase = jnp.exp(-2j * jnp.pi * (fx[None] * sx + fy[None] * sy))
+    spec = spec * phase
+    if dose_filter is not None:
+        spec = spec * dose_filter
+        spec_sum = spec.sum(axis=0)
+        norm = jnp.maximum(dose_filter.sum(axis=0), 1e-6)
+        return jnp.fft.irfft2(spec_sum * (F / norm), s=(H, W)) / F
+    return jnp.fft.irfft2(spec.sum(axis=0), s=(H, W))
+
+
+def global_align(frames, max_shift_px: int = 40, corr_n: int | None = None):
+    """Global movie alignment. Returns per-frame positions (F,2) in FULL
+    resolution pixels (x, y)."""
+    frames = np.asarray(frames, np.float32)
+    F, H, W = frames.shape
+    if corr_n is None:
+        corr_n = min(512, H, W)
+        corr_n -= corr_n % 2
+    specs = frame_ffts_scaled(jnp.asarray(frames), corr_n)
+    scale = H / corr_n
+    ms = max(int(max_shift_px / scale), 2)
+    shifts, pairs, peaks = pairwise_shifts(specs, corr_n, ms)
+    pos = solve_frame_trajectory(np.asarray(shifts) * scale, pairs, F,
+                                 weights=np.maximum(np.asarray(peaks), 0))
+    return pos
+
+
+# ---------------------------------------------------------------------------
+# local (patch) alignment
+# ---------------------------------------------------------------------------
+
+def patch_grid(H, W, ny: int, nx: int, patch: int):
+    """Centers + slices of an ny x nx patch grid."""
+    cys = np.linspace(patch // 2, H - patch // 2 - 1, ny).astype(int)
+    cxs = np.linspace(patch // 2, W - patch // 2 - 1, nx).astype(int)
+    return cys, cxs
+
+
+def local_align(frames, global_pos, patches=(5, 5), patch_size: int = 256,
+                max_shift_px: int = 8):
+    """Per-patch residual shifts after global correction.
+
+    Returns (ny, nx, F, 2) local shift field + patch centers."""
+    frames = np.asarray(frames, np.float32)
+    F, H, W = frames.shape
+    patch_size = min(patch_size, H // 2, W // 2)
+    patch_size -= patch_size % 2
+    ny, nx = patches
+    # globally corrected frames (shift back by -pos)
+    corrected = np.asarray(shift_sum_frames_keep(frames, -global_pos[:, 0],
+                                                 -global_pos[:, 1]))
+    cys, cxs = patch_grid(H, W, ny, nx, patch_size)
+    field = np.zeros((ny, nx, F, 2), np.float32)
+    for iy, cy in enumerate(cys):
+        for ix, cx in enumerate(cxs):
+            tile = corrected[:, cy - patch_size // 2: cy + patch_size // 2,
+                             cx - patch_size // 2: cx + patch_size // 2]
+            specs = frame_ffts_scaled(jnp.asarray(tile), patch_size)
+            shifts, pairs, peaks = pairwise_shifts(specs, patch_size,
+                                                   max_shift_px)
+            pos = solve_frame_trajectory(np.asarray(shifts), pairs, F,
+                                         weights=np.maximum(
+                                             np.asarray(peaks), 0))
+            field[iy, ix] = pos
+    return field, cys, cxs
+
+
+@jax.jit
+def shift_sum_frames_keep(frames, shifts_x, shifts_y):
+    """Shift frames (no sum) — for patch extraction after global align."""
+    frames = jnp.asarray(frames, jnp.float32)
+    F, H, W = frames.shape
+    fy, fx = freq_grid_2d(H, W)
+    spec = jnp.fft.rfft2(frames)
+    sx = jnp.asarray(shifts_x, jnp.float32)[:, None, None]
+    sy = jnp.asarray(shifts_y, jnp.float32)[:, None, None]
+    phase = jnp.exp(-2j * jnp.pi * (fx[None] * sx + fy[None] * sy))
+    return jnp.fft.irfft2(spec * phase, s=(H, W))
+
+
+def interpolate_shift_field(field, cys, cxs, H, W):
+    """Bilinear interpolation of the (ny,nx,F,2) patch field to per-pixel
+    shift maps (F,H,W,2) — the B-spline control grid role
+    (localAlignmentControlPoints)."""
+    from scipy.interpolate import RegularGridInterpolator
+    ny, nx, F, _ = field.shape
+    out = np.zeros((F, H, W, 2), np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    pts = np.stack([yy.ravel(), xx.ravel()], axis=1)
+    for f in range(F):
+        for c in range(2):
+            interp = RegularGridInterpolator(
+                (cys, cxs), field[:, :, f, c], bounds_error=False,
+                fill_value=None)
+            out[f, :, :, c] = interp(pts).reshape(H, W)
+    return out
+
+
+@jax.jit
+def warp_sum_frames(frames, shift_maps):
+    """Warp each frame by its per-pixel shift map (undo local motion), sum."""
+    frames = jnp.asarray(frames, jnp.float32)
+    F, H, W = frames.shape
+    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
+    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+
+    def one(img, smap):
+        ys = yy - smap[:, :, 1]
+        xs = xx - smap[:, :, 0]
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        fy = ys - y0
+        fx = xs - x0
+
+        def tap(dy, dx):
+            return img[jnp.clip(y0 + dy, 0, H - 1), jnp.clip(x0 + dx, 0, W - 1)]
+
+        return (tap(0, 0) * (1 - fy) * (1 - fx) + tap(0, 1) * (1 - fy) * fx +
+                tap(1, 0) * fy * (1 - fx) + tap(1, 1) * fy * fx)
+
+    return jax.vmap(one)(frames, shift_maps).sum(axis=0)
+
+
+# ---------------------------------------------------------------------------
+# dose weighting (Grant & Grigorieff)
+# ---------------------------------------------------------------------------
+
+def dose_filter(n: int, n_frames: int, dose_per_frame: float,
+                sampling: float, pre_dose: float = 0.0,
+                voltage: float = 300.0):
+    """(F, n, n//2+1) frequency weights q = exp(-d / (2 Nc(k))) with the
+    published critical-exposure fit Nc(k) = a k^b + c
+    (a=0.24499, b=-1.6649, c=2.8141) — reference movie_filter_dose.h:72."""
+    fy, fx = freq_grid_2d(n, n)
+    k = np.sqrt(fy * fy + fx * fx) / sampling          # 1/Å
+    k = np.maximum(k, 1e-6)
+    Nc = 0.24499 * k ** (-1.6649) + 2.8141
+    if abs(voltage - 200.0) < 50.0:
+        Nc = Nc * 0.8       # 200 kV correction factor (Grant & Grigorieff)
+    doses = pre_dose + dose_per_frame * (np.arange(n_frames) + 1)
+    q = np.exp(-doses[:, None, None] / (2.0 * Nc[None]))
+    return jnp.asarray(q, jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# gain estimation (movie_estimate_gain role, simplified)
+# ---------------------------------------------------------------------------
+
+def estimate_gain(frames) -> np.ndarray:
+    """Per-pixel inverse gain from temporal statistics: mean frame
+    normalized to unit average (reference ProgMovieEstimateGain idea)."""
+    mean = np.asarray(frames, np.float32).mean(axis=0)
+    m = mean.mean()
+    gain = np.where(mean > 1e-6 * m, m / np.maximum(mean, 1e-12), 1.0)
+    return gain.astype(np.float32)

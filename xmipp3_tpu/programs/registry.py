@@ -31,3 +31,19 @@ register("resolution_fsc", P + "resolution_fsc")
 register("ctf_estimate_from_micrograph",
          P + "ctf_estimate:ProgCTFEstimateFromMicrograph")
 register("ctf_estimate_from_psd", P + "ctf_estimate:ProgCTFEstimateFromPSD")
+register("movie_alignment_correlation",
+         P + "movie_alignment:ProgMovieAlignmentCorrelation")
+register("movie_filter_dose", P + "movie_alignment:ProgMovieFilterDose")
+register("movie_estimate_gain", P + "movie_alignment:ProgMovieEstimateGain")
+register("resolution_monogenic_signal", P + "resolution_misc:ProgMonoRes")
+register("resolution_monotomo", P + "resolution_misc:ProgMonoTomo")
+register("resolution_fso", P + "resolution_misc:ProgFSO")
+register("resolution_localfilter",
+         P + "resolution_misc:ProgResolutionLocalFilter")
+register("volume_correct_bfactor",
+         P + "resolution_misc:ProgVolumeCorrectBfactor")
+register("volume_structure_factor",
+         P + "resolution_misc:ProgVolumeStructureFactor")
+register("classify_CL2D", P + "classify:ProgClassifyCL2D")
+register("ml_align2d", P + "classify:ProgMLAlign2D")
+register("classify_kerdensom", P + "classify:ProgKerdensom")
