@@ -106,7 +106,7 @@ class MetaData:
     # ---------------- object access ----------------
     def addObject(self) -> int:
         idx = len(self._df)
-        self._df.loc[idx] = pd.Series(dtype=object)
+        self._df = self._df.reindex(range(idx + 1))
         return idx
 
     def addRow(self, row: dict) -> int:

@@ -47,3 +47,12 @@ register("volume_structure_factor",
 register("classify_CL2D", P + "classify:ProgClassifyCL2D")
 register("ml_align2d", P + "classify:ProgMLAlign2D")
 register("classify_kerdensom", P + "classify:ProgKerdensom")
+register("phantom_create", P + "phantom_programs:ProgPhantomCreate")
+register("phantom_project", P + "phantom_programs:ProgPhantomProject")
+register("phantom_simulate_microscope",
+         P + "phantom_programs:ProgPhantomSimulateMicroscope")
+register("metadata_split", P + "metadata_misc:ProgMetadataSplit")
+register("metadata_import", P + "metadata_misc:ProgMetadataImport")
+register("metadata_histogram", P + "metadata_misc:ProgMetadataHistogram")
+register("angular_distance", P + "metadata_misc:ProgAngularDistance")
+register("angular_rotate", P + "metadata_misc:ProgAngularRotate")

@@ -1,0 +1,341 @@
+"""xmippLib — compatibility shim for the reference's Python binding.
+
+The reference exposes a C-extension `xmippLib` (bindings/python/
+xmippmodule.cpp:1524-1531: types FileName, Image, MDQuery, MetaData, Program,
+SymList, FourierProjector + ~60 free functions and MDL_* label constants).
+Scripts written against it (applications/scripts/*, the test harness
+tests/test.py:174-200 comparators) can import this module unchanged for the
+covered surface; label constants are carried as their STAR string names
+(scripts treat them opaquely).
+"""
+from __future__ import annotations
+
+import numpy as _np
+
+from xmipp3_tpu.core.filename import FileName as _FileName
+from xmipp3_tpu.core.image import Image as _CoreImage
+from xmipp3_tpu.core.metadata import (MetaData as _CoreMetaData,
+                                      compare_two_metadata_files)
+from xmipp3_tpu.core.labels import LABELS as _LABELS
+from xmipp3_tpu.core.sym import SymList as _CoreSymList
+
+# ---------------------------------------------------------------------------
+# MDL label constants (string-valued; accepted by MetaData methods)
+# ---------------------------------------------------------------------------
+
+def _const_name(label: str) -> str:
+    out = ["MDL_"]
+    prev_lower = False
+    for ch in label:
+        if ch.isupper() and prev_lower:
+            out.append("_")
+        out.append(ch.upper())
+        prev_lower = ch.islower()
+    return "".join(out).replace("__", "_")
+
+
+_EXPLICIT = {
+    "image": "MDL_IMAGE", "imageRef": "MDL_IMAGE_REF",
+    "imageOriginal": "MDL_IMAGE_ORIGINAL", "itemId": "MDL_ITEM_ID",
+    "gatherId": "MDL_GATHER_ID", "enabled": "MDL_ENABLED",
+    "angleRot": "MDL_ANGLE_ROT", "angleTilt": "MDL_ANGLE_TILT",
+    "anglePsi": "MDL_ANGLE_PSI", "shiftX": "MDL_SHIFT_X",
+    "shiftY": "MDL_SHIFT_Y", "shiftZ": "MDL_SHIFT_Z", "flip": "MDL_FLIP",
+    "ref": "MDL_REF", "ref3d": "MDL_REF3D", "maxCC": "MDL_MAXCC",
+    "cost": "MDL_COST", "weight": "MDL_WEIGHT", "xcoor": "MDL_XCOOR",
+    "ycoor": "MDL_YCOOR", "zcoor": "MDL_ZCOOR",
+    "micrograph": "MDL_MICROGRAPH", "micrographId": "MDL_MICROGRAPH_ID",
+    "sampling_rate": "MDL_SAMPLINGRATE", "ctfModel": "MDL_CTF_MODEL",
+    "ctfDefocusU": "MDL_CTF_DEFOCUSU", "ctfDefocusV": "MDL_CTF_DEFOCUSV",
+    "ctfDefocusAngle": "MDL_CTF_DEFOCUS_ANGLE",
+    "ctfVoltage": "MDL_CTF_VOLTAGE", "ctfQ0": "MDL_CTF_Q0",
+    "ctfSphericalAberration": "MDL_CTF_CS",
+    "ctfSamplingRate": "MDL_CTF_SAMPLING_RATE",
+    "classCount": "MDL_CLASS_COUNT", "count": "MDL_COUNT",
+    "order_": "MDL_ORDER", "resolutionFreq": "MDL_RESOLUTION_FREQ",
+    "resolutionFRC": "MDL_RESOLUTION_FRC",
+    "resolutionFreqReal": "MDL_RESOLUTION_FREQREAL",
+    "neighbor": "MDL_NEIGHBOR", "symmetry": "MDL_SYMMETRY",
+}
+
+_name_to_label = {}
+for _label in _LABELS:
+    _const = _EXPLICIT.get(_label, _const_name(_label))
+    globals()[_const] = _label
+    _name_to_label[_const] = _label
+MDL_UNDEFINED = ""
+
+
+def label2Str(label) -> str:
+    return str(label)
+
+
+def str2Label(s: str) -> str:
+    return s
+
+
+def labelType(label):
+    from xmipp3_tpu.core.labels import label_type
+    return label_type(str(label)).value
+
+
+def isValidLabel(label) -> bool:
+    return str(label) in _LABELS
+
+
+# ---------------------------------------------------------------------------
+# types
+# ---------------------------------------------------------------------------
+
+class FileName(str):
+    def compose(self, prefix, path=None):
+        if path is None:
+            return FileName(str(prefix))
+        if isinstance(prefix, int):
+            return FileName(f"{prefix:06d}@{path}")
+        return FileName(f"{prefix}@{path}")
+
+    def exists(self):
+        return _FileName(str(self)).exists()
+
+    def getExtension(self):
+        return _FileName(str(self)).ext
+
+    def removeBlockName(self):
+        return FileName(_FileName(str(self)).path)
+
+    def getBlockName(self):
+        return _FileName(str(self)).block or ""
+
+    def isInStack(self):
+        return _FileName(str(self)).slice_index is not None
+
+
+class Image:
+    DT_FLOAT = "float32"
+
+    def __init__(self, filename=None):
+        self._img = _CoreImage()
+        if filename is not None:
+            self.read(filename)
+
+    def read(self, filename, header_only=False):
+        self._img.read(str(filename), header_only=header_only)
+        return self
+
+    def readApplyGeo(self, filename, md=None, objId=None):
+        self.read(filename)
+        return self
+
+    def write(self, filename):
+        self._img.write(str(filename))
+
+    def getData(self):
+        return self._img.data
+
+    def setData(self, data):
+        self._img = _CoreImage(_np.asarray(data, _np.float32))
+
+    def getDimensions(self):
+        return self._img.getDimensions()
+
+    def equal(self, other, tolerance=1e-3):
+        return self._img.equal(other._img if isinstance(other, Image)
+                               else _CoreImage(other), tolerance)
+
+    def computeStats(self):
+        d = self._img.data
+        return (float(d.mean()), float(d.std()), float(d.min()),
+                float(d.max()))
+
+    def getPixel(self, *idx):
+        return float(self._img.data[tuple(int(i) for i in idx)])
+
+    def setDataType(self, dt):
+        pass
+
+    def resize(self, *dims):
+        self._img = _CoreImage(_np.zeros(tuple(int(d) for d in dims[::-1]),
+                                         _np.float32))
+
+    def applyCTF(self, ctfparam, Ts, absPhase=False):
+        from xmipp3_tpu.ops.ctf import CTFDescription, apply_ctf
+        ctf = CTFDescription.from_metadata(str(ctfparam))
+        ctf.sampling_rate = Ts
+        self._img = _CoreImage(
+            _np.asarray(apply_ctf(self._img.data, ctf, absPhase)))
+
+    def __add__(self, other):
+        out = Image()
+        out.setData(self._img.data + (other._img.data if isinstance(
+            other, Image) else other))
+        return out
+
+    def inplaceAdd(self, other):
+        self.setData(self._img.data + (other._img.data if isinstance(
+            other, Image) else other))
+
+
+class MetaData(_CoreMetaData):
+    def __init__(self, filename=None):
+        if filename is not None and not isinstance(filename,
+                                                   (_CoreMetaData, MetaData)):
+            super().__init__(str(filename))
+        elif isinstance(filename, _CoreMetaData):
+            super().__init__(filename.df)
+        else:
+            super().__init__()
+
+    def read(self, filename, *a, **kw):  # type: ignore[override]
+        return super().read(str(filename))
+
+    def write(self, filename, *a, **kw):  # type: ignore[override]
+        return super().write(str(filename))
+
+    def getValue(self, label, objId):
+        return super().getValue(str(label), objId)
+
+    def setValue(self, label, value, objId):
+        return super().setValue(str(label), value, objId)
+
+    def containsLabel(self, label):
+        return super().containsLabel(str(label))
+
+
+class MDQuery:
+    def __init__(self, expr: str = ""):
+        self.expr = expr
+
+
+class SymList:
+    def __init__(self, sym: str = "c1"):
+        self._s = _CoreSymList(sym)
+
+    def readSymmetryFile(self, sym):
+        self._s = _CoreSymList(str(sym))
+
+    def getSymmetryMatrices(self, sym=None):
+        s = self._s if sym is None else _CoreSymList(str(sym))
+        return [m.tolist() for m in s.sym_matrices()]
+
+    def getTrueSymsNo(self):
+        return self._s.true_sym_no
+
+    def computeDistance(self, md, projdir_mode=False, check_mirrors=True,
+                        object_rotation=False):
+        raise NotImplementedError
+
+
+class FourierProjector:
+    def __init__(self, volume, padding=2.0, max_freq=0.5, spline_degree=1):
+        from xmipp3_tpu.ops.project import FourierProjector as _FP
+        data = volume.getData() if isinstance(volume, Image) else \
+            _np.asarray(volume)
+        self._p = _FP(_np.squeeze(data), pad_factor=padding)
+
+    def projectVolume(self, rot, tilt, psi):
+        img = Image()
+        img.setData(_np.asarray(self._p.project_euler(
+            [rot], [tilt], [psi]))[0])
+        return img
+
+
+class Program:
+    """Param-DSL access for XmippScript (bindings/python/xmipp_base.py:52)."""
+
+    def __init__(self, runWithoutArgs=False):
+        from xmipp3_tpu.core.program import XmippProgram as _P
+        self._p = _P()
+
+    def addUsageLine(self, line, verbatim=False):
+        self._p.addUsageLine(line, verbatim)
+
+    def addParamsLine(self, line):
+        self._p.addParamsLine(line)
+
+    def addExampleLine(self, line, verbatim=True):
+        self._p.addExampleLine(line, verbatim)
+
+    def read(self, argv):
+        self._p.read(list(argv))
+
+    def checkParam(self, name):
+        return self._p.checkParam(name)
+
+    def getParam(self, name, idx=0):
+        return self._p.getParam(name, idx)
+
+    def getListParam(self, name):
+        return self._p.getListParam(name)
+
+
+# ---------------------------------------------------------------------------
+# free functions (most used by scripts/tests)
+# ---------------------------------------------------------------------------
+
+def compareTwoMetadataFiles(fn1, fn2):
+    return compare_two_metadata_files(str(fn1), str(fn2))
+
+
+def compareTwoImageTolerance(fn1, fn2, tolerance=1e-3):
+    a = _CoreImage(str(fn1))
+    b = _CoreImage(str(fn2))
+    return a.equal(b, tolerance)
+
+
+def getImageSize(filename):
+    img = _CoreImage()
+    img.read(str(filename), header_only=True)
+    n, z, y, x = img.header.shape
+    return (x, y, z, n)
+
+
+def getBlocksInMetaDataFile(filename):
+    return _CoreMetaData.blocksInFile(str(filename))
+
+
+def createEmptyFile(filename, xdim, ydim, zdim=1, ndim=1):
+    from xmipp3_tpu.core.image import save_image
+    shape = ([ndim] if ndim > 1 else []) + \
+        ([zdim] if zdim > 1 else []) + [ydim, xdim]
+    save_image(str(filename), _np.zeros(shape, _np.float32))
+
+
+def activateMathExtensions():
+    pass
+
+
+def Euler_angles2matrix(rot, tilt, psi):
+    from xmipp3_tpu.core.geometry import euler_matrix
+    return _np.asarray(euler_matrix(rot, tilt, psi))
+
+
+def Euler_matrix2angles(A):
+    from xmipp3_tpu.core.geometry import matrix_to_euler
+    return matrix_to_euler(_np.asarray(A))
+
+
+def Euler_direction(rot, tilt, psi):
+    return Euler_angles2matrix(rot, tilt, psi)[2]
+
+
+def gaussian1D(x, sigma, mu=0.0):
+    return _np.exp(-0.5 * ((x - mu) / sigma) ** 2) / (
+        sigma * _np.sqrt(2 * _np.pi))
+
+
+def errorBetween2CTFs(md1, md2, Ts, minFreq=0.05, maxFreq=0.25):
+    from xmipp3_tpu.ops.ctf import CTFDescription
+    c1 = CTFDescription.from_metadata(md1)
+    c2 = CTFDescription.from_metadata(md2)
+    f = _np.linspace(minFreq, maxFreq, 200) / Ts
+    v1 = _np.asarray(c1.pure_at(f, _np.zeros_like(f)))
+    v2 = _np.asarray(c2.pure_at(f, _np.zeros_like(f)))
+    return float(_np.sqrt(((v1 - v2) ** 2).mean()))
+
+
+def errorMaxFreqCTFs2D(md1, md2):
+    from xmipp3_tpu.ops.ctf import CTFDescription
+    c1 = CTFDescription.from_metadata(md1)
+    c2 = CTFDescription.from_metadata(md2)
+    return abs(c1.first_zero_freq() - c2.first_zero_freq())
