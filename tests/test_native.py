@@ -1,0 +1,97 @@
+"""Native IO runtime tests: parity between C++ readers and Python codecs."""
+import os
+
+import numpy as np
+import pytest
+
+from xmipp3_tpu import native
+from xmipp3_tpu.core.image import Image, save_image, write_spider
+
+
+@pytest.fixture(scope="module")
+def lib():
+    l = native.get_lib()
+    if l is None:
+        pytest.skip("native library unavailable (no toolchain)")
+    return l
+
+
+def test_native_mrc_slices(lib, tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((12, 24, 20)).astype(np.float32)
+    fn = str(tmp_path / "s.mrcs")
+    save_image(fn, data)
+    out = native.read_stack_slices(fn, [0, 5, 11, 3], (24, 20), "mrc")
+    assert out is not None
+    np.testing.assert_allclose(out, data[[0, 5, 11, 3]], rtol=1e-6)
+
+
+def test_native_spider_slices(lib, tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((7, 16, 16)).astype(np.float32)
+    fn = str(tmp_path / "s.stk")
+    write_spider(fn, data)
+    out = native.read_stack_slices(fn, [2, 0, 6], (16, 16), "spider")
+    assert out is not None
+    np.testing.assert_allclose(out, data[[2, 0, 6]], rtol=1e-6)
+
+
+def test_native_matches_python_reader(lib, tmp_path):
+    rng = np.random.default_rng(2)
+    data = rng.standard_normal((5, 32, 32)).astype(np.float32)
+    fn = str(tmp_path / "cmp.mrcs")
+    save_image(fn, data)
+    via_stack = Image.read_stack(fn)   # native path
+    np.testing.assert_allclose(via_stack, data, rtol=1e-6)
+    # python slice addressing agrees
+    sl = np.squeeze(Image(f"4@{fn}").data)
+    np.testing.assert_allclose(via_stack[3], sl, rtol=1e-6)
+
+
+def test_native_int16_mode(lib, tmp_path):
+    rng = np.random.default_rng(3)
+    data = rng.integers(-500, 500, (4, 16, 16)).astype(np.int16)
+    from xmipp3_tpu.core.image import write_mrc
+    fn = str(tmp_path / "i16.mrcs")
+    write_mrc(fn, data.astype(np.float32), is_stack=True, dtype=np.int16)
+    out = native.read_stack_slices(fn, [0, 1, 2, 3], (16, 16), "mrc")
+    np.testing.assert_allclose(out, data.astype(np.float32))
+
+
+def test_native_star_numeric(lib, tmp_path):
+    from xmipp3_tpu.core.metadata import MetaData
+    md = MetaData.fromRows([{"angleRot": i * 1.5, "angleTilt": 90.0 - i,
+                             "cost": i * 0.1} for i in range(50)])
+    fn = str(tmp_path / "num.xmd")
+    md.write(fn)
+    res = native.parse_star_numeric(fn)
+    assert res is not None
+    labels, values = res
+    assert labels == ["angleRot", "angleTilt", "cost"]
+    assert values.shape == (50, 3)
+    np.testing.assert_allclose(values[:, 0], np.arange(50) * 1.5)
+
+
+def test_native_star_falls_back_on_strings(lib, tmp_path):
+    from xmipp3_tpu.core.metadata import MetaData
+    md = MetaData.fromRows([{"image": f"{i}@s.mrcs", "cost": float(i)}
+                            for i in range(5)])
+    fn = str(tmp_path / "mixed.xmd")
+    md.write(fn)
+    assert native.parse_star_numeric(fn) is None
+
+
+def test_load_image_rows_grouping(lib, tmp_path):
+    from xmipp3_tpu.core.metadata_program import load_image_rows
+    rng = np.random.default_rng(4)
+    d1 = rng.standard_normal((6, 16, 16)).astype(np.float32)
+    d2 = rng.standard_normal((3, 16, 16)).astype(np.float32)
+    f1 = str(tmp_path / "a.mrcs")
+    f2 = str(tmp_path / "b.mrcs")
+    save_image(f1, d1)
+    save_image(f2, d2)
+    rows = ([{"image": f"{i + 1:06d}@{f1}"} for i in range(6)] +
+            [{"image": f"{i + 1:06d}@{f2}"} for i in range(3)])
+    out = load_image_rows(rows)
+    np.testing.assert_allclose(out[:6], d1, rtol=1e-6)
+    np.testing.assert_allclose(out[6:], d2, rtol=1e-6)

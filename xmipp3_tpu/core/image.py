@@ -437,13 +437,42 @@ class Image:
 
     @staticmethod
     def read_stack(fn) -> np.ndarray:
-        """Whole stack as (N, Y, X) float32."""
+        """Whole stack as (N, Y, X) float32 (native threaded reader when
+        available)."""
+        fn_obj = as_filename(fn)
+        hdr_img = Image()
+        hdr_img.read(fn_obj, header_only=True)
+        n, z, y, x = hdr_img.header.shape
+        codec = _codec_for(fn_obj)
+        if n > 1 and z == 1 and codec in ("mrc", "spider"):
+            from xmipp3_tpu import native
+            out = native.read_stack_slices(fn_obj.path, np.arange(n), (y, x),
+                                           codec)
+            if out is not None:
+                return out
         img = Image()
-        img.read(fn)
+        img.read(fn_obj)
         d = img.data
         if d.ndim == 2:
             d = d[None]
         return d
+
+    @staticmethod
+    def read_slices(path: str, indices) -> np.ndarray:
+        """Read selected 0-based slices of a stack (threaded native path)."""
+        fn_obj = as_filename(path)
+        hdr_img = Image()
+        hdr_img.read(fn_obj, header_only=True)
+        n, z, y, x = hdr_img.header.shape
+        codec = _codec_for(fn_obj)
+        if codec in ("mrc", "spider") and z == 1:
+            from xmipp3_tpu import native
+            out = native.read_stack_slices(fn_obj.path, indices, (y, x), codec)
+            if out is not None:
+                return out
+        return np.stack([
+            np.squeeze(Image(f"{int(i) + 1}@{fn_obj.path}").data)
+            for i in np.asarray(indices)]).astype(np.float32)
 
     # -- writing --------------------------------------------------------
     def write(self, fn, sampling: float | None = None) -> None:

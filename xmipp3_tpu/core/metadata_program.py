@@ -35,6 +35,37 @@ def is_metadata_file(fn) -> bool:
     return as_filename(fn).ext in _MD_EXTS
 
 
+def load_image_rows(rows: list[dict]) -> np.ndarray:
+    """Batch-load the 'image' column of metadata rows.
+
+    Consecutive slices of the same stack go through the native threaded
+    reader in one call (the data-loader hot path for big particle sets)."""
+    from xmipp3_tpu.core.filename import as_filename as _fn
+    n = len(rows)
+    out: list = [None] * n
+    # group contiguous runs by backing file
+    i = 0
+    while i < n:
+        fn = _fn(rows[i]["image"])
+        if fn.slice_index is None:
+            out[i] = np.squeeze(Image(rows[i]["image"]).data)
+            i += 1
+            continue
+        j = i
+        idxs = []
+        while j < n:
+            fj = _fn(rows[j]["image"])
+            if fj.path != fn.path or fj.slice_index is None:
+                break
+            idxs.append(fj.slice_index - 1)
+            j += 1
+        block = Image.read_slices(fn.path, idxs)
+        for k in range(i, j):
+            out[k] = block[k - i]
+        i = j
+    return np.stack(out).astype(np.float32)
+
+
 class XmippMetadataProgram(XmippProgram):
     #: subclasses may set a preferred device batch size
     batch_size = 256
@@ -97,8 +128,7 @@ class XmippMetadataProgram(XmippProgram):
         self.mdIn.removeDisabled()
 
     def load_batch(self, rows: list[dict]) -> np.ndarray:
-        imgs = [Image(r["image"]).data for r in rows]
-        arr = np.stack([np.squeeze(i) for i in imgs]).astype(np.float32)
+        arr = load_image_rows(rows)
         if self.do_apply_geo and arr.ndim == 3:
             psi_or_shift = any(r.get(k) for r in rows
                                for k in ("anglePsi", "shiftX", "shiftY", "flip"))
