@@ -1,0 +1,185 @@
+"""Tests for CTF correction, picking/extraction, ART/WBP/significant."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.ops.ctf import CTFDescription, apply_ctf
+from xmipp3_tpu.programs import get_program
+
+
+def run_prog(name, args):
+    prog = get_program(name)
+    rc = prog.run_with_args(args)
+    assert rc == 0, name
+    return prog
+
+
+def make_phantom(n=32):
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    z, y, x = z - n // 2, y - n // 2, x - n // 2
+    vol = np.zeros((n, n, n), np.float32)
+    for cz, cy, cx, s, a in [(0, 0, 0, 2.5, 1.0), (4, -3, 3, 1.5, 0.8),
+                             (-3, 3, -2, 1.8, 0.6), (-5, -4, 1, 1.0, 1.1),
+                             (5, 2, -1, 1.1, 0.7), (2, 5, 4, 1.3, 0.9)]:
+        vol += a * np.exp(-((z - cz) ** 2 + (y - cy) ** 2 + (x - cx) ** 2)
+                          / (2 * s ** 2))
+    return vol
+
+
+@pytest.fixture(scope="module")
+def proj_set(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("projs")
+    vol = make_phantom()
+    from xmipp3_tpu.core.sampling import compute_sampling_points
+    from xmipp3_tpu.ops.project import FourierProjector
+    angles = compute_sampling_points(12.0)
+    proj = FourierProjector(vol)
+    imgs = np.asarray(proj.project_euler(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        np.zeros(len(angles), np.float32)))
+    fn = str(tmp / "projs.mrcs")
+    save_image(fn, imgs)
+    md = MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{fn}", "angleRot": float(angles[i, 0]),
+         "angleTilt": float(angles[i, 1]), "anglePsi": 0.0, "itemId": i + 1}
+        for i in range(len(imgs))])
+    fn_md = str(tmp / "projs.xmd")
+    md.write(fn_md)
+    return vol, fn_md, imgs
+
+
+def corr(a, b):
+    a, b = a - a.mean(), b - b.mean()
+    return float((a * b).sum() / np.sqrt((a * a).sum() * (b * b).sum()))
+
+
+def test_ctf_phase_flip_program(tmp_path):
+    ctf = CTFDescription(sampling_rate=1.5, voltage=300, defocusU=15000,
+                         defocusV=15000, Cs=2.7, Q0=0.07)
+    fn_ctf = str(tmp_path / "c.ctfparam")
+    ctf.write(fn_ctf)
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((4, 32, 32)).astype(np.float32)
+    fn = str(tmp_path / "in.mrcs")
+    save_image(fn, imgs)
+    out = str(tmp_path / "flipped.mrcs")
+    run_prog("ctf_phase_flip", f"-i {fn} -o {out} --ctf {fn_ctf}")
+    out2 = str(tmp_path / "double.mrcs")
+    run_prog("ctf_phase_flip", f"-i {out} -o {out2} --ctf {fn_ctf}")
+    np.testing.assert_allclose(Image.read_stack(out2), imgs, atol=1e-3)
+
+
+def test_wiener_program_restores(tmp_path):
+    ctf = CTFDescription(sampling_rate=1.5, voltage=300, defocusU=18000,
+                         defocusV=18000, Cs=2.7, Q0=0.07)
+    fn_ctf = str(tmp_path / "c.ctfparam")
+    ctf.write(fn_ctf)
+    rng = np.random.default_rng(1)
+    clean = rng.standard_normal((2, 64, 64)).astype(np.float32)
+    corrupted = np.asarray(apply_ctf(clean, ctf))
+    fn = str(tmp_path / "in.mrcs")
+    save_image(fn, corrupted)
+    out = str(tmp_path / "wiener.mrcs")
+    run_prog("ctf_correct_wiener2d", f"-i {fn} -o {out} --ctf {fn_ctf} --wc 0.05")
+    rest = Image.read_stack(out)
+    assert corr(rest[0], clean[0]) > 0.85
+
+
+def test_ctf_group_program(tmp_path):
+    rows = [{"itemId": i + 1, "ctfDefocusU": 10000.0 + 3000 * (i // 5),
+             "ctfDefocusV": 10000.0 + 3000 * (i // 5)} for i in range(15)]
+    fn = str(tmp_path / "ctfs.xmd")
+    MetaData.fromRows(rows).write(fn)
+    prog = run_prog("ctf_group", f"--ctfdat {fn} --oroot {tmp_path}/grp "
+                    f"--maxdiff 1000 -v 0")
+    assert prog.n_groups == 3
+    md = MetaData(str(tmp_path) + "/grp.xmd")
+    assert set(md.getColumn("defGroup")) == {1, 2, 3}
+
+
+def test_scissor_and_picking(tmp_path):
+    rng = np.random.default_rng(2)
+    mic = rng.standard_normal((256, 256)).astype(np.float32) * 0.1
+    # plant dark blobs (particles) at known positions
+    y, x = np.mgrid[0:21, 0:21].astype(np.float32)
+    blob = -np.exp(-((y - 10) ** 2 + (x - 10) ** 2) / (2 * 9.0))
+    coords = [(40, 60), (120, 200), (200, 100), (60, 180)]
+    for cx, cy in coords:
+        mic[cy - 10:cy + 11, cx - 10:cx + 11] += 3 * blob
+    fn_mic = str(tmp_path / "mic.mrc")
+    save_image(fn_mic, mic)
+    # picking
+    fn_pos = str(tmp_path / "picked.xmd")
+    prog = run_prog("micrograph_automatic_picking",
+                    f"-i {fn_mic} -o {fn_pos} --particleSize 20 --thr 4 "
+                    f"--max_peaks 10 -v 0")
+    md = MetaData(fn_pos)
+    picked = set()
+    for i in md:
+        r = md.getRow(i)
+        for cx, cy in coords:
+            if abs(r["xcoor"] - cx) < 8 and abs(r["ycoor"] - cy) < 8:
+                picked.add((cx, cy))
+    assert len(picked) >= 3, f"picked {picked}"
+    # extraction at true coords
+    fn_true = str(tmp_path / "true.xmd")
+    MetaData.fromRows([{"xcoor": cx, "ycoor": cy, "itemId": i + 1}
+                       for i, (cx, cy) in enumerate(coords)]).write(fn_true)
+    run_prog("micrograph_scissor",
+             f"-i {fn_mic} --pos {fn_true} --oroot {tmp_path}/parts "
+             f"--Xdim 32 -v 0")
+    parts = Image.read_stack(str(tmp_path / "parts.mrcs"))
+    assert parts.shape == (4, 32, 32)
+    # particle center is dark
+    assert parts[0][16, 16] < -1.0
+
+
+def test_wbp_reconstruction(proj_set):
+    vol, fn_md, imgs = proj_set
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        out = os.path.join(td, "wbp.vol")
+        run_prog("reconstruct_wbp", f"-i {fn_md} -o {out} -v 0")
+        rec = np.squeeze(Image(out).data)
+    assert corr(rec, vol) > 0.8
+
+
+def test_art_reconstruction_improves(proj_set):
+    vol, fn_md, imgs = proj_set
+    import tempfile, os
+    from xmipp3_tpu.ops.art import sirt_reconstruct
+    md = MetaData(fn_md)
+    rows = list(md.iterRows())
+    rot = np.array([r["angleRot"] for r in rows], np.float32)
+    tilt = np.array([r["angleTilt"] for r in rows], np.float32)
+    psi = np.zeros(len(rows), np.float32)
+    rec, hist = sirt_reconstruct(imgs, rot, tilt, psi, n_iters=4, lam=0.8)
+    assert corr(rec, vol) > 0.97
+    assert hist[-1] < hist[0]  # residual decreases
+
+
+@pytest.mark.slow
+def test_reconstruct_significant_ab_initio(proj_set, tmp_path):
+    vol, fn_md, imgs = proj_set
+    prog = run_prog("reconstruct_significant",
+                    f"-i {fn_md} --odir {tmp_path} --iter 4 "
+                    f"--angularSampling 15 -v 0")
+    rec = prog.volume
+    # ab initio has arbitrary orientation; check strong central correlation
+    # after aligning via brute global rotation search over the gallery trick:
+    # just require the reconstruction to be structured (not noise): its
+    # radial power profile should match the phantom's closely at low freq
+    def radial_power(v):
+        F = np.abs(np.fft.rfftn(v)) ** 2
+        from xmipp3_tpu.ops.fourier import freq_grid_3d
+        fz, fy, fx = freq_grid_3d(*v.shape)
+        r = np.sqrt(fz ** 2 + fy ** 2 + fx ** 2)
+        bins = np.minimum((r / 0.5 * 16).astype(int), 15)
+        num = np.bincount(bins.ravel(), F.ravel(), minlength=16)
+        den = np.bincount(bins.ravel(), minlength=16)
+        return num / np.maximum(den, 1)
+    p1 = radial_power(rec / rec.std())
+    p2 = radial_power(vol / vol.std())
+    ratio = p1[1:8] / p2[1:8]
+    assert (ratio > 0.1).all() and (ratio < 10).all()

@@ -56,3 +56,15 @@ register("metadata_import", P + "metadata_misc:ProgMetadataImport")
 register("metadata_histogram", P + "metadata_misc:ProgMetadataHistogram")
 register("angular_distance", P + "metadata_misc:ProgAngularDistance")
 register("angular_rotate", P + "metadata_misc:ProgAngularRotate")
+register("ctf_phase_flip", P + "ctf_correct:ProgCTFPhaseFlip")
+register("ctf_correct_wiener2d", P + "ctf_correct:ProgCTFCorrectWiener2D")
+register("ctf_group", P + "ctf_correct:ProgCTFGroup")
+register("ctf_sort_psds", P + "ctf_correct:ProgCTFSortPSDs")
+register("ctf_enhance_psd", P + "ctf_correct:ProgCTFEnhancePSD")
+register("micrograph_scissor", P + "micrograph_programs:ProgMicrographScissor")
+register("micrograph_automatic_picking",
+         P + "micrograph_programs:ProgMicrographAutomaticPicking")
+register("reconstruct_art", P + "reconstruct_misc:ProgReconstructART")
+register("reconstruct_wbp", P + "reconstruct_misc:ProgReconstructWBP")
+register("reconstruct_significant",
+         P + "reconstruct_misc:ProgReconstructSignificant")
