@@ -1,0 +1,122 @@
+"""Continuous pose refinement + angular program tests."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.ops.continuous import continuous_assign
+from xmipp3_tpu.ops.project import FourierProjector
+from xmipp3_tpu.programs import get_program
+
+
+def make_phantom(n=32):
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    z, y, x = z - n // 2, y - n // 2, x - n // 2
+    vol = np.zeros((n, n, n), np.float32)
+    for cz, cy, cx, s, a in [(0, 0, 0, 2.5, 1.0), (4, -3, 3, 1.5, 0.8),
+                             (-3, 3, -2, 1.8, 0.6), (-5, -4, 1, 1.0, 1.1),
+                             (5, 2, -1, 1.1, 0.7)]:
+        vol += a * np.exp(-((z - cz) ** 2 + (y - cy) ** 2 + (x - cx) ** 2)
+                          / (2 * s ** 2))
+    return vol
+
+
+def run_prog(name, args):
+    prog = get_program(name)
+    rc = prog.run_with_args(args)
+    assert rc == 0, name
+    return prog
+
+
+def test_continuous_assign_refines_perturbed_poses():
+    vol = make_phantom()
+    rng = np.random.default_rng(0)
+    B = 12
+    rot_t = rng.uniform(-180, 180, B).astype(np.float32)
+    tilt_t = rng.uniform(30, 150, B).astype(np.float32)
+    psi_t = rng.uniform(-180, 180, B).astype(np.float32)
+    proj = FourierProjector(vol)
+    imgs = np.asarray(proj.project_euler(rot_t, tilt_t, psi_t))
+    # perturb initial poses by up to 6 degrees
+    rot0 = rot_t + rng.uniform(-6, 6, B).astype(np.float32)
+    tilt0 = np.clip(tilt_t + rng.uniform(-6, 6, B), 1, 179).astype(np.float32)
+    psi0 = psi_t + rng.uniform(-6, 6, B).astype(np.float32)
+    res = continuous_assign(vol, imgs, rot0, tilt0, psi0, n_steps=80)
+    # NCC must be high after refinement
+    assert res["cost"].mean() > 0.97, res["cost"]
+    # angular error must shrink vs the initial perturbation
+    def direction(rot, tilt):
+        from xmipp3_tpu.core.sampling import directions_from_angles
+        return directions_from_angles(np.stack([rot, tilt], axis=1))
+    d_t = direction(rot_t, tilt_t)
+    err0 = np.degrees(np.arccos(np.clip(
+        (direction(rot0, tilt0) * d_t).sum(1), -1, 1)))
+    err1 = np.degrees(np.arccos(np.clip(
+        (direction(res["rot"], res["tilt"]) * d_t).sum(1), -1, 1)))
+    assert err1.mean() < 0.6 * err0.mean(), (err0.mean(), err1.mean())
+
+
+def test_continuous_assign_program(tmp_path):
+    vol = make_phantom()
+    fn_vol = str(tmp_path / "v.vol")
+    save_image(fn_vol, vol)
+    rng = np.random.default_rng(1)
+    B = 6
+    rot_t = rng.uniform(-180, 180, B).astype(np.float32)
+    tilt_t = rng.uniform(40, 140, B).astype(np.float32)
+    psi_t = np.zeros(B, np.float32)
+    proj = FourierProjector(vol)
+    imgs = np.asarray(proj.project_euler(rot_t, tilt_t, psi_t))
+    fn_stk = str(tmp_path / "p.mrcs")
+    save_image(fn_stk, imgs)
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{fn_stk}",
+         "angleRot": float(rot_t[i] + 4), "angleTilt": float(tilt_t[i] - 4),
+         "anglePsi": 0.0, "itemId": i + 1} for i in range(B)]
+    ).write(str(tmp_path / "in.xmd"))
+    out = str(tmp_path / "ref.xmd")
+    prog = run_prog("angular_continuous_assign2",
+                    f"-i {tmp_path}/in.xmd -o {out} --ref {fn_vol} "
+                    f"--steps 60 -v 0")
+    assert prog.mean_cost > 0.95
+    md = MetaData(out)
+    err = np.abs(md.getColumn("angleRot") - rot_t)
+    err = np.minimum(err, 360 - err)
+    assert err.mean() < 3.0
+
+
+def test_class_average_and_subtract(tmp_path):
+    vol = make_phantom()
+    fn_vol = str(tmp_path / "v.vol")
+    save_image(fn_vol, vol)
+    # gallery + assignment
+    run_prog("angular_project_library",
+             f"-i {fn_vol} -o {tmp_path}/gal --sampling_rate 20 -v 0")
+    md_g = MetaData(str(tmp_path / "gal.doc"))
+    gal = Image.read_stack(str(tmp_path / "gal.stk"))
+    rng = np.random.default_rng(2)
+    pick = rng.integers(0, len(gal), 15)
+    parts = gal[pick] + 0.2 * gal.std() * rng.standard_normal(
+        (15,) + gal.shape[1:]).astype(np.float32)
+    fn_parts = str(tmp_path / "parts.mrcs")
+    save_image(fn_parts, parts)
+    rows = []
+    for i in range(15):
+        g = md_g.getRow(int(pick[i]))
+        rows.append({"image": f"{i + 1:06d}@{fn_parts}", "itemId": i + 1,
+                     "ref": int(pick[i]) + 1, "angleRot": g["angleRot"],
+                     "angleTilt": g["angleTilt"], "anglePsi": 0.0,
+                     "shiftX": 0.0, "shiftY": 0.0})
+    fn_assign = str(tmp_path / "assign.xmd")
+    MetaData.fromRows(rows).write(fn_assign)
+    # class averages
+    run_prog("angular_class_average",
+             f"-i {fn_assign} --lib {tmp_path}/gal.doc -o {tmp_path}/classes")
+    md_c = MetaData(str(tmp_path / "classes.xmd"))
+    counts = md_c.getColumn("classCount")
+    assert counts.sum() == 15
+    # subtraction: residuals should be small (particles = projections+noise)
+    run_prog("subtract_projection",
+             f"-i {fn_assign} --ref {fn_vol} -o {tmp_path}/sub")
+    sub = Image.read_stack(str(tmp_path / "sub.mrcs"))
+    assert sub.std() < 0.5 * parts.std()

@@ -1,0 +1,225 @@
+"""Angular programs: continuous_assign2, class_average, neighbourhood,
+subtract_projection, image_residuals.
+
+Contracts: reference angular_continuous_assign2 (angular_continuous_assign2.h:46),
+angular_class_average, angular_neighbourhood, subtract_projection
+(subtract_projection.h:47), image_residuals.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.metadata_program import load_image_rows
+from xmipp3_tpu.core.program import XmippProgram
+
+
+def _load_md(fn):
+    md = MetaData(fn)
+    md.removeDisabled()
+    rows = list(md.iterRows())
+    imgs = load_image_rows(rows)
+    get = lambda k, d=0.0: np.array([float(r.get(k, d)) for r in rows],
+                                    np.float32)
+    return md, rows, imgs, get
+
+
+class ProgAngularContinuousAssign2(XmippProgram):
+    name = "xmipp_angular_continuous_assign2"
+
+    def defineParams(self):
+        self.addUsageLine("Continuous refinement of angular assignment "
+                          "(gradient ascent on correlation through the "
+                          "differentiable projector).")
+        self.addParamsLine("   -i <md_file>  : Particles with initial poses")
+        self.addParamsLine("   -o <md_file>  : Refined poses")
+        self.addParamsLine("   --ref <volume> : Reference volume")
+        self.addParamsLine("  [--optimizeShift] : Also refine shifts")
+        self.addParamsLine("  [--steps <n=60>] : Optimization steps")
+        self.addParamsLine("  [--padding <p=2>] : Projector padding")
+
+    def run(self):
+        from xmipp3_tpu.ops.continuous import continuous_assign
+        md, rows, imgs, get = _load_md(self.getParam("-i"))
+        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        res = continuous_assign(
+            vol, imgs, get("angleRot"), get("angleTilt"), get("anglePsi"),
+            get("shiftX") if self.checkParam("--optimizeShift") else None,
+            get("shiftY") if self.checkParam("--optimizeShift") else None,
+            n_steps=self.getIntParam("--steps"),
+            pad_factor=self.getDoubleParam("--padding"),
+            verbose=self.verbose)
+        out_rows = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d.update({"angleRot": float(res["rot"][i]),
+                      "angleTilt": float(res["tilt"][i]),
+                      "anglePsi": float(res["psi"][i]),
+                      "shiftX": float(res["sx"][i]),
+                      "shiftY": float(res["sy"][i]),
+                      "cost": float(res["cost"][i]),
+                      "maxCC": float(res["cost"][i])})
+            out_rows.append(d)
+        MetaData.fromRows(out_rows).write(self.getParam("-o"))
+        self.mean_cost = float(res["cost"].mean())
+
+
+class ProgAngularClassAverage(XmippProgram):
+    name = "xmipp_angular_class_average"
+
+    def defineParams(self):
+        self.addUsageLine("Compute class averages from an angular assignment "
+                          "(one average per reference).")
+        self.addParamsLine("   -i <md_file>  : Assignment metadata (ref/psi/shift/flip)")
+        self.addParamsLine("   --lib <md_file> : Gallery metadata (ref angles)")
+        self.addParamsLine("   -o <root>     : Output rootname")
+        self.addParamsLine("  [--wien <w=\"\">] : (accepted; Wiener handled upstream)")
+
+    def run(self):
+        from xmipp3_tpu.ops.geo import apply_md_geometry
+        md, rows, imgs, get = _load_md(self.getParam("-i"))
+        md_lib = MetaData(self.getParam("--lib"))
+        refs = md_lib.getColumn("ref") if md_lib.containsLabel("ref") else \
+            np.arange(1, md_lib.size() + 1)
+        registered = np.asarray(apply_md_geometry(
+            imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
+            np.array([bool(r.get("flip", 0)) for r in rows])))
+        assign = get("ref").astype(int)
+        root = self.getParam("-o")
+        n_refs = int(refs.max())
+        H = imgs.shape[-1]
+        avgs = np.zeros((n_refs, H, H), np.float32)
+        counts = np.zeros(n_refs, int)
+        for i, r in enumerate(rows):
+            k = assign[i] - 1
+            if 0 <= k < n_refs:
+                avgs[k] += registered[i]
+                counts[k] += 1
+        nonzero = counts > 0
+        avgs[nonzero] /= counts[nonzero][:, None, None]
+        save_image(root + ".stk", avgs)
+        out_rows = []
+        for k in range(n_refs):
+            d = {"ref": k + 1, "image": f"{k + 1:06d}@{root}.stk",
+                 "classCount": int(counts[k])}
+            lib_row = md_lib.getRow(k) if k < md_lib.size() else {}
+            for key in ("angleRot", "angleTilt"):
+                if key in lib_row:
+                    d[key] = lib_row[key]
+            out_rows.append(d)
+        MetaData.fromRows(out_rows).write(root + ".xmd")
+
+
+class ProgAngularNeighbourhood(XmippProgram):
+    name = "xmipp_angular_neighbourhood"
+
+    def defineParams(self):
+        self.addUsageLine("For each reference direction, list experimental "
+                          "images within an angular neighbourhood.")
+        self.addParamsLine("   --i1 <md_exp>  : Experimental angles")
+        self.addParamsLine("   --i2 <md_ref>  : Reference directions")
+        self.addParamsLine("   -o <md_file>   : Output neighborhood metadata")
+        self.addParamsLine("  [--dist <d=10>] : Neighbourhood radius (deg)")
+        self.addParamsLine("  [--sym <s=c1>]  : Symmetry")
+
+    def run(self):
+        from xmipp3_tpu.core.sampling import compute_neighbors
+        from xmipp3_tpu.core.sym import SymList
+        md_exp = MetaData(self.getParam("--i1"))
+        md_ref = MetaData(self.getParam("--i2"))
+        a_exp = np.stack([md_exp.getColumn("angleRot").astype(float),
+                          md_exp.getColumn("angleTilt").astype(float)], axis=1)
+        a_ref = np.stack([md_ref.getColumn("angleRot").astype(float),
+                          md_ref.getColumn("angleTilt").astype(float)], axis=1)
+        sym = SymList(self.getParam("--sym"))
+        nbrs = compute_neighbors(a_ref, a_exp, self.getDoubleParam("--dist"),
+                                 sym)
+        rows = []
+        for k, nb in enumerate(nbrs):
+            rows.append({"ref": k + 1, "neighbors": np.asarray(nb + 1,
+                                                               np.float64),
+                         "count": len(nb)})
+        MetaData.fromRows(rows).write(self.getParam("-o"))
+        self.neighbors = nbrs
+
+
+class ProgSubtractProjection(XmippProgram):
+    name = "xmipp_subtract_projection"
+
+    def defineParams(self):
+        self.addUsageLine("Subtract the reference projection from each "
+                          "particle (for focused analysis).")
+        self.addParamsLine("   -i <md_file>  : Particles with poses")
+        self.addParamsLine("   --ref <volume> : Reference volume")
+        self.addParamsLine("   -o <root>     : Output rootname")
+        self.addParamsLine("  [--mask <m=\"\">] : Keep-region mask volume (projected)")
+
+    def run(self):
+        from xmipp3_tpu.ops.project import FourierProjector
+        from xmipp3_tpu.ops.geo import apply_md_geometry
+        md, rows, imgs, get = _load_md(self.getParam("-i"))
+        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        proj = FourierProjector(vol)
+        rot, tilt, psi = get("angleRot"), get("angleTilt"), get("anglePsi")
+        sx, sy = get("shiftX"), get("shiftY")
+        flip = np.array([bool(r.get("flip", 0)) for r in rows])
+        # register particles onto the projection frame, subtract, write
+        registered = np.asarray(apply_md_geometry(imgs, psi, sx, sy, flip))
+        B = len(rows)
+        out = np.empty_like(registered)
+        batch = 256
+        for s in range(0, B, batch):
+            sl = slice(s, min(s + batch, B))
+            p = np.asarray(proj.project_euler(rot[sl], tilt[sl],
+                                              np.zeros(sl.stop - sl.start,
+                                                       np.float32)))
+            # amplitude fit per particle (gray a,b as in the reference)
+            pm = p - p.mean(axis=(1, 2), keepdims=True)
+            im = registered[sl]
+            a = ((pm * im).sum(axis=(1, 2)) /
+                 np.maximum((pm ** 2).sum(axis=(1, 2)), 1e-12))
+            b = im.mean(axis=(1, 2)) - a * p.mean(axis=(1, 2))
+            out[sl] = im - (a[:, None, None] * p + b[:, None, None])
+        root = self.getParam("-o")
+        save_image(root + ".mrcs", out)
+        out_rows = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d["image"] = f"{i + 1:06d}@{root}.mrcs"
+            out_rows.append(d)
+        MetaData.fromRows(out_rows).write(root + ".xmd")
+
+
+class ProgImageResiduals(XmippProgram):
+    name = "xmipp_image_residuals"
+
+    def defineParams(self):
+        self.addUsageLine("Residuals between particles and their reference "
+                          "projections + covariance screening.")
+        self.addParamsLine("   -i <md_file>  : Particles with poses")
+        self.addParamsLine("   --ref <volume> : Reference volume")
+        self.addParamsLine("   -o <root>     : Output rootname")
+
+    def run(self):
+        prog = ProgSubtractProjection()
+        prog.read([prog.name, "-i", self.getParam("-i"),
+                   "--ref", self.getParam("--ref"),
+                   "-o", self.getParam("-o")])
+        prog.verbose = 0
+        prog.run()
+        # screen residuals by energy
+        md = MetaData(self.getParam("-o") + ".xmd")
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        energy = (imgs ** 2).mean(axis=(1, 2))
+        z = (energy - energy.mean()) / max(energy.std(), 1e-12)
+        out_rows = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d["zScoreResCov"] = float(z[i])
+            out_rows.append(d)
+        MetaData.fromRows(out_rows).write(self.getParam("-o") + ".xmd")
+
+
+PROGRAM = None

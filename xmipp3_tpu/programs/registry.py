@@ -96,3 +96,66 @@ register("transform_mask", P + "volume_programs:ProgTransformMask")
 register("transform_symmetrize", P + "volume_programs:ProgTransformSymmetrize")
 register("volume_to_pseudoatoms",
          P + "volume_programs:ProgVolumeToPseudoatoms")
+
+register("angular_continuous_assign2",
+         P + "angular_programs:ProgAngularContinuousAssign2")
+register("angular_class_average",
+         P + "angular_programs:ProgAngularClassAverage")
+register("angular_neighbourhood",
+         P + "angular_programs:ProgAngularNeighbourhood")
+register("subtract_projection", P + "angular_programs:ProgSubtractProjection")
+register("image_residuals", P + "angular_programs:ProgImageResiduals")
+
+# ---------------------------------------------------------------------------
+# mpi_* endpoints (reference SURVEY.md Appendix A lists 51): in the reference
+# these wrap serial engines with an MPI master-worker layer; here the same
+# programs are internally device-parallel over the mesh, so each mpi_ name
+# dispatches to its serial twin (outputs are identical by construction —
+# the reference guarantees the same via MDL_GATHER_ID sorting).
+# ---------------------------------------------------------------------------
+from xmipp3_tpu.programs import _REGISTRY as _R
+
+# the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
+# aliased where the serial twin exists in this framework
+_MPI_NAMES = [
+    "angular_accuracy_pca", "angular_assignment_mag", "angular_class_average",
+    "angular_continuous_assign", "angular_continuous_assign2",
+    "angular_discrete_assign", "angular_project_library",
+    "angular_projection_matching", "angular_sph_alignment", "classify_CL2D",
+    "classify_CL2D_core_analysis", "classify_CLTomo_prog", "classify_FTTRI",
+    "continuous_create_residuals", "ctf_correct_phase", "ctf_correct_wiener2d",
+    "ctf_sort_psds", "cuda_reconstruct_fourier", "forward_zernike_images",
+    "forward_zernike_images_priors", "forward_zernike_subtomos",
+    "image_eliminate_byEnergy", "image_operate", "image_resize",
+    "image_rotational_pca", "image_sort", "image_ssnr", "ml_align2d",
+    "mlf_align2d", "multireference_aligneability", "nma_alignment",
+    "nma_alignment_vol", "performance_test", "reconstruct_art",
+    "reconstruct_fourier", "reconstruct_fourier_accel",
+    "reconstruct_significant", "reconstruct_wbp", "run",
+    "subtomo_subtraction", "subtract_projection",
+    "transform_adjust_image_grey_levels", "transform_filter",
+    "transform_geometry", "transform_mask", "transform_normalize",
+    "transform_symmetrize", "transform_threshold", "validation_nontilt",
+    "volumeset_align", "write_test",
+]
+_SERIAL_MAP = {
+    "image_sort": "image_sort_by_statistics",
+    "ctf_correct_phase": "ctf_phase_flip",
+    "cuda_reconstruct_fourier": "reconstruct_fourier",
+    "reconstruct_fourier_accel": "reconstruct_fourier",
+    "image_eliminate_byEnergy": "image_eliminate_empty_particles",
+}
+for _name in _MPI_NAMES:
+    _serial = _SERIAL_MAP.get(_name, _name)
+    if _serial in _R:
+        register("mpi_" + _name, _R[_serial])
+
+# cuda_* endpoints of the reference similarly map to the device-native twins
+for _cuda, _serial in {
+    "cuda_reconstruct_fourier": "reconstruct_fourier",
+    "cuda_align_significant": "angular_projection_matching",
+    "cuda_movie_alignment_correlation": "movie_alignment_correlation",
+    "cuda_angular_continuous_assign2": "angular_continuous_assign2",
+}.items():
+    if _serial in _R:
+        register(_cuda, _R[_serial])
