@@ -86,6 +86,7 @@ class XmippMetadataProgram(XmippProgram):
         self.addParamsLine("    where <mode>")
         self.addParamsLine("      overwrite   : Replace output")
         self.addParamsLine("      append      : Append to output")
+        self.addParamsLine(" [--resume]              : Skip rows already present in the output metadata")
         self.defineProcessParams()
 
     def defineProcessParams(self):
@@ -99,6 +100,7 @@ class XmippMetadataProgram(XmippProgram):
         self.fn_out_md = (self.getParam("--save_metadata_stack")
                           if self.checkParam("--save_metadata_stack") else "")
         self.do_apply_geo = self.apply_geo and not self.checkParam("--dont_apply_geo")
+        self.resume = self.checkParam("--resume")
         self.readProcessParams()
 
     def readProcessParams(self):
@@ -162,6 +164,20 @@ class XmippMetadataProgram(XmippProgram):
     # ------------------------------------------------------------------
     def run(self):
         self.setup_input()
+        # Rerunable contract (reference core/rerunable_program.h): with
+        # --resume, rows whose itemId already appears in the output metadata
+        # are skipped and previous results are kept.
+        self._resumed_rows = []
+        if getattr(self, "resume", False) and self.fn_out and \
+                is_metadata_file(self.fn_out) and \
+                os.path.exists(as_filename(self.fn_out).path):
+            done = MetaData(self.fn_out)
+            if done.containsLabel("itemId"):
+                done_ids = set(done.getColumn("itemId").tolist())
+                keep = [i for i in self.mdIn
+                        if self.mdIn.getValue("itemId", i) not in done_ids]
+                self._resumed_rows = list(done.iterRows())
+                self.mdIn._df = self.mdIn.df.loc[keep].reset_index(drop=True)
         self.preProcess()
         rows = list(self.mdIn.iterRows())
         n = len(rows)
@@ -202,7 +218,9 @@ class XmippMetadataProgram(XmippProgram):
                     save_image(target, stack)
                     for i, r in enumerate(out_rows):
                         r["image"] = f"{i + 1:06d}@{target}"
-            self.mdOut = MetaData.fromRows(out_rows)
+            self.mdOut = MetaData.fromRows(self._resumed_rows + out_rows)
+            if "itemId" in self.mdOut.df.columns and len(self._resumed_rows):
+                self.mdOut.sort("itemId")
             if self.fn_out and is_metadata_file(self.fn_out):
                 self.mdOut.write(self.fn_out)
             if self.fn_out_md:

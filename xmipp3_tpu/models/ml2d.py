@@ -29,22 +29,41 @@ from xmipp3_tpu.ops.match import rotational_corr_matrix, _trial_shift_grid
 from xmipp3_tpu.ops.polar import cartesian_to_polar, ring_ffts
 
 
-def _pose_scores(refs, imgs, trials, radius_min, radius_max):
+def _pose_scores(refs, imgs, trials, radius_min, radius_max,
+                 ring_weights=None):
     """Correlation-coefficient curves for every (image, trial, ref, psi)."""
     f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max))
     scores = []
+    rw = None if ring_weights is None else jnp.asarray(ring_weights,
+                                                       jnp.float32)
     for t in np.asarray(trials):
         shifted = fourier_shift_2d(imgs, float(t[0]), float(t[1]))
         f_im = ring_ffts(cartesian_to_polar(shifted, radius_min, radius_max))
-        corr = rotational_corr_matrix(f_refs, f_im, radius_min)  # (B,R,A)
+        corr = rotational_corr_matrix(f_refs, f_im, radius_min, rw)  # (B,R,A)
         scores.append(np.asarray(corr))
     return np.stack(scores, axis=1)  # (B, T, R, A)
 
 
+def _ring_snr_weights(refs, imgs, radius_min, radius_max):
+    """MLF2D noise model: per-ring SNR = class-average ring power over
+    residual ring power, used to weight the scoring rings."""
+    p_ref = np.asarray(jnp.abs(ring_ffts(cartesian_to_polar(
+        jnp.asarray(refs), radius_min, radius_max))) ** 2).mean(axis=(0, 2))
+    p_img = np.asarray(jnp.abs(ring_ffts(cartesian_to_polar(
+        jnp.asarray(imgs), radius_min, radius_max))) ** 2).mean(axis=(0, 2))
+    noise = np.maximum(p_img - p_ref, 1e-8 * p_img.max())
+    snr = p_ref / noise
+    return np.clip(snr / max(snr.max(), 1e-12), 0.02, 1.0)
+
+
 def ml2d(imgs: np.ndarray, n_refs: int, n_iters: int = 15,
          max_shift: int = 4, sigma_init: float = 1.0, seed: int = 0,
-         top_k: int = 8, verbose: int = 0):
-    """Returns dict(refs, fractions, sigma, assignments, loglike_history)."""
+         top_k: int = 8, verbose: int = 0, fourier_noise_model: bool = False):
+    """Returns dict(refs, fractions, sigma, assignments, loglike_history).
+
+    fourier_noise_model=True is the MLF2D variant (mlf_align2d.h:70): the
+    per-ring SNR of the current model weights the angular-frequency terms of
+    the scoring correlation, down-weighting noise-dominated rings."""
     from xmipp3_tpu.models.cl2d import initial_references
     imgs = np.asarray(imgs, np.float32)
     B, H, W = imgs.shape
@@ -56,8 +75,10 @@ def ml2d(imgs: np.ndarray, n_refs: int, n_iters: int = 15,
     ll_hist = []
 
     for it in range(n_iters):
+        rw = (_ring_snr_weights(refs, imgs, radius_min, radius_max)
+              if fourier_noise_model else None)
         S = _pose_scores(jnp.asarray(refs), jnp.asarray(imgs),
-                         trials, radius_min, radius_max)   # (B,T,R,A)
+                         trials, radius_min, radius_max, rw)   # (B,T,R,A)
         Bn, T, R, A = S.shape
         # scale correlation coefficient -> approx X·R/sigma^2 energy units:
         # use a temperature so the posterior sharpens as sigma decreases

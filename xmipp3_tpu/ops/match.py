@@ -25,15 +25,21 @@ from xmipp3_tpu.ops.shift import _parabola_peak_1d, best_shift, correlation_inde
 
 
 @partial(jax.jit, static_argnames=("radius_min",))
-def rotational_corr_matrix(f_refs, f_imgs, radius_min: int = 2):
+def rotational_corr_matrix(f_refs, f_imgs, radius_min: int = 2,
+                           ring_weights=None):
     """All-pairs angular correlation curves.
 
     f_refs (R, nr, k), f_imgs (B, nr, k) complex ring FFTs ->
-    (B, R, A) correlation curves (A = 2*(k-1))."""
+    (B, R, A) correlation curves (A = 2*(k-1)). Optional ring_weights (nr,)
+    multiply the default radius weighting (the MLF2D per-resolution noise
+    model hook)."""
     R, nr, k = f_refs.shape
     A = 2 * (k - 1)
     radii = jnp.arange(radius_min, radius_min + nr, dtype=jnp.float32)
     w = radii / radii.sum()
+    if ring_weights is not None:
+        w = w * ring_weights
+        w = w / jnp.maximum(w.sum(), 1e-12)
     # drop k=0 (per-ring mean) so flat background doesn't dominate, and
     # normalize by per-image/per-ref ring energies -> correlation coefficient
     mask = jnp.ones(k, jnp.float32).at[0].set(0.0)
@@ -92,20 +98,25 @@ def _trial_shift_grid(max_shift: int, step: float | None = None):
     return pts[keep].astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("radius_min", "radius_max", "check_mirror"))
+@partial(jax.jit, static_argnames=("radius_min", "radius_max", "check_mirror",
+                                   "stride"))
 def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
-                 check_mirror: bool):
+                 check_mirror: bool, stride: int = 2):
     """Rotational matching over a trial-translation grid.
 
+    Coarse scan: every stride-th ring (halves gather traffic; the winner
+    refinement stage restores full precision).
     Returns per-image best (ref, psi, trial_idx, flip, peak)."""
     from xmipp3_tpu.ops.fourier import fourier_shift_2d
     B = imgs.shape[0]
-    f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max))
+    f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max,
+                                          stride=stride))
 
     def body(carry, t):
         best_peak, best_psi, best_ref, best_trial, best_flip, ti = carry
         shifted = fourier_shift_2d(imgs, t[0], t[1])
-        f_im = ring_ffts(cartesian_to_polar(shifted, radius_min, radius_max))
+        f_im = ring_ffts(cartesian_to_polar(shifted, radius_min, radius_max,
+                                            stride=stride))
         psi, peak, psi_m, peak_m = best_rotation_matrix(f_refs, f_im,
                                                         radius_min)
         if check_mirror:
@@ -135,28 +146,19 @@ def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
     return peak, psi, ref, trial, flip
 
 
-def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
-                     radius_max: int | None = None, refine_iters: int = 2,
-                     check_mirror: bool = True, trial_step: float | None = None):
-    """Match each image to its best gallery reference + in-plane pose.
+@partial(jax.jit, static_argnames=("max_shift", "radius_min", "radius_max",
+                                   "refine_iters", "check_mirror"))
+def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
+               radius_max: int, refine_iters: int, check_mirror: bool):
+    """Single-compilation gallery match (scan + winner refinement).
 
-    5-D search: rotational ring correlation against all references at each
-    trial translation of a coarse grid, then shift+rotation refinement of the
-    winner. Returns dict(ref_idx, psi, sx, sy, corr, flip) — each (B,)."""
-    refs = jnp.asarray(refs, jnp.float32)
-    imgs = jnp.asarray(imgs, jnp.float32)
-    if imgs.ndim == 2:
-        imgs = imgs[None]
+    One end-to-end jit: repeated calls with the same static config reuse the
+    compiled program — essential under remote compilation, where every
+    retrace costs seconds."""
     B, H, W = imgs.shape
-    R = refs.shape[0]
-    if radius_max is None:
-        radius_max = H // 2 - 2
-
-    trials = jnp.asarray(_trial_shift_grid(max_shift, trial_step))
     peak0, psi0, best_ref, trial_idx, flip = _scan_trials(
         refs, imgs, trials, radius_min, radius_max, check_mirror)
 
-    bi = jnp.arange(B)
     chosen_refs = refs[best_ref]                             # (B,H,W)
     t = trials[trial_idx]                                     # (B,2)
 
@@ -175,25 +177,37 @@ def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
     psi_cur = psi0
 
     f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max))
-    f_chosen = f_refs[best_ref]
-    for _ in range(refine_iters):
+    f_chosen = f_refs[best_ref]                               # (B,nr,k)
+    nr = f_chosen.shape[1]
+    A = 2 * (f_chosen.shape[2] - 1)
+    radii = jnp.arange(radius_min, radius_min + nr, dtype=jnp.float32)
+    rw = radii / radii.sum()
+
+    def body(carry, _):
+        psi_cur, sx, sy = carry
         aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
         dsx, dsy, _ = best_shift(chosen_refs, aligned, max_shift=max_shift)
         sx = sx + dsx
         sy = sy + dsy
         aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
         f_al = ring_ffts(cartesian_to_polar(aligned, radius_min, radius_max))
-        # small rotation correction vs chosen ref (per-image pairwise)
-        from xmipp3_tpu.ops.polar import best_rotation_from_ffts
-        dpsi, _ = jax.vmap(
-            lambda fr, fi: best_rotation_from_ffts(fr[None], fi[None],
-                                                   radius_min))(
-            f_chosen, f_al)
-        dpsi = dpsi[:, 0]
+        # pairwise angular correlation vs the chosen reference
+        cross = (f_al * jnp.conj(f_chosen) * rw[None, :, None]).sum(axis=1)
+        curve = jnp.fft.irfft(cross, n=A, axis=-1)            # (B,A)
+        idx = jnp.argmax(curve, axis=-1)
+        bi = jnp.arange(B)
+        off = _parabola_peak_1d(curve[bi, (idx - 1) % A], curve[bi, idx],
+                                curve[bi, (idx + 1) % A])
+        dpsi = (idx.astype(jnp.float32) + off) * (360.0 / A)
+        dpsi = jnp.where(dpsi > 180.0, dpsi - 360.0, dpsi)
         rad = jnp.deg2rad(dpsi)
         c, s = jnp.cos(rad), jnp.sin(rad)
         psi_cur = psi_cur + dpsi
         sx, sy = c * sx + s * sy, -s * sx + c * sy
+        return (psi_cur, sx, sy), None
+
+    (psi_cur, sx, sy), _ = jax.lax.scan(body, (psi_cur, sx, sy), None,
+                                        length=refine_iters)
 
     aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
     corr = correlation_index(chosen_refs, aligned)
@@ -204,3 +218,23 @@ def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
     psi_md, sx_md, sy_md, _ = alignment_to_md_pose(psi_cur, sx, sy, flip)
     return dict(ref_idx=best_ref, psi=psi_md, sx=sx_md, sy=sy_md, corr=corr,
                 flip=flip, peak=peak0, aligned=aligned)
+
+
+def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
+                     radius_max: int | None = None, refine_iters: int = 2,
+                     check_mirror: bool = True, trial_step: float | None = None):
+    """Match each image to its best gallery reference + in-plane pose.
+
+    5-D search: rotational ring correlation against all references at each
+    trial translation of a coarse grid, then shift+rotation refinement of the
+    winner. Returns dict(ref_idx, psi, sx, sy, corr, flip) — each (B,)."""
+    refs = jnp.asarray(refs, jnp.float32)
+    imgs = jnp.asarray(imgs, jnp.float32)
+    if imgs.ndim == 2:
+        imgs = imgs[None]
+    H = imgs.shape[-2]
+    if radius_max is None:
+        radius_max = H // 2 - 2
+    trials = jnp.asarray(_trial_shift_grid(max_shift, trial_step))
+    return _match_jit(refs, imgs, trials, max_shift, radius_min, radius_max,
+                      refine_iters, check_mirror)

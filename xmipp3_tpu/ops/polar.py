@@ -37,10 +37,16 @@ def polar_grid(h: int, w: int, radius_min: int, radius_max: int,
     return yy.astype(np.float32), xx.astype(np.float32), radii
 
 
-@partial(jax.jit, static_argnames=("radius_min", "radius_max", "n_angles"))
+@partial(jax.jit, static_argnames=("radius_min", "radius_max", "n_angles",
+                                   "stride", "nearest"))
 def cartesian_to_polar(imgs, radius_min: int = 2, radius_max: int | None = None,
-                       n_angles: int | None = None):
-    """Batched polar resampling (bilinear). imgs (B,H,W) -> (B,R,A)."""
+                       n_angles: int | None = None, stride: int = 1,
+                       nearest: bool = False):
+    """Batched polar resampling. imgs (B,H,W) -> (B,R,A).
+
+    stride>1 samples every stride-th ring and nearest=True uses 1-tap
+    sampling — the cheap mode for coarse scans (gathers dominate the cost on
+    TPU); defaults give full-quality bilinear rings."""
     imgs = jnp.asarray(imgs, jnp.float32)
     single = imgs.ndim == 2
     if single:
@@ -49,6 +55,14 @@ def cartesian_to_polar(imgs, radius_min: int = 2, radius_max: int | None = None,
     if radius_max is None:
         radius_max = H // 2 - 2
     yy, xx, _ = polar_grid(H, W, radius_min, radius_max, n_angles)
+    if stride > 1:
+        yy = yy[::stride]
+        xx = xx[::stride]
+    if nearest:
+        yi = jnp.clip(jnp.round(yy).astype(jnp.int32), 0, H - 1)
+        xi = jnp.clip(jnp.round(xx).astype(jnp.int32), 0, W - 1)
+        out = jax.vmap(lambda img: img[yi, xi])(imgs)
+        return out[0] if single else out
     y0 = jnp.floor(yy).astype(jnp.int32)
     x0 = jnp.floor(xx).astype(jnp.int32)
     fy = yy - y0
@@ -62,6 +76,33 @@ def cartesian_to_polar(imgs, radius_min: int = 2, radius_max: int | None = None,
 
     out = jax.vmap(one)(imgs)
     return out[0] if single else out
+
+
+@partial(jax.jit, static_argnames=("radius_min", "radius_max", "n_angles",
+                                   "stride"))
+def polar_at_offsets(imgs, offsets, radius_min: int = 2,
+                     radius_max: int | None = None,
+                     n_angles: int | None = None, stride: int = 1):
+    """Polar resample around shifted centers WITHOUT shifting the images:
+    sampling T(t)·img on the polar grid equals sampling img at grid - t.
+    imgs (B,H,W), offsets (T,2) as (tx,ty) -> (T,B,R,A), nearest-neighbor
+    (the coarse-scan fast path: replaces per-trial Fourier shifts + separate
+    gathers)."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    B, H, W = imgs.shape
+    if radius_max is None:
+        radius_max = H // 2 - 2
+    yy, xx, _ = polar_grid(H, W, radius_min, radius_max, n_angles)
+    if stride > 1:
+        yy = yy[::stride]
+        xx = xx[::stride]
+
+    def per_offset(t):
+        yi = jnp.clip(jnp.round(yy - t[1]).astype(jnp.int32), 0, H - 1)
+        xi = jnp.clip(jnp.round(xx - t[0]).astype(jnp.int32), 0, W - 1)
+        return jax.vmap(lambda img: img[yi, xi])(imgs)
+
+    return jax.lax.map(per_offset, jnp.asarray(offsets, jnp.float32))
 
 
 @jax.jit

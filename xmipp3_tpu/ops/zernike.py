@@ -1,0 +1,166 @@
+"""Zernike3D deformation fields (flexible alignment / heterogeneity).
+
+Replaces the reference's Zernike3D/spherical-harmonics framework
+(volume_deform_sph.h:38, angular_sph_alignment.h:42, forward_zernike_images,
+CUDA kernels cuda_volume_deform_sph.cu:153 computeDeform) with a TPU-first
+design: the basis is evaluated ONCE on the voxel grid as a dense (K, D, H, W)
+tensor (a matmul away from any deformation field), the deformation warp is a
+differentiable gather, and coefficient fitting is batched Adam on the
+correlation objective — gradients flow through basis, warp and projector.
+
+Basis: Z_{l,n,m}(r, θ, φ) = R_{n,l}(r) · Y_{l,m}(θ, φ) for r <= 1
+(Zernike radial polynomials × real spherical harmonics), each basis function
+carrying an (x, y, z) displacement component — coefficients come in triples
+as in the reference (sphCoefficients stores 3·K values).
+"""
+from __future__ import annotations
+
+from functools import partial
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def zernike_radial(n: int, l: int, r: np.ndarray) -> np.ndarray:
+    """R_{n,l}(r): Zernike radial polynomial (n >= l, n-l even)."""
+    out = np.zeros_like(r)
+    for k in range((n - l) // 2 + 1):
+        c = ((-1) ** k * math.factorial(n - k) /
+             (math.factorial(k) * math.factorial((n + l) // 2 - k) *
+              math.factorial((n - l) // 2 - k)))
+        out = out + c * r ** (n - 2 * k)
+    return out
+
+
+def real_sph_harm(l: int, m: int, theta: np.ndarray,
+                  phi: np.ndarray) -> np.ndarray:
+    """Real spherical harmonics (scipy backend, Condon-Shortley removed)."""
+    from scipy.special import sph_harm_y
+    # sph_harm_y(l, m, theta=polar, phi=azimuth)
+    if m == 0:
+        return np.real(sph_harm_y(l, 0, theta, phi))
+    if m > 0:
+        return np.sqrt(2) * (-1) ** m * np.real(sph_harm_y(l, m, theta, phi))
+    return np.sqrt(2) * (-1) ** m * np.imag(sph_harm_y(l, -m, theta, phi))
+
+
+def zernike_indices(L1: int, L2: int) -> list[tuple[int, int, int]]:
+    """(l, n, m) index list up to radial order L1 and angular order L2
+    (the reference's depth parameters)."""
+    out = []
+    for n in range(L1 + 1):
+        for l in range(n % 2, min(n, L2) + 1, 2):
+            for m in range(-l, l + 1):
+                out.append((l, n, m))
+    return out
+
+
+def zernike_basis_grid(size: int, L1: int = 3, L2: int = 2,
+                       radius: float | None = None) -> np.ndarray:
+    """Basis tensor (K, size, size, size) on the centered voxel grid,
+    zero outside the unit ball of `radius` voxels."""
+    if radius is None:
+        radius = size / 2 - 1
+    z, y, x = np.mgrid[0:size, 0:size, 0:size].astype(np.float64)
+    z, y, x = ((z - size // 2) / radius, (y - size // 2) / radius,
+               (x - size // 2) / radius)
+    r = np.sqrt(x * x + y * y + z * z)
+    inside = r <= 1.0
+    rs = np.where(r > 0, r, 1e-9)
+    theta = np.arccos(np.clip(z / rs, -1, 1))
+    phi = np.arctan2(y, x)
+    idx = zernike_indices(L1, L2)
+    K = len(idx)
+    basis = np.zeros((K, size, size, size), np.float32)
+    for k, (l, n, m) in enumerate(idx):
+        B = zernike_radial(n, l, r) * real_sph_harm(l, m, theta, phi)
+        basis[k] = np.where(inside, B, 0.0).astype(np.float32)
+    return basis
+
+
+@partial(jax.jit, static_argnames=())
+def deform_volume(vol, basis, coeffs):
+    """Warp a volume with the Zernike3D displacement field.
+
+    vol (D,D,D); basis (K,D,D,D); coeffs (3,K) — x/y/z displacement
+    coefficients (voxels). Gather-based backward warp (differentiable in
+    coeffs): out(x) = vol(x - d(x))."""
+    vol = jnp.asarray(vol, jnp.float32)
+    D = vol.shape[0]
+    dx = jnp.einsum("k,kzyx->zyx", coeffs[0], basis)
+    dy = jnp.einsum("k,kzyx->zyx", coeffs[1], basis)
+    dz = jnp.einsum("k,kzyx->zyx", coeffs[2], basis)
+    z, y, x = jnp.mgrid[0:D, 0:D, 0:D].astype(jnp.float32)
+    zi = z - dz
+    yi = y - dy
+    xi = x - dx
+    z0 = jnp.floor(zi).astype(jnp.int32)
+    y0 = jnp.floor(yi).astype(jnp.int32)
+    x0 = jnp.floor(xi).astype(jnp.int32)
+    fz, fy, fx = zi - z0, yi - y0, xi - x0
+    out = jnp.zeros_like(vol)
+    for dz_ in range(2):
+        for dy_ in range(2):
+            for dx_ in range(2):
+                w = (jnp.where(dz_, fz, 1 - fz) * jnp.where(dy_, fy, 1 - fy)
+                     * jnp.where(dx_, fx, 1 - fx))
+                zj = jnp.clip(z0 + dz_, 0, D - 1)
+                yj = jnp.clip(y0 + dy_, 0, D - 1)
+                xj = jnp.clip(x0 + dx_, 0, D - 1)
+                out = out + w * vol[zj, yj, xj]
+    return out
+
+
+@jax.jit
+def _vol_ncc(a, b):
+    am = a - a.mean()
+    bm = b - b.mean()
+    return (am * bm).sum() / jnp.maximum(
+        jnp.sqrt((am ** 2).sum() * (bm ** 2).sum()), 1e-12)
+
+
+def fit_deformation(vol_ref, vol_target, L1: int = 3, L2: int = 2,
+                    n_steps: int = 100, lr: float = 0.05,
+                    radius: float | None = None, verbose: int = 0):
+    """Find Zernike3D coefficients deforming vol_ref onto vol_target
+    (the volume_deform_sph engine). Returns (coeffs (3,K), deformed, ncc)."""
+    D = vol_ref.shape[0]
+    basis = jnp.asarray(zernike_basis_grid(D, L1, L2, radius))
+    K = basis.shape[0]
+    vol_ref = jnp.asarray(vol_ref, jnp.float32)
+    vol_target = jnp.asarray(vol_target, jnp.float32)
+
+    def loss_fn(coeffs):
+        warped = deform_volume(vol_ref, basis, coeffs)
+        return -_vol_ncc(warped, vol_target)
+
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    coeffs = jnp.zeros((3, K), jnp.float32)
+    m = jnp.zeros_like(coeffs)
+    v = jnp.zeros_like(coeffs)
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for step in range(n_steps):
+        loss, g = grad_fn(coeffs)
+        m = b1 * m + (1 - b1) * g
+        v = b2 * v + (1 - b2) * g * g
+        mhat = m / (1 - b1 ** (step + 1))
+        vhat = v / (1 - b2 ** (step + 1))
+        coeffs = coeffs - lr * mhat / (jnp.sqrt(vhat) + eps)
+        if verbose and (step + 1) % 25 == 0:
+            print(f"  deform step {step + 1}: NCC {-float(loss):.4f}")
+    deformed = deform_volume(vol_ref, basis, coeffs)
+    return (np.asarray(coeffs), np.asarray(deformed),
+            float(_vol_ncc(deformed, vol_target)))
+
+
+def deformation_amplitude(basis, coeffs) -> float:
+    """RMS displacement of the field (the reference's sphDeformation
+    metric)."""
+    dx = np.einsum("k,kzyx->zyx", coeffs[0], np.asarray(basis))
+    dy = np.einsum("k,kzyx->zyx", coeffs[1], np.asarray(basis))
+    dz = np.einsum("k,kzyx->zyx", coeffs[2], np.asarray(basis))
+    mag2 = dx ** 2 + dy ** 2 + dz ** 2
+    inside = np.asarray(basis)[0] != 0 if len(basis) else mag2 > -1
+    return float(np.sqrt(mag2[inside].mean())) if inside.any() else 0.0

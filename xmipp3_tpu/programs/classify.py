@@ -161,4 +161,27 @@ class ProgKerdensom(XmippProgram):
         np.save(self.oroot + "_codebook.npy", code)
 
 
+class ProgMLFAlign2D(ProgMLAlign2D):
+    """MLF2D: ML2D with the Fourier-space per-resolution noise model
+    (reference mlf_align2d.h:70). The scoring reuses the ring-FFT machinery
+    with SNR ring weighting."""
+    name = "xmipp_mlf_align2d"
+
+    def run(self):
+        from xmipp3_tpu.models.ml2d import ml2d
+        imgs, rows = _load_stack_md(self.fn_in)
+        res = ml2d(imgs, self.n_refs, self.n_iters, self.max_shift,
+                   self.sigma, verbose=self.verbose,
+                   fourier_noise_model=True)
+        fn_refs = self.oroot + "_references.stk"
+        save_image(fn_refs, res["refs"])
+        out_rows = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d.update({"ref": int(res["assignments"][i]) + 1,
+                      "logLikelihood": float(res["loglike"][-1])})
+            out_rows.append(d)
+        MetaData.fromRows(out_rows).write(self.oroot + "_images.xmd")
+
+
 PROGRAM = None

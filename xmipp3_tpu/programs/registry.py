@@ -113,6 +113,21 @@ register("image_residuals", P + "angular_programs:ProgImageResiduals")
 # dispatches to its serial twin (outputs are identical by construction —
 # the reference guarantees the same via MDL_GATHER_ID sorting).
 # ---------------------------------------------------------------------------
+register("transform_dimred", P + "misc_programs:ProgTransformDimred")
+register("angular_distribution_show",
+         P + "misc_programs:ProgAngularDistributionShow")
+register("image_odd_even", P + "misc_programs:ProgImageOddEven")
+register("transform_adjust_image_grey_levels",
+         P + "misc_programs:ProgAdjustGreyLevels")
+register("local_volume_adjust", P + "misc_programs:ProgLocalVolumeAdjust")
+register("volume_local_sharpening",
+         P + "misc_programs:ProgVolumeLocalSharpening")
+register("transform_morphology", P + "misc_programs:ProgTransformMorphology")
+register("transform_center_image",
+         P + "misc_programs:ProgTransformCenterImage")
+register("ctf_estimate_from_psd_fast",
+         P + "ctf_estimate:ProgCTFEstimateFromPSD")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
@@ -159,3 +174,13 @@ for _cuda, _serial in {
 }.items():
     if _serial in _R:
         register(_cuda, _R[_serial])
+register("volume_deform_sph", P + "zernike_programs:ProgVolumeDeformSph")
+register("volume_apply_coefficient_zernike3d",
+         P + "zernike_programs:ProgVolumeApplyCoefficientZernike3D")
+register("angular_sph_alignment",
+         P + "zernike_programs:ProgAngularSphAlignment")
+register("cuda_volume_deform_sph", P + "zernike_programs:ProgVolumeDeformSph")
+register("cuda_angular_sph_alignment",
+         P + "zernike_programs:ProgAngularSphAlignment")
+register("mlf_align2d", P + "classify:ProgMLFAlign2D")
+register("mpi_mlf_align2d", P + "classify:ProgMLFAlign2D")

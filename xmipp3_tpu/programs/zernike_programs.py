@@ -1,0 +1,180 @@
+"""Zernike3D programs: volume_deform_sph, volume_apply_coefficient_zernike3d,
+angular_sph_alignment.
+
+Contracts: reference volume_deform_sph (volume_deform_sph.h:38),
+volume_apply_deform_sph / volume_apply_coefficient_zernike3d,
+angular_sph_alignment (angular_sph_alignment.h:42).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.program import XmippProgram
+
+
+class ProgVolumeDeformSph(XmippProgram):
+    name = "xmipp_volume_deform_sph"
+
+    def defineParams(self):
+        self.addUsageLine("Deform a volume onto a reference with a Zernike3D "
+                          "displacement field.")
+        self.addParamsLine("   -i <volume>  : Volume to deform")
+        self.addParamsLine("   -r <volume>  : Target (reference) volume")
+        self.addParamsLine("  [-o <out=deformed.vol>] : Deformed volume")
+        self.addParamsLine("  [--l1 <l1=3>]  : Zernike radial depth")
+        self.addParamsLine("  [--l2 <l2=2>]  : Spherical harmonic depth")
+        self.addParamsLine("  [--steps <n=100>] : Optimization steps")
+        self.addParamsLine("  [--oroot <root=\"\">] : Also write coefficients (.xmd)")
+
+    def run(self):
+        from xmipp3_tpu.ops.zernike import (deformation_amplitude,
+                                            fit_deformation,
+                                            zernike_basis_grid)
+        vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        ref = np.squeeze(Image(self.getParam("-r")).data).astype(np.float32)
+        L1 = self.getIntParam("--l1")
+        L2 = self.getIntParam("--l2")
+        coeffs, deformed, ncc = fit_deformation(
+            vol, ref, L1, L2, n_steps=self.getIntParam("--steps"),
+            verbose=self.verbose)
+        save_image(self.getParam("-o"), deformed)
+        self.ncc = ncc
+        basis = zernike_basis_grid(vol.shape[0], L1, L2)
+        self.deformation = deformation_amplitude(basis, coeffs)
+        if self.verbose:
+            print(f"NCC after deformation: {ncc:.4f}  "
+                  f"RMS deformation: {self.deformation:.3f} px")
+        root = self.getParam("--oroot")
+        if root:
+            md = MetaData.fromRows([{
+                "sphCoefficients": coeffs.ravel().astype(np.float64),
+                "sphDeformation": self.deformation,
+                "image": self.getParam("-i")}])
+            md.write(root + ".xmd")
+
+
+class ProgVolumeApplyCoefficientZernike3D(XmippProgram):
+    name = "xmipp_volume_apply_coefficient_zernike3d"
+
+    def defineParams(self):
+        self.addUsageLine("Apply stored Zernike3D coefficients to a volume.")
+        self.addParamsLine("   -i <volume>  : Input volume")
+        self.addParamsLine("   --clnm <md>  : Metadata with sphCoefficients")
+        self.addParamsLine("  [-o <out=deformed.vol>] : Output")
+        self.addParamsLine("  [--l1 <l1=3>]  : Zernike radial depth")
+        self.addParamsLine("  [--l2 <l2=2>]  : Spherical harmonic depth")
+
+    def run(self):
+        from xmipp3_tpu.ops.zernike import deform_volume, zernike_basis_grid
+        import jax.numpy as jnp
+        vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        md = MetaData(self.getParam("--clnm"))
+        flat = np.asarray(md.getValue("sphCoefficients", md.firstObject()),
+                          np.float32)
+        coeffs = flat.reshape(3, -1)
+        basis = jnp.asarray(zernike_basis_grid(
+            vol.shape[0], self.getIntParam("--l1"),
+            self.getIntParam("--l2")))
+        if basis.shape[0] != coeffs.shape[1]:
+            from xmipp3_tpu.core.errors import ErrCode, XmippError
+            raise XmippError(ErrCode.PARAM_INCORRECT,
+                             f"coefficient count {coeffs.shape[1]} != basis "
+                             f"size {basis.shape[0]} for l1/l2")
+        out = deform_volume(jnp.asarray(vol), basis, jnp.asarray(coeffs))
+        save_image(self.getParam("-o"), np.asarray(out))
+
+
+class ProgAngularSphAlignment(XmippProgram):
+    name = "xmipp_angular_sph_alignment"
+
+    def defineParams(self):
+        self.addUsageLine("Per-particle flexible alignment: fit Zernike3D "
+                          "coefficients (+ pose refinement) against particle "
+                          "images through the differentiable projector.")
+        self.addParamsLine("   -i <md_file> : Particles with poses")
+        self.addParamsLine("   --ref <volume> : Reference volume")
+        self.addParamsLine("   -o <md_file> : Output with sphCoefficients")
+        self.addParamsLine("  [--l1 <l1=2>]  : Zernike radial depth")
+        self.addParamsLine("  [--l2 <l2=2>]  : Spherical harmonic depth")
+        self.addParamsLine("  [--steps <n=40>] : Optimization steps per batch")
+        self.addParamsLine("  [--batch <b=16>] : Particles per batch")
+
+    def run(self):
+        import jax
+        import jax.numpy as jnp
+        from xmipp3_tpu.core.metadata_program import load_image_rows
+        from xmipp3_tpu.ops.zernike import deform_volume, zernike_basis_grid
+        from xmipp3_tpu.ops.project import (prepare_fourier_volume,
+                                            extract_central_slices,
+                                            slices_to_projections)
+        from xmipp3_tpu.ops.continuous import _euler_jnp
+
+        md = MetaData(self.getParam("-i"))
+        md.removeDisabled()
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        D = vol.shape[0]
+        L1, L2 = self.getIntParam("--l1"), self.getIntParam("--l2")
+        basis = jnp.asarray(zernike_basis_grid(D, L1, L2))
+        K = basis.shape[0]
+        get = lambda k, d=0.0: np.array([float(r.get(k, d)) for r in rows],
+                                        np.float32)
+        rot, tilt, psi = get("angleRot"), get("angleTilt"), get("anglePsi")
+        N = imgs.shape[-1]
+        vol_j = jnp.asarray(vol)
+
+        def one_loss(coeffs, img, rot_i, tilt_i, psi_i):
+            warped = deform_volume(vol_j, basis, coeffs)
+            vf, _ = prepare_fourier_volume(warped, 2.0)
+            mats = _euler_jnp(rot_i[None], tilt_i[None], psi_i[None])
+            proj = slices_to_projections(
+                extract_central_slices(vf, mats, N), N)[0]
+            pm = proj - proj.mean()
+            im = img - img.mean()
+            return -(pm * im).sum() / jnp.maximum(
+                jnp.sqrt((pm ** 2).sum() * (im ** 2).sum()), 1e-12)
+
+        def batch_loss(coeffs_b, imgs_b, rot_b, tilt_b, psi_b):
+            losses = jax.vmap(one_loss)(coeffs_b, imgs_b, rot_b, tilt_b,
+                                        psi_b)
+            return losses.mean(), losses
+
+        grad_fn = jax.jit(jax.value_and_grad(batch_loss, has_aux=True))
+        B = len(rows)
+        bs = self.getIntParam("--batch")
+        n_steps = self.getIntParam("--steps")
+        out_rows = []
+        for s in range(0, B, bs):
+            sl = slice(s, min(s + bs, B))
+            nb = sl.stop - sl.start
+            coeffs = jnp.zeros((nb, 3, K), jnp.float32)
+            m = jnp.zeros_like(coeffs)
+            v = jnp.zeros_like(coeffs)
+            args = (jnp.asarray(imgs[sl]), jnp.asarray(rot[sl]),
+                    jnp.asarray(tilt[sl]), jnp.asarray(psi[sl]))
+            losses = None
+            for step in range(n_steps):
+                (loss, losses), g = grad_fn(coeffs, *args)
+                g = g * nb
+                m = 0.9 * m + 0.1 * g
+                v = 0.999 * v + 0.001 * g * g
+                mhat = m / (1 - 0.9 ** (step + 1))
+                vhat = v / (1 - 0.999 ** (step + 1))
+                coeffs = coeffs - 0.05 * mhat / (jnp.sqrt(vhat) + 1e-8)
+            cc = -np.asarray(losses)
+            cf = np.asarray(coeffs)
+            for i in range(nb):
+                d = dict(rows[s + i])
+                d["sphCoefficients"] = cf[i].ravel().astype(np.float64)
+                d["sphDeformation"] = float(np.abs(cf[i]).mean())
+                d["maxCC"] = float(cc[i])
+                out_rows.append(d)
+            if self.verbose:
+                print(f"  sph batch {s // bs + 1}: mean CC {cc.mean():.4f}")
+        MetaData.fromRows(out_rows).write(self.getParam("-o"))
+
+
+PROGRAM = None
