@@ -1,0 +1,146 @@
+"""NMA + validation program tests."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.pdb import AtomicModel, rasterize, write_pdb
+from xmipp3_tpu.models.nma import (elastic_network_modes, fit_mode_amplitudes,
+                                   displacement_field, warp_volume_field)
+from xmipp3_tpu.programs import get_program
+
+
+def run_prog(name, args):
+    prog = get_program(name)
+    rc = prog.run_with_args(args)
+    assert rc == 0, name
+    return prog
+
+
+def two_blob_model():
+    """Two rigid clusters connected weakly — lowest mode separates them."""
+    rng = np.random.default_rng(0)
+    c1 = rng.normal(0, 1.2, (12, 3)) + [-5.0, 0, 0]
+    c2 = rng.normal(0, 1.2, (12, 3)) + [5.0, 0, 0]
+    coords = np.vstack([c1, c2])
+    return AtomicModel(coords, ["C"] * 24, np.zeros(24, np.float32),
+                       np.ones(24, np.float32))
+
+
+def test_enm_modes_shape_and_orthogonality():
+    model = two_blob_model()
+    modes, evals = elastic_network_modes(model.coords, n_modes=4)
+    assert modes.shape == (4, 24, 3)
+    assert (evals >= -1e-6).all()
+    # lowest mode should move the two clusters differently (inter-cluster)
+    m0 = modes[0]
+    d1 = m0[:12].mean(axis=0)
+    d2 = m0[12:].mean(axis=0)
+    assert np.linalg.norm(d1 - d2) > 0.3 * (
+        np.linalg.norm(d1) + np.linalg.norm(d2))
+
+
+def test_mode_amplitude_recovery():
+    model = two_blob_model()
+    modes, _ = elastic_network_modes(model.coords, n_modes=2)
+    size, Ts = 32, 1.0
+    vol_ref = rasterize(model, size, Ts, sigma_a=1.5, center=False)
+    # deform the model along mode 0 with known amplitude, rasterize target
+    amp_true = 3.0
+    disp = amp_true * modes[0]
+    model_def = AtomicModel(model.coords + disp, model.elements,
+                            model.bfactors, model.occupancies)
+    vol_t = rasterize(model_def, size, Ts, sigma_a=1.5, center=False)
+    amp, ncc = fit_mode_amplitudes(vol_ref, vol_t, model.coords, modes, Ts,
+                                   n_steps=80)
+    ncc0 = np.corrcoef(vol_ref.ravel(), vol_t.ravel())[0, 1]
+    assert ncc > ncc0 + 0.005
+    assert amp[0] == pytest.approx(amp_true, rel=0.2)  # true amplitude found
+    assert abs(amp[0]) > abs(amp[1])
+
+
+def test_nma_programs(tmp_path):
+    model = two_blob_model()
+    fn_pdb = str(tmp_path / "m.pdb")
+    write_pdb(fn_pdb, model)
+    prog = run_prog("nma_modes", f"-i {fn_pdb} --oroot {tmp_path}/nm "
+                    f"--nmodes 3")
+    md = MetaData(str(tmp_path / "nm_modes.xmd"))
+    assert md.size() == 3
+    # deform the pdb along mode 1
+    out_pdb = str(tmp_path / "def.pdb")
+    run_prog("pdb_nma_deform", f"--pdb {fn_pdb} -o {out_pdb} "
+             f"--modes {tmp_path}/nm_modes.xmd --deformations 2.0 0 0")
+    from xmipp3_tpu.core.pdb import read_pdb
+    dm = read_pdb(out_pdb)
+    moved = np.linalg.norm(dm.coords - model.coords, axis=1)
+    assert moved.max() > 0.5
+    # volume-level amplitude fitting through the CLI
+    size = 32
+    vol_ref = rasterize(model, size, 1.0, sigma_a=1.5, center=False)
+    vol_t = rasterize(dm, size, 1.0, sigma_a=1.5, center=False)
+    f_ref, f_t = str(tmp_path / "r.vol"), str(tmp_path / "t.vol")
+    save_image(f_ref, vol_ref)
+    save_image(f_t, vol_t)
+    prog = run_prog("nma_alignment_vol",
+                    f"-i {f_t} --pdb {fn_pdb} --modes {tmp_path}/nm_modes.xmd "
+                    f"--vol {f_ref} -o {tmp_path}/amp.xmd --steps 50 -v 0")
+    assert abs(prog.amplitudes[0]) > abs(prog.amplitudes[1])
+
+
+def test_alignability_validation(tmp_path):
+    # good assignments score better than random ones
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    z, y, x = z - 16, y - 16, x - 16
+    vol = (np.exp(-((z - 4) ** 2 + y ** 2 + x ** 2) / 8.0) +
+           np.exp(-(z ** 2 + (y - 5) ** 2 + (x + 3) ** 2) / 5.0)
+           ).astype(np.float32)
+    fn_vol = str(tmp_path / "v.vol")
+    save_image(fn_vol, vol)
+    from xmipp3_tpu.ops.project import FourierProjector
+    rng = np.random.default_rng(1)
+    B = 10
+    rot = rng.uniform(-180, 180, B).astype(np.float32)
+    tilt = rng.uniform(30, 150, B).astype(np.float32)
+    proj = FourierProjector(vol)
+    imgs = np.asarray(proj.project_euler(rot, tilt, np.zeros(B, np.float32)))
+    fn_stk = str(tmp_path / "p.mrcs")
+    save_image(fn_stk, imgs)
+    good = [{"image": f"{i + 1:06d}@{fn_stk}", "angleRot": float(rot[i]),
+             "angleTilt": float(tilt[i]), "anglePsi": 0.0, "itemId": i + 1}
+            for i in range(B)]
+    bad = [dict(r, angleRot=float(rng.uniform(-180, 180)),
+                angleTilt=float(rng.uniform(0, 180))) for r in good]
+    fn_good, fn_bad = str(tmp_path / "g.xmd"), str(tmp_path / "b.xmd")
+    MetaData.fromRows(good).write(fn_good)
+    MetaData.fromRows(bad).write(fn_bad)
+    pg = run_prog("multireference_aligneability",
+                  f"-i {fn_good} --volume {fn_vol} -o {tmp_path}/og.xmd -v 0")
+    pb = run_prog("multireference_aligneability",
+                  f"-i {fn_bad} --volume {fn_vol} -o {tmp_path}/ob.xmd -v 0")
+    assert pg.accuracy.mean() < pb.accuracy.mean()
+
+
+def test_compare_views_scores(tmp_path):
+    n = 32
+    rng = np.random.default_rng(2)
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    vol = np.exp(-((z - 12) ** 2 + (y - 16) ** 2 + (x - 18) ** 2) / 8.0
+                 ).astype(np.float32)
+    fn_vol = str(tmp_path / "v.vol")
+    save_image(fn_vol, vol)
+    from xmipp3_tpu.ops.project import FourierProjector
+    proj = FourierProjector(vol)
+    rot = np.float32([10, 80, 200])
+    tilt = np.float32([45, 90, 120])
+    imgs = np.asarray(proj.project_euler(rot, tilt, np.zeros(3, np.float32)))
+    fn_stk = str(tmp_path / "p.mrcs")
+    save_image(fn_stk, imgs)
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{fn_stk}", "angleRot": float(rot[i]),
+         "angleTilt": float(tilt[i]), "anglePsi": 0.0, "itemId": i + 1}
+        for i in range(3)]).write(str(tmp_path / "a.xmd"))
+    prog = run_prog("compare_views",
+                    f"-i {tmp_path}/a.xmd --ref {fn_vol} -v 0")
+    assert prog.correlations.min() > 0.99

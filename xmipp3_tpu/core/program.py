@@ -352,7 +352,10 @@ class XmippProgram:
             self.name = argv[0].split("/")[-1]
             argv = argv[1:]
         if any(a in ("-h", "--help", "--help+") for a in argv):
-            print(self.usage())
+            try:
+                print(self.usage())
+            except BrokenPipeError:   # e.g. `xmipp prog --help | head`
+                pass
             self._help_requested = True
             return
         self._help_requested = False

@@ -1,0 +1,215 @@
+"""More angular programs: assignment_mag, discrete_assign, continuous_assign,
+break_symmetry, estimate_tilt_axis, multireference_aligneability,
+validation_nontilt, compare_views.
+
+Contracts: reference angular_assignment_mag (angular_assignment_mag.h:49),
+angular_discrete_assign, angular_continuous_assign, angular_break_symmetry,
+angular_estimate_tilt_axis, multireference_aligneability, validation_nontilt.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.metadata_program import load_image_rows
+from xmipp3_tpu.core.program import XmippProgram
+from xmipp3_tpu.programs.angular_projection_matching import \
+    ProgAngularProjectionMatching
+
+
+class ProgAngularDiscreteAssign(ProgAngularProjectionMatching):
+    """Discrete angular assignment — same engine as projection matching
+    (the reference's wavelet-space variant is served by the ring-FFT path)."""
+    name = "xmipp_angular_discrete_assign"
+
+
+class ProgAngularAssignmentMag(ProgAngularProjectionMatching):
+    """Fast assignment via Fourier-magnitude rotation estimation
+    (reference angular_assignment_mag.h:49). The gallery path shares the
+    matching engine; the magnitude trick lives in ops.align and is used by
+    the in-plane stage."""
+    name = "xmipp_angular_assignment_mag"
+
+
+class ProgAngularBreakSymmetry(XmippProgram):
+    name = "xmipp_angular_break_symmetry"
+
+    def defineParams(self):
+        self.addUsageLine("Randomly reassign each image's angles among its "
+                          "symmetry-equivalent versions (break symmetry).")
+        self.addParamsLine("   -i <md_file>  : Input angles")
+        self.addParamsLine("   -o <md_file>  : Output angles")
+        self.addParamsLine("  [--sym <s=c1>] : Symmetry group")
+        self.addParamsLine("  [--seed <n=0>] : Random seed")
+
+    def run(self):
+        from xmipp3_tpu.core.sym import SymList
+        md = MetaData(self.getParam("-i"))
+        sym = SymList(self.getParam("--sym"))
+        rng = np.random.default_rng(self.getIntParam("--seed"))
+        rows = []
+        for i in md:
+            r = md.getRow(i)
+            equiv = sym.expand_euler(float(r.get("angleRot", 0)),
+                                     float(r.get("angleTilt", 0)),
+                                     float(r.get("anglePsi", 0)))
+            rot, tilt, psi = equiv[rng.integers(0, len(equiv))]
+            r["angleRot"], r["angleTilt"], r["anglePsi"] = rot, tilt, psi
+            rows.append(r)
+        MetaData.fromRows(rows).write(self.getParam("-o"))
+
+
+class ProgAngularEstimateTiltAxis(XmippProgram):
+    name = "xmipp_angular_estimate_tilt_axis"
+
+    def defineParams(self):
+        self.addUsageLine("Estimate the tilt axis direction from matching "
+                          "untilted/tilted coordinate pairs.")
+        self.addParamsLine("   --untilted <md> : Untilted coordinates (xcoor/ycoor)")
+        self.addParamsLine("   --tilted <md>   : Tilted coordinates")
+        self.addParamsLine("  [-o <md=\"\">]     : Output metadata")
+
+    def run(self):
+        md_u = MetaData(self.getParam("--untilted"))
+        md_t = MetaData(self.getParam("--tilted"))
+        u = np.stack([md_u.getColumn("xcoor").astype(float),
+                      md_u.getColumn("ycoor").astype(float)], axis=1)
+        t = np.stack([md_t.getColumn("xcoor").astype(float),
+                      md_t.getColumn("ycoor").astype(float)], axis=1)
+        n = min(len(u), len(t))
+        u, t = u[:n], t[:n]
+        # affine fit t = A u + b; tilt axis = eigenvector of A with |lam|=1
+        U = np.hstack([u, np.ones((n, 1))])
+        A, *_ = np.linalg.lstsq(U, t, rcond=None)
+        M = A[:2].T                     # 2x2 linear part
+        # direction preserved in length: M^T M eigenvector with eigenvalue ~1
+        w, v = np.linalg.eigh(M.T @ M)
+        axis = v[:, np.argmin(np.abs(w - 1.0))]
+        ang = float(np.degrees(np.arctan2(axis[1], axis[0])))
+        cos_tilt = np.sqrt(np.clip(w.min(), 0, 1))
+        tilt = float(np.degrees(np.arccos(np.clip(cos_tilt, -1, 1))))
+        self.tilt_axis_angle = ang
+        self.tilt_angle = tilt
+        print(f"Tilt axis angle: {ang:.2f} deg; tilt: {tilt:.2f} deg")
+        if self.checkParam("-o") and self.getParam("-o"):
+            MetaData.fromRows([{"tiltAxisAngle": ang, "angleY": tilt}]
+                              ).write(self.getParam("-o"))
+
+
+class ProgMultireferenceAligneability(XmippProgram):
+    name = "xmipp_multireference_aligneability"
+
+    def defineParams(self):
+        self.addUsageLine("Alignability validation: precision/accuracy of "
+                          "each particle's angular assignment against a "
+                          "reference volume gallery.")
+        self.addParamsLine("   -i <md_file>  : Particles with poses")
+        self.addParamsLine("   --volume <vol> : Reference volume")
+        self.addParamsLine("   -o <md_file>  : Output with alignability scores")
+        self.addParamsLine("  [--sampling <s=15>] : Gallery sampling (deg)")
+
+    def run(self):
+        from xmipp3_tpu.core.sampling import (Sampling,
+                                              directions_from_angles)
+        from xmipp3_tpu.ops.match import rotational_corr_matrix
+        from xmipp3_tpu.ops.polar import cartesian_to_polar, ring_ffts
+        from xmipp3_tpu.ops.project import FourierProjector
+        import jax.numpy as jnp
+        md = MetaData(self.getParam("-i"))
+        md.removeDisabled()
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        vol = np.squeeze(Image(self.getParam("--volume")).data
+                         ).astype(np.float32)
+        s = Sampling(self.getDoubleParam("--sampling"), "c1")
+        proj = FourierProjector(vol)
+        refs = np.asarray(proj.project_euler(
+            s.angles[:, 0].astype(np.float32),
+            s.angles[:, 1].astype(np.float32),
+            np.zeros(len(s.angles), np.float32)))
+        H = imgs.shape[-1]
+        f_refs = ring_ffts(cartesian_to_polar(jnp.asarray(refs), 2, H // 2 - 2))
+        f_imgs = ring_ffts(cartesian_to_polar(jnp.asarray(imgs), 2, H // 2 - 2))
+        corr = np.asarray(rotational_corr_matrix(f_refs, f_imgs, 2)
+                          ).max(axis=2)                       # (B,R)
+        best = corr.argmax(axis=1)
+        d_ref = s.directions
+        d_ass = directions_from_angles(np.stack(
+            [np.array([float(r.get("angleRot", 0)) for r in rows]),
+             np.array([float(r.get("angleTilt", 0)) for r in rows])], axis=1))
+        # precision: sharpness of the correlation landscape;
+        # accuracy: distance between claimed pose and gallery-best pose
+        sorted_corr = np.sort(corr, axis=1)
+        precision = (sorted_corr[:, -1] - sorted_corr[:, -5]) / \
+            np.maximum(np.abs(sorted_corr[:, -1]), 1e-9)
+        acc_ang = np.degrees(np.arccos(np.clip(
+            (d_ass * d_ref[best]).sum(1), -1, 1)))
+        accuracy = np.minimum(acc_ang, 180 - acc_ang)
+        out = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d["weightAlignabilityPrecision"] = float(precision[i])
+            d["weightAlignabilityAccuracy"] = float(
+                np.exp(-accuracy[i] / 30.0))
+            out.append(d)
+        MetaData.fromRows(out).write(self.getParam("-o"))
+        self.precision = precision
+        self.accuracy = accuracy
+
+
+class ProgValidationNonTilt(ProgMultireferenceAligneability):
+    """Non-tilt validation — same alignability machinery, summarized as one
+    quality score per volume (reference validation_nontilt)."""
+    name = "xmipp_validation_nontilt"
+
+    def run(self):
+        super().run()
+        p = float(np.mean(self.precision > 0.02))
+        print(f"Validation score (fraction confidently alignable): {p:.3f}")
+        self.score = p
+
+
+class ProgCompareViews(XmippProgram):
+    name = "xmipp_compare_views"
+
+    def defineParams(self):
+        self.addUsageLine("Compare experimental images against the "
+                          "projections of a volume at their assigned angles.")
+        self.addParamsLine("   -i <md_file>  : Particles with poses")
+        self.addParamsLine("   --ref <volume> : Reference volume")
+        self.addParamsLine("  [-o <md=\"\">]   : Output metadata with correlations")
+
+    def run(self):
+        from xmipp3_tpu.ops.project import FourierProjector
+        from xmipp3_tpu.ops.geo import apply_md_geometry
+        from xmipp3_tpu.ops.shift import correlation_index
+        md = MetaData(self.getParam("-i"))
+        md.removeDisabled()
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        proj = FourierProjector(vol)
+        get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
+                                 np.float32)
+        registered = np.asarray(apply_md_geometry(
+            imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
+            np.array([bool(r.get("flip", 0)) for r in rows])))
+        refs = np.asarray(proj.project_euler(get("angleRot"),
+                                             get("angleTilt"),
+                                             np.zeros(len(rows), np.float32)))
+        cc = np.asarray(correlation_index(refs, registered))
+        out = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d["maxCC"] = float(cc[i])
+            out.append(d)
+        result = MetaData.fromRows(out)
+        if self.checkParam("-o") and self.getParam("-o"):
+            result.write(self.getParam("-o"))
+        self.correlations = cc
+        if self.verbose:
+            print(f"mean CC vs reference views: {cc.mean():.4f}")
+
+
+PROGRAM = None

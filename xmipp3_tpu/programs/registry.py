@@ -128,6 +128,22 @@ register("transform_center_image",
 register("ctf_estimate_from_psd_fast",
          P + "ctf_estimate:ProgCTFEstimateFromPSD")
 
+register("nma_modes", P + "nma_programs:ProgNMAModes")
+register("nma_alignment_vol", P + "nma_programs:ProgNMAAlignmentVol")
+register("pdb_nma_deform", P + "nma_programs:ProgPDBNMADeform")
+register("angular_discrete_assign",
+         P + "angular_misc:ProgAngularDiscreteAssign")
+register("angular_assignment_mag", P + "angular_misc:ProgAngularAssignmentMag")
+register("angular_continuous_assign",
+         P + "angular_programs:ProgAngularContinuousAssign2")
+register("angular_break_symmetry", P + "angular_misc:ProgAngularBreakSymmetry")
+register("angular_estimate_tilt_axis",
+         P + "angular_misc:ProgAngularEstimateTiltAxis")
+register("multireference_aligneability",
+         P + "angular_misc:ProgMultireferenceAligneability")
+register("validation_nontilt", P + "angular_misc:ProgValidationNonTilt")
+register("compare_views", P + "angular_misc:ProgCompareViews")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
