@@ -1,0 +1,167 @@
+"""Tests: tomo misc, classify analysis, halves restoration, find_symmetry,
+mpi_run, denoising."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.programs import get_program
+
+
+def run_prog(name, args):
+    prog = get_program(name)
+    rc = prog.run_with_args(args)
+    assert rc == 0, name
+    return prog
+
+
+def test_tomogram_reconstruction(tmp_path):
+    n = 48
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    z, y, x = z - 24, y - 24, x - 24
+    vol = (np.exp(-((z) ** 2 + (y - 5) ** 2 + (x + 4) ** 2) / 8.0) +
+           np.exp(-((z + 3) ** 2 + (y + 6) ** 2 + (x - 5) ** 2) / 6.0)
+           ).astype(np.float32)
+    fn_vol = str(tmp_path / "gt.vol")
+    save_image(fn_vol, vol)
+    run_prog("tomo_project", f"-i {fn_vol} -o {tmp_path}/ts "
+             f"--tiltRange -60 60 5")
+    out = str(tmp_path / "tomo.mrc")
+    run_prog("tomogram_reconstruction",
+             f"-i {tmp_path}/ts.xmd -o {out}")
+    rec = np.squeeze(Image(out).data)
+    # missing wedge smears along z; correlation still substantial
+    c = np.corrcoef(rec.ravel(), vol.ravel())[0, 1]
+    assert c > 0.6, c
+
+
+def test_tomo_landmarks_and_filter(tmp_path):
+    rng = np.random.default_rng(0)
+    ts = rng.standard_normal((3, 128, 128)).astype(np.float32) * 0.1
+    y, x = np.mgrid[0:11, 0:11].astype(np.float32)
+    bead = -np.exp(-((y - 5) ** 2 + (x - 5) ** 2) / 4.0)
+    spots = [(30, 40), (90, 60), (60, 100)]
+    for f in range(3):
+        for cx, cy in spots:
+            ts[f, cy - 5:cy + 6, cx - 5:cx + 6] += 3 * bead
+    fn = str(tmp_path / "ts.mrcs")
+    save_image(fn, ts)
+    out = str(tmp_path / "marks.xmd")
+    prog = run_prog("tomo_detect_landmarks",
+                    f"-i {fn} -o {out} --fiducialSize 10 --thr 4 -v 0")
+    assert prog.n_landmarks >= 6
+    # filter by score
+    out2 = str(tmp_path / "filtered.xmd")
+    p2 = run_prog("tomo_filter_coordinates",
+                  f"--coordinates {out} -o {out2} --minScore 0")
+    assert p2.n_kept == prog.n_landmarks
+
+
+def test_classify_evaluate_and_features(tmp_path):
+    rng = np.random.default_rng(1)
+    imgs = rng.standard_normal((12, 32, 32)).astype(np.float32)
+    fn = str(tmp_path / "s.mrcs")
+    save_image(fn, imgs)
+    md = MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{fn}", "itemId": i + 1,
+         "ref": 1 + i % 2, "anglePsi": 0.0, "shiftX": 0.0, "shiftY": 0.0}
+        for i in range(12)])
+    fn_md = str(tmp_path / "cls.xmd")
+    md.write(fn_md)
+    prog = run_prog("classify_evaluate_classes", f"-i {fn_md} -v 0")
+    assert len(prog.metrics) == 2
+    out = str(tmp_path / "features.xmd")
+    run_prog("classify_extract_features", f"-i {fn} -o {out}")
+    md_f = MetaData(out)
+    v = md_f.getValue("classificationData", 0)
+    assert len(v) == 2 * (32 // 2 - 2 - 2 + 1)
+
+
+def test_analyze_cluster_outlier(tmp_path):
+    rng = np.random.default_rng(2)
+    imgs = rng.standard_normal((10, 16, 16)).astype(np.float32) * 0.1
+    imgs += np.linspace(0, 1, 10)[:, None, None]  # smooth variation
+    imgs[7] = rng.standard_normal((16, 16)) * 10  # outlier
+    fn = str(tmp_path / "s.mrcs")
+    save_image(fn, imgs)
+    md = MetaData.fromRows([{"image": f"{i + 1:06d}@{fn}", "itemId": i + 1}
+                            for i in range(10)])
+    fn_md = str(tmp_path / "c.xmd")
+    md.write(fn_md)
+    ref = str(tmp_path / "r.mrc")
+    save_image(ref, imgs.mean(axis=0))
+    prog = run_prog("classify_analyze_cluster",
+                    f"-i {fn_md} --ref {ref} -v 0")
+    assert np.argmax(prog.distances) == 7
+
+
+def test_halves_restoration(tmp_path):
+    rng = np.random.default_rng(3)
+    from xmipp3_tpu.ops.monogenic import bandpass_3d
+    signal = np.asarray(bandpass_3d(
+        rng.standard_normal((32, 32, 32)).astype(np.float32), 0.0, 0.2))
+    h1 = signal + 0.5 * rng.standard_normal(signal.shape).astype(np.float32)
+    h2 = signal + 0.5 * rng.standard_normal(signal.shape).astype(np.float32)
+    f1, f2 = str(tmp_path / "h1.vol"), str(tmp_path / "h2.vol")
+    save_image(f1, h1)
+    save_image(f2, h2)
+    prog = run_prog("volume_halves_restoration",
+                    f"--i1 {f1} --i2 {f2} --oroot {tmp_path}/rest")
+    rest = prog.restored
+
+    def c(a):
+        return np.corrcoef(a.ravel(), signal.ravel())[0, 1]
+    assert c(rest) > c(0.5 * (h1 + h2)) - 1e-6
+    assert c(rest) > 0.9
+
+
+def test_find_symmetry(tmp_path):
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    z, y, x = z - 16, y - 16, x - 16
+    vol = np.zeros((n, n, n), np.float32)
+    for k in range(3):  # c3 object
+        a = 2 * np.pi * k / 3
+        cx, cy = 7 * np.cos(a), 7 * np.sin(a)
+        vol += np.exp(-((x - cx) ** 2 + (y - cy) ** 2 + z ** 2) / 4.0)
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    prog = run_prog("volume_find_symmetry", f"-i {fn} --rot 2 6 -v 0")
+    assert prog.best_order == 3
+
+
+def test_mpi_run(tmp_path):
+    cmds = str(tmp_path / "cmds.txt")
+    out1 = tmp_path / "a.txt"
+    out2 = tmp_path / "b.txt"
+    open(cmds, "w").write(f"echo hello > {out1}\necho world > {out2}\n")
+    run_prog("run", f"-i {cmds} -j 2 -v 0")
+    assert out1.read_text().strip() == "hello"
+    assert out2.read_text().strip() == "world"
+    # failing command -> nonzero rc
+    open(cmds, "w").write("false\n")
+    prog = get_program("run")
+    assert prog.run_with_args(f"-i {cmds} -v 0") == 1
+
+
+def test_tv_denoise(tmp_path):
+    rng = np.random.default_rng(4)
+    y, x = np.mgrid[0:48, 0:48].astype(np.float32)
+    clean = ((x > 24).astype(np.float32) + ((y > 24) & (x < 12)))
+    noisy = clean + 0.4 * rng.standard_normal((48, 48)).astype(np.float32)
+    fn = str(tmp_path / "n.mrc")
+    save_image(fn, noisy)
+    out = str(tmp_path / "d.mrc")
+    run_prog("denoising_tv", f"-i {fn} -o {out} --weight 0.3 --iter 60")
+    den = np.squeeze(Image(out).data)
+    assert np.abs(den - clean).mean() < np.abs(noisy - clean).mean() * 0.6
+
+
+def test_wavelet_denoise_op():
+    from xmipp3_tpu.ops.denoise import wavelet_denoise_2d
+    rng = np.random.default_rng(5)
+    y, x = np.mgrid[0:64, 0:64].astype(np.float32)
+    clean = np.sin(2 * np.pi * x / 32) * np.cos(2 * np.pi * y / 16)
+    noisy = clean + 0.5 * rng.standard_normal((64, 64)).astype(np.float32)
+    den = np.asarray(wavelet_denoise_2d(noisy))
+    assert np.abs(den - clean).mean() < np.abs(noisy - clean).mean() * 0.8

