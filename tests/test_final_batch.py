@@ -1,0 +1,150 @@
+"""Tests for the final endpoint batch + pallas polar parity."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.pdb import AtomicModel, read_pdb, write_pdb
+from xmipp3_tpu.programs import get_program
+
+
+def run_prog(name, args):
+    prog = get_program(name)
+    rc = prog.run_with_args(args)
+    assert rc == 0, name
+    return prog
+
+
+def test_pallas_polar_parity_interpret():
+    from xmipp3_tpu.ops.pallas_polar import polar_resample_pallas
+    from xmipp3_tpu.ops.polar import cartesian_to_polar
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((2, 48, 48)).astype(np.float32)
+    a = np.asarray(polar_resample_pallas(imgs, 2, 20, interpret=True))
+    b = np.asarray(cartesian_to_polar(imgs, 2, 20))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_metadata_xml(tmp_path):
+    md = MetaData.fromRows([{"itemId": 1, "cost": 0.5, "image": "a.mrc"}])
+    fn = str(tmp_path / "m.xmd")
+    md.write(fn)
+    out = str(tmp_path / "m.xml")
+    run_prog("metadata_xml", f"-i {fn} -o {out}")
+    txt = open(out).read()
+    assert "<ROW" in txt and 'image="a.mrc"' in txt
+
+
+def test_metadata_split_3d(tmp_path):
+    rng = np.random.default_rng(1)
+    rows = [{"itemId": i + 1, "angleRot": float(rng.uniform(-180, 180)),
+             "angleTilt": float(rng.uniform(0, 180))} for i in range(20)]
+    fn = str(tmp_path / "a.xmd")
+    MetaData.fromRows(rows).write(fn)
+    run_prog("metadata_split_3D", f"-i {fn} --oroot {tmp_path}/h")
+    s1 = MetaData(str(tmp_path / "h_1.xmd")).size()
+    s2 = MetaData(str(tmp_path / "h_2.xmd")).size()
+    assert s1 + s2 == 20 and abs(s1 - s2) <= 1
+
+
+def test_phantom_movie_and_alignment(tmp_path):
+    fn = str(tmp_path / "mv.mrcs")
+    run_prog("phantom_movie", f"-o {fn} --size 128 128 6 --shift 2 -1 "
+             f"--noise 0.5 --seed 1")
+    gt = MetaData(fn[:-5] + "_gt.xmd")
+    assert gt.size() == 6
+    out_md = str(tmp_path / "sh.xmd")
+    run_prog("movie_alignment_correlation",
+             f"-i {fn} -o {out_md} --maxShift 30 --sampling 1 "
+             f"--skipLocalAlignment -v 0")
+    est = np.stack([MetaData(out_md).getColumn("shiftX"),
+                    MetaData(out_md).getColumn("shiftY")], axis=1)
+    true = np.stack([gt.getColumn("shiftX"), gt.getColumn("shiftY")], axis=1)
+    true = true - true.mean(axis=0)
+    assert np.abs(est - true).max() < 0.5
+
+
+def test_peak_high_contrast(tmp_path):
+    rng = np.random.default_rng(2)
+    img = rng.standard_normal((128, 128)).astype(np.float32) * 0.1
+    img[30, 40] = 50.0
+    img[90, 100] = -45.0
+    fn = str(tmp_path / "i.mrc")
+    save_image(fn, img)
+    out = str(tmp_path / "p.xmd")
+    prog = run_prog("image_peak_high_contrast", f"-i {fn} -o {out} --thr 5")
+    assert prog.n_peaks == 2
+    md = MetaData(out)
+    coords = {(md.getValue("xcoor", i), md.getValue("ycoor", i))
+              for i in md}
+    assert (40, 30) in coords and (100, 90) in coords
+
+
+def test_noisy_zones_filter(tmp_path):
+    rng = np.random.default_rng(3)
+    mic = rng.standard_normal((256, 256)).astype(np.float32)
+    mic[0:80, 0:80] *= 20  # noisy corner
+    fn_mic = str(tmp_path / "m.mrc")
+    save_image(fn_mic, mic)
+    rows = [{"xcoor": 40, "ycoor": 40, "itemId": 1},    # in noisy zone
+            {"xcoor": 180, "ycoor": 180, "itemId": 2},
+            {"xcoor": 200, "ycoor": 120, "itemId": 3}]
+    fn_pos = str(tmp_path / "pos.xmd")
+    MetaData.fromRows(rows).write(fn_pos)
+    out = str(tmp_path / "f.xmd")
+    prog = run_prog("coordinates_noisy_zones_filter",
+                    f"--pos {fn_pos} --mic {fn_mic} -o {out} --zmax 3")
+    md = MetaData(out)
+    ids = set(md.getColumn("itemId"))
+    assert 1 not in ids and {2, 3} <= ids
+
+
+def test_pdb_programs(tmp_path):
+    rng = np.random.default_rng(4)
+    model = AtomicModel(rng.uniform(-10, 10, (40, 3)), ["C"] * 40,
+                        np.zeros(40, np.float32), np.ones(40, np.float32))
+    fn = str(tmp_path / "m.pdb")
+    write_pdb(fn, model)
+    prog = run_prog("pdb_analysis", f"-i {fn}")
+    assert prog.radius_of_gyration > 0
+    # reduce
+    out = str(tmp_path / "red.pdb")
+    run_prog("pdb_reduce_pseudoatoms", f"-i {fn} -o {out} --num 10")
+    assert len(read_pdb(out)) == 10
+    # label from volume
+    vol = np.ones((32, 32, 32), np.float32) * 7.0
+    fnv = str(tmp_path / "v.vol")
+    save_image(fnv, vol)
+    out2 = str(tmp_path / "lab.pdb")
+    run_prog("pdb_label_from_volume", f"--pdb {fn} --vol {fnv} -o {out2}")
+    m2 = read_pdb(out2)
+    assert np.allclose(m2.bfactors, 7.0, atol=0.01)
+
+
+def test_tilt_pair_assignment(tmp_path):
+    rng = np.random.default_rng(5)
+    u = rng.uniform(50, 450, (25, 2))
+    # tilted = squeeze in x + shift, with shuffled order
+    t_full = np.stack([u[:, 0] * 0.7 + 30, u[:, 1] + 10], axis=1)
+    perm = rng.permutation(25)
+    MetaData.fromRows([{"xcoor": int(p[0]), "ycoor": int(p[1]),
+                        "itemId": i + 1} for i, p in enumerate(u)]
+                      ).write(str(tmp_path / "u.xmd"))
+    MetaData.fromRows([{"xcoor": int(p[0]), "ycoor": int(p[1]),
+                        "itemId": i + 1} for i, p in
+                       enumerate(t_full[perm])]
+                      ).write(str(tmp_path / "t.xmd"))
+    prog = run_prog("image_assignment_tilt_pair",
+                    f"--untiltcoor {tmp_path}/u.xmd "
+                    f"--tiltcoor {tmp_path}/t.xmd --odir {tmp_path} -v 0")
+    assert prog.n_pairs >= 20
+
+
+def test_compare_density(tmp_path):
+    rng = np.random.default_rng(6)
+    v = rng.standard_normal((24, 24, 24)).astype(np.float32)
+    f1, f2 = str(tmp_path / "a.vol"), str(tmp_path / "b.vol")
+    save_image(f1, v)
+    save_image(f2, v * 2 + 1)
+    prog = run_prog("compare_density", f"--i1 {f1} --i2 {f2} -v 0")
+    assert prog.correlation > 0.999

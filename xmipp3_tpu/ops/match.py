@@ -176,7 +176,10 @@ def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
     sy = -s * tx + c * ty
     psi_cur = psi0
 
-    f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max))
+    # refinement ring FFTs also use the stride-2 fast path: the gather is
+    # the dominant device cost and the parabolic peak keeps sub-degree psi
+    f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max,
+                                          stride=2))
     f_chosen = f_refs[best_ref]                               # (B,nr,k)
     nr = f_chosen.shape[1]
     A = 2 * (f_chosen.shape[2] - 1)
@@ -190,7 +193,8 @@ def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
         sx = sx + dsx
         sy = sy + dsy
         aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
-        f_al = ring_ffts(cartesian_to_polar(aligned, radius_min, radius_max))
+        f_al = ring_ffts(cartesian_to_polar(aligned, radius_min, radius_max,
+                                            stride=2))
         # pairwise angular correlation vs the chosen reference
         cross = (f_al * jnp.conj(f_chosen) * rw[None, :, None]).sum(axis=1)
         curve = jnp.fft.irfft(cross, n=A, axis=-1)            # (B,A)

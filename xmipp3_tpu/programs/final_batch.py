@@ -1,0 +1,480 @@
+"""Remaining endpoint batch: metadata_xml/split_3D, phantom_movie,
+image_peak_high_contrast, coordinates_noisy_zones_filter, volumeset_align,
+pdb_analysis/label_from_volume/reduce_pseudoatoms/sph_deform,
+compare_density, tilt pairs, ctf_correct_wiener3d,
+transform_adjust_volume_grey_levels.
+
+Contracts: SURVEY.md Appendix A leftovers.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.pdb import AtomicModel, read_pdb, write_pdb
+from xmipp3_tpu.core.program import XmippProgram
+
+
+class ProgMetadataXML(XmippProgram):
+    name = "xmipp_metadata_xml"
+
+    def defineParams(self):
+        self.addUsageLine("Export a metadata table as XML.")
+        self.addParamsLine("   -i <md_file> : Input metadata")
+        self.addParamsLine("   -o <xml>     : Output XML")
+        self.addParamsLine("  [--root <name=metadata>] : Root element name")
+
+    def run(self):
+        md = MetaData(self.getParam("-i"))
+        root = self.getParam("--root")
+        with open(self.getParam("-o"), "w") as f:
+            f.write("<?xml version='1.0' encoding='utf-8'?>\n")
+            f.write(f"<{root}>\n")
+            for i in md:
+                r = md.getRow(i)
+                f.write("  <ROW ")
+                for k, v in r.items():
+                    if isinstance(v, np.ndarray):
+                        v = " ".join(f"{x:g}" for x in v)
+                    f.write(f'{k}="{v}" ')
+                f.write("/>\n")
+            f.write(f"</{root}>\n")
+
+
+class ProgMetadataSplit3D(XmippProgram):
+    name = "xmipp_metadata_split_3d"
+
+    def defineParams(self):
+        self.addUsageLine("Split particles into halves by projection "
+                          "direction hemisphere balance (gold-standard 3D "
+                          "splitting that keeps directions balanced).")
+        self.addParamsLine("   -i <md_file> : Input with angles")
+        self.addParamsLine("   --oroot <root> : Output rootname")
+
+    def run(self):
+        from xmipp3_tpu.core.sampling import directions_from_angles
+        md = MetaData(self.getParam("-i"))
+        rows = list(md.iterRows())
+        angles = np.stack([
+            np.array([float(r.get("angleRot", 0)) for r in rows]),
+            np.array([float(r.get("angleTilt", 0)) for r in rows])], axis=1)
+        d = directions_from_angles(angles)
+        # sort by direction then alternate -> balanced halves
+        order = np.lexsort((d[:, 0], d[:, 1], d[:, 2]))
+        h1 = [rows[i] for k, i in enumerate(order) if k % 2 == 0]
+        h2 = [rows[i] for k, i in enumerate(order) if k % 2 == 1]
+        root = self.getParam("--oroot")
+        MetaData.fromRows(h1).write(root + "_1.xmd")
+        MetaData.fromRows(h2).write(root + "_2.xmd")
+
+
+class ProgPhantomMovie(XmippProgram):
+    name = "xmipp_phantom_movie"
+
+    def defineParams(self):
+        self.addUsageLine("Generate a synthetic movie (drifting grid scene + "
+                          "noise) for testing movie alignment (reference "
+                          "phantom_movie).")
+        self.addParamsLine("  [--size <x=256> <y=256> <n=8>] : Frame size and count")
+        self.addParamsLine("   -o <movie>   : Output stack")
+        self.addParamsLine("  [--shift <a1=2> <a2=-1.5>] : Drift per frame (px)")
+        self.addParamsLine("  [--noise <sigma=1>] : Gaussian noise")
+        self.addParamsLine("  [--step <grid=32>] : Grid period (px)")
+        self.addParamsLine("  [--seed <s=0>]    : Random seed")
+
+    def run(self):
+        from xmipp3_tpu.ops.fourier import fourier_shift_2d
+        X = self.getIntParam("--size", 0)
+        Y = self.getIntParam("--size", 1)
+        F = self.getIntParam("--size", 2)
+        ax = self.getDoubleParam("--shift", 0)
+        ay = self.getDoubleParam("--shift", 1)
+        step = self.getIntParam("--step")
+        rng = np.random.default_rng(self.getIntParam("--seed"))
+        y, x = np.mgrid[0:Y, 0:X].astype(np.float32)
+        scene = (np.sin(2 * np.pi * x / step) ** 8 +
+                 np.sin(2 * np.pi * y / step) ** 8).astype(np.float32)
+        # random blobs break the grid periodicity (a pure periodic scene
+        # makes cross-correlation shifts ambiguous modulo the period)
+        for _ in range(30):
+            cy, cx = rng.uniform(10, Y - 10), rng.uniform(10, X - 10)
+            s2 = rng.uniform(2, 5) ** 2
+            scene += rng.uniform(0.5, 1.5) * np.exp(
+                -((y - cy) ** 2 + (x - cx) ** 2) / (2 * s2)).astype(np.float32)
+        frames = []
+        truth = []
+        for f in range(F):
+            dx, dy = ax * f, ay * f
+            truth.append((dx, dy))
+            fr = np.asarray(fourier_shift_2d(scene[None], dx, dy))[0]
+            frames.append(fr + self.getDoubleParam("--noise") *
+                          rng.standard_normal((Y, X)).astype(np.float32))
+        fn = self.getParam("-o")
+        save_image(fn, np.stack(frames))
+        MetaData.fromRows([
+            {"image": f"{i + 1:06d}@{fn}", "shiftX": t[0], "shiftY": t[1],
+             "itemId": i + 1} for i, t in enumerate(truth)]
+        ).write(fn.rsplit(".", 1)[0] + "_gt.xmd")
+
+
+class ProgImagePeakHighContrast(XmippProgram):
+    name = "xmipp_image_peak_high_contrast"
+
+    def defineParams(self):
+        self.addUsageLine("Detect high-contrast peaks (e.g. gold beads) in "
+                          "images/volumes.")
+        self.addParamsLine("   -i <image>   : Input image or volume")
+        self.addParamsLine("   -o <md_file> : Peak coordinates")
+        self.addParamsLine("  [--boxSize <b=16>] : Suppression box")
+        self.addParamsLine("  [--thr <t=5>]  : Threshold (sigmas)")
+
+    def run(self):
+        data = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        thr = self.getDoubleParam("--thr")
+        box = self.getIntParam("--boxSize")
+        s = np.abs(data - data.mean())
+        sigma = data.std()
+        rows = []
+        work = s.copy()
+        for _ in range(200):
+            idx = np.argmax(work)
+            pos = np.unravel_index(idx, work.shape)
+            if work[pos] < thr * sigma:
+                break
+            if data.ndim == 2:
+                y, x = pos
+                rows.append({"xcoor": int(x), "ycoor": int(y),
+                             "cost": float(work[pos])})
+                work[max(y - box, 0):y + box, max(x - box, 0):x + box] = 0
+            else:
+                z, y, x = pos
+                rows.append({"xcoor": int(x), "ycoor": int(y),
+                             "zcoor": int(z), "cost": float(work[pos])})
+                work[max(z - box, 0):z + box, max(y - box, 0):y + box,
+                     max(x - box, 0):x + box] = 0
+        MetaData.fromRows(rows).write(self.getParam("-o"))
+        self.n_peaks = len(rows)
+
+
+class ProgCoordinatesNoisyZonesFilter(XmippProgram):
+    name = "xmipp_coordinates_noisy_zones_filter"
+
+    def defineParams(self):
+        self.addUsageLine("Remove picked coordinates that fall in noisy/"
+                          "contaminated micrograph zones (local variance "
+                          "screening).")
+        self.addParamsLine("   --pos <md>  : Coordinates (xcoor/ycoor)")
+        self.addParamsLine("   --mic <micrograph> : The micrograph")
+        self.addParamsLine("   -o <md>     : Filtered coordinates")
+        self.addParamsLine("  [--patchSize <p=64>] : Analysis window")
+        self.addParamsLine("  [--zmax <z=3>] : Max allowed variance zScore")
+
+    def run(self):
+        mic = np.squeeze(Image(self.getParam("--mic")).data).astype(np.float32)
+        md = MetaData(self.getParam("--pos"))
+        p = self.getIntParam("--patchSize")
+        H, W = mic.shape
+        rows = list(md.iterRows())
+        variances = []
+        for r in rows:
+            x, y = int(r["xcoor"]), int(r["ycoor"])
+            x0 = np.clip(x - p // 2, 0, W - p)
+            y0 = np.clip(y - p // 2, 0, H - p)
+            variances.append(mic[y0:y0 + p, x0:x0 + p].var())
+        v = np.array(variances)
+        z = np.abs(v - np.median(v)) / max(1.4826 * np.median(
+            np.abs(v - np.median(v))), 1e-12)
+        zmax = self.getDoubleParam("--zmax")
+        keep = [r for r, zz in zip(rows, z) if zz <= zmax]
+        MetaData.fromRows(keep).write(self.getParam("-o"))
+        self.n_kept = len(keep)
+
+
+class ProgVolumesetAlign(XmippProgram):
+    name = "xmipp_volumeset_align"
+
+    def defineParams(self):
+        self.addUsageLine("Align every volume of a set to a reference "
+                          "volume.")
+        self.addParamsLine("   -i <md_file> : Metadata with volumes (image column)")
+        self.addParamsLine("   --ref <volume> : Reference")
+        self.addParamsLine("   -o <md_file> : Output with alignment angles")
+        self.addParamsLine("  [--step <s=30>] : Coarse angular step")
+
+    def run(self):
+        from xmipp3_tpu.programs.volume_programs import ProgVolumeAlign
+        md = MetaData(self.getParam("-i"))
+        rows = []
+        for i in md:
+            r = md.getRow(i)
+            sub = ProgVolumeAlign()
+            sub.read([sub.name, "--i1", self.getParam("--ref"),
+                      "--i2", str(r["image"]),
+                      "--step", self.getParam("--step")])
+            sub.verbose = 0
+            sub.run()
+            rot, tilt, psi = sub.angles
+            r["angleRot"], r["angleTilt"], r["anglePsi"] = rot, tilt, psi
+            r["maxCC"] = sub.corr
+            rows.append(r)
+        MetaData.fromRows(rows).write(self.getParam("-o"))
+
+
+class ProgPDBAnalysis(XmippProgram):
+    name = "xmipp_pdb_analysis"
+
+    def defineParams(self):
+        self.addUsageLine("Report geometric statistics of an atomic model.")
+        self.addParamsLine("   -i <pdb> : Input model")
+
+    def run(self):
+        m = read_pdb(self.getParam("-i"))
+        c = m.coords
+        center = c.mean(axis=0)
+        extent = c.max(axis=0) - c.min(axis=0)
+        rg = float(np.sqrt(((c - center) ** 2).sum(axis=1).mean()))
+        from collections import Counter
+        comp = Counter(e.upper() for e in m.elements)
+        print(f"Atoms: {len(m)}")
+        print(f"Center of mass: {np.round(center, 2)}")
+        print(f"Extent (Å): {np.round(extent, 2)}")
+        print(f"Radius of gyration: {rg:.2f} Å")
+        print("Composition: " + " ".join(f"{k}:{v}"
+                                         for k, v in sorted(comp.items())))
+        self.radius_of_gyration = rg
+
+
+class ProgPDBLabelFromVolume(XmippProgram):
+    name = "xmipp_pdb_label_from_volume"
+
+    def defineParams(self):
+        self.addUsageLine("Set atom B-factors from the values of a volume "
+                          "(e.g. a local resolution map) at atom positions.")
+        self.addParamsLine("   --pdb <file> : Input model")
+        self.addParamsLine("   --vol <volume> : Value volume")
+        self.addParamsLine("   -o <file>    : Output PDB")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size")
+        self.addParamsLine("  [--origin <x=-1> <y=-1> <z=-1>] : Volume origin (voxels; -1=center)")
+
+    def run(self):
+        m = read_pdb(self.getParam("--pdb"))
+        vol = np.squeeze(Image(self.getParam("--vol")).data).astype(np.float32)
+        Ts = self.getDoubleParam("--sampling")
+        D = vol.shape[0]
+        vox = m.coords / Ts + D // 2
+        vals = np.zeros(len(m), np.float32)
+        for i, (x, y, z) in enumerate(vox):
+            ix, iy, iz = int(round(x)), int(round(y)), int(round(z))
+            if 0 <= iz < vol.shape[0] and 0 <= iy < vol.shape[1] and \
+                    0 <= ix < vol.shape[2]:
+                vals[i] = vol[iz, iy, ix]
+        out = AtomicModel(m.coords, m.elements, vals, m.occupancies)
+        write_pdb(self.getParam("-o"), out)
+
+
+class ProgPDBReducePseudoatoms(XmippProgram):
+    name = "xmipp_pdb_reduce_pseudoatoms"
+
+    def defineParams(self):
+        self.addUsageLine("Reduce an atomic model to fewer pseudoatoms "
+                          "(k-means on coordinates, mass-weighted).")
+        self.addParamsLine("   -i <pdb>  : Input model")
+        self.addParamsLine("   -o <pdb>  : Reduced model")
+        self.addParamsLine("  [--num <n=100>] : Target pseudoatom count")
+
+    def run(self):
+        m = read_pdb(self.getParam("-i"))
+        n = min(self.getIntParam("--num"), len(m))
+        rng = np.random.default_rng(0)
+        centers = m.coords[rng.choice(len(m), n, replace=False)]
+        w = m.weights
+        for _ in range(20):
+            d = ((m.coords[:, None] - centers[None]) ** 2).sum(-1)
+            assign = d.argmin(axis=1)
+            for k in range(n):
+                sel = assign == k
+                if sel.any():
+                    centers[k] = np.average(m.coords[sel], axis=0,
+                                            weights=w[sel])
+        out = AtomicModel(centers, ["C"] * n, np.zeros(n, np.float32),
+                          np.ones(n, np.float32))
+        write_pdb(self.getParam("-o"), out)
+
+
+class ProgPDBSphDeform(XmippProgram):
+    name = "xmipp_pdb_sph_deform"
+
+    def defineParams(self):
+        self.addUsageLine("Deform an atomic model with Zernike3D "
+                          "coefficients.")
+        self.addParamsLine("   --pdb <file> : Input model")
+        self.addParamsLine("   -o <file>    : Deformed model")
+        self.addParamsLine("   --clnm <md>  : Metadata with sphCoefficients")
+        self.addParamsLine("  [--l1 <l=3>] [--l2 <l=2>] : Basis depths")
+        self.addParamsLine("  [--radius <r=-1>] : Normalization radius (Å)")
+
+    def run(self):
+        from xmipp3_tpu.ops.zernike import (real_sph_harm, zernike_indices,
+                                            zernike_radial)
+        m = read_pdb(self.getParam("--pdb")).centered()
+        md = MetaData(self.getParam("--clnm"))
+        flat = np.asarray(md.getValue("sphCoefficients", md.firstObject()),
+                          np.float64)
+        coeffs = flat.reshape(3, -1)
+        radius = self.getDoubleParam("--radius")
+        if radius <= 0:
+            radius = np.linalg.norm(m.coords, axis=1).max() + 1e-6
+        r = np.linalg.norm(m.coords, axis=1) / radius
+        rs = np.where(r > 0, r, 1e-9)
+        theta = np.arccos(np.clip(m.coords[:, 2] / (rs * radius), -1, 1))
+        phi = np.arctan2(m.coords[:, 1], m.coords[:, 0])
+        idx = zernike_indices(self.getIntParam("--l1"),
+                              self.getIntParam("--l2"))
+        disp = np.zeros_like(m.coords)
+        for k, (l, n, mm) in enumerate(idx[: coeffs.shape[1]]):
+            B = zernike_radial(n, l, r) * real_sph_harm(l, mm, theta, phi)
+            B = np.where(r <= 1.0, B, 0.0)
+            for c in range(3):
+                disp[:, c] += coeffs[c, k] * B
+        out = AtomicModel(m.coords + disp, m.elements, m.bfactors,
+                          m.occupancies)
+        write_pdb(self.getParam("-o"), out)
+
+
+class ProgCompareDensity(XmippProgram):
+    name = "xmipp_compare_density"
+
+    def defineParams(self):
+        self.addUsageLine("Compare two volumes: global correlation + radial "
+                          "profile agreement.")
+        self.addParamsLine("   --i1 <vol1> : First volume")
+        self.addParamsLine("   --i2 <vol2> : Second volume")
+        self.addParamsLine("  [-o <md=\"\">] : Output metrics metadata")
+
+    def run(self):
+        v1 = np.squeeze(Image(self.getParam("--i1")).data).astype(np.float32)
+        v2 = np.squeeze(Image(self.getParam("--i2")).data).astype(np.float32)
+        a = v1 - v1.mean()
+        b = v2 - v2.mean()
+        cc = float((a * b).sum() / max(np.linalg.norm(a) *
+                                       np.linalg.norm(b), 1e-12))
+        from xmipp3_tpu.ops.fsc import fsc_3d, fsc_resolution
+        freqs, fsc = fsc_3d(v1, v2)
+        res = fsc_resolution(np.asarray(freqs), np.asarray(fsc), 0.5)
+        print(f"correlation: {cc:.4f}  FSC0.5 resolution: {res:.2f} px")
+        self.correlation = cc
+        if self.checkParam("-o") and self.getParam("-o"):
+            MetaData.fromRows([{"maxCC": cc,
+                                "resolutionFreqReal": float(res)}]
+                              ).write(self.getParam("-o"))
+
+
+class ProgImageAssignmentTiltPair(XmippProgram):
+    name = "xmipp_image_assignment_tilt_pair"
+
+    def defineParams(self):
+        self.addUsageLine("Match particle coordinates between untilted and "
+                          "tilted micrographs (affine model + mutual nearest "
+                          "neighbors; replaces the Delaunay-based matcher).")
+        self.addParamsLine("   --untiltcoor <md> : Untilted coordinates")
+        self.addParamsLine("   --tiltcoor <md>   : Tilted coordinates")
+        self.addParamsLine("   --odir <dir=.>    : Output directory")
+        self.addParamsLine("  [--maxshift <s=50>] : Max residual (px)")
+
+    def run(self):
+        import os
+        md_u = MetaData(self.getParam("--untiltcoor"))
+        md_t = MetaData(self.getParam("--tiltcoor"))
+        u = np.stack([md_u.getColumn("xcoor").astype(float),
+                      md_u.getColumn("ycoor").astype(float)], axis=1)
+        t = np.stack([md_t.getColumn("xcoor").astype(float),
+                      md_t.getColumn("ycoor").astype(float)], axis=1)
+        # iterative affine fit on mutual nearest neighbors
+        A = np.eye(2)
+        b = t.mean(axis=0) - u.mean(axis=0)
+        pairs = []
+        for _ in range(5):
+            proj = u @ A.T + b
+            d = ((proj[:, None] - t[None]) ** 2).sum(-1)
+            fwd = d.argmin(axis=1)
+            bwd = d.argmin(axis=0)
+            pairs = [(i, fwd[i]) for i in range(len(u)) if bwd[fwd[i]] == i]
+            if len(pairs) < 3:
+                break
+            U = np.hstack([u[[p[0] for p in pairs]],
+                           np.ones((len(pairs), 1))])
+            T = t[[p[1] for p in pairs]]
+            M, *_ = np.linalg.lstsq(U, T, rcond=None)
+            A = M[:2].T
+            b = M[2]
+        max_shift = self.getDoubleParam("--maxshift")
+        proj = u @ A.T + b
+        good = [(i, j) for i, j in pairs
+                if np.linalg.norm(proj[i] - t[j]) <= max_shift]
+        odir = self.getParam("--odir")
+        MetaData.fromRows([
+            {"itemId": k + 1, "xcoor": int(u[i, 0]), "ycoor": int(u[i, 1])}
+            for k, (i, j) in enumerate(good)]).write(
+                os.path.join(odir, "untilted_assigned.xmd"))
+        MetaData.fromRows([
+            {"itemId": k + 1, "xcoor": int(t[j, 0]), "ycoor": int(t[j, 1])}
+            for k, (i, j) in enumerate(good)]).write(
+                os.path.join(odir, "tilted_assigned.xmd"))
+        self.n_pairs = len(good)
+        if self.verbose:
+            print(f"Assigned {len(good)} tilt pairs")
+
+
+class ProgCTFCorrectWiener3D(XmippProgram):
+    name = "xmipp_ctf_correct_wiener3d"
+
+    def defineParams(self):
+        self.addUsageLine("3D Wiener CTF correction: deconvolve a volume "
+                          "reconstructed from CTF-affected images given the "
+                          "average CTF of its defocus groups.")
+        self.addParamsLine("   -i <volume>  : Input volume")
+        self.addParamsLine("   --ctf <ctfparam> : Representative CTF")
+        self.addParamsLine("  [-o <out=wiener3d.vol>] : Output")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size")
+        self.addParamsLine("  [--wc <w=0.05>] : Wiener constant")
+
+    def run(self):
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.ctf import CTFDescription
+        vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        ctf = CTFDescription.from_metadata(self.getParam("--ctf"))
+        Ts = self.getDoubleParam("--sampling")
+        if Ts > 0:
+            ctf.sampling_rate = Ts
+        D = vol.shape[0]
+        from xmipp3_tpu.ops.fourier import freq_grid_3d
+        fz, fy, fx = freq_grid_3d(*vol.shape)
+        r = np.sqrt(fz ** 2 + fy ** 2 + fx ** 2) / ctf.sampling_rate
+        c = np.asarray(ctf.pure_at(r, np.zeros_like(r)))  # radial CTF
+        wc = self.getDoubleParam("--wc")
+        wien = c / (c * c + wc)
+        out = np.fft.irfftn(np.fft.rfftn(vol) * wien, s=vol.shape)
+        save_image(self.getParam("-o"), out.astype(np.float32))
+
+
+class ProgAdjustVolumeGreyLevels(XmippProgram):
+    name = "xmipp_transform_adjust_volume_grey_levels"
+
+    def defineParams(self):
+        self.addUsageLine("Adjust a volume's grey levels to match a "
+                          "reference (global least-squares a+b*V).")
+        self.addParamsLine("   -i <volume>  : Volume to adjust")
+        self.addParamsLine("   -r <volume>  : Reference")
+        self.addParamsLine("  [-o <out=\"\">] : Output (default in-place)")
+
+    def run(self):
+        v = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        ref = np.squeeze(Image(self.getParam("-r")).data).astype(np.float32)
+        A = np.stack([v.ravel(), np.ones(v.size, np.float32)], axis=1)
+        coef, *_ = np.linalg.lstsq(A, ref.ravel(), rcond=None)
+        out = coef[0] * v + coef[1]
+        save_image(self.getParam("-o") or self.getParam("-i"), out)
+
+
+PROGRAM = None

@@ -173,6 +173,28 @@ register("volume_find_symmetry",
 register("run", P + "classify_analysis:ProgMpiRun")
 register("denoising_tv", P + "classify_analysis:ProgDenoisingTV")
 
+register("metadata_xml", P + "final_batch:ProgMetadataXML")
+register("metadata_split_3D", P + "final_batch:ProgMetadataSplit3D")
+register("phantom_movie", P + "final_batch:ProgPhantomMovie")
+register("image_peak_high_contrast",
+         P + "final_batch:ProgImagePeakHighContrast")
+register("coordinates_noisy_zones_filter",
+         P + "final_batch:ProgCoordinatesNoisyZonesFilter")
+register("volumeset_align", P + "final_batch:ProgVolumesetAlign")
+register("pdb_analysis", P + "final_batch:ProgPDBAnalysis")
+register("pdb_label_from_volume", P + "final_batch:ProgPDBLabelFromVolume")
+register("pdb_reduce_pseudoatoms",
+         P + "final_batch:ProgPDBReducePseudoatoms")
+register("pdb_sph_deform", P + "final_batch:ProgPDBSphDeform")
+register("compare_density", P + "final_batch:ProgCompareDensity")
+register("image_assignment_tilt_pair",
+         P + "final_batch:ProgImageAssignmentTiltPair")
+register("image_align_tilt_pairs",
+         P + "final_batch:ProgImageAssignmentTiltPair")
+register("ctf_correct_wiener3d", P + "final_batch:ProgCTFCorrectWiener3D")
+register("transform_adjust_volume_grey_levels",
+         P + "final_batch:ProgAdjustVolumeGreyLevels")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
