@@ -148,3 +148,26 @@ def test_compare_density(tmp_path):
     save_image(f2, v * 2 + 1)
     prog = run_prog("compare_density", f"--i1 {f1} --i2 {f2} -v 0")
     assert prog.correlation > 0.999
+
+
+def test_emx_golden_and_roundtrip(tmp_path):
+    from xmipp3_tpu.core.emx import read_emx, write_emx
+    import os
+    fix = "/root/reference/src/xmipp/resources/test/EMX/EMXread.emx"
+    if not os.path.exists(fix):
+        pytest.skip("EMX fixture unavailable")
+    tables = read_emx(fix)
+    assert tables["micrograph"].size() == 2
+    mic = tables["micrograph"]
+    assert mic.getValue("ctfVoltage", 0) == 100.0
+    assert mic.getValue("ctfDefocusU", 0) == 10000.0   # 1000 nm -> Å
+    assert mic.getValue("sampling_rate", 0) == pytest.approx(5.6)
+    # program-level conversion emx -> xmd -> emx
+    out_md = str(tmp_path / "p.xmd")
+    run_prog("metadata_convert_emx", f"-i {fix} -o {out_md} --entity particle")
+    md = MetaData(out_md)
+    assert md.size() == 1
+    out_emx = str(tmp_path / "p.emx")
+    run_prog("metadata_convert_emx", f"-i {out_md} -o {out_emx}")
+    back = read_emx(out_emx)["particle"]
+    assert back.getValue("ctfDefocusU", 0) == 10000.0

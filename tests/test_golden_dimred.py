@@ -1,0 +1,81 @@
+"""Golden-structure parity vs the reference's dimred fixtures.
+
+The reference validates its dimred classes against stored embeddings of a
+helix dataset (applications/tests/function_tests/test_dimred_main.cpp,
+COMPLETE_TEST rows; fixtures resources/test/dimred/*.txt). Exact numeric
+equality is implementation-specific (eigen-sign/rotation freedom), so parity
+here is structural: our embedding of THEIR input must organize the data the
+same way their golden embedding does — measured by correlation of pairwise
+distance matrices (invariant to rotation/reflection/scale).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from xmipp3_tpu.models import dimred
+
+FIXDIR = "/root/reference/src/xmipp/resources/test/dimred"
+
+
+def _load(name):
+    path = os.path.join(FIXDIR, name)
+    if not os.path.exists(path):
+        pytest.skip("reference dimred fixtures unavailable")
+    return np.loadtxt(path)
+
+
+def _dist_corr(Y1, Y2, n_sub=300, seed=0):
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(Y1), size=min(n_sub, len(Y1)), replace=False)
+    from scipy.spatial.distance import pdist
+    d1 = pdist(Y1[idx])
+    d2 = pdist(Y2[idx])
+    return float(np.corrcoef(d1, d2)[0, 1])
+
+
+@pytest.mark.parametrize("golden,method,kw", [
+    ("ltsa.txt", "LTSA", dict(k=12)),
+    ("diffusionMaps.txt", "DM", {}),
+    ("probabilisticPCA.txt", "pPCA", {}),
+    ("kernelPCA.txt", "kPCA", {}),
+])
+def test_helix_embedding_structure(golden, method, kw):
+    X = _load("helix.txt")
+    Yg = _load(golden)
+    Y = dimred.reduce_dimensionality(X, method, d=2, **kw)
+    c = abs(_dist_corr(Y, Yg))
+    # our embedding must organize the helix like the reference's golden one
+    assert c > 0.5, f"{method}: distance-structure corr {c:.3f}"
+    # and match the golden's own faithfulness to the input geometry
+    c_input = abs(_dist_corr(Y, X))
+    c_input_golden = abs(_dist_corr(Yg, X))
+    assert c_input > 0.5 * c_input_golden, \
+        f"{method}: corr to input {c_input:.3f} vs golden {c_input_golden:.3f}"
+
+
+def test_swiss_roll_unrolls():
+    X = _load("swiss.txt")
+    Y = dimred.reduce_dimensionality(X, "LTSA", d=2, k=12)
+    # unrolled swiss roll: 2D embedding should preserve local structure,
+    # i.e. neighbors in 3D remain neighbors in 2D far better than chance
+    rng = np.random.default_rng(1)
+    idx = rng.choice(len(X), 200, replace=False)
+    from scipy.spatial.distance import cdist
+    d3 = cdist(X[idx], X)
+    d2 = cdist(Y[idx], Y)
+    nn3 = np.argsort(d3, axis=1)[:, 1:11]
+    nn2 = np.argsort(d2, axis=1)[:, 1:11]
+    overlap = np.mean([len(set(a) & set(b)) / 10.0
+                       for a, b in zip(nn3, nn2)])
+    assert overlap > 0.3, overlap
+
+
+def test_clusters_dataset_separation():
+    X = _load("clusters.txt")
+    Y = dimred.pca(X, d=2)
+    # the clusters dataset has well-separated groups; PCA projection must
+    # keep multimodal structure (bimodality over the first axis)
+    from scipy.stats import kurtosis
+    k = kurtosis(Y[:, 0])
+    assert k < 0  # multimodal / flat, not a single gaussian

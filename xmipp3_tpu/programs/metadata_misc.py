@@ -176,3 +176,26 @@ class ProgAngularRotate(XmippProgram):
 
 
 PROGRAM = None
+
+
+class ProgMetadataConvertEMX(XmippProgram):
+    name = "xmipp_metadata_convert_emx"
+
+    def defineParams(self):
+        self.addUsageLine("Convert between EMX exchange files and .xmd "
+                          "metadata (direction by extension).")
+        self.addParamsLine("   -i <input>  : .emx or .xmd file")
+        self.addParamsLine("   -o <output> : .xmd or .emx file")
+        self.addParamsLine("  [--entity <e=particle>] : EMX entity on export/import")
+
+    def run(self):
+        from xmipp3_tpu.core.emx import read_emx, write_emx
+        fn_in = self.getParam("-i")
+        fn_out = self.getParam("-o")
+        entity = self.getParam("--entity")
+        if fn_in.endswith(".emx"):
+            tables = read_emx(fn_in)
+            md = tables.get(entity) or next(iter(tables.values()))
+            md.write(fn_out)
+        else:
+            write_emx(fn_out, MetaData(fn_in), entity)

@@ -195,6 +195,9 @@ register("ctf_correct_wiener3d", P + "final_batch:ProgCTFCorrectWiener3D")
 register("transform_adjust_volume_grey_levels",
          P + "final_batch:ProgAdjustVolumeGreyLevels")
 
+register("metadata_convert_emx",
+         P + "metadata_misc:ProgMetadataConvertEMX")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
