@@ -374,6 +374,10 @@ class XmippProgram:
         except XmippError as e:
             print(f"XMIPP_ERROR: {e}", file=sys.stderr)
             return 1
+        except (FileNotFoundError, PermissionError, IsADirectoryError) as e:
+            print(f"XMIPP_ERROR: {ErrCode.IO_NOTEXIST.name}: {e}",
+                  file=sys.stderr)
+            return 1
 
     def show_if_verbose(self):
         if self.verbose:
