@@ -165,3 +165,58 @@ def test_wavelet_denoise_op():
     noisy = clean + 0.5 * rng.standard_normal((64, 64)).astype(np.float32)
     den = np.asarray(wavelet_denoise_2d(noisy))
     assert np.abs(den - clean).mean() < np.abs(noisy - clean).mean() * 0.8
+
+
+def test_monodir(tmp_path):
+    rng = np.random.default_rng(7)
+    from xmipp3_tpu.ops.monogenic import bandpass_3d
+    vol = np.asarray(bandpass_3d(
+        rng.standard_normal((32, 32, 32)).astype(np.float32), 0.0, 0.35))
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    prog = run_prog("resolution_directional",
+                    f"--vol {fn} --oroot {tmp_path}/md --ndirections 4 "
+                    f"--steps 6 -v 0")
+    rad = np.squeeze(Image(str(tmp_path / "md_radial.vol")).data)
+    assert rad.shape == vol.shape
+    assert prog.mean_resolution > 0
+
+
+def test_arma_psd(tmp_path):
+    rng = np.random.default_rng(8)
+    # colored noise: lowpassed white noise -> AR spectrum must show the
+    # concentration at low frequency
+    from xmipp3_tpu.ops.fourier_filter import apply_fourier_mask_2d, low_pass_mask
+    mic = np.asarray(apply_fourier_mask_2d(
+        rng.standard_normal((512, 512)).astype(np.float32),
+        low_pass_mask(512, 512, 0.15)))
+    fn = str(tmp_path / "m.mrc")
+    save_image(fn, mic)
+    out = str(tmp_path / "psd.psd")
+    run_prog("ctf_estimate_psd_with_arma",
+             f"-i {fn} -o {out} --pieceDim 128 --N_horizontal 6 "
+             f"--N_vertical 6")
+    psd = np.squeeze(Image(out).data)
+    n = psd.shape[0]
+    c = n // 2
+    center_power = psd[c - 8:c + 8, c - 8:c + 8].mean()
+    edge_power = psd[:8, :8].mean()
+    assert center_power > 5 * edge_power
+
+
+def test_cl2d_core_analysis(tmp_path):
+    rng = np.random.default_rng(9)
+    imgs = rng.standard_normal((10, 16, 16)).astype(np.float32) * 0.1
+    imgs[:5] += 1.0   # class 1 coherent
+    imgs[9] = rng.standard_normal((16, 16)) * 5  # outlier in class 2
+    fn = str(tmp_path / "s.mrcs")
+    save_image(fn, imgs)
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{fn}", "itemId": i + 1,
+         "ref": 1 if i < 5 else 2, "anglePsi": 0.0, "shiftX": 0.0,
+         "shiftY": 0.0} for i in range(10)]).write(str(tmp_path / "c.xmd"))
+    prog = run_prog("classify_CL2D_core_analysis",
+                    f"-i {tmp_path}/c.xmd --oroot {tmp_path}/core --thr 1.2")
+    md = MetaData(str(tmp_path / "core_core.xmd"))
+    flags = {md.getValue("itemId", i): md.getValue("enabled", i) for i in md}
+    assert flags[10] == -1  # the outlier excluded from the core

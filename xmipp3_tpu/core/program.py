@@ -378,6 +378,8 @@ class XmippProgram:
             print(f"XMIPP_ERROR: {ErrCode.IO_NOTEXIST.name}: {e}",
                   file=sys.stderr)
             return 1
+        except BrokenPipeError:   # stdout consumer closed (e.g. `| head`)
+            return 0
 
     def show_if_verbose(self):
         if self.verbose:

@@ -198,6 +198,28 @@ register("transform_adjust_volume_grey_levels",
 register("metadata_convert_emx",
          P + "metadata_misc:ProgMetadataConvertEMX")
 
+# functionality aliases: reference endpoints whose engine already exists
+register("forward_zernike_images",
+         P + "zernike_programs:ProgAngularSphAlignment")
+register("forward_zernike_volume", P + "zernike_programs:ProgVolumeDeformSph")
+register("volume_apply_deform_sph",
+         P + "zernike_programs:ProgVolumeApplyCoefficientZernike3D")
+register("ctf_correct_phase", P + "ctf_correct:ProgCTFPhaseFlip")
+register("image_eliminate_byEnergy",
+         P + "image_analysis:ProgEliminateEmptyParticles")
+register("project", P + "phantom_programs:ProgPhantomProject")
+register("project_tomography", P + "tomo_programs:ProgTomoProject")
+
+register("resolution_directional",
+         P + "resolution_dir:ProgResolutionDirectional")
+register("ctf_estimate_psd_with_arma",
+         P + "resolution_dir:ProgCTFEstimatePSDWithARMA")
+register("psd_estimate", P + "resolution_dir:ProgCTFEstimatePSDWithARMA")
+register("classify_CL2D_core_analysis",
+         P + "resolution_dir:ProgClassifyCL2DCoreAnalysis")
+register("angular_accuracy_pca",
+         P + "resolution_dir:ProgAngularAccuracyPCA")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);

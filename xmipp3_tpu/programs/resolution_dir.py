@@ -1,0 +1,234 @@
+"""MonoDir (resolution_directional), ARMA PSD, CL2D core analysis,
+angular_accuracy_pca.
+
+Contracts: reference resolution_directional (MonoDir), ctf_estimate_psd_with_arma
+(2-D ARMA spectral model), classify_CL2D_core_analysis, angular_accuracy_pca.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.metadata_program import load_image_rows
+from xmipp3_tpu.core.program import XmippProgram
+
+
+class ProgResolutionDirectional(XmippProgram):
+    name = "xmipp_resolution_directional"
+
+    def defineParams(self):
+        self.addUsageLine("Directional local resolution (MonoDir): monogenic "
+                          "local resolution per cone direction; outputs "
+                          "radial/azimuthal anisotropy maps.")
+        self.addParamsLine("   --vol <volume> : Input map")
+        self.addParamsLine("  [--mask <m=\"\">] : Binary mask")
+        self.addParamsLine("  [--oroot <root=monodir>] : Output rootname")
+        self.addParamsLine("  [--sampling_rate <Ts=1>] : Pixel size")
+        self.addParamsLine("  [--ndirections <n=8>] : Cone directions (azimuthal)")
+        self.addParamsLine("  [--cone <a=30>] : Cone half angle (deg)")
+        self.addParamsLine("  [--steps <n=12>] : Frequency bands")
+
+    def run(self):
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.fourier import freq_grid_3d
+        from xmipp3_tpu.ops.mask import circular_mask
+        from xmipp3_tpu.ops.monogenic import monogenic_amplitude_3d
+        vol = np.squeeze(Image(self.getParam("--vol")).data).astype(np.float32)
+        Ts = self.getDoubleParam("--sampling_rate")
+        D = vol.shape[0]
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            mask = np.squeeze(Image(self.getParam("--mask")).data) > 0.5
+        else:
+            mask = circular_mask(vol.shape, D // 2 - 4) > 0.5
+        n_dirs = self.getIntParam("--ndirections")
+        cone = np.deg2rad(self.getDoubleParam("--cone"))
+        n_freqs = self.getIntParam("--steps")
+        fz, fy, fx = freq_grid_3d(*vol.shape)
+        r = np.sqrt(fz ** 2 + fy ** 2 + fx ** 2)
+        rr = np.where(r == 0, 1.0, r)
+        freqs = np.linspace(0.05, 0.45, n_freqs)
+        F = np.fft.rfftn(vol)
+        res_dir = np.zeros((n_dirs,) + vol.shape, np.float32)
+        # azimuthal cone directions in the xy plane
+        for d in range(n_dirs):
+            a = 2 * np.pi * d / n_dirs
+            ux, uy, uz = np.cos(a), np.sin(a), 0.0
+            cosang = np.abs((fx * ux + fy * uy + fz * uz) / rr)
+            conemask = (cosang >= np.cos(cone)).astype(np.float32)
+            res_map = np.full(vol.shape, Ts / freqs[0], np.float32)
+            prev = mask.copy()
+            for f in freqs:
+                band = ((r >= f - 0.03) & (r <= f + 0.03)).astype(np.float32)
+                sub = np.fft.irfftn(F * band * conemask, s=vol.shape
+                                    ).astype(np.float32)
+                amp = np.asarray(monogenic_amplitude_3d(jnp.asarray(sub)))
+                thr = np.percentile(amp[~mask], 95)
+                resolved = mask & (amp > thr) & prev
+                res_map[resolved] = Ts / f
+                prev = resolved
+                if not resolved.any():
+                    break
+            res_dir[d] = np.where(mask, res_map, 0.0)
+        root = self.getParam("--oroot")
+        # radial average (mean over directions) + anisotropy (spread)
+        mean_res = res_dir.mean(axis=0)
+        aniso = res_dir.max(axis=0) - res_dir.min(axis=0)
+        save_image(root + "_radial.vol", mean_res, sampling=Ts)
+        save_image(root + "_azimuthal.vol", aniso, sampling=Ts)
+        self.mean_resolution = float(mean_res[mask].mean())
+        self.mean_anisotropy = float(aniso[mask].mean())
+        if self.verbose:
+            print(f"mean directional resolution {self.mean_resolution:.2f} A"
+                  f"  anisotropy {self.mean_anisotropy:.2f} A")
+
+
+class ProgCTFEstimatePSDWithARMA(XmippProgram):
+    name = "xmipp_ctf_estimate_psd_with_arma"
+
+    def defineParams(self):
+        self.addUsageLine("PSD estimation with a 2-D AR spectral model "
+                          "(Yule-Walker fit of a causal neighborhood; the "
+                          "parametric alternative to periodogram averaging).")
+        self.addParamsLine("   -i <micrograph> : Input micrograph")
+        self.addParamsLine("   -o <psd>        : Output PSD (centered)")
+        self.addParamsLine("  [--N_horizontal <n=12>] : AR order (x)")
+        self.addParamsLine("  [--N_vertical <n=12>]   : AR order (y)")
+        self.addParamsLine("  [--pieceDim <d=256>] : Analysis piece size")
+
+    def run(self):
+        from xmipp3_tpu.ops.psd import extract_tiles
+        mic = np.squeeze(Image(self.getParam("-i")).data).astype(np.float64)
+        p = self.getIntParam("--pieceDim")
+        Nh = self.getIntParam("--N_horizontal")
+        Nv = self.getIntParam("--N_vertical")
+        tiles = extract_tiles(mic.astype(np.float32), p, 0.5)
+        # average autocorrelation over tiles
+        acf = np.zeros((2 * Nv + 1, 2 * Nh + 1))
+        for t in tiles:
+            tt = t - t.mean()
+            Ft = np.fft.rfft2(tt)
+            ac = np.fft.irfft2(np.abs(Ft) ** 2, s=tt.shape) / tt.size
+            block = np.zeros_like(acf)
+            block[Nv:, Nh:] = ac[:Nv + 1, :Nh + 1]
+            block[:Nv, Nh:] = ac[-Nv:, :Nh + 1]
+            block[Nv:, :Nh] = ac[:Nv + 1, -Nh:]
+            block[:Nv, :Nh] = ac[-Nv:, -Nh:]
+            acf += block
+        acf /= len(tiles)
+        # causal AR support: (dy, dx) with dy>0 or (dy==0 and dx>0)
+        support = [(dy, dx) for dy in range(0, Nv + 1)
+                   for dx in range(-Nh, Nh + 1)
+                   if (dy > 0 or dx > 0)]
+        K = len(support)
+        R = np.zeros((K, K))
+        rvec = np.zeros(K)
+
+        def ac(dy, dx):
+            return acf[Nv + dy if abs(dy) <= Nv else 0,
+                       Nh + dx if abs(dx) <= Nh else 0] \
+                if abs(dy) <= Nv and abs(dx) <= Nh else 0.0
+
+        for i, (iy, ix) in enumerate(support):
+            rvec[i] = ac(iy, ix)
+            for j, (jy, jx) in enumerate(support):
+                R[i, j] = ac(iy - jy, ix - jx)
+        coeffs = np.linalg.solve(R + 1e-8 * np.trace(R) / K * np.eye(K), rvec)
+        sigma2 = ac(0, 0) - coeffs @ rvec
+        # AR spectrum: sigma2 / |1 - sum a_k e^{-i w·k}|^2
+        fy = np.fft.fftfreq(p)[:, None]
+        fx = np.fft.fftfreq(p)[None, :]
+        denom = np.ones((p, p), np.complex128)
+        for (dy, dx), a in zip(support, coeffs):
+            denom -= a * np.exp(-2j * np.pi * (fy * dy + fx * dx))
+        psd = np.abs(sigma2) / np.maximum(np.abs(denom) ** 2, 1e-12)
+        save_image(self.getParam("-o"),
+                   np.fft.fftshift(psd).astype(np.float32))
+        self.sigma2 = float(abs(sigma2))
+
+
+class ProgClassifyCL2DCoreAnalysis(XmippProgram):
+    name = "xmipp_classify_CL2D_core_analysis"
+
+    def defineParams(self):
+        self.addUsageLine("Identify the stable 'core' of each CL2D class "
+                          "(members consistently closest to their average).")
+        self.addParamsLine("   -i <images_md> : CL2D _images.xmd")
+        self.addParamsLine("   --oroot <root> : Output rootname")
+        self.addParamsLine("  [--thr <t=1.5>] : Distance z-score threshold")
+
+    def run(self):
+        from xmipp3_tpu.ops.geo import apply_md_geometry
+        md = MetaData(self.getParam("-i"))
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
+                                 np.float32)
+        reg = np.asarray(apply_md_geometry(
+            imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
+            np.array([bool(r.get("flip", 0)) for r in rows])))
+        refs = np.array([int(r.get("ref", 1)) for r in rows])
+        thr = self.getDoubleParam("--thr")
+        out = []
+        for k in sorted(set(refs)):
+            sel = np.where(refs == k)[0]
+            avg = reg[sel].mean(axis=0)
+            d = np.linalg.norm(reg[sel].reshape(len(sel), -1) -
+                               avg.ravel(), axis=1)
+            z = (d - d.mean()) / max(d.std(), 1e-12)
+            for i, zz in zip(sel, z):
+                r = dict(rows[i])
+                r["enabled"] = 1 if zz <= thr else -1
+                r["zScore"] = float(zz)
+                out.append(r)
+        MetaData.fromRows(out).write(self.getParam("--oroot") + "_core.xmd")
+        self.n_core = sum(1 for r in out if r["enabled"] == 1)
+
+
+class ProgAngularAccuracyPCA(XmippProgram):
+    name = "xmipp_angular_accuracy_pca"
+
+    def defineParams(self):
+        self.addUsageLine("Per-particle angular assignment accuracy via PCA "
+                          "of the projection neighborhood residuals.")
+        self.addParamsLine("   -i <md_file>  : Particles with poses")
+        self.addParamsLine("   --ref <volume> : Reference volume")
+        self.addParamsLine("  [-o <md=\"\">]   : Output with accuracy scores")
+
+    def run(self):
+        from xmipp3_tpu.models.dimred import pca
+        from xmipp3_tpu.ops.geo import apply_md_geometry
+        from xmipp3_tpu.ops.project import FourierProjector
+        md = MetaData(self.getParam("-i"))
+        md.removeDisabled()
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        proj = FourierProjector(vol)
+        get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
+                                 np.float32)
+        reg = np.asarray(apply_md_geometry(
+            imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
+            np.array([bool(r.get("flip", 0)) for r in rows])))
+        refs = np.asarray(proj.project_euler(get("angleRot"),
+                                             get("angleTilt"),
+                                             np.zeros(len(rows), np.float32)))
+        resid = (reg - refs).reshape(len(rows), -1)
+        Y, model = pca(resid.astype(np.float64),
+                       d=min(5, len(rows) - 1), return_model=True)
+        # accuracy score: residual energy NOT explained by the common modes
+        recon = Y @ model["components"]
+        unexplained = np.linalg.norm(resid - model["mean"] - recon, axis=1)
+        score = 1.0 / (1.0 + unexplained / max(np.median(unexplained), 1e-9))
+        out = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d["scoreByPcaResidual"] = float(score[i])
+            out.append(d)
+        result = MetaData.fromRows(out)
+        if self.checkParam("-o") and self.getParam("-o"):
+            result.write(self.getParam("-o"))
+        self.scores = score
+
+
+PROGRAM = None
