@@ -92,3 +92,19 @@ def test_unknown_labels_tolerated(reference_resources):
     fn = os.path.join(reference_resources, "metadata", "noXmipp.xmd")
     md = MetaData(fn)  # must not raise
     assert md.size() >= 1
+
+
+def test_legacy_sel_and_doc(tmp_path):
+    sel = str(tmp_path / "old.sel")
+    open(sel, "w").write("img0001.xmp 1\nimg0002.xmp -1\n")
+    md = MetaData(sel)
+    assert md.size() == 2
+    assert md.getValue("image", 0) == "img0001.xmp"
+    assert md.getValue("enabled", 1) == -1
+    doc = str(tmp_path / "old.doc")
+    open(doc, "w").write("; psi rot tilt\n 1 3 10.5 20.0 30.0\n"
+                         " 2 3 -5.0 0.0 90.0\n")
+    md2 = MetaData(doc)
+    assert md2.size() == 2
+    assert md2.getValue("anglePsi", 0) == 10.5
+    assert md2.getValue("angleTilt", 1) == 90.0

@@ -76,6 +76,10 @@ class MetaData:
             raise XmippError(ErrCode.IO_NOTEXIST, path)
         blocks = read_star(path)
         if not blocks:
+            legacy = _read_legacy_selsdoc(path)
+            if legacy is not None:
+                self._df = legacy
+                return self
             self._df = pd.DataFrame()
             return self
         if block is None:
@@ -234,3 +238,55 @@ def compare_two_metadata_files(fn1: str, fn2: str, rtol=1e-5, atol=1e-4) -> bool
                 if not all(str(u) == str(v) for u, v in zip(a, b)):
                     return False
     return True
+
+
+def _read_legacy_selsdoc(path: str):
+    """Legacy Spider-era text formats (reference interface/selfile.cpp,
+    docfile.cpp): .sel = "<image> <flag>" lines; .doc = header comment line
+    then " <key> <n> <v1> <v2> ..." numeric rows. Returns a DataFrame or
+    None if the file doesn't look like either."""
+    import os
+    ext = os.path.splitext(path)[1].lower()
+    rows = []
+    try:
+        with open(path, errors="replace") as f:
+            lines = [l.rstrip() for l in f if l.strip()]
+    except OSError:
+        return None
+    if not lines:
+        return None
+    if ext == ".sel" or all(len(l.split()) == 2 and not l.startswith(";")
+                            for l in lines[:5]):
+        for l in lines:
+            if l.startswith(";") or l.startswith("#"):
+                continue
+            toks = l.split()
+            if len(toks) < 2:
+                return None
+            try:
+                flag = int(float(toks[1]))
+            except ValueError:
+                return None
+            rows.append({"image": toks[0], "enabled": flag})
+        return pd.DataFrame(rows) if rows else None
+    if ext == ".doc" or lines[0].startswith(";"):
+        # DocFile: "; headerline" then "key count v1 v2 ..." (angles etc.)
+        labels = ["anglePsi", "angleRot", "angleTilt", "shiftX", "shiftY",
+                  "shiftZ"]
+        for l in lines:
+            if l.startswith(";"):
+                continue
+            toks = l.split()
+            if len(toks) < 3:
+                return None
+            try:
+                key = int(toks[0])
+                vals = [float(t) for t in toks[2:]]
+            except ValueError:
+                return None
+            row = {"itemId": key}
+            for lab, v in zip(labels, vals):
+                row[lab] = v
+            rows.append(row)
+        return pd.DataFrame(rows) if rows else None
+    return None
