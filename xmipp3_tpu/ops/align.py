@@ -18,6 +18,7 @@ import numpy as np
 from xmipp3_tpu.ops.geo import apply_affine_2d, alignment_matrices_2d
 from xmipp3_tpu.ops.polar import (best_rotation_from_ffts, cartesian_to_polar,
                                   ring_ffts)
+from xmipp3_tpu.ops.shear_rotate import rotate_shift_fourier
 from xmipp3_tpu.ops.shift import best_shift, correlation_index
 
 
@@ -77,13 +78,16 @@ def iterative_align(ref, others, n_iters: int = 3, max_shift: int | None = None,
                                        radius_min=max(radius_min, 3),
                                        radius_max=radius_max)
 
+    # estimation warps use the gather-free three-shear Fourier rotation
+    # (ops/shear_rotate.py) — per-image dynamic gathers are ~35x slower
+    # than FFT work on TPU; only the final returned image uses the spatial
+    # warp (zero fill + requested spline order).
+    zeros = jnp.zeros(B)
+
     def candidate(psi):
-        rotated = apply_affine_2d(
-            others, alignment_matrices_2d(psi, jnp.zeros(B), jnp.zeros(B)),
-            order=order)
+        rotated = rotate_shift_fourier(others, psi, zeros, zeros)
         dsx, dsy, _ = best_shift(ref, rotated, max_shift=max_shift)
-        aligned = apply_affine_2d(
-            others, alignment_matrices_2d(psi, dsx, dsy), order=order)
+        aligned = rotate_shift_fourier(others, psi, dsx, dsy)
         return psi, dsx, dsy, correlation_index(ref, aligned)
 
     cands = [candidate(ang), candidate(ang + 180.0)]
@@ -112,15 +116,13 @@ def _iterative_align_refine(ref, others, psi, sx, sy, n_iters: int,
 
     def body(carry, _):
         psi, sx, sy = carry
-        cur = apply_affine_2d(others, alignment_matrices_2d(psi, sx, sy),
-                              order=order)
+        cur = rotate_shift_fourier(others, psi, sx, sy)
         f_cur = ring_ffts(cartesian_to_polar(cur, radius_min, radius_max))
         dpsi, _ = best_rotation_from_ffts(f_ref, f_cur, radius_min)
         rad = jnp.deg2rad(dpsi)
         c, s = jnp.cos(rad), jnp.sin(rad)
         psi, sx, sy = psi + dpsi, c * sx + s * sy, -s * sx + c * sy
-        cur = apply_affine_2d(others, alignment_matrices_2d(psi, sx, sy),
-                              order=order)
+        cur = rotate_shift_fourier(others, psi, sx, sy)
         dsx, dsy, _ = best_shift(ref, cur, max_shift=max_shift)
         return (psi, sx + dsx, sy + dsy), None
 

@@ -19,8 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xmipp3_tpu.ops.geo import apply_affine_2d, alignment_matrices_2d
 from xmipp3_tpu.ops.polar import cartesian_to_polar, ring_ffts
+from xmipp3_tpu.ops.shear_rotate import rotate_shift_fourier
 from xmipp3_tpu.ops.shift import _parabola_peak_1d, best_shift, correlation_index
 
 
@@ -188,11 +188,14 @@ def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
 
     def body(carry, _):
         psi_cur, sx, sy = carry
-        aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
+        # gather-free warp: per-image dynamic-index gathers run ~35x slower
+        # than FFT work on TPU (ops/shear_rotate.py), so the refinement warps
+        # use the three-shear Fourier rotation instead of apply_affine_2d
+        aligned = rotate_shift_fourier(work, psi_cur, sx, sy)
         dsx, dsy, _ = best_shift(chosen_refs, aligned, max_shift=max_shift)
         sx = sx + dsx
         sy = sy + dsy
-        aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
+        aligned = rotate_shift_fourier(work, psi_cur, sx, sy)
         f_al = ring_ffts(cartesian_to_polar(aligned, radius_min, radius_max,
                                             stride=2))
         # pairwise angular correlation vs the chosen reference
@@ -213,7 +216,7 @@ def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
     (psi_cur, sx, sy), _ = jax.lax.scan(body, (psi_cur, sx, sy), None,
                                         length=refine_iters)
 
-    aligned = apply_affine_2d(work, alignment_matrices_2d(psi_cur, sx, sy))
+    aligned = rotate_shift_fourier(work, psi_cur, sx, sy)
     corr = correlation_index(chosen_refs, aligned)
 
     # Convert to the framework-wide metadata pose convention

@@ -87,6 +87,10 @@ class ProgImageAlign(XmippMetadataProgram):
             r["maxCC"] = float(corr[i])
         self.mdOut = MetaData.fromRows(rows)
         if self.fn_out:
+            if self.fn_out.endswith((".stk", ".mrcs", ".mrc", ".spi", ".xmp")):
+                print(f"WARNING: -o {self.fn_out} is the output METADATA "
+                      "(alignment parameters); use --oaligned for the "
+                      "aligned image stack")
             self.mdOut.write(self.fn_out)
         if self.fn_aligned:
             save_image(self.fn_aligned, aligned)
