@@ -372,6 +372,12 @@ _SPIDER_EXTS = {"spi", "stk", "vol", "xmp", "psd", "fsc"}
 _MRC_EXTS = {"mrc", "mrcs", "map", "st", "rec", "ali"}
 
 
+_EXTRA_EXTS = {"img": "imagic", "hed": "imagic", "em": "em", "ems": "em",
+               "ser": "ser", "dm3": "dm", "dm4": "dm", "h5": "hdf5",
+               "hdf5": "hdf5", "hdf": "hdf5", "jpg": "pil", "jpeg": "pil",
+               "png": "pil"}
+
+
 def _codec_for(fn: FileName) -> str:
     fmt = fn.forced_format or fn.ext
     if fmt in _MRC_EXTS:
@@ -382,6 +388,8 @@ def _codec_for(fn: FileName) -> str:
         return "raw"
     if fmt in ("tif", "tiff"):
         return "tiff"
+    if fmt in _EXTRA_EXTS:
+        return _EXTRA_EXTS[fmt]
     # sniff
     path = fn.path
     try:
@@ -389,6 +397,8 @@ def _codec_for(fn: FileName) -> str:
             magic = f.read(4)
         if magic[:2] in (b"II", b"MM"):
             return "tiff"
+        if magic in (b"\x00\x00\x00\x03", b"\x00\x00\x00\x04"):
+            return "dm"
     except OSError:
         pass
     return "spider_or_mrc"
@@ -428,6 +438,24 @@ class Image:
             self.header, self.data = read_raw(path, header_only)
         elif codec == "tiff":
             self.header, self.data = read_tiff(path, header_only)
+        elif codec == "imagic":
+            from xmipp3_tpu.core.image_formats import read_imagic
+            self.header, self.data = read_imagic(path, header_only, idx)
+        elif codec == "em":
+            from xmipp3_tpu.core.image_formats import read_em
+            self.header, self.data = read_em(path, header_only)
+        elif codec == "ser":
+            from xmipp3_tpu.core.image_formats import read_ser
+            self.header, self.data = read_ser(path, header_only)
+        elif codec == "dm":
+            from xmipp3_tpu.core.image_formats import read_dm
+            self.header, self.data = read_dm(path, header_only)
+        elif codec == "hdf5":
+            from xmipp3_tpu.core.image_formats import read_hdf5
+            self.header, self.data = read_hdf5(path, header_only)
+        elif codec == "pil":
+            from xmipp3_tpu.core.image_formats import read_pil
+            self.header, self.data = read_pil(path, header_only)
         else:
             try:
                 self.header, self.data = read_spider(path, header_only, idx)
@@ -486,6 +514,21 @@ class Image:
                                  ("mrc", "map", "vol", "rec"))))
         elif fmt in _SPIDER_EXTS:
             write_spider(fn.path, self.data)
+        elif fmt in ("img", "hed"):
+            from xmipp3_tpu.core.image_formats import write_imagic
+            write_imagic(fn.path, self.data)
+        elif fmt in ("em", "ems"):
+            from xmipp3_tpu.core.image_formats import write_em
+            write_em(fn.path, self.data)
+        elif fmt == "ser":
+            from xmipp3_tpu.core.image_formats import write_ser
+            write_ser(fn.path, self.data)
+        elif fmt in ("h5", "hdf5", "hdf"):
+            from xmipp3_tpu.core.image_formats import write_hdf5
+            write_hdf5(fn.path, self.data)
+        elif fmt in ("jpg", "jpeg", "png"):
+            from xmipp3_tpu.core.image_formats import write_pil
+            write_pil(fn.path, self.data)
         else:
             raise XmippError(ErrCode.IMG_NOWRITE, f"format {fmt}")
 

@@ -212,7 +212,9 @@ class XmippMetadataProgram(XmippProgram):
                     out_rows[0]["image"] = target
                 else:
                     ext = as_filename(target).ext
-                    if ext not in ("mrcs", "stk", "mrc"):
+                    if ext not in ("mrcs", "stk", "mrc", "img", "hed", "em",
+                                   "ser", "h5", "hdf5", "hdf", "vol", "spi",
+                                   "xmp", "st", "ali"):
                         # metadata input, stack output beside it
                         target = os.path.splitext(target)[0] + ".mrcs"
                     save_image(target, stack)

@@ -220,6 +220,18 @@ register("classify_CL2D_core_analysis",
 register("angular_accuracy_pca",
          P + "resolution_dir:ProgAngularAccuracyPCA")
 
+register("resolution_ssnr", P + "ssnr_residuals:ProgResolutionSSNR")
+register("continuous_create_residuals",
+         P + "ssnr_residuals:ProgContinuousCreateResiduals")
+register("angular_commonline",
+         P + "angular_commonline_prog:ProgAngularCommonline")
+register("tomo_calculate_landmark_residuals",
+         P + "tomo_landmark_residuals:ProgTomoCalculateLandmarkResiduals")
+register("tomo_detect_misalignment_residuals",
+         P + "tomo_landmark_residuals:ProgTomoDetectMisalignmentResiduals")
+register("tomo_extract_particlestacks",
+         P + "tomo_landmark_residuals:ProgTomoExtractParticlestacks")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
