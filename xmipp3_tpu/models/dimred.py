@@ -27,6 +27,106 @@ def pca(X, d=2, return_model=False):
     return Y
 
 
+def empca(X, d=2, n_iters: int = 10, seed: int = 0, return_basis=False):
+    """EM-PCA (Roweis NIPS'97) — the reference PCAMahalanobisAnalyzer::
+    learnPCABasis (data/basic_pca.cpp:170): E-step solves the coefficients
+    for the current basis, M-step refits the basis; converges to the top-d
+    principal subspace without forming the covariance. Data stays (N, D)
+    and every step is a matmul — for large image sets this runs as device
+    matmuls (MXU) instead of a host eigendecomposition.
+
+    Returns projections (N, d); with return_basis also (basis (d, D), mean).
+    """
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, np.float64)
+    N, D = X.shape
+    d = min(d, N)
+    mu = X.mean(axis=0)
+    Y = jnp.asarray((X - mu).T, jnp.float32)           # (D, N)
+    C = jnp.asarray(X[rng.choice(N, d, replace=False)].T - mu[:, None],
+                    jnp.float32)                       # (D, d)
+    for _ in range(n_iters):
+        CtC = C.T @ C                                  # (d, d)
+        CtY = C.T @ Y                                  # (d, N)
+        Xc = jnp.linalg.solve(CtC, CtY)                # E-step coefficients
+        C = (Y @ Xc.T) @ jnp.linalg.inv(Xc @ Xc.T)     # M-step basis
+    # orthonormalize for a clean projection
+    Q, _ = jnp.linalg.qr(C)
+    proj = np.asarray((Q.T @ Y).T, np.float64)
+    if return_basis:
+        return proj, np.asarray(Q.T, np.float64), mu
+    return proj
+
+
+def pca_zscores(X, d=3, n_iters: int = 10, seed: int = 0):
+    """Mahalanobis z-scores in the EM-PCA subspace — the reference
+    PCAMahalanobisAnalyzer::evaluateZScore (basic_pca.cpp:384): project on
+    the learned basis, estimate the (d, d) covariance of the projections,
+    z = sqrt(p^T cov^-1 p). The particle-screening outlier score."""
+    proj = empca(X, d=d, n_iters=n_iters, seed=seed)
+    cov = proj.T @ proj / len(proj)
+    covinv = np.linalg.inv(cov + 1e-12 * np.eye(proj.shape[1]))
+    z = np.sqrt(np.abs(np.einsum("ni,ij,nj->n", proj, covinv, proj)))
+    return z
+
+
+class IncrementalPCA:
+    """Streaming PCA (the reference PCAonline role, basic_pca.cpp:518):
+    accumulates mean and a d-rank sketch batch by batch so arbitrarily large
+    sets never need to be resident; each update is two matmuls."""
+
+    # exact streaming second moments up to this many features; beyond it a
+    # low-rank sketch bounds memory (images can be 10^4-10^5 dims)
+    EXACT_DIM_LIMIT = 4096
+
+    def __init__(self, d: int = 2, sketch_rank: int | None = None):
+        self.d = d
+        self._k = sketch_rank or max(4 * d + 16, 32)  # oversampled rank
+        self.n = 0
+        self._sum = None             # running sum(x)
+        self._moment = None          # running sum(x x^T) when D small
+        self._sketch = None          # (k, D) sketch when D large
+
+    def partial_fit(self, X):
+        X = np.asarray(X, np.float64)
+        D = X.shape[1]
+        if self._sum is None:
+            self._sum = X.sum(axis=0)
+        else:
+            self._sum = self._sum + X.sum(axis=0)
+        self.n += len(X)
+        if D <= self.EXACT_DIM_LIMIT:
+            m = X.T @ X
+            self._moment = m if self._moment is None else self._moment + m
+        else:
+            stack = X if self._sketch is None else np.vstack([self._sketch, X])
+            U, S, Vt = np.linalg.svd(stack, full_matrices=False)
+            k = min(self._k, len(S))
+            self._sketch = S[:k, None] * Vt[:k]
+        return self
+
+    @property
+    def mean(self):
+        return self._sum / self.n
+
+    @property
+    def components(self):
+        mu = self.mean
+        if self._moment is not None:
+            cov = self._moment / self.n - np.outer(mu, mu)
+            w, V = np.linalg.eigh(cov)
+            return V[:, ::-1][:, : self.d].T
+        # sketch path: remove the mean from the sketch rows
+        sk = self._sketch - (self._sketch @ mu)[:, None] \
+            * mu[None, :] / max(mu @ mu, 1e-300)
+        U, S, Vt = np.linalg.svd(sk, full_matrices=False)
+        return Vt[: self.d]
+
+    def transform(self, X):
+        return (np.asarray(X, np.float64) - self.mean) @ self.components.T
+
+
 def probabilistic_pca(X, d=2, n_iters: int = 50, seed: int = 0):
     """EM for pPCA (Tipping & Bishop)."""
     rng = np.random.default_rng(seed)
