@@ -66,6 +66,48 @@ def _haar_dwt2(x):
     return ll, (lh, hl, hh)
 
 
+def dwt3(vol):
+    """One 3D Haar DWT level: (Z, Y, X) -> list of 8 subbands ordered
+    [lll, llh, lhl, lhh, hll, hlh, hhl, hhh] (z-axis split first). Used by
+    the volume consensus (reference volume_consensus.py SWT role)."""
+    x = jnp.asarray(vol, jnp.float32)
+
+    def split(u, axis):
+        lo = (jnp.take(u, jnp.arange(0, u.shape[axis], 2), axis) +
+              jnp.take(u, jnp.arange(1, u.shape[axis], 2), axis)) / np.sqrt(2)
+        hi = (jnp.take(u, jnp.arange(0, u.shape[axis], 2), axis) -
+              jnp.take(u, jnp.arange(1, u.shape[axis], 2), axis)) / np.sqrt(2)
+        return lo, hi
+
+    bands = [x]
+    for axis in (0, 1, 2):
+        bands = [b for u in bands for b in split(u, axis)]
+    return bands
+
+
+def idwt3(bands):
+    """Inverse of dwt3."""
+    bands = [jnp.asarray(b, jnp.float32) for b in bands]
+
+    def merge(lo, hi, axis):
+        n = lo.shape[axis] * 2
+        shape = list(lo.shape)
+        shape[axis] = n
+        out = jnp.zeros(shape, lo.dtype)
+        idx_lo = [slice(None)] * 3
+        idx_hi = [slice(None)] * 3
+        idx_lo[axis] = slice(0, n, 2)
+        idx_hi[axis] = slice(1, n, 2)
+        out = out.at[tuple(idx_lo)].set((lo + hi) / np.sqrt(2))
+        out = out.at[tuple(idx_hi)].set((lo - hi) / np.sqrt(2))
+        return out
+
+    for axis in (2, 1, 0):
+        bands = [merge(bands[i], bands[i + 1], axis)
+                 for i in range(0, len(bands), 2)]
+    return bands[0]
+
+
 def _haar_idwt2(ll, bands):
     lh, hl, hh = bands
     a = jnp.zeros(ll.shape[:-1] + (ll.shape[-1] * 2,), ll.dtype)

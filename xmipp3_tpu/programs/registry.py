@@ -232,6 +232,26 @@ register("tomo_detect_misalignment_residuals",
 register("tomo_extract_particlestacks",
          P + "tomo_landmark_residuals:ProgTomoExtractParticlestacks")
 
+register("metadata_selfile_create",
+         P + "scripts_misc:ProgMetadataSelfileCreate")
+register("pdb_center", P + "scripts_misc:ProgPdbCenter")
+register("pdb_select", P + "scripts_misc:ProgPdbSelect")
+register("coordinates_consensus",
+         P + "scripts_misc:ProgCoordinatesConsensus")
+register("pick_noise", P + "scripts_misc:ProgPickNoise")
+register("preprocess_mics", P + "scripts_misc:ProgPreprocessMics")
+register("volume_consensus", P + "scripts_misc:ProgVolumeConsensus")
+register("cl2d_clustering", P + "scripts_misc:ProgCl2dClustering")
+register("align_pca_2d", P + "scripts_misc:ProgAlignPCA2D")
+register("alignPCA_2D", P + "scripts_misc:ProgAlignPCA2D")
+register("graph_max_cut", P + "scripts_misc:ProgGraphMaxCut")
+register("extract_particles", P + "scripts_misc:ProgExtractParticles")
+register("tomo_misalignment_resid_statistics",
+         P + "scripts_misc:ProgTomoMisalignmentResidStatistics")
+register("swiftalign_wiener_2d", P + "scripts_misc:ProgSwiftalignWiener2D")
+register("swiftalign_aligned_2d_classification",
+         P + "scripts_misc:ProgSwiftalignAligned2DClassification")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
