@@ -1,0 +1,217 @@
+"""deep_* programs (programs/deep_programs.py) — tiny end-to-end
+train+predict runs on synthetic data with known answers."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.image import Image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.programs import get_program
+
+
+def _run(name, args):
+    prog = get_program(name)
+    prog.read(["xmipp_" + name] + args)
+    prog.run()
+    return prog
+
+
+def test_deep_consensus(tmp_path):
+    d = str(tmp_path)
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:24, 0:24] - 12
+    blob = -np.exp(-((xx ** 2 + yy ** 2) / 20.0))
+    pos = np.stack([blob * rng.uniform(0.7, 1.3)
+                    + rng.normal(0, 0.3, (24, 24)) for _ in range(20)])
+    neg = rng.normal(0, 0.3, (20, 24, 24))
+    Image(pos.astype(np.float32)).write(f"{d}/pos.mrcs")
+    Image(neg.astype(np.float32)).write(f"{d}/neg.mrcs")
+    for nm in ("pos", "neg"):
+        MetaData.fromRows([{"image": f"{i+1:06d}@{d}/{nm}.mrcs"}
+                           for i in range(20)]).write(f"{d}/{nm}.xmd")
+    cand = np.concatenate([pos[:8] * 1.1, neg[:8]])
+    Image(cand.astype(np.float32)).write(f"{d}/cand.mrcs")
+    MetaData.fromRows([{"image": f"{i+1:06d}@{d}/cand.mrcs"}
+                       for i in range(16)]).write(f"{d}/cand.xmd")
+    p = _run("deep_consensus",
+             ["-i", f"{d}/cand.xmd", "-o", f"{d}/scored.xmd", "--train",
+              "--posTrain", f"{d}/pos.xmd", "--negTrain", f"{d}/neg.xmd",
+              "--model", f"{d}/m.pkl", "--epochs", "20"])
+    assert (p.scores[:8] > 0.5).all() and (p.scores[8:] < 0.5).all()
+
+
+def test_deep_hand(tmp_path):
+    d = str(tmp_path)
+
+    def helix(handed, seed, N=24):
+        r = np.random.default_rng(seed)
+        v = np.zeros((N, N, N), np.float32)
+        zz, yy, xx = np.mgrid[0:N, 0:N, 0:N]
+        for t in np.linspace(0, 4 * np.pi, 30):
+            x = N / 2 + 6 * np.cos(t)
+            y = N / 2 + handed * 6 * np.sin(t)
+            z = N / 2 + (t - 2 * np.pi) * 1.5
+            if 2 < z < N - 2:
+                v += np.exp(-(((xx - x) ** 2 + (yy - y) ** 2
+                               + (zz - z) ** 2) / 3.0)).astype(np.float32)
+        return v + r.normal(0, 0.05, v.shape).astype(np.float32)
+
+    rows = []
+    for i in range(5):
+        Image(helix(1, i)).write(f"{d}/h{i}.vol")
+        rows.append({"image": f"{d}/h{i}.vol"})
+    MetaData.fromRows(rows).write(f"{d}/hands.xmd")
+    Image(helix(1, 90)).write(f"{d}/good.vol")
+    Image(helix(-1, 91)).write(f"{d}/bad.vol")
+    p1 = _run("deep_hand", ["-i", f"{d}/good.vol", "--train",
+                            "--trainVols", f"{d}/hands.xmd",
+                            "--model", f"{d}/h.pkl", "--epochs", "25",
+                            "-o", f"{d}/g.txt"])
+    p2 = _run("deep_hand", ["-i", f"{d}/bad.vol", "--model", f"{d}/h.pkl",
+                            "-o", f"{d}/b.txt"])
+    assert p1.hand_prob > 0.6 > p2.hand_prob
+
+
+def test_deep_global_assignment_roundtrip(tmp_path):
+    d = str(tmp_path)
+    rng = np.random.default_rng(1)
+    N = 32
+    vol = np.zeros((N, N, N), np.float32)
+    zz, yy, xx = np.mgrid[0:N, 0:N, 0:N] - N // 2
+    for (cx, cy, cz, r, a) in [(0, 0, 0, 7, 1.0), (5, -4, 3, 3, 0.8),
+                               (-6, 3, -2, 3, 0.9)]:
+        vol += a * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2
+                             + (zz - cz) ** 2) / (2 * (r / 2) ** 2))
+                          ).astype(np.float32)
+    from xmipp3_tpu.ops.project import FourierProjector
+    B = 120
+    rot = rng.uniform(-180, 180, B).astype(np.float32)
+    tilt = np.degrees(np.arccos(rng.uniform(0.2, 1, B))).astype(np.float32)
+    imgs = np.asarray(FourierProjector(vol).project_euler(
+        rot, tilt, np.zeros(B, np.float32)))
+    Image(imgs[:100].astype(np.float32)).write(f"{d}/tr.mrcs")
+    Image(imgs[100:].astype(np.float32)).write(f"{d}/te.mrcs")
+    MetaData.fromRows([{"image": f"{i+1:06d}@{d}/tr.mrcs",
+                        "angleRot": float(rot[i]),
+                        "angleTilt": float(tilt[i])}
+                       for i in range(100)]).write(f"{d}/tr.xmd")
+    MetaData.fromRows([{"image": f"{i+1:06d}@{d}/te.mrcs"}
+                       for i in range(20)]).write(f"{d}/te.xmd")
+    _run("deep_global_assignment", ["-i", f"{d}/tr.xmd", "--model",
+                                    f"{d}/p.pkl", "--epochs", "30"])
+    p = _run("deep_global_assignment_predict",
+             ["-i", f"{d}/te.xmd", "-o", f"{d}/pred.xmd",
+              "--model", f"{d}/p.pkl"])
+
+    def s2(r, t):
+        r, t = np.deg2rad(r), np.deg2rad(t)
+        return np.stack([np.sin(t) * np.cos(r), np.sin(t) * np.sin(r),
+                         np.cos(t)], -1)
+
+    vt = s2(rot[100:], tilt[100:])
+    ang = np.rad2deg(np.arccos(np.clip((p.directions * vt).sum(-1), -1, 1)))
+    # coarse assigner: far better than chance (~90 deg expected for random)
+    assert np.median(ang) < 40.0
+
+
+def test_deep_misalignment_detection(tmp_path):
+    d = str(tmp_path)
+    N = 20
+    zz, yy, xx = np.mgrid[0:N, 0:N, 0:N] - N // 2
+    blob = np.exp(-((xx ** 2 + yy ** 2 + zz ** 2) / 14.0))
+
+    def subtomo(mis, seed):
+        r = np.random.default_rng(seed)
+        v = blob
+        if mis:
+            v = np.mean([np.roll(blob, (int(r.normal(0, 3)),
+                                        int(r.normal(0, 3)), 0), (0, 1, 2))
+                         for _ in range(6)], axis=0)
+        return (v + r.normal(0, 0.2, v.shape)).astype(np.float32)
+
+    for nm, mis, n0 in (("good", False, 0), ("bad", True, 100)):
+        rows = []
+        for i in range(12):
+            Image(subtomo(mis, n0 + i)).write(f"{d}/{nm}{i}.vol")
+            rows.append({"image": f"{d}/{nm}{i}.vol"})
+        MetaData.fromRows(rows).write(f"{d}/{nm}.xmd")
+    q = []
+    for i in range(4):
+        Image(subtomo(i % 2 == 1, 500 + i)).write(f"{d}/q{i}.vol")
+        q.append({"image": f"{d}/q{i}.vol"})
+    MetaData.fromRows(q).write(f"{d}/q.xmd")
+    p = _run("deep_misalignment_detection",
+             ["-i", f"{d}/q.xmd", "-o", f"{d}/out.xmd", "--train",
+              "--goodTrain", f"{d}/good.xmd", "--badTrain", f"{d}/bad.xmd",
+              "--model", f"{d}/m.pkl", "--epochs", "80", "--lr", "0.003"])
+    assert (p.scores[::2] > 0.5).all() and (p.scores[1::2] < 0.5).all()
+
+
+def test_deep_volume_postprocessing(tmp_path):
+    d = str(tmp_path)
+    rng = np.random.default_rng(6)
+    N = 16
+    f = np.fft.fftfreq(N)
+    fr = np.sqrt(sum(np.meshgrid(f, f, f, indexing="ij")[k] ** 2
+                     for k in range(3)))
+    rows = []
+    for i in range(4):
+        clean = rng.normal(0, 1, (N, N, N))
+        clean = np.real(np.fft.ifftn(np.fft.fftn(clean)
+                                     * np.exp(-(fr / 0.2) ** 4)))
+        clean = (clean / clean.std()).astype(np.float32)
+        noisy = clean + rng.normal(0, 0.8, clean.shape).astype(np.float32)
+        Image(noisy).write(f"{d}/n{i}.vol")
+        Image(clean).write(f"{d}/c{i}.vol")
+        rows.append({"image": f"{d}/n{i}.vol", "imageRef": f"{d}/c{i}.vol"})
+    MetaData.fromRows(rows).write(f"{d}/pairs.xmd")
+    clean = rng.normal(0, 1, (N, N, N))
+    clean = np.real(np.fft.ifftn(np.fft.fftn(clean)
+                                 * np.exp(-(fr / 0.2) ** 4)))
+    clean = (clean / clean.std()).astype(np.float32)
+    noisy = clean + rng.normal(0, 0.8, clean.shape).astype(np.float32)
+    Image(noisy).write(f"{d}/q.vol")
+    _run("deep_volume_postprocessing",
+         ["-i", f"{d}/q.vol", "-o", f"{d}/post.mrc", "--train",
+          "--trainPairs", f"{d}/pairs.xmd", "--model", f"{d}/u.pkl",
+          "--epochs", "25", "--lr", "0.005"])
+    post = np.squeeze(Image(f"{d}/post.mrc").data)
+    norm = lambda a: (a - a.mean()) / a.std()
+    c0 = np.corrcoef(norm(noisy).ravel(), clean.ravel())[0, 1]
+    c1 = np.corrcoef(norm(post).ravel(), clean.ravel())[0, 1]
+    assert c1 > c0
+
+
+def test_deep_micrograph_cleaner(tmp_path):
+    d = str(tmp_path)
+    rng = np.random.default_rng(7)
+    b = 48
+
+    def clean_patch(seed):
+        return np.random.default_rng(seed).normal(0, 1, (b, b)
+                                                  ).astype(np.float32)
+
+    def carbon_patch(seed):
+        r = np.random.default_rng(seed)
+        base = r.normal(0, 1, (b, b))
+        f = np.fft.fftfreq(b)
+        fr = np.sqrt(f[:, None] ** 2 + f[None, :] ** 2)
+        tex = np.real(np.fft.ifft2(np.fft.fft2(base)
+                                   * np.exp(-(fr / 0.05) ** 2))) * 8
+        return (base * 0.3 + tex).astype(np.float32)
+
+    for nm, gen, n0 in (("good", clean_patch, 0), ("bad", carbon_patch, 50)):
+        Image(np.stack([gen(n0 + i) for i in range(16)])
+              ).write(f"{d}/{nm}.mrcs")
+        MetaData.fromRows([{"image": f"{i+1:06d}@{d}/{nm}.mrcs"}
+                           for i in range(16)]).write(f"{d}/{nm}.xmd")
+    mic = np.zeros((96, 96), np.float32)
+    for j in range(0, 96, 48):
+        for i in range(0, 96, 48):
+            mic[j:j + 48, i:i + 48] = (clean_patch if i < 48
+                                       else carbon_patch)(900 + i + j)
+    Image(mic).write(f"{d}/mic.mrc")
+    p = _run("deep_micrograph_cleaner",
+             ["-i", f"{d}/mic.mrc", "-o", f"{d}/mask.mrc", "--train",
+              "--goodTrain", f"{d}/good.xmd", "--badTrain", f"{d}/bad.xmd",
+              "--model", f"{d}/m.pkl", "--boxSize", "48", "--epochs", "20"])
+    assert p.mask[:, :40].mean() > 0.7 > p.mask[:, 56:].mean()

@@ -252,6 +252,21 @@ register("swiftalign_wiener_2d", P + "scripts_misc:ProgSwiftalignWiener2D")
 register("swiftalign_aligned_2d_classification",
          P + "scripts_misc:ProgSwiftalignAligned2DClassification")
 
+register("deep_consensus", P + "deep_programs:ProgDeepConsensus")
+register("deep_micrograph_cleaner",
+         P + "deep_programs:ProgDeepMicrographCleaner")
+register("deep_hand", P + "deep_programs:ProgDeepHand")
+register("deepRes_resolution", P + "deep_programs:ProgDeepResResolution")
+register("deep_res_resolution", P + "deep_programs:ProgDeepResResolution")
+register("deep_global_assignment",
+         P + "deep_programs:ProgDeepGlobalAssignment")
+register("deep_global_assignment_predict",
+         P + "deep_programs:ProgDeepGlobalAssignmentPredict")
+register("deep_misalignment_detection",
+         P + "deep_programs:ProgDeepMisalignmentDetection")
+register("deep_volume_postprocessing",
+         P + "deep_programs:ProgDeepVolumePostprocessing")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
