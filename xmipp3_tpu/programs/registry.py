@@ -267,6 +267,29 @@ register("deep_misalignment_detection",
 register("deep_volume_postprocessing",
          P + "deep_programs:ProgDeepVolumePostprocessing")
 
+register("nma_alignment", P + "flex_misc_ext:ProgNMAAlignment")
+register("flexible_alignment", P + "flex_misc_ext:ProgFlexibleAlignment")
+register("forward_zernike_subtomos",
+         P + "flex_misc_ext:ProgForwardZernikeSubtomos")
+register("forward_zernike_images_priors",
+         P + "zernike_programs:ProgAngularSphAlignment")
+register("art_zernike3d", P + "flex_misc_ext:ProgArtZernike3D")
+register("forward_art_zernike3d_subtomos",
+         P + "flex_misc_ext:ProgForwardArtZernike3DSubtomos")
+register("cuda11_forward_art_zernike3d",
+         P + "flex_misc_ext:ProgArtZernike3D")
+register("classify_FTTRI", P + "flex_misc_ext:ProgClassifyFTTRI")
+register("classify_CLTomo_prog", P + "flex_misc_ext:ProgClassifyCLTomo")
+register("volume_initial_simulated_annealing",
+         P + "flex_misc_ext:ProgVolumeInitialSimulatedAnnealing")
+register("phantom_transform", P + "flex_misc_ext:ProgPhantomTransform")
+register("volume_to_web", P + "flex_misc_ext:ProgVolumeToWeb")
+register("resolution_pdb_bfactor",
+         P + "flex_misc_ext:ProgResolutionPdbBfactor")
+register("performance_test", P + "flex_misc_ext:ProgPerformanceTest")
+register("write_test", P + "flex_misc_ext:ProgWriteTest")
+register("reconstruct_fourier_accel", P + "reconstruct_fourier")
+
 from xmipp3_tpu.programs import _REGISTRY as _R
 
 # the reference's actual mpi_* endpoint list (SURVEY.md Appendix A, 51 names);
@@ -323,3 +346,5 @@ register("cuda_angular_sph_alignment",
          P + "zernike_programs:ProgAngularSphAlignment")
 register("mlf_align2d", P + "classify:ProgMLFAlign2D")
 register("mpi_mlf_align2d", P + "classify:ProgMLFAlign2D")
+register("mpi_angular_sph_alignment",
+         P + "zernike_programs:ProgAngularSphAlignment")

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
+from xmipp3_tpu.core.errors import ErrCode, XmippError
 from xmipp3_tpu.core.image import Image, save_image
 from xmipp3_tpu.core.metadata import MetaData
 from xmipp3_tpu.core.program import XmippProgram
@@ -100,6 +101,10 @@ class ProgAngularSphAlignment(XmippProgram):
         self.addParamsLine("  [--l2 <l2=2>]  : Spherical harmonic depth")
         self.addParamsLine("  [--steps <n=40>] : Optimization steps per batch")
         self.addParamsLine("  [--batch <b=16>] : Particles per batch")
+        self.addParamsLine("  [--priors <md=\"\">] : Metadata with prior "
+                          "sphCoefficients (per-row, or one global row) used "
+                          "to initialize the per-particle coefficients "
+                          "(forward_zernike_images_priors contract)")
 
     def run(self):
         import jax
@@ -147,10 +152,24 @@ class ProgAngularSphAlignment(XmippProgram):
         bs = self.getIntParam("--batch")
         n_steps = self.getIntParam("--steps")
         out_rows = []
+        priors = None
+        if self.checkParam("--priors") and self.getParam("--priors"):
+            pmd = MetaData(self.getParam("--priors"))
+            pc = [np.asarray(v, np.float32).reshape(3, -1)
+                  for v in pmd.getColumnValues("sphCoefficients")]
+            if len(pc) == 1:
+                priors = np.stack(pc * B)
+            else:
+                priors = np.stack(pc)[:B]
+            if priors.shape[-1] != K:
+                raise XmippError(ErrCode.VALUE_INCORRECT,
+                                 f"prior has {priors.shape[-1]} coefficients"
+                                 f", basis has {K}")
         for s in range(0, B, bs):
             sl = slice(s, min(s + bs, B))
             nb = sl.stop - sl.start
-            coeffs = jnp.zeros((nb, 3, K), jnp.float32)
+            coeffs = (jnp.zeros((nb, 3, K), jnp.float32) if priors is None
+                      else jnp.asarray(priors[sl]))
             m = jnp.zeros_like(coeffs)
             v = jnp.zeros_like(coeffs)
             args = (jnp.asarray(imgs[sl]), jnp.asarray(rot[sl]),
