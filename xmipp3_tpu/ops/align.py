@@ -135,10 +135,11 @@ def align_considering_mirrors(ref, others, **kw):
     (reference alignImagesConsideringMirrors, data/filters.h:544,623).
 
     Returns (psi, sx, sy, flip, corr, aligned)."""
+    from xmipp3_tpu.ops.geo import centered_flip
     others = jnp.asarray(others, jnp.float32)
     if others.ndim == 2:
         others = others[None]
-    mirrored = others[:, :, ::-1]
+    mirrored = centered_flip(others, 2)
     psi1, sx1, sy1, c1, a1 = iterative_align(ref, others, **kw)
     psi2, sx2, sy2, c2, a2 = iterative_align(ref, mirrored, **kw)
     use2 = c2 > c1

@@ -221,6 +221,21 @@ def apply_md_geometry(imgs, psi, sx, sy, flip=None, order: int = 1,
     return apply_affine_2d(imgs, A, order=order, wrap=wrap)
 
 
+def centered_flip(imgs, axis: int):
+    """Mirror about the center n//2 (index i -> (n-i) mod n). A plain
+    [::-1] flip maps i -> n-1-i, which for EVEN sizes is the centered
+    mirror plus a one-pixel shift — that stray pixel gets absorbed into
+    fitted shifts and then breaks the metadata pose conversion (the
+    matrices in metadata_alignment_matrices mirror about the exact
+    center)."""
+    imgs = jnp.asarray(imgs)
+    n = imgs.shape[axis]
+    out = jnp.flip(imgs, axis=axis)
+    if n % 2 == 0:
+        out = jnp.roll(out, 1, axis=axis)
+    return out
+
+
 def rotate_vector_2d(vx, vy, angle_deg):
     """Rotate 2-vectors by angle (consistent with R(a) composition:
     v' = (c·vx + s·vy, -s·vx + c·vy))."""

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xmipp3_tpu.ops.polar import cartesian_to_polar, ring_ffts
+from xmipp3_tpu.ops.polar import (cartesian_to_polar, polar_at_static_offsets,
+                                  ring_ffts)
 from xmipp3_tpu.ops.shear_rotate import rotate_shift_fourier
 from xmipp3_tpu.ops.shift import _parabola_peak_1d, best_shift, correlation_index
 
@@ -98,27 +99,30 @@ def _trial_shift_grid(max_shift: int, step: float | None = None):
     return pts[keep].astype(np.float32)
 
 
-@partial(jax.jit, static_argnames=("radius_min", "radius_max", "check_mirror",
-                                   "stride", "n_harmonics"))
+@partial(jax.jit, static_argnames=("trials", "radius_min", "radius_max",
+                                   "check_mirror", "stride", "n_harmonics"))
 def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
                  check_mirror: bool, stride: int = 2, n_harmonics: int = 128):
-    """Rotational matching over a trial-translation grid.
+    """Rotational matching over a STATIC trial-translation grid.
 
-    Coarse scan: every stride-th ring (halves gather traffic) and only the
-    first n_harmonics angular frequencies (the irfft over the (B, R, A)
-    correlation curves dominates the scan cost; 128 harmonics give ~1.4 deg
-    psi resolution, which the winner refinement stage then polishes).
-    Returns per-image best (ref, psi, trial_idx, flip, peak)."""
-    from xmipp3_tpu.ops.fourier import fourier_shift_2d
+    TPU shape of the 5-D search: every (trial, ring, angle) sample of every
+    image comes from ONE constant-index gather (the trial shifts are baked
+    into the polar grids — no per-trial Fourier shifts), every stride-th
+    ring, angular sampling at the Nyquist rate of the kept n_harmonics
+    (~1.4 deg psi resolution at 128; the winner refinement restores full
+    precision). Returns per-image best (ref, psi, trial_idx, flip, peak)."""
     B = imgs.shape[0]
+    n_ang = 2 * n_harmonics
     f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max,
+                                          n_angles=n_ang,
                                           stride=stride))[..., :n_harmonics]
+    pol = polar_at_static_offsets(imgs, trials, radius_min, radius_max,
+                                  n_angles=n_ang, stride=stride)  # (B,T,R,A)
+    f_all = ring_ffts(pol)[..., :n_harmonics]                     # (B,T,R,k)
+    f_all = jnp.moveaxis(f_all, 1, 0)                             # (T,B,R,k)
 
-    def body(carry, t):
+    def body(carry, f_im):
         best_peak, best_psi, best_ref, best_trial, best_flip, ti = carry
-        shifted = fourier_shift_2d(imgs, t[0], t[1])
-        f_im = ring_ffts(cartesian_to_polar(shifted, radius_min, radius_max,
-                                            stride=stride))[..., :n_harmonics]
         psi, peak, psi_m, peak_m = best_rotation_matrix(f_refs, f_im,
                                                         radius_min)
         if check_mirror:
@@ -144,30 +148,34 @@ def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
     init = (jnp.full(B, -jnp.inf), jnp.zeros(B), jnp.zeros(B, jnp.int32),
             jnp.zeros(B, jnp.int32), jnp.zeros(B, bool),
             jnp.asarray(0, jnp.int32))
-    (peak, psi, ref, trial, flip, _), _ = jax.lax.scan(body, init, trials)
+    (peak, psi, ref, trial, flip, _), _ = jax.lax.scan(body, init, f_all)
     return peak, psi, ref, trial, flip
 
 
-@partial(jax.jit, static_argnames=("max_shift", "radius_min", "radius_max",
-                                   "refine_iters", "check_mirror"))
+@partial(jax.jit, static_argnames=("trials", "max_shift", "radius_min",
+                                   "radius_max", "refine_iters",
+                                   "check_mirror"))
 def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
                radius_max: int, refine_iters: int, check_mirror: bool):
     """Single-compilation gallery match (scan + winner refinement).
 
     One end-to-end jit: repeated calls with the same static config reuse the
     compiled program — essential under remote compilation, where every
-    retrace costs seconds."""
+    retrace costs seconds. `trials` is a static tuple of (tx, ty) so the
+    scan's gather indices are compile-time constants."""
     B, H, W = imgs.shape
     peak0, psi0, best_ref, trial_idx, flip = _scan_trials(
         refs, imgs, trials, radius_min, radius_max, check_mirror)
 
     chosen_refs = refs[best_ref]                             # (B,H,W)
-    t = trials[trial_idx]                                     # (B,2)
+    t = jnp.asarray(np.asarray(trials, np.float32))[trial_idx]  # (B,2)
 
     # Mirror convention: conj ring-FFT correlation corresponds to the
     # y-flipped image (polar angle reversal θ -> -θ); y-flipping T(t)·img
-    # gives T(tx,-ty)·yflip(img).
-    work = jnp.where(flip[:, None, None], imgs[:, ::-1, :], imgs)
+    # gives T(tx,-ty)·yflip(img). The flip must be about the exact center
+    # (ops.geo.centered_flip) or a 1 px ghost shift leaks into the pose.
+    from xmipp3_tpu.ops.geo import centered_flip
+    work = jnp.where(flip[:, None, None], centered_flip(imgs, 1), imgs)
     tx = t[:, 0]
     ty = jnp.where(flip, -t[:, 1], t[:, 1])
 
@@ -244,6 +252,7 @@ def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
     H = imgs.shape[-2]
     if radius_max is None:
         radius_max = H // 2 - 2
-    trials = jnp.asarray(_trial_shift_grid(max_shift, trial_step))
+    trials = tuple(map(tuple, _trial_shift_grid(max_shift, trial_step)
+                       .astype(float).tolist()))
     return _match_jit(refs, imgs, trials, max_shift, radius_min, radius_max,
                       refine_iters, check_mirror)

@@ -105,6 +105,45 @@ def polar_at_offsets(imgs, offsets, radius_min: int = 2,
     return jax.lax.map(per_offset, jnp.asarray(offsets, jnp.float32))
 
 
+@partial(jax.jit, static_argnames=("offsets", "radius_min", "radius_max",
+                                   "n_angles", "stride"))
+def polar_at_static_offsets(imgs, offsets, radius_min: int = 2,
+                            radius_max: int | None = None,
+                            n_angles: int | None = None, stride: int = 1):
+    """Bilinear polar resample around a STATIC tuple of trial shifts.
+
+    Baking the offsets into the grid makes every gather index a compile-time
+    constant — the fast TPU gather path (measured ~2.8 G samples/s vs
+    pathologically slow data-dependent indices). Sampling T(t)·img on the
+    polar grid equals sampling img at grid - t. imgs (B, H, W), offsets
+    ((tx, ty), ...) -> (B, T, R, A)."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    B, H, W = imgs.shape
+    if radius_max is None:
+        radius_max = H // 2 - 2
+    yy0, xx0, _ = polar_grid(H, W, radius_min, radius_max, n_angles)
+    if stride > 1:
+        yy0 = yy0[::stride]
+        xx0 = xx0[::stride]
+    yy = np.stack([yy0 - ty for (tx, ty) in offsets])     # (T, R, A) consts
+    xx = np.stack([xx0 - tx for (tx, ty) in offsets])
+    y0 = np.floor(yy).astype(np.int32)
+    x0 = np.floor(xx).astype(np.int32)
+    fy = jnp.asarray(yy - y0)
+    fx = jnp.asarray(xx - x0)
+
+    def one(img):
+        def tap(dy, dx):
+            # periodic indexing: shifted grids can step past the frame for
+            # the outer rings; wrap matches the Fourier-shift semantics of
+            # the reference path (clipping changes outer-ring correlations)
+            return img[(y0 + dy) % H, (x0 + dx) % W]
+        return (tap(0, 0) * (1 - fy) * (1 - fx) + tap(0, 1) * (1 - fy) * fx +
+                tap(1, 0) * fy * (1 - fx) + tap(1, 1) * fy * fx)
+
+    return jax.vmap(one)(imgs)
+
+
 @jax.jit
 def ring_ffts(polar):
     """FFT along the angular axis (reference fourierTransformRings)."""

@@ -40,7 +40,8 @@ def parallel_match(mesh, refs, imgs, max_shift: int = 8, radius_min: int = 2,
 
     refs_d = replicate(jnp.asarray(refs), mesh)
     imgs_d = shard_particles(jnp.asarray(imgs_p), mesh, axis_name)
-    trials = replicate(jnp.asarray(_trial_shift_grid(max_shift)), mesh)
+    trials = tuple(map(tuple, _trial_shift_grid(max_shift)
+                       .astype(float).tolist()))
 
     peak, psi, ref, trial, flip = _scan_trials(
         refs_d, imgs_d, trials, radius_min, radius_max, check_mirror)
