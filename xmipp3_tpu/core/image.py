@@ -375,7 +375,7 @@ _MRC_EXTS = {"mrc", "mrcs", "map", "st", "rec", "ali"}
 _EXTRA_EXTS = {"img": "imagic", "hed": "imagic", "em": "em", "ems": "em",
                "ser": "ser", "dm3": "dm", "dm4": "dm", "h5": "hdf5",
                "hdf5": "hdf5", "hdf": "hdf5", "jpg": "pil", "jpeg": "pil",
-               "png": "pil"}
+               "png": "pil", "pif": "pif"}
 
 
 def _codec_for(fn: FileName) -> str:
@@ -456,6 +456,9 @@ class Image:
         elif codec == "pil":
             from xmipp3_tpu.core.image_formats import read_pil
             self.header, self.data = read_pil(path, header_only)
+        elif codec == "pif":
+            from xmipp3_tpu.core.image_formats import read_pif
+            self.header, self.data = read_pif(path, header_only, idx)
         else:
             try:
                 self.header, self.data = read_spider(path, header_only, idx)
@@ -529,6 +532,9 @@ class Image:
         elif fmt in ("jpg", "jpeg", "png"):
             from xmipp3_tpu.core.image_formats import write_pil
             write_pil(fn.path, self.data)
+        elif fmt == "pif":
+            from xmipp3_tpu.core.image_formats import write_pif
+            write_pif(fn.path, self.data)
         else:
             raise XmippError(ErrCode.IMG_NOWRITE, f"format {fmt}")
 

@@ -344,6 +344,78 @@ def read_dm(path, header_only=False):
 
 
 # ---------------------------------------------------------------------------
+# PIF (Purdue Image Format)
+# ---------------------------------------------------------------------------
+# Layout per the public PIF description (512-byte file header with magic
+# ints (8, 8), an ASCII FLOATSCALE factor, image count and global dims;
+# one 512-byte header per image; pixel data stored as scaled integers).
+# The format is effectively extinct and no reference fixtures exist, so the
+# codec is validated by roundtrip; historic files with deviating layouts
+# raise a clear error instead of misreading.
+
+_PIF_MODES = {0: np.int8, 1: np.int16, 2: np.int32, 7: np.float32}
+
+
+def read_pif(path, header_only=False, idx=None):
+    with open(path, "rb") as f:
+        hdr = f.read(512)
+        if len(hdr) < 512:
+            raise XmippError(ErrCode.IMG_UNKNOWN, "not a PIF file")
+        m0, m1 = struct.unpack("<2i", hdr[0:8])
+        if (m0, m1) != (8, 8):
+            raise XmippError(ErrCode.IMG_UNKNOWN, "not a PIF file (magic)")
+        try:
+            scale = float(hdr[8:24].split(b"\x00")[0] or b"1")
+        except ValueError:
+            scale = 1.0
+        n_imgs, _endian = struct.unpack("<2i", hdr[24:32])
+        htype, nx, ny, nz, mode = struct.unpack("<5i", hdr[64:84])
+        dt = _PIF_MODES.get(mode)
+        if dt is None or nx <= 0 or ny <= 0:
+            raise XmippError(ErrCode.IMG_UNKNOWN, f"PIF mode {mode}")
+        shape4 = (n_imgs, max(nz, 1), ny, nx)
+        h = _header(shape4)
+        if header_only:
+            return h, None
+        item = np.dtype(dt).itemsize
+        frame_bytes = 512 + nx * ny * max(nz, 1) * item
+        sel = range(n_imgs) if idx is None else [int(idx) - 1]
+        frames = []
+        for i in sel:
+            f.seek(512 + i * frame_bytes + 512)       # skip image header
+            a = np.fromfile(f, dtype="<" + np.dtype(dt).char,
+                            count=nx * ny * max(nz, 1))
+            frames.append(a.reshape((max(nz, 1), ny, nx)))
+        data = np.squeeze(np.stack(frames)).astype(np.float32)
+        if np.issubdtype(dt, np.integer) and scale not in (0.0, 1.0):
+            data = data * np.float32(scale)
+    return h, data
+
+
+def write_pif(path, data, scale=None):
+    data = np.asarray(data, np.float32)
+    if data.ndim == 2:
+        data = data[None]
+    if data.ndim == 3:                       # stack of 2D images
+        data = data[:, None]                 # (n, 1, ny, nx)
+    n, nz, ny, nx = data.shape
+    peak = float(np.abs(data).max()) or 1.0
+    scale = scale or peak / 32000.0
+    hdr = bytearray(512)
+    hdr[0:8] = struct.pack("<2i", 8, 8)
+    hdr[8:24] = f"{scale:.8g}".encode().ljust(16, b"\x00")
+    hdr[24:32] = struct.pack("<2i", n, 0)
+    hdr[64:84] = struct.pack("<5i", 1, nx, ny, nz, 1)  # htype, dims, mode i16
+    with open(path, "wb") as f:
+        f.write(bytes(hdr))
+        ih = bytearray(512)
+        ih[0:16] = struct.pack("<4i", nx, ny, nz, 1)
+        for i in range(n):
+            f.write(bytes(ih))
+            f.write(np.round(data[i] / scale).astype("<i2").tobytes())
+
+
+# ---------------------------------------------------------------------------
 # HDF5
 # ---------------------------------------------------------------------------
 

@@ -76,11 +76,18 @@ class ProgMicrographAutomaticPicking(XmippProgram):
         self.addParamsLine("  [--ref <stack=\"\">] : Reference particles/templates")
         self.addParamsLine("  [--thr <t=3.0>]   : Peak threshold (sigma over background)")
         self.addParamsLine("  [--max_peaks <n=500>] : Maximum number of picks")
+        self.addParamsLine("  [--svm <model=\"\">]  : SVM model for the second classification stage (candidates are kept only if the SVM accepts them)")
+        self.addParamsLine("  [--trainSVM]      : Train the --svm model from --trainPos/--trainNeg and exit")
+        self.addParamsLine("  [--trainPos <md=\"\">] : Positive training particles")
+        self.addParamsLine("  [--trainNeg <md=\"\">] : Negative training particles")
 
     def run(self):
         import jax.numpy as jnp
         from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
                                                    band_pass_mask)
+        if self.checkParam("--trainSVM"):
+            self._train_svm()
+            return
         mic = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
         size = self.getIntParam("--particleSize")
         thr = self.getDoubleParam("--thr")
@@ -122,12 +129,45 @@ class ProgMicrographAutomaticPicking(XmippProgram):
             y0, y1 = max(y - half, 0), min(y + half, H)
             x0, x1 = max(x - half, 0), min(x + half, W)
             s[y0:y1, x0:x1] = -np.inf
+        # SVM second stage: classify candidate boxes, keep accepted ones
+        # (reference two-stage picker: correlation candidates -> SVM)
+        if self.checkParam("--svm") and self.getParam("--svm") and peaks:
+            from xmipp3_tpu.models.svm import LinearSVM, particle_features
+            svm = LinearSVM.load(self.getParam("--svm"))
+            boxes = []
+            kept_idx = []
+            for i, (x, y, c) in enumerate(peaks):
+                if half <= x < W - half and half <= y < H - half:
+                    boxes.append(mic[y - half:y - half + 2 * half,
+                                     x - half:x - half + 2 * half])
+                    kept_idx.append(i)
+            if boxes:
+                ok = svm.predict(particle_features(np.stack(boxes)))
+                peaks = [peaks[kept_idx[j]] for j in range(len(boxes))
+                         if ok[j]]
         MetaData.fromRows([
             {"xcoor": x, "ycoor": y, "cost": c, "itemId": i + 1}
             for i, (x, y, c) in enumerate(peaks)]).write(self.getParam("-o"))
         if self.verbose:
             print(f"Picked {len(peaks)} particles")
         self.n_picked = len(peaks)
+
+    def _train_svm(self):
+        from xmipp3_tpu.core.metadata_program import load_image_rows
+        from xmipp3_tpu.models.svm import LinearSVM, particle_features
+        pos = load_image_rows(list(MetaData(
+            self.getParam("--trainPos")).iterRows()))
+        neg = load_image_rows(list(MetaData(
+            self.getParam("--trainNeg")).iterRows()))
+        X = particle_features(np.concatenate([pos, neg]))
+        y = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+        svm = LinearSVM().fit(X, y)
+        svm.save(self.getParam("--svm"))
+        acc = (svm.predict(X) == y).mean()
+        self.train_accuracy = float(acc)
+        if self.verbose:
+            print(f"SVM trained on {len(y)} boxes "
+                  f"(train accuracy {acc:.3f}) -> {self.getParam('--svm')}")
 
 
 PROGRAM = None
