@@ -332,6 +332,9 @@ class XmippProgram:
                            "e.g. tpu, cpu, tpu:0-3")
         self.addParamsLine("  [--thr <threads=1> <rows=1>] : Host worker threads "
                            "(I/O pipelining); device parallelism is automatic")
+        self.addParamsLine("  [--trace <dir=\"\">]  : Write a jax.profiler "
+                           "trace of the run to this directory (xprof/"
+                           "TensorBoard viewable); -v 2 adds phase timing")
 
     # -- to override ------------------------------------------------------
     def defineParams(self) -> None:
@@ -368,8 +371,14 @@ class XmippProgram:
         if getattr(self, "_help_requested", False):
             return 0
         try:
+            from xmipp3_tpu.core.timing import enable_timing, trace
+            if self.verbose >= 2:
+                enable_timing(True)
+            trace_dir = (self.getParam("--trace")
+                         if self.checkParam("--trace") else "")
             self.show_if_verbose()
-            self.run()
+            with trace(trace_dir):
+                self.run()
             return 0
         except XmippError as e:
             print(f"XMIPP_ERROR: {e}", file=sys.stderr)

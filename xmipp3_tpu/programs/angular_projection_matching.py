@@ -60,13 +60,18 @@ class ProgAngularProjectionMatching(XmippProgram):
         max_shift = self.max_shift if self.max_shift > 0 else H // 4
         Ro = self.Ro if self.Ro > 0 else H // 2 - 2
 
+        from xmipp3_tpu.core.timing import timed_phase
         out_rows = []
         for s in range(0, len(rows), self.batch):
             chunk = rows[s:s + self.batch]
-            imgs = np.stack([np.squeeze(Image(r["image"]).data)
-                             for r in chunk]).astype(np.float32)
-            res = match_to_gallery(refs, imgs, max_shift=max_shift,
-                                   radius_min=max(self.Ri, 2), radius_max=Ro)
+            with timed_phase("load_batch"):
+                imgs = np.stack([np.squeeze(Image(r["image"]).data)
+                                 for r in chunk]).astype(np.float32)
+            with timed_phase("match_to_gallery"):
+                res = match_to_gallery(refs, imgs, max_shift=max_shift,
+                                       radius_min=max(self.Ri, 2),
+                                       radius_max=Ro)
+                res = {k: np.asarray(v) for k, v in res.items()}
             ref_idx = np.asarray(res["ref_idx"])
             psi = np.asarray(res["psi"])
             sx = np.asarray(res["sx"])
