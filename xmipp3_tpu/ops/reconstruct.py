@@ -25,15 +25,31 @@ import numpy as np
 from xmipp3_tpu.core.geometry import euler_matrix
 
 
-def _slice_tap_coords(mats, out_n: int, P: int):
-    """Frequency coords of each slice sample in cube index space.
+def _disk_mask(out_n: int, max_freq: float):
+    """STATIC boolean mask of rfft2 samples inside the resolution cutoff —
+    samples outside contribute nothing, and scatter updates are the whole
+    cost of backprojection (measured ~90 M updates/s hard ceiling on TPU),
+    so they are compacted away at trace time."""
+    fy = np.fft.fftfreq(out_n).astype(np.float32)
+    fx = np.fft.rfftfreq(out_n).astype(np.float32)
+    r = np.sqrt(fy[:, None] ** 2 + fx[None, :] ** 2)
+    return r <= max_freq
 
-    mats (C,3,3) -> zi, yi, xi each (C, out_n, out_n//2+1) float32."""
+
+def _slice_tap_coords(mats, out_n: int, P: int, keep=None):
+    """Frequency coords of each kept slice sample in cube index space.
+
+    mats (C,3,3) -> zi, yi, xi each (C, S) float32 where S = kept samples
+    (static mask `keep`, or all out_n*(out_n//2+1))."""
     c = P // 2
-    fy = jnp.fft.fftfreq(out_n).astype(jnp.float32)
-    fx = jnp.fft.rfftfreq(out_n).astype(jnp.float32)
-    KX = jnp.broadcast_to(fx[None, :], (out_n, fx.shape[0])) * P
-    KY = jnp.broadcast_to(fy[:, None], (out_n, fx.shape[0])) * P
+    fy = np.fft.fftfreq(out_n).astype(np.float32)
+    fx = np.fft.rfftfreq(out_n).astype(np.float32)
+    KX = (np.broadcast_to(fx[None, :], (out_n, fx.shape[0])) * P)
+    KY = (np.broadcast_to(fy[:, None], (out_n, fx.shape[0])) * P)
+    if keep is not None:
+        KX, KY = KX[keep], KY[keep]
+    KX = jnp.asarray(KX.ravel())
+    KY = jnp.asarray(KY.ravel())
 
     def one(M):
         gx = KX * M[0, 0] + KY * M[1, 0]
@@ -62,12 +78,14 @@ def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
                                     fy * sy[:, None, None]))
     spec = spec * phase
 
-    # resolution cutoff mask (droop the corners; reference maxResolution crop)
-    r = jnp.sqrt((fy * N) ** 2 + (fx * N) ** 2) / N
-    res_mask = (r <= max_freq).astype(jnp.float32)
-    wimg = res_mask * img_w[:, None, None]
+    # resolution cutoff: samples outside the disk are dropped STATICALLY
+    # (compile-time index set) — scatter updates dominate the whole cost
+    keep = _disk_mask(N, max_freq)
+    flat_keep = np.flatnonzero(keep.ravel())              # static indices
+    spec = spec.reshape(C, -1)[:, flat_keep]              # (C, S)
+    wimg = jnp.broadcast_to(img_w[:, None], spec.shape)
 
-    zi, yi, xi = _slice_tap_coords(mats, N, P)
+    zi, yi, xi = _slice_tap_coords(mats, N, P, keep=keep)
     z0 = jnp.floor(zi).astype(jnp.int32)
     y0 = jnp.floor(yi).astype(jnp.int32)
     x0 = jnp.floor(xi).astype(jnp.int32)
