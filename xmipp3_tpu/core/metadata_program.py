@@ -66,6 +66,44 @@ def load_image_rows(rows: list[dict]) -> np.ndarray:
     return np.stack(out).astype(np.float32)
 
 
+class BatchPrefetcher:
+    """Double-buffered batch loader: loads batch i+1 on a host thread while
+    the device computes on batch i (the reference's ThreadTaskDistributor /
+    producer-consumer data-loader role, xmipp_threads; here IO overlaps XLA
+    async dispatch instead of worker compute)."""
+
+    def __init__(self, rows: list[dict], batch_size: int, loader=None,
+                 depth: int = 2):
+        import queue
+        import threading
+        self._rows = rows
+        self._bs = batch_size
+        self._loader = loader or load_image_rows
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._err = None
+        self._t = threading.Thread(target=self._produce, daemon=True)
+        self._t.start()
+
+    def _produce(self):
+        try:
+            for s in range(0, len(self._rows), self._bs):
+                chunk = self._rows[s:s + self._bs]
+                self._q.put((s, chunk, self._loader(chunk)))
+        except Exception as e:                       # pragma: no cover
+            self._err = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
+
+
 class XmippMetadataProgram(XmippProgram):
     #: subclasses may set a preferred device batch size
     batch_size = 256
@@ -187,9 +225,10 @@ class XmippMetadataProgram(XmippProgram):
         out_rows: list[dict] = []
 
         B = self.batch_size
-        for start in range(0, n, B):
-            chunk = rows[start:start + B]
-            imgs = self.load_batch(chunk)
+        # double-buffered loader: batch i+1 reads from disk while batch i
+        # runs on the device
+        for start, chunk, imgs in BatchPrefetcher(rows, B,
+                                                  loader=self.load_batch):
             out = np.asarray(self.processBatch(imgs, chunk))
             for i, r in enumerate(chunk):
                 results.append(out[i])

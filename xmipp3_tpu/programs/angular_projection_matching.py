@@ -60,13 +60,13 @@ class ProgAngularProjectionMatching(XmippProgram):
         max_shift = self.max_shift if self.max_shift > 0 else H // 4
         Ro = self.Ro if self.Ro > 0 else H // 2 - 2
 
+        from xmipp3_tpu.core.metadata_program import (BatchPrefetcher,
+                                                      load_image_rows)
         from xmipp3_tpu.core.timing import timed_phase
         out_rows = []
-        for s in range(0, len(rows), self.batch):
-            chunk = rows[s:s + self.batch]
-            with timed_phase("load_batch"):
-                imgs = np.stack([np.squeeze(Image(r["image"]).data)
-                                 for r in chunk]).astype(np.float32)
+        # double-buffered loader: the next batch reads while this one matches
+        for s, chunk, imgs in BatchPrefetcher(rows, self.batch,
+                                              loader=load_image_rows):
             with timed_phase("match_to_gallery"):
                 res = match_to_gallery(refs, imgs, max_shift=max_shift,
                                        radius_min=max(self.Ri, 2),
