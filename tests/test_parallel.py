@@ -76,3 +76,27 @@ def test_parallel_match_agrees_with_local():
     mesh = data_mesh(8)
     out = parallel_match(mesh, refs, imgs, max_shift=2, check_mirror=False)
     assert (out["ref_idx"] == pick).mean() > 0.9
+
+
+def test_refsharded_match_parity():
+    """Gallery-sharded (tensor-parallel) matching must agree exactly with
+    the single-device scan (winner reduced via pmax/psum collectives)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from xmipp3_tpu.ops.match import _scan_trials, _trial_shift_grid
+    from xmipp3_tpu.parallel.match import parallel_match_refsharded
+    rng = np.random.default_rng(0)
+    R, B, N = 24, 16, 48
+    refs = rng.normal(size=(R, N, N)).astype(np.float32)
+    imgs = (np.stack([refs[i % R] for i in range(B)])
+            + rng.normal(0, 0.1, (B, N, N)).astype(np.float32))
+    mesh = Mesh(np.array(jax.devices()), ("model",))
+    res = parallel_match_refsharded(mesh, refs, imgs, max_shift=4)
+    trials = tuple(map(tuple, _trial_shift_grid(4).astype(float).tolist()))
+    peak1, psi1, ref1, _, _ = _scan_trials(
+        jnp.asarray(refs), jnp.asarray(imgs), trials, 2, N // 2 - 2, True)
+    assert (res["ref_idx"] == np.asarray(ref1)).all()
+    np.testing.assert_allclose(res["peak"], np.asarray(peak1), atol=1e-4)
+    np.testing.assert_allclose(res["psi"], np.asarray(psi1), atol=1e-3)
+    assert (res["ref_idx"] == np.arange(B) % R).all()

@@ -49,3 +49,57 @@ def parallel_match(mesh, refs, imgs, max_shift: int = 8, radius_min: int = 2,
            dict(peak=peak, psi=psi, ref_idx=ref, trial=trial,
                 flip=flip).items()}
     return out
+
+
+def parallel_match_refsharded(mesh, refs, imgs, max_shift: int = 8,
+                              radius_min: int = 2,
+                              radius_max: int | None = None,
+                              check_mirror: bool = True,
+                              axis_name: str = "model"):
+    """Gallery-sharded (tensor-parallel) matching: each device holds a SLICE
+    of the reference gallery (the big operand when galleries outgrow one
+    chip's HBM), computes correlations of ALL particles against its refs,
+    and the global winner is reduced across the mesh with jax.lax collectives
+    (argmax over the model axis). Complements parallel_match (dp)."""
+    refs = np.asarray(refs, np.float32)
+    imgs = jnp.asarray(np.asarray(imgs, np.float32))
+    n_dev = mesh.shape[axis_name]
+    refs_p, n_refs = pad_to_multiple(refs, n_dev)
+    per_dev = refs_p.shape[0] // n_dev
+    H = imgs.shape[-1]
+    if radius_max is None:
+        radius_max = H // 2 - 2
+    trials = tuple(map(tuple, _trial_shift_grid(max_shift)
+                       .astype(float).tolist()))
+
+    def local(refs_shard, imgs_rep):
+        # local best over this device's gallery slice
+        peak, psi, ref, trial, flip = _scan_trials(
+            refs_shard, imgs_rep, trials, radius_min, radius_max,
+            check_mirror)
+        # globalize the ref index, then winner-take-all across the mesh:
+        # pack (peak, payload) and argmax via psum of one-hot winners
+        dev = jax.lax.axis_index(axis_name)
+        gref = ref + dev * per_dev
+        best_peak = jax.lax.pmax(peak, axis_name)
+        win = (peak == best_peak).astype(jnp.float32)
+        # ties broken toward the lowest device: keep first winner only
+        first = jax.lax.pmax(jnp.where(win > 0, n_dev - dev, 0), axis_name)
+        mine = (win > 0) & (dev == n_dev - first)
+        pick = lambda v: jax.lax.psum(
+            jnp.where(mine, v.astype(jnp.float32), 0.0), axis_name)
+        return (best_peak, pick(psi), pick(gref), pick(trial),
+                pick(flip.astype(jnp.float32)))
+
+    fn = jax.shard_map(local, mesh=mesh,
+                       in_specs=(P(axis_name), P()),
+                       out_specs=(P(), P(), P(), P(), P()),
+                       check_vma=False)   # scan carries start unvarying
+    refs_d = jax.device_put(jnp.asarray(refs_p),
+                            NamedSharding(mesh, P(axis_name)))
+    peak, psi, gref, trial, flip = fn(refs_d, imgs)
+    mask = np.asarray(gref).astype(int) < len(refs)
+    return dict(peak=np.asarray(peak), psi=np.asarray(psi),
+                ref_idx=np.asarray(gref).astype(int),
+                trial=np.asarray(trial).astype(int),
+                flip=np.asarray(flip) > 0.5, valid=mask)
