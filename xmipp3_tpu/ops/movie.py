@@ -192,6 +192,77 @@ def interpolate_shift_field(field, cys, cxs, H, W):
     return out
 
 
+def warp_sum_frames_tiled(frames, field, cys, cxs, tile: int = 512,
+                          overlap: float = 0.5):
+    """Gather-free local-motion correction: overlapping Hann-windowed tiles,
+    each Fourier-shifted by the (bilinearly interpolated) local shift at its
+    center, blended and summed over frames. The MotionCor2-style warp —
+    per-pixel dynamic gathers are ~35x slower than FFT work on TPU, and the
+    shift field is smooth at the tile scale by construction (it comes from
+    a coarse patch grid)."""
+    frames = jnp.asarray(frames, jnp.float32)
+    F, H, W = frames.shape
+    tile = int(min(tile, H, W))
+    step = max(int(tile * (1 - overlap)), 1)
+    y0s = list(range(0, max(H - tile, 0) + 1, step))
+    x0s = list(range(0, max(W - tile, 0) + 1, step))
+    if y0s[-1] != H - tile:
+        y0s.append(H - tile)
+    if x0s[-1] != W - tile:
+        x0s.append(W - tile)
+    win1 = np.hanning(tile).astype(np.float32) + 1e-3
+    win = jnp.asarray(win1[:, None] * win1[None, :])
+    field = np.asarray(field, np.float32)          # (ny, nx, F, 2)
+    cys = np.asarray(cys, np.float64)
+    cxs = np.asarray(cxs, np.float64)
+
+    def field_at(cy, cx):
+        """Bilinear interp of the patch field at one point -> (F, 2)."""
+        iy = np.clip(np.searchsorted(cys, cy) - 1, 0, len(cys) - 2)
+        ix = np.clip(np.searchsorted(cxs, cx) - 1, 0, len(cxs) - 2)
+        ty = np.clip((cy - cys[iy]) / max(cys[iy + 1] - cys[iy], 1e-9), 0, 1)
+        tx = np.clip((cx - cxs[ix]) / max(cxs[ix + 1] - cxs[ix], 1e-9), 0, 1)
+        f00, f01 = field[iy, ix], field[iy, ix + 1]
+        f10, f11 = field[iy + 1, ix], field[iy + 1, ix + 1]
+        return ((1 - ty) * ((1 - tx) * f00 + tx * f01)
+                + ty * ((1 - tx) * f10 + tx * f11))
+
+    # gather the per-tile shifts host-side (tiny), run ONE jitted scan over
+    # tiles on device (a Python tile loop costs a dispatch round trip per
+    # tile through the remote relay)
+    origins = np.array([(y0, x0) for y0 in y0s for x0 in x0s], np.int32)
+    tshifts = np.stack([field_at(y0 + tile / 2, x0 + tile / 2)
+                        for (y0, x0) in origins])          # (T, F, 2)
+
+    @partial(jax.jit, static_argnames=("tile_n",))
+    def run(frames, origins, tshifts, tile_n):
+        fyg = jnp.fft.fftfreq(tile_n).astype(jnp.float32)[None, :, None]
+        fxg = jnp.fft.rfftfreq(tile_n).astype(jnp.float32)[None, None, :]
+
+        def body(carry, inp):
+            out, wsum = carry
+            (y0, x0), s = inp
+            tiles = jax.lax.dynamic_slice(
+                frames, (0, y0, x0), (F, tile_n, tile_n)) * win[None]
+            ph = jnp.exp(2j * jnp.pi * (fxg * (-s[:, 0])[:, None, None] +
+                                        fyg * (-s[:, 1])[:, None, None]))
+            shifted = jnp.fft.irfft2(jnp.fft.rfft2(tiles) * ph,
+                                     s=(tile_n, tile_n)).sum(axis=0)
+            cur = jax.lax.dynamic_slice(out, (y0, x0), (tile_n, tile_n))
+            out = jax.lax.dynamic_update_slice(out, cur + shifted, (y0, x0))
+            curw = jax.lax.dynamic_slice(wsum, (y0, x0), (tile_n, tile_n))
+            wsum = jax.lax.dynamic_update_slice(wsum, curw + win * F,
+                                                (y0, x0))
+            return (out, wsum), None
+
+        init = (jnp.zeros((H, W), jnp.float32),
+                jnp.zeros((H, W), jnp.float32))
+        (out, wsum), _ = jax.lax.scan(body, init, (origins, tshifts))
+        return out / jnp.maximum(wsum, 1e-6) * F
+
+    return run(frames, jnp.asarray(origins), jnp.asarray(tshifts), tile)
+
+
 @jax.jit
 def warp_sum_frames(frames, shift_maps):
     """Warp each frame by its per-pixel shift map (undo local motion), sum."""

@@ -88,9 +88,9 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
                                                patches=self.patches,
                                                max_shift_px=8)
             total = field + pos[None, None]
-            maps = mops.interpolate_shift_field(total, cys, cxs, H, W)
-            # warp with negative (undo motion)
-            avg = np.asarray(mops.warp_sum_frames(frames, maps)) / F
+            # gather-free tiled warp (Fourier-shifted Hann tiles)
+            avg = np.asarray(mops.warp_sum_frames_tiled(
+                frames, total, cys, cxs)) / F
             aligned = None
         else:
             avg = np.asarray(mops.shift_sum_frames(
