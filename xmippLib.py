@@ -10,6 +10,8 @@ covered surface; label constants are carried as their STAR string names
 """
 from __future__ import annotations
 
+import os as _os
+
 import numpy as _np
 
 from xmipp3_tpu.core.filename import FileName as _FileName
@@ -88,12 +90,22 @@ def isValidLabel(label) -> bool:
 # ---------------------------------------------------------------------------
 
 class FileName(str):
-    def compose(self, prefix, path=None):
+    def compose(self, prefix, path=None, ext=None):
+        """Reference compose forms: (root, number, ext) -> root000001.ext;
+        (number, path) -> 000001@path; (block, path) -> block@path. The
+        reference binding mutates in place; str is immutable in Python, so
+        the composed name is RETURNED (callers must take the result)."""
+        if ext is not None:
+            return FileName(f"{prefix}{int(path):06d}.{ext}")
         if path is None:
             return FileName(str(prefix))
         if isinstance(prefix, int):
             return FileName(f"{prefix:06d}@{path}")
         return FileName(f"{prefix}@{path}")
+
+    def isMetaData(self):
+        from xmipp3_tpu.core.metadata_program import is_metadata_file
+        return is_metadata_file(str(self))
 
     def exists(self):
         return _FileName(str(self)).exists()
@@ -201,10 +213,103 @@ class MetaData(_CoreMetaData):
     def containsLabel(self, label):
         return super().containsLabel(str(label))
 
+    # -- reference binding surface (tests/test_binding.py contracts) ------
+    def __eq__(self, other):
+        if not isinstance(other, _CoreMetaData):
+            return NotImplemented
+        a, b = self.df, other.df
+        if sorted(a.columns) != sorted(b.columns) or len(a) != len(b):
+            return False
+        for col in a.columns:
+            x = a[col].to_numpy()
+            y = b[col].to_numpy()
+            if x.dtype.kind in "fiu" and y.dtype.kind in "fiu":
+                if not _np.allclose(x.astype(float), y.astype(float),
+                                    rtol=1e-5, atol=1e-6):
+                    return False
+            elif not all(" ".join(str(u).split()) == " ".join(str(v).split())
+                         for u, v in zip(x, y)):
+                return False
+        return True
+
+    def __ne__(self, other):
+        eq = self.__eq__(other)
+        return NotImplemented if eq is NotImplemented else not eq
+
+    __hash__ = None
+
+    def importObjects(self, other, query=None):
+        """Copy the rows of `other` that satisfy `query` (MDValueEQ etc.)."""
+        df = other.df
+        if query is not None:
+            df = df[query.mask(df)]
+        self._df = df.reset_index(drop=True).copy()
+
+    def operate(self, expression: str):
+        """In-place column arithmetic, e.g. "angleRot=3*angleRot,
+        anglePsi=2*anglePsi" (reference MDSql operate contract)."""
+        for stmt in expression.split(","):
+            target, expr = (t.strip() for t in stmt.split("=", 1))
+            self._df[target] = self._df.eval(expr)
+
+    def joinNatural(self, md1, md2):
+        """Natural join on all shared columns (reference joinNatural)."""
+        import pandas as pd
+        common = [c for c in md1.df.columns if c in md2.df.columns]
+        self._df = pd.merge(md1.df, md2.df, on=common).reset_index(drop=True)
+
+    def intersection(self, other, label):
+        """Keep rows whose `label` value appears in `other` (in place)."""
+        label = str(label)
+        keep = self._df[label].isin(set(other.df[label]))
+        self._df = self._df[keep].reset_index(drop=True)
+
+    def fillConstant(self, label, value):
+        return super().fillConstant(str(label), value)
+
+    def removeLabel(self, label):
+        return super().removeLabel(str(label))
+
+
+def existsBlockInMetaDataFile(path) -> bool:
+    """True if "block@file" names an existing block (reference helper)."""
+    from xmipp3_tpu.core.filename import as_filename
+    fn = as_filename(str(path))
+    if fn.block is None:
+        return _os.path.exists(fn.path)
+    if not _os.path.exists(fn.path):
+        return False
+    return fn.block in _CoreMetaData.blocksInFile(fn.path)
+
 
 class MDQuery:
     def __init__(self, expr: str = ""):
         self.expr = expr
+
+    def mask(self, df):
+        return df.eval(self.expr)
+
+
+class MDValueEQ(MDQuery):
+    def __init__(self, label, value):
+        self.label = str(label)
+        self.value = value
+
+    def mask(self, df):
+        if self.label not in df.columns:
+            import numpy as np
+            return _np.zeros(len(df), bool)
+        return df[self.label] == self.value
+
+
+class MDValueRange(MDQuery):
+    def __init__(self, label, vmin, vmax):
+        self.label = str(label)
+        self.vmin, self.vmax = vmin, vmax
+
+    def mask(self, df):
+        col = df[self.label]
+        return (col >= self.vmin) & (col <= self.vmax)
 
 
 class SymList:
