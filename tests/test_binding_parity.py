@@ -132,3 +132,43 @@ def test_exists_block_in_metadata_file(pyiface):
     path = os.path.join(pyiface, "testBlock.xmd")
     assert existsBlockInMetaDataFile("b2@" + path)
     assert not existsBlockInMetaDataFile("nonexisting@" + path)
+
+
+def _ctf_md(**kw):
+    md = MetaData()
+    i = md.addObject()
+    for k, v in kw.items():
+        md.setValue(k, v, i)
+    return md
+
+
+def test_error_between_2ctfs_golden():
+    """Reference golden 5045.79 (test_binding.py:134) — exact match pins
+    the full astigmatic CTF forward model."""
+    md1 = _ctf_md(ctfSamplingRate=1., ctfVoltage=200., ctfDefocusU=18306.25,
+                  ctfDefocusV=16786.47, ctfDefocusAngle=30.1,
+                  ctfSphericalAberration=2., ctfQ0=0.07)
+    md2 = _ctf_md(ctfSamplingRate=1., ctfVoltage=200., ctfDefocusU=17932.7,
+                  ctfDefocusV=16930.3, ctfDefocusAngle=45.,
+                  ctfSphericalAberration=2., ctfQ0=0.07)
+    e = xmippLib.errorBetween2CTFs(md1, md2, 256, 0.05, 0.25)
+    assert e == pytest.approx(5045.79, abs=0.5)
+
+
+def test_error_max_freq_ctfs_golden():
+    md1 = _ctf_md(ctfSamplingRate=2., ctfVoltage=300., ctfDefocusU=6000.,
+                  ctfDefocusV=7500., ctfDefocusAngle=45.,
+                  ctfSphericalAberration=2., ctfQ0=0.1)
+    r = xmippLib.errorMaxFreqCTFs(md1, np.pi / 2.)
+    assert r == pytest.approx(7.6852355, abs=1e-2)
+
+
+def test_error_max_freq_ctfs_2d_golden():
+    md1 = _ctf_md(ctfSamplingRate=2., ctfVoltage=300., ctfDefocusU=10000.,
+                  ctfDefocusV=5400., ctfDefocusAngle=45.,
+                  ctfSphericalAberration=2., ctfQ0=0.1)
+    md2 = _ctf_md(ctfSamplingRate=2., ctfVoltage=300., ctfDefocusU=5000.,
+                  ctfDefocusV=5000., ctfDefocusAngle=45.,
+                  ctfSphericalAberration=2., ctfQ0=0.1)
+    r = xmippLib.errorMaxFreqCTFs2D(md1, md2)
+    assert r == pytest.approx(13.921659, abs=1e-2)

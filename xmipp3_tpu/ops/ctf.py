@@ -180,6 +180,15 @@ class CTFDescription:
             ctf = ctf * E
         return self.K * ctf
 
+    def argument_at(self, fx, fy):
+        """The CTF phase argument chi(f) (reference getValueArgument)."""
+        si = self.side_info()
+        fx = jnp.asarray(fx, jnp.float32)
+        fy = jnp.asarray(fy, jnp.float32)
+        u2 = fx * fx + fy * fy
+        deltaf = jnp.where(u2 > 0, self._deltaf(fx, fy, si), 0.0)
+        return si["K1"] * deltaf * u2 + si["K2"] * u2 * u2
+
     def noise_at(self, fx, fy):
         """Background noise power model (reference getValueNoiseAt)."""
         fx = jnp.asarray(fx, jnp.float32)

@@ -429,18 +429,53 @@ def gaussian1D(x, sigma, mu=0.0):
         sigma * _np.sqrt(2 * _np.pi))
 
 
-def errorBetween2CTFs(md1, md2, Ts, minFreq=0.05, maxFreq=0.25):
+def _ctf_grid(c1, xdim):
+    """Full-FFT frequency grid in 1/Å (reference FFT_IDX2DIGFREQ / Tm)."""
+    f = _np.fft.fftfreq(xdim) / c1.sampling_rate
+    fy, fx = _np.meshgrid(f, f, indexing="ij")
+    return fx, fy
+
+
+def errorBetween2CTFs(md1, md2, Xdim=256, minFreq=0.05, maxFreq=0.25):
+    """Sum over the Xdim^2 Fourier grid of |CTF2 - CTF1| (pure, no damping)
+    within the [minFreq, maxFreq]/Tm annulus — the reference
+    errorBetween2CTFs (data/ctf.cpp:107); golden 5045.79 for the binding
+    test's parameter pair at Xdim=256."""
     from xmipp3_tpu.ops.ctf import CTFDescription
     c1 = CTFDescription.from_metadata(md1)
     c2 = CTFDescription.from_metadata(md2)
-    f = _np.linspace(minFreq, maxFreq, 200) / Ts
-    v1 = _np.asarray(c1.pure_at(f, _np.zeros_like(f)))
-    v2 = _np.asarray(c2.pure_at(f, _np.zeros_like(f)))
-    return float(_np.sqrt(((v1 - v2) ** 2).mean()))
+    fx, fy = _ctf_grid(c1, int(Xdim))
+    r = _np.sqrt(fx ** 2 + fy ** 2)
+    keep = (r >= minFreq / c1.sampling_rate) & \
+           (r <= maxFreq / c1.sampling_rate)
+    v1 = _np.asarray(c1.pure_at(fx, fy, damped=False), _np.float64)
+    v2 = _np.asarray(c2.pure_at(fx, fy, damped=False), _np.float64)
+    return float(_np.abs(v2 - v1)[keep].sum())
 
 
-def errorMaxFreqCTFs2D(md1, md2):
+def errorMaxFreqCTFs(md1, phaseRad=_np.pi / 2):
+    """Resolution (A) where the astigmatic phase difference reaches
+    phaseRad: 1/sqrt(phaseRad / (K1 |dfU - dfV|)) (data/ctf.cpp)."""
+    from xmipp3_tpu.ops.ctf import CTFDescription
+    c1 = CTFDescription.from_metadata(md1)
+    K1 = c1.side_info()["K1"]
+    # reference DeltafU/V are the NEGATED defoci (readFromMetadataRow)
+    return float(1.0 / _np.sqrt(
+        phaseRad / (K1 * abs(c1.defocusU - c1.defocusV))))
+
+
+def errorMaxFreqCTFs2D(md1, md2, Xdim=256, phaseRad=_np.pi / 2):
+    """Resolution (A) up to which two CTFs agree in phase within phaseRad:
+    the fraction of grid points with |chi1 - chi2| < phaseRad converts to a
+    max agreeing frequency (data/ctf.cpp errorMaxFreqCTFs2D)."""
     from xmipp3_tpu.ops.ctf import CTFDescription
     c1 = CTFDescription.from_metadata(md1)
     c2 = CTFDescription.from_metadata(md2)
-    return abs(c1.first_zero_freq() - c2.first_zero_freq())
+    fx, fy = _ctf_grid(c1, int(Xdim))
+    a1 = _np.asarray(c1.argument_at(fx, fy), _np.float64)
+    a2 = _np.asarray(c2.argument_at(fx, fy), _np.float64)
+    counter = float((_np.abs(a2 - a1) < phaseRad).sum())
+    total = _np.pi * Xdim * Xdim / 4.0
+    max_freq_A = 1.0 / (2.0 * c1.sampling_rate)
+    res_inv = max_freq_A if counter > total else counter * max_freq_A / total
+    return float(1.0 / res_inv)
