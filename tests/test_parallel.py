@@ -100,3 +100,32 @@ def test_refsharded_match_parity():
     np.testing.assert_allclose(res["peak"], np.asarray(peak1), atol=1e-4)
     np.testing.assert_allclose(res["psi"], np.asarray(psi1), atol=1e-3)
     assert (res["ref_idx"] == np.arange(B) % R).all()
+
+
+def test_slab_reconstruct_matches_dp():
+    """kz-slab (volume-sharded) reconstruction must match the data-parallel
+    psum path to float epsilon — the memory-scaling mode for volumes whose
+    padded cube cannot be replicated per chip (SURVEY §7 phase 4)."""
+    import jax
+    from jax.sharding import Mesh
+    from xmipp3_tpu.ops.project import FourierProjector
+    from xmipp3_tpu.parallel.reconstruct import (parallel_reconstruct,
+                                                 slab_reconstruct)
+    rng = np.random.default_rng(0)
+    N, B = 32, 48
+    vol = np.zeros((N, N, N), np.float32)
+    zz, yy, xx = np.mgrid[0:N, 0:N, 0:N] - N // 2
+    for (cx, cy, cz, r, a) in [(0, 0, 0, 7, 1.), (5, -4, 3, 3, .8),
+                               (-6, 3, -2, 3, .9)]:
+        vol += a * np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2
+                             + (zz - cz) ** 2) / (2 * (r / 2) ** 2))
+                          ).astype(np.float32)
+    rot = rng.uniform(-180, 180, B).astype(np.float32)
+    tilt = np.degrees(np.arccos(rng.uniform(-1, 1, B))).astype(np.float32)
+    psi = rng.uniform(-180, 180, B).astype(np.float32)
+    imgs = np.asarray(FourierProjector(vol).project_euler(rot, tilt, psi))
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    v_dp = np.asarray(parallel_reconstruct(mesh, imgs, rot, tilt, psi))
+    v_slab = np.asarray(slab_reconstruct(mesh, imgs, rot, tilt, psi))
+    assert np.abs(v_dp - v_slab).max() < 1e-5
+    assert np.corrcoef(v_slab.ravel(), vol.ravel())[0, 1] > 0.99

@@ -60,15 +60,21 @@ def _slice_tap_coords(mats, out_n: int, P: int, keep=None):
     return jax.vmap(one)(mats)
 
 
-@partial(jax.jit, static_argnames=("P", "max_freq"))
+@partial(jax.jit, static_argnames=("P", "max_freq", "slab_p"))
 def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
-                      P: int, max_freq: float = 0.5):
+                      P: int, max_freq: float = 0.5, slab_p: int | None = None,
+                      slab_z0=0):
     """Accumulate a chunk of particles into the Fourier cube.
 
     data_r/data_i/weights: (P,P,P) float32 accumulators (fftshift layout).
     imgs: (C,N,N) float32 particles; mats: (C,3,3); sx/sy: (C,) alignment
     shifts (metadata shiftX/shiftY convention); img_w: (C,) weights.
-    Returns updated accumulators."""
+    Returns updated accumulators.
+
+    kz-slab sharding: with slab_p set, the accumulators are a
+    (slab_p, P, P) z-slab starting at (traced) slab_z0 — updates outside
+    the slab are masked, so each mesh device can own one slab of a volume
+    too large to replicate (SURVEY §7 phase 4)."""
     C, N, _ = imgs.shape
     # 2-D FFT with centered-origin phase convention + shift correction
     spec = jnp.fft.rfft2(jnp.fft.ifftshift(imgs, axes=(-2, -1)))
@@ -94,6 +100,9 @@ def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
     sr = jnp.real(spec) * wimg
     si = jnp.imag(spec) * wimg
 
+    zdim = P if slab_p is None else slab_p
+    zoff = 0 if slab_p is None else jnp.asarray(slab_z0, jnp.int32)
+
     idx_list = []
     val_r = []
     val_i = []
@@ -105,13 +114,13 @@ def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
             for dx in range(2):
                 wx = jnp.where(dx, fxw, 1 - fxw)
                 w = wz * wy * wx
-                zj = z0 + dz
+                zj = z0 + dz - zoff
                 yj = y0 + dy
                 xj = x0 + dx
-                inside = ((zj >= 0) & (zj < P) & (yj >= 0) & (yj < P)
+                inside = ((zj >= 0) & (zj < zdim) & (yj >= 0) & (yj < P)
                           & (xj >= 0) & (xj < P))
                 w = jnp.where(inside, w, 0.0)
-                flat = ((jnp.clip(zj, 0, P - 1) * P +
+                flat = ((jnp.clip(zj, 0, zdim - 1) * P +
                          jnp.clip(yj, 0, P - 1)) * P +
                         jnp.clip(xj, 0, P - 1)).reshape(-1)
                 idx_list.append(flat)
@@ -124,9 +133,9 @@ def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
     vi = jnp.concatenate(val_i)
     vw = jnp.concatenate(val_w)
 
-    data_r = data_r.reshape(-1).at[idx].add(vr).reshape(P, P, P)
-    data_i = data_i.reshape(-1).at[idx].add(vi).reshape(P, P, P)
-    weights = weights.reshape(-1).at[idx].add(vw).reshape(P, P, P)
+    data_r = data_r.reshape(-1).at[idx].add(vr).reshape(zdim, P, P)
+    data_i = data_i.reshape(-1).at[idx].add(vi).reshape(zdim, P, P)
+    weights = weights.reshape(-1).at[idx].add(vw).reshape(zdim, P, P)
     return data_r, data_i, weights
 
 

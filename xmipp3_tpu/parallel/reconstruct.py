@@ -78,3 +78,49 @@ def parallel_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
                                    sh(jnp.asarray(sy_p)),
                                    sh(jnp.asarray(w_p)))
     return finalize_volume(dr, di, dw, N, P_)
+
+
+def slab_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
+                     weights=None, pad_factor: float = 2.0,
+                     max_freq: float = 0.5, axis_name: str = "data"):
+    """Volume-sharded (kz-slab) reconstruction: each device owns one z-slab
+    of the Fourier cube (SURVEY §7 phase 4 — for volumes whose padded cube
+    cannot be replicated per chip). Images are replicated; every device
+    computes the full tap stream and keeps only the updates that land in
+    its slab, so no inter-device communication happens during
+    backprojection — the slab boundary mask replaces the reference's
+    kz-slab MPI routing. The accumulators come back sharded over z; the
+    finalize step (Hermitian symmetrization + inverse FFT) runs under the
+    normal jit partitioner, which inserts the needed collectives."""
+    imgs = np.asarray(imgs, np.float32)
+    B, N, _ = imgs.shape
+    n_dev = mesh.shape[axis_name]
+    P_ = int(round(N * pad_factor))
+    P_ += P_ % 2
+    P_ += (-P_) % n_dev                      # slabs must tile the cube
+    slab_p = P_ // n_dev
+    z = np.zeros(B, np.float32)
+    get = lambda v: z if v is None else np.asarray(v, np.float32)
+    mats = jnp.asarray(np.asarray(
+        euler_matrix(get(rot), get(tilt), get(psi)), np.float32))
+    w = jnp.asarray(np.ones(B, np.float32) if weights is None
+                    else np.asarray(weights, np.float32))
+    sx_a, sy_a = jnp.asarray(get(sx)), jnp.asarray(get(sy))
+    imgs_a = jnp.asarray(imgs)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(), P(), P(), P()),
+             out_specs=(P(axis_name), P(axis_name), P(axis_name)))
+    def slab_backproject(imgs_r, mats_r, sx_r, sy_r, w_r):
+        dev = jax.lax.axis_index(axis_name)
+        z0 = dev * slab_p
+        dr = jnp.zeros((slab_p, P_, P_), jnp.float32)
+        di = jnp.zeros((slab_p, P_, P_), jnp.float32)
+        dw = jnp.zeros((slab_p, P_, P_), jnp.float32)
+        return backproject_chunk(dr, di, dw, imgs_r, mats_r, sx_r, sy_r,
+                                 w_r, P_, max_freq, slab_p=slab_p,
+                                 slab_z0=z0)
+
+    dr, di, dw = slab_backproject(imgs_a, mats, sx_a, sy_a, w)
+    # dr/di/dw are (P,P,P) arrays sharded over z; finalize under jit
+    return finalize_volume(dr, di, dw, N, P_)
