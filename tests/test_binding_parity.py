@@ -172,3 +172,16 @@ def test_error_max_freq_ctfs_2d_golden():
                   ctfSphericalAberration=2., ctfQ0=0.1)
     r = xmippLib.errorMaxFreqCTFs2D(md1, md2)
     assert r == pytest.approx(13.921659, abs=1e-2)
+
+
+def test_project_volume_double(pyiface):
+    """projectVolumeDouble + FourierProjector on the reference progVol.vol:
+    the (0,0,0) projection equals the volume's z-sum."""
+    vol = Image(os.path.join(pyiface, "progVol.vol"))
+    proj = xmippLib.projectVolumeDouble(vol, 0., 0., 0.)
+    zsum = np.squeeze(vol.getData()).sum(axis=0)
+    got = np.squeeze(proj.getData())
+    assert np.corrcoef(got.ravel(), zsum.ravel())[0, 1] > 0.999
+    fp = xmippLib.FourierProjector(vol, 2.0, 0.5, 1)
+    fproj = np.squeeze(fp.projectVolume(0., 0., 0.).getData())
+    assert np.corrcoef(fproj.ravel(), zsum.ravel())[0, 1] > 0.99

@@ -345,6 +345,22 @@ class FourierProjector:
         return img
 
 
+DT_FLOAT = "float32"
+DT_DOUBLE = "float64"
+DT_INT = "int32"
+DT_UCHAR = "uint8"
+
+
+def projectVolumeDouble(vol, rot, tilt, psi):
+    """Real-space projection (reference projectVolumeDouble binding)."""
+    from xmipp3_tpu.ops.project import project_real_space
+    data = vol.getData() if isinstance(vol, Image) else _np.asarray(vol)
+    img = Image()
+    img.setData(_np.asarray(project_real_space(
+        _np.squeeze(data).astype(_np.float32), [rot], [tilt], [psi]))[0])
+    return img
+
+
 class Program:
     """Param-DSL access for XmippScript (bindings/python/xmipp_base.py:52)."""
 
