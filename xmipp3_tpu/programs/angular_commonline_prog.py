@@ -149,33 +149,52 @@ class ProgAngularCommonline(XmippProgram):
         cand_mats = jnp.asarray(_euler_rows(cand[:, 0], cand[:, 1],
                                             cand[:, 2]))
 
-        assigned = np.zeros((B, 3), np.float32)      # image 0 pinned at origin
-        order = list(range(1, B))
-        placed = [0]
-        for i in order:
-            mats_o = jnp.asarray(_euler_rows(assigned[placed, 0],
-                                             assigned[placed, 1],
-                                             assigned[placed, 2]))
-            s = commonline_score(cand_mats, mats_o, L[i], L[jnp.asarray(placed)])
-            assigned[i] = cand[int(jnp.argmax(s))]
-            placed.append(i)
-
-        # cyclic refinement sweeps re-placing each image against all others
-        for _ in range(min(self.getIntParam("--NGroup"), 10)):
-            changed = False
-            for i in range(1, B):
-                others = [j for j in range(B) if j != i]
-                mats_o = jnp.asarray(_euler_rows(assigned[others, 0],
-                                                 assigned[others, 1],
-                                                 assigned[others, 2]))
+        # multi-start greedy (the DE solver's restart role): insertion order
+        # biases the greedy solution, so run several shuffled orders and
+        # keep the best-energy one before refining
+        n_sweeps = min(self.getIntParam("--NGroup"), 10)
+        n_starts = 3 if ngen >= 20000 else 1
+        rng = np.random.default_rng(0)
+        best_assigned = None
+        best_energy = -np.inf
+        for start in range(n_starts):
+            assigned = np.zeros((B, 3), np.float32)  # image 0 pinned
+            order = list(range(1, B))
+            if start > 0:
+                rng.shuffle(order)
+            placed = [0]
+            for i in order:
+                mats_o = jnp.asarray(_euler_rows(assigned[placed, 0],
+                                                 assigned[placed, 1],
+                                                 assigned[placed, 2]))
                 s = commonline_score(cand_mats, mats_o, L[i],
-                                     L[jnp.asarray(others)])
-                best = cand[int(jnp.argmax(s))]
-                if not np.allclose(best, assigned[i]):
-                    assigned[i] = best
-                    changed = True
-            if not changed:
-                break
+                                     L[jnp.asarray(placed)])
+                assigned[i] = cand[int(jnp.argmax(s))]
+                placed.append(i)
+
+            # cyclic refinement sweeps re-placing each image vs all others
+            for _ in range(n_sweeps):
+                changed = False
+                for i in range(1, B):
+                    others = [j for j in range(B) if j != i]
+                    mats_o = jnp.asarray(_euler_rows(assigned[others, 0],
+                                                     assigned[others, 1],
+                                                     assigned[others, 2]))
+                    s = commonline_score(cand_mats, mats_o, L[i],
+                                         L[jnp.asarray(others)])
+                    best = cand[int(jnp.argmax(s))]
+                    if not np.allclose(best, assigned[i]):
+                        assigned[i] = best
+                        changed = True
+                if not changed:
+                    break
+            energy = self._solution_energy(
+                _euler_rows(assigned[:, 0], assigned[:, 1], assigned[:, 2]),
+                L)
+            if energy > best_energy:
+                best_energy = energy
+                best_assigned = assigned.copy()
+        assigned = best_assigned
 
         # local refinement: fine grid around each image's current solution
         fine = step / 5.0
