@@ -132,7 +132,7 @@ def write_mrc(path: str, data: np.ndarray, sampling: float = 1.0,
     hdr_f[54] = float(data.std())
     with open(path, "wb") as f:
         f.write(hdr_i.tobytes())
-        f.write(data.tobytes())
+        data.tofile(f)           # zero-copy stream (tobytes would duplicate)
 
 
 # ---------------------------------------------------------------------------
