@@ -1,0 +1,110 @@
+"""CLI-level mesh parallelism: the mpi_* endpoints run their hot path
+sharded over the 8-device mesh and must reproduce the serial output — the
+reference's 'mpirun -np 2 equals serial' guarantee (SURVEY.md §4,
+tests/test_programs.py:57-59), ported to --mesh dp|tp|slab."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.image import Image, save_image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.programs import get_program
+
+
+def run_prog(name, args):
+    prog = get_program(name)
+    rc = prog.run_with_args(args)
+    assert rc == 0, f"{name} failed"
+    return prog
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("meshcli")
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    z, y, x = z - n // 2, y - n // 2, x - n // 2
+    vol = np.zeros((n, n, n), np.float32)
+    for cz, cy, cx, s, a in [(0, 0, 0, 2.5, 1.0), (4, -3, 3, 1.5, 0.8),
+                             (-3, 3, -2, 1.8, 0.6), (-5, -4, 1, 1.0, 1.1)]:
+        vol += a * np.exp(-((z - cz) ** 2 + (y - cy) ** 2 + (x - cx) ** 2)
+                          / (2 * s ** 2))
+    fn_vol = str(tmp_path / "phantom.vol")
+    save_image(fn_vol, vol)
+    root = str(tmp_path / "gallery")
+    run_prog("angular_project_library",
+             f"-i {fn_vol} -o {root} --sampling_rate 18 --sym c1")
+    gallery = Image.read_stack(root + ".stk")
+    md_g = MetaData(root + ".doc")
+
+    rng = np.random.default_rng(1)
+    n_parts = 21          # deliberately NOT a multiple of 8 (padding path)
+    pick = rng.integers(0, len(gallery), n_parts)
+    parts = gallery[pick] + 0.05 * gallery.std() * rng.standard_normal(
+        (n_parts, n, n)).astype(np.float32)
+    fn_parts = str(tmp_path / "particles.mrcs")
+    save_image(fn_parts, parts)
+    rows = []
+    for i in range(n_parts):
+        rows.append({"image": f"{i + 1:06d}@{fn_parts}", "itemId": i + 1,
+                     "enabled": 1,
+                     "angleRot": float(md_g.getColumn("angleRot")[pick[i]]),
+                     "angleTilt": float(md_g.getColumn("angleTilt")[pick[i]]),
+                     "anglePsi": 0.0})
+    fn_md = str(tmp_path / "particles.xmd")
+    MetaData.fromRows(rows).write(fn_md)
+    return dict(tmp=tmp_path, vol=vol, fn_vol=fn_vol, root=root,
+                fn_md=fn_md, pick=pick)
+
+
+def _reconstruct(dataset, mode, tag):
+    out = str(dataset["tmp"] / f"rec_{tag}.vol")
+    run_prog("mpi_reconstruct_fourier",
+             f"-i {dataset['fn_md']} -o {out} --mesh {mode}")
+    return np.squeeze(Image(out).data)
+
+
+def test_mpi_reconstruct_dp_matches_serial(dataset):
+    serial = _reconstruct(dataset, "none", "serial")
+    dp = _reconstruct(dataset, "dp", "dp")
+    scale = np.abs(serial).max()
+    assert np.abs(dp - serial).max() < 1e-3 * scale
+    assert np.corrcoef(dp.ravel(), dataset["vol"].ravel())[0, 1] > 0.9
+
+
+def test_mpi_reconstruct_slab_matches_serial(dataset):
+    serial = _reconstruct(dataset, "none", "serial2")
+    slab = _reconstruct(dataset, "slab", "slab")
+    scale = np.abs(serial).max()
+    assert np.abs(slab - serial).max() < 1e-3 * scale
+
+
+def test_mpi_projection_matching_dp_tp_match_serial(dataset):
+    outs = {}
+    for mode in ("none", "dp", "tp"):
+        fn = str(dataset["tmp"] / f"assign_{mode}.xmd")
+        run_prog("mpi_angular_projection_matching",
+                 f"-i {dataset['fn_md']} -o {fn} "
+                 f"--ref {dataset['root']} --max_shift 4 --mesh {mode}")
+        md = MetaData(fn)
+        outs[mode] = md
+        assert md.size() == len(dataset["pick"])
+    ref_serial = outs["none"].getColumn("ref").astype(int)
+    # the particles ARE (noisy) gallery projections: every match must be
+    # excellent, but near-identical neighboring projections make the exact
+    # argmax a tie — accuracy is asserted via maxCC, parity via refs below
+    cc_serial = outs["none"].getColumn("maxCC")
+    assert (cc_serial > 0.9).mean() > 0.9, cc_serial
+    assert (ref_serial - 1 == dataset["pick"]).mean() > 0.5
+    for mode in ("dp", "tp"):
+        ref_m = outs[mode].getColumn("ref").astype(int)
+        cc_m = outs[mode].getColumn("maxCC")
+        # neighboring phantom projections are near-identical, so argmax ties
+        # may flip under a different partitioning — a disagreement is only a
+        # failure if the winner is genuinely worse, not an equal-quality tie
+        same = ref_m == ref_serial
+        tied = np.abs(cc_m - cc_serial) < 2e-3
+        assert (same | tied).all(), (
+            f"{mode}: refs {ref_m[~(same | tied)]} vs "
+            f"{ref_serial[~(same | tied)]}, cc {cc_m[~(same | tied)]} vs "
+            f"{cc_serial[~(same | tied)]}")
+        assert same.mean() > 0.5, mode

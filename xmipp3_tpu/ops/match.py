@@ -178,23 +178,15 @@ def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
     return peak, psi, ref, trial, flip
 
 
-@partial(jax.jit, static_argnames=("trials", "max_shift", "radius_min",
-                                   "radius_max", "refine_iters",
-                                   "check_mirror"))
-def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
-               radius_max: int, refine_iters: int, check_mirror: bool):
-    """Single-compilation gallery match (scan + winner refinement).
-
-    One end-to-end jit: repeated calls with the same static config reuse the
-    compiled program — essential under remote compilation, where every
-    retrace costs seconds. `trials` is a static tuple of (tx, ty) so the
-    scan's gather indices are compile-time constants."""
+@partial(jax.jit, static_argnames=("max_shift", "radius_min", "radius_max",
+                                   "refine_iters"))
+def refine_winners(refs, imgs, best_ref, psi0, t, flip, max_shift: int,
+                   radius_min: int, radius_max: int, refine_iters: int = 2):
+    """Refine the coarse winners (shift + psi) and convert to the metadata
+    pose convention. Shared tail of the serial, dp and tp (gallery-sharded)
+    match paths. t: (B,2) coarse trial translations."""
     B, H, W = imgs.shape
-    peak0, psi0, best_ref, trial_idx, flip = _scan_trials(
-        refs, imgs, trials, radius_min, radius_max, check_mirror)
-
     chosen_refs = refs[best_ref]                             # (B,H,W)
-    t = jnp.asarray(np.asarray(trials, np.float32))[trial_idx]  # (B,2)
 
     # Mirror convention: conj ring-FFT correlation corresponds to the
     # y-flipped image (polar angle reversal θ -> -θ); y-flipping T(t)·img
@@ -260,7 +252,27 @@ def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
     from xmipp3_tpu.ops.geo import alignment_to_md_pose
     psi_md, sx_md, sy_md, _ = alignment_to_md_pose(psi_cur, sx, sy, flip)
     return dict(ref_idx=best_ref, psi=psi_md, sx=sx_md, sy=sy_md, corr=corr,
-                flip=flip, peak=peak0, aligned=aligned)
+                flip=flip, aligned=aligned)
+
+
+@partial(jax.jit, static_argnames=("trials", "max_shift", "radius_min",
+                                   "radius_max", "refine_iters",
+                                   "check_mirror"))
+def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
+               radius_max: int, refine_iters: int, check_mirror: bool):
+    """Single-compilation gallery match (scan + winner refinement).
+
+    One end-to-end jit: repeated calls with the same static config reuse the
+    compiled program — essential under remote compilation, where every
+    retrace costs seconds. `trials` is a static tuple of (tx, ty) so the
+    scan's gather indices are compile-time constants."""
+    peak0, psi0, best_ref, trial_idx, flip = _scan_trials(
+        refs, imgs, trials, radius_min, radius_max, check_mirror)
+    t = jnp.asarray(np.asarray(trials, np.float32))[trial_idx]  # (B,2)
+    out = refine_winners(refs, imgs, best_ref, psi0, t, flip, max_shift,
+                         radius_min, radius_max, refine_iters)
+    out["peak"] = peak0
+    return out
 
 
 def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,

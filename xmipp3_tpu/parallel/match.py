@@ -14,7 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from xmipp3_tpu.ops.match import _scan_trials, _trial_shift_grid
+from xmipp3_tpu.ops.match import (_scan_trials, _trial_shift_grid,
+                                  match_to_gallery, refine_winners)
 from xmipp3_tpu.ops.geo import (alignment_to_md_pose, alignment_matrices_2d,
                                 apply_affine_2d)
 from xmipp3_tpu.ops.polar import cartesian_to_polar, ring_ffts
@@ -49,6 +50,62 @@ def parallel_match(mesh, refs, imgs, max_shift: int = 8, radius_min: int = 2,
            dict(peak=peak, psi=psi, ref_idx=ref, trial=trial,
                 flip=flip).items()}
     return out
+
+
+def parallel_match_full(mesh, refs, imgs, max_shift: int = 8,
+                        radius_min: int = 2, radius_max: int | None = None,
+                        refine_iters: int = 2, check_mirror: bool = True,
+                        axis_name: str = "data"):
+    """Full gallery match (coarse 5-D scan + winner refinement) with the
+    particle axis sharded over the mesh — the dp engine behind the CLI
+    `--mesh dp` flag (the reference's BasicMpiMetadataProgram work-dealing,
+    parallel/xmipp_mpi.h:222-272). Data parallelism is expressed purely by
+    input shardings; XLA partitions the whole jitted pipeline."""
+    refs = np.asarray(refs, np.float32)
+    imgs = np.asarray(imgs, np.float32)
+    n_dev = mesh.shape[axis_name]
+    imgs_p, n_valid = pad_to_multiple(imgs, n_dev)
+    H = imgs.shape[-1]
+    if radius_max is None:
+        radius_max = H // 2 - 2
+    refs_d = replicate(jnp.asarray(refs), mesh)
+    imgs_d = shard_particles(jnp.asarray(imgs_p), mesh, axis_name)
+    out = match_to_gallery(refs_d, imgs_d, max_shift=max_shift,
+                           radius_min=radius_min, radius_max=radius_max,
+                           refine_iters=refine_iters,
+                           check_mirror=check_mirror)
+    return {k: np.asarray(v)[:n_valid] for k, v in out.items()
+            if k != "aligned"}
+
+
+def parallel_match_tp(mesh, refs, imgs, max_shift: int = 8,
+                      radius_min: int = 2, radius_max: int | None = None,
+                      refine_iters: int = 2, check_mirror: bool = True,
+                      axis_name: str = "model"):
+    """Gallery-sharded coarse scan (parallel_match_refsharded) followed by
+    the shared winner refinement — full tp counterpart of
+    parallel_match_full, for galleries too large to replicate per chip."""
+    refs = np.asarray(refs, np.float32)
+    imgs = np.asarray(imgs, np.float32)
+    H = imgs.shape[-1]
+    if radius_max is None:
+        radius_max = H // 2 - 2
+    coarse = parallel_match_refsharded(mesh, refs, imgs, max_shift=max_shift,
+                                       radius_min=radius_min,
+                                       radius_max=radius_max,
+                                       check_mirror=check_mirror,
+                                       axis_name=axis_name)
+    grid = _trial_shift_grid(max_shift)
+    t = grid[np.clip(coarse["trial"], 0, len(grid) - 1)].astype(np.float32)
+    out = refine_winners(jnp.asarray(refs), jnp.asarray(imgs),
+                         jnp.asarray(coarse["ref_idx"]),
+                         jnp.asarray(coarse["psi"], jnp.float32),
+                         jnp.asarray(t),
+                         jnp.asarray(coarse["flip"]),
+                         max_shift, radius_min, radius_max, refine_iters)
+    res = {k: np.asarray(v) for k, v in out.items() if k != "aligned"}
+    res["peak"] = coarse["peak"]
+    return res
 
 
 def parallel_match_refsharded(mesh, refs, imgs, max_shift: int = 8,

@@ -11,9 +11,19 @@ def data_mesh(n_devices: int | None = None, axis_name: str = "data") -> Mesh:
     """1-D device mesh over the particle (data) axis.
 
     Within one pod this rides ICI; multi-host extends transparently through
-    jax.distributed (same program, bigger mesh)."""
+    jax.distributed (same program, bigger mesh). Raises if fewer than
+    n_devices devices exist — silently clamping would let an n-way program
+    "pass" on a 1-device mesh, validating nothing."""
     devs = jax.devices()
     if n_devices is not None:
+        if len(devs) < n_devices:
+            raise RuntimeError(
+                f"data_mesh({n_devices}) requested but only {len(devs)} "
+                f"device(s) are visible on platform "
+                f"'{devs[0].platform}'. For a virtual CPU mesh force the "
+                f"CPU backend with jax.config.update('jax_platforms','cpu') "
+                f"and jax.config.update('jax_num_cpu_devices', n) before "
+                f"any device op.")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis_name,))
 

@@ -24,7 +24,7 @@ from xmipp3_tpu.parallel.mesh import pad_to_multiple, shard_particles
 def parallel_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
                          weights=None, pad_factor: float = 2.0,
                          sym: str = "c1", max_freq: float = 0.5,
-                         axis_name: str = "data"):
+                         axis_name: str = "data", flip=None):
     """Reconstruct a volume with the particle axis sharded over `mesh`.
 
     imgs: (B, N, N) float32 (padded to a mesh multiple internally).
@@ -32,6 +32,15 @@ def parallel_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
     from xmipp3_tpu.core.sym import SymList
 
     imgs = np.asarray(imgs, np.float32)
+    if flip is not None and np.any(flip):
+        # stored flip: shift(img, s) = M_x proj(pose) — backproject the
+        # x-mirrored image with negated shiftX (same as the serial
+        # FourierReconstructor.add_batch)
+        f = np.asarray(flip).astype(bool)
+        imgs = np.where(f[:, None, None], imgs[:, :, ::-1], imgs)
+        sx = np.zeros(len(imgs), np.float32) if sx is None \
+            else np.asarray(sx, np.float32).copy()
+        sx[f] = -sx[f]
     B, N, _ = imgs.shape
     n_dev = mesh.shape[axis_name]
     P_ = int(round(N * pad_factor))

@@ -32,6 +32,8 @@ class ProgAngularProjectionMatching(XmippProgram):
         self.addParamsLine("  [--Ro <r=-1>]  : Outer polar radius (-1 = dim/2-2)")
         self.addParamsLine("  [--append]     : Append assignments to output metadata")
         self.addParamsLine("  [--batch <b=512>] : Particles per device batch")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def readParams(self):
         self.fn_in = self.getParam("-i")
@@ -41,6 +43,8 @@ class ProgAngularProjectionMatching(XmippProgram):
         self.Ri = self.getIntParam("--Ri")
         self.Ro = self.getIntParam("--Ro")
         self.batch = self.getIntParam("--batch")
+        from xmipp3_tpu.parallel.cli import read_mesh_params
+        read_mesh_params(self)
 
     def run(self):
         root = self.fn_ref
@@ -63,14 +67,35 @@ class ProgAngularProjectionMatching(XmippProgram):
         from xmipp3_tpu.core.metadata_program import (BatchPrefetcher,
                                                       load_image_rows)
         from xmipp3_tpu.core.timing import timed_phase
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             resolve_mesh)
+        maybe_init_distributed(self)
+        mesh, mesh_mode = resolve_mesh(self.mesh_mode)
+        if mesh is not None and self.verbose:
+            # parallel_match_* pad the particle axis to a mesh multiple
+            print(f"mesh: {mesh_mode} over {len(mesh.devices.ravel())} "
+                  f"devices")
         out_rows = []
         # double-buffered loader: the next batch reads while this one matches
         for s, chunk, imgs in BatchPrefetcher(rows, self.batch,
                                               loader=load_image_rows):
             with timed_phase("match_to_gallery"):
-                res = match_to_gallery(refs, imgs, max_shift=max_shift,
-                                       radius_min=max(self.Ri, 2),
-                                       radius_max=Ro)
+                if mesh is None:
+                    res = match_to_gallery(refs, imgs, max_shift=max_shift,
+                                           radius_min=max(self.Ri, 2),
+                                           radius_max=Ro)
+                elif mesh_mode == "tp":
+                    from xmipp3_tpu.parallel.match import parallel_match_tp
+                    res = parallel_match_tp(mesh, refs, imgs,
+                                            max_shift=max_shift,
+                                            radius_min=max(self.Ri, 2),
+                                            radius_max=Ro)
+                else:
+                    from xmipp3_tpu.parallel.match import parallel_match_full
+                    res = parallel_match_full(mesh, refs, imgs,
+                                              max_shift=max_shift,
+                                              radius_min=max(self.Ri, 2),
+                                              radius_max=Ro)
                 res = {k: np.asarray(v) for k, v in res.items()}
             ref_idx = np.asarray(res["ref_idx"])
             psi = np.asarray(res["psi"])

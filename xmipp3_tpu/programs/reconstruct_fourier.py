@@ -28,6 +28,8 @@ class ProgRecFourier(XmippProgram):
         self.addParamsLine("  [--max_resolution <p=0.5>]   : Max resolution (Nyquist=0.5)")
         self.addParamsLine("  [--weight]                   : Use weights stored in the image metadata")
         self.addParamsLine("  [--batch <b=256>]            : Images per device batch")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
         self.addExampleLine("   xmipp_reconstruct_fourier -i reconstruction.sel --sym i3 --weight")
 
     def readParams(self):
@@ -40,6 +42,8 @@ class ProgRecFourier(XmippProgram):
         self.batch = self.getIntParam("--batch")
         self.fn_fsc = self.getParam("--prepare_fsc") if \
             self.checkParam("--prepare_fsc") else ""
+        from xmipp3_tpu.parallel.cli import read_mesh_params
+        read_mesh_params(self)
 
     def show(self):
         if self.verbose:
@@ -50,8 +54,10 @@ class ProgRecFourier(XmippProgram):
             print(f"Max resolution    : {self.max_res}")
 
     def _reconstruct_subset(self, md: MetaData, rows_idx, N: int):
-        rec = FourierReconstructor(N, self.pad, self.sym, self.max_res)
         rows = [md.getRow(i) for i in rows_idx]
+        if self._mesh is not None:
+            return self._reconstruct_mesh(rows, N)
+        rec = FourierReconstructor(N, self.pad, self.sym, self.max_res)
         for s in range(0, len(rows), self.batch):
             chunk = rows[s:s + self.batch]
             imgs = np.stack([np.squeeze(Image(r["image"]).data)
@@ -66,7 +72,45 @@ class ProgRecFourier(XmippProgram):
                 print(f"  processed {min(s + self.batch, len(rows))}/{len(rows)}")
         return np.asarray(rec.finish())
 
+    def _reconstruct_mesh(self, rows, N: int):
+        """Mesh-parallel reconstruction (the mpi_reconstruct_fourier
+        equivalent, parallel/mpi_reconstruct_fourier.cpp:325-420): dp =
+        particle-sharded + psum volume reduction; slab = kz-slab volume
+        sharding for cubes too large to replicate per chip."""
+        from xmipp3_tpu.parallel.reconstruct import (parallel_reconstruct,
+                                                     slab_reconstruct)
+        imgs = np.stack([np.squeeze(Image(r["image"]).data)
+                         for r in rows]).astype(np.float32)
+        get = lambda k, d=0.0: np.array(
+            [float(r.get(k, d)) for r in rows], np.float32)
+        w = get("weight", 1.0) if self.use_weights else None
+        flip = get("flip", 0.0).astype(bool)
+        if self._mesh_mode == "slab":
+            if self.sym.lower() not in ("c1", ""):
+                raise ValueError("--mesh slab currently supports c1 only; "
+                                 "use --mesh dp for symmetric reconstructions")
+            vol = slab_reconstruct(
+                self._mesh, np.where(flip[:, None, None],
+                                     imgs[:, :, ::-1], imgs),
+                get("angleRot"), get("angleTilt"), get("anglePsi"),
+                np.where(flip, -get("shiftX"), get("shiftX")), get("shiftY"),
+                weights=w, pad_factor=self.pad, max_freq=self.max_res)
+        else:
+            vol = parallel_reconstruct(
+                self._mesh, imgs, get("angleRot"), get("angleTilt"),
+                get("anglePsi"), get("shiftX"), get("shiftY"), weights=w,
+                pad_factor=self.pad, sym=self.sym, max_freq=self.max_res,
+                flip=flip)
+        return np.asarray(vol)
+
     def run(self):
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             resolve_mesh)
+        maybe_init_distributed(self)
+        self._mesh, self._mesh_mode = resolve_mesh(self.mesh_mode)
+        if self.verbose and self._mesh is not None:
+            print(f"mesh: {self._mesh_mode} over "
+                  f"{len(self._mesh.devices.ravel())} devices")
         md = MetaData(self.fn_in)
         md.removeDisabled()
         first = Image()

@@ -108,10 +108,16 @@ register("image_residuals", P + "angular_programs:ProgImageResiduals")
 
 # ---------------------------------------------------------------------------
 # mpi_* endpoints (reference SURVEY.md Appendix A lists 51): in the reference
-# these wrap serial engines with an MPI master-worker layer; here the same
-# programs are internally device-parallel over the mesh, so each mpi_ name
-# dispatches to its serial twin (outputs are identical by construction —
-# the reference guarantees the same via MDL_GATHER_ID sorting).
+# these wrap serial engines with an MPI master-worker layer; here each mpi_
+# name dispatches to its twin, and the compute-heavy twins take a --mesh flag
+# (default auto = dp when >1 device is visible; parallel/cli.py) that runs
+# the hot path sharded over the jax device mesh (outputs equal to serial by
+# construction — the reference guarantees the same via MDL_GATHER_ID
+# sorting). Mesh-wired: reconstruct_fourier (dp psum / kz-slab) and
+# angular_projection_matching (dp / gallery-sharded tp); see
+# docs/COVERAGE.md L4 for the current list. The remaining mpi_ names alias
+# per-image metadata programs whose batches already run as single jitted
+# device programs.
 # ---------------------------------------------------------------------------
 register("transform_dimred", P + "misc_programs:ProgTransformDimred")
 register("angular_distribution_show",
