@@ -37,20 +37,28 @@ def kaiser_value(r, a=2.0, alpha=10.4, m=2):
 
 def kaiser_fourier_value(w, a=2.0, alpha=10.4, m=2):
     """Radial Fourier transform of the 3D blob (reference
-    kaiser_Fourier_value, blobs.h:175; Lewitt 1990 closed form for m=2)."""
+    kaiser_Fourier_value, blobs.cpp:144; Lewitt 1990 closed forms for
+    m=0 and m=2 — the orders the reference supports)."""
     w = np.asarray(w, np.float64)
     sigma = 2 * np.pi * a * w
     t = np.sqrt(np.abs(alpha ** 2 - sigma ** 2))
     inside = sigma <= alpha
-    if m != 2:
-        raise NotImplementedError("analytic form implemented for order m=2")
-    # 1/I_2(alpha) * (2*pi)^{3/2} a^3 alpha^2 * I_{7/2}(t)/t^{7/2} (inside);
-    # outside: J_{7/2}
-    c = (2 * np.pi) ** 1.5 * a ** 3 * alpha ** 2 / special.iv(2, alpha)
+    if m == 2:
+        # (2*pi)^{3/2} a^3 alpha^2 / I_2(alpha) * I_{7/2}(t)/t^{7/2} inside,
+        # J_{7/2} outside
+        c = (2 * np.pi) ** 1.5 * a ** 3 * alpha ** 2 / special.iv(2, alpha)
+        nu = 3.5
+    elif m == 0:
+        # (2*pi)^{3/2} a^3 / I_0(alpha) * I_{3/2}(t)/t^{3/2} inside,
+        # J_{3/2} outside (reference blobs.cpp:158-166)
+        c = (2 * np.pi) ** 1.5 * a ** 3 / special.iv(0, alpha)
+        nu = 1.5
+    else:
+        raise NotImplementedError("analytic form implemented for m in {0,2}")
     with np.errstate(invalid="ignore", divide="ignore"):
-        vin = c * special.iv(3.5, t) / np.power(t, 3.5)
-        vout = c * special.jv(3.5, t) / np.power(t, 3.5)
-    v0 = c * (1 / (special.gamma(4.5) * 2 ** 3.5))   # limit t -> 0
+        vin = c * special.iv(nu, t) / np.power(t, nu)
+        vout = c * special.jv(nu, t) / np.power(t, nu)
+    v0 = c * (1 / (special.gamma(nu + 1) * 2 ** nu))   # limit t -> 0
     out = np.where(inside, vin, vout)
     return np.where(np.abs(t) < 1e-8, v0, out)
 

@@ -24,7 +24,8 @@ from xmipp3_tpu.parallel.mesh import pad_to_multiple, shard_particles
 def parallel_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
                          weights=None, pad_factor: float = 2.0,
                          sym: str = "c1", max_freq: float = 0.5,
-                         axis_name: str = "data", flip=None):
+                         axis_name: str = "data", flip=None,
+                         interp: str = "kb", niter_weight: int = 1):
     """Reconstruct a volume with the particle axis sharded over `mesh`.
 
     imgs: (B, N, N) float32 (padded to a mesh multiple internally).
@@ -73,7 +74,7 @@ def parallel_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
             m = jnp.einsum("cij,jk->cik", mats_l,
                            jnp.asarray(S, jnp.float32))
             dr, di, dw = backproject_chunk(dr, di, dw, imgs_l, m, sx_l, sy_l,
-                                           w_l, P_, max_freq)
+                                           w_l, P_, max_freq, interp=interp)
         # the MPI_Reduce replacement: one psum over the ICI axis
         dr = jax.lax.psum(dr, axis_name)
         di = jax.lax.psum(di, axis_name)
@@ -86,12 +87,14 @@ def parallel_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
                                    sh(jnp.asarray(sx_p)),
                                    sh(jnp.asarray(sy_p)),
                                    sh(jnp.asarray(w_p)))
-    return finalize_volume(dr, di, dw, N, P_)
+    return finalize_volume(dr, di, dw, N, P_, interp=interp,
+                           niter_weight=niter_weight)
 
 
 def slab_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
                      weights=None, pad_factor: float = 2.0,
-                     max_freq: float = 0.5, axis_name: str = "data"):
+                     max_freq: float = 0.5, axis_name: str = "data",
+                     interp: str = "kb", niter_weight: int = 1):
     """Volume-sharded (kz-slab) reconstruction: each device owns one z-slab
     of the Fourier cube (SURVEY §7 phase 4 — for volumes whose padded cube
     cannot be replicated per chip). Images are replicated; every device
@@ -128,8 +131,11 @@ def slab_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
         dw = jnp.zeros((slab_p, P_, P_), jnp.float32)
         return backproject_chunk(dr, di, dw, imgs_r, mats_r, sx_r, sy_r,
                                  w_r, P_, max_freq, slab_p=slab_p,
-                                 slab_z0=z0)
+                                 slab_z0=z0, interp=interp)
 
     dr, di, dw = slab_backproject(imgs_a, mats, sx_a, sy_a, w)
     # dr/di/dw are (P,P,P) arrays sharded over z; finalize under jit
-    return finalize_volume(dr, di, dw, N, P_)
+    # (the tri+kb dense convolution and Hermitian mirror cross slab
+    # boundaries; the jit partitioner inserts the needed collectives)
+    return finalize_volume(dr, di, dw, N, P_, interp=interp,
+                           niter_weight=niter_weight)

@@ -27,6 +27,8 @@ class ProgRecFourier(XmippProgram):
         self.addParamsLine("  [--prepare_fsc <fscfile>]    : Filename root for FSC files")
         self.addParamsLine("  [--max_resolution <p=0.5>]   : Max resolution (Nyquist=0.5)")
         self.addParamsLine("  [--weight]                   : Use weights stored in the image metadata")
+        self.addParamsLine("  [--blob <radius=1.9> <order=0> <alpha=15>] : Blob parameters (reference interpolant; radius<=0 selects trilinear)")
+        self.addParamsLine("  [--interp <mode=kb>]         : Gridding window: kb (Kaiser-Bessel blob, reference default), tri (trilinear, fastest), tri+kb, nn")
         self.addParamsLine("  [--batch <b=256>]            : Images per device batch")
         from xmipp3_tpu.parallel.cli import add_mesh_params
         add_mesh_params(self)
@@ -40,6 +42,14 @@ class ProgRecFourier(XmippProgram):
         self.max_res = self.getDoubleParam("--max_resolution")
         self.use_weights = self.checkParam("--weight")
         self.batch = self.getIntParam("--batch")
+        self.niter_weight = self.getIntParam("--iter")
+        self.interp = self.getParam("--interp") if \
+            self.checkParam("--interp") else "kb"
+        self.blob = (self.getDoubleParam("--blob", 0),
+                     self.getIntParam("--blob", 1),
+                     self.getDoubleParam("--blob", 2))
+        if self.blob[0] <= 0:
+            self.interp = "tri"
         self.fn_fsc = self.getParam("--prepare_fsc") if \
             self.checkParam("--prepare_fsc") else ""
         from xmipp3_tpu.parallel.cli import read_mesh_params
@@ -57,7 +67,10 @@ class ProgRecFourier(XmippProgram):
         rows = [md.getRow(i) for i in rows_idx]
         if self._mesh is not None:
             return self._reconstruct_mesh(rows, N)
-        rec = FourierReconstructor(N, self.pad, self.sym, self.max_res)
+        rec = FourierReconstructor(N, self.pad, self.sym, self.max_res,
+                                   interp=self.interp,
+                                   niter_weight=self.niter_weight,
+                                   blob=self.blob)
         for s in range(0, len(rows), self.batch):
             chunk = rows[s:s + self.batch]
             imgs = np.stack([np.squeeze(Image(r["image"]).data)
@@ -94,13 +107,15 @@ class ProgRecFourier(XmippProgram):
                                      imgs[:, :, ::-1], imgs),
                 get("angleRot"), get("angleTilt"), get("anglePsi"),
                 np.where(flip, -get("shiftX"), get("shiftX")), get("shiftY"),
-                weights=w, pad_factor=self.pad, max_freq=self.max_res)
+                weights=w, pad_factor=self.pad, max_freq=self.max_res,
+                interp=self.interp, niter_weight=self.niter_weight)
         else:
             vol = parallel_reconstruct(
                 self._mesh, imgs, get("angleRot"), get("angleTilt"),
                 get("anglePsi"), get("shiftX"), get("shiftY"), weights=w,
                 pad_factor=self.pad, sym=self.sym, max_freq=self.max_res,
-                flip=flip)
+                flip=flip, interp=self.interp,
+                niter_weight=self.niter_weight)
         return np.asarray(vol)
 
     def run(self):
