@@ -1,0 +1,104 @@
+"""Full-model CTF estimation: astigmatism recovery, 1-D variant, regions.
+
+VERDICT round-1 exit criteria: recover known (defU != defV, angle) from
+synthetic data within 2% / 5 deg (reference staged fit,
+ctf_estimate_from_psd.cpp:601-984,1778; micrograph modes
+ctf_estimate_from_micrograph.cpp:310-327,470-560)."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.models.ctf_estimation import (estimate_ctf_1d,
+                                              estimate_ctf_from_psd,
+                                              fit_defocus_plane)
+from xmipp3_tpu.ops.ctf import CTFDescription
+
+
+def _synthetic_psd(n=192, Ts=1.5, defU=18000., defV=14500., ang=38.,
+                   seed=0):
+    true = CTFDescription(
+        sampling_rate=Ts, voltage=300, Cs=2.7, Q0=0.07, defocusU=defU,
+        defocusV=defV, azimuthal_angle=ang, K=1.0, espr=1.0, alpha=2e-4,
+        base_line=0.1, sqrt_K=3.0, sqU=12.0, sqV=14.0, sqrt_angle=20.0,
+        gaussian_K=1.5, sigmaU=8000.0, sigmaV=9000.0, cU=0.02, cV=0.022,
+        gaussian_angle=10.0)
+    fy = np.fft.fftfreq(n).astype(np.float32)[:, None] / Ts
+    fx = np.fft.rfftfreq(n).astype(np.float32)[None, :] / Ts
+    ctf2 = np.asarray(true.pure_at(fx, fy)) ** 2
+    noise = np.asarray(true.noise_at(fx, fy))
+    rng = np.random.default_rng(seed)
+    mult = rng.chisquare(20, ctf2.shape).astype(np.float32) / 20
+    return (noise + ctf2) * mult, true
+
+
+class TestFullModelFit:
+    def test_recovers_astigmatic_defocus(self):
+        psd, true = _synthetic_psd()
+        est = estimate_ctf_from_psd(psd, 1.5, 300, 2.7, 0.07)
+        assert abs(est.defocusU - true.defocusU) / true.defocusU < 0.02
+        assert abs(est.defocusV - true.defocusV) / true.defocusV < 0.02
+        d = abs(est.azimuthal_angle - true.azimuthal_angle)
+        assert min(d, 180 - d) < 5.0
+        # canonical form
+        assert est.defocusU >= est.defocusV
+        assert 0 <= est.azimuthal_angle < 180
+
+    def test_1d_variant_is_isotropic(self):
+        psd, true = _synthetic_psd(defU=16000., defV=16000., ang=0.)
+        est = estimate_ctf_1d(psd, 1.5, 300, 2.7, 0.07)
+        assert est.defocusU == est.defocusV
+        assert abs(est.defocusU - 16000) / 16000 < 0.05
+
+    def test_background_params_nonnegative(self):
+        psd, _ = _synthetic_psd()
+        est = estimate_ctf_from_psd(psd, 1.5, 300, 2.7, 0.07)
+        assert est.base_line >= 0
+        assert est.sqrt_K >= 0
+        assert est.gaussian_K >= 0
+
+
+class TestDefocusPlane:
+    def test_plane_fit_exact(self):
+        rng = np.random.default_rng(0)
+        xs = rng.uniform(0, 4000, 20)
+        ys = rng.uniform(0, 4000, 20)
+        v = 15000.0 + 0.5 * xs - 0.25 * ys
+        a, b, c = fit_defocus_plane(xs, ys, v)
+        assert abs(a - 15000) < 1e-6 * 15000
+        assert abs(b - 0.5) < 1e-8
+        assert abs(c + 0.25) < 1e-8
+
+
+class TestMicrographModes:
+    @pytest.fixture(scope="class")
+    def mic_file(self, tmp_path_factory):
+        import jax
+        from xmipp3_tpu.core.image import Image
+        from xmipp3_tpu.ops.ctf import apply_ctf
+        true = CTFDescription(sampling_rate=1.5, voltage=300, Cs=2.7,
+                              Q0=0.07, defocusU=16000, defocusV=13000,
+                              azimuthal_angle=55.0, K=1.0)
+        rng = np.random.default_rng(1)
+        mic = rng.standard_normal((768, 768)).astype(np.float32)
+        mic = np.asarray(apply_ctf(mic[None], true))[0]
+        d = tmp_path_factory.mktemp("ctfmic")
+        fn = str(d / "mic.mrc")
+        Image(mic).write(fn)
+        return fn, str(d), true
+
+    def test_regions_mode_cli(self, mic_file):
+        fn, d, true = mic_file
+        from xmipp3_tpu.core.metadata import MetaData
+        from xmipp3_tpu.programs import get_program
+        prog = get_program("ctf_estimate_from_micrograph")
+        prog.read(["x", "--micrograph", fn, "--oroot", d + "/m",
+                   "--pieceDim", "256", "--skipBorders", "0",
+                   "--mode", "regions", "--sampling_rate", "1.5",
+                   "--kV", "300", "--Cs", "2.7", "--Q0", "0.07"])
+        assert prog.tryRun() == 0
+        md = MetaData(d + "/m_regions.xmd")
+        assert len(md) >= 4
+        row = md.getRow(md.firstObject())
+        assert abs(float(row["ctfDefocusU"]) - 16000) / 16000 < 0.08
+        ctfmd = MetaData(d + "/m.ctfparam")
+        crow = ctfmd.getRow(ctfmd.firstObject())
+        assert "ctfDefocusPlaneUA" in crow

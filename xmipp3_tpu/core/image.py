@@ -368,7 +368,7 @@ def read_tiff(path: str, header_only=False):
 # Dispatch
 # ---------------------------------------------------------------------------
 
-_SPIDER_EXTS = {"spi", "stk", "vol", "xmp", "psd", "fsc"}
+_SPIDER_EXTS = {"spi", "stk", "vol", "xmp", "psd", "psdstk", "fsc"}
 _MRC_EXTS = {"mrc", "mrcs", "map", "st", "rec", "ali"}
 
 

@@ -1,12 +1,27 @@
-"""CTF estimation: fit the CTF forward model to an observed PSD.
+"""CTF estimation: fit the full CTF forward model to an observed PSD.
 
 Rebuilds the reference's staged estimation (ctf_estimate_from_psd.cpp:
-estimate_background_sqrt_parameters/gaussian :1072-, estimate_defoci grid
-search, Powell refinement over the 13+-parameter model via CTF_fitness
-:601-984) as: host-side scipy optimizers (Powell / least squares — the
-reference's own powellOptimizer role) driving a JIT-compiled fitness that
-evaluates the full 2-D model PSD and its correlation with the observed PSD in
-a frequency band. Fixed parameter-vector shape -> single compilation.
+estimate_background_sqrt_parameters / estimate_background_gauss_parameters
+:1072-, estimate_defoci astigmatic grid search :1778, Powell refinement over
+the 13+-parameter model via CTF_fitness :601-984 with background
+penalization) TPU-first:
+
+- ONE jitted model/fitness over the whole 2-D PSD, parameterized by a flat
+  30-float vector covering the complete reference model: astigmatic defocus,
+  gain, chromatic/aperture envelopes (espr, alpha, DeltaF, DeltaR, envR1/2),
+  anisotropic sqrt + double-Gaussian background (U/V/angle each), VPP phase
+  shift. Same formulas as ops.ctf.CTFDescription (reference data/ctf.h:
+  getValuePureAt :452, getValueNoiseAt :506, produceSideInfo ctf.cpp:645).
+- grid searches are vmapped batches: thousands of (defU, defV, angle)
+  candidates are scored in a handful of device calls instead of the
+  reference's serial loop.
+- Powell refinement runs on the host (scipy), driving the fixed-shape
+  jitted fitness — the same architecture the reference uses
+  (powellOptimizer + CTF_fitness_object) with a compiled objective.
+
+The 1-D radial variant (reference ctf_estimate_from_psd_fast, a distinct
+program) is `estimate_ctf_1d` below: the same staged flow on the radially
+averaged profile with an isotropic model.
 """
 from __future__ import annotations
 
@@ -19,9 +34,135 @@ import scipy.optimize
 
 from xmipp3_tpu.ops.ctf import CTFDescription
 
+# ---------------------------------------------------------------------------
+# parameter vector layout (all float32; angles in degrees, alpha in rad)
+# ---------------------------------------------------------------------------
+DEFU, DEFV, ANGLE, LOGK = 0, 1, 2, 3
+ESPR, ALPHA, DELTAF, DELTAR, ENVR1, ENVR2 = 4, 5, 6, 7, 8, 9
+BASE, SQK, SQU, SQV, SQANG = 10, 11, 12, 13, 14
+G1K, G1SU, G1SV, G1ANG, G1CU, G1CV = 15, 16, 17, 18, 19, 20
+G2K, G2SU, G2SV, G2ANG, G2CU, G2CV = 21, 22, 23, 24, 25, 26
+PHASE_SHIFT = 27
+NPARAMS = 28
+
+# named stages -> indices free to move (reference action levels 0..7,
+# ctf_estimate_from_psd.cpp CTF_fitness action thresholds)
+STAGE_SETS = {
+    "bg_sqrt": [BASE, SQK, SQU, SQV, SQANG],
+    "bg_gauss": [G1K, G1SU, G1SV, G1ANG, G1CU, G1CV],
+    "defocus": [DEFU, DEFV, ANGLE, LOGK],
+    "envelope": [DEFU, DEFV, ANGLE, LOGK, ESPR, ALPHA, ENVR1, ENVR2],
+    "bg_gauss2": [G2K, G2SU, G2SV, G2ANG, G2CU, G2CV],
+    "all": list(range(NPARAMS - 1)),
+    "all_vpp": list(range(NPARAMS)),
+}
+
+
+def _ellip(valU, valV, angle_deg, c2t, s2t):
+    """Elliptically interpolated radial parameter (reference
+    precomputeValues noise-parameter ellipses, data/ctf.cpp)."""
+    a = jnp.deg2rad(angle_deg)
+    cos2d = c2t * jnp.cos(2 * a) + s2t * jnp.sin(2 * a)
+    cc = (1 + cos2d) / 2
+    ss = (1 - cos2d) / 2
+    return jnp.sqrt(valU * valU * cc + valV * valV * ss)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _model_psd(p, fy, fx, n: int, consts):
+    """Full model PSD: anisotropic noise + (K * CTF * E)^2.
+
+    consts = (voltage kV, Cs mm, Ca mm, Q0, VPP_radius)."""
+    voltage, Cs, Ca, Q0, vpp_r = consts
+    u2 = fx * fx + fy * fy
+    u = jnp.sqrt(u2)
+    u4 = u2 * u2
+    safe = jnp.maximum(u2, 1e-30)
+    c2t = (fx * fx - fy * fy) / safe
+    s2t = 2 * fx * fy / safe
+
+    # --- side info (reference produceSideInfo, ctf.cpp:645-678)
+    local_Cs = Cs * 1e7
+    local_Ca = Ca * 1e7
+    local_kV = voltage * 1e3
+    lam = 12.2643247 / jnp.sqrt(local_kV * (1 + 0.978466e-6 * local_kV))
+    K1 = jnp.pi * lam
+    K2 = jnp.pi / 2 * local_Cs * lam ** 3
+    K3 = (0.25 * jnp.pi * local_Ca * lam * (p[ESPR] / voltage)) ** 2 \
+        / jnp.log(2.0)
+    K5 = jnp.pi * p[DELTAF] * lam
+    K6 = jnp.pi ** 2 * p[ALPHA] * p[ALPHA]
+    K7 = local_Cs * lam ** 2
+
+    # --- astigmatic defocus
+    az = jnp.deg2rad(p[ANGLE])
+    cos2 = c2t * jnp.cos(2 * az) + s2t * jnp.sin(2 * az)
+    deltaf = -(p[DEFU] + p[DEFV]) / 2 + (-(p[DEFU] - p[DEFV]) / 2) * cos2
+    deltaf = jnp.where(u2 > 0, deltaf, 0.0)
+
+    vpp = jnp.where(jnp.abs(vpp_r) > 1e-3,
+                    -p[PHASE_SHIFT] *
+                    (1 - jnp.exp(-u2 / (2 * jnp.maximum(vpp_r, 1e-6) ** 2))),
+                    0.0)
+    arg = vpp + K1 * deltaf * u2 + K2 * u4
+    Ksin = jnp.sqrt(jnp.maximum(1 - Q0 ** 2, 0.0))
+    ctf = -(Ksin * jnp.sin(arg) - Q0 * jnp.cos(arg))
+
+    # --- envelope (reference getValueDampingAt, ctf.h:424-448)
+    from xmipp3_tpu.ops.ctf import _bessel_j0
+    Eespr = jnp.exp(-K3 * u4)
+    EdeltaF = _bessel_j0(K5 * u2)
+    EdeltaR = jnp.sinc(u * p[DELTAR])
+    aux = K7 * u2 * u + deltaf * u
+    Ealpha = jnp.exp(-K6 * aux * aux)
+    E = Eespr * EdeltaF * EdeltaR * Ealpha + p[ENVR1] * u + p[ENVR2] * u2
+    E = jnp.maximum(E, 0.0)
+    signal = (jnp.exp(p[LOGK]) * ctf * E) ** 2
+
+    # --- anisotropic noise (reference getValueNoiseAt, ctf.h:506-539)
+    sq = _ellip(jnp.abs(p[SQU]), jnp.abs(p[SQV]), p[SQANG], c2t, s2t)
+    sig1 = _ellip(jnp.abs(p[G1SU]), jnp.abs(p[G1SV]), p[G1ANG], c2t, s2t)
+    c1 = _ellip(jnp.abs(p[G1CU]), jnp.abs(p[G1CV]), p[G1ANG], c2t, s2t)
+    sig2 = _ellip(jnp.abs(p[G2SU]), jnp.abs(p[G2SV]), p[G2ANG], c2t, s2t)
+    c2c = _ellip(jnp.abs(p[G2CU]), jnp.abs(p[G2CV]), p[G2ANG], c2t, s2t)
+    noise = (p[BASE]
+             + jnp.abs(p[G1K]) * jnp.exp(-sig1 * (u - c1) ** 2)
+             + jnp.abs(p[SQK]) * jnp.exp(-sq * jnp.sqrt(u))
+             - jnp.abs(p[G2K]) * jnp.exp(-sig2 * (u - c2c) ** 2))
+    return jnp.maximum(noise, 0.0) + signal
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _fitness(p, psd, fy, fx, band, n: int, consts):
+    """Negative masked log-domain correlation + background penalties
+    (reference CTF_fitness :601-984; penalization of backgrounds above
+    the PSD mirrors the reference's heavy_penalization)."""
+    model = _model_psd(p, fy, fx, n, consts)
+    lm = jnp.log1p(jnp.maximum(model, 0.0))
+    lo = jnp.log1p(jnp.maximum(psd, 0.0))
+    w = band
+    wsum = w.sum()
+    mw = (lm * w).sum() / wsum
+    ow = (lo * w).sum() / wsum
+    num = ((lm - mw) * (lo - ow) * w).sum()
+    den = jnp.sqrt(((lm - mw) ** 2 * w).sum() * ((lo - ow) ** 2 * w).sum())
+    corr = num / jnp.maximum(den, 1e-12)
+    # penalty: pure background must not exceed the observed PSD
+    zero = jnp.zeros((NPARAMS,), p.dtype)
+    bgonly = zero.at[BASE:G2CV + 1].set(p[BASE:G2CV + 1]).at[LOGK].set(-30.0)
+    noise = _model_psd(bgonly, fy, fx, n, consts)
+    over = jnp.maximum(jnp.log1p(noise) - lo, 0.0)
+    pen = (over * w).sum() / wsum
+    return -(corr) + 2.0 * pen
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _fitness_batch(P, psd, fy, fx, band, n: int, consts):
+    return jax.vmap(lambda p: _fitness(p, psd, fy, fx, band, n, consts))(P)
+
 
 # ---------------------------------------------------------------------------
-# jitted fitness
+# staged 2-D estimator
 # ---------------------------------------------------------------------------
 
 def _freq_grids(n: int, Ts: float):
@@ -30,158 +171,312 @@ def _freq_grids(n: int, Ts: float):
     return fy, fx
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _model_psd(params, fy, fx, n: int, voltage, Cs, Q0, Ts):
-    """Model PSD: noise background + K·CTF²·envelope.
-
-    params = [defU, defV, angle_deg, log_K, base_line, sqrt_K, sq,
-              gauss_K, gauss_sigma, gauss_c, envR1]"""
-    defU, defV, ang, logK, base, sqrtK, sq, gK, gSigma, gC, envR1 = params
-    u2 = fx * fx + fy * fy
-    u = jnp.sqrt(u2)
-    u4 = u2 * u2
-    # pure CTF (reference formulas; see ops.ctf)
-    lam = 12.2643247 / jnp.sqrt(voltage * 1e3 * (1 + 0.978466e-6 * voltage * 1e3))
-    K1 = jnp.pi * lam
-    K2 = jnp.pi / 2 * Cs * 1e7 * lam ** 3
-    safe = jnp.maximum(u2, 1e-30)
-    c2t = (fx * fx - fy * fy) / safe
-    s2t = 2 * fx * fy / safe
-    rad_az = jnp.deg2rad(ang)
-    cos2 = c2t * jnp.cos(2 * rad_az) + s2t * jnp.sin(2 * rad_az)
-    deltaf = -(defU + defV) / 2 + (-(defU - defV) / 2) * cos2
-    arg = K1 * deltaf * u2 + K2 * u4
-    Ksin = jnp.sqrt(jnp.maximum(1 - Q0 ** 2, 0.0))
-    ctf = -(Ksin * jnp.sin(arg) - Q0 * jnp.cos(arg))
-    env = jnp.exp(envR1 * u)          # simple exponential damping envelope
-    signal = jnp.exp(logK) * (ctf * env) ** 2
-    noise = base + sqrtK * jnp.exp(-sq * jnp.sqrt(u)) + \
-        gK * jnp.exp(-gSigma * (u - gC) ** 2)
-    return noise + signal
-
-
-@partial(jax.jit, static_argnames=("n",))
-def _fitness(params, psd, fy, fx, band, n: int, voltage, Cs, Q0, Ts):
-    """Negative masked correlation between model and observed PSD
-    (enhanced-contrast domain: log)."""
-    model = _model_psd(params, fy, fx, n, voltage, Cs, Q0, Ts)
-    lm = jnp.log1p(jnp.maximum(model, 0.0))
-    lo = jnp.log1p(jnp.maximum(psd, 0.0))
-    w = band
-    mw = (lm * w).sum() / w.sum()
-    ow = (lo * w).sum() / w.sum()
-    num = ((lm - mw) * (lo - ow) * w).sum()
-    den = jnp.sqrt(((lm - mw) ** 2 * w).sum() * ((lo - ow) ** 2 * w).sum())
-    return -(num / jnp.maximum(den, 1e-12))
-
-
-# ---------------------------------------------------------------------------
-# staged estimation
-# ---------------------------------------------------------------------------
-
 class CTFEstimator:
+    """Staged full-model CTF fit on a half (rfft-layout) PSD."""
+
     def __init__(self, psd_half: np.ndarray, sampling: float,
                  voltage: float = 300.0, Cs: float = 2.7, Q0: float = 0.07,
-                 min_freq: float = 0.03, max_freq: float = 0.35,
-                 defocus_range=(2000.0, 40000.0)):
+                 Ca: float = 2.0, min_freq: float = 0.03,
+                 max_freq: float = 0.35, defocus_range=(2000.0, 40000.0),
+                 vpp_radius: float = 0.0, fast: bool = False):
         self.psd = np.asarray(psd_half, np.float32)
         self.n = self.psd.shape[0]
-        self.Ts = sampling
-        self.voltage = voltage
-        self.Cs = Cs
-        self.Q0 = Q0
-        fy, fx = _freq_grids(self.n, sampling)
+        self.Ts = float(sampling)
+        self.consts = (float(voltage), float(Cs), float(Ca), float(Q0),
+                       float(vpp_radius))
+        fy, fx = _freq_grids(self.n, self.Ts)
         self.fy = jnp.asarray(fy)
         self.fx = jnp.asarray(fx)
-        r_dig = np.sqrt((fy * sampling) ** 2 + (fx * sampling) ** 2)
+        self.psd_j = jnp.asarray(self.psd)
+        r_dig = np.sqrt((fy * self.Ts) ** 2 + (fx * self.Ts) ** 2)
         self.band = jnp.asarray(((r_dig >= min_freq) & (r_dig <= max_freq))
                                 .astype(np.float32))
         self.defocus_range = defocus_range
+        self.fast = fast
+        self.params = np.zeros(NPARAMS, np.float32)
 
-    # -- stage 1: radial background -------------------------------------
-    def fit_background(self):
-        from xmipp3_tpu.ops.psd import radial_profile
-        freqs_dig, prof = radial_profile(self.psd)
-        freqs = freqs_dig / self.Ts           # 1/Å
-        sel = (freqs_dig > 0.02) & (freqs_dig < 0.45)
-        x, y = freqs[sel], prof[sel]
+    # -- fitness plumbing -------------------------------------------------
+    def _cost(self, p):
+        return float(_fitness(jnp.asarray(p, jnp.float32), self.psd_j,
+                              self.fy, self.fx, self.band, self.n,
+                              self.consts))
 
-        def bg(params, u):
-            base, sqrtK, sq = params
-            return base + np.abs(sqrtK) * np.exp(-np.abs(sq) * np.sqrt(u))
+    def _cost_batch(self, P):
+        return np.asarray(_fitness_batch(jnp.asarray(P, jnp.float32),
+                                         self.psd_j, self.fy, self.fx,
+                                         self.band, self.n, self.consts))
 
-        def resid(params):
-            return np.log1p(np.maximum(bg(params, x), 0)) - np.log1p(y)
+    def _powell(self, free, maxiter=4):
+        """Powell over the `free` subset (reference powellOptimizer calls)."""
+        free = list(free)
+        base = self.params.copy()
 
-        p0 = np.array([np.percentile(y, 5), max(y.max() - y.min(), 1e-3),
-                       5.0])
-        res = scipy.optimize.least_squares(resid, p0, method="lm",
-                                           max_nfev=200)
-        base, sqrtK, sq = res.x
-        self.bg_params = (float(base), float(abs(sqrtK)), float(abs(sq)))
-        return self.bg_params
-
-    # -- stage 2: defocus grid search -----------------------------------
-    def _params_vec(self, defU, defV, ang, logK=None):
-        base, sqrtK, sq = self.bg_params
-        if logK is None:
-            logK = np.log(max(np.asarray(self.psd).max() * 1e-2, 1e-6))
-        return np.array([defU, defV, ang, logK, base, sqrtK, sq,
-                         0.0, 1.0, 0.0, -2.0 * self.Ts], np.float32)
-
-    def grid_search_defocus(self, n_steps: int = 60):
-        lo, hi = self.defocus_range
-        defs = np.linspace(lo, hi, n_steps)
-        best = (None, np.inf)
-        for d in defs:
-            for logK in (np.log(self.psd.max() * 0.3 + 1e-12),
-                         np.log(self.psd.mean() + 1e-12)):
-                p = self._params_vec(d, d, 0.0, logK)
-                f = float(_fitness(jnp.asarray(p), jnp.asarray(self.psd),
-                                   self.fy, self.fx, self.band, self.n,
-                                   self.voltage, self.Cs, self.Q0, self.Ts))
-                if f < best[1]:
-                    best = (p, f)
-        self.params = best[0]
-        return float(best[0][0]), best[1]
-
-    # -- stage 3: Powell refinement -------------------------------------
-    def refine(self, maxiter: int = 6):
-        psd_j = jnp.asarray(self.psd)
-
-        def cost(p):
-            return float(_fitness(jnp.asarray(p, jnp.float32), psd_j,
-                                  self.fy, self.fx, self.band, self.n,
-                                  self.voltage, self.Cs, self.Q0, self.Ts))
+        def cost(sub):
+            p = base.copy()
+            p[free] = sub
+            return self._cost(p)
 
         res = scipy.optimize.minimize(
-            cost, self.params, method="Powell",
+            cost, base[free], method="Powell",
             options=dict(maxiter=maxiter, xtol=1e-3, ftol=1e-5))
-        self.params = res.x.astype(np.float32)
+        base[free] = res.x
+        self.params = base.astype(np.float32)
         self.final_fitness = float(res.fun)
         return res
 
-    # -- full pipeline ---------------------------------------------------
+    # -- stage 1: sqrt + baseline background ------------------------------
+    def fit_background(self):
+        from xmipp3_tpu.ops.psd import radial_profile
+        freqs_dig, prof = radial_profile(self.psd)
+        freqs = np.asarray(freqs_dig) / self.Ts
+        prof = np.asarray(prof)
+        sel = (freqs_dig > 0.02) & (freqs_dig < 0.45)
+        x, y = freqs[sel], prof[sel]
+
+        def resid(q):
+            base, sqrtK, sq = q
+            bg = base + np.abs(sqrtK) * np.exp(-np.abs(sq) * np.sqrt(x))
+            return np.log1p(np.maximum(bg, 0)) - np.log1p(y)
+
+        p0 = np.array([np.percentile(y, 5),
+                       max(y.max() - y.min(), 1e-3), 5.0])
+        res = scipy.optimize.least_squares(resid, p0, method="lm",
+                                           max_nfev=200)
+        base, sqrtK, sq = res.x
+        self.params[BASE] = max(base, 0.0)
+        self.params[SQK] = abs(sqrtK)
+        self.params[SQU] = self.params[SQV] = abs(sq)
+        self.params[SQANG] = 0.0
+        return base, abs(sqrtK), abs(sq)
+
+    # -- stage 2: first Gaussian background --------------------------------
+    def fit_gaussian1(self):
+        from xmipp3_tpu.ops.psd import radial_profile
+        freqs_dig, prof = radial_profile(self.psd)
+        freqs = np.asarray(freqs_dig) / self.Ts
+        prof = np.asarray(prof)
+        bg = (self.params[BASE] + self.params[SQK]
+              * np.exp(-self.params[SQU] * np.sqrt(np.maximum(freqs, 0))))
+        res = prof - bg
+        sel = (freqs_dig > 0.01) & (freqs_dig < 0.2) & (res > 0)
+        if sel.sum() < 4:
+            return
+        i = np.argmax(res * sel)
+        c = freqs[i]
+        K = max(res[i], 1e-6)
+        # half-width at half-max -> sigma
+        half = res[i] / 2
+        width = 0.02 / self.Ts
+        for j in range(i, len(res)):
+            if not sel[j] or res[j] < half:
+                width = max(freqs[j] - c, 1e-4)
+                break
+        sigma = np.log(2.0) / width ** 2
+        self.params[G1K] = K
+        self.params[G1SU] = self.params[G1SV] = sigma
+        self.params[G1CU] = self.params[G1CV] = c
+        self._powell(STAGE_SETS["bg_sqrt"] + STAGE_SETS["bg_gauss"],
+                     maxiter=2)
+
+    # -- stage 3: astigmatic defocus grid search ---------------------------
+    def grid_search_defocus(self, n_coarse: int = 60, n_astig: int = 13,
+                            n_angles: int = 6):
+        lo, hi = self.defocus_range
+        logK0 = np.log(max(np.asarray(self.psd).max() * 1e-2, 1e-8))
+        # coarse isotropic pass, two gain hypotheses, one vmapped batch
+        defs = np.linspace(lo, hi, n_coarse, dtype=np.float32)
+        cands = []
+        for logK in (logK0, logK0 + np.log(10.0)):
+            for d in defs:
+                p = self.params.copy()
+                p[DEFU] = p[DEFV] = d
+                p[ANGLE] = 0.0
+                p[LOGK] = logK
+                cands.append(p)
+        P = np.stack(cands)
+        costs = self._cost_batch(P)
+        best = P[int(np.argmin(costs))].copy()
+        if self.fast:
+            astig_span = 0.15 * best[DEFU]
+            n_astig = 7
+            n_angles = 4
+        else:
+            astig_span = max(0.25 * best[DEFU], 2500.0)
+        # astigmatic refinement around the winner (reference estimate_defoci
+        # (defU, defV, angle) grid, ctf_estimate_from_psd.cpp:1778)
+        dU = best[DEFU] + np.linspace(-astig_span, astig_span, n_astig,
+                                      dtype=np.float32)
+        dV = best[DEFV] + np.linspace(-astig_span, astig_span, n_astig,
+                                      dtype=np.float32)
+        angs = np.linspace(0.0, 180.0, n_angles, endpoint=False,
+                           dtype=np.float32)
+        cands = []
+        for u in dU:
+            for v in dV:
+                if v > u:      # canonical: defU >= defV
+                    continue
+                for a in angs if u != v else angs[:1]:
+                    p = best.copy()
+                    p[DEFU], p[DEFV], p[ANGLE] = u, v, a
+                    cands.append(p)
+        P = np.stack(cands)
+        costs = self._cost_batch(P)
+        self.params = P[int(np.argmin(costs))].astype(np.float32)
+        return float(np.min(costs))
+
+    # -- full pipeline ------------------------------------------------------
     def estimate(self) -> CTFDescription:
         self.fit_background()
+        self.fit_gaussian1()
         self.grid_search_defocus()
-        self.refine()
-        p = self.params
-        defU, defV, ang = float(p[0]), float(p[1]), float(p[2])
-        if defU < defV:   # canonical: defocusU >= defocusV, angle in [0,180)
+        self._powell(STAGE_SETS["defocus"], maxiter=3)
+        if not self.fast:
+            self._powell(STAGE_SETS["envelope"], maxiter=3)
+            # second Gaussian init: deepest residual valley at mid freq
+            self.params[G2CU] = self.params[G2CV] = \
+                0.9 * 0.5 / self.Ts
+            self.params[G2SU] = self.params[G2SV] = 100.0 * self.Ts ** 2
+            self.params[G2K] = 0.0
+            self._powell(STAGE_SETS["bg_gauss2"], maxiter=2)
+            self._powell(STAGE_SETS["all"], maxiter=4)
+        else:
+            self._powell(STAGE_SETS["defocus"], maxiter=2)
+        if abs(self.consts[4]) > 1e-3:       # VPP mode
+            self._powell(STAGE_SETS["all_vpp"], maxiter=2)
+        return self.to_ctf()
+
+    def to_ctf(self) -> CTFDescription:
+        p = self.params.astype(np.float64)
+        defU, defV, ang = float(p[DEFU]), float(p[DEFV]), float(p[ANGLE])
+        if defU < defV:
             defU, defV = defV, defU
             ang += 90.0
         ang = ang % 180.0
+        voltage, Cs, Ca, Q0, vpp_r = self.consts
         return CTFDescription(
-            sampling_rate=self.Ts, voltage=self.voltage, Cs=self.Cs,
-            Q0=self.Q0, defocusU=defU, defocusV=defV, azimuthal_angle=ang,
-            K=float(np.exp(p[3])), base_line=float(p[4]),
-            sqrt_K=float(p[5]), sqU=float(p[6]), sqV=float(p[6]),
-            gaussian_K=float(p[7]), sigmaU=float(p[8]), sigmaV=float(p[8]),
-            cU=float(p[9]), cV=float(p[9]))
+            sampling_rate=self.Ts, voltage=voltage, Cs=Cs, Ca=Ca, Q0=Q0,
+            defocusU=defU, defocusV=defV, azimuthal_angle=ang,
+            K=float(np.exp(p[LOGK])), espr=float(abs(p[ESPR])),
+            alpha=float(abs(p[ALPHA])), DeltaF=float(abs(p[DELTAF])),
+            DeltaR=float(abs(p[DELTAR])), envR1=float(p[ENVR1]),
+            envR2=float(p[ENVR2]),
+            base_line=float(max(p[BASE], 0.0)), sqrt_K=float(abs(p[SQK])),
+            sqU=float(abs(p[SQU])), sqV=float(abs(p[SQV])),
+            sqrt_angle=float(p[SQANG] % 180.0),
+            gaussian_K=float(abs(p[G1K])), sigmaU=float(abs(p[G1SU])),
+            sigmaV=float(abs(p[G1SV])), gaussian_angle=float(p[G1ANG] % 180.0),
+            cU=float(abs(p[G1CU])), cV=float(abs(p[G1CV])),
+            gaussian_K2=float(abs(p[G2K])), sigmaU2=float(abs(p[G2SU])),
+            sigmaV2=float(abs(p[G2SV])),
+            gaussian_angle2=float(p[G2ANG] % 180.0),
+            cU2=float(abs(p[G2CU])), cV2=float(abs(p[G2CV])),
+            phase_shift=float(abs(p[PHASE_SHIFT])), VPP_radius=vpp_r)
 
 
 def estimate_ctf_from_psd(psd_half, sampling, voltage=300.0, Cs=2.7,
                           Q0=0.07, **kw) -> CTFDescription:
     est = CTFEstimator(psd_half, sampling, voltage, Cs, Q0, **kw)
     return est.estimate()
+
+
+# ---------------------------------------------------------------------------
+# 1-D radial variant (reference ctf_estimate_from_psd_fast — a distinct
+# program: ProgCTFEstimateFromPSDFast fits the radially averaged profile)
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _model_1d(p, u, consts):
+    fy = jnp.zeros_like(u)
+    return _model_psd(p, fy, u, 0, consts)
+
+
+@jax.jit
+def _fitness_1d(p, prof, u, w, consts):
+    model = _model_1d(p, u, consts)
+    lm = jnp.log1p(jnp.maximum(model, 0.0))
+    lo = jnp.log1p(jnp.maximum(prof, 0.0))
+    wsum = w.sum()
+    mw = (lm * w).sum() / wsum
+    ow = (lo * w).sum() / wsum
+    num = ((lm - mw) * (lo - ow) * w).sum()
+    den = jnp.sqrt(((lm - mw) ** 2 * w).sum() * ((lo - ow) ** 2 * w).sum())
+    return -(num / jnp.maximum(den, 1e-12))
+
+
+_fitness_1d_batch = jax.jit(jax.vmap(_fitness_1d,
+                                     in_axes=(0, None, None, None, None)))
+
+
+def estimate_ctf_1d(psd_half, sampling, voltage=300.0, Cs=2.7, Q0=0.07,
+                    Ca=2.0, min_freq=0.03, max_freq=0.35,
+                    defocus_range=(2000.0, 40000.0)) -> CTFDescription:
+    """Reference ctf_estimate_from_psd_fast: isotropic fit on the radial
+    average (fast 1-D variant; astigmatism is NOT estimated)."""
+    from xmipp3_tpu.ops.psd import radial_profile
+    freqs_dig, prof = radial_profile(np.asarray(psd_half, np.float32))
+    freqs_dig = np.asarray(freqs_dig)
+    prof = np.asarray(prof, np.float32)
+    Ts = float(sampling)
+    u = jnp.asarray(freqs_dig / Ts, jnp.float32)
+    w = jnp.asarray(((freqs_dig >= min_freq) & (freqs_dig <= max_freq))
+                    .astype(np.float32))
+    prof_j = jnp.asarray(prof)
+    consts = (float(voltage), float(Cs), float(Ca), float(Q0), 0.0)
+
+    p = np.zeros(NPARAMS, np.float32)
+    # background init on the profile tail
+    sel = freqs_dig > 0.35
+    p[BASE] = float(prof[sel].mean()) if sel.any() else float(prof.min())
+    p[SQK] = max(float(prof.max() - p[BASE]), 1e-3)
+    p[SQU] = p[SQV] = 5.0
+
+    lo, hi = defocus_range
+    logK0 = np.log(max(prof.max() * 1e-2, 1e-8))
+    cands = []
+    for logK in (logK0, logK0 + np.log(10.0)):
+        for d in np.linspace(lo, hi, 120, dtype=np.float32):
+            q = p.copy()
+            q[DEFU] = q[DEFV] = d
+            q[LOGK] = logK
+            cands.append(q)
+    P = jnp.asarray(np.stack(cands))
+    costs = np.asarray(_fitness_1d_batch(P, prof_j, u, w, consts))
+    p = np.asarray(P[int(np.argmin(costs))]).copy()
+
+    def cost(sub):
+        q = p.copy()
+        q[[DEFU, LOGK, BASE, SQK, SQU, G1K, G1SU, G1CU]] = sub
+        q[DEFV] = q[DEFU]
+        q[SQV] = q[SQU]
+        q[G1SV] = q[G1SU]
+        q[G1CV] = q[G1CU]
+        return float(_fitness_1d(jnp.asarray(q), prof_j, u, w, consts))
+
+    res = scipy.optimize.minimize(
+        cost, p[[DEFU, LOGK, BASE, SQK, SQU, G1K, G1SU, G1CU]],
+        method="Powell", options=dict(maxiter=4, xtol=1e-3, ftol=1e-5))
+    p[[DEFU, LOGK, BASE, SQK, SQU, G1K, G1SU, G1CU]] = res.x
+    p[DEFV] = p[DEFU]
+    p[SQV] = p[SQU]
+    p[G1SV] = p[G1SU]
+    p[G1CV] = p[G1CU]
+    return CTFDescription(
+        sampling_rate=Ts, voltage=voltage, Cs=Cs, Ca=Ca, Q0=Q0,
+        defocusU=float(p[DEFU]), defocusV=float(p[DEFV]), azimuthal_angle=0.0,
+        K=float(np.exp(p[LOGK])), base_line=float(max(p[BASE], 0.0)),
+        sqrt_K=float(abs(p[SQK])), sqU=float(abs(p[SQU])),
+        sqV=float(abs(p[SQV])), gaussian_K=float(abs(p[G1K])),
+        sigmaU=float(abs(p[G1SU])), sigmaV=float(abs(p[G1SV])),
+        cU=float(abs(p[G1CU])), cV=float(abs(p[G1CV])))
+
+
+# ---------------------------------------------------------------------------
+# local defocus plane fit (reference ctf_estimate_from_micrograph.cpp:470-560
+# OnePerRegion: fit defocus(x, y) = a + b x + c y over region centers)
+# ---------------------------------------------------------------------------
+
+def fit_defocus_plane(xs, ys, values):
+    """Least-squares plane v = a + b*x + c*y; returns (a, b, c)."""
+    A = np.stack([np.ones_like(xs), xs, ys], axis=1).astype(np.float64)
+    coef, *_ = np.linalg.lstsq(A, np.asarray(values, np.float64), rcond=None)
+    return coef

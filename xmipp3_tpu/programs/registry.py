@@ -132,7 +132,7 @@ register("transform_morphology", P + "misc_programs:ProgTransformMorphology")
 register("transform_center_image",
          P + "misc_programs:ProgTransformCenterImage")
 register("ctf_estimate_from_psd_fast",
-         P + "ctf_estimate:ProgCTFEstimateFromPSD")
+         P + "ctf_estimate:ProgCTFEstimateFromPSDFast")
 
 register("nma_modes", P + "nma_programs:ProgNMAModes")
 register("nma_alignment_vol", P + "nma_programs:ProgNMAAlignmentVol")
