@@ -99,3 +99,62 @@ def test_cl2d_program(tmp_path):
     assert p > 0.85
     md_c = MetaData(str(tmp_path / "cl_classes.xmd"))
     assert md_c.size() == 2
+
+
+def test_ml2d_true_loglik_monotone_4class():
+    """VERDICT #5 exit criterion: the TRUE data log-likelihood increases
+    (EM-monotone up to top-K truncation) on a synthetic 4-class set and
+    classes are recovered (reference ml_align2d.cpp:700-926)."""
+    rng = np.random.default_rng(3)
+    n, B = 32, 48
+    y, x = np.mgrid[0:n, 0:n].astype(np.float32) - n // 2
+    protos = [
+        np.exp(-(x ** 2 + y ** 2) / 30),
+        np.exp(-((x - 6) ** 2 + y ** 2) / 18) +
+        np.exp(-((x + 6) ** 2 + y ** 2) / 18),
+        np.exp(-(x ** 2 / 60 + y ** 2 / 8)),
+        np.exp(-((x) ** 2 + (y - 5) ** 2) / 12) +
+        np.exp(-(x ** 2 + (y + 5) ** 2) / 40),
+    ]
+    labels = rng.integers(0, 4, B)
+    imgs = np.stack([protos[c] for c in labels]).astype(np.float32)
+    imgs += 0.15 * rng.standard_normal(imgs.shape).astype(np.float32)
+
+    from xmipp3_tpu.models.ml2d import ml2d
+    out = ml2d(imgs, 4, n_iters=8, max_shift=2, seed=0)
+    ll = np.asarray(out["loglike"])
+    assert ll[-1] > ll[0]
+    # near-monotone: no decrease beyond tiny truncation noise
+    dips = np.diff(ll) < -1e-3 * np.abs(ll[:-1])
+    assert dips.sum() == 0, f"LL decreased: {ll}"
+    # class recovery: majority label purity over the 4 found classes
+    assign = out["assignments"]
+    purity = 0
+    for k in range(4):
+        sel = assign == k
+        if sel.sum():
+            vals, counts = np.unique(labels[sel], return_counts=True)
+            purity += counts.max()
+    assert purity / B >= 0.7
+
+
+def test_mlf2d_noise_model_runs_and_recovers():
+    rng = np.random.default_rng(4)
+    n, B = 32, 32
+    y, x = np.mgrid[0:n, 0:n].astype(np.float32) - n // 2
+    protos = [np.exp(-(x ** 2 + y ** 2) / 30),
+              np.exp(-(x ** 2 / 60 + y ** 2 / 8))]
+    labels = rng.integers(0, 2, B)
+    imgs = np.stack([protos[c] for c in labels]).astype(np.float32)
+    imgs += 0.2 * rng.standard_normal(imgs.shape).astype(np.float32)
+    from xmipp3_tpu.models.ml2d import ml2d
+    out = ml2d(imgs, 2, n_iters=6, max_shift=2, seed=0,
+               fourier_noise_model=True)
+    assign = out["assignments"]
+    purity = 0
+    for k in range(2):
+        sel = assign == k
+        if sel.sum():
+            vals, counts = np.unique(labels[sel], return_counts=True)
+            purity += counts.max()
+    assert purity / B >= 0.85

@@ -1,167 +1,231 @@
 """ML2D: multi-reference 2-D maximum-likelihood refinement.
 
-Rebuilds the reference ml_align2d (ml2d.h/ml_align2d.cpp:700-926
-expectationSingleImage: per-image integration of the likelihood over
-(class, in-plane rotation, translation); maximization re-estimates class
-averages, fractions and noise sigma).
+Rebuilds the reference ml_align2d (ml2d.h / ml_align2d.cpp:700-926
+expectationSingleImage: per-image integration of the Gaussian likelihood
+over (class, in-plane rotation, translation) with significant-weight
+truncation; maximization re-estimates class averages, fractions, the noise
+sigma and the translation prior sigma_offset) and mlf_align2d
+(mlf_align2d.h:70: Fourier-space ML with a per-resolution noise model).
 
-TPU design: the rotational integral comes free from ring-FFT correlation
-CURVES (every psi at once, ops.match.rotational_corr_matrix); translations
-from the same trial grid as matching. The E-step keeps the full soft
-posterior over (ref, trial, psi) implicitly but materializes only the top-K
-poses per image for the weighted M-step (top-K soft assignment — the
-reference's significant-weight truncation plays the same role).
+TPU design: the exact residual decomposes on the ring-weighted polar
+annulus as  ||X - R(psi,t)||^2 = ||X_t||^2 + ||R||^2 - 2 <X_t, R(psi)>,
+and rotations are circular shifts per ring, so ALL psi values of the cross
+term come from one batched ring-FFT correlation and rotations preserve
+||R||. The E-step is therefore a single einsum pipeline producing the
+full (image, shift-trial, class, psi) log-posterior — no warps — and the
+M-step materializes only the device-selected top-K poses per image (the
+reference's significant-weight truncation) as one batched warp + one
+class scatter-add. sigma^2 and sigma_offset^2 update from posterior
+moments of the SAME energy terms (no extra device work).
 
-Model: X_i = T(R(ref_k)) + N(0, sigma^2 I);
-log p(X|k,pose) = const - ||X - R||^2 / (2 sigma^2)
-               = const' + (X·R_pose - ||R||^2/2) / sigma^2.
+MLF2D (fourier_noise_model=True) estimates per-ring noise spectra
+sigma_r^2 from the best-pose residual each iteration and weights every
+ring by 1/sigma_r^2 in the likelihood — the per-resolution noise model.
 """
 from __future__ import annotations
 
-import numpy as np
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from xmipp3_tpu.ops.fourier import fourier_shift_2d
-from xmipp3_tpu.ops.geo import apply_md_geometry, alignment_to_md_pose
-from xmipp3_tpu.ops.match import rotational_corr_matrix, _trial_shift_grid
+from xmipp3_tpu.ops.geo import alignment_to_md_pose, apply_md_geometry
+from xmipp3_tpu.ops.match import _trial_shift_grid
 from xmipp3_tpu.ops.polar import cartesian_to_polar, ring_ffts
 
 
-def _pose_scores(refs, imgs, trials, radius_min, radius_max,
-                 ring_weights=None):
-    """Correlation-coefficient curves for every (image, trial, ref, psi)."""
-    f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max))
-    scores = []
-    rw = None if ring_weights is None else jnp.asarray(ring_weights,
-                                                       jnp.float32)
-    for t in np.asarray(trials):
-        shifted = fourier_shift_2d(imgs, float(t[0]), float(t[1]))
-        f_im = ring_ffts(cartesian_to_polar(shifted, radius_min, radius_max))
-        corr = rotational_corr_matrix(f_refs, f_im, radius_min, rw)  # (B,R,A)
-        scores.append(np.asarray(corr))
-    return np.stack(scores, axis=1)  # (B, T, R, A)
+def _dup(k, A):
+    """rfft bin multiplicities (interior bins count twice)."""
+    d = (2.0 * jnp.ones(k)).at[0].set(1.0)
+    if A % 2 == 0:
+        d = d.at[-1].set(1.0)
+    return d
 
 
-def _ring_snr_weights(refs, imgs, radius_min, radius_max):
-    """MLF2D noise model: per-ring SNR = class-average ring power over
-    residual ring power, used to weight the scoring rings."""
-    p_ref = np.asarray(jnp.abs(ring_ffts(cartesian_to_polar(
-        jnp.asarray(refs), radius_min, radius_max))) ** 2).mean(axis=(0, 2))
-    p_img = np.asarray(jnp.abs(ring_ffts(cartesian_to_polar(
-        jnp.asarray(imgs), radius_min, radius_max))) ** 2).mean(axis=(0, 2))
-    noise = np.maximum(p_img - p_ref, 1e-8 * p_img.max())
-    snr = p_ref / noise
-    return np.clip(snr / max(snr.max(), 1e-12), 0.02, 1.0)
+@partial(jax.jit, static_argnames=("rmin", "rmax"))
+def _energy_terms(refs, imgs, trials, ring_w, rmin: int, rmax: int):
+    """Raw weighted polar-annulus energy terms.
+
+    Returns cross (B,T,R,A) = <X_t, R(psi)>, e_img (B,T) = ||X_t||^2,
+    e_ref (R,) = ||R||^2, all under ring weights w_r = r * ring_w (annulus
+    area measure times the optional noise-spectrum weighting)."""
+    f_refs = ring_ffts(cartesian_to_polar(refs, rmin, rmax))   # (R,nr,k)
+    R, nr, k = f_refs.shape
+    A = 2 * (k - 1)
+    radii = jnp.arange(rmin, rmin + nr, dtype=jnp.float32)
+    w = radii / A * ring_w                     # per-sample area weight
+    dup = _dup(k, A)
+    e_ref = jnp.einsum("Rrk,r,k->R", jnp.abs(f_refs) ** 2, w, dup) / A
+
+    def one_trial(t):
+        shifted = fourier_shift_2d(imgs, t[0], t[1])
+        f_im = ring_ffts(cartesian_to_polar(shifted, rmin, rmax))
+        e_im = jnp.einsum("brk,r,k->b", jnp.abs(f_im) ** 2, w, dup) / A
+        cross = jnp.einsum("brk,Rrk,r->bRk", f_im, jnp.conj(f_refs), w)
+        cross = jnp.fft.irfft(cross, n=A, axis=-1)   # (B,R,A), /A folded in
+        return e_im, cross
+
+    e_img, cross = jax.lax.map(one_trial, jnp.asarray(trials))
+    # e_img (T,B) -> (B,T); cross (T,B,R,A) -> (B,T,R,A)
+    return (jnp.transpose(cross, (1, 0, 2, 3)), e_img.T, e_ref)
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def _e_step(cross, e_img, e_ref, trials, log_alpha, sigma2, sigma_off2,
+            d_eff, top_k: int):
+    """Exact Gaussian E-step over (trial, class, psi).
+
+    Returns posterior top-K (weights + indices), class stats, LL, and
+    posterior moments for the sigma updates."""
+    B, T, R, A = cross.shape
+    resid2 = (e_img[:, :, None, None] + e_ref[None, None, :, None]
+              - 2.0 * cross)                      # (B,T,R,A)
+    resid2 = jnp.maximum(resid2, 0.0)
+    log_pt = -(trials[:, 0] ** 2 + trials[:, 1] ** 2) / \
+        (2.0 * jnp.maximum(sigma_off2, 1e-8))     # (T,)
+    loge = (-resid2 / (2.0 * jnp.maximum(sigma2, 1e-12))
+            + log_pt[None, :, None, None]
+            + log_alpha[None, None, :, None])
+    flat = loge.reshape(B, -1)
+    m = flat.max(axis=1, keepdims=True)
+    p = jnp.exp(flat - m)
+    Z = p.sum(axis=1, keepdims=True)
+    post = p / Z
+    # data log-likelihood (with the Gaussian normalization constant)
+    ll = (m[:, 0] + jnp.log(Z[:, 0])
+          - 0.5 * d_eff * jnp.log(2 * jnp.pi * sigma2)).mean()
+    # posterior moments
+    post4 = post.reshape(B, T, R, A)
+    exp_resid2 = jnp.einsum("btra,btra->", post4, resid2) / B
+    t2 = trials[:, 0] ** 2 + trials[:, 1] ** 2
+    exp_t2 = jnp.einsum("btra,t->", post4, t2) / B
+    frac = post4.sum(axis=(0, 1, 3)) / B
+    wk, ik = jax.lax.top_k(post, top_k)
+    wk = wk / jnp.maximum(wk.sum(axis=1, keepdims=True), 1e-12)
+    return wk, ik, frac, exp_resid2, exp_t2, ll
+
+
+@partial(jax.jit, static_argnames=("n_refs", "A"))
+def _m_step(imgs, wk, ik, trials, n_refs: int, A: int):
+    """Batched top-K warp + class scatter (the weighted class averages)."""
+    B, K = wk.shape
+    T = trials.shape[0]
+    t_idx = ik // (n_refs * A)
+    r_idx = (ik // A) % n_refs
+    a_idx = ik % A
+    psi = a_idx.astype(jnp.float32) * (360.0 / A)
+    psi = jnp.where(psi > 180.0, psi - 360.0, psi)
+    t = trials[t_idx.reshape(-1)]                 # (B*K, 2)
+    rad = jnp.deg2rad(psi.reshape(-1))
+    c, s = jnp.cos(rad), jnp.sin(rad)
+    sx = c * t[:, 0] + s * t[:, 1]
+    sy = -s * t[:, 0] + c * t[:, 1]
+    psi_md, sx_md, sy_md, _ = alignment_to_md_pose(psi.reshape(-1), sx, sy)
+    rep = jnp.repeat(imgs, K, axis=0)             # (B*K, H, W)
+    reg = apply_md_geometry(rep, psi_md, sx_md, sy_md)
+    wflat = wk.reshape(-1)
+    acc = jnp.zeros((n_refs,) + imgs.shape[1:], jnp.float32)
+    acc = acc.at[r_idx.reshape(-1)].add(reg * wflat[:, None, None])
+    cnt = jnp.zeros((n_refs,), jnp.float32).at[r_idx.reshape(-1)].add(wflat)
+    return (acc, cnt, r_idx[:, 0], psi_md.reshape(B, K)[:, 0],
+            sx_md.reshape(B, K)[:, 0], sy_md.reshape(B, K)[:, 0])
+
+
+@partial(jax.jit, static_argnames=("rmin", "rmax"))
+def _ring_noise_spectra(refs, imgs, best_ref, psi_md, sx_md, sy_md,
+                        rmin: int, rmax: int):
+    """Per-ring residual noise spectra at the best pose (MLF2D,
+    mlf_align2d.h:70): sigma_r^2 = mean ring power of (X_aligned - R)."""
+    reg = apply_md_geometry(imgs, psi_md, sx_md, sy_md)
+    resid = reg - refs[best_ref]
+    f = ring_ffts(cartesian_to_polar(resid, rmin, rmax))      # (B,nr,k)
+    k = f.shape[-1]
+    A = 2 * (k - 1)
+    dup = _dup(k, A)
+    return jnp.einsum("brk,k->r", jnp.abs(f) ** 2, dup) / (A * f.shape[0])
 
 
 def ml2d(imgs: np.ndarray, n_refs: int, n_iters: int = 15,
-         max_shift: int = 4, sigma_init: float = 1.0, seed: int = 0,
+         max_shift: int = 4, sigma_init: float | None = None, seed: int = 0,
          top_k: int = 8, verbose: int = 0, fourier_noise_model: bool = False):
-    """Returns dict(refs, fractions, sigma, assignments, loglike_history).
+    """Returns dict(refs, fractions, sigma, assignments, loglike).
 
-    fourier_noise_model=True is the MLF2D variant (mlf_align2d.h:70): the
-    per-ring SNR of the current model weights the angular-frequency terms of
-    the scoring correlation, down-weighting noise-dominated rings."""
+    The reported loglike is the TRUE data log-likelihood of the Gaussian
+    mixture over (class, psi, trial) in the ring-weighted polar domain
+    (monotone under EM up to the top-K M-step truncation)."""
     from xmipp3_tpu.models.cl2d import initial_references
     imgs = np.asarray(imgs, np.float32)
     B, H, W = imgs.shape
-    radius_min, radius_max = 2, H // 2 - 2
-    refs = initial_references(imgs, n_refs, seed)
+    rmin, rmax = 2, H // 2 - 2
+    refs = jnp.asarray(initial_references(imgs, n_refs, seed))
     alpha = np.full(n_refs, 1.0 / n_refs)
-    sigma = sigma_init
-    trials = _trial_shift_grid(max_shift, step=max(max_shift / 2, 1.0))
+    trials = jnp.asarray(_trial_shift_grid(max_shift,
+                                           step=max(max_shift / 2, 1.0)))
+    imgs_j = jnp.asarray(imgs)
+    nr = rmax - rmin + 1        # polar_grid rings are inclusive of rmax
+    # effective sample count of the weighted annulus (for the LL constant)
+    radii = np.arange(rmin, rmax + 1, dtype=np.float64)
+    A_ang = None
+    ring_w = jnp.ones((nr,), jnp.float32)
+    d_eff = float(radii.sum())     # = sum_r w_r*A with w_r = r/A
+    sigma2 = None
+    sigma_off2 = max((max_shift / 2.0) ** 2, 1.0)
     ll_hist = []
+    out_pose = None
 
     for it in range(n_iters):
-        rw = (_ring_snr_weights(refs, imgs, radius_min, radius_max)
-              if fourier_noise_model else None)
-        S = _pose_scores(jnp.asarray(refs), jnp.asarray(imgs),
-                         trials, radius_min, radius_max, rw)   # (B,T,R,A)
-        Bn, T, R, A = S.shape
-        # scale correlation coefficient -> approx X·R/sigma^2 energy units:
-        # use a temperature so the posterior sharpens as sigma decreases
-        energy = S / max(sigma, 1e-3) * 10.0
-        energy = energy + np.log(np.maximum(alpha, 1e-8))[None, None, :, None]
-        flat = energy.reshape(B, -1)
-        flat_max = flat.max(axis=1, keepdims=True)
-        post = np.exp(flat - flat_max)
-        post /= post.sum(axis=1, keepdims=True)
-        ll = float((flat_max[:, 0] + np.log(
-            np.exp(flat - flat_max).sum(axis=1))).mean())
-        ll_hist.append(ll)
+        cross, e_img, e_ref = _energy_terms(refs, imgs_j, trials, ring_w,
+                                            rmin, rmax)
+        Bn, T, R, A = cross.shape
+        if A_ang is None:
+            A_ang = A
+        if sigma2 is None:
+            # init: residual of zero-model ~ image energy per unit weight
+            sigma2 = float(np.asarray(e_img).mean() / d_eff) \
+                if sigma_init is None else float(sigma_init ** 2)
+        d_eff = float(np.sum(radii * np.asarray(ring_w)))
+        wk, ik, frac, exp_resid2, exp_t2, ll = _e_step(
+            cross, e_img, e_ref, trials, jnp.asarray(
+                np.log(np.maximum(alpha, 1e-8)), jnp.float32),
+            sigma2, sigma_off2, d_eff, top_k)
+        ll_hist.append(float(ll))
 
-        # top-K poses per image
-        topk_idx = np.argpartition(flat, -top_k, axis=1)[:, -top_k:]
-        w = np.take_along_axis(post, topk_idx, axis=1)
-        w /= w.sum(axis=1, keepdims=True)
-
-        t_idx = topk_idx // (R * A)
-        r_idx = (topk_idx // A) % R
-        a_idx = topk_idx % A
-
-        # M-step: weighted class averages from registered images
-        new_refs = np.zeros_like(refs)
-        new_counts = np.zeros(n_refs)
-        resid_acc = 0.0
-        for k in range(top_k):
-            psi_align = a_idx[:, k].astype(np.float32) * (360.0 / A)
-            psi_align = np.where(psi_align > 180, psi_align - 360, psi_align)
-            t = trials[t_idx[:, k]]
-            # pose applied during scoring: rotational corr of T(t)img vs ref
-            # at lag psi -> aligned = R(psi)·T(t)·img
-            rad = np.deg2rad(psi_align)
-            c, s = np.cos(rad), np.sin(rad)
-            sx = c * t[:, 0] + s * t[:, 1]
-            sy = -s * t[:, 0] + c * t[:, 1]
-            psi_md, sx_md, sy_md, _ = (np.asarray(v) for v in
-                                       alignment_to_md_pose(
-                                           psi_align.astype(np.float32),
-                                           sx.astype(np.float32),
-                                           sy.astype(np.float32)))
-            reg = np.asarray(apply_md_geometry(
-                imgs, psi_md.astype(np.float32), sx_md.astype(np.float32),
-                sy_md.astype(np.float32)))
-            for r in range(n_refs):
-                sel = r_idx[:, k] == r
-                if sel.any():
-                    ww = w[sel, k]
-                    new_refs[r] += (reg[sel] * ww[:, None, None]).sum(axis=0)
-                    new_counts[r] += ww.sum()
+        acc, cnt, best_ref, best_psi_md, best_sx_md, best_sy_md = \
+            _m_step(imgs_j, wk, ik, trials, n_refs, A)
+        cnt_n = np.asarray(cnt)
+        new_refs = np.array(acc)
+        old = np.asarray(refs)
         for r in range(n_refs):
-            if new_counts[r] > 1e-6:
-                new_refs[r] /= new_counts[r]
+            if cnt_n[r] > 1e-6:
+                new_refs[r] /= cnt_n[r]
             else:
-                new_refs[r] = refs[r]
-        alpha = np.maximum(new_counts, 1e-6)
+                new_refs[r] = old[r]
+        refs = jnp.asarray(new_refs)
+        alpha = np.maximum(np.asarray(frac), 1e-6)
         alpha /= alpha.sum()
-        refs = new_refs
-
-        # sigma update from best-pose residuals
-        best = flat.argmax(axis=1)
-        bt, br, ba = best // (R * A), (best // A) % R, best % A
-        psi_align = ba.astype(np.float32) * (360.0 / A)
-        psi_align = np.where(psi_align > 180, psi_align - 360, psi_align)
-        t = trials[bt]
-        rad = np.deg2rad(psi_align)
-        c, s = np.cos(rad), np.sin(rad)
-        sx = c * t[:, 0] + s * t[:, 1]
-        sy = -s * t[:, 0] + c * t[:, 1]
-        psi_md, sx_md, sy_md, _ = (np.asarray(v) for v in alignment_to_md_pose(
-            psi_align.astype(np.float32), sx.astype(np.float32),
-            sy.astype(np.float32)))
-        reg = np.asarray(apply_md_geometry(imgs, psi_md.astype(np.float32),
-                                           sx_md.astype(np.float32),
-                                           sy_md.astype(np.float32)))
-        resid = reg - refs[br]
-        sigma = float(np.sqrt((resid ** 2).mean()))
+        # ML updates of the noise and offset priors (reference maximization)
+        sigma2 = float(exp_resid2) / d_eff
+        sigma_off2 = max(float(exp_t2) / 2.0, 0.01)
+        if fourier_noise_model:
+            sig_r = np.asarray(_ring_noise_spectra(
+                refs, imgs_j, best_ref, best_psi_md, best_sx_md,
+                best_sy_md, rmin, rmax))
+            w = 1.0 / np.maximum(sig_r, 1e-8 * sig_r.max())
+            ring_w = jnp.asarray((w / w.mean()).astype(np.float32))
+        out_pose = (best_ref, best_psi_md, best_sx_md, best_sy_md)
         if verbose:
-            print(f"  ML2D iter {it + 1}: LL {ll:.4f} sigma {sigma:.4f} "
+            print(f"  ML2D iter {it + 1}: LL {ll_hist[-1]:.4f} "
+                  f"sigma {np.sqrt(sigma2):.5f} "
                   f"fractions {np.round(alpha, 3)}")
-        if it > 1 and abs(ll_hist[-1] - ll_hist[-2]) < 1e-5 * abs(ll_hist[-2]):
+        if it > 1 and abs(ll_hist[-1] - ll_hist[-2]) < \
+                1e-6 * abs(ll_hist[-2]):
             break
 
-    return dict(refs=refs, fractions=alpha, sigma=sigma,
-                assignments=br, psi=psi_md, sx=sx_md, sy=sy_md,
-                loglike=ll_hist)
+    best_ref, psi_md, sx_md, sy_md = out_pose
+    return dict(refs=np.asarray(refs), fractions=alpha,
+                sigma=float(np.sqrt(sigma2)),
+                assignments=np.asarray(best_ref),
+                psi=np.asarray(psi_md), sx=np.asarray(sx_md),
+                sy=np.asarray(sy_md), loglike=ll_hist)
