@@ -1,0 +1,138 @@
+"""Projection-matching fidelity: top-N orientations, neighborhood
+restriction, scale search; align_significant engine.
+
+VERDICT round-1 exit criteria (#6): --max_angular_change changes results
+correctly; align_significant stops aliasing projection matching (reference
+angular_projection_matching.cpp:666-740, aalign_significant.h:46-77)."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.geometry import euler_matrix
+from xmipp3_tpu.core.image import Image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.sampling import compute_sampling_points
+from xmipp3_tpu.ops.match import match_to_gallery
+from xmipp3_tpu.ops.project import FourierProjector
+
+
+@pytest.fixture(scope="module")
+def gallery():
+    rng = np.random.default_rng(0)
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
+    vol = np.zeros((n, n, n), np.float32)
+    for c, s, a in [((0, 0, 0), 2.5, 1.0), ((4, -3, 3), 1.5, 0.8),
+                    ((-3, 3, -2), 1.8, 0.6), ((-5, -4, 1), 1.0, 1.1)]:
+        vol += a * np.exp(-((z - c[0]) ** 2 + (y - c[1]) ** 2 +
+                            (x - c[2]) ** 2) / (2 * s ** 2))
+    angles = compute_sampling_points(25.0)
+    proj = FourierProjector(vol)
+    refs = np.asarray(proj.project_euler(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        np.zeros(len(angles), np.float32)))
+    pick = rng.integers(0, len(refs), 12)
+    imgs = refs[pick] + 0.05 * rng.standard_normal(
+        (12, n, n)).astype(np.float32)
+    return refs, angles, imgs, pick
+
+
+class TestTopN:
+    def test_topn_first_equals_best(self, gallery):
+        refs, angles, imgs, pick = gallery
+        r1 = match_to_gallery(refs, imgs, max_shift=2)
+        r3 = match_to_gallery(refs, imgs, max_shift=2, n_orientations=3)
+        assert np.asarray(r3["ref_idx"]).shape == (12, 3)
+        assert (np.asarray(r3["ref_idx"])[:, 0]
+                == np.asarray(r1["ref_idx"])).all()
+        # the N orientations are distinct and peak-ordered
+        pk = np.asarray(r3["peak"])
+        assert (np.diff(pk, axis=1) <= 1e-6).all()
+
+    def test_allowed_mask_restricts(self, gallery):
+        refs, angles, imgs, pick = gallery
+        R = len(refs)
+        # allow only the true reference: assignment must follow the mask
+        allowed = np.zeros((12, R), np.float32)
+        forced = (pick + 3) % R
+        allowed[np.arange(12), forced] = 1.0
+        res = match_to_gallery(refs, imgs, max_shift=2, allowed=allowed)
+        assert (np.asarray(res["ref_idx"]) == forced).all()
+
+
+class TestMaxAngularChange:
+    def test_cli_restricts_to_prior(self, gallery, tmp_path):
+        refs, angles, imgs, pick = gallery
+        d = str(tmp_path)
+        Image(refs.astype(np.float32)).write(d + "/gal.stk")
+        MetaData.fromRows(
+            [{"image": f"{i + 1:06d}@{d}/gal.stk",
+              "angleRot": float(angles[i, 0]),
+              "angleTilt": float(angles[i, 1])}
+             for i in range(len(refs))]).write(d + "/gal.doc")
+        Image(imgs.astype(np.float32)).write(d + "/imgs.stk")
+        # priors = true angles -> restriction keeps the assignment close
+        MetaData.fromRows(
+            [{"image": f"{i + 1:06d}@{d}/imgs.stk",
+              "angleRot": float(angles[pick[i], 0]),
+              "angleTilt": float(angles[pick[i], 1])}
+             for i in range(len(imgs))]).write(d + "/imgs.xmd")
+        from xmipp3_tpu.programs import get_program
+        prog = get_program("angular_projection_matching")
+        prog.read(["x", "-i", d + "/imgs.xmd", "-o", d + "/out.xmd",
+                   "--ref", d + "/gal.doc", "--max_shift", "2",
+                   "--max_angular_change", "20"])
+        assert prog.tryRun() == 0
+        md = MetaData(d + "/out.xmd")
+        rows = list(md.iterRows())
+        A = np.asarray(euler_matrix(
+            angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+            np.zeros(len(angles), np.float32)))
+        dirs = A[:, 2, :]
+        for i, r in enumerate(rows):
+            k = int(r["ref"]) - 1
+            cosd = abs(float(dirs[k] @ dirs[pick[i]]))
+            ang = np.degrees(np.arccos(min(cosd, 1.0)))
+            assert ang <= 20.0 + 1e-3
+
+
+class TestAlignSignificant:
+    def test_weights_and_output(self, gallery, tmp_path):
+        refs, angles, imgs, pick = gallery
+        d = str(tmp_path)
+        Image(refs.astype(np.float32)).write(d + "/gal.stk")
+        MetaData.fromRows(
+            [{"image": f"{i + 1:06d}@{d}/gal.stk",
+              "angleRot": float(angles[i, 0]),
+              "angleTilt": float(angles[i, 1])}
+             for i in range(len(refs))]).write(d + "/gal.xmd")
+        Image(imgs.astype(np.float32)).write(d + "/imgs.stk")
+        MetaData.fromRows(
+            [{"image": f"{i + 1:06d}@{d}/imgs.stk"}
+             for i in range(len(imgs))]).write(d + "/imgs.xmd")
+        from xmipp3_tpu.programs import get_program
+        prog = get_program("align_significant")
+        prog.read(["x", "-i", d + "/imgs.xmd", "-r", d + "/gal.xmd",
+                   "-o", d + "/out.xmd", "--keepBestN", "2",
+                   "--oUpdatedRefs", d + "/upd"])
+        assert prog.tryRun() == 0
+        md = MetaData(d + "/out.xmd")
+        rows = list(md.iterRows())
+        assert len(rows) == 2 * len(imgs)
+        w = np.array([float(r["weightSignificant"]) for r in rows])
+        assert (w >= 0).all() and (w <= 1.0 + 1e-6).all()
+        assert w.max() > 0.5          # confident matches get high weight
+        # best-N rows: first block is the best (weight of best >= second)
+        import os
+        assert os.path.exists(d + "/upd.stk")
+
+    def test_significance_weights_formula(self):
+        from xmipp3_tpu.programs.align_significant import \
+            significance_weights
+        cc = np.array([[0.9, 0.1], [0.2, 0.8]], np.float32)
+        dirs = np.array([[0, 0, 1.0], [1.0, 0, 0]])   # 90 deg apart
+        W = significance_weights(cc, dirs, ang_distance=10.0)
+        # neighborhoods are singletons -> pooled population = own column
+        # max merit of col0 = 0.9 -> w[0,0] = 0.9/0.9 * cdf(rank 1 of 2)
+        assert W[0, 0] == pytest.approx(1.0, abs=1e-5)
+        assert W[1, 1] == pytest.approx(1.0, abs=1e-5)
+        assert W[1, 0] < W[0, 0]

@@ -178,6 +178,52 @@ def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
     return peak, psi, ref, trial, flip
 
 
+@partial(jax.jit, static_argnames=("trials", "radius_min", "radius_max",
+                                   "check_mirror", "stride", "n_harmonics"))
+def _scan_trials_full(refs, imgs, trials, radius_min: int, radius_max: int,
+                      check_mirror: bool, stride: int = 2,
+                      n_harmonics: int = 128):
+    """Like _scan_trials but keeps the FULL (B, R) best-over-trials score
+    matrix (per-pair best psi/trial/flip) — the basis of top-N orientation
+    tracking (reference angular_projection_matching.cpp:717-740) and of
+    align_significant's significance weights (aalign_significant.h:46-77)."""
+    B = imgs.shape[0]
+    R = refs.shape[0]
+    n_ang = 2 * n_harmonics
+    f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max,
+                                          n_angles=n_ang,
+                                          stride=stride))[..., :n_harmonics]
+    pol = polar_at_static_offsets(imgs, trials, radius_min, radius_max,
+                                  n_angles=n_ang, stride=stride)
+    f_all = jnp.moveaxis(ring_ffts(pol)[..., :n_harmonics], 1, 0)
+
+    def body(carry, f_im):
+        bpeak, bpsi, btrial, bflip, ti = carry
+        psi, peak, psi_m, peak_m = best_rotation_matrix(f_refs, f_im,
+                                                        radius_min)
+        if check_mirror:
+            use_m = peak_m > peak
+            peak_t = jnp.where(use_m, peak_m, peak)
+            psi_t = jnp.where(use_m, psi_m, psi)
+        else:
+            use_m = jnp.zeros_like(peak, dtype=bool)
+            peak_t = peak
+            psi_t = psi
+        better = peak_t > bpeak
+        carry = (jnp.where(better, peak_t, bpeak),
+                 jnp.where(better, psi_t, bpsi),
+                 jnp.where(better, ti, btrial),
+                 jnp.where(better, use_m, bflip),
+                 ti + 1)
+        return carry, None
+
+    init = (jnp.full((B, R), -jnp.inf), jnp.zeros((B, R)),
+            jnp.zeros((B, R), jnp.int32), jnp.zeros((B, R), bool),
+            jnp.asarray(0, jnp.int32))
+    (peak, psi, trial, flip, _), _ = jax.lax.scan(body, init, f_all)
+    return peak, psi, trial, flip
+
+
 @partial(jax.jit, static_argnames=("max_shift", "radius_min", "radius_max",
                                    "refine_iters"))
 def refine_winners(refs, imgs, best_ref, psi0, t, flip, max_shift: int,
@@ -275,14 +321,51 @@ def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
     return out
 
 
+@partial(jax.jit, static_argnames=("trials", "max_shift", "radius_min",
+                                   "radius_max", "refine_iters",
+                                   "check_mirror", "n_orientations"))
+def _match_topn_jit(refs, imgs, trials, allowed, max_shift: int,
+                    radius_min: int, radius_max: int, refine_iters: int,
+                    check_mirror: bool, n_orientations: int):
+    """Top-N orientations per image over a (possibly) restricted gallery.
+
+    allowed: (B, R) float mask (1 = candidate, 0 = excluded) — the static
+    per-image neighborhood restriction (reference Sampling neighbor lists,
+    data/sampling.h:203, consumed as a score mask: on TPU the dense einsum
+    over the full gallery + masking beats gather-based candidate lists)."""
+    peak, psi, trial, flip = _scan_trials_full(refs, imgs, trials,
+                                               radius_min, radius_max,
+                                               check_mirror)
+    peak = jnp.where(allowed > 0, peak, -jnp.inf)
+    topv, topi = jax.lax.top_k(peak, n_orientations)      # (B, N)
+    tgrid = jnp.asarray(np.asarray(trials, np.float32))
+    bi = jnp.arange(imgs.shape[0])
+    outs = []
+    for k in range(n_orientations):
+        rk = topi[:, k]
+        out = refine_winners(refs, imgs, rk, psi[bi, rk],
+                             tgrid[trial[bi, rk]], flip[bi, rk],
+                             max_shift, radius_min, radius_max, refine_iters)
+        out.pop("aligned", None)
+        out["peak"] = topv[:, k]
+        outs.append(out)
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *outs)
+
+
 def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
                      radius_max: int | None = None, refine_iters: int = 2,
-                     check_mirror: bool = True, trial_step: float | None = None):
+                     check_mirror: bool = True, trial_step: float | None = None,
+                     n_orientations: int = 1, allowed=None):
     """Match each image to its best gallery reference + in-plane pose.
 
     5-D search: rotational ring correlation against all references at each
     trial translation of a coarse grid, then shift+rotation refinement of the
-    winner. Returns dict(ref_idx, psi, sx, sy, corr, flip) — each (B,)."""
+    winner. Returns dict(ref_idx, psi, sx, sy, corr, flip) — each (B,).
+
+    n_orientations > 1 keeps the top-N orientations per image (outputs get
+    a trailing axis of size N; reference numOrientations,
+    angular_projection_matching.cpp:717-740). allowed (B, R) restricts the
+    candidate references per image (neighborhood restriction)."""
     refs = jnp.asarray(refs, jnp.float32)
     imgs = jnp.asarray(imgs, jnp.float32)
     if imgs.ndim == 2:
@@ -292,5 +375,38 @@ def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
         radius_max = H // 2 - 2
     trials = tuple(map(tuple, _trial_shift_grid(max_shift, trial_step)
                        .astype(float).tolist()))
-    return _match_jit(refs, imgs, trials, max_shift, radius_min, radius_max,
-                      refine_iters, check_mirror)
+    if n_orientations == 1 and allowed is None:
+        return _match_jit(refs, imgs, trials, max_shift, radius_min,
+                          radius_max, refine_iters, check_mirror)
+    if allowed is None:
+        allowed = jnp.ones((imgs.shape[0], refs.shape[0]), jnp.float32)
+    else:
+        allowed = jnp.asarray(allowed, jnp.float32)
+    out = _match_topn_jit(refs, imgs, trials, allowed, max_shift, radius_min,
+                          radius_max, refine_iters, check_mirror,
+                          n_orientations)
+    if n_orientations == 1:
+        out = jax.tree.map(lambda x: x[:, 0], out)
+    return out
+
+
+def match_score_matrix(refs, imgs, max_shift: int = 8, radius_min: int = 2,
+                       radius_max: int | None = None,
+                       check_mirror: bool = True,
+                       trial_step: float | None = None):
+    """Full (B, R) best-over-(psi, trial) correlation matrix + per-pair
+    pose — the align_significant front end (aalign_significant.h:46-77)."""
+    refs = jnp.asarray(refs, jnp.float32)
+    imgs = jnp.asarray(imgs, jnp.float32)
+    if imgs.ndim == 2:
+        imgs = imgs[None]
+    H = imgs.shape[-2]
+    if radius_max is None:
+        radius_max = H // 2 - 2
+    trials = tuple(map(tuple, _trial_shift_grid(max_shift, trial_step)
+                       .astype(float).tolist()))
+    peak, psi, trial, flip = _scan_trials_full(refs, imgs, trials,
+                                               radius_min, radius_max,
+                                               check_mirror)
+    return dict(peak=peak, psi=psi, trial=trial, flip=flip,
+                trials=np.asarray(trials, np.float32))

@@ -31,6 +31,12 @@ class ProgAngularProjectionMatching(XmippProgram):
         self.addParamsLine("  [--Ri <r=1>]   : Inner polar radius")
         self.addParamsLine("  [--Ro <r=-1>]  : Outer polar radius (-1 = dim/2-2)")
         self.addParamsLine("  [--append]     : Append assignments to output metadata")
+        self.addParamsLine("  [--number_orientations <n=1>] : Keep the N best orientations per image")
+        self.addParamsLine("  [--max_angular_change <a=-1>] : Restrict candidate references to within this angular distance of the image's previous assignment (requires angleRot/angleTilt in the input)")
+        self.addParamsLine("  [--scale <step=1> <n_steps=0>] : Scale search: step factor (1 = 0.01 increments) and steps around 1")
+        self.addParamsLine("     alias -s;")
+        self.addParamsLine("  [--ctf <file=\"\">]  : CTF to apply to the references (.ctfparam or 2D amplitude image)")
+        self.addParamsLine("  [--phase_flipped] : Experimental images are phase flipped")
         self.addParamsLine("  [--batch <b=512>] : Particles per device batch")
         from xmipp3_tpu.parallel.cli import add_mesh_params
         add_mesh_params(self)
@@ -42,9 +48,70 @@ class ProgAngularProjectionMatching(XmippProgram):
         self.max_shift = self.getIntParam("--max_shift")
         self.Ri = self.getIntParam("--Ri")
         self.Ro = self.getIntParam("--Ro")
+        self.n_orient = self.getIntParam("--number_orientations")
+        self.max_ang_change = self.getDoubleParam("--max_angular_change")
+        self.scale_step = self.getDoubleParam("--scale", 0)
+        self.scale_nsteps = self.getIntParam("--scale", 1)
+        self.fn_ctf = self.getParam("--ctf") if self.checkParam("--ctf") \
+            else ""
+        self.phase_flipped = self.checkParam("--phase_flipped")
         self.batch = self.getIntParam("--batch")
         from xmipp3_tpu.parallel.cli import read_mesh_params
         read_mesh_params(self)
+
+    def _apply_ctf_to_refs(self, refs):
+        """Multiply the gallery by a CTF amplitude (reference --ctf path)."""
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.ctf import CTFDescription
+        H = refs.shape[-1]
+        if self.fn_ctf.endswith(".ctfparam"):
+            ctf = CTFDescription.from_metadata(self.fn_ctf)
+            amp = np.asarray(ctf.generate_2d(H, H, rfft_layout=True))
+            if self.phase_flipped:
+                amp = np.abs(amp)
+            spec = jnp.fft.rfft2(jnp.asarray(refs)) * jnp.asarray(amp)
+            return np.asarray(jnp.fft.irfft2(spec, s=(H, H)),
+                              np.float32)
+        amp = np.squeeze(Image(self.fn_ctf).data).astype(np.float32)
+        spec = jnp.fft.rfft2(jnp.asarray(refs))
+        amp_half = np.fft.ifftshift(amp)[:, : H // 2 + 1]
+        return np.asarray(jnp.fft.irfft2(spec * jnp.asarray(amp_half),
+                                         s=(H, H)), np.float32)
+
+    def _match_with_scales(self, refs, imgs, max_shift, Ro, allowed):
+        """Match; optionally repeat over a scale grid and keep the best
+        per image (reference scaleAlignOneImage, .h:176)."""
+        base = match_to_gallery(refs, imgs, max_shift=max_shift,
+                                radius_min=max(self.Ri, 2), radius_max=Ro,
+                                n_orientations=self.n_orient,
+                                allowed=allowed)
+        if self.scale_nsteps <= 0:
+            return base
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.geo import alignment_matrices_2d, apply_affine_2d
+        best = {k: np.asarray(v) for k, v in base.items()}
+        B = imgs.shape[0]
+        shp = best["corr"].shape
+        best["scale"] = np.ones(shp, np.float32)
+        step = 0.01 * self.scale_step
+        scales = [1.0 + step * k for k in range(-self.scale_nsteps,
+                                                self.scale_nsteps + 1)
+                  if k != 0]
+        z = jnp.zeros(B, jnp.float32)
+        for sc in scales:
+            mats = alignment_matrices_2d(z, z, z,
+                                         scale=jnp.full(B, sc, jnp.float32))
+            scaled = np.asarray(apply_affine_2d(jnp.asarray(imgs), mats))
+            r = match_to_gallery(refs, scaled, max_shift=max_shift,
+                                 radius_min=max(self.Ri, 2), radius_max=Ro,
+                                 n_orientations=self.n_orient,
+                                 allowed=allowed)
+            r = {k: np.asarray(v) for k, v in r.items()}
+            better = r["corr"] > best["corr"]
+            for key in ("ref_idx", "psi", "sx", "sy", "corr", "flip"):
+                best[key] = np.where(better, r[key], best[key])
+            best["scale"] = np.where(better, sc, best["scale"])
+        return best
 
     def run(self):
         root = self.fn_ref
@@ -56,6 +123,10 @@ class ProgAngularProjectionMatching(XmippProgram):
                          for r in md_ref.iterRows()]).astype(np.float32)
         ref_rot = md_ref.getColumn("angleRot").astype(np.float32)
         ref_tilt = md_ref.getColumn("angleTilt").astype(np.float32)
+        if self.fn_ctf:
+            # apply the CTF (amplitude) to the gallery (reference --ctf,
+            # angular_projection_matching.cpp produceSideInfo)
+            refs = self._apply_ctf_to_refs(refs)
 
         md_in = MetaData(self.fn_in)
         md_in.removeDisabled()
@@ -75,15 +146,44 @@ class ProgAngularProjectionMatching(XmippProgram):
             # parallel_match_* pad the particle axis to a mesh multiple
             print(f"mesh: {mesh_mode} over {len(mesh.devices.ravel())} "
                   f"devices")
+        # neighborhood restriction: previous assignment -> candidate mask
+        # (reference Sampling neighbor lists, data/sampling.h:203; consumed
+        # on TPU as a static score mask over the dense gallery correlation)
+        ref_dirs = None
+        if self.max_ang_change > 0:
+            from xmipp3_tpu.core.geometry import euler_matrix
+            A = np.asarray(euler_matrix(ref_rot, ref_tilt,
+                                        np.zeros_like(ref_rot)))
+            ref_dirs = A[:, 2, :].astype(np.float64)
+
         out_rows = []
         # double-buffered loader: the next batch reads while this one matches
         for s, chunk, imgs in BatchPrefetcher(rows, self.batch,
                                               loader=load_image_rows):
+            allowed = None
+            if ref_dirs is not None:
+                prot = np.array([float(r.get("angleRot", 0.0))
+                                 for r in chunk], np.float32)
+                ptilt = np.array([float(r.get("angleTilt", 0.0))
+                                  for r in chunk], np.float32)
+                from xmipp3_tpu.core.geometry import euler_matrix
+                Ai = np.asarray(euler_matrix(prot, ptilt,
+                                             np.zeros_like(prot)))
+                idirs = Ai[:, 2, :].astype(np.float64)
+                cosd = np.clip(idirs @ ref_dirs.T, -1.0, 1.0)
+                ang = np.degrees(np.arccos(np.abs(cosd)))  # mirror-symmetric
+                allowed = (ang <= self.max_ang_change).astype(np.float32)
+                # never leave an image with zero candidates
+                empty = allowed.sum(axis=1) < 1
+                if empty.any():
+                    allowed[empty] = 1.0
             with timed_phase("match_to_gallery"):
-                if mesh is None:
-                    res = match_to_gallery(refs, imgs, max_shift=max_shift,
-                                           radius_min=max(self.Ri, 2),
-                                           radius_max=Ro)
+                if mesh is None or self.n_orient > 1 or \
+                        allowed is not None or self.scale_nsteps > 0:
+                    # top-N / neighborhoods / scale search run the serial
+                    # (single-device) path; dp/tp cover the plain case
+                    res = self._match_with_scales(refs, imgs, max_shift, Ro,
+                                                  allowed)
                 elif mesh_mode == "tp":
                     from xmipp3_tpu.parallel.match import parallel_match_tp
                     res = parallel_match_tp(mesh, refs, imgs,
@@ -97,26 +197,33 @@ class ProgAngularProjectionMatching(XmippProgram):
                                               radius_min=max(self.Ri, 2),
                                               radius_max=Ro)
                 res = {k: np.asarray(v) for k, v in res.items()}
-            ref_idx = np.asarray(res["ref_idx"])
-            psi = np.asarray(res["psi"])
-            sx = np.asarray(res["sx"])
-            sy = np.asarray(res["sy"])
-            corr = np.asarray(res["corr"])
-            flip = np.asarray(res["flip"])
+            def col(name):
+                v = np.asarray(res[name])
+                return v[:, None] if v.ndim == 1 else v
+            ref_idx = col("ref_idx")
+            psi = col("psi")
+            sx = col("sx")
+            sy = col("sy")
+            corr = col("corr")
+            flip = col("flip")
+            scl = col("scale") if "scale" in res else None
             for i, r in enumerate(chunk):
-                d = dict(r)
-                k = int(ref_idx[i])
-                d.update({
-                    "angleRot": float(ref_rot[k]),
-                    "angleTilt": float(ref_tilt[k]),
-                    "anglePsi": float(psi[i]),
-                    "shiftX": float(sx[i]),
-                    "shiftY": float(sy[i]),
-                    "ref": k + 1,
-                    "flip": int(flip[i]),
-                    "maxCC": float(corr[i]),
-                })
-                out_rows.append(d)
+                for n in range(ref_idx.shape[1]):
+                    d = dict(r)
+                    k = int(ref_idx[i, n])
+                    d.update({
+                        "angleRot": float(ref_rot[k]),
+                        "angleTilt": float(ref_tilt[k]),
+                        "anglePsi": float(psi[i, n]),
+                        "shiftX": float(sx[i, n]),
+                        "shiftY": float(sy[i, n]),
+                        "ref": k + 1,
+                        "flip": int(flip[i, n]),
+                        "maxCC": float(corr[i, n]),
+                    })
+                    if scl is not None:
+                        d["scale"] = float(scl[i, n])
+                    out_rows.append(d)
             if self.verbose:
                 print(f"  matched {min(s + self.batch, len(rows))}/{len(rows)}")
         md_out = MetaData.fromRows(out_rows)

@@ -6,6 +6,7 @@ from xmipp3_tpu.programs import register
 
 P = "xmipp3_tpu.programs."
 
+register("align_significant", P + "align_significant")
 register("transform_filter", P + "transform_filter")
 register("transform_geometry", P + "transform_geometry")
 register("transform_normalize", P + "transform_normalize")
@@ -336,7 +337,7 @@ for _name in _MPI_NAMES:
 # cuda_* endpoints of the reference similarly map to the device-native twins
 for _cuda, _serial in {
     "cuda_reconstruct_fourier": "reconstruct_fourier",
-    "cuda_align_significant": "angular_projection_matching",
+    "cuda_align_significant": "align_significant",
     "cuda_movie_alignment_correlation": "movie_alignment_correlation",
     "cuda_angular_continuous_assign2": "angular_continuous_assign2",
 }.items():
