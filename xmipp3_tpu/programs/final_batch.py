@@ -201,6 +201,7 @@ class ProgVolumesetAlign(XmippProgram):
         self.addParamsLine("   --ref <volume> : Reference")
         self.addParamsLine("   -o <md_file> : Output with alignment angles")
         self.addParamsLine("  [--step <s=30>] : Coarse angular step")
+        self.addParamsLine("  [--frm <L=24>]  : Use SO(3) Fast Rotational Matching instead of the grid")
 
     def run(self):
         from xmipp3_tpu.programs.volume_programs import ProgVolumeAlign
@@ -209,9 +210,12 @@ class ProgVolumesetAlign(XmippProgram):
         for i in md:
             r = md.getRow(i)
             sub = ProgVolumeAlign()
-            sub.read([sub.name, "--i1", self.getParam("--ref"),
-                      "--i2", str(r["image"]),
-                      "--step", self.getParam("--step")])
+            args = [sub.name, "--i1", self.getParam("--ref"),
+                    "--i2", str(r["image"]),
+                    "--step", self.getParam("--step")]
+            if self.checkParam("--frm"):
+                args += ["--frm", self.getParam("--frm")]
+            sub.read(args)
             sub.verbose = 0
             sub.run()
             rot, tilt, psi = sub.angles

@@ -88,6 +88,7 @@ class ProgVolumeAlign(XmippProgram):
         self.addParamsLine("  [--apply <out=\"\">] : Write aligned i2 here")
         self.addParamsLine("  [--step <s=20>] : Coarse angular step (deg)")
         self.addParamsLine("  [--local]       : Only local refinement around identity")
+        self.addParamsLine("  [--frm <L=24>]  : Fast Rotational Matching over SO(3) via spherical harmonics (reference interface/frm.h; replaces the coarse grid)")
 
     def run(self):
         from xmipp3_tpu.core.sampling import compute_sampling_points
@@ -97,6 +98,9 @@ class ProgVolumeAlign(XmippProgram):
         v1 = np.squeeze(Image(self.getParam("--i1")).data).astype(np.float32)
         v2 = np.squeeze(Image(self.getParam("--i2")).data).astype(np.float32)
         step = self.getDoubleParam("--step")
+        if self.checkParam("--frm"):
+            self._run_frm(v1, v2, self.getIntParam("--frm"))
+            return
         if self.checkParam("--local"):
             cands = [(0.0, 0.0, 0.0)]
         else:
@@ -128,6 +132,27 @@ class ProgVolumeAlign(XmippProgram):
             from xmipp3_tpu.ops.geo import apply_affine_3d as aff
             save_image(self.getParam("--apply"),
                        np.asarray(aff(v2, mats))[0])
+
+    def _run_frm(self, v1, v2, L):
+        """SO(3) FRM alignment (ops.frm) + correlation report."""
+        import jax.numpy as jnp
+        from xmipp3_tpu.core.geometry import matrix_to_euler
+        from xmipp3_tpu.ops.frm import frm_align_volumes
+        from xmipp3_tpu.ops.geo import apply_affine_3d
+        M = frm_align_volumes(v1, v2, L=L)
+        rot, tilt, psi = (float(a) for a in matrix_to_euler(M))
+        rotated = np.asarray(apply_affine_3d(v2, M[None]))[0]
+        a = v1 - v1.mean()
+        b = rotated - rotated.mean()
+        corr = float((a * b).sum() /
+                     max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12))
+        self.corr, self.angles = corr, (rot, tilt, psi)
+        self.matrix = M
+        if self.verbose:
+            print(f"FRM alignment: rot/tilt/psi = ({rot:.3f}, {tilt:.3f}, "
+                  f"{psi:.3f}) corr={corr:.4f}")
+        if self.checkParam("--apply") and self.getParam("--apply"):
+            save_image(self.getParam("--apply"), rotated)
 
 
 class ProgVolumeSubtraction(XmippProgram):
