@@ -79,3 +79,35 @@ def test_clusters_dataset_separation():
     from scipy.stats import kurtosis
     k = kurtosis(Y[:, 0])
     assert k < 0  # multimodal / flat, not a single gaussian
+
+
+def test_dimred_tail_methods_swiss_roll():
+    """NPE, LLTSA, HLLE, SPE, NCA, GPLVM (reference libraries/dimred/ one
+    file pair each) embed a swiss roll to finite 2-D coordinates; the
+    manifold methods correlate with the roll parameter."""
+    from xmipp3_tpu.models.dimred import reduce_dimensionality
+    rng = np.random.default_rng(0)
+    t = rng.uniform(1.5 * np.pi, 4.5 * np.pi, 120)
+    h = rng.uniform(0, 10, 120)
+    X = np.stack([t * np.cos(t), h, t * np.sin(t)], 1) \
+        + 0.05 * rng.standard_normal((120, 3))
+    for m, min_corr in [("NPE", 0.3), ("LLTSA", 0.3), ("HLLE", 0.5),
+                        ("SPE", 0.25), ("NCA", 0.2), ("GPLVM", 0.25)]:
+        Y = reduce_dimensionality(X, m, d=2)
+        assert Y.shape == (120, 2)
+        assert np.isfinite(Y).all()
+        c = max(abs(np.corrcoef(Y[:, 0], t)[0, 1]),
+                abs(np.corrcoef(Y[:, 1], t)[0, 1]))
+        assert c >= min_corr, (m, c)
+
+
+def test_nca_supervised_separates_labels():
+    from xmipp3_tpu.models.dimred import nca
+    rng = np.random.default_rng(1)
+    X = np.concatenate([rng.normal(0, 1, (40, 5)),
+                        rng.normal(3, 1, (40, 5))])
+    labels = np.array([0] * 40 + [1] * 40)
+    Y = nca(X, d=2, labels=labels)
+    d_in = np.linalg.norm(Y[:40].mean(0) - Y[40:].mean(0))
+    s = 0.5 * (Y[:40].std() + Y[40:].std())
+    assert d_in / max(s, 1e-9) > 2.0

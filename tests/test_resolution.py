@@ -83,7 +83,7 @@ def test_bfactor_program(tmp_path):
     r2 = fz ** 2 + fy ** 2 + fx ** 2  # (1/px)^2 at Ts=1 -> (1/A)^2
     B_true = 120.0
     blurred = np.fft.irfftn(np.fft.rfftn(vol) * np.exp(-(B_true / 4) * r2),
-                            s=vol.shape).astype(np.float32)
+                            s=vol.shape, axes=(0, 1, 2)).astype(np.float32)
     fn = str(tmp_path / "b.vol")
     save_image(fn, blurred)
     out = str(tmp_path / "sharp.vol")

@@ -291,3 +291,186 @@ def reduce_dimensionality(X, method: str = "PCA", d: int = 2, **kw):
         raise ValueError(f"unknown dimred method {method} "
                          f"(available: {', '.join(METHODS)})")
     return METHODS[method](X, d=d, **kw)
+
+
+def npe(X, d=2, k=8, reg=1e-3):
+    """Neighborhood Preserving Embedding — the linear variant of LLE
+    (reference libraries/dimred/npe.cpp): solve the generalized
+    eigenproblem X^T M X v = w X^T X v with M = (I-W)^T (I-W)."""
+    X = np.asarray(X, np.float64)
+    Xc = X - X.mean(axis=0)
+    N = len(X)
+    _, nn = _knn_graph(Xc, k)
+    W = np.zeros((N, N))
+    for i in range(N):
+        Z = Xc[nn[i]] - Xc[i]
+        C = Z @ Z.T
+        C += reg * np.trace(C) * np.eye(k) if np.trace(C) > 0 else \
+            reg * np.eye(k)
+        w = np.linalg.solve(C, np.ones(k))
+        W[i, nn[i]] = w / w.sum()
+    M = np.eye(N) - W
+    A = Xc.T @ (M.T @ M) @ Xc
+    B = Xc.T @ Xc + 1e-9 * np.eye(X.shape[1])
+    w, v = scipy.linalg.eigh(A, B)
+    return Xc @ v[:, :d]
+
+
+def lltsa(X, d=2, k=8):
+    """Linear Local Tangent Space Alignment (reference dimred/lltsa.cpp):
+    the LTSA alignment matrix constrained to a linear projection."""
+    X = np.asarray(X, np.float64)
+    Xc = X - X.mean(axis=0)
+    N = len(X)
+    _, nn = _knn_graph(Xc, k)
+    B = np.zeros((N, N))
+    for i in range(N):
+        idx = np.concatenate([[i], nn[i]])
+        Xi = Xc[idx] - Xc[idx].mean(axis=0)
+        U, S, _ = np.linalg.svd(Xi, full_matrices=False)
+        G = np.hstack([np.ones((len(idx), 1)) / np.sqrt(len(idx)), U[:, :d]])
+        Wi = np.eye(len(idx)) - G @ G.T
+        B[np.ix_(idx, idx)] += Wi
+    A = Xc.T @ B @ Xc
+    Bm = Xc.T @ Xc + 1e-9 * np.eye(X.shape[1])
+    w, v = scipy.linalg.eigh(A, Bm)
+    return Xc @ v[:, :d]
+
+
+def hlle(X, d=2, k=None):
+    """Hessian Locally Linear Embedding (reference dimred/hessianLLE.cpp):
+    null space of the accumulated local Hessian estimators."""
+    X = np.asarray(X, np.float64)
+    N = len(X)
+    dp = d * (d + 1) // 2
+    if k is None:
+        k = max(d + dp + 2, 8)
+    _, nn = _knn_graph(X, k)
+    Hacc = np.zeros((N, N))
+    for i in range(N):
+        idx = nn[i]
+        Xi = X[idx] - X[idx].mean(axis=0)
+        U, S, _ = np.linalg.svd(Xi, full_matrices=False)
+        tang = U[:, :d]                       # local tangent coordinates
+        # design matrix: [1, tangent coords, symmetric quadratic terms]
+        cols = [np.ones(k)] + [tang[:, a] for a in range(d)]
+        for a in range(d):
+            for b in range(a, d):
+                cols.append(tang[:, a] * tang[:, b])
+        Yi = np.stack(cols, axis=1)
+        Q, _ = np.linalg.qr(Yi)
+        H = Q[:, 1 + d:1 + d + dp]            # Hessian estimator columns
+        # normalize columns so each quadratic form integrates to 1
+        s = H.sum(axis=0)
+        s[np.abs(s) < 1e-12] = 1.0
+        Hacc[np.ix_(idx, idx)] += (H / s) @ (H / s).T
+    w, v = np.linalg.eigh(Hacc)
+    emb = v[:, 1:d + 1]
+    # scale to unit covariance (standard HLLE post-normalization)
+    C = emb.T @ emb / N
+    ww, vv = np.linalg.eigh(C)
+    return emb @ vv @ np.diag(1.0 / np.sqrt(np.maximum(ww, 1e-12))) @ vv.T
+
+
+def spe(X, d=2, n_iters=20000, lam=1.0, rcut=None, seed=0):
+    """Stochastic Proximity Embedding (Agrafiotis; reference
+    dimred/spe.cpp): random pair updates matching input distances within
+    a neighborhood cutoff."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, np.float64)
+    N = len(X)
+    Dx = scipy.spatial.distance.squareform(scipy.spatial.distance.pdist(X))
+    if rcut is None:
+        rcut = np.percentile(Dx[Dx > 0], 25)
+    Y = pca(X, d) * 0.1 + 0.01 * rng.standard_normal((N, d))
+    lam0, lam1 = lam, 0.01
+    for it in range(n_iters):
+        l = lam0 + (lam1 - lam0) * it / max(n_iters - 1, 1)
+        i, j = rng.integers(0, N, 2)
+        if i == j:
+            continue
+        dy = np.linalg.norm(Y[i] - Y[j]) + 1e-10
+        dx = Dx[i, j]
+        if dx <= rcut or dy < dx:
+            corr = l * 0.5 * (dx - dy) / dy
+            delta = corr * (Y[i] - Y[j])
+            Y[i] += delta
+            Y[j] -= delta
+    return Y
+
+
+def nca(X, d=2, labels=None, n_iters=60, lr=0.2, seed=0):
+    """Neighborhood Component Analysis (reference dimred/nca.cpp).
+    Supervised: maximizes softmax leave-one-out classification of
+    `labels` under a linear map. Without labels, k-means pseudo-labels
+    are used (the reference CLI always receives labels)."""
+    X = np.asarray(X, np.float64)
+    N, D = X.shape
+    if labels is None:
+        from scipy.cluster.vq import kmeans2
+        _, labels = kmeans2(X, max(2, d + 1), seed=seed, minit="++")
+    labels = np.asarray(labels)
+    import jax
+    import jax.numpy as jnp
+    same = jnp.asarray((labels[:, None] == labels[None, :])
+                       & ~np.eye(N, dtype=bool))
+    Xj = jnp.asarray(X)
+
+    def objective(A):
+        Y = Xj @ A.T                              # (N, d)
+        sq = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(-1)
+        sq = sq + 1e10 * jnp.eye(N)
+        P = jax.nn.softmax(-sq, axis=1)
+        return -(P * same).sum()
+
+    grad = jax.jit(jax.grad(objective))
+    A = jnp.asarray(np.linalg.svd(X - X.mean(0),
+                                  full_matrices=False)[2][:d])
+    for _ in range(n_iters):
+        A = A - lr * grad(A) / N
+    return np.asarray(Xj @ A.T)
+
+
+def gplvm(X, d=2, n_iters=100, lr=0.05, seed=0):
+    """Gaussian Process Latent Variable Model (reference dimred/gplvm.cpp):
+    latent positions maximizing the GP marginal likelihood with an RBF
+    kernel (Adam on the jax-autodiffed objective)."""
+    import jax
+    import jax.numpy as jnp
+    X = np.asarray(X, np.float64)
+    N, D = X.shape
+    Xc = X - X.mean(axis=0)
+    S = jnp.asarray(Xc @ Xc.T)
+
+    def neg_ll(params):
+        Y, log_g, log_s = params
+        sq = ((Y[:, None, :] - Y[None, :, :]) ** 2).sum(-1)
+        K = jnp.exp(-0.5 * jnp.exp(log_g) * sq) + \
+            jnp.exp(log_s) * jnp.eye(N)
+        L = jnp.linalg.cholesky(K)
+        Kinv_S = jax.scipy.linalg.cho_solve((L, True), S)
+        logdet = 2.0 * jnp.log(jnp.diag(L)).sum()
+        return 0.5 * (D * logdet + jnp.trace(Kinv_S))
+
+    grad = jax.jit(jax.grad(neg_ll))
+    Y0 = pca(Xc, d)
+    Y0 = Y0 / max(np.abs(Y0).max(), 1e-9)
+    params = [jnp.asarray(Y0), jnp.asarray(0.0), jnp.asarray(-2.0)]
+    m = [jnp.zeros_like(p) for p in params]
+    v = [jnp.zeros_like(p) for p in params]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    for t in range(1, n_iters + 1):
+        g = grad(params)
+        for i in range(3):
+            m[i] = b1 * m[i] + (1 - b1) * g[i]
+            v[i] = b2 * v[i] + (1 - b2) * g[i] ** 2
+            mh = m[i] / (1 - b1 ** t)
+            vh = v[i] / (1 - b2 ** t)
+            params[i] = params[i] - lr * mh / (jnp.sqrt(vh) + eps)
+    return np.asarray(params[0])
+
+
+METHODS.update({
+    "NPE": npe, "LLTSA": lltsa, "HLLE": hlle, "SPE": spe, "NCA": nca,
+    "GPLVM": gplvm,
+})

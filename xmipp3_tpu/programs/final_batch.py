@@ -458,7 +458,8 @@ class ProgCTFCorrectWiener3D(XmippProgram):
         c = np.asarray(ctf.pure_at(r, np.zeros_like(r)))  # radial CTF
         wc = self.getDoubleParam("--wc")
         wien = c / (c * c + wc)
-        out = np.fft.irfftn(np.fft.rfftn(vol) * wien, s=vol.shape)
+        out = np.fft.irfftn(np.fft.rfftn(vol) * wien, s=vol.shape,
+                            axes=(0, 1, 2))
         save_image(self.getParam("-o"), out.astype(np.float32))
 
 

@@ -23,7 +23,7 @@ class ProgTransformDimred(XmippProgram):
                           "(vectorize + reduce).")
         self.addParamsLine("   -i <md_or_stack> : Input images")
         self.addParamsLine("   -o <md_file>     : Output metadata with coords")
-        self.addParamsLine("  [--method <m=PCA>] : PCA|kPCA|LE|LPP|LLE|LTSA|DM|Sammon")
+        self.addParamsLine("  [--method <m=PCA>] : PCA|pPCA|kPCA|LE|LPP|LLE|NPE|LTSA|LLTSA|HLLE|DM|Sammon|SPE|NCA|GPLVM")
         self.addParamsLine("  [--dout <d=2>]     : Output dimension")
 
     def run(self):

@@ -60,7 +60,8 @@ class ProgResolutionDirectional(XmippProgram):
             prev = mask.copy()
             for f in freqs:
                 band = ((r >= f - 0.03) & (r <= f + 0.03)).astype(np.float32)
-                sub = np.fft.irfftn(F * band * conemask, s=vol.shape
+                sub = np.fft.irfftn(F * band * conemask, s=vol.shape,
+                                    axes=(0, 1, 2)
                                     ).astype(np.float32)
                 amp = np.asarray(monogenic_amplitude_3d(jnp.asarray(sub)))
                 thr = np.percentile(amp[~mask], 95)

@@ -194,7 +194,8 @@ class ProgVolumeCorrectBfactor(XmippProgram):
         maxres = self.maxres if self.maxres > 0 else 2.0 * self.Ts
         corr = np.exp(-(self.B / 4.0) * r ** 2)
         corr = np.where(r <= 1.0 / maxres, corr, 0.0)
-        out = np.fft.irfftn(F * corr, s=vol.shape).astype(np.float32)
+        out = np.fft.irfftn(F * corr, s=vol.shape,
+                            axes=(0, 1, 2)).astype(np.float32)
         save_image(self.fn_out, out, sampling=self.Ts)
         if self.verbose:
             print(f"Applied B-factor: {self.B:.1f} A^2")
