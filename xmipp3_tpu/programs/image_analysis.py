@@ -205,7 +205,7 @@ class ProgMatrixDimred(XmippProgram):
         self.addUsageLine("Dimensionality reduction of vector metadata.")
         self.addParamsLine("   -i <md_file>  : Metadata with classificationData vectors")
         self.addParamsLine("   -o <md_file>  : Output metadata with reduced coords")
-        self.addParamsLine("  [--method <m=PCA>] : PCA|pPCA|pPCA|kPCA|LE|LPP|LLE|NPE|LTSA|LLTSA|HLLE|DM|Sammon|SPE|NCA|GPLVM")
+        self.addParamsLine("  [--method <m=PCA>] : PCA|pPCA|kPCA|LE|LPP|LLE|NPE|LTSA|LLTSA|HLLE|DM|Sammon|SPE|NCA|GPLVM")
         self.addParamsLine("  [--dout <d=2>]   : Output dimension")
 
     def run(self):
