@@ -73,10 +73,55 @@ _loss_grad = jax.jit(jax.value_and_grad(_ncc_loss, has_aux=True),
                      static_argnames=("N", "max_freq"))
 
 
+def _dwt2_levels(x, levels: int):
+    """Batched 2-D Haar DWT coefficient pyramid: returns list of
+    (ll_final, [(lh, hl, hh) per level])-style flat coefficient arrays."""
+    from xmipp3_tpu.ops.denoise import _haar_dwt2
+    coeffs = []
+    cur = x
+    for _ in range(levels):
+        ll, (lh, hl, hh) = _haar_dwt2(cur)
+        coeffs.extend([lh, hl, hh])
+        cur = ll
+    coeffs.append(cur)
+    return coeffs
+
+
+@partial(jax.jit, static_argnames=("N", "levels"))
+def _wavelet_loss(params, vf, imgs, N: int, levels: int = 2):
+    """Wavelet-space continuous assignment objective (reference
+    angular_continuous_assign.h:39 — the original algorithm matches image
+    and projection in DWT space, weighting scales; here: NCC over the
+    multi-level Haar coefficient pyramid with the finest detail band
+    down-weighted, which is what makes the wavelet variant robust to
+    high-frequency noise)."""
+    rot, tilt, psi, sx, sy = params
+    proj = _project_posed(vf, rot, tilt, psi, sx, sy, N)
+    cp = _dwt2_levels(proj, levels)
+    ci = _dwt2_levels(imgs, levels)
+    # weights: finest-level details (first 3 arrays) get 0.25; all other
+    # bands weight 1 (multiscale emphasis on stable coefficients)
+    num = 0.0
+    pp = 0.0
+    ii = 0.0
+    for k, (a, b) in enumerate(zip(cp, ci)):
+        w = 0.25 if k < 3 else 1.0
+        num = num + w * (a * b).sum(axis=(-2, -1))
+        pp = pp + w * (a * a).sum(axis=(-2, -1))
+        ii = ii + w * (b * b).sum(axis=(-2, -1))
+    ncc = num / jnp.maximum(jnp.sqrt(pp * ii), 1e-12)
+    return -ncc.mean(), ncc
+
+
+_wavelet_loss_grad = jax.jit(jax.value_and_grad(_wavelet_loss, has_aux=True),
+                             static_argnames=("N", "levels"))
+
+
 def continuous_assign(vol, imgs, rot0, tilt0, psi0, sx0=None, sy0=None,
                       n_steps: int = 60, lr_angles: float = 0.5,
                       lr_shifts: float = 0.2, pad_factor: float = 2.0,
-                      max_freq: float = 0.35, verbose: int = 0):
+                      max_freq: float = 0.35, verbose: int = 0,
+                      domain: str = "fourier"):
     """Refine poses continuously. Returns dict(rot, tilt, psi, sx, sy, cost).
 
     sx0/sy0 and the returned sx/sy follow the METADATA shift convention
@@ -100,8 +145,12 @@ def continuous_assign(vol, imgs, rot0, tilt0, psi0, sx0=None, sy0=None,
     b1, b2, eps = 0.9, 0.999, 1e-8
     ncc = None
     for step in range(n_steps):
-        (loss, ncc), grads = _loss_grad(tuple(params), vf, imgs, N,
-                                        max_freq)
+        if domain == "wavelet":
+            (loss, ncc), grads = _wavelet_loss_grad(tuple(params), vf,
+                                                    imgs, N)
+        else:
+            (loss, ncc), grads = _loss_grad(tuple(params), vf, imgs, N,
+                                            max_freq)
         for k in range(5):
             g = grads[k] * B  # mean -> per-particle gradient
             m[k] = b1 * m[k] + (1 - b1) * g

@@ -65,6 +65,50 @@ class ProgAngularContinuousAssign2(XmippProgram):
         self.mean_cost = float(res["cost"].mean())
 
 
+class ProgAngularContinuousAssign(XmippProgram):
+    """Wavelet-space continuous angular assignment — the ORIGINAL
+    algorithm (reference angular_continuous_assign.{h,cpp}:39, Jonic 2005:
+    image/projection matching in DWT space), distinct from assign2's
+    Fourier-weighted NCC. The residual is evaluated on the multi-level
+    Haar coefficient pyramid with the finest band down-weighted."""
+    name = "xmipp_angular_continuous_assign"
+
+    def defineParams(self):
+        self.addUsageLine("Continuous angular assignment in wavelet space "
+                          "(multiscale DWT-domain matching).")
+        self.addParamsLine("   -i <md_file>  : Particles with initial poses")
+        self.addParamsLine("   -o <md_file>  : Refined poses")
+        self.addParamsLine("   --ref <volume> : Reference volume")
+        self.addParamsLine("  [--optimizeShift] : Also refine shifts")
+        self.addParamsLine("  [--steps <n=60>] : Optimization steps")
+        self.addParamsLine("  [--padding <p=2>] : Projector padding")
+
+    def run(self):
+        from xmipp3_tpu.ops.continuous import continuous_assign
+        md, rows, imgs, get = _load_md(self.getParam("-i"))
+        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        res = continuous_assign(
+            vol, imgs, get("angleRot"), get("angleTilt"), get("anglePsi"),
+            get("shiftX") if self.checkParam("--optimizeShift") else None,
+            get("shiftY") if self.checkParam("--optimizeShift") else None,
+            n_steps=self.getIntParam("--steps"),
+            pad_factor=self.getDoubleParam("--padding"),
+            verbose=self.verbose, domain="wavelet")
+        out_rows = []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d.update({"angleRot": float(res["rot"][i]),
+                      "angleTilt": float(res["tilt"][i]),
+                      "anglePsi": float(res["psi"][i]),
+                      "shiftX": float(res["sx"][i]),
+                      "shiftY": float(res["sy"][i]),
+                      "cost": float(res["cost"][i]),
+                      "maxCC": float(res["cost"][i])})
+            out_rows.append(d)
+        MetaData.fromRows(out_rows).write(self.getParam("-o"))
+        self.mean_cost = float(res["cost"].mean())
+
+
 class ProgAngularClassAverage(XmippProgram):
     name = "xmipp_angular_class_average"
 

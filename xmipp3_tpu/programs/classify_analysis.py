@@ -325,4 +325,116 @@ class ProgDenoisingTV(XmippMetadataProgram):
         return np.asarray(tv_denoise_2d(imgs, self.weight, self.iters))
 
 
+class ProgClassifyFirstSplit3(XmippProgram):
+    """First volume split of directional classes by stochastic 2-volume
+    K-means (reference classify_first_split3.cpp: random initial split,
+    reconstruct both halves, swap members whose projections correlate
+    better with the other volume, with a decaying random-swap rate).
+
+    TPU redesign: instead of one random pair + full re-reconstruction per
+    iteration (reference Niter=5000 serial loop), every sweep scores ALL
+    members against BOTH volumes in one batched projection pass, swaps a
+    balanced set of the strongest misfits (plus a small random fraction),
+    and re-reconstructs once — the same stochastic k=2 volume K-means with
+    batched updates."""
+    name = "xmipp_classify_first_split3"
+
+    def defineParams(self):
+        self.addUsageLine("Produce a first volume split from a set of "
+                          "directional classes using K-means.")
+        self.addParamsLine("   -i <metadata>  : Directional classes with angles")
+        self.addParamsLine("  [--oroot <fnroot=split>] : Output rootname")
+        self.addParamsLine("  [--Niter <n=5000>] : Reference-equivalent iteration count (mapped to batched sweeps)")
+        self.addParamsLine("  [--sym <sym=c1>]   : Symmetry")
+        self.addParamsLine("  [--mask <m=\"\">]   : (accepted; mask applied upstream)")
+
+    def _reconstruct(self, imgs, rows, sel):
+        from xmipp3_tpu.ops.reconstruct import reconstruct_fourier
+        g = lambda k: np.array([float(rows[i].get(k, 0.0))
+                                for i in np.flatnonzero(sel)], np.float32)
+        return np.asarray(reconstruct_fourier(
+            imgs[sel], g("angleRot"), g("angleTilt"), g("anglePsi"),
+            g("shiftX"), g("shiftY"), sym=self.getParam("--sym"),
+            max_freq=0.25, interp="tri",
+            flip=g("flip").astype(bool)))
+
+    def _correlations(self, vol, imgs, rows):
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.geo import apply_md_geometry
+        from xmipp3_tpu.ops.project import FourierProjector
+        g = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
+                               np.float32)
+        proj = FourierProjector(vol)
+        P = proj.project_euler(g("angleRot"), g("angleTilt"), g("anglePsi"))
+        reg = apply_md_geometry(jnp.asarray(imgs), jnp.zeros(len(imgs)),
+                                g("shiftX"), g("shiftY"),
+                                flip=g("flip").astype(bool))
+        a = P - P.mean(axis=(1, 2), keepdims=True)
+        b = reg - reg.mean(axis=(1, 2), keepdims=True)
+        num = (a * b).sum(axis=(1, 2))
+        den = jnp.sqrt((a ** 2).sum(axis=(1, 2)) * (b ** 2).sum(axis=(1, 2)))
+        return np.asarray(num / jnp.maximum(den, 1e-12))
+
+    def run(self):
+        rng = np.random.default_rng(0)
+        md = MetaData(self.getParam("-i"))
+        md.removeDisabled()
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        B = len(rows)
+        sel1 = rng.random(B) < 0.5
+        if sel1.all() or not sel1.any():
+            sel1[: B // 2] = True
+            sel1[B // 2:] = False
+        sweeps = max(3, min(12, self.getIntParam("--Niter") // 500))
+        th = 0.05
+        swapped_total = 0
+        for it in range(sweeps):
+            v1 = self._reconstruct(imgs, rows, sel1)
+            v2 = self._reconstruct(imgs, rows, ~sel1)
+            c1 = self._correlations(v1, imgs, rows)
+            c2 = self._correlations(v2, imgs, rows)
+            want2 = sel1 & (c2 > c1)      # in set1, prefers v2
+            want1 = (~sel1) & (c1 > c2)
+            k = min(int(want2.sum()), int(want1.sum()))
+            moved = 0
+            if k > 0:
+                gain2 = np.where(want2, c2 - c1, -np.inf)
+                gain1 = np.where(want1, c1 - c2, -np.inf)
+                idx2 = np.argsort(-gain2)[:k]
+                idx1 = np.argsort(-gain1)[:k]
+                sel1[idx2] = False
+                sel1[idx1] = True
+                moved = 2 * k
+            # decaying random swap (reference th=0.05 exploratory swaps)
+            nrand = max(int(th * B * (1 - it / sweeps)), 0)
+            if nrand:
+                i1 = np.flatnonzero(sel1)
+                i2 = np.flatnonzero(~sel1)
+                if len(i1) > nrand and len(i2) > nrand:
+                    sw1 = rng.choice(i1, nrand, replace=False)
+                    sw2 = rng.choice(i2, nrand, replace=False)
+                    sel1[sw1] = False
+                    sel1[sw2] = True
+                    moved += 2 * nrand
+            swapped_total += moved
+            if self.verbose:
+                print(f"  sweep {it + 1}/{sweeps}: set1={int(sel1.sum())} "
+                      f"set2={int((~sel1).sum())} moved={moved}")
+            if moved == 0:
+                break
+        root = self.getParam("--oroot")
+        v1 = self._reconstruct(imgs, rows, sel1)
+        v2 = self._reconstruct(imgs, rows, ~sel1)
+        save_image(root + "_avg1.vol", v1)
+        save_image(root + "_avg2.vol", v2)
+        MetaData.fromRows([rows[i] for i in np.flatnonzero(sel1)]).write(
+            root + "_avg1.xmd")
+        MetaData.fromRows([rows[i] for i in np.flatnonzero(~sel1)]).write(
+            root + "_avg2.xmd")
+        if self.verbose:
+            print(f"split: {int(sel1.sum())} / {int((~sel1).sum())} "
+                  f"(total moves {swapped_total})")
+
+
 PROGRAM = None

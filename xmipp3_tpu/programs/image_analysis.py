@@ -254,4 +254,46 @@ class ProgImageRotationalPCA(XmippProgram):
         self.basis = basis
 
 
+class ProgEliminateByEnergy(XmippProgram):
+    """Eliminate images whose variance is extreme (reference
+    image_eliminate_byEnergy.cpp: z-test of sigma^2/sigma2_0 against a
+    confidence bound + minimum-variance and mean-offset gates — a distinct
+    criterion from image_eliminate_empty_particles)."""
+    name = "xmipp_image_eliminate_byEnergy"
+
+    def defineParams(self):
+        self.addUsageLine("Eliminate images whose variance is extremely "
+                          "large or small.")
+        self.addParamsLine("   -i <md_file>  : Input particles")
+        self.addParamsLine("   -o <md_file>  : Output metadata (disabled rows removed)")
+        self.addParamsLine("  [--confidence <conf=0.99>] : Remove an image if its variance is outside this confidence beyond sigma^2_0")
+        self.addParamsLine("  [--sigma2 <sigma20=1>]     : Reference variance")
+        self.addParamsLine("  [--minSigma2 <sigma2=0.01>] : Minimum variance")
+
+    def run(self):
+        import scipy.stats
+        md = MetaData(self.getParam("-i"))
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        conf = self.getDoubleParam("--confidence")
+        sigma20 = self.getDoubleParam("--sigma2")
+        min_s2 = self.getDoubleParam("--minSigma2")
+        zalpha = abs(scipy.stats.norm.ppf(conf))
+        avg = imgs.mean(axis=(1, 2))
+        s2 = imgs.var(axis=(1, 2))
+        z = s2 / sigma20 - 1.0
+        bad = ((z > zalpha) | (s2 < min_s2) | ~np.isfinite(s2)
+               | (np.abs(avg) > sigma20 / 9.0))
+        out = []
+        for i, r in enumerate(rows):
+            if not bad[i]:
+                d = dict(r)
+                d["enabled"] = 1
+                out.append(d)
+        MetaData.fromRows(out).write(self.getParam("-o"))
+        if self.verbose:
+            print(f"kept {len(out)}/{len(rows)} images "
+                  f"(removed {int(bad.sum())})")
+
+
 PROGRAM = None

@@ -142,7 +142,7 @@ register("angular_discrete_assign",
          P + "angular_misc:ProgAngularDiscreteAssign")
 register("angular_assignment_mag", P + "angular_misc:ProgAngularAssignmentMag")
 register("angular_continuous_assign",
-         P + "angular_programs:ProgAngularContinuousAssign2")
+         P + "angular_programs:ProgAngularContinuousAssign")
 register("angular_break_symmetry", P + "angular_misc:ProgAngularBreakSymmetry")
 register("angular_estimate_tilt_axis",
          P + "angular_misc:ProgAngularEstimateTiltAxis")
@@ -170,7 +170,7 @@ register("classify_compare_classes",
 register("classify_first_split",
          P + "classify_analysis:ProgClassifyFirstSplit")
 register("classify_first_split3",
-         P + "classify_analysis:ProgClassifyFirstSplit")
+         P + "classify_analysis:ProgClassifyFirstSplit3")
 register("volume_halves_restoration",
          P + "classify_analysis:ProgVolumeHalvesRestoration")
 register("cuda_volume_halves_restoration",
@@ -213,7 +213,7 @@ register("volume_apply_deform_sph",
          P + "zernike_programs:ProgVolumeApplyCoefficientZernike3D")
 register("ctf_correct_phase", P + "ctf_correct:ProgCTFPhaseFlip")
 register("image_eliminate_byEnergy",
-         P + "image_analysis:ProgEliminateEmptyParticles")
+         P + "image_analysis:ProgEliminateByEnergy")
 register("project", P + "phantom_programs:ProgPhantomProject")
 register("project_tomography", P + "tomo_programs:ProgTomoProject")
 
@@ -327,7 +327,6 @@ _SERIAL_MAP = {
     "ctf_correct_phase": "ctf_phase_flip",
     "cuda_reconstruct_fourier": "reconstruct_fourier",
     "reconstruct_fourier_accel": "reconstruct_fourier",
-    "image_eliminate_byEnergy": "image_eliminate_empty_particles",
 }
 for _name in _MPI_NAMES:
     _serial = _SERIAL_MAP.get(_name, _name)
