@@ -192,3 +192,45 @@ def test_fsc_noise_uncorrelated():
     b = rng.standard_normal((32, 32, 32)).astype(np.float32)
     _, fsc = fsc_3d(a, b)
     assert np.abs(np.asarray(fsc)[5:]).mean() < 0.1
+
+
+def test_art_parallel_modes():
+    """Reference ARTParallelMode family (basic_art.h:92) + POCS: every
+    mode converges on a small phantom; positivity holds."""
+    from xmipp3_tpu.core.geometry import euler_matrix
+    from xmipp3_tpu.ops.art import art_reconstruct
+    rng = np.random.default_rng(0)
+    n, M = 24, 60
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float64) - n // 2
+    vol = np.exp(-((x - 2) ** 2 + y ** 2 + (z + 1) ** 2) / 8)
+    rot = rng.uniform(0, 360, M).astype(np.float32)
+    tilt = np.degrees(np.arccos(rng.uniform(-1, 1, M))).astype(np.float32)
+    psi = rng.uniform(0, 360, M).astype(np.float32)
+    A = np.asarray(euler_matrix(rot, tilt, psi), np.float64)
+    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64) - n // 2
+    c = np.array([2.0, 0.0, -1.0])
+    u = A[:, 0, :] @ c
+    v = A[:, 1, :] @ c
+    s = np.sqrt(8 / 2.0)
+    projs = (s * np.sqrt(2 * np.pi) * np.exp(
+        -(((xx[None] - u[:, None, None]) ** 2 +
+           (yy[None] - v[:, None, None]) ** 2) / 8))).astype(np.float32)
+    ncc_by_mode = {}
+    for mode in ("SIRT", "pSIRT", "pSART", "pBiCAV", "pCAV", "pAVSP",
+                 "pfSIRT"):
+        rec, hist = art_reconstruct(projs, rot, tilt, psi, mode=mode,
+                                    n_iters=3, lambda_list=[0.5],
+                                    positivity=True, block_size=15)
+        assert np.isfinite(rec).all()
+        assert rec.min() >= 0.0          # POCS positivity
+        a = vol - vol.mean()
+        b = rec - rec.mean()
+        ncc = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+        ncc_by_mode[mode] = ncc
+        assert ncc > 0.9, (mode, ncc)
+        assert hist[-1] <= hist[0] + 1e-6
+    # sequential ART (block_size=1) on a reduced set stays finite/positive
+    rec, _ = art_reconstruct(projs[:10], rot[:10], tilt[:10], psi[:10],
+                             mode="ART", n_iters=1, lambda_list=[0.2],
+                             positivity=True)
+    assert np.isfinite(rec).all() and rec.min() >= 0.0

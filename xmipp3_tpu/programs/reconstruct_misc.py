@@ -33,19 +33,32 @@ class ProgReconstructART(XmippProgram):
         self.addParamsLine("   -i <md_file>  : Metadata with projections")
         self.addParamsLine("  [-o <volume=rec_art.vol>] : Output volume")
         self.addParamsLine("  [-n <iters=5>] : Number of iterations")
-        self.addParamsLine("  [-l <lambda=0.5>] : Relaxation parameter")
+        self.addParamsLine("  [-l <lambdas=0.5>] : Relaxation parameter(s), comma-separated per iteration")
         self.addParamsLine("  [--POCS_positivity] : Positivity constraint")
-        self.addParamsLine("  [--parallel_mode <m=pSIRT>] : ART|pSIRT|pSART (block-parallel)")
+        self.addParamsLine("  [--POCS_freq <f=1>] : Apply POCS every f block updates")
+        self.addParamsLine("  [--surface <mask=\"\">] : Surface mask volume (forced to 0 where mask=1)")
+        self.addParamsLine("  [--parallel_mode <m=SIRT>] : ART|pCAV|pAVSP|pSART|pBiCAV|pSIRT|pfSIRT|SIRT (basic_art.h:92)")
+        self.addParamsLine("  [--block_size <b=-1>] : Projections per parallel block")
+        self.addParamsLine("  [--random_sort] : Random projection order")
 
     def run(self):
-        from xmipp3_tpu.ops.art import sirt_reconstruct
+        from xmipp3_tpu.ops.art import art_reconstruct
         md = MetaData(self.getParam("-i"))
         md.removeDisabled()
         imgs, rot, tilt, psi, sx, sy = _load(md)
-        vol, hist = sirt_reconstruct(
-            imgs, rot, tilt, psi, n_iters=self.getIntParam("-n"),
-            lam=self.getDoubleParam("-l"),
+        lambdas = [float(v) for v in
+                   str(self.getParam("-l")).split(",") if v]
+        bs = self.getIntParam("--block_size")
+        surf = None
+        if self.checkParam("--surface") and self.getParam("--surface"):
+            surf = np.squeeze(Image(self.getParam("--surface")).data)
+        vol, hist = art_reconstruct(
+            imgs, rot, tilt, psi, mode=self.getParam("--parallel_mode"),
+            n_iters=self.getIntParam("-n"), lambda_list=lambdas,
+            block_size=None if bs <= 0 else bs,
             positivity=self.checkParam("--POCS_positivity"),
+            surface_mask=surf, pocs_freq=self.getIntParam("--POCS_freq"),
+            random_sort=self.checkParam("--random_sort"),
             verbose=self.verbose, sx=sx, sy=sy)
         save_image(self.getParam("-o"), vol)
         self.residual_history = hist
