@@ -108,3 +108,49 @@ def test_mpi_projection_matching_dp_tp_match_serial(dataset):
             f"{ref_serial[~(same | tied)]}, cc {cc_m[~(same | tied)]} vs "
             f"{cc_serial[~(same | tied)]}")
         assert same.mean() > 0.5, mode
+
+
+def test_ml2d_mesh_matches_serial():
+    """mpi_ml_align2d equivalent: the --mesh dp path must match the serial
+    E/M steps (reference parallel/mpi_ml_align2d; psum-reduced stats)."""
+    import jax
+    from xmipp3_tpu.models.ml2d import ml2d
+    from xmipp3_tpu.parallel.mesh import data_mesh
+    rng = np.random.default_rng(3)
+    n, B = 32, 44            # NOT a multiple of 8: exercises padded rows
+    y, x = np.mgrid[0:n, 0:n].astype(np.float32) - 16
+    protos = [np.exp(-(x ** 2 + y ** 2) / 30),
+              np.exp(-(x ** 2 / 60 + y ** 2 / 8))]
+    labels = rng.integers(0, 2, B)
+    imgs = np.stack([protos[c] for c in labels]).astype(np.float32)
+    imgs += 0.15 * rng.standard_normal(imgs.shape).astype(np.float32)
+    serial = ml2d(imgs, 2, n_iters=4, max_shift=2, seed=0)
+    par = ml2d(imgs, 2, n_iters=4, max_shift=2, seed=0, mesh=data_mesh(8))
+    assert (serial["assignments"] == par["assignments"]).mean() > 0.95
+    assert abs(serial["loglike"][-1] - par["loglike"][-1]) < \
+        1e-2 * abs(serial["loglike"][-1])
+    scale = np.abs(serial["refs"]).max()
+    assert np.abs(serial["refs"] - par["refs"]).max() < 1e-3 * scale
+
+
+def test_movie_local_align_mesh_matches_serial():
+    """Patch-sharded local movie alignment equals the serial per-patch
+    loop (reference FlexAlign stream pool,
+    movie_alignment_correlation_gpu.cpp:649)."""
+    import jax
+    from xmipp3_tpu.ops import movie as mops
+    from xmipp3_tpu.parallel.mesh import data_mesh
+    from xmipp3_tpu.parallel.movie import local_align_mesh
+    rng = np.random.default_rng(0)
+    F, H, W = 6, 256, 256
+    base = rng.standard_normal((H + 16, W + 16)).astype(np.float32)
+    frames = np.stack([base[4 + i: 4 + i + H, 8 - i: 8 - i + W]
+                       for i in range(F)])
+    pos = mops.global_align(frames, max_shift_px=10)
+    f1, cys1, cxs1 = mops.local_align(frames, pos, patches=(3, 3),
+                                      patch_size=96, max_shift_px=4)
+    mesh = data_mesh(8)
+    f2, cys2, cxs2 = local_align_mesh(mesh, frames, pos, patches=(3, 3),
+                                      patch_size=96, max_shift_px=4)
+    assert (cys1 == cys2).all() and (cxs1 == cxs2).all()
+    assert np.abs(f1 - f2).max() < 1e-3

@@ -74,12 +74,16 @@ def _energy_terms(refs, imgs, trials, ring_w, rmin: int, rmax: int):
 
 @partial(jax.jit, static_argnames=("top_k",))
 def _e_step(cross, e_img, e_ref, trials, log_alpha, sigma2, sigma_off2,
-            d_eff, top_k: int):
+            d_eff, top_k: int, valid=None):
     """Exact Gaussian E-step over (trial, class, psi).
 
-    Returns posterior top-K (weights + indices), class stats, LL, and
-    posterior moments for the sigma updates."""
+    Returns posterior top-K (weights + indices) and SUMMED class stats /
+    posterior moments (callers divide by the valid count — this makes the
+    function shard_map-able with one psum; `valid` (B,) zeroes padded
+    rows)."""
     B, T, R, A = cross.shape
+    if valid is None:
+        valid = jnp.ones((B,), cross.dtype)
     resid2 = (e_img[:, :, None, None] + e_ref[None, None, :, None]
               - 2.0 * cross)                      # (B,T,R,A)
     resid2 = jnp.maximum(resid2, 0.0)
@@ -92,19 +96,21 @@ def _e_step(cross, e_img, e_ref, trials, log_alpha, sigma2, sigma_off2,
     m = flat.max(axis=1, keepdims=True)
     p = jnp.exp(flat - m)
     Z = p.sum(axis=1, keepdims=True)
-    post = p / Z
+    post = p / Z * valid[:, None]
     # data log-likelihood (with the Gaussian normalization constant)
-    ll = (m[:, 0] + jnp.log(Z[:, 0])
-          - 0.5 * d_eff * jnp.log(2 * jnp.pi * sigma2)).mean()
-    # posterior moments
+    ll_sum = ((m[:, 0] + jnp.log(Z[:, 0])
+               - 0.5 * d_eff * jnp.log(2 * jnp.pi * sigma2))
+              * valid).sum()
+    # posterior moments (sums over valid rows)
     post4 = post.reshape(B, T, R, A)
-    exp_resid2 = jnp.einsum("btra,btra->", post4, resid2) / B
+    resid2_sum = jnp.einsum("btra,btra->", post4, resid2)
     t2 = trials[:, 0] ** 2 + trials[:, 1] ** 2
-    exp_t2 = jnp.einsum("btra,t->", post4, t2) / B
-    frac = post4.sum(axis=(0, 1, 3)) / B
+    t2_sum = jnp.einsum("btra,t->", post4, t2)
+    frac_sum = post4.sum(axis=(0, 1, 3))
     wk, ik = jax.lax.top_k(post, top_k)
     wk = wk / jnp.maximum(wk.sum(axis=1, keepdims=True), 1e-12)
-    return wk, ik, frac, exp_resid2, exp_t2, ll
+    wk = wk * valid[:, None]
+    return wk, ik, frac_sum, resid2_sum, t2_sum, ll_sum
 
 
 @partial(jax.jit, static_argnames=("n_refs", "A"))
@@ -149,7 +155,8 @@ def _ring_noise_spectra(refs, imgs, best_ref, psi_md, sx_md, sy_md,
 
 def ml2d(imgs: np.ndarray, n_refs: int, n_iters: int = 15,
          max_shift: int = 4, sigma_init: float | None = None, seed: int = 0,
-         top_k: int = 8, verbose: int = 0, fourier_noise_model: bool = False):
+         top_k: int = 8, verbose: int = 0, fourier_noise_model: bool = False,
+         mesh=None):
     """Returns dict(refs, fractions, sigma, assignments, loglike).
 
     The reported loglike is the TRUE data log-likelihood of the Gaussian
@@ -175,25 +182,76 @@ def ml2d(imgs: np.ndarray, n_refs: int, n_iters: int = 15,
     ll_hist = []
     out_pose = None
 
-    for it in range(n_iters):
-        cross, e_img, e_ref = _energy_terms(refs, imgs_j, trials, ring_w,
-                                            rmin, rmax)
-        Bn, T, R, A = cross.shape
-        if A_ang is None:
-            A_ang = A
-        if sigma2 is None:
-            # init: residual of zero-model ~ image energy per unit weight
-            sigma2 = float(np.asarray(e_img).mean() / d_eff) \
-                if sigma_init is None else float(sigma_init ** 2)
-        d_eff = float(np.sum(radii * np.asarray(ring_w)))
-        wk, ik, frac, exp_resid2, exp_t2, ll = _e_step(
-            cross, e_img, e_ref, trials, jnp.asarray(
-                np.log(np.maximum(alpha, 1e-8)), jnp.float32),
-            sigma2, sigma_off2, d_eff, top_k)
-        ll_hist.append(float(ll))
+    # mesh mode: shard the particle axis; every per-iteration reduction is
+    # a psum (the TPU analog of the reference's MPI ML2D,
+    # parallel/mpi_ml_align2d); padded rows carry valid=0 and contribute
+    # nothing to any statistic.
+    n_dev = 0
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        n_dev = int(np.prod(mesh.devices.shape))
+        pad = (-B) % n_dev
+        imgs_p = np.concatenate([imgs, np.zeros((pad, H, W), np.float32)]) \
+            if pad else imgs
+        valid_p = np.concatenate([np.ones(B, np.float32),
+                                  np.zeros(pad, np.float32)])
+        imgs_j = jnp.asarray(imgs_p)
+        valid_j = jnp.asarray(valid_p)
 
-        acc, cnt, best_ref, best_psi_md, best_sx_md, best_sy_md = \
-            _m_step(imgs_j, wk, ik, trials, n_refs, A)
+        def _shard_iter(imgs_l, valid_l, refs, trials, ring_w, log_alpha,
+                        sigma2, sigma_off2, d_eff, n_refs_, A_hint):
+            cross, e_img, e_ref = _energy_terms(refs, imgs_l, trials,
+                                                ring_w, rmin, rmax)
+            wk, ik, frac_s, r2_s, t2_s, ll_s = _e_step(
+                cross, e_img, e_ref, trials, log_alpha, sigma2,
+                sigma_off2, d_eff, top_k, valid=valid_l)
+            A = cross.shape[-1]
+            acc, cnt, br, bp, bx, by = _m_step(imgs_l, wk, ik, trials,
+                                               n_refs_, A)
+            stats = jax.tree.map(
+                lambda x: jax.lax.psum(x, axis),
+                (frac_s, r2_s, t2_s, ll_s, acc, cnt))
+            return stats + (br, bp, bx, by)
+
+    for it in range(n_iters):
+        if sigma2 is None or A_ang is None:
+            cross0, e_img0, _ = _energy_terms(refs, imgs_j[:B], trials,
+                                              ring_w, rmin, rmax)
+            A_ang = cross0.shape[-1]
+            if sigma2 is None:
+                sigma2 = float(np.asarray(e_img0).mean() / d_eff) \
+                    if sigma_init is None else float(sigma_init ** 2)
+        d_eff = float(np.sum(radii * np.asarray(ring_w)))
+        log_alpha = jnp.asarray(np.log(np.maximum(alpha, 1e-8)), jnp.float32)
+        A = A_ang
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            axis = mesh.axis_names[0]
+            sharded = jax.shard_map(
+                lambda im, va: _shard_iter(im, va, refs, trials, ring_w,
+                                           log_alpha, sigma2, sigma_off2,
+                                           d_eff, n_refs, A),
+                mesh=mesh, in_specs=(P(axis), P(axis)),
+                out_specs=(P(), P(), P(), P(), P(), P(),
+                           P(axis), P(axis), P(axis), P(axis)))
+            (frac, exp_resid2, exp_t2, ll_sum, acc, cnt,
+             best_ref, best_psi_md, best_sx_md, best_sy_md) = sharded(
+                imgs_j, valid_j)
+            best_ref = best_ref[:B]
+            best_psi_md = best_psi_md[:B]
+            best_sx_md = best_sx_md[:B]
+            best_sy_md = best_sy_md[:B]
+        else:
+            cross, e_img, e_ref = _energy_terms(refs, imgs_j, trials,
+                                                ring_w, rmin, rmax)
+            wk, ik, frac, exp_resid2, exp_t2, ll_sum = _e_step(
+                cross, e_img, e_ref, trials, log_alpha,
+                sigma2, sigma_off2, d_eff, top_k)
+            acc, cnt, best_ref, best_psi_md, best_sx_md, best_sy_md = \
+                _m_step(imgs_j, wk, ik, trials, n_refs, cross.shape[-1])
+        ll = float(ll_sum) / B
+        ll_hist.append(ll)
         cnt_n = np.asarray(cnt)
         new_refs = np.array(acc)
         old = np.asarray(refs)
@@ -203,15 +261,16 @@ def ml2d(imgs: np.ndarray, n_refs: int, n_iters: int = 15,
             else:
                 new_refs[r] = old[r]
         refs = jnp.asarray(new_refs)
-        alpha = np.maximum(np.asarray(frac), 1e-6)
+        alpha = np.maximum(np.asarray(frac) / B, 1e-6)
         alpha /= alpha.sum()
         # ML updates of the noise and offset priors (reference maximization)
-        sigma2 = float(exp_resid2) / d_eff
-        sigma_off2 = max(float(exp_t2) / 2.0, 0.01)
+        sigma2 = float(exp_resid2) / (B * d_eff)
+        sigma_off2 = max(float(exp_t2) / (2.0 * B), 0.01)
         if fourier_noise_model:
             sig_r = np.asarray(_ring_noise_spectra(
-                refs, imgs_j, best_ref, best_psi_md, best_sx_md,
-                best_sy_md, rmin, rmax))
+                refs, imgs_j[:B], jnp.asarray(best_ref),
+                jnp.asarray(best_psi_md), jnp.asarray(best_sx_md),
+                jnp.asarray(best_sy_md), rmin, rmax))
             w = 1.0 / np.maximum(sig_r, 1e-8 * sig_r.max())
             ring_w = jnp.asarray((w / w.mean()).astype(np.float32))
         out_pose = (best_ref, best_psi_md, best_sx_md, best_sy_md)

@@ -88,6 +88,8 @@ class ProgMLAlign2D(XmippProgram):
         self.addParamsLine("  [--iter <n=15>]    : Maximum iterations")
         self.addParamsLine("  [--maxShift <s=4>] : Translation search (px)")
         self.addParamsLine("  [--sigma <s=1>]    : Initial noise sigma")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def readParams(self):
         self.fn_in = self.getParam("-i")
@@ -96,12 +98,23 @@ class ProgMLAlign2D(XmippProgram):
         self.n_iters = self.getIntParam("--iter")
         self.max_shift = self.getIntParam("--maxShift")
         self.sigma = self.getDoubleParam("--sigma")
+        from xmipp3_tpu.parallel.cli import read_mesh_params
+        read_mesh_params(self)
+
+    def _mesh(self):
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             resolve_mesh)
+        maybe_init_distributed(self)
+        mesh, mode = resolve_mesh(self.mesh_mode)
+        if mesh is not None and self.verbose:
+            print(f"mesh: {mode} over {len(mesh.devices.ravel())} devices")
+        return mesh
 
     def run(self):
         from xmipp3_tpu.models.ml2d import ml2d
         imgs, rows = _load_stack_md(self.fn_in)
         res = ml2d(imgs, self.n_refs, self.n_iters, self.max_shift,
-                   self.sigma, verbose=self.verbose)
+                   self.sigma, verbose=self.verbose, mesh=self._mesh())
         fn_refs = self.oroot + "_references.stk"
         save_image(fn_refs, res["refs"])
         out_rows = []
@@ -172,7 +185,7 @@ class ProgMLFAlign2D(ProgMLAlign2D):
         imgs, rows = _load_stack_md(self.fn_in)
         res = ml2d(imgs, self.n_refs, self.n_iters, self.max_shift,
                    self.sigma, verbose=self.verbose,
-                   fourier_noise_model=True)
+                   fourier_noise_model=True, mesh=self._mesh())
         fn_refs = self.oroot + "_references.stk"
         save_image(fn_refs, res["refs"])
         out_rows = []

@@ -43,6 +43,8 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
         self.addParamsLine("  [--frameRange <n0=-1> <nF=-1>] : First and last frame to align")
         self.addParamsLine("  [--dose_per_frame <d=0>]     : e/A^2 per frame (enables dose weighting)")
         self.addParamsLine("  [--voltage <kV=300>]         : For dose weighting")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def readParams(self):
         self.fn_in = self.getParam("-i")
@@ -60,6 +62,8 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
         self.dose = self.getDoubleParam("--dose_per_frame") if \
             self.checkParam("--dose_per_frame") else 0.0
         self.kV = self.getDoubleParam("--voltage")
+        from xmipp3_tpu.parallel.cli import read_mesh_params
+        read_mesh_params(self)
 
     def run(self):
         frames = _load_movie(self.fn_in)
@@ -84,9 +88,24 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
                                       voltage=self.kV)
 
         if self.local and min(H, W) >= 128:
-            field, cys, cxs = mops.local_align(frames, pos,
-                                               patches=self.patches,
-                                               max_shift_px=8)
+            from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                                 resolve_mesh)
+            maybe_init_distributed(self)
+            mesh, mesh_mode = resolve_mesh(self.mesh_mode)
+            if mesh is not None:
+                # patch axis sharded over the mesh (the FlexAlign stream
+                # pool equivalent, movie_alignment_correlation_gpu.cpp:649)
+                if self.verbose:
+                    print(f"mesh: {mesh_mode} local alignment over "
+                          f"{len(mesh.devices.ravel())} devices")
+                from xmipp3_tpu.parallel.movie import local_align_mesh
+                field, cys, cxs = local_align_mesh(mesh, frames, pos,
+                                                   patches=self.patches,
+                                                   max_shift_px=8)
+            else:
+                field, cys, cxs = mops.local_align(frames, pos,
+                                                   patches=self.patches,
+                                                   max_shift_px=8)
             total = field + pos[None, None]
             # gather-free tiled warp (Fourier-shifted Hann tiles)
             avg = np.asarray(mops.warp_sum_frames_tiled(
