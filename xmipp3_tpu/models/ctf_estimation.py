@@ -129,7 +129,10 @@ def _model_psd(p, fy, fx, n: int, consts):
              + jnp.abs(p[G1K]) * jnp.exp(-sig1 * (u - c1) ** 2)
              + jnp.abs(p[SQK]) * jnp.exp(-sq * jnp.sqrt(u))
              - jnp.abs(p[G2K]) * jnp.exp(-sig2 * (u - c2c) ** 2))
-    return jnp.maximum(noise, 0.0) + signal
+    out = jnp.maximum(noise, 0.0) + signal
+    # clamp to a finite range: host Powell explores extreme parameters and
+    # an inf/NaN model would poison the line search
+    return jnp.clip(jnp.nan_to_num(out, nan=0.0, posinf=1e30), 0.0, 1e30)
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -153,7 +156,8 @@ def _fitness(p, psd, fy, fx, band, n: int, consts):
     noise = _model_psd(bgonly, fy, fx, n, consts)
     over = jnp.maximum(jnp.log1p(noise) - lo, 0.0)
     pen = (over * w).sum() / wsum
-    return -(corr) + 2.0 * pen
+    val = -(corr) + 2.0 * pen
+    return jnp.where(jnp.isfinite(val), val, 1e3)
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -206,23 +210,51 @@ class CTFEstimator:
                                          self.psd_j, self.fy, self.fx,
                                          self.band, self.n, self.consts))
 
+    # per-parameter pattern-search step scales (same role as the
+    # reference's Powell step vector)
+    _STEPS = np.array([150.0, 150.0, 4.0, 0.25,        # defU defV ang logK
+                       0.3, 2e-4, 20.0, 0.5, 0.05, 0.05,  # envelope
+                       0.05, 0.2, 2.0, 2.0, 10.0,     # base sqrtK sqU/V ang
+                       0.2, 500.0, 500.0, 10.0, 0.01, 0.01,   # gauss1
+                       0.2, 500.0, 500.0, 10.0, 0.01, 0.01,   # gauss2
+                       0.1], np.float32)               # phase shift
+
     def _powell(self, free, maxiter=4):
-        """Powell over the `free` subset (reference powellOptimizer calls)."""
+        """Batched compass/pattern search over the `free` subset — the
+        reference's powellOptimizer role, re-shaped for the device: every
+        round evaluates ALL +/-step coordinate candidates in ONE vmapped
+        fitness call (a serial scipy Powell would pay one host<->device
+        round-trip per evaluation, which dominates under the axon relay)."""
         free = list(free)
-        base = self.params.copy()
-
-        def cost(sub):
-            p = base.copy()
-            p[free] = sub
-            return self._cost(p)
-
-        res = scipy.optimize.minimize(
-            cost, base[free], method="Powell",
-            options=dict(maxiter=maxiter, xtol=1e-3, ftol=1e-5))
-        base[free] = res.x
-        self.params = base.astype(np.float32)
-        self.final_fitness = float(res.fun)
-        return res
+        p = self.params.copy()
+        steps = self._STEPS[free].copy()
+        # scale data-dependent magnitudes
+        psd_scale = float(np.abs(self.psd).mean()) + 1e-12
+        for j, idx in enumerate(free):
+            if idx in (BASE, SQK, G1K, G2K):
+                steps[j] = max(steps[j] * psd_scale, 1e-6)
+        best = self._cost(p)
+        n_rounds = max(6 * maxiter, 8)
+        for _ in range(n_rounds):
+            cands = [p]
+            for j, idx in enumerate(free):
+                for sgn in (1.0, -1.0):
+                    q = p.copy()
+                    q[idx] += sgn * steps[j]
+                    cands.append(q)
+            costs = self._cost_batch(np.stack(cands))
+            k = int(np.argmin(costs))
+            if k == 0 or costs[k] >= best - 1e-7:
+                steps *= 0.5
+                if np.max(np.abs(steps / np.maximum(
+                        np.abs(self._STEPS[free]), 1e-12))) < 0.02:
+                    break
+            else:
+                best = float(costs[k])
+                p = cands[k]
+        self.params = p.astype(np.float32)
+        self.final_fitness = float(best)
+        return best
 
     # -- stage 1: sqrt + baseline background ------------------------------
     def fit_background(self):

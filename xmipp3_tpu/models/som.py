@@ -80,3 +80,103 @@ def kerdensom(X: np.ndarray, shape=(4, 4), n_iters: int = 100,
             print(f"  kerdensom iter {it + 1}: sigma2={sigma2:.5f} reg={reg:.1f}")
     dist = ((X[:, None, :] - code[None, :, :]) ** 2).sum(-1)
     return code, dist.argmin(axis=1)
+
+
+def batch_som(X: np.ndarray, shape=(4, 4), n_epochs: int = 20,
+              radius0: float | None = None, radiusF: float = 0.5,
+              seed: int = 0):
+    """Batch SOM (reference classification/batch_som.{h,cpp}): per epoch,
+    every codevector becomes the neighborhood-weighted mean of ALL samples
+    (no learning rate — the closed-form batch update)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, np.float64)
+    N, D = X.shape
+    K = shape[0] * shape[1]
+    code = X[rng.choice(N, K, replace=N < K)] + \
+        0.01 * rng.standard_normal((K, D))
+    d2 = _grid_distances(shape)
+    if radius0 is None:
+        radius0 = max(shape) / 2.0
+    for it in range(n_epochs):
+        frac = it / max(n_epochs - 1, 1)
+        radius = radius0 * (radiusF / radius0) ** frac
+        dist = ((X[:, None, :] - code[None, :, :]) ** 2).sum(-1)
+        bmu = dist.argmin(axis=1)
+        h = np.exp(-d2 / (2 * radius ** 2))
+        Hw = h[bmu]                                     # (N, K)
+        denom = Hw.sum(axis=0)[:, None] + 1e-12
+        code = (Hw.T @ X) / denom                       # closed form
+    dist = ((X[:, None, :] - code[None, :, :]) ** 2).sum(-1)
+    return code, dist.argmin(axis=1)
+
+
+def fcmeans(X: np.ndarray, K: int = 4, m: float = 2.0, n_iters: int = 100,
+            tol: float = 1e-5, seed: int = 0):
+    """Fuzzy c-means (reference classification/fcmeans.{h,cpp}).
+
+    Returns (codebook (K,D), memberships U (N,K))."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, np.float64)
+    N, D = X.shape
+    U = rng.dirichlet(np.ones(K), N)                    # (N, K)
+    code = None
+    for _ in range(n_iters):
+        Um = U ** m
+        code = (Um.T @ X) / (Um.sum(axis=0)[:, None] + 1e-12)
+        d2 = ((X[:, None, :] - code[None, :, :]) ** 2).sum(-1) + 1e-12
+        inv = d2 ** (-1.0 / (m - 1.0))
+        Unew = inv / inv.sum(axis=1, keepdims=True)
+        if np.abs(Unew - U).max() < tol:
+            U = Unew
+            break
+        U = Unew
+    return code, U
+
+
+def fuzzy_som(X: np.ndarray, shape=(4, 4), m0: float = 2.0,
+              mF: float = 1.02, n_iters: int = 60, seed: int = 0):
+    """Fuzzy SOM / FKCN (reference fuzzy_som.{h,cpp}, fkcn.{h,cpp}):
+    fuzzy c-means whose fuzziness exponent anneals m0 -> mF, which shrinks
+    the effective update neighborhood over time (the fuzzy-Kohonen
+    equivalence). Returns (codebook, memberships)."""
+    rng = np.random.default_rng(seed)
+    X = np.asarray(X, np.float64)
+    N, D = X.shape
+    K = shape[0] * shape[1]
+    U = rng.dirichlet(np.ones(K), N)
+    code = None
+    for it in range(n_iters):
+        frac = it / max(n_iters - 1, 1)
+        m = m0 * (mF / m0) ** frac
+        m = max(m, 1.01)
+        Um = U ** m
+        code = (Um.T @ X) / (Um.sum(axis=0)[:, None] + 1e-12)
+        d2 = ((X[:, None, :] - code[None, :, :]) ** 2).sum(-1) + 1e-12
+        inv = d2 ** (-1.0 / (m - 1.0))
+        U = inv / inv.sum(axis=1, keepdims=True)
+    return code, U
+
+
+class CodeBook:
+    """Vector code book with per-unit assignment bookkeeping (reference
+    classification/code_book.{h,cpp}; the fuzzy variant stores the
+    membership matrix, fuzzy_code_book.{h,cpp})."""
+
+    def __init__(self, vectors: np.ndarray, memberships=None):
+        self.vectors = np.asarray(vectors, np.float64)
+        self.memberships = None if memberships is None else \
+            np.asarray(memberships, np.float64)
+
+    def assign(self, X):
+        d2 = ((np.asarray(X, np.float64)[:, None, :]
+               - self.vectors[None, :, :]) ** 2).sum(-1)
+        return d2.argmin(axis=1)
+
+    def quantization_error(self, X):
+        d2 = ((np.asarray(X, np.float64)[:, None, :]
+               - self.vectors[None, :, :]) ** 2).sum(-1)
+        return float(np.sqrt(d2.min(axis=1)).mean())
+
+    def histogram(self, X):
+        a = self.assign(X)
+        return np.bincount(a, minlength=len(self.vectors))

@@ -104,6 +104,15 @@ def shift_sum_frames(frames, shifts_x, shifts_y, dose_filter=None):
     return jnp.fft.irfft2(spec.sum(axis=0), s=(H, W))
 
 
+@partial(jax.jit, static_argnames=("corr_n", "ms"))
+def _global_pairwise_jit(frames, corr_n: int, ms: int):
+    """Fused scale+correlate device pass (ONE dispatch — under the axon
+    relay every eager op pays round-trip latency)."""
+    specs = frame_ffts_scaled(frames, corr_n)
+    sh, _, pk = pairwise_shifts(specs, corr_n, ms)
+    return sh, pk
+
+
 def global_align(frames, max_shift_px: int = 40, corr_n: int | None = None):
     """Global movie alignment. Returns per-frame positions (F,2) in FULL
     resolution pixels (x, y)."""
@@ -112,10 +121,11 @@ def global_align(frames, max_shift_px: int = 40, corr_n: int | None = None):
     if corr_n is None:
         corr_n = min(512, H, W)
         corr_n -= corr_n % 2
-    specs = frame_ffts_scaled(jnp.asarray(frames), corr_n)
     scale = H / corr_n
     ms = max(int(max_shift_px / scale), 2)
-    shifts, pairs, peaks = pairwise_shifts(specs, corr_n, ms)
+    shifts, peaks = _global_pairwise_jit(jnp.asarray(frames), corr_n, ms)
+    ii, jj = np.triu_indices(F, k=1)
+    pairs = np.stack([ii, jj], axis=1)
     pos = solve_frame_trajectory(np.asarray(shifts) * scale, pairs, F,
                                  weights=np.maximum(np.asarray(peaks), 0))
     return pos
@@ -151,10 +161,11 @@ def local_align(frames, global_pos, patches=(5, 5), patch_size: int = 256,
         for ix, cx in enumerate(cxs):
             tile = corrected[:, cy - patch_size // 2: cy + patch_size // 2,
                              cx - patch_size // 2: cx + patch_size // 2]
-            specs = frame_ffts_scaled(jnp.asarray(tile), patch_size)
-            shifts, pairs, peaks = pairwise_shifts(specs, patch_size,
-                                                   max_shift_px)
-            pos = solve_frame_trajectory(np.asarray(shifts), pairs, F,
+            shifts, peaks = _global_pairwise_jit(jnp.asarray(tile),
+                                                 patch_size, max_shift_px)
+            ii, jj = np.triu_indices(F, k=1)
+            pos = solve_frame_trajectory(np.asarray(shifts),
+                                         np.stack([ii, jj], axis=1), F,
                                          weights=np.maximum(
                                              np.asarray(peaks), 0))
             field[iy, ix] = pos
