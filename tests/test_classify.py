@@ -158,3 +158,24 @@ def test_mlf2d_noise_model_runs_and_recovers():
             vals, counts = np.unique(labels[sel], return_counts=True)
             purity += counts.max()
     assert purity / B >= 0.85
+
+
+def test_som_family_and_codebook():
+    """batch_som / fcmeans / fuzzy_som + CodeBook (reference
+    classification/batch_som, fcmeans, fuzzy_som, code_book)."""
+    from xmipp3_tpu.models.som import CodeBook, batch_som, fcmeans, fuzzy_som
+    rng = np.random.default_rng(0)
+    X = np.concatenate([rng.normal(0, 0.4, (60, 5)),
+                        rng.normal(3, 0.4, (60, 5))])
+    labels = np.array([0] * 60 + [1] * 60)
+    for fn in (lambda: batch_som(X, (2, 2)),
+               lambda: fcmeans(X, 4),
+               lambda: fuzzy_som(X, (2, 2))):
+        code, u = fn()
+        a = u if u.ndim == 1 else u.argmax(axis=1)
+        pur = sum(np.bincount(labels[a == k]).max()
+                  for k in np.unique(a))
+        assert pur / len(X) > 0.9
+        cb = CodeBook(code)
+        assert cb.histogram(X).sum() == len(X)
+        assert cb.quantization_error(X) < 2.0

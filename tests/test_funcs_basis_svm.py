@@ -144,3 +144,31 @@ def test_pif_roundtrip(tmp_path):
     assert np.abs(back.data - data).max() < np.abs(data).max() / 16000
     s2 = Image(f"2@{fn}")
     np.testing.assert_allclose(np.squeeze(s2.data), back.data[1])
+
+
+def test_rbf_svm_nonlinear_separation():
+    """RBF (random-Fourier-feature) SVM separates a circularly-separable
+    set a linear SVM cannot (reference libsvm C-SVC role,
+    classification/svm_classifier.h)."""
+    from xmipp3_tpu.models.svm import GaussianNB, LinearSVM, RBFSVM
+    rng = np.random.default_rng(0)
+    r_in = rng.uniform(0, 1, 120)
+    r_out = rng.uniform(2, 3, 120)
+    th = rng.uniform(0, 2 * np.pi, 240)
+    X = np.stack([np.concatenate([r_in, r_out]) * np.cos(th),
+                  np.concatenate([r_in, r_out]) * np.sin(th)], axis=1)
+    y = np.concatenate([np.ones(120), np.zeros(120)])
+    rbf = RBFSVM(n_features=128).fit(X, y)
+    acc_rbf = ((np.asarray(rbf.predict(X)) > 0).astype(int) == y).mean()
+    lin = LinearSVM().fit(X, y)
+    acc_lin = (lin.predict(X) == y).mean()
+    assert acc_rbf > 0.95
+    assert acc_rbf > acc_lin + 0.2
+    # round-trip
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    rbf.save(d + "/m")
+    rbf2 = RBFSVM.load(d + "/m")
+    assert np.allclose(rbf2.decision(X), rbf.decision(X))
+    nb = GaussianNB().fit(X, y)
+    assert (nb.predict(X) == y).mean() > 0.8   # radial var differs by class

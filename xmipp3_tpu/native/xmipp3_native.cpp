@@ -328,3 +328,48 @@ int star_parse_numeric(const char* path, const char* block,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// TSAN self-test (SURVEY §5.2): build with -DXMIPP3_NATIVE_SELFTEST and
+// -fsanitize=thread; exercises the threaded slice reader concurrently so
+// the ThreadSanitizer can verify the work-stealing loop is race-free.
+// ---------------------------------------------------------------------------
+#ifdef XMIPP3_NATIVE_SELFTEST
+#include <cstdio>
+#include <cstdlib>
+
+int main() {
+    // write a tiny float32 MRC stack
+    const int nx = 16, ny = 16, nz = 8;
+    const char* path = "/tmp/xmipp3_native_tsan.mrc";
+    {
+        FILE* f = std::fopen(path, "wb");
+        if (!f) return 1;
+        int32_t hdr[256] = {0};
+        hdr[0] = nx; hdr[1] = ny; hdr[2] = nz; hdr[3] = 2;  // mode 2
+        hdr[52] = 0x2050414d;                                // "MAP "
+        std::fwrite(hdr, 4, 256, f);
+        std::vector<float> slice(nx * ny);
+        for (int z = 0; z < nz; ++z) {
+            for (int i = 0; i < nx * ny; ++i) slice[i] = float(z * 1000 + i);
+            std::fwrite(slice.data(), 4, slice.size(), f);
+        }
+        std::fclose(f);
+    }
+    std::vector<int64_t> idx;
+    for (int r = 0; r < 64; ++r) idx.push_back(r % nz);
+    std::vector<float> out(idx.size() * nx * ny);
+    int rc = mrc_read_slices(path, idx.data(), int64_t(idx.size()),
+                             out.data(), 8);
+    if (rc) { std::fprintf(stderr, "read rc=%d\n", rc); return rc; }
+    for (size_t k = 0; k < idx.size(); ++k) {
+        if (out[k * nx * ny] != float(idx[k] * 1000)) {
+            std::fprintf(stderr, "value mismatch at %zu\n", k);
+            return 10;
+        }
+    }
+    std::printf("tsan selftest OK (%zu threaded reads)\n", idx.size());
+    std::remove(path);
+    return 0;
+}
+#endif

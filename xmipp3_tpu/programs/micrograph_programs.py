@@ -78,6 +78,8 @@ class ProgMicrographAutomaticPicking(XmippProgram):
         self.addParamsLine("  [--max_peaks <n=500>] : Maximum number of picks")
         self.addParamsLine("  [--svm <model=\"\">]  : SVM model for the second classification stage (candidates are kept only if the SVM accepts them)")
         self.addParamsLine("  [--trainSVM]      : Train the --svm model from --trainPos/--trainNeg and exit")
+        self.addParamsLine("  [--kernel <k=rbf>] : SVM kernel for training: rbf (random-Fourier-feature C-SVC, the reference libsvm equivalent) or linear")
+        self.addParamsLine("  [--fastBayes]     : Also train/use a Gaussian naive-Bayes fast-rejection stage before the SVM (reference two-stage classifier, micrograph_automatic_picking2.h:61-97)")
         self.addParamsLine("  [--trainPos <md=\"\">] : Positive training particles")
         self.addParamsLine("  [--trainNeg <md=\"\">] : Negative training particles")
 
@@ -132,8 +134,17 @@ class ProgMicrographAutomaticPicking(XmippProgram):
         # SVM second stage: classify candidate boxes, keep accepted ones
         # (reference two-stage picker: correlation candidates -> SVM)
         if self.checkParam("--svm") and self.getParam("--svm") and peaks:
-            from xmipp3_tpu.models.svm import LinearSVM, particle_features
-            svm = LinearSVM.load(self.getParam("--svm"))
+            import os
+            from xmipp3_tpu.models.svm import (GaussianNB, LinearSVM,
+                                               RBFSVM, particle_features)
+            fn_model = self.getParam("--svm")
+            fz = fn_model if fn_model.endswith(".npz") else fn_model + ".npz"
+            z = np.load(fz, allow_pickle=True)
+            svm = RBFSVM.load(fn_model) if "kind" in z.files and \
+                str(z["kind"]) == "rbf" else LinearSVM.load(fn_model)
+            nb = None
+            if os.path.exists(fn_model + "_nb.npz"):
+                nb = GaussianNB.load(fn_model + "_nb.npz")
             boxes = []
             kept_idx = []
             for i, (x, y, c) in enumerate(peaks):
@@ -142,7 +153,12 @@ class ProgMicrographAutomaticPicking(XmippProgram):
                                      x - half:x - half + 2 * half])
                     kept_idx.append(i)
             if boxes:
-                ok = svm.predict(particle_features(np.stack(boxes)))
+                feats = particle_features(np.stack(boxes))
+                ok = np.asarray(svm.predict(feats)) > 0
+                if nb is not None:
+                    # fast-rejection stage: candidates the naive Bayes
+                    # calls noise are dropped before/with the SVM verdict
+                    ok &= np.asarray(nb.predict(feats)) > 0
                 peaks = [peaks[kept_idx[j]] for j in range(len(boxes))
                          if ok[j]]
         MetaData.fromRows([
@@ -154,19 +170,24 @@ class ProgMicrographAutomaticPicking(XmippProgram):
 
     def _train_svm(self):
         from xmipp3_tpu.core.metadata_program import load_image_rows
-        from xmipp3_tpu.models.svm import LinearSVM, particle_features
+        from xmipp3_tpu.models.svm import (GaussianNB, LinearSVM, RBFSVM,
+                                           particle_features)
         pos = load_image_rows(list(MetaData(
             self.getParam("--trainPos")).iterRows()))
         neg = load_image_rows(list(MetaData(
             self.getParam("--trainNeg")).iterRows()))
         X = particle_features(np.concatenate([pos, neg]))
         y = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
-        svm = LinearSVM().fit(X, y)
+        kind = self.getParam("--kernel")
+        svm = (RBFSVM() if kind == "rbf" else LinearSVM()).fit(X, y)
         svm.save(self.getParam("--svm"))
-        acc = (svm.predict(X) == y).mean()
+        if self.checkParam("--fastBayes"):
+            GaussianNB().fit(X, y).save(self.getParam("--svm") + "_nb")
+        pred = svm.predict(X)
+        acc = ((pred > 0).astype(int) == y).mean()
         self.train_accuracy = float(acc)
         if self.verbose:
-            print(f"SVM trained on {len(y)} boxes "
+            print(f"{kind} SVM trained on {len(y)} boxes "
                   f"(train accuracy {acc:.3f}) -> {self.getParam('--svm')}")
 
 

@@ -88,13 +88,17 @@ class ProgCTFEstimatePSDWithARMA(XmippProgram):
     name = "xmipp_ctf_estimate_psd_with_arma"
 
     def defineParams(self):
-        self.addUsageLine("PSD estimation with a 2-D AR spectral model "
-                          "(Yule-Walker fit of a causal neighborhood; the "
-                          "parametric alternative to periodogram averaging).")
+        self.addUsageLine("PSD estimation with a 2-D causal ARMA spectral "
+                          "model (reference CausalARMA, "
+                          "ctf_estimate_psd_with_arma.cpp:92: AR part by "
+                          "Yule-Walker normal equations, MA part from the "
+                          "AR-whitened autocovariance).")
         self.addParamsLine("   -i <micrograph> : Input micrograph")
         self.addParamsLine("   -o <psd>        : Output PSD (centered)")
         self.addParamsLine("  [--N_horizontal <n=12>] : AR order (x)")
         self.addParamsLine("  [--N_vertical <n=12>]   : AR order (y)")
+        self.addParamsLine("  [--N_MA <n=6>]  : MA order (y; 0 = pure AR)")
+        self.addParamsLine("  [--M_MA <n=6>]  : MA order (x; 0 = pure AR)")
         self.addParamsLine("  [--pieceDim <d=256>] : Analysis piece size")
 
     def run(self):
@@ -136,13 +140,36 @@ class ProgCTFEstimatePSDWithARMA(XmippProgram):
                 R[i, j] = ac(iy - jy, ix - jx)
         coeffs = np.linalg.solve(R + 1e-8 * np.trace(R) / K * np.eye(K), rvec)
         sigma2 = ac(0, 0) - coeffs @ rvec
-        # AR spectrum: sigma2 / |1 - sum a_k e^{-i w·k}|^2
         fy = np.fft.fftfreq(p)[:, None]
         fx = np.fft.fftfreq(p)[None, :]
         denom = np.ones((p, p), np.complex128)
         for (dy, dx), a in zip(support, coeffs):
             denom -= a * np.exp(-2j * np.pi * (fy * dy + fx * dx))
-        psd = np.abs(sigma2) / np.maximum(np.abs(denom) ** 2, 1e-12)
+        Mv = self.getIntParam("--N_MA")
+        Mh = self.getIntParam("--M_MA")
+        if Mv > 0 and Mh > 0:
+            # MA numerator: autocovariance of the AR-whitened process,
+            # c_e(l) = sum_m Ra(m) gamma(l - m) with Ra = autocorrelation of
+            # the AR coefficient array (a_(0,0) = -1) — i.e. conv(Ra, gamma)
+            # (no refiltering); numerator spectrum = DFT of c_e over the MA
+            # support
+            from scipy.signal import fftconvolve
+            A = np.zeros((Nv + 1, 2 * Nh + 1))
+            A[0, Nh] = -1.0
+            for (dy, dx), a in zip(support, coeffs):
+                A[dy, Nh + dx] = a
+            Ra = fftconvolve(A, A[::-1, ::-1])        # (2Nv+1, 4Nh+1)
+            ce = fftconvolve(Ra, acf)                 # lags around center
+            cy, cx = (ce.shape[0] - 1) // 2, (ce.shape[1] - 1) // 2
+            num = np.zeros((p, p), np.complex128)
+            for ly in range(-Mv, Mv + 1):
+                for lx in range(-Mh, Mh + 1):
+                    num += ce[cy + ly, cx + lx] * np.exp(
+                        -2j * np.pi * (fy * ly + fx * lx))
+            psd = np.maximum(np.real(num), 1e-12 * abs(sigma2)) / \
+                np.maximum(np.abs(denom) ** 2, 1e-12)
+        else:
+            psd = np.abs(sigma2) / np.maximum(np.abs(denom) ** 2, 1e-12)
         save_image(self.getParam("-o"),
                    np.fft.fftshift(psd).astype(np.float32))
         self.sigma2 = float(abs(sigma2))
