@@ -95,3 +95,18 @@ def test_load_image_rows_grouping(lib, tmp_path):
     out = load_image_rows(rows)
     np.testing.assert_allclose(out[:6], d1, rtol=1e-6)
     np.testing.assert_allclose(out[6:], d2, rtol=1e-6)
+
+
+def test_tsan_target_exists():
+    """SURVEY §5.2: the native lib ships a ThreadSanitizer job (make tsan)
+    — the reference has no sanitizers anywhere; here the threaded reader
+    is TSAN-verified. This test only checks the target is wired (running
+    TSAN is a developer/CI job, not a unit-test-time build)."""
+    import os
+    mk = os.path.join(os.path.dirname(__file__), "..", "xmipp3_tpu",
+                      "native", "Makefile")
+    with open(mk) as f:
+        content = f.read()
+    assert "tsan:" in content
+    assert "-fsanitize=thread" in content
+    assert "XMIPP3_NATIVE_SELFTEST" in content
