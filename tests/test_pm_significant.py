@@ -136,3 +136,42 @@ class TestAlignSignificant:
         assert W[0, 0] == pytest.approx(1.0, abs=1e-5)
         assert W[1, 1] == pytest.approx(1.0, abs=1e-5)
         assert W[1, 0] < W[0, 0]
+
+
+def test_neighbors_file_pipeline(tmp_path, gallery):
+    """project_library --compute_neighbors -> projection_matching
+    --neighbors (reference Sampling::computeNeighbors pipeline,
+    data/sampling.h:203 -> angular_projection_matching)."""
+    from xmipp3_tpu.programs import get_program
+    refs, angles, imgs, pick = gallery
+    d = str(tmp_path)
+    Image(refs.astype(np.float32)).write(d + "/gal.stk")
+    MetaData.fromRows(
+        [{"image": f"{i + 1:06d}@{d}/gal.stk",
+          "angleRot": float(angles[i, 0]),
+          "angleTilt": float(angles[i, 1])}
+         for i in range(len(refs))]).write(d + "/gal.doc")
+    Image(imgs.astype(np.float32)).write(d + "/imgs.stk")
+    MetaData.fromRows(
+        [{"image": f"{i + 1:06d}@{d}/imgs.stk",
+          "angleRot": float(angles[pick[i], 0]),
+          "angleTilt": float(angles[pick[i], 1])}
+         for i in range(len(imgs))]).write(d + "/imgs.xmd")
+    # neighbor lists of the experimental images against the gallery
+    from xmipp3_tpu.core.sampling import compute_neighbors
+    from xmipp3_tpu.core.sym import SymList
+    nb = compute_neighbors(angles[pick][:, :2], angles[:, :2], 25.0,
+                           SymList("c1"))
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{d}/imgs.stk",
+         "neighbors": " ".join(str(int(j) + 1) for j in nb[i]),
+         "neighborCount": len(nb[i])}
+        for i in range(len(imgs))]).write(d + "/nb.xmd")
+    prog = get_program("angular_projection_matching")
+    prog.read(["x", "-i", d + "/imgs.xmd", "-o", d + "/out.xmd",
+               "--ref", d + "/gal.doc", "--max_shift", "2",
+               "--neighbors", d + "/nb.xmd"])
+    assert prog.tryRun() == 0
+    md = MetaData(d + "/out.xmd")
+    for i, r in enumerate(md.iterRows()):
+        assert int(r["ref"]) - 1 in nb[i]

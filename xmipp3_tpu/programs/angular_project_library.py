@@ -30,6 +30,9 @@ class ProgAngularProjectLibrary(XmippProgram):
         self.addParamsLine("  [--min_tilt_angle <t=0>]  : Minimum tilt")
         self.addParamsLine("  [--max_tilt_angle <t=180>] : Maximum tilt")
         self.addParamsLine("  [--method <m=fourier>] : fourier | real_space")
+        self.addParamsLine("  [--compute_neighbors]  : Write per-gallery-direction neighbor lists (consumed by projection matching; reference Sampling::computeNeighbors, data/sampling.h:203)")
+        self.addParamsLine("  [--near_exp_data <md=\"\">] : Experimental metadata with prior angles; neighbors are computed per experimental image")
+        self.addParamsLine("  [--angular_distance <a=-1>] : Neighborhood radius (deg; required with --compute_neighbors)")
         self.addParamsLine("  [--batch <b=256>]      : Projections per device batch")
 
     def readParams(self):
@@ -71,8 +74,48 @@ class ProgAngularProjectLibrary(XmippProgram):
                                    "pointsAsymmetricUnit": len(angles)}])
         md_s.row_format = True
         md_s.write(self.fn_root + "_sampling.xmd", block="extra")
+        if self.checkParam("--compute_neighbors"):
+            self._write_neighbors(angles)
         if self.verbose:
             print(f"Gallery: {fn_stk} ({len(angles)} projections)")
+
+
+    def _write_neighbors(self, angles):
+        """Neighbor lists (reference mysampling.computeNeighbors +
+        my_neighbors output): one row per query direction with the
+        space-separated gallery indices (1-based) within
+        --angular_distance. Queries = --near_exp_data rows when given
+        (per-experimental-image neighborhoods), else the gallery itself."""
+        from xmipp3_tpu.core.sampling import compute_neighbors
+        from xmipp3_tpu.core.sym import SymList
+        ad = self.getDoubleParam("--angular_distance")
+        if ad <= 0:
+            raise ValueError("--compute_neighbors requires "
+                             "--angular_distance > 0")
+        fn_exp = self.getParam("--near_exp_data")             if self.checkParam("--near_exp_data") else ""
+        if fn_exp:
+            md_e = MetaData(fn_exp)
+            q = np.stack([[float(r.get("angleRot", 0.0)),
+                           float(r.get("angleTilt", 0.0))]
+                          for r in md_e.iterRows()])
+            names = [str(r.get("image", i + 1))
+                     for i, r in enumerate(md_e.iterRows())]
+        else:
+            q = angles[:, :2]
+            names = [str(i + 1) for i in range(len(angles))]
+        nb = compute_neighbors(q, angles[:, :2], ad, SymList(self.sym))
+        rows = []
+        for i, lst in enumerate(nb):
+            rows.append({"image": names[i],
+                         "neighbors": " ".join(str(int(j) + 1)
+                                               for j in lst),
+                         "neighborCount": int(len(lst))})
+        MetaData.fromRows(rows).write(self.fn_root + "_neighbors.xmd")
+        if self.verbose:
+            counts = [len(l) for l in nb]
+            print(f"neighbors: {len(rows)} rows, median "
+                  f"{int(np.median(counts))} per direction "
+                  f"(radius {ad} deg)")
 
 
 PROGRAM = ProgAngularProjectLibrary

@@ -33,6 +33,7 @@ class ProgAngularProjectionMatching(XmippProgram):
         self.addParamsLine("  [--append]     : Append assignments to output metadata")
         self.addParamsLine("  [--number_orientations <n=1>] : Keep the N best orientations per image")
         self.addParamsLine("  [--max_angular_change <a=-1>] : Restrict candidate references to within this angular distance of the image's previous assignment (requires angleRot/angleTilt in the input)")
+        self.addParamsLine("  [--neighbors <md=\"\">] : Per-image neighbor lists from angular_project_library --compute_neighbors (overrides --max_angular_change)")
         self.addParamsLine("  [--scale <step=1> <n_steps=0>] : Scale search: step factor (1 = 0.01 increments) and steps around 1")
         self.addParamsLine("     alias -s;")
         self.addParamsLine("  [--ctf <file=\"\">]  : CTF to apply to the references (.ctfparam or 2D amplitude image)")
@@ -50,6 +51,8 @@ class ProgAngularProjectionMatching(XmippProgram):
         self.Ro = self.getIntParam("--Ro")
         self.n_orient = self.getIntParam("--number_orientations")
         self.max_ang_change = self.getDoubleParam("--max_angular_change")
+        self.fn_neighbors = self.getParam("--neighbors") \
+            if self.checkParam("--neighbors") else ""
         self.scale_step = self.getDoubleParam("--scale", 0)
         self.scale_nsteps = self.getIntParam("--scale", 1)
         self.fn_ctf = self.getParam("--ctf") if self.checkParam("--ctf") \
@@ -149,8 +152,15 @@ class ProgAngularProjectionMatching(XmippProgram):
         # neighborhood restriction: previous assignment -> candidate mask
         # (reference Sampling neighbor lists, data/sampling.h:203; consumed
         # on TPU as a static score mask over the dense gallery correlation)
+        neighbor_map = None
+        if self.fn_neighbors:
+            md_nb = MetaData(self.fn_neighbors)
+            neighbor_map = {}
+            for r in md_nb.iterRows():
+                lst = [int(v) - 1 for v in str(r["neighbors"]).split()]
+                neighbor_map[str(r["image"])] = lst
         ref_dirs = None
-        if self.max_ang_change > 0:
+        if neighbor_map is None and self.max_ang_change > 0:
             from xmipp3_tpu.core.geometry import euler_matrix
             A = np.asarray(euler_matrix(ref_rot, ref_tilt,
                                         np.zeros_like(ref_rot)))
@@ -161,7 +171,15 @@ class ProgAngularProjectionMatching(XmippProgram):
         for s, chunk, imgs in BatchPrefetcher(rows, self.batch,
                                               loader=load_image_rows):
             allowed = None
-            if ref_dirs is not None:
+            if neighbor_map is not None:
+                allowed = np.zeros((len(chunk), len(refs)), np.float32)
+                for i, r in enumerate(chunk):
+                    lst = neighbor_map.get(str(r.get("image", "")), [])
+                    if lst:
+                        allowed[i, lst] = 1.0
+                    else:
+                        allowed[i] = 1.0
+            elif ref_dirs is not None:
                 prot = np.array([float(r.get("angleRot", 0.0))
                                  for r in chunk], np.float32)
                 ptilt = np.array([float(r.get("angleTilt", 0.0))
