@@ -179,7 +179,7 @@ def bench_ctf_estimate():
 # config 3: reconstruct_fourier 10k -> 128^3
 # ---------------------------------------------------------------------------
 
-def bench_reconstruct(interp="tri", nimg=10000):
+def bench_reconstruct(interp="tri+kb", nimg=10000):
     import jax
     import jax.numpy as jnp
     from xmipp3_tpu.core.geometry import euler_matrix
@@ -230,7 +230,9 @@ def bench_reconstruct(interp="tri", nimg=10000):
                 images_per_s=round(nimg / tot, 0),
                 updates_per_s=round(upd / t_bp, 0),
                 hbm_util=round(bytes_moved / t_bp / PEAK_HBM, 4),
-                note="Pallas sorted one-hot MXU scatter kernel; round-1 "
+                note="Pallas sorted one-hot MXU scatter kernel; tri+kb = "
+                     "trilinear scatter + dense blob convolution (KB-grade "
+                     "FSC; see tests/test_reconstruct_quality). Round-1 "
                      "XLA scatter path took 19.7 s")
 
 
