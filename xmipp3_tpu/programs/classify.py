@@ -148,6 +148,7 @@ class ProgKerdensom(XmippProgram):
         self.addParamsLine("  [--iter <n=100>] : Training iterations")
         self.addParamsLine("  [--reg0 <r=1000>] : Initial regularization")
         self.addParamsLine("  [--regF <r=100>]  : Final regularization")
+        self.addParamsLine("  [--variant <v=kerdensom>] : kerdensom | som | batch_som | fuzzy_som (reference classification/ kerdensom, som, batch_som, fuzzy_som)")
 
     def readParams(self):
         self.fn_in = self.getParam("-i")
@@ -157,14 +158,26 @@ class ProgKerdensom(XmippProgram):
         self.n_iters = self.getIntParam("--iter")
         self.reg0 = self.getDoubleParam("--reg0")
         self.regF = self.getDoubleParam("--regF")
+        self.variant = self.getParam("--variant")
 
     def run(self):
-        from xmipp3_tpu.models.som import kerdensom
+        from xmipp3_tpu.models.som import (batch_som, fuzzy_som, kerdensom,
+                                           som)
         md = MetaData(self.fn_in)
         X = np.stack([np.asarray(v, np.float32)
                       for v in md.getColumnValues("classificationData")])
-        code, assign = kerdensom(X, (self.ydim, self.xdim), self.n_iters,
-                                 self.reg0, self.regF, verbose=self.verbose)
+        shape = (self.ydim, self.xdim)
+        if self.variant == "som":
+            code, assign = som(X, shape, self.n_iters)
+        elif self.variant == "batch_som":
+            code, assign = batch_som(X, shape,
+                                     max(self.n_iters // 5, 5))
+        elif self.variant == "fuzzy_som":
+            code, U = fuzzy_som(X, shape, n_iters=self.n_iters)
+            assign = U.argmax(axis=1)
+        else:
+            code, assign = kerdensom(X, shape, self.n_iters, self.reg0,
+                                     self.regF, verbose=self.verbose)
         rows = []
         for i in md:
             r = md.getRow(i)
