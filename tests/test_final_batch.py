@@ -171,3 +171,43 @@ def test_emx_golden_and_roundtrip(tmp_path):
     run_prog("metadata_convert_emx", f"-i {out_md} -o {out_emx}")
     back = read_emx(out_emx)["particle"]
     assert back.getValue("ctfDefocusU", 0) == 10000.0
+
+
+def test_tilt_pair_delaunay_hard_transform(tmp_path):
+    """Dense field + 35 deg in-plane rotation + 55 deg tilt anisotropy +
+    20% outliers: the Delaunay quad-invariant RANSAC must recover the
+    correspondence where identity-seeded mutual-NN cannot (reference
+    external/delaunay + TiltPairAligner, data/micrograph.h:549)."""
+    from xmipp3_tpu.core.metadata import MetaData
+    from xmipp3_tpu.programs import get_program
+    rng = np.random.default_rng(0)
+    d = str(tmp_path)
+    n = 150
+    u = rng.uniform(50, 1950, (n, 2))
+    ang = np.deg2rad(35.0)
+    ct = np.cos(np.deg2rad(55.0))
+    R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+    A_true = R @ np.array([[ct, 0], [0, 1.0]])
+    b_true = np.array([120.0, -60.0])
+    t = u @ A_true.T + b_true + rng.normal(0, 1.5, (n, 2))
+    u_all = np.concatenate([u, rng.uniform(50, 1950, (30, 2))])
+    t_all = np.concatenate([t, rng.uniform(50, 1950, (30, 2))])
+    rng.shuffle(t_all)
+    MetaData.fromRows([{"xcoor": int(p[0]), "ycoor": int(p[1])}
+                       for p in u_all]).write(d + "/u.xmd")
+    MetaData.fromRows([{"xcoor": int(p[0]), "ycoor": int(p[1])}
+                       for p in t_all]).write(d + "/t.xmd")
+    prog = get_program("image_assignment_tilt_pair")
+    prog.read(["x", "--untiltcoor", d + "/u.xmd", "--tiltcoor",
+               d + "/t.xmd", "--odir", d, "--maxshift", "12"])
+    assert prog.tryRun() == 0
+    mu = MetaData(d + "/untilted_assigned.xmd")
+    mt = MetaData(d + "/tilted_assigned.xmd")
+    uu = np.stack([mu.getColumn("xcoor").astype(float),
+                   mu.getColumn("ycoor").astype(float)], 1)
+    tt = np.stack([mt.getColumn("xcoor").astype(float),
+                   mt.getColumn("ycoor").astype(float)], 1)
+    pred = uu @ A_true.T + b_true
+    resid = np.linalg.norm(pred - tt, axis=1)
+    assert prog.n_pairs > 0.8 * n
+    assert (resid < 10).mean() > 0.97

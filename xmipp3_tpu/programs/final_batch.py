@@ -379,12 +379,97 @@ class ProgImageAssignmentTiltPair(XmippProgram):
 
     def defineParams(self):
         self.addUsageLine("Match particle coordinates between untilted and "
-                          "tilted micrographs (affine model + mutual nearest "
-                          "neighbors; replaces the Delaunay-based matcher).")
+                          "tilted micrographs: Delaunay-triangle RANSAC "
+                          "initialization (reference external/delaunay + "
+                          "TiltPairAligner, data/micrograph.h:549) followed "
+                          "by iterative affine refinement on mutual nearest "
+                          "neighbors.")
         self.addParamsLine("   --untiltcoor <md> : Untilted coordinates")
         self.addParamsLine("   --tiltcoor <md>   : Tilted coordinates")
         self.addParamsLine("   --odir <dir=.>    : Output directory")
         self.addParamsLine("  [--maxshift <s=50>] : Max residual (px)")
+        self.addParamsLine("  [--no_delaunay]     : Skip the Delaunay RANSAC initialization")
+
+    @staticmethod
+    def _delaunay_ransac(u, t, max_cands=300):
+        """Initial affine from corresponding adjacent-triangle quads of the
+        two Delaunay triangulations (the robust role of the reference's
+        7.8k-LoC DCEL Delaunay matcher, external/delaunay +
+        TiltPairAligner, data/micrograph.h:549).
+
+        Two triangles sharing an edge form a 4-point quad whose barycentric
+        coordinates are EXACT affine invariants (single-triangle shape is
+        not invariant under the anisotropic tilt transform). Quads are
+        matched by invariant distance, each candidate's 4-point affine is
+        scored by nearest-neighbor inlier count."""
+        from scipy.spatial import Delaunay, cKDTree
+
+        def quads(P):
+            """Canonical (p, q, r1, r2) quads + invariant descriptors."""
+            dt = Delaunay(P)
+            simp = dt.simplices
+            nbr = dt.neighbors
+            out_pts = []
+            out_desc = []
+            for i in range(len(simp)):
+                for k in range(3):
+                    j = nbr[i, k]
+                    if j <= i:
+                        continue
+                    shared = [v for v in simp[j] if v in simp[i]]
+                    if len(shared) != 2:
+                        continue
+                    r1 = [v for v in simp[i] if v not in shared][0]
+                    r2 = [v for v in simp[j] if v not in shared][0]
+                    a, b = shared
+                    # canonical labels: bigger triangle first; edge order
+                    # fixed by positive orientation (tilt affines preserve
+                    # orientation)
+                    def area(x, y, z):
+                        return 0.5 * ((P[y, 0] - P[x, 0])
+                                      * (P[z, 1] - P[x, 1])
+                                      - (P[z, 0] - P[x, 0])
+                                      * (P[y, 1] - P[x, 1]))
+                    if abs(area(a, b, r1)) < abs(area(a, b, r2)):
+                        r1, r2 = r2, r1
+                    if area(a, b, r1) < 0:
+                        a, b = b, a
+                    # barycentric coords of r2 in triangle (a, b, r1)
+                    T = np.array([[P[a, 0], P[b, 0], P[r1, 0]],
+                                  [P[a, 1], P[b, 1], P[r1, 1]],
+                                  [1.0, 1.0, 1.0]])
+                    try:
+                        lam = np.linalg.solve(
+                            T, np.array([P[r2, 0], P[r2, 1], 1.0]))
+                    except np.linalg.LinAlgError:
+                        continue
+                    out_pts.append((a, b, r1, r2))
+                    out_desc.append(lam[:2])
+            return np.array(out_pts, int), np.array(out_desc, float)
+
+        qu, du = quads(u)
+        qt, dtt = quads(t)
+        if len(qu) == 0 or len(qt) == 0:
+            return np.eye(2), t.mean(0) - u.mean(0)
+        tree_d = cKDTree(dtt)
+        dist, jidx = tree_d.query(du, k=1)
+        order = np.argsort(dist)[:max_cands]
+        tree = cKDTree(t)
+        nn_d, _ = tree.query(t, k=2)
+        tol = max(0.75 * np.median(nn_d[:, 1]), 4.0)
+        best = (0, np.eye(2), t.mean(0) - u.mean(0))
+        for o in order:
+            pu = u[list(qu[o])]
+            pt = t[list(qt[jidx[o]])]
+            U = np.hstack([pu, np.ones((4, 1))])
+            M, *_ = np.linalg.lstsq(U, pt, rcond=None)
+            A = M[:2].T
+            proj = u @ A.T + M[2]
+            d, _ = tree.query(proj, k=1)
+            inl = int((d < tol).sum())
+            if inl > best[0]:
+                best = (inl, A, M[2])
+        return best[1], best[2]
 
     def run(self):
         import os
@@ -394,9 +479,13 @@ class ProgImageAssignmentTiltPair(XmippProgram):
                       md_u.getColumn("ycoor").astype(float)], axis=1)
         t = np.stack([md_t.getColumn("xcoor").astype(float),
                       md_t.getColumn("ycoor").astype(float)], axis=1)
-        # iterative affine fit on mutual nearest neighbors
-        A = np.eye(2)
-        b = t.mean(axis=0) - u.mean(axis=0)
+        # Delaunay RANSAC initialization, then iterative mutual-NN affine
+        if len(u) >= 4 and len(t) >= 4 and \
+                not self.checkParam("--no_delaunay"):
+            A, b = self._delaunay_ransac(u, t)
+        else:
+            A = np.eye(2)
+            b = t.mean(axis=0) - u.mean(axis=0)
         pairs = []
         for _ in range(5):
             proj = u @ A.T + b
