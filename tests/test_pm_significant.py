@@ -175,3 +175,39 @@ def test_neighbors_file_pipeline(tmp_path, gallery):
     md = MetaData(d + "/out.xmd")
     for i, r in enumerate(md.iterRows()):
         assert int(r["ref"]) - 1 in nb[i]
+
+
+def test_discrete_assign_wavelet_preselection(tmp_path, gallery):
+    """Wavelet-space discrete assignment (reference
+    angular_discrete_assign.h:41): the db4 low-band preselection +
+    ring-FFT refinement assigns within one sampling step of truth."""
+    from xmipp3_tpu.programs import get_program
+    refs, angles, imgs, pick = gallery
+    d = str(tmp_path)
+    Image(refs.astype(np.float32)).write(d + "/gal.stk")
+    MetaData.fromRows(
+        [{"image": f"{i + 1:06d}@{d}/gal.stk",
+          "angleRot": float(angles[i, 0]),
+          "angleTilt": float(angles[i, 1])}
+         for i in range(len(refs))]).write(d + "/gal.doc")
+    Image(imgs.astype(np.float32)).write(d + "/imgs.stk")
+    MetaData.fromRows(
+        [{"image": f"{i + 1:06d}@{d}/imgs.stk"}
+         for i in range(len(imgs))]).write(d + "/imgs.xmd")
+    prog = get_program("angular_discrete_assign")
+    prog.read(["x", "-i", d + "/imgs.xmd", "-o", d + "/out.xmd",
+               "--ref", d + "/gal.doc", "--max_shift", "2"])
+    assert prog.tryRun() == 0
+    md = MetaData(d + "/out.xmd")
+    A = np.asarray(euler_matrix(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        np.zeros(len(angles), np.float32)))
+    dirs = A[:, 2, :]
+    errs = []
+    for i, r in enumerate(md.iterRows()):
+        k = int(r["ref"]) - 1
+        cosd = abs(float(dirs[k] @ dirs[pick[i]]))
+        errs.append(np.degrees(np.arccos(min(cosd, 1.0))))
+    # within one sampling step (25 deg gallery) for nearly all images
+    assert np.median(errs) <= 25.0
+    assert (np.asarray(errs) <= 25.0 + 1e-3).mean() >= 0.9

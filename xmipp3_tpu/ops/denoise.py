@@ -153,3 +153,81 @@ def wavelet_denoise_2d(imgs, threshold_sigmas: float = 2.5, levels: int = 3):
         rec = _haar_idwt2(rec, bands)
     out = rec
     return out[0] if single else out
+
+
+# ---------------------------------------------------------------------------
+# Daubechies-4 DWT (the reference's bilib orthogonal-wavelet role:
+# core/bilib DWT used by angular_discrete_assign and wavelet denoising;
+# periodic boundary handling, exact reconstruction)
+# ---------------------------------------------------------------------------
+
+_SQ3 = np.sqrt(3.0)
+_DB4_H = np.array([1 + _SQ3, 3 + _SQ3, 3 - _SQ3, 1 - _SQ3]) / (4 * np.sqrt(2))
+_DB4_G = np.array([_DB4_H[3], -_DB4_H[2], _DB4_H[1], -_DB4_H[0]])
+
+
+def _db4_analysis_1d(x, axis):
+    """One db4 analysis level along `axis` (periodic): returns (lo, hi)."""
+    x = jnp.moveaxis(x, axis, -1)
+    n = x.shape[-1]
+    taps = [jnp.roll(x, -k, axis=-1) for k in range(4)]
+    lo = sum(float(_DB4_H[k]) * taps[k] for k in range(4))[..., 0::2]
+    hi = sum(float(_DB4_G[k]) * taps[k] for k in range(4))[..., 0::2]
+    return jnp.moveaxis(lo, -1, axis), jnp.moveaxis(hi, -1, axis)
+
+
+def _db4_synthesis_1d(lo, hi, axis):
+    """Inverse of _db4_analysis_1d (periodic, orthogonal)."""
+    lo = jnp.moveaxis(lo, axis, -1)
+    hi = jnp.moveaxis(hi, axis, -1)
+    n2 = lo.shape[-1]
+    up_lo = jnp.zeros(lo.shape[:-1] + (2 * n2,), lo.dtype)
+    up_hi = jnp.zeros_like(up_lo)
+    up_lo = up_lo.at[..., 0::2].set(lo)
+    up_hi = up_hi.at[..., 0::2].set(hi)
+    x = sum(float(_DB4_H[k]) * jnp.roll(up_lo, k, axis=-1)
+            + float(_DB4_G[k]) * jnp.roll(up_hi, k, axis=-1)
+            for k in range(4))
+    return jnp.moveaxis(x, -1, axis)
+
+
+def db4_dwt2(x, levels: int = 1):
+    """2-D db4 DWT pyramid: returns (ll, [(lh, hl, hh) per level],
+    coarsest first in the detail list is the FINEST level)."""
+    x = jnp.asarray(x, jnp.float32)
+    details = []
+    cur = x
+    for _ in range(levels):
+        lo, hi = _db4_analysis_1d(cur, -1)
+        ll, lh = _db4_analysis_1d(lo, -2)
+        hl, hh = _db4_analysis_1d(hi, -2)
+        details.append((lh, hl, hh))
+        cur = ll
+    return cur, details
+
+
+def db4_idwt2(ll, details):
+    """Exact inverse of db4_dwt2."""
+    cur = ll
+    for lh, hl, hh in reversed(details):
+        lo = _db4_synthesis_1d(cur, lh, -2)
+        hi = _db4_synthesis_1d(hl, hh, -2)
+        cur = _db4_synthesis_1d(lo, hi, -1)
+    return cur
+
+
+def db4_denoise_2d(imgs, threshold_sigmas: float = 3.0, levels: int = 2):
+    """Soft-threshold db4 wavelet denoising (the reference's
+    xmipp_transform_filter --wavelet / DWT denoising role). The noise
+    scale is the MAD of the finest diagonal band."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    ll, details = db4_dwt2(imgs, levels)
+    hh_fine = details[0][2]
+    sigma = jnp.median(jnp.abs(hh_fine)) / 0.6745
+    thr = threshold_sigmas * sigma
+
+    def soft(c):
+        return jnp.sign(c) * jnp.maximum(jnp.abs(c) - thr, 0.0)
+
+    details = [(soft(lh), soft(hl), soft(hh)) for lh, hl, hh in details]
+    return db4_idwt2(ll, details)

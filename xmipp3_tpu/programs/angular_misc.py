@@ -19,9 +19,38 @@ from xmipp3_tpu.programs.angular_projection_matching import \
 
 
 class ProgAngularDiscreteAssign(ProgAngularProjectionMatching):
-    """Discrete angular assignment — same engine as projection matching
-    (the reference's wavelet-space variant is served by the ring-FFT path)."""
+    """Discrete angular assignment in WAVELET space (reference
+    angular_discrete_assign.h:41: DWT feature matching with coarse-to-fine
+    selection). TPU shape: a db4 low-band correlation over the WHOLE
+    gallery (a batched matmul on 16x-smaller coefficients) selects the
+    top-M candidate orientations per image; the shared ring-FFT engine
+    then resolves (psi, shift) only inside that candidate set — the
+    multiscale discrete selection of the reference with the dense
+    refinement of the matching engine."""
     name = "xmipp_angular_discrete_assign"
+
+    _ll_cache = None
+
+    def _extra_allowed(self, imgs, refs):
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.denoise import db4_dwt2
+        if self._ll_cache is None or self._ll_cache[0] is not refs:
+            ll_r, _ = db4_dwt2(jnp.asarray(refs), 2)
+            ll_r = np.array(ll_r).reshape(len(refs), -1)
+            ll_r -= ll_r.mean(axis=1, keepdims=True)
+            ll_r /= np.maximum(np.linalg.norm(ll_r, axis=1,
+                                              keepdims=True), 1e-9)
+            self._ll_cache = (refs, ll_r)
+        ll_r = self._ll_cache[1]
+        ll_i, _ = db4_dwt2(jnp.asarray(imgs), 2)
+        ll_i = np.array(ll_i).reshape(len(imgs), -1)
+        ll_i -= ll_i.mean(axis=1, keepdims=True)
+        ll_i /= np.maximum(np.linalg.norm(ll_i, axis=1, keepdims=True),
+                           1e-9)
+        cc = ll_i @ ll_r.T                       # (B, R) low-band NCC
+        m = max(len(ll_r) // 4, min(8, len(ll_r)))
+        thresh = np.sort(cc, axis=1)[:, -m][:, None]
+        return (cc >= thresh).astype(np.float32)
 
 
 class ProgAngularAssignmentMag(ProgAngularProjectionMatching):

@@ -62,6 +62,11 @@ class ProgAngularProjectionMatching(XmippProgram):
         from xmipp3_tpu.parallel.cli import read_mesh_params
         read_mesh_params(self)
 
+    def _extra_allowed(self, imgs, refs):
+        """Optional per-batch candidate mask hook (B, R) — overridden by
+        the wavelet-space discrete assignment."""
+        return None
+
     def _apply_ctf_to_refs(self, refs):
         """Multiply the gallery by a CTF amplitude (reference --ctf path)."""
         import jax.numpy as jnp
@@ -170,15 +175,17 @@ class ProgAngularProjectionMatching(XmippProgram):
         # double-buffered loader: the next batch reads while this one matches
         for s, chunk, imgs in BatchPrefetcher(rows, self.batch,
                                               loader=load_image_rows):
-            allowed = None
+            allowed = self._extra_allowed(imgs, refs)
             if neighbor_map is not None:
-                allowed = np.zeros((len(chunk), len(refs)), np.float32)
+                nb_allowed = np.zeros((len(chunk), len(refs)), np.float32)
                 for i, r in enumerate(chunk):
                     lst = neighbor_map.get(str(r.get("image", "")), [])
                     if lst:
-                        allowed[i, lst] = 1.0
+                        nb_allowed[i, lst] = 1.0
                     else:
-                        allowed[i] = 1.0
+                        nb_allowed[i] = 1.0
+                allowed = nb_allowed if allowed is None \
+                    else allowed * nb_allowed
             elif ref_dirs is not None:
                 prot = np.array([float(r.get("angleRot", 0.0))
                                  for r in chunk], np.float32)
@@ -190,7 +197,11 @@ class ProgAngularProjectionMatching(XmippProgram):
                 idirs = Ai[:, 2, :].astype(np.float64)
                 cosd = np.clip(idirs @ ref_dirs.T, -1.0, 1.0)
                 ang = np.degrees(np.arccos(np.abs(cosd)))  # mirror-symmetric
-                allowed = (ang <= self.max_ang_change).astype(np.float32)
+                prior_allowed = (ang <= self.max_ang_change) \
+                    .astype(np.float32)
+                allowed = prior_allowed if allowed is None \
+                    else allowed * prior_allowed
+            if allowed is not None:
                 # never leave an image with zero candidates
                 empty = allowed.sum(axis=1) < 1
                 if empty.any():

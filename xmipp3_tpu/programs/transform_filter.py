@@ -42,10 +42,26 @@ class ProgTransformFilter(XmippMetadataProgram):
         self.addParamsLine("         alias -f;")
         self.addParamsLine("  [--sampling <sampling_rate>]   : Sampling rate (Å/pixel); pass frequencies in Å")
         self.addParamsLine("         alias -s;")
+        self.addParamsLine("== Wavelets ==")
+        self.addParamsLine("  [--wavelet <type=DAUB4> <mode=remove_scale>] : Wavelet denoising (reference program_filter wavelet branch): DAUB4 (db4, soft-threshold) or HAAR")
+        self.addParamsLine("  [--waveletThreshold <s=3>] : Soft threshold (noise sigmas)")
+        self.addParamsLine("== Real space ==")
+        self.addParamsLine("  [--tv <weight=0.1> <iters=50>] : Total-variation denoising")
 
     def readProcessParams(self):
         self.sampling = (self.getDoubleParam("--sampling")
                          if self.checkParam("--sampling") else None)
+        self.filter = None
+        self.wavelet = None
+        self.tv = None
+        if self.checkParam("--wavelet"):
+            self.wavelet = (self.getParam("--wavelet"),
+                            self.getDoubleParam("--waveletThreshold"))
+            return
+        if self.checkParam("--tv"):
+            self.tv = (self.getDoubleParam("--tv", 0),
+                       self.getIntParam("--tv", 1))
+            return
         toks = self.getListParam("--fourier")
         if not toks:
             from xmipp3_tpu.core.errors import ErrCode, XmippError
@@ -53,6 +69,17 @@ class ProgTransformFilter(XmippMetadataProgram):
         self.filter = FourierFilter(toks[0], toks[1:], sampling=self.sampling)
 
     def processBatch(self, imgs, rows):
+        if self.wavelet is not None:
+            kind, thr = self.wavelet
+            if kind.upper().startswith("DAUB"):
+                from xmipp3_tpu.ops.denoise import db4_denoise_2d
+                return np.asarray(db4_denoise_2d(imgs, thr))
+            from xmipp3_tpu.ops.denoise import wavelet_denoise_2d
+            return np.asarray(wavelet_denoise_2d(imgs, thr))
+        if self.tv is not None:
+            from xmipp3_tpu.ops.denoise import tv_denoise_2d
+            return np.asarray(tv_denoise_2d(imgs, self.tv[0],
+                                            int(self.tv[1])))
         return np.asarray(self.filter.apply(imgs))
 
 
