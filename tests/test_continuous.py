@@ -120,3 +120,42 @@ def test_class_average_and_subtract(tmp_path):
              f"-i {fn_assign} --ref {fn_vol} -o {tmp_path}/sub")
     sub = Image.read_stack(str(tmp_path / "sub.mrcs"))
     assert sub.std() < 0.5 * parts.std()
+
+
+def test_continuous_assign_full_gray_and_defocus():
+    """Full continuous2cost objective (reference
+    angular_continuous_assign2.cpp:522): recover pose + gray (a, b) + a
+    deliberately wrong starting defocus to the true values."""
+    from xmipp3_tpu.ops.continuous import continuous_assign_full
+    from xmipp3_tpu.ops.ctf import CTFDescription, apply_ctf
+    from xmipp3_tpu.ops.project import FourierProjector
+    from xmipp3_tpu.core.geometry import euler_matrix
+    n = 48
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
+    vol = (np.exp(-((x - 3) ** 2 + y ** 2 + z ** 2) / 18)
+           + 0.7 * np.exp(-((x + 4) ** 2 + (y - 3) ** 2
+                            + (z + 2) ** 2) / 8)).astype(np.float32)
+    rot_t = np.array([30.0, 80.0], np.float32)
+    tilt_t = np.array([50.0, 20.0], np.float32)
+    proj = np.asarray(FourierProjector(vol).project_euler(
+        rot_t, tilt_t, np.zeros(2, np.float32)))
+    ctf = CTFDescription(sampling_rate=2.0, voltage=300, Cs=2.7, Q0=0.07,
+                         defocusU=15000, defocusV=15000, K=1.0)
+    imgs = 1.4 * np.asarray(apply_ctf(proj, ctf)) + 0.25
+    res = continuous_assign_full(
+        vol, imgs, rot_t + 3, tilt_t - 3, np.array([2.0, -2.0], np.float32),
+        defU0=np.full(2, 14200.0, np.float32),
+        defV0=np.full(2, 14200.0, np.float32),
+        def_ang=np.zeros(2, np.float32), Ts=2.0,
+        optimize_gray=True, optimize_defocus=True, n_steps=150)
+    # viewing-direction error (rot/psi degenerate at low tilt)
+    A_t = np.asarray(euler_matrix(rot_t, tilt_t, np.zeros(2, np.float32)))
+    A_e = np.asarray(euler_matrix(res["rot"].astype(np.float32),
+                                  res["tilt"].astype(np.float32),
+                                  np.zeros(2, np.float32)))
+    cosd = np.abs((A_t[:, 2, :] * A_e[:, 2, :]).sum(-1))
+    ang_err = np.degrees(np.arccos(np.clip(cosd, -1, 1)))
+    assert ang_err.max() < 2.5
+    assert np.abs(res["grayA"] - 1.4).max() < 0.05
+    assert np.abs(res["grayB"] - 0.25).max() < 0.05
+    assert np.abs(res["defocusU"] - 15000).max() < 200

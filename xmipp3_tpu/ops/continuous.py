@@ -117,6 +117,123 @@ _wavelet_loss_grad = jax.jit(jax.value_and_grad(_wavelet_loss, has_aux=True),
                              static_argnames=("N", "levels"))
 
 
+@partial(jax.jit, static_argnames=("N", "max_freq", "use_ctf",
+                                   "phase_flipped"))
+def _l2_loss_full(params, vf, imgs, ctf_pp, ctf_consts, N: int,
+                  max_freq: float = 0.35, use_ctf: bool = False,
+                  phase_flipped: bool = False):
+    """Band-limited weighted L2 with gray transform and per-particle CTF
+    (reference continuous2cost: the full 13-parameter objective,
+    angular_continuous_assign2.cpp:522 — pose + gray a,b + defocus).
+
+    params = (rot, tilt, psi, sx, sy, a, b, ddefU, ddefV);
+    ctf_pp = (defU0, defV0, ang) per particle; ctf_consts = (K1, K2,
+    Ksin, Kcos, Ts). NCC is gray-invariant, so the gray/defocus variant
+    must use the L2 residual (like the reference)."""
+    rot, tilt, psi, sx, sy, a, b, ddefU, ddefV = params
+    proj = _project_posed(vf, rot, tilt, psi, sx, sy, N)
+    fy = jnp.fft.fftfreq(N).astype(jnp.float32)[:, None]
+    fx = jnp.fft.rfftfreq(N).astype(jnp.float32)[None, :]
+    r = jnp.sqrt(fx * fx + fy * fy)
+    w = jnp.where(r <= max_freq, 1.0, 0.0)
+    P = jnp.fft.rfft2(proj)
+    if use_ctf:
+        K1, K2, Ksin, Kcos, Ts = ctf_consts
+        defU0, defV0, ang = ctf_pp
+        u2 = (r / Ts) ** 2
+        safe = jnp.maximum(fx * fx + fy * fy, 1e-30)
+        c2t = (fx * fx - fy * fy) / safe
+        s2t = 2 * fx * fy / safe
+        az = jnp.deg2rad(ang)[:, None, None]
+        cos2 = c2t[None] * jnp.cos(2 * az) + s2t[None] * jnp.sin(2 * az)
+        dU = (defU0 + ddefU)[:, None, None]
+        dV = (defV0 + ddefV)[:, None, None]
+        deltaf = -(dU + dV) / 2 + (-(dU - dV) / 2) * cos2
+        arg = K1 * deltaf * u2[None] + K2 * (u2 ** 2)[None]
+        ctf = -(Ksin * jnp.sin(arg) - Kcos * jnp.cos(arg))
+        if phase_flipped:
+            ctf = jnp.abs(ctf)
+        P = P * ctf
+    model = a[:, None, None] * P
+    I = jnp.fft.rfft2(imgs - b[:, None, None])
+    resid = (jnp.abs(model - I) ** 2 * w[None]).sum(axis=(-2, -1))
+    norm = (jnp.abs(I) ** 2 * w[None]).sum(axis=(-2, -1))
+    cost = resid / jnp.maximum(norm, 1e-12)
+    return cost.mean(), -cost
+
+
+_l2_loss_grad = jax.jit(jax.value_and_grad(_l2_loss_full, has_aux=True),
+                        static_argnames=("N", "max_freq", "use_ctf",
+                                        "phase_flipped"))
+
+
+def continuous_assign_full(vol, imgs, rot0, tilt0, psi0, sx0=None, sy0=None,
+                           defU0=None, defV0=None, def_ang=None,
+                           voltage=300.0, Cs=2.7, Q0=0.07, Ts=1.0,
+                           optimize_gray=False, optimize_defocus=False,
+                           phase_flipped=False, n_steps: int = 80,
+                           pad_factor: float = 2.0, max_freq: float = 0.35,
+                           verbose: int = 0):
+    """Full continuous refinement: pose + optional gray (a, b) + optional
+    per-particle defocus (reference angular_continuous_assign2
+    --optimizeGray / --optimizeDefocus). Returns dict with refined pose,
+    gray a/b, defocusU/V and the per-particle cost."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    B, N, _ = imgs.shape
+    vf, _pad = prepare_fourier_volume(jnp.asarray(vol, jnp.float32),
+                                      pad_factor)
+    z = jnp.zeros(B, jnp.float32)
+    use_ctf = defU0 is not None
+    defU0 = z if defU0 is None else jnp.asarray(np.asarray(defU0,
+                                                           np.float32))
+    defV0 = defU0 if defV0 is None else jnp.asarray(np.asarray(defV0,
+                                                               np.float32))
+    def_ang = z if def_ang is None else jnp.asarray(np.asarray(def_ang,
+                                                               np.float32))
+    lam = 12.2643247 / np.sqrt(voltage * 1e3
+                               * (1 + 0.978466e-6 * voltage * 1e3))
+    ctf_consts = (float(np.pi * lam), float(np.pi / 2 * Cs * 1e7 * lam ** 3),
+                  float(np.sqrt(max(1 - Q0 ** 2, 0.0))), float(Q0),
+                  float(Ts))
+    params = [jnp.asarray(np.asarray(rot0, np.float32)),
+              jnp.asarray(np.asarray(tilt0, np.float32)),
+              jnp.asarray(np.asarray(psi0, np.float32)),
+              z if sx0 is None else -jnp.asarray(np.asarray(sx0, np.float32)),
+              z if sy0 is None else -jnp.asarray(np.asarray(sy0, np.float32)),
+              jnp.ones(B, jnp.float32), z,           # gray a, b
+              z, z]                                  # ddefU, ddefV
+    lrs = [0.5, 0.5, 0.5, 0.2, 0.2,
+           0.02 if optimize_gray else 0.0,
+           0.02 if optimize_gray else 0.0,
+           (30.0 if optimize_defocus and use_ctf else 0.0),
+           (30.0 if optimize_defocus and use_ctf else 0.0)]
+    m = [jnp.zeros(B, jnp.float32) for _ in range(9)]
+    v = [jnp.zeros(B, jnp.float32) for _ in range(9)]
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    cost = None
+    for step in range(n_steps):
+        (loss, cost), grads = _l2_loss_grad(
+            tuple(params), vf, imgs, (defU0, defV0, def_ang), ctf_consts,
+            N, max_freq, use_ctf, phase_flipped)
+        for k in range(9):
+            if lrs[k] == 0.0:
+                continue
+            g = grads[k] * B
+            m[k] = b1 * m[k] + (1 - b1) * g
+            v[k] = b2 * v[k] + (1 - b2) * g * g
+            mh = m[k] / (1 - b1 ** (step + 1))
+            vh = v[k] / (1 - b2 ** (step + 1))
+            params[k] = params[k] - lrs[k] * mh / (jnp.sqrt(vh) + eps)
+        if verbose and (step + 1) % 20 == 0:
+            print(f"  continuous-full step {step + 1}: mean cost "
+                  f"{float(-cost.mean()):.5f}")
+    rot, tilt, psi, sx, sy, a, bb, ddU, ddV = (np.asarray(p)
+                                               for p in params)
+    return dict(rot=rot, tilt=tilt, psi=psi, sx=-sx, sy=-sy, grayA=a,
+                grayB=bb, defocusU=np.asarray(defU0) + ddU,
+                defocusV=np.asarray(defV0) + ddV, cost=np.asarray(cost))
+
+
 def continuous_assign(vol, imgs, rot0, tilt0, psi0, sx0=None, sy0=None,
                       n_steps: int = 60, lr_angles: float = 0.5,
                       lr_shifts: float = 0.2, pad_factor: float = 2.0,

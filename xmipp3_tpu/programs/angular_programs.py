@@ -36,20 +36,49 @@ class ProgAngularContinuousAssign2(XmippProgram):
         self.addParamsLine("   -o <md_file>  : Refined poses")
         self.addParamsLine("   --ref <volume> : Reference volume")
         self.addParamsLine("  [--optimizeShift] : Also refine shifts")
+        self.addParamsLine("  [--optimizeGray]  : Optimize gray scale a and shift b (reference continuous2cost a,b terms)")
+        self.addParamsLine("  [--optimizeDefocus] : Optimize per-particle defocus (requires CTF columns in the metadata)")
+        self.addParamsLine("  [--phaseFlipped]  : Images have been phase flipped")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (Å), used with --optimizeDefocus")
         self.addParamsLine("  [--steps <n=60>] : Optimization steps")
         self.addParamsLine("  [--padding <p=2>] : Projector padding")
 
     def run(self):
-        from xmipp3_tpu.ops.continuous import continuous_assign
+        from xmipp3_tpu.ops.continuous import (continuous_assign,
+                                               continuous_assign_full)
         md, rows, imgs, get = _load_md(self.getParam("-i"))
         vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
-        res = continuous_assign(
-            vol, imgs, get("angleRot"), get("angleTilt"), get("anglePsi"),
-            get("shiftX") if self.checkParam("--optimizeShift") else None,
-            get("shiftY") if self.checkParam("--optimizeShift") else None,
-            n_steps=self.getIntParam("--steps"),
-            pad_factor=self.getDoubleParam("--padding"),
-            verbose=self.verbose)
+        opt_gray = self.checkParam("--optimizeGray")
+        opt_def = self.checkParam("--optimizeDefocus")
+        if opt_gray or opt_def:
+            has_ctf = any("ctfDefocusU" in r for r in rows[:1])
+            res = continuous_assign_full(
+                vol, imgs, get("angleRot"), get("angleTilt"),
+                get("anglePsi"),
+                get("shiftX") if self.checkParam("--optimizeShift")
+                else None,
+                get("shiftY") if self.checkParam("--optimizeShift")
+                else None,
+                defU0=get("ctfDefocusU") if has_ctf else None,
+                defV0=get("ctfDefocusV") if has_ctf else None,
+                def_ang=get("ctfDefocusAngle") if has_ctf else None,
+                Ts=self.getDoubleParam("--sampling"),
+                optimize_gray=opt_gray, optimize_defocus=opt_def,
+                phase_flipped=self.checkParam("--phaseFlipped"),
+                n_steps=self.getIntParam("--steps"),
+                pad_factor=self.getDoubleParam("--padding"),
+                verbose=self.verbose)
+        else:
+            res = continuous_assign(
+                vol, imgs, get("angleRot"), get("angleTilt"),
+                get("anglePsi"),
+                get("shiftX") if self.checkParam("--optimizeShift")
+                else None,
+                get("shiftY") if self.checkParam("--optimizeShift")
+                else None,
+                n_steps=self.getIntParam("--steps"),
+                pad_factor=self.getDoubleParam("--padding"),
+                verbose=self.verbose)
         out_rows = []
         for i, r in enumerate(rows):
             d = dict(r)
@@ -60,9 +89,15 @@ class ProgAngularContinuousAssign2(XmippProgram):
                       "shiftY": float(res["sy"][i]),
                       "cost": float(res["cost"][i]),
                       "maxCC": float(res["cost"][i])})
+            if "grayA" in res:
+                d["continuousA"] = float(res["grayA"][i])
+                d["continuousB"] = float(res["grayB"][i])
+            if "defocusU" in res:
+                d["ctfDefocusU"] = float(res["defocusU"][i])
+                d["ctfDefocusV"] = float(res["defocusV"][i])
             out_rows.append(d)
         MetaData.fromRows(out_rows).write(self.getParam("-o"))
-        self.mean_cost = float(res["cost"].mean())
+        self.mean_cost = float(np.asarray(res["cost"]).mean())
 
 
 class ProgAngularContinuousAssign(XmippProgram):
