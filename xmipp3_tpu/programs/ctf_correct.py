@@ -140,14 +140,47 @@ class ProgCTFSortPSDs(XmippProgram):
             r = md.getRow(i)
             crits = {}
             try:
+                import dataclasses
                 ctf = _row_ctf(r)
-                crits["ctfCritFirstZero"] = ctf.first_zero_freq()
-                astig = abs(ctf.defocusU - ctf.defocusV)
+                fz = ctf.first_zero_freq()
+                crits["ctfCritFirstZero"] = fz
                 crits["ctfCritFirstZeroRatio"] = (
                     max(ctf.defocusU, ctf.defocusV) /
                     max(min(ctf.defocusU, ctf.defocusV), 1.0))
                 crits["ctfCritDamping"] = float(np.asarray(
                     ctf.damping_2d(64, 64)).mean())
+                # azimuth-averaged first zero + astigmatic disagreement
+                # (reference MDL_CTF_CRIT_FIRSTZEROAVG / DISAGREEMENT)
+                zU = fz
+                ctfV = dataclasses.replace(ctf, defocusU=ctf.defocusV,
+                                           defocusV=ctf.defocusV)
+                zV = ctfV.first_zero_freq()
+                crits["ctfCritFirstZeroAvg"] = 0.5 * (zU + zV)
+                crits["ctfCritFirstZeroDisagreement"] = abs(zU - zV)
+                # first minimum of |CTF| after the first zero vs first zero
+                # (reference FIRSTMINIMUM_FIRSTZERO_RATIO / _DIFF_RATIO)
+                f = np.linspace(1e-4, 0.5 / ctf.sampling_rate, 2048)
+                vals = np.abs(np.asarray(
+                    ctf.pure_at(f, np.zeros_like(f), damped=False)))
+                iz = int(np.searchsorted(f, fz))
+                if 0 < iz < len(f) - 2:
+                    seg = vals[iz:]
+                    imin = iz + int(np.argmin(seg[: max(len(seg) // 4, 2)]))
+                    fmin = f[imin]
+                    crits["ctfCritFirstMinFirstZeroRatio"] =                         float(fmin / max(fz, 1e-9))
+                    crits["ctfCritFirstMinFirstZeroDiffRatio"] =                         float((fmin - fz) / max(fz, 1e-9))
+                # max meaningful frequency: envelope drops below 1%
+                # (reference MDL_CTF_CRIT_MAXFREQ)
+                damp = np.abs(np.asarray(
+                    ctf.pure_at(f, np.zeros_like(f), damped=True)))
+                env_ok = np.where(damp > 0.01 * damp.max())[0]
+                crits["ctfCritMaxFreq"] = float(
+                    1.0 / max(f[env_ok[-1]], 1e-6)) if len(env_ok) else 0.0
+                # non-astigmatic validity (reference
+                # MDL_CTF_CRIT_NONASTIGMATICVALIDITY): zero-crossing count
+                # agreement between U and V profiles inside max freq
+                crits["ctfCritNonAstigmaticValidity"] = float(
+                    abs(zU - zV) / max(0.5 * (zU + zV), 1e-9))
             except Exception:
                 pass
             if "psd" in r and r["psd"]:
@@ -155,13 +188,61 @@ class ProgCTFSortPSDs(XmippProgram):
                     psd = np.squeeze(Image(str(r["psd"])).data)
                     crits["ctfCritPsdStdQ"] = float(psd.std() /
                                                     max(psd.mean(), 1e-12))
-                    # radial integral criterion
                     from xmipp3_tpu.ops.psd import radial_profile
                     n = psd.shape[0]
                     half = np.ascontiguousarray(
                         np.fft.ifftshift(psd)[:, : n // 2 + 1])
                     _, prof = radial_profile(half)
                     crits["ctfCritPsdRadialIntegral"] = float(prof.sum())
+                    # 90-degree self-correlation: low for astigmatic or
+                    # drifted PSDs (reference MDL_CTF_CRIT_PSDCORRELATION90)
+                    rot90 = np.rot90(psd)
+                    a = psd - psd.mean()
+                    b = rot90 - rot90.mean()
+                    crits["ctfCritPsdCorr90"] = float(
+                        (a * b).sum() / max(np.linalg.norm(a)
+                                            * np.linalg.norm(b), 1e-12))
+                    # background-residual normality z (reference
+                    # MDL_CTF_CRIT_NORMALITY): kurtosis+skew test of the
+                    # high-frequency half of the PSD
+                    import scipy.stats
+                    hf = psd[np.abs(np.fft.fftshift(
+                        np.fft.fftfreq(n)))[:, None] > 0.25]
+                    if hf.size > 32:
+                        crits["ctfCritNormality"] = float(
+                            scipy.stats.normaltest(hf.ravel()).statistic)
+                except Exception:
+                    pass
+            # model-vs-PSD fitting correlations (reference FITTINGSCORE /
+            # FITTINGCORR13): overall and first-third-band agreement
+            if "psd" in r and r["psd"] and "ctfCritFirstZero" in crits:
+                try:
+                    from xmipp3_tpu.models.ctf_estimation import (
+                        NPARAMS, _model_psd)
+                    import jax.numpy as jnp
+                    psd = np.squeeze(Image(str(r["psd"])).data)
+                    n = psd.shape[0]
+                    half = np.ascontiguousarray(
+                        np.fft.ifftshift(psd)[:, : n // 2 + 1]
+                    ).astype(np.float32)
+                    Ts = ctf.sampling_rate
+                    fy = np.fft.fftfreq(n).astype(np.float32)[:, None] / Ts
+                    fx = np.fft.rfftfreq(n).astype(np.float32)[None, :] / Ts
+                    model = np.asarray(ctf.pure_at(fx, fy)) ** 2 \
+                        + np.asarray(ctf.noise_at(fx, fy))
+                    lm = np.log1p(np.maximum(model, 0))
+                    lo = np.log1p(np.maximum(half, 0))
+                    rdig = np.sqrt((fy * Ts) ** 2 + (fx * Ts) ** 2)
+                    def corr_in(sel):
+                        aa = lm[sel] - lm[sel].mean()
+                        bb = lo[sel] - lo[sel].mean()
+                        return float((aa * bb).sum() /
+                                     max(np.linalg.norm(aa)
+                                         * np.linalg.norm(bb), 1e-12))
+                    crits["ctfCritFittingScore"] = corr_in(
+                        (rdig > 0.02) & (rdig < 0.45))
+                    crits["ctfCritFittingCorr13"] = corr_in(
+                        (rdig > 0.02) & (rdig < 0.45 / 3))
                 except Exception:
                     pass
             r.update(crits)
