@@ -102,3 +102,22 @@ class TestMicrographModes:
         ctfmd = MetaData(d + "/m.ctfparam")
         crow = ctfmd.getRow(ctfmd.firstObject())
         assert "ctfDefocusPlaneUA" in crow
+
+
+@pytest.mark.parametrize("defU,defV,ang,ang_tol", [
+    (6000.0, 5200.0, 80.0, 5.0),
+    (12000.0, 11000.0, 150.0, 5.0),
+    # at 28k defocus on a 192^2 PSD the Thon-ring spacing approaches the
+    # grid resolution; the adaptive band keeps defocus within 1% but the
+    # azimuth becomes sampling-limited
+    (28000.0, 23000.0, 10.0, 8.0),
+])
+def test_recovery_across_defocus_range(defU, defV, ang, ang_tol):
+    """Robustness sweep: the staged fit recovers astigmatic defocus
+    across the practical range (close-to-focus, mid, far) within 2%."""
+    psd, true = _synthetic_psd(defU=defU, defV=defV, ang=ang, seed=7)
+    est = estimate_ctf_from_psd(psd, 1.5, 300, 2.7, 0.07)
+    assert abs(est.defocusU - defU) / defU < 0.02
+    assert abs(est.defocusV - defV) / defV < 0.02
+    d = abs(est.azimuthal_angle - ang)
+    assert min(d, 180 - d) < ang_tol

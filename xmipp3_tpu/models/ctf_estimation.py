@@ -195,6 +195,8 @@ class CTFEstimator:
         r_dig = np.sqrt((fy * self.Ts) ** 2 + (fx * self.Ts) ** 2)
         self.band = jnp.asarray(((r_dig >= min_freq) & (r_dig <= max_freq))
                                 .astype(np.float32))
+        self.min_freq_dig = min_freq
+        self.max_freq_dig = max_freq
         self.defocus_range = defocus_range
         self.fast = fast
         self.params = np.zeros(NPARAMS, np.float32)
@@ -335,26 +337,53 @@ class CTFEstimator:
         else:
             astig_span = max(0.25 * best[DEFU], 2500.0)
         # astigmatic refinement around the winner (reference estimate_defoci
-        # (defU, defV, angle) grid, ctf_estimate_from_psd.cpp:1778)
-        dU = best[DEFU] + np.linspace(-astig_span, astig_span, n_astig,
-                                      dtype=np.float32)
-        dV = best[DEFV] + np.linspace(-astig_span, astig_span, n_astig,
-                                      dtype=np.float32)
+        # (defU, defV, angle) grid, ctf_estimate_from_psd.cpp:1778):
+        # two levels — high defocus packs Thon rings near the grid
+        # resolution and a single coarse level aliases into local optima
+        def astig_level(center, span, n_ast, angs):
+            dU = center[DEFU] + np.linspace(-span, span, n_ast,
+                                            dtype=np.float32)
+            dV = center[DEFV] + np.linspace(-span, span, n_ast,
+                                            dtype=np.float32)
+            cands = []
+            for u in dU:
+                for v in dV:
+                    if v > u:      # canonical: defU >= defV
+                        continue
+                    for a in angs if u != v else angs[:1]:
+                        p = center.copy()
+                        p[DEFU], p[DEFV], p[ANGLE] = u, v, a
+                        cands.append(p)
+            P = np.stack(cands)
+            costs = self._cost_batch(P)
+            k = int(np.argmin(costs))
+            return P[k].astype(np.float32), float(costs[k])
+
+        # adaptive band: beyond f_lim the Thon-ring spacing
+        # 1/(2 lambda def f) falls under ~2.5 PSD grid samples and the
+        # aliased rings only add noise to the fit (the failure mode at
+        # high defocus on small PSDs)
+        voltage = self.consts[0]
+        lam = 12.2643247 / np.sqrt(voltage * 1e3
+                                   * (1 + 0.978466e-6 * voltage * 1e3))
+        df_grid = 1.0 / (self.n * self.Ts)
+        f_lim = 1.0 / (2.0 * lam * max(best[DEFU], 1.0) * 2.5 * df_grid)
+        if f_lim * self.Ts < self.max_freq_dig:
+            fy, fx = _freq_grids(self.n, self.Ts)
+            r_dig = np.sqrt((fy * self.Ts) ** 2 + (fx * self.Ts) ** 2)
+            self.band = jnp.asarray(
+                ((r_dig >= self.min_freq_dig)
+                 & (r_dig <= max(f_lim * self.Ts, 2 * self.min_freq_dig)))
+                .astype(np.float32))
+
         angs = np.linspace(0.0, 180.0, n_angles, endpoint=False,
                            dtype=np.float32)
-        cands = []
-        for u in dU:
-            for v in dV:
-                if v > u:      # canonical: defU >= defV
-                    continue
-                for a in angs if u != v else angs[:1]:
-                    p = best.copy()
-                    p[DEFU], p[DEFV], p[ANGLE] = u, v, a
-                    cands.append(p)
-        P = np.stack(cands)
-        costs = self._cost_batch(P)
-        self.params = P[int(np.argmin(costs))].astype(np.float32)
-        return float(np.min(costs))
+        best, cost = astig_level(best, astig_span, n_astig, angs)
+        fine_angs = (best[ANGLE] + np.linspace(-20.0, 20.0, 9)) \
+            .astype(np.float32)
+        best, cost = astig_level(best, astig_span / 5.0, n_astig, fine_angs)
+        self.params = best
+        return cost
 
     # -- full pipeline ------------------------------------------------------
     def estimate(self) -> CTFDescription:
