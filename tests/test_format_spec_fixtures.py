@@ -120,3 +120,43 @@ class TestSERSpecBytes:
         hdr, data = read_ser(fn)
         assert data.shape == (5, 9)
         assert np.abs(data - img.astype(np.float32)).max() < 1e-6
+
+
+class TestDM3SpecBytes:
+    """Gatan DM3 (public tag-tree spec): big-endian headers (version,
+    root length, byte order), nested tag directories (kind 0x14) and data
+    tags (kind 0x15 with '%%%%' marker + definition longs), little-endian
+    tag data when byteorder == 1."""
+
+    def _data_tag(self, name, defn, payload):
+        t = bytes([0x15]) + struct.pack(">h", len(name)) + name.encode()
+        t += b"%%%%" + struct.pack(">i", len(defn))
+        t += b"".join(struct.pack(">i", d) for d in defn)
+        return t + payload
+
+    def _dir_tag(self, name, inner, ntags):
+        t = bytes([0x14]) + struct.pack(">h", len(name)) + name.encode()
+        t += bytes([1, 0]) + struct.pack(">i", ntags) + inner
+        return t
+
+    def test_minimal_image_tree(self, tmp_path):
+        from xmipp3_tpu.core.image_formats import read_dm
+        rng = np.random.default_rng(4)
+        img = rng.standard_normal((5, 6)).astype(np.float32)
+        data_tag = self._data_tag(
+            "Data", [20, 6, img.size], img.astype("<f4").tobytes())
+        dims_inner = (
+            self._data_tag("", [3], struct.pack("<i", 6))     # x first
+            + self._data_tag("", [3], struct.pack("<i", 5)))
+        dims_dir = self._dir_tag("Dimensions", dims_inner, 2)
+        imagedata = self._dir_tag("ImageData", data_tag + dims_dir, 2)
+        entry = self._dir_tag("", imagedata, 1)               # [0]
+        imagelist = self._dir_tag("ImageList", entry, 1)
+        root = bytes([1, 0]) + struct.pack(">i", 1) + imagelist
+        blob = struct.pack(">3i", 3, len(root), 1) + root
+        fn = str(tmp_path / "spec.dm3")
+        with open(fn, "wb") as f:
+            f.write(blob)
+        hdr, data = read_dm(fn)
+        assert data.shape == (5, 6)
+        assert np.abs(data - img).max() < 1e-6
