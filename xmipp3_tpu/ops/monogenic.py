@@ -65,32 +65,61 @@ def local_resolution_monores(vol, mask, sampling: float,
     resolved per freq)."""
     vol = np.asarray(vol, np.float32)
     mask = np.asarray(mask) > 0.5
-    D = vol.shape[0]
+    D, H, W = vol.shape
     if min_res is None:
         min_res = D * sampling / 3
     if max_res is None:
         max_res = 2.2 * sampling
     f_lo = sampling / min_res
     f_hi = min(sampling / max_res, 0.45)
-    freqs = np.linspace(f_lo, f_hi, n_freqs)
+    freqs = np.linspace(f_lo, f_hi, n_freqs).astype(np.float32)
+
+    # ONE forward FFT; every band is a mask-multiply + batched inverse
+    # FFTs (the round-1 loop recomputed rfftn(vol) and three Riesz FFT
+    # pairs per band — 30x redundant transforms), and the monotonic
+    # resolution assignment runs on-device as a cumulative product.
+    fz, fy, fx = (np.fft.fftfreq(D).astype(np.float32)[:, None, None],
+                  np.fft.fftfreq(H).astype(np.float32)[None, :, None],
+                  np.fft.rfftfreq(W).astype(np.float32)[None, None, :])
+    r = np.sqrt(fz ** 2 + fy ** 2 + fx ** 2)
+    bands = np.stack([((r >= max(f - 0.02, 0.001))
+                       & (r <= min(f + 0.02, 0.5))).astype(np.float32)
+                      for f in freqs])
+    noise_idx = np.flatnonzero(~mask.ravel())
+    k_noise = int(significance * (len(noise_idx) - 1))
+
+    @partial(jax.jit, static_argnames=())
+    def band_resolved(vol_j, bands_j, mask_j, noise_j):
+        F = jnp.fft.rfftn(vol_j)
+        rr = jnp.maximum(jnp.asarray(r), 1e-12)
+        uz = jnp.asarray(fz) / rr
+        uy = jnp.asarray(fy) / rr
+        ux = jnp.asarray(fx) / rr
+
+        def one(bmask):
+            Fb = F * bmask
+            band = jnp.fft.irfftn(Fb, s=(D, H, W))
+            rx = jnp.fft.irfftn(1j * ux * Fb, s=(D, H, W))
+            ry = jnp.fft.irfftn(1j * uy * Fb, s=(D, H, W))
+            rz = jnp.fft.irfftn(1j * uz * Fb, s=(D, H, W))
+            amp = jnp.sqrt(band ** 2 + rx ** 2 + ry ** 2 + rz ** 2)
+            noise_vals = amp.ravel()[noise_j]
+            thresh = jnp.sort(noise_vals)[k_noise]
+            return mask_j & (amp > thresh)
+
+        resolved = jax.lax.map(one, bands_j)          # (K, D, H, W) bool
+        mono = jnp.cumprod(resolved.astype(jnp.int32), axis=0)
+        count = mono.sum(axis=0)                      # bands resolved
+        frac = mono.sum(axis=(1, 2, 3)) / jnp.maximum(mask_j.sum(), 1)
+        return count, frac
+
+    count, frac = band_resolved(jnp.asarray(vol), jnp.asarray(bands),
+                                jnp.asarray(mask), jnp.asarray(noise_idx))
+    count = np.asarray(count)
     res_map = np.full(vol.shape, min_res, np.float32)
-    resolved_prev = mask.copy()
-    frac = []
-    noise_region = ~mask
-    for f in freqs:
-        w1 = max(f - 0.02, 0.001)
-        w2 = min(f + 0.02, 0.5)
-        band = np.asarray(bandpass_3d(vol, w1, w2))
-        amp = np.asarray(monogenic_amplitude_3d(band))
-        thresh = np.percentile(amp[noise_region], significance * 100)
-        resolved = mask & (amp > thresh) & resolved_prev
-        res_map[resolved] = sampling / f
-        frac.append(resolved.sum() / max(mask.sum(), 1))
-        # MonoRes-style monotonic constraint: once unresolved, stays so
-        resolved_prev = resolved
-        if resolved.sum() == 0:
-            break
-    return res_map, freqs, np.array(frac)
+    sel = count > 0
+    res_map[sel] = sampling / freqs[count[sel] - 1]
+    return res_map, freqs, np.asarray(frac)
 
 
 def fso_directional(vol1, vol2, sampling: float, n_dirs: int = 60,
