@@ -88,3 +88,81 @@ def test_full_refinement_cycle(tmp_path):
     assert fsc[: len(fsc) // 3].mean() > 0.8, fsc[: len(fsc) // 3]
     c = np.corrcoef(rec.ravel(), vol.ravel())[0, 1]
     assert c > 0.75, f"volume corr {c}"
+
+
+@pytest.mark.slow
+def test_round2_refinement_cycle(tmp_path):
+    """Round-2 feature pipeline: neighbor-restricted matching with top-N
+    output -> Kaiser-Bessel reconstruction with FSC halves -> half-map
+    FSC -> continuous gray-aware refinement."""
+    n = 32
+    vol = make_phantom(n)
+    fn_vol = str(tmp_path / "phantom.vol")
+    save_image(fn_vol, vol)
+    root = str(tmp_path / "gal")
+    run_prog("angular_project_library",
+             f"-i {fn_vol} -o {root} --sampling_rate 15 --sym c1")
+
+    from xmipp3_tpu.ops.geo import apply_alignment_2d
+    gallery = Image.read_stack(root + ".stk")
+    rng = np.random.default_rng(1)
+    n_parts = 36
+    pick = rng.integers(0, len(gallery), n_parts)
+    psi = rng.uniform(-180, 180, n_parts).astype(np.float32)
+    parts = np.array(apply_alignment_2d(
+        gallery[pick], psi, np.zeros(n_parts, np.float32),
+        np.zeros(n_parts, np.float32)))
+    parts += 0.05 * parts.std() * rng.standard_normal(parts.shape) \
+        .astype(np.float32)
+    fn_parts = str(tmp_path / "parts.mrcs")
+    save_image(fn_parts, parts)
+    md_g = MetaData(root + ".doc")
+    g_rows = list(md_g.iterRows())
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{fn_parts}", "itemId": i + 1,
+         "angleRot": float(g_rows[pick[i]]["angleRot"]),
+         "angleTilt": float(g_rows[pick[i]]["angleTilt"])}
+        for i in range(n_parts)]).write(str(tmp_path / "parts.xmd"))
+
+    # neighbor lists around the (prior) angles, consumed by matching
+    run_prog("angular_project_library",
+             f"-i {fn_vol} -o {root} --sampling_rate 15 --sym c1 "
+             f"--compute_neighbors --angular_distance 35 "
+             f"--near_exp_data {tmp_path}/parts.xmd")
+    fn_assign = str(tmp_path / "assign.xmd")
+    run_prog("angular_projection_matching",
+             f"-i {tmp_path}/parts.xmd -o {fn_assign} --ref {root} "
+             f"--max_shift 3 --neighbors {root}_neighbors.xmd "
+             f"--number_orientations 2")
+    md_a = MetaData(fn_assign)
+    assert md_a.size() == 2 * n_parts          # top-2 rows per image
+    rows_a = list(md_a.iterRows())
+    best = rows_a[0::2]
+
+    # KB reconstruction with FSC halves from the best orientations
+    MetaData.fromRows([dict(r) for r in best]).write(
+        str(tmp_path / "best.xmd"))
+    fsc_root = str(tmp_path / "halves")
+    run_prog("reconstruct_fourier",
+             f"-i {tmp_path}/best.xmd -o {tmp_path}/rec.vol --batch 64 "
+             f"--interp kb --prepare_fsc {fsc_root}")
+    h1 = np.squeeze(Image(fsc_root + "_1_recons.vol").data)
+    h2 = np.squeeze(Image(fsc_root + "_2_recons.vol").data)
+    fn_fsc = str(tmp_path / "fsc.xmd")
+    run_prog("resolution_fsc",
+             f"--ref {fsc_root}_1_recons.vol -i {fsc_root}_2_recons.vol "
+             f"-o {fn_fsc} -s 1.0")
+    fsc = MetaData(fn_fsc).getColumn("resolutionFRC")
+    assert fsc[: len(fsc) // 3].mean() > 0.7
+
+    rec = np.squeeze(Image(str(tmp_path / "rec.vol")).data)
+    c = np.corrcoef(rec.ravel(), vol.ravel())[0, 1]
+    assert c > 0.75
+
+    # continuous refinement with gray optimization improves the model fit
+    run_prog("angular_continuous_assign2",
+             f"-i {tmp_path}/best.xmd -o {tmp_path}/cont.xmd "
+             f"--ref {fn_vol} --optimizeShift --optimizeGray --steps 40")
+    md_c = MetaData(str(tmp_path / "cont.xmd"))
+    assert md_c.size() == n_parts
+    assert md_c.containsLabel("continuousA")
