@@ -154,3 +154,24 @@ def test_movie_local_align_mesh_matches_serial():
                                       patch_size=96, max_shift_px=4)
     assert (cys1 == cys2).all() and (cxs1 == cxs2).all()
     assert np.abs(f1 - f2).max() < 1e-3
+
+
+def test_cl2d_mesh_matches_serial():
+    """mpi_classify_CL2D equivalent: mesh CL2D == serial CL2D (reference
+    parallel/mpi_classify_CL2D.h:190 shareAssignments)."""
+    from xmipp3_tpu.models.cl2d import classify_cl2d
+    from xmipp3_tpu.parallel.mesh import data_mesh
+    rng = np.random.default_rng(5)
+    n, B = 32, 36
+    y, x = np.mgrid[0:n, 0:n].astype(np.float32) - 16
+    protos = [np.exp(-(x ** 2 + y ** 2) / 30),
+              np.exp(-(x ** 2 / 60 + y ** 2 / 8))]
+    labels = rng.integers(0, 2, B)
+    imgs = np.stack([protos[c] for c in labels]).astype(np.float32)
+    imgs += 0.1 * rng.standard_normal(imgs.shape).astype(np.float32)
+    s = classify_cl2d(imgs, 2, n_iters=4, max_shift=2, seed=0)
+    m = classify_cl2d(imgs, 2, n_iters=4, max_shift=2, seed=0,
+                      mesh=data_mesh(8))
+    assert (s["assignments"] == m["assignments"]).mean() > 0.95
+    scale = np.abs(s["refs"]).max()
+    assert np.abs(s["refs"] - m["refs"]).max() < 1e-3 * scale

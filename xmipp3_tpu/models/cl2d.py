@@ -26,7 +26,7 @@ def initial_references(imgs: np.ndarray, n_refs: int, seed: int = 0):
 
 def classify_cl2d(imgs: np.ndarray, n_refs: int, n_iters: int = 10,
                   max_shift: int = 8, seed: int = 0, verbose: int = 0,
-                  check_mirror: bool = True):
+                  check_mirror: bool = True, mesh=None):
     """Hierarchical CL2D: start from one class and split the population
     level by level until n_refs classes exist (the reference's level scheme),
     refining with full multireference alignment at each level.
@@ -37,7 +37,7 @@ def classify_cl2d(imgs: np.ndarray, n_refs: int, n_iters: int = 10,
     refs = imgs.mean(axis=0, keepdims=True)
     while len(refs) < n_refs:
         res = _refine(imgs, refs, max(2, n_iters // 2), max_shift,
-                      check_mirror, seed, verbose)
+                      check_mirror, seed, verbose, mesh)
         refs = res["refs"]
         # split the widest classes (largest intra-class variance) until the
         # target count (at most doubling per level, reference behavior)
@@ -59,18 +59,28 @@ def classify_cl2d(imgs: np.ndarray, n_refs: int, n_iters: int = 10,
             new_refs[k] = registered[a].mean(axis=0)
             new_refs.append(registered[b].mean(axis=0))
         refs = np.stack(new_refs)
-    res = _refine(imgs, refs, n_iters, max_shift, check_mirror, seed, verbose)
+    res = _refine(imgs, refs, n_iters, max_shift, check_mirror, seed,
+                  verbose, mesh)
     res.pop("registered")
     return res
 
 
-def _refine(imgs, refs, n_iters, max_shift, check_mirror, seed, verbose):
+def _refine(imgs, refs, n_iters, max_shift, check_mirror, seed, verbose,
+            mesh=None):
     n_refs = len(refs)
     history = []
     res = None
     for it in range(n_iters):
-        res = match_to_gallery(refs, imgs, max_shift=max_shift,
-                               check_mirror=check_mirror)
+        if mesh is not None:
+            # particle-sharded matching (the mpi_classify_CL2D
+            # shareAssignments replacement, parallel/mpi_classify_CL2D.h:190)
+            from xmipp3_tpu.parallel.match import parallel_match_full
+            res = parallel_match_full(mesh, refs, imgs,
+                                      max_shift=max_shift,
+                                      check_mirror=check_mirror)
+        else:
+            res = match_to_gallery(refs, imgs, max_shift=max_shift,
+                                   check_mirror=check_mirror)
         assign = np.asarray(res["ref_idx"])
         psi = np.asarray(res["psi"]).astype(np.float32)
         sx = np.asarray(res["sx"]).astype(np.float32)

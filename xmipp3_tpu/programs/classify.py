@@ -39,6 +39,8 @@ class ProgClassifyCL2D(XmippProgram):
         self.addParamsLine("  [--iter <n=10>]    : Number of iterations")
         self.addParamsLine("  [--maxShift <s=8>] : Maximum shift (px)")
         self.addParamsLine("  [--dont_mirror]    : Do not check mirrors")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def readParams(self):
         self.fn_in = self.getParam("-i")
@@ -48,13 +50,23 @@ class ProgClassifyCL2D(XmippProgram):
         self.n_iters = self.getIntParam("--iter")
         self.max_shift = self.getIntParam("--maxShift")
         self.mirror = not self.checkParam("--dont_mirror")
+        from xmipp3_tpu.parallel.cli import read_mesh_params
+        read_mesh_params(self)
 
     def run(self):
         import os
         from xmipp3_tpu.models.cl2d import classify_cl2d
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             resolve_mesh)
+        maybe_init_distributed(self)
+        mesh, mesh_mode = resolve_mesh(self.mesh_mode)
+        if mesh is not None and self.verbose:
+            print(f"mesh: {mesh_mode} over "
+                  f"{len(mesh.devices.ravel())} devices")
         imgs, rows = _load_stack_md(self.fn_in)
         res = classify_cl2d(imgs, self.n_refs, self.n_iters, self.max_shift,
-                            verbose=self.verbose, check_mirror=self.mirror)
+                            verbose=self.verbose, check_mirror=self.mirror,
+                            mesh=mesh)
         root = os.path.join(self.odir, self.oroot)
         fn_refs = root + "_references.stk"
         save_image(fn_refs, res["refs"])
