@@ -185,6 +185,20 @@ def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
     zdim = P if slab_p is None else slab_p
     zoff = 0 if slab_p is None else jnp.asarray(slab_z0, jnp.int32)
 
+    if interp == "kb":
+        from xmipp3_tpu.ops.pallas_scatter_kb import (kb_fastpath_ok,
+                                                      kb_scatter_3ch)
+        if kb_fastpath_ok(P, blob[0], slab_p is not None):
+            # fused kernel: sort raw samples once, expand the 64-tap
+            # blob in-kernel (ops/pallas_scatter_kb.py)
+            dr, di, dw = kb_scatter_3ch(
+                data_r.reshape(-1), data_i.reshape(-1),
+                weights.reshape(-1), zi, yi, xi, sr, si, wimg,
+                P=P, radius=float(blob[0]), alpha=float(blob[2]),
+                order=int(blob[1]))
+            return (dr.reshape(P, P, P), di.reshape(P, P, P),
+                    dw.reshape(P, P, P))
+
     idx_list = []
     val_r = []
     val_i = []
