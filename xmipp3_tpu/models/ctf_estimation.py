@@ -165,6 +165,40 @@ def _fitness_batch(P, psd, fy, fx, band, n: int, consts):
     return jax.vmap(lambda p: _fitness(p, psd, fy, fx, band, n, consts))(P)
 
 
+@partial(jax.jit, static_argnames=("free", "n", "n_rounds"))
+def _compass_opt(p0, steps0, psd, fy, fx, band, n: int, consts,
+                 free: tuple, n_rounds: int):
+    """Whole compass/pattern search as ONE device program: n_rounds of
+    [evaluate all +/-step coordinate candidates -> move or halve steps]
+    inside a lax.scan, so a full stage costs a single dispatch (the
+    host-looped version paid one axon relay round-trip per round)."""
+    F = len(free)
+    E = np.zeros((2 * F + 1, NPARAMS), np.float32)
+    for j, idx in enumerate(free):
+        E[1 + 2 * j, idx] = 1.0
+        E[2 + 2 * j, idx] = -1.0
+    E = jnp.asarray(E)
+
+    def round_fn(carry, _):
+        p, steps, best = carry
+        srow = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                jnp.repeat(steps, 2)])
+        cands = p[None, :] + E * srow[:, None]
+        costs = jax.vmap(
+            lambda q: _fitness(q, psd, fy, fx, band, n, consts))(cands)
+        k = jnp.argmin(costs)
+        improved = (k != 0) & (costs[k] < best - 1e-7)
+        p = jnp.where(improved, cands[k], p)
+        steps = jnp.where(improved, steps, steps * 0.5)
+        best = jnp.where(improved, costs[k], best)
+        return (p, steps, best), None
+
+    best0 = _fitness(p0, psd, fy, fx, band, n, consts)
+    (p, _, best), _ = jax.lax.scan(
+        round_fn, (p0, steps0, best0), None, length=n_rounds)
+    return p, best
+
+
 # ---------------------------------------------------------------------------
 # staged 2-D estimator
 # ---------------------------------------------------------------------------
@@ -235,28 +269,14 @@ class CTFEstimator:
         for j, idx in enumerate(free):
             if idx in (BASE, SQK, G1K, G2K):
                 steps[j] = max(steps[j] * psd_scale, 1e-6)
-        best = self._cost(p)
         n_rounds = max(6 * maxiter, 8)
-        for _ in range(n_rounds):
-            cands = [p]
-            for j, idx in enumerate(free):
-                for sgn in (1.0, -1.0):
-                    q = p.copy()
-                    q[idx] += sgn * steps[j]
-                    cands.append(q)
-            costs = self._cost_batch(np.stack(cands))
-            k = int(np.argmin(costs))
-            if k == 0 or costs[k] >= best - 1e-7:
-                steps *= 0.5
-                if np.max(np.abs(steps / np.maximum(
-                        np.abs(self._STEPS[free]), 1e-12))) < 0.02:
-                    break
-            else:
-                best = float(costs[k])
-                p = cands[k]
-        self.params = p.astype(np.float32)
+        p_out, best = _compass_opt(
+            jnp.asarray(p, jnp.float32), jnp.asarray(steps, jnp.float32),
+            self.psd_j, self.fy, self.fx, self.band, self.n, self.consts,
+            free=tuple(free), n_rounds=int(n_rounds))
+        self.params = np.array(p_out, np.float32)   # writable copy
         self.final_fitness = float(best)
-        return best
+        return self.final_fitness
 
     # -- stage 1: sqrt + baseline background ------------------------------
     def fit_background(self):
