@@ -484,6 +484,43 @@ def _fitness_1d(p, prof, u, w, consts):
     return -(num / jnp.maximum(den, 1e-12))
 
 
+@partial(jax.jit, static_argnames=("free", "mirror", "n_rounds"))
+def _compass_opt_1d(p0, steps0, prof, u, w, consts, free: tuple,
+                    mirror: tuple, n_rounds: int):
+    """1-D profile analog of _compass_opt: isotropic fit with V-params
+    mirrored from U after every move, one dispatch for the whole search."""
+    F = len(free)
+    E = np.zeros((2 * F + 1, NPARAMS), np.float32)
+    for j, idx in enumerate(free):
+        E[1 + 2 * j, idx] = 1.0
+        E[2 + 2 * j, idx] = -1.0
+    E = jnp.asarray(E)
+
+    def _mirror(q):
+        for dst, src in mirror:
+            q = q.at[..., dst].set(q[..., src])
+        return q
+
+    def round_fn(carry, _):
+        p, steps, best = carry
+        srow = jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                                jnp.repeat(steps, 2)])
+        cands = _mirror(p[None, :] + E * srow[:, None])
+        costs = jax.vmap(
+            lambda q: _fitness_1d(q, prof, u, w, consts))(cands)
+        k = jnp.argmin(costs)
+        improved = (k != 0) & (costs[k] < best - 1e-7)
+        p = jnp.where(improved, cands[k], p)
+        steps = jnp.where(improved, steps, steps * 0.5)
+        best = jnp.where(improved, costs[k], best)
+        return (p, steps, best), None
+
+    best0 = _fitness_1d(_mirror(p0), prof, u, w, consts)
+    (p, _, best), _ = jax.lax.scan(
+        round_fn, (_mirror(p0), steps0, best0), None, length=n_rounds)
+    return p, best
+
+
 _fitness_1d_batch = jax.jit(jax.vmap(_fitness_1d,
                                      in_axes=(0, None, None, None, None)))
 
@@ -524,23 +561,18 @@ def estimate_ctf_1d(psd_half, sampling, voltage=300.0, Cs=2.7, Q0=0.07,
     costs = np.asarray(_fitness_1d_batch(P, prof_j, u, w, consts))
     p = np.asarray(P[int(np.argmin(costs))]).copy()
 
-    def cost(sub):
-        q = p.copy()
-        q[[DEFU, LOGK, BASE, SQK, SQU, G1K, G1SU, G1CU]] = sub
-        q[DEFV] = q[DEFU]
-        q[SQV] = q[SQU]
-        q[G1SV] = q[G1SU]
-        q[G1CV] = q[G1CU]
-        return float(_fitness_1d(jnp.asarray(q), prof_j, u, w, consts))
-
-    res = scipy.optimize.minimize(
-        cost, p[[DEFU, LOGK, BASE, SQK, SQU, G1K, G1SU, G1CU]],
-        method="Powell", options=dict(maxiter=4, xtol=1e-3, ftol=1e-5))
-    p[[DEFU, LOGK, BASE, SQK, SQU, G1K, G1SU, G1CU]] = res.x
-    p[DEFV] = p[DEFU]
-    p[SQV] = p[SQU]
-    p[G1SV] = p[G1SU]
-    p[G1CV] = p[G1CU]
+    # device-side compass refinement over the isotropic subset (same
+    # single-dispatch scan as the 2-D _compass_opt; V-params mirror U)
+    free = (DEFU, LOGK, BASE, SQK, SQU, G1K, G1SU, G1CU)
+    mirror = ((DEFV, DEFU), (SQV, SQU), (G1SV, G1SU), (G1CV, G1CU))
+    steps = np.array([150.0, 0.25, max(0.05 * abs(p[BASE]), 1e-3),
+                      max(0.2 * abs(p[SQK]), 1e-3), 0.5,
+                      max(0.2 * abs(p[G1K]) + 1e-3, 1e-3), 500.0, 0.01],
+                     np.float32)
+    p_out, _ = _compass_opt_1d(jnp.asarray(p), jnp.asarray(steps),
+                               prof_j, u, w, consts, free=free,
+                               mirror=mirror, n_rounds=24)
+    p = np.array(p_out, np.float32)
     return CTFDescription(
         sampling_rate=Ts, voltage=voltage, Cs=Cs, Ca=Ca, Q0=Q0,
         defocusU=float(p[DEFU]), defocusV=float(p[DEFV]), azimuthal_angle=0.0,

@@ -24,7 +24,7 @@ rot = ops.geo.apply_affine_3d(v2, M)[0], i.e. rot(x) = v2(M^-1 x) on
 """
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -207,25 +207,59 @@ def _rotvec_mat(w):
     return np.eye(3) + np.sin(th) * K + (1 - np.cos(th)) * (K @ K)
 
 
-def _refine_rotation(v1, v2, M0, iters: int = 40):
-    """Powell polish of the rotation on the real-space correlation."""
-    import scipy.optimize
+@partial(jax.jit, static_argnames=("n_rounds",))
+def _refine_rotation_jit(v1, v2, M0, step0: float = 0.02,
+                         n_rounds: int = 18):
+    """Rotation polish as one device program: a compass search over the
+    rotation-vector perturbation w (apply exp(w^) on the left of M0),
+    all +/- candidates scored in a single vmapped correlation per round
+    (a host scipy Powell pays one dispatch per evaluation)."""
     from xmipp3_tpu.ops.geo import apply_affine_3d
-    v1j = jnp.asarray(v1 - v1.mean())
-    n1 = float(np.linalg.norm(np.asarray(v1j)))
+    v1c = v1 - v1.mean()
+    n1 = jnp.linalg.norm(v1c)
 
-    @jax.jit
-    def corr(M):
-        r = apply_affine_3d(jnp.asarray(v2), M[None])[0]
-        r = r - r.mean()
-        return -(r * v1j).sum() / jnp.maximum(
-            jnp.linalg.norm(r) * n1, 1e-12)
+    def rotvec(w):
+        th = jnp.linalg.norm(w) + 1e-12
+        k = w / th
+        K = jnp.stack([
+            jnp.stack([jnp.zeros(()), -k[2], k[1]]),
+            jnp.stack([k[2], jnp.zeros(()), -k[0]]),
+            jnp.stack([-k[1], k[0], jnp.zeros(())])])
+        return (jnp.eye(3) + jnp.sin(th) * K
+                + (1 - jnp.cos(th)) * (K @ K)).astype(jnp.float32)
 
     def cost(w):
-        return float(corr(jnp.asarray(
-            (_rotvec_mat(w) @ M0).astype(np.float32))))
+        M = rotvec(w) @ M0
+        r = apply_affine_3d(v2, M[None])[0]
+        r = r - r.mean()
+        return -(r * v1c).sum() / jnp.maximum(jnp.linalg.norm(r) * n1,
+                                              1e-12)
 
-    res = scipy.optimize.minimize(
-        cost, np.zeros(3), method="Powell",
-        options=dict(maxiter=3, xtol=1e-4, ftol=1e-7))
-    return (_rotvec_mat(res.x) @ M0).astype(np.float32)
+    E = jnp.concatenate([jnp.zeros((1, 3), jnp.float32),
+                         jnp.eye(3, dtype=jnp.float32),
+                         -jnp.eye(3, dtype=jnp.float32)])
+
+    def round_fn(carry, _):
+        w, step, best = carry
+        cands = w[None, :] + E * step
+        costs = jax.vmap(cost)(cands)
+        k = jnp.argmin(costs)
+        improved = (k != 0) & (costs[k] < best - 1e-9)
+        w = jnp.where(improved, cands[k], w)
+        step = jnp.where(improved, step, step * 0.5)
+        best = jnp.where(improved, costs[k], best)
+        return (w, step, best), None
+
+    w0 = jnp.zeros((3,), jnp.float32)
+    (w, _, _), _ = jax.lax.scan(
+        round_fn, (w0, jnp.float32(step0), cost(w0)), None,
+        length=n_rounds)
+    return rotvec(w) @ M0
+
+
+def _refine_rotation(v1, v2, M0, iters: int = 40):
+    """Polish of the rotation on the real-space correlation (device
+    compass scan; see _refine_rotation_jit)."""
+    return np.array(_refine_rotation_jit(
+        jnp.asarray(v1, jnp.float32), jnp.asarray(v2, jnp.float32),
+        jnp.asarray(M0, jnp.float32)), np.float32)
