@@ -175,3 +175,23 @@ def test_cl2d_mesh_matches_serial():
     assert (s["assignments"] == m["assignments"]).mean() > 0.95
     scale = np.abs(s["refs"]).max()
     assert np.abs(s["refs"] - m["refs"]).max() < 1e-3 * scale
+
+
+def test_align_significant_mesh_matches_serial(dataset):
+    """align_significant --mesh dp: sharded scoring reproduces the serial
+    score matrix and output assignments."""
+    ref_md = dataset["root"] + ".doc"
+    outs = {}
+    for mode, tag in (("none", "ser"), ("dp", "dp")):
+        out = str(dataset["tmp"] / f"signif_{tag}.xmd")
+        run_prog("align_significant",
+                 f"-i {dataset['fn_md']} -r {ref_md} -o {out} "
+                 f"--angDistance 30 --mesh {mode}")
+        outs[tag] = MetaData(out)
+    for col in ("ref", "maxCC", "weight"):
+        a = np.asarray(outs["ser"].getColumn(col), float)
+        b = np.asarray(outs["dp"].getColumn(col), float)
+        if col == "ref":
+            assert (a == b).mean() > 0.95
+        else:
+            np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-5)

@@ -78,6 +78,24 @@ def parallel_match_full(mesh, refs, imgs, max_shift: int = 8,
             if k != "aligned"}
 
 
+def parallel_match_score_matrix(mesh, refs, imgs, max_shift: int = 8,
+                                axis_name: str = "data"):
+    """Full (image, reference) best-over-(psi, shift) score matrix with
+    the particle axis sharded over the mesh — the dp engine behind
+    `align_significant --mesh dp` (reference align_significant_gpu's
+    multi-GPU split). Per-image output rows gather implicitly."""
+    from xmipp3_tpu.ops.match import match_score_matrix
+    refs = np.asarray(refs, np.float32)
+    imgs = np.asarray(imgs, np.float32)
+    n_dev = mesh.shape[axis_name]
+    imgs_p, n_valid = pad_to_multiple(imgs, n_dev)
+    refs_d = replicate(jnp.asarray(refs), mesh)
+    imgs_d = shard_particles(jnp.asarray(imgs_p), mesh, axis_name)
+    out = match_score_matrix(refs_d, imgs_d, max_shift=max_shift)
+    return {k: (np.asarray(v) if k == "trials"
+                else np.asarray(v)[:n_valid]) for k, v in out.items()}
+
+
 def parallel_match_tp(mesh, refs, imgs, max_shift: int = 8,
                       radius_min: int = 2, radius_max: int | None = None,
                       refine_iters: int = 2, check_mirror: bool = True,

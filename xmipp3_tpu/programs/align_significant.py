@@ -72,6 +72,7 @@ class ProgAlignSignificant(XmippProgram):
         self.addParamsLine("  [--oUpdatedRefs <baseName=\"\">] : Update references from the assignments and store here")
         self.addParamsLine("  [--max_shift <s=-1>]  : Maximum shift (pixels; -1 = dim/8)")
         self.addParamsLine("  [--batch <b=512>]     : Particles per device batch")
+        self.addParamsLine("  [--mesh <mode=none>]  : Shard scoring over the device mesh (dp)")
 
     def readParams(self):
         self.fn_in = self.getParam("-i")
@@ -84,6 +85,8 @@ class ProgAlignSignificant(XmippProgram):
             if self.checkParam("--oUpdatedRefs") else ""
         self.max_shift = self.getIntParam("--max_shift")
         self.batch = self.getIntParam("--batch")
+        self.mesh_mode = self.getParam("--mesh") \
+            if self.checkParam("--mesh") else "none"
 
     def run(self):
         import jax
@@ -117,17 +120,35 @@ class ProgAlignSignificant(XmippProgram):
         imgs_all = np.stack([np.squeeze(Image(r["image"]).data)
                              for r in rows]).astype(np.float32)
         trials = None
-        for s in range(0, B, self.batch):
-            e = min(s + self.batch, B)
-            out = match_score_matrix(refs, imgs_all[s:e],
-                                     max_shift=max_shift)
-            cc[s:e] = np.asarray(out["peak"])
-            psi_m[s:e] = np.asarray(out["psi"])
-            trial_m[s:e] = np.asarray(out["trial"])
-            flip_m[s:e] = np.asarray(out["flip"])
-            trials = out["trials"]
+
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             resolve_mesh)
+        maybe_init_distributed(self)
+        mesh, mesh_mode = resolve_mesh(self.mesh_mode)
+        if mesh is not None:
             if self.verbose:
-                print(f"  scored {e}/{B}")
+                print(f"mesh: {mesh_mode} over "
+                      f"{len(mesh.devices.ravel())} devices")
+            from xmipp3_tpu.parallel.match import parallel_match_score_matrix
+            out = parallel_match_score_matrix(mesh, refs, imgs_all,
+                                              max_shift=max_shift)
+            cc[:] = out["peak"]
+            psi_m[:] = out["psi"]
+            trial_m[:] = out["trial"]
+            flip_m[:] = out["flip"]
+            trials = out["trials"]
+        else:
+            for s in range(0, B, self.batch):
+                e = min(s + self.batch, B)
+                out = match_score_matrix(refs, imgs_all[s:e],
+                                         max_shift=max_shift)
+                cc[s:e] = np.asarray(out["peak"])
+                psi_m[s:e] = np.asarray(out["psi"])
+                trial_m[s:e] = np.asarray(out["trial"])
+                flip_m[s:e] = np.asarray(out["flip"])
+                trials = out["trials"]
+                if self.verbose:
+                    print(f"  scored {e}/{B}")
 
         W = significance_weights(cc, dirs, self.ang_distance)
         crit = W if self.use_weight else cc
