@@ -170,9 +170,9 @@ def bench_ctf_estimate():
     errU = abs(ctf.defocusU - 17000) / 17000
     return dict(value=round(1.0 / dt, 3), unit="micrographs/s/chip",
                 seconds=round(dt, 2), defocus_err=round(errU, 4),
-                note="periodogram PSD + staged anisotropic full-model fit "
-                     "(batched device pattern search; remote-relay call "
-                     "latency dominates the wall clock)")
+                note="periodogram PSD (device-tiled) + staged anisotropic "
+                     "full-model fit (each compass stage = one lax.scan "
+                     "dispatch; warm pipeline ~1.5 s)")
 
 
 # ---------------------------------------------------------------------------
