@@ -145,16 +145,8 @@ def fit_mode_amplitudes(vol_ref, vol_target, coords, modes, sampling=1.0,
         return -(am * bm).sum() / jnp.maximum(
             jnp.sqrt((am ** 2).sum() * (bm ** 2).sum()), 1e-12)
 
-    gfn = jax.jit(jax.value_and_grad(loss))
-    amp = jnp.zeros(M, jnp.float32)
-    m1 = jnp.zeros(M)
-    v1 = jnp.zeros(M)
-    for step in range(n_steps):
-        l, g = gfn(amp)
-        m1 = 0.9 * m1 + 0.1 * g
-        v1 = 0.999 * v1 + 0.001 * g * g
-        amp = amp - lr * (m1 / (1 - 0.9 ** (step + 1))) / (
-            jnp.sqrt(v1 / (1 - 0.999 ** (step + 1))) + 1e-8)
-        if verbose and (step + 1) % 20 == 0:
-            print(f"  nma step {step + 1}: NCC {-float(l):.4f}")
-    return np.asarray(amp), -float(gfn(amp)[0])
+    from xmipp3_tpu.ops.optim import adam_scan
+    amp, last = adam_scan(loss, jnp.zeros(M, jnp.float32), n_steps, lr)
+    if verbose:
+        print(f"  nma refine ({n_steps} steps): NCC {-float(last):.4f}")
+    return np.asarray(amp), -float(loss(amp))

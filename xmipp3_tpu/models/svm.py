@@ -29,29 +29,17 @@ class LinearSVM:
         Xn = jnp.asarray((X - self._mu) / self._sd)
         yy = jnp.asarray(np.where(np.asarray(y) > 0, 1.0, -1.0), jnp.float32)
 
-        def loss(params):
-            w, b = params
+        def loss(p):
+            w, b = p[:-1], p[-1]
             margins = yy * (Xn @ w + b)
             hinge = jnp.maximum(0.0, 1.0 - margins).mean()
             return 0.5 * (w @ w) / self.C / len(yy) + hinge
 
-        gfn = jax.jit(jax.value_and_grad(loss))
-        w = jnp.zeros(X.shape[1], jnp.float32)
-        b = jnp.asarray(0.0, jnp.float32)
-        m = [jnp.zeros_like(w), jnp.zeros_like(b)]
-        v = [jnp.zeros_like(w), jnp.zeros_like(b)]
-        for step in range(self.n_steps):
-            _, g = gfn((w, b))
-            new = []
-            for k, (p, gk) in enumerate(zip((w, b), g)):
-                m[k] = 0.9 * m[k] + 0.1 * gk
-                v[k] = 0.999 * v[k] + 0.001 * gk * gk
-                mh = m[k] / (1 - 0.9 ** (step + 1))
-                vh = v[k] / (1 - 0.999 ** (step + 1))
-                new.append(p - self.lr * mh / (jnp.sqrt(vh) + 1e-8))
-            w, b = new
-        self.w = np.asarray(w)
-        self.b = float(b)
+        from xmipp3_tpu.ops.optim import adam_scan
+        p, _ = adam_scan(loss, jnp.zeros(X.shape[1] + 1, jnp.float32),
+                         self.n_steps, self.lr)
+        self.w = np.asarray(p[:-1])
+        self.b = float(p[-1])
         return self
 
     def decision(self, X):

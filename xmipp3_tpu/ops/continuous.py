@@ -167,6 +167,61 @@ _l2_loss_grad = jax.jit(jax.value_and_grad(_l2_loss_full, has_aux=True),
                                         "phase_flipped"))
 
 
+def _adam_step(params, m, v, grads, lrs, t):
+    """One per-particle Adam update on stacked (K, B) parameters."""
+    b1, b2, eps = 0.9, 0.999, 1e-8
+    g = jnp.stack(grads) * params.shape[1]     # mean -> per-particle grad
+    m = b1 * m + (1 - b1) * g
+    v = b2 * v + (1 - b2) * g * g
+    mh = m / (1 - jnp.power(b1, t))
+    vh = v / (1 - jnp.power(b2, t))
+    params = params - lrs[:, None] * mh / (jnp.sqrt(vh) + eps)
+    return params, m, v
+
+
+@partial(jax.jit, static_argnames=("N", "max_freq", "n_steps", "domain"))
+def _adam_scan_pose(p0, vf, imgs, lrs, N: int, max_freq: float,
+                    n_steps: int, domain: str):
+    """Whole pose refinement (Adam over rot/tilt/psi/sx/sy) as one scan."""
+    def step_fn(carry, t):
+        params, m, v = carry
+        if domain == "wavelet":
+            (_, ncc), grads = jax.value_and_grad(
+                _wavelet_loss, has_aux=True)(tuple(params), vf, imgs, N)
+        else:
+            (_, ncc), grads = jax.value_and_grad(
+                _ncc_loss, has_aux=True)(tuple(params), vf, imgs, N,
+                                         max_freq)
+        params, m, v = _adam_step(params, m, v, grads, lrs, t)
+        return (params, m, v), ncc
+
+    z = jnp.zeros_like(p0)
+    ts = jnp.arange(1, n_steps + 1, dtype=jnp.float32)
+    (p, _, _), nccs = jax.lax.scan(step_fn, (p0, z, z), ts)
+    return p, nccs[-1]
+
+
+@partial(jax.jit, static_argnames=("N", "max_freq", "use_ctf",
+                                   "phase_flipped", "n_steps"))
+def _adam_scan_full(p0, vf, imgs, defs, ctf_consts, lrs, N: int,
+                    max_freq: float, use_ctf: bool, phase_flipped: bool,
+                    n_steps: int):
+    """Full refinement (pose + gray + defocus deltas) as one scan."""
+    def step_fn(carry, t):
+        params, m, v = carry
+        (_, cost), grads = jax.value_and_grad(
+            _l2_loss_full, has_aux=True)(tuple(params), vf, imgs, defs,
+                                         ctf_consts, N, max_freq,
+                                         use_ctf, phase_flipped)
+        params, m, v = _adam_step(params, m, v, grads, lrs, t)
+        return (params, m, v), cost
+
+    z = jnp.zeros_like(p0)
+    ts = jnp.arange(1, n_steps + 1, dtype=jnp.float32)
+    (p, _, _), costs = jax.lax.scan(step_fn, (p0, z, z), ts)
+    return p, costs[-1]
+
+
 def continuous_assign_full(vol, imgs, rot0, tilt0, psi0, sx0=None, sy0=None,
                            defU0=None, defV0=None, def_ang=None,
                            voltage=300.0, Cs=2.7, Q0=0.07, Ts=1.0,
@@ -202,33 +257,20 @@ def continuous_assign_full(vol, imgs, rot0, tilt0, psi0, sx0=None, sy0=None,
               z if sy0 is None else -jnp.asarray(np.asarray(sy0, np.float32)),
               jnp.ones(B, jnp.float32), z,           # gray a, b
               z, z]                                  # ddefU, ddefV
-    lrs = [0.5, 0.5, 0.5, 0.2, 0.2,
-           0.02 if optimize_gray else 0.0,
-           0.02 if optimize_gray else 0.0,
-           (30.0 if optimize_defocus and use_ctf else 0.0),
-           (30.0 if optimize_defocus and use_ctf else 0.0)]
-    m = [jnp.zeros(B, jnp.float32) for _ in range(9)]
-    v = [jnp.zeros(B, jnp.float32) for _ in range(9)]
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    cost = None
-    for step in range(n_steps):
-        (loss, cost), grads = _l2_loss_grad(
-            tuple(params), vf, imgs, (defU0, defV0, def_ang), ctf_consts,
-            N, max_freq, use_ctf, phase_flipped)
-        for k in range(9):
-            if lrs[k] == 0.0:
-                continue
-            g = grads[k] * B
-            m[k] = b1 * m[k] + (1 - b1) * g
-            v[k] = b2 * v[k] + (1 - b2) * g * g
-            mh = m[k] / (1 - b1 ** (step + 1))
-            vh = v[k] / (1 - b2 ** (step + 1))
-            params[k] = params[k] - lrs[k] * mh / (jnp.sqrt(vh) + eps)
-        if verbose and (step + 1) % 20 == 0:
-            print(f"  continuous-full step {step + 1}: mean cost "
-                  f"{float(-cost.mean()):.5f}")
-    rot, tilt, psi, sx, sy, a, bb, ddU, ddV = (np.asarray(p)
-                                               for p in params)
+    lrs = jnp.asarray(
+        [0.5, 0.5, 0.5, 0.2, 0.2,
+         0.02 if optimize_gray else 0.0,
+         0.02 if optimize_gray else 0.0,
+         (30.0 if optimize_defocus and use_ctf else 0.0),
+         (30.0 if optimize_defocus and use_ctf else 0.0)], jnp.float32)
+    p, cost = _adam_scan_full(jnp.stack(params), vf, imgs,
+                              (defU0, defV0, def_ang), ctf_consts, lrs,
+                              N, float(max_freq), use_ctf,
+                              bool(phase_flipped), int(n_steps))
+    if verbose:
+        print(f"  continuous-full refine ({n_steps} steps): mean cost "
+              f"{float(-np.asarray(cost).mean()):.5f}")
+    rot, tilt, psi, sx, sy, a, bb, ddU, ddV = (np.asarray(q) for q in p)
     return dict(rot=rot, tilt=tilt, psi=psi, sx=-sx, sy=-sy, grayA=a,
                 grayB=bb, defocusU=np.asarray(defU0) + ddU,
                 defocusV=np.asarray(defV0) + ddV, cost=np.asarray(cost))
@@ -255,29 +297,16 @@ def continuous_assign(vol, imgs, rot0, tilt0, psi0, sx0=None, sy0=None,
               jnp.asarray(np.asarray(psi0, np.float32)),
               z if sx0 is None else -jnp.asarray(np.asarray(sx0, np.float32)),
               z if sy0 is None else -jnp.asarray(np.asarray(sy0, np.float32))]
-    lrs = [lr_angles, lr_angles, lr_angles, lr_shifts, lr_shifts]
-    # Adam (per-particle, per-parameter adaptive steps)
-    m = [jnp.zeros(B, jnp.float32) for _ in range(5)]
-    v = [jnp.zeros(B, jnp.float32) for _ in range(5)]
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    ncc = None
-    for step in range(n_steps):
-        if domain == "wavelet":
-            (loss, ncc), grads = _wavelet_loss_grad(tuple(params), vf,
-                                                    imgs, N)
-        else:
-            (loss, ncc), grads = _loss_grad(tuple(params), vf, imgs, N,
-                                            max_freq)
-        for k in range(5):
-            g = grads[k] * B  # mean -> per-particle gradient
-            m[k] = b1 * m[k] + (1 - b1) * g
-            v[k] = b2 * v[k] + (1 - b2) * g * g
-            mhat = m[k] / (1 - b1 ** (step + 1))
-            vhat = v[k] / (1 - b2 ** (step + 1))
-            params[k] = params[k] - lrs[k] * mhat / (jnp.sqrt(vhat) + eps)
-        if verbose and (step + 1) % 20 == 0:
-            print(f"  continuous step {step + 1}: mean wNCC "
-                  f"{float(ncc.mean()):.4f}")
-    rot, tilt, psi, sx, sy = (np.asarray(p) for p in params)
+    lrs = jnp.asarray([lr_angles, lr_angles, lr_angles, lr_shifts,
+                       lr_shifts], jnp.float32)
+    # the whole Adam refinement is ONE lax.scan dispatch (a host step
+    # loop pays dozens of link round-trips per step for the eager
+    # moment updates)
+    p, ncc = _adam_scan_pose(jnp.stack(params), vf, imgs, lrs, N,
+                             float(max_freq), int(n_steps), domain)
+    if verbose:
+        print(f"  continuous refine ({n_steps} steps): mean wNCC "
+              f"{float(np.asarray(ncc).mean()):.4f}")
+    rot, tilt, psi, sx, sy = (np.asarray(q) for q in p)
     return dict(rot=rot, tilt=tilt, psi=psi, sx=-sx, sy=-sy,
                 cost=np.asarray(ncc))

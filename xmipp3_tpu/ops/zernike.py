@@ -136,20 +136,12 @@ def fit_deformation(vol_ref, vol_target, L1: int = 3, L2: int = 2,
         warped = deform_volume(vol_ref, basis, coeffs)
         return -_vol_ncc(warped, vol_target)
 
-    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
-    coeffs = jnp.zeros((3, K), jnp.float32)
-    m = jnp.zeros_like(coeffs)
-    v = jnp.zeros_like(coeffs)
-    b1, b2, eps = 0.9, 0.999, 1e-8
-    for step in range(n_steps):
-        loss, g = grad_fn(coeffs)
-        m = b1 * m + (1 - b1) * g
-        v = b2 * v + (1 - b2) * g * g
-        mhat = m / (1 - b1 ** (step + 1))
-        vhat = v / (1 - b2 ** (step + 1))
-        coeffs = coeffs - lr * mhat / (jnp.sqrt(vhat) + eps)
-        if verbose and (step + 1) % 25 == 0:
-            print(f"  deform step {step + 1}: NCC {-float(loss):.4f}")
+    from xmipp3_tpu.ops.optim import adam_scan
+    coeffs, last = adam_scan(loss_fn, jnp.zeros((3, K), jnp.float32),
+                             n_steps, lr)
+    if verbose:
+        print(f"  deform refine ({n_steps} steps): NCC "
+              f"{-float(last):.4f}")
     deformed = deform_volume(vol_ref, basis, coeffs)
     return (np.asarray(coeffs), np.asarray(deformed),
             float(_vol_ncc(deformed, vol_target)))
