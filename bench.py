@@ -226,14 +226,20 @@ def bench_reconstruct(interp="tri+kb", nimg=10000):
     # scatter pipeline HBM model: sort (~4 passes of 16B/update) +
     # kernel streams (idx+3vals read + tile write-through)
     bytes_moved = upd / 3 * (4 * 16 + 16 + 16)
-    return dict(value=round(tot, 2), unit=f"s per 10k->128^3 ({interp})",
-                images_per_s=round(nimg / tot, 0),
-                updates_per_s=round(upd / t_bp, 0),
-                hbm_util=round(bytes_moved / t_bp / PEAK_HBM, 4),
-                note="Pallas sorted one-hot MXU scatter kernel; tri+kb = "
-                     "trilinear scatter + dense blob convolution (KB-grade "
-                     "FSC; see tests/test_reconstruct_quality). Round-1 "
-                     "XLA scatter path took 19.7 s")
+    out = dict(value=round(tot, 2), unit=f"s per 10k->128^3 ({interp})",
+               images_per_s=round(nimg / tot, 0),
+               updates_per_s=round(upd / t_bp, 0),
+               hbm_util=round(bytes_moved / t_bp / PEAK_HBM, 4),
+               note="Pallas sorted one-hot MXU scatter kernel; tri+kb = "
+                    "trilinear scatter + dense blob convolution (KB-grade "
+                    "FSC; see tests/test_reconstruct_quality). Round-1 "
+                    "XLA scatter path took 19.7 s")
+    if interp == "tri+kb":
+        # also record the reference-exact direct-KB mode (fused in-kernel
+        # 64-tap expansion, ops/pallas_scatter_kb.py)
+        kb = bench_reconstruct(interp="kb", nimg=nimg)
+        out["direct_kb_s"] = kb["value"]
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -346,7 +352,7 @@ def main():
     try:
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/xmipp3_tpu_jax"))
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     except Exception:
         pass
     platform = jax.devices()[0].platform
