@@ -190,3 +190,35 @@ class TestAlignmentGolden:
         f_zero = np.sqrt(1.0 / (lam * 15000.0))
         measured = ctf.first_zero_freq()
         assert measured == pytest.approx(f_zero, abs=2.5e-4)
+
+
+class TestKaiserBlobFourierPair:
+    """The analytic blob Fourier transform (Lewitt closed forms,
+    reference blobs.cpp:144-166) must equal the numeric 3-D FT of the
+    sampled profile — this is the pair the gridding deapodization
+    relies on."""
+
+    def _numeric_pair(self, a, alpha, m, n=64, dx=0.25):
+        from xmipp3_tpu.ops.basis import kaiser_value
+        ax = (np.arange(n) - n // 2) * dx
+        z, y, x = np.meshgrid(ax, ax, ax, indexing="ij")
+        r = np.sqrt(x * x + y * y + z * z)
+        vol = kaiser_value(r, a=a, alpha=alpha, m=m)
+        F = np.fft.fftshift(np.abs(np.fft.fftn(np.fft.ifftshift(vol))))
+        F = F * dx ** 3                        # Riemann-sum FT scale
+        freqs = np.fft.fftshift(np.fft.fftfreq(n, d=dx))
+        # radial line through the center
+        return freqs[n // 2:], F[n // 2, n // 2, n // 2:]
+
+    @pytest.mark.parametrize("m,alpha", [(2, 10.4), (0, 15.0)])
+    def test_analytic_matches_numeric(self, m, alpha):
+        from xmipp3_tpu.ops.basis import kaiser_fourier_value
+        a = 2.0
+        freqs, numeric = self._numeric_pair(a, alpha, m)
+        analytic = kaiser_fourier_value(freqs, a=a, alpha=alpha, m=m)
+        sel = freqs < 1.2                      # resolved band
+        scale = analytic[0]
+        err = np.abs(numeric[sel] - analytic[sel]).max() / scale
+        assert err < 2e-3
+        # DC value equals the blob mass
+        assert abs(numeric[0] - analytic[0]) / scale < 1e-3
