@@ -165,9 +165,8 @@ def _fitness_batch(P, psd, fy, fx, band, n: int, consts):
     return jax.vmap(lambda p: _fitness(p, psd, fy, fx, band, n, consts))(P)
 
 
-@partial(jax.jit, static_argnames=("free", "n", "n_rounds"))
-def _compass_opt(p0, steps0, psd, fy, fx, band, n: int, consts,
-                 free: tuple, n_rounds: int):
+def _compass_core(p0, steps0, psd, fy, fx, band, n: int, consts,
+                  free: tuple, n_rounds: int):
     """Whole compass/pattern search as ONE device program: n_rounds of
     [evaluate all +/-step coordinate candidates -> move or halve steps]
     inside a lax.scan, so a full stage costs a single dispatch (the
@@ -197,6 +196,44 @@ def _compass_opt(p0, steps0, psd, fy, fx, band, n: int, consts,
     (p, _, best), _ = jax.lax.scan(
         round_fn, (p0, steps0, best0), None, length=n_rounds)
     return p, best
+
+
+_compass_opt = partial(jax.jit, static_argnames=("n", "free", "n_rounds"))(
+    _compass_core)
+
+
+@partial(jax.jit, static_argnames=("n", "free", "n_rounds"))
+def _compass_opt_batch(P0, steps0, psds, fy, fx, band, n: int, consts,
+                       free: tuple, n_rounds: int):
+    """vmapped compass: R independent (seed, PSD) searches in one
+    dispatch — the per-region local defocus refinements of regions mode
+    (reference ctf_estimate_from_micrograph OnePerRegion) run together."""
+    return jax.vmap(
+        lambda p0, psd: _compass_core(p0, steps0, psd, fy, fx, band, n,
+                                      consts, free, n_rounds))(P0, psds)
+
+
+def refine_defocus_batch(psds, seed_params, sampling, voltage=300.0,
+                         Cs=2.7, Q0=0.07, Ca=2.0, min_freq=0.03,
+                         max_freq=0.35, vpp_radius=0.0, maxiter=3):
+    """Seeded per-PSD defocus refinement for a stack of piece PSDs, all
+    in one device dispatch. Returns (R, NPARAMS) refined parameters."""
+    psds = np.asarray(psds, np.float32)
+    R, n = psds.shape[0], psds.shape[1]
+    fy, fx = _freq_grids(n, float(sampling))
+    r_dig = np.sqrt((fy * sampling) ** 2 + (fx * sampling) ** 2)
+    band = jnp.asarray(((r_dig >= min_freq) & (r_dig <= max_freq))
+                       .astype(np.float32))
+    consts = (float(voltage), float(Cs), float(Ca), float(Q0),
+              float(vpp_radius))
+    free = tuple(STAGE_SETS["defocus"])
+    steps = jnp.asarray(CTFEstimator._STEPS[list(free)], jnp.float32)
+    P0 = jnp.broadcast_to(jnp.asarray(seed_params, jnp.float32),
+                          (R, NPARAMS))
+    P, _ = _compass_opt_batch(P0, steps, jnp.asarray(psds),
+                              jnp.asarray(fy), jnp.asarray(fx), band, n,
+                              consts, free, int(max(6 * maxiter, 8)))
+    return np.array(P, np.float32)
 
 
 # ---------------------------------------------------------------------------

@@ -244,8 +244,22 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
         seed = est.params
         rows = []
         defU, defV, xs, ys = [], [], [], []
-        for (y0, x0), psd_i in zip(regions, psds):
-            ctf_i, _ = self._fit_one(psd_i, seed_params=seed)
+        if self.accel_1d:
+            region_params = None
+        else:
+            # ALL per-region seeded defocus refinements in one vmapped
+            # device dispatch (models/ctf_estimation.refine_defocus_batch)
+            from xmipp3_tpu.models.ctf_estimation import refine_defocus_batch
+            region_params = refine_defocus_batch(
+                psds, seed, self.Ts, self.kV, self.Cs, self.Q0,
+                Ca=self.Ca, min_freq=self.min_freq,
+                max_freq=self.max_freq, vpp_radius=self.vpp_radius)
+        for k, ((y0, x0), psd_i) in enumerate(zip(regions, psds)):
+            if region_params is None:
+                ctf_i, _ = self._fit_one(psd_i, seed_params=seed)
+            else:
+                est.params = region_params[k]
+                ctf_i = est.to_ctf()
             xc = (x0 + piece / 2) * self.Ts
             yc = (y0 + piece / 2) * self.Ts
             rows.append({"xcoor": x0 + piece // 2, "ycoor": y0 + piece // 2,
@@ -302,8 +316,20 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
         est = self._estimator(psds.mean(axis=0))
         est.estimate()
         seed = est.params
+        if self.accel_1d:
+            particle_params = None
+        else:
+            from xmipp3_tpu.models.ctf_estimation import refine_defocus_batch
+            particle_params = refine_defocus_batch(
+                psds, seed, self.Ts, self.kV, self.Cs, self.Q0,
+                Ca=self.Ca, min_freq=self.min_freq,
+                max_freq=self.max_freq, vpp_radius=self.vpp_radius)
         for k, oid in enumerate(ids):
-            ctf_i, _ = self._fit_one(psds[k], seed_params=seed)
+            if particle_params is None:
+                ctf_i, _ = self._fit_one(psds[k], seed_params=seed)
+            else:
+                est.params = particle_params[k]
+                ctf_i = est.to_ctf()
             fn_i = f"{self.oroot}_particle{k + 1:04d}.ctfparam"
             ctf_i.write(fn_i)
             md.setValue("ctfModel", fn_i, oid)
