@@ -160,3 +160,46 @@ class TestDM3SpecBytes:
         hdr, data = read_dm(fn)
         assert data.shape == (5, 6)
         assert np.abs(data - img).max() < 1e-6
+
+
+class TestDM4SpecBytes:
+    """Gatan DM4 (public spec): like DM3 but version 4, 64-bit lengths
+    (root length, tag-directory counts, definition longs) and an extra
+    8-byte total-size field per tag."""
+
+    def _data_tag(self, name, defn, payload):
+        inner = b"%%%%" + struct.pack(">q", len(defn))
+        inner += b"".join(struct.pack(">q", d) for d in defn)
+        inner += payload
+        t = bytes([0x15]) + struct.pack(">h", len(name)) + name.encode()
+        t += struct.pack(">q", len(inner)) + inner
+        return t
+
+    def _dir_tag(self, name, inner, ntags):
+        body = bytes([1, 0]) + struct.pack(">q", ntags) + inner
+        t = bytes([0x14]) + struct.pack(">h", len(name)) + name.encode()
+        t += struct.pack(">q", len(body)) + body
+        return t
+
+    def test_minimal_image_tree_64bit(self, tmp_path):
+        from xmipp3_tpu.core.image_formats import read_dm
+        rng = np.random.default_rng(7)
+        img = rng.standard_normal((4, 7)).astype(np.float32)
+        data_tag = self._data_tag(
+            "Data", [20, 6, img.size], img.astype("<f4").tobytes())
+        dims_inner = (
+            self._data_tag("", [3], struct.pack("<i", 7))      # x first
+            + self._data_tag("", [3], struct.pack("<i", 4)))
+        dims_dir = self._dir_tag("Dimensions", dims_inner, 2)
+        imagedata = self._dir_tag("ImageData", data_tag + dims_dir, 2)
+        entry = self._dir_tag("", imagedata, 1)
+        imagelist = self._dir_tag("ImageList", entry, 1)
+        root = bytes([1, 0]) + struct.pack(">q", 1) + imagelist
+        blob = struct.pack(">i", 4) + struct.pack(">q", len(root))
+        blob += struct.pack(">i", 1) + root
+        fn = str(tmp_path / "spec.dm4")
+        with open(fn, "wb") as f:
+            f.write(blob)
+        hdr, data = read_dm(fn)
+        assert data.shape == (4, 7)
+        assert np.abs(data - img).max() < 1e-6
