@@ -7,8 +7,6 @@ sharding (the all_gather equivalent of the reference's gatherMetadatas).
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -16,10 +14,6 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from xmipp3_tpu.ops.match import (_scan_trials, _trial_shift_grid,
                                   match_to_gallery, refine_winners)
-from xmipp3_tpu.ops.geo import (alignment_to_md_pose, alignment_matrices_2d,
-                                apply_affine_2d)
-from xmipp3_tpu.ops.polar import cartesian_to_polar, ring_ffts
-from xmipp3_tpu.ops.shift import best_shift, correlation_index
 from xmipp3_tpu.parallel.mesh import pad_to_multiple, replicate, shard_particles
 
 
