@@ -119,3 +119,103 @@ def frequency_grid(shape, real: bool = True):
             f = np.fft.fftfreq(n).astype(np.float32)
         axes.append(f)
     return np.meshgrid(*axes, indexing="ij")
+
+
+def geo_to_transformation_matrix(geo: dict, dim: int = 2,
+                                 only_apply_shifts: bool = False):
+    """Metadata geometry record -> homogeneous transformation matrix
+    (3x3 for dim=2, 4x4 for dim=3) — the geo2TransformationMatrix contract
+    (xmippCore transformations.h; roundtrip behavior pinned by
+    function_tests/test_transformation_main.cpp geo2TransformationMatrix).
+
+    geo keys (all optional): rot, tilt, psi (deg), x, y, z, scale, flip.
+    Convention: linear part = scale · Fx(flip) · R, translation = shifts
+    (post-rotation, like alignment_matrix_2d)."""
+    psi = float(geo.get("psi", 0.0))
+    scale = float(geo.get("scale", 1.0))
+    flip = bool(geo.get("flip", False))
+    x = float(geo.get("x", 0.0))
+    y = float(geo.get("y", 0.0))
+    if only_apply_shifts:
+        psi, scale, flip = 0.0, 1.0, False
+    if dim == 2:
+        A = np.eye(3, dtype=np.float64)
+        a = np.deg2rad(psi)
+        c, s = np.cos(a), np.sin(a)
+        R = np.array([[c, s], [-s, c]], np.float64)
+        if flip:
+            R = np.diag([-1.0, 1.0]) @ R
+        A[:2, :2] = scale * R
+        A[0, 2] = x
+        A[1, 2] = y
+        return A
+    rot = float(geo.get("rot", 0.0))
+    tilt = float(geo.get("tilt", 0.0))
+    z = float(geo.get("z", 0.0))
+    if only_apply_shifts:
+        rot = tilt = 0.0
+    A = np.eye(4, dtype=np.float64)
+    from xmipp3_tpu.core import euler_orders as _eo
+    # float64 ZYZ (to_matrix(psi, tilt, rot) == Euler_angles2matrix(rot,
+    # tilt, psi); see tests/test_golden_euler.py eulerXmippMatch)
+    R = _eo.to_matrix(np.deg2rad(psi), np.deg2rad(tilt), np.deg2rad(rot),
+                      _eo.ZYZ)
+    if flip:
+        R = np.diag([-1.0, 1.0, 1.0]) @ R
+    A[:3, :3] = scale * R
+    A[:3, 3] = (x, y, z)
+    return A
+
+
+def transformation_matrix_to_geo(A) -> dict:
+    """Inverse of geo_to_transformation_matrix: decompose a homogeneous
+    matrix into (rot, tilt, psi, x, y, z, scale, flip)."""
+    A = np.asarray(A, np.float64)
+    dim = A.shape[0] - 1
+    L = A[:dim, :dim]
+    det = np.linalg.det(L)
+    flip = det < 0
+    scale = abs(det) ** (1.0 / dim)
+    R = L / scale
+    if flip:
+        R = np.diag([-1.0] + [1.0] * (dim - 1)) @ R
+    if dim == 2:
+        psi = np.degrees(np.arctan2(R[0, 1], R[0, 0]))
+        return {"psi": psi, "x": A[0, 2], "y": A[1, 2],
+                "scale": scale, "flip": bool(flip)}
+    rot, tilt, psi = matrix_to_euler(R)
+    return {"rot": rot, "tilt": tilt, "psi": psi,
+            "x": A[0, 3], "y": A[1, 3], "z": A[2, 3],
+            "scale": scale, "flip": bool(flip)}
+
+
+def transformation_matrix_from_string(s: str, dim: int = 4):
+    """Parse a transformation matrix from either a flat whitespace list of
+    16 numbers or a bracketed '[[a b c d], [..], ..]' form (the reference
+    string2TransformationMatrix contract). Returns (dim+? ) — a 4x4 is
+    parsed, then cropped to 3x3 2D form when dim == 3 — the top-left 3x3
+    of the 4x4 IS the 2D homogeneous matrix (shifts in column 2)."""
+    clean = s.replace("[", " ").replace("]", " ").replace(",", " ")
+    vals = [float(t) for t in clean.split()]
+    if len(vals) != 16:
+        raise ValueError(f"expected 16 matrix entries, got {len(vals)}")
+    M = np.array(vals, np.float64).reshape(4, 4)
+    if dim == 3:
+        return M[:3, :3].copy()
+    return M
+
+
+def rotation3d_matrix(angle_deg, axis):
+    """Rotation about an arbitrary axis, xmipp image (passive) convention —
+    rotation3DMatrix(ang, axis, M, homogeneous=false). Pinned by
+    function_tests/test_geometry_main.cpp rotateAngleAroundAxis: +90 about
+    X gives M[1,2]=+1, M[2,1]=-1 (the transpose of the active Rodrigues
+    matrix)."""
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    t = np.deg2rad(angle_deg)
+    K = np.array([[0, -axis[2], axis[1]],
+                  [axis[2], 0, -axis[0]],
+                  [-axis[1], axis[0], 0]])
+    R = np.eye(3) + np.sin(t) * K + (1 - np.cos(t)) * (K @ K)
+    return R.T

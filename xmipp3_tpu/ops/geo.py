@@ -64,19 +64,46 @@ def _bspline3_weight(t):
     return jnp.where(a < 1.0, w_inner, jnp.where(a < 2.0, w_outer, 0.0))
 
 
-def bspline3_prefilter_2d(img):
-    """B-spline coefficient prefilter (periodic boundary, via FFT).
+def bspline3_prefilter_2d(img, wrap: bool = True):
+    """B-spline coefficient prefilter: coeffs = img ⊛^-1 b3 where b3 is the
+    sampled cubic kernel [1/6, 4/6, 1/6] per axis.
 
-    The direct B-spline transform: coeffs = img ⊛^-1 b3 where b3 is the
-    sampled cubic kernel [1/6, 4/6, 1/6] per axis."""
+    wrap=True: periodic boundary (via FFT) — pairs with wrapped gathers.
+    wrap=False: mirror-off-bounds boundary (Bilib MirrorOffBounds, the
+    reference produceSplineCoefficients convention) — the half-sample-even
+    extension is exactly the DCT-II symmetry, so deconvolution is diagonal
+    in the DCT-II basis: H(k) = (4 + 2 cos(pi k / N)) / 6. Verified to 1e-7
+    against the embedded expected values of the reference's
+    function_tests/test_transformation_main.cpp (rotate test)."""
+    from jax.scipy import fft as jsp_fft
     H, W = img.shape[-2:]
-    ky = jnp.zeros(H, img.dtype).at[0].set(4 / 6).at[1].set(1 / 6).at[H - 1].set(1 / 6)
-    kx = jnp.zeros(W, img.dtype).at[0].set(4 / 6).at[1].set(1 / 6).at[W - 1].set(1 / 6)
-    denom = jnp.outer(jnp.fft.fft(ky), jnp.fft.fft(kx))
-    return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(img) / denom)).astype(img.dtype)
+    if wrap:
+        ky = jnp.zeros(H, img.dtype).at[0].set(4 / 6).at[1].set(1 / 6).at[H - 1].set(1 / 6)
+        kx = jnp.zeros(W, img.dtype).at[0].set(4 / 6).at[1].set(1 / 6).at[W - 1].set(1 / 6)
+        denom = jnp.outer(jnp.fft.fft(ky), jnp.fft.fft(kx))
+        return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(img) / denom)).astype(img.dtype)
+    hy = (4.0 + 2.0 * jnp.cos(jnp.pi * jnp.arange(H) / H)) / 6.0
+    hx = (4.0 + 2.0 * jnp.cos(jnp.pi * jnp.arange(W) / W)) / 6.0
+    c = jsp_fft.dct(img, axis=-2, norm="ortho") / hy[:, None]
+    c = jsp_fft.dct(c, axis=-1, norm="ortho") / hx[None, :]
+    c = jsp_fft.idct(jsp_fft.idct(c, axis=-1, norm="ortho"), axis=-2,
+                     norm="ortho")
+    return c.astype(img.dtype)
+
+
+def _mirror_off(idx, n):
+    """Map an integer index into [0, n) by mirror-off-bounds reflection
+    (valid for idx in [-n, 2n-1], which covers all B-spline taps)."""
+    idx = jnp.where(idx < 0, -1 - idx, idx)
+    return jnp.where(idx >= n, 2 * n - 1 - idx, idx)
 
 
 def _gather_bspline3(coeffs, yy, xx, wrap: bool):
+    """Cubic B-spline sampling. wrap=True: periodic taps. wrap=False:
+    mirror-off-bounds taps, with the OUTPUT zeroed wherever the sample point
+    itself falls outside [0, N-1] (the reference applyGeometry DONT_WRAP
+    contract: outside points are 0, near-edge points use the mirrored
+    extension — not zero-padded taps)."""
     H, W = coeffs.shape
     y0 = jnp.floor(yy).astype(jnp.int32)
     x0 = jnp.floor(xx).astype(jnp.int32)
@@ -84,20 +111,17 @@ def _gather_bspline3(coeffs, yy, xx, wrap: bool):
     for dy in range(-1, 3):
         wy = _bspline3_weight(yy - (y0 + dy).astype(yy.dtype))
         yi = y0 + dy
-        if wrap:
-            yi = jnp.mod(yi, H)
+        yi = jnp.mod(yi, H) if wrap else _mirror_off(jnp.clip(yi, -H, 2 * H - 1), H)
         for dx in range(-1, 3):
             wx = _bspline3_weight(xx - (x0 + dx).astype(xx.dtype))
             xi = x0 + dx
-            if wrap:
-                xi = jnp.mod(xi, W)
-                val = coeffs[yi, xi]
-            else:
-                inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
-                val = jnp.where(inside,
-                                coeffs[jnp.clip(yi, 0, H - 1),
-                                       jnp.clip(xi, 0, W - 1)], 0.0)
-            out = out + val * wy * wx
+            xi = jnp.mod(xi, W) if wrap else _mirror_off(jnp.clip(xi, -W, 2 * W - 1), W)
+            out = out + coeffs[yi, xi] * wy * wx
+    if not wrap:
+        eps = 1e-4
+        inside = ((yy >= -eps) & (yy <= H - 1 + eps) &
+                  (xx >= -eps) & (xx <= W - 1 + eps))
+        out = jnp.where(inside, out, 0.0)
     return out
 
 
@@ -133,7 +157,7 @@ def apply_affine_2d(imgs, mats, order: int = 1, wrap: bool = False,
         yy_in = ys + H // 2
         xx_in = xs + W // 2
         if order == 3:
-            coeffs = bspline3_prefilter_2d(img)
+            coeffs = bspline3_prefilter_2d(img, wrap=wrap)
             return _gather_bspline3(coeffs, yy_in, xx_in, wrap)
         return _gather_bilinear(img, yy_in, xx_in, wrap)
 

@@ -99,3 +99,17 @@ def raised_cosine_window_1d(n: int, overlap_frac: float = 0.5):
         wnd[:ramp] = t
         wnd[-ramp:] = t[::-1]
     return wnd
+
+
+def region_growing_equal_value(vol, seed=(0, 0, 0), filling_value=0):
+    """Flood-fill the 6-connected equal-value region containing `seed`:
+    output is 1 everywhere except the grown region, which takes
+    `filling_value` (reference regionGrowing3DEqualValue,
+    data/filters.cpp:499-560; seed = the array's first logical voxel)."""
+    from scipy import ndimage
+    v = np.asarray(vol)
+    eq = v == v[tuple(seed)]
+    lab, _ = ndimage.label(eq)
+    out = np.ones(v.shape, np.int32)
+    out[lab == lab[tuple(seed)]] = filling_value
+    return out

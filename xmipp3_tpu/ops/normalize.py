@@ -69,13 +69,42 @@ def subtract_background_plane(imgs, bg_mask):
     return out[0] if single else out
 
 
-def normalize_ramp(imgs, bg_mask=None):
+def least_squares_plane_fit(imgs, mask=None):
+    """LS plane coefficients (a, b, c) with plane = a·x + b·y + c over
+    logical (centered) coords; fit over `mask` points, or ALL points when
+    mask is None (reference least_squares_plane_fit_All_Points,
+    core/geometry — verified by function_tests/test_geometry_main.cpp which
+    expects a=b=1, c=0 for img(i,j)=i+j). Returns (B, 3) [a, b, c]."""
     imgs = jnp.asarray(imgs, jnp.float32)
-    shape = imgs.shape[-2:]
-    if bg_mask is None:
-        bg_mask = background_mask(shape)
-    flat = subtract_background_plane(imgs, bg_mask)
-    return normalize_new_xmipp(flat, bg_mask)
+    if imgs.ndim == 2:
+        imgs = imgs[None]
+    B, H, W = imgs.shape
+    w = (jnp.ones((H, W), jnp.float32) if mask is None
+         else jnp.asarray(mask, jnp.float32))
+    y = jnp.arange(H, dtype=jnp.float32)[:, None] - H // 2
+    x = jnp.arange(W, dtype=jnp.float32)[None, :] - W // 2
+    ones = jnp.ones((H, W), jnp.float32)
+    basis = jnp.stack([x * ones, y * ones, ones], axis=0)
+    G = jnp.einsum("ahw,bhw,hw->ab", basis, basis, w)
+    rhs = jnp.einsum("ahw,nhw,hw->na", basis, imgs, w)
+    return jnp.linalg.solve(G[None], rhs[:, :, None])[:, :, 0]
+
+
+def normalize_ramp(imgs, bg_mask=None):
+    """Reference Ramp mode: subtract the LS background plane — no rescaling
+    (data/normalize.cpp:333-372; plane over ALL points when no mask)."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    single = imgs.ndim == 2
+    if single:
+        imgs = imgs[None]
+    H, W = imgs.shape[-2:]
+    coef = least_squares_plane_fit(imgs, bg_mask)
+    y = jnp.arange(H, dtype=jnp.float32)[:, None] - H // 2
+    x = jnp.arange(W, dtype=jnp.float32)[None, :] - W // 2
+    plane = (coef[:, 0, None, None] * x[None] + coef[:, 1, None, None] * y[None]
+             + coef[:, 2, None, None])
+    out = imgs - plane
+    return out[0] if single else out
 
 
 @jax.jit

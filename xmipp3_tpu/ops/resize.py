@@ -81,7 +81,18 @@ def _resize_warp(imgs, A, out_h: int, out_w: int, order: int):
 
     def one(img):
         if order == 3:
-            return _gather_bspline3(bspline3_prefilter_2d(img), ys, xs, False)
+            return _gather_bspline3(bspline3_prefilter_2d(img, wrap=False),
+                                    ys, xs, False)
+        if order == 0:
+            # NEAREST: round-half-away-from-zero like the reference ROUND
+            yi = jnp.where(ys >= 0, jnp.floor(ys + 0.5),
+                           jnp.ceil(ys - 0.5)).astype(jnp.int32)
+            xi = jnp.where(xs >= 0, jnp.floor(xs + 0.5),
+                           jnp.ceil(xs - 0.5)).astype(jnp.int32)
+            inside = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+            return jnp.where(inside,
+                             img[jnp.clip(yi, 0, H - 1),
+                                 jnp.clip(xi, 0, W - 1)], 0.0)
         return _gather_bilinear(img, ys, xs, False)
 
     return jax.vmap(one)(imgs)

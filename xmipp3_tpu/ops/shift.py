@@ -112,3 +112,20 @@ def correlation_index(a, b):
     num = (am * bm).sum(axis=(-2, -1))
     den = jnp.sqrt((am * am).sum(axis=(-2, -1)) * (bm * bm).sum(axis=(-2, -1)))
     return num / jnp.maximum(den, 1e-12)
+
+
+@jax.jit
+def correlation_matrix(a, b):
+    """Centered circular cross-correlation map (reference
+    correlation_matrix, data/filters.h — FFT cross-power without
+    normalization, CenterFFT'd so zero lag sits at (H//2, W//2)).
+    Parity: function_tests/test_filters_main.cpp correlation_matrix expects
+    center == sum(a*b) for self-correlation."""
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    if a.ndim == 2:
+        a = a[None]
+    if b.ndim == 2:
+        b = b[None]
+    corr = jnp.fft.ifft2(jnp.fft.fft2(a) * jnp.conj(jnp.fft.fft2(b)))
+    return jnp.fft.fftshift(jnp.real(corr), axes=(-2, -1))
