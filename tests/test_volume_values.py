@@ -24,7 +24,7 @@ def test_volume_subtraction_self_cancels(tmp_path):
     Image((1.7 * v + 0.3).astype(np.float32)).write(d + "/b.vol")
     p = get_program("volume_subtraction")
     p.read(["x", "--i1", d + "/a.vol", "--i2", d + "/b.vol",
-            "-o", d + "/sub.vol"])
+            "-o", d + "/sub.vol", "--radavg", "--sub"])
     assert p.tryRun() == 0
     sub = np.squeeze(Image(d + "/sub.vol").data)
     assert np.abs(sub).max() < 5e-2 * np.abs(v).max()

@@ -81,3 +81,24 @@ def frc_2d(img1, img2, nbins: int | None = None):
     d2 = jnp.zeros(nbins).at[bins].add(jnp.abs(F2) ** 2)
     freqs = (jnp.arange(nbins) + 0.5) * (0.5 / nbins)
     return freqs, num / jnp.maximum(jnp.sqrt(d1 * d2), 1e-12)
+
+
+def frc_rfactor(vol1, vol2, min_freq: float = -2.0, max_freq: float = 1.0):
+    """R-factor between two volumes: sum(||F1|-|F2||)/sum(|F1|) over the
+    half (rfft) spectrum with digital |w| in (min_freq, max_freq) — the
+    reference frc_dpr's do_rfactor output (resolution_fsc.cpp:188; value
+    pinned to 0.134661 on the embedded 3x3x3 fixture of
+    function_tests/test_resolution_frc.cpp by tests/test_golden_frc.py)."""
+    v1 = jnp.asarray(vol1, jnp.float32)
+    v2 = jnp.asarray(vol2, jnp.float32)
+    D, H, W = v1.shape
+    F1 = jnp.abs(jnp.fft.rfftn(v1))
+    F2 = jnp.abs(jnp.fft.rfftn(v2))
+    fz = np.fft.fftfreq(D)[:, None, None]
+    fy = np.fft.fftfreq(H)[None, :, None]
+    fx = np.fft.rfftfreq(W)[None, None, :]
+    R = jnp.asarray(np.sqrt(fz * fz + fy * fy + fx * fx), jnp.float32)
+    m = (R > min_freq) & (R < max_freq)
+    num = jnp.where(m, jnp.abs(F1 - F2), 0.0).sum()
+    den = jnp.where(m, F1, 0.0).sum()
+    return num / den

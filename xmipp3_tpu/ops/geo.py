@@ -98,7 +98,7 @@ def _mirror_off(idx, n):
     return jnp.where(idx >= n, 2 * n - 1 - idx, idx)
 
 
-def _gather_bspline3(coeffs, yy, xx, wrap: bool):
+def _gather_bspline3(coeffs, yy, xx, wrap: bool, zero_outside: bool = True):
     """Cubic B-spline sampling. wrap=True: periodic taps. wrap=False:
     mirror-off-bounds taps, with the OUTPUT zeroed wherever the sample point
     itself falls outside [0, N-1] (the reference applyGeometry DONT_WRAP
@@ -117,7 +117,7 @@ def _gather_bspline3(coeffs, yy, xx, wrap: bool):
             xi = x0 + dx
             xi = jnp.mod(xi, W) if wrap else _mirror_off(jnp.clip(xi, -W, 2 * W - 1), W)
             out = out + coeffs[yi, xi] * wy * wx
-    if not wrap:
+    if not wrap and zero_outside:
         eps = 1e-4
         inside = ((yy >= -eps) & (yy <= H - 1 + eps) &
                   (xx >= -eps) & (xx <= W - 1 + eps))

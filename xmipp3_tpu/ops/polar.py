@@ -201,3 +201,49 @@ def best_rotation(ref, others, radius_min: int = 2, radius_max: int | None = Non
     f_ref = ring_ffts(p_ref)
     f_oth = ring_ffts(p_oth)
     return best_rotation_from_ffts(f_ref, f_oth, radius_min)
+
+
+def polar_rings_reference(coeffs, first_ring: int, last_ring: int,
+                          xoff: float = 0.0, yoff: float = 0.0,
+                          mode: str = "full"):
+    """Reference-exact polar ring sampling (Polar::getPolarFromCartesianBSpline,
+    data/polar.h:625-702): rings at integer radii, 2·int(0.5·angle·r) samples
+    per ring (min 1), sample (x, y) = r·(sin phi, cos phi) evaluated by cubic
+    B-spline on `coeffs` (the caller passes spline COEFFICIENTS) with
+    mirror-off-bounds extension and NO centering — the reference evaluates in
+    the array's own coordinate frame.
+
+    Returns (rings, radii): list of 1-D jnp arrays + list of radii.
+    Parity pinned by tests/test_golden_polar.py against the embedded values
+    of function_tests/test_polar_main.cpp."""
+    from xmipp3_tpu.ops.geo import _gather_bspline3
+    coeffs = jnp.asarray(coeffs, jnp.float32)
+    twopi = 2.0 * np.pi if mode == "full" else np.pi
+    rings, radii = [], []
+    for r in range(first_ring, last_ring + 1):
+        radius = float(r)
+        nsam = max(1, 2 * int(0.5 * twopi * radius))
+        phi = np.arange(nsam, dtype=np.float32) * np.float32(twopi / nsam)
+        xs = jnp.asarray(np.sin(phi) * radius + xoff)
+        ys = jnp.asarray(np.cos(phi) * radius + yoff)
+        rings.append(_gather_bspline3(coeffs, ys, xs, wrap=False,
+                                      zero_outside=False))
+        radii.append(radius)
+    return rings, radii
+
+
+def polar_weighted_stats(rings, radii, mode: str = "full"):
+    """Ring-area-weighted mean/stddev (Polar::computeAverageAndStddev,
+    data/polar.h:488-534): weight per sample = angle·radius/nsam."""
+    twopi = 2.0 * np.pi if mode == "full" else np.pi
+    s = s2 = n = 0.0
+    for ring, radius in zip(rings, radii):
+        vals = np.asarray(ring, np.float64)
+        w = twopi * radius / vals.size
+        s += w * vals.sum()
+        s2 += w * (vals ** 2).sum()
+        n += w * vals.size
+    if n > 0:
+        mean = s / n
+        return mean, float(np.sqrt(abs(s2 / n - mean * mean)))
+    return 0.0, 0.0

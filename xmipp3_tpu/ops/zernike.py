@@ -156,3 +156,89 @@ def deformation_amplitude(basis, coeffs) -> float:
     mag2 = dx ** 2 + dy ** 2 + dz ** 2
     inside = np.asarray(basis)[0] != 0 if len(basis) else mag2 > -1
     return float(np.sqrt(mag2[inside].mean())) if inside.any() else 0.0
+
+
+# ---------------------------------------------------------------------------
+# 2-D Zernike polynomials over images (the reference PolyZernikes,
+# data/xmipp_polynomials.{h,cpp}: Cartesian-coefficient representation per
+# SPIE 3190; used by ctf_enhance_psd + fringe processing. Behavior pinned by
+# tests/test_golden_polynomials.py against the embedded expected values of
+# function_tests/test_polynomials_main.cpp.)
+# ---------------------------------------------------------------------------
+
+def _zernike2d_nl(nz: int):
+    n = int(np.ceil((-3 + np.sqrt(9 + 8 * nz)) / 2))
+    return n, 2 * nz - n * (n + 2)
+
+
+def zernike2d_cart_matrix(nz: int) -> np.ndarray:
+    """Integer matrix C with Z_nz(x, y) = sum_ab C[a, b] x^a y^b."""
+    from math import comb, factorial
+    n, l = _zernike2d_nl(nz)
+    p = 1 if l > 0 else 0
+    labs = abs(l)
+    q = (labs - 1) // 2 if n % 2 else (labs // 2 - 1 if l > 0 else labs // 2)
+    m = (n - labs) // 2
+    C = np.zeros((n + 1, n + 1), np.int64)
+    for i in range(q + 1):
+        K1 = comb(labs, 2 * i + p)
+        for j in range(m + 1):
+            factor = 1 if (i + j) % 2 == 0 else -1
+            K2 = (factor * K1 * factorial(n - j)
+                  // (factorial(j) * factorial(m - j) * factorial(n - m - j)))
+            for k in range(m - j + 1):
+                ypow = 2 * (i + k) + p
+                xpow = n - 2 * (i + j + k) - p
+                C[xpow, ypow] += K2 * comb(m - j, k)
+    return C
+
+
+def _zernike2d_design(shape, indices):
+    """Evaluate each Z_k over the centered grid (x = j·2/maxdim), returning
+    (len(indices), H, W) float64."""
+    H, W = shape
+    c = 2.0 / max(H, W)
+    y = (np.arange(H) - H // 2)[:, None] * c
+    x = (np.arange(W) - W // 2)[None, :] * c
+    out = np.zeros((len(indices), H, W), np.float64)
+    for t, nz in enumerate(indices):
+        C = zernike2d_cart_matrix(nz)
+        acc = np.zeros((H, W), np.float64)
+        for a in range(C.shape[0]):
+            for b in range(C.shape[1]):
+                if C[a, b]:
+                    acc += C[a, b] * (x ** a) * (y ** b)
+        out[t] = acc
+    return out
+
+
+def zernike2d_pols(coef, shape, roi=None) -> np.ndarray:
+    """Image = sum_k coef[k]·Z_k over the ROI (PolyZernikes::zernikePols);
+    zero outside. Output in direct coordinates."""
+    coef = np.asarray(coef, np.float64)
+    nzs = [k for k in range(coef.size) if coef[k] != 0]
+    Z = _zernike2d_design(shape, nzs)
+    img = np.tensordot(coef[nzs], Z, axes=1)
+    if roi is not None:
+        img = np.where(np.asarray(roi, bool), img, 0.0)
+    return img
+
+
+def zernike2d_fit(im, coef_mask, weight=None, roi=None) -> np.ndarray:
+    """Weighted LS fit of the masked Zernike set to `im` over `roi`
+    (PolyZernikes::fit). Returns the fitted coefficients (one per selected
+    polynomial, in index order)."""
+    im = np.asarray(im, np.float64)
+    H, W = im.shape
+    mask = (np.ones_like(im, bool) if roi is None
+            else np.asarray(roi, bool))
+    w = np.ones_like(im) if weight is None else np.abs(
+        np.asarray(weight, np.float64))
+    coef_mask = np.asarray(coef_mask)
+    nzs = [k for k in range(coef_mask.size) if coef_mask[k] != 0]
+    Z = _zernike2d_design((H, W), nzs)
+    A = Z[:, mask].T
+    b = im[mask]
+    sw = np.sqrt(w[mask])
+    coeffs, *_ = np.linalg.lstsq(A * sw[:, None], b * sw, rcond=None)
+    return coeffs

@@ -159,27 +159,64 @@ class ProgVolumeSubtraction(XmippProgram):
     name = "xmipp_volume_subtraction"
 
     def defineParams(self):
-        self.addUsageLine("Subtract one volume from another with amplitude "
-                          "adjustment (reference volume_subtraction.h:33).")
-        self.addParamsLine("   --i1 <volume> : Volume A")
-        self.addParamsLine("   --i2 <volume> : Volume B (subtracted)")
-        self.addParamsLine("  [-o <out=subtraction.vol>] : A - adj(B)")
-        self.addParamsLine("  [--mask <m=\"\">] : Region where adjustment is fit")
+        self.addUsageLine("Adjust a volume to a reference by POCS iteration "
+                          "and optionally subtract (reference "
+                          "volume_subtraction.{h,cpp}: POCS amplitude/"
+                          "minmax/mask/phase/nonneg projections per "
+                          "iteration, runIteration at volume_subtraction."
+                          "cpp:362-410).")
+        self.addParamsLine("   --i1 <volume> : Reference volume")
+        self.addParamsLine("   --i2 <volume> : Volume to modify")
+        self.addParamsLine("  [-o <out=output_volume.mrc>] : Adjusted volume (or difference with --sub)")
+        self.addParamsLine("  [--sub] : Output the subtraction instead")
+        self.addParamsLine("  [--iter <n=5>] : Adjustment iterations")
+        self.addParamsLine("  [--sigma <s=3>] : Smoothing decay of the subtraction mask transition")
+        self.addParamsLine("  [--mask1 <m=\"\">] : Mask for volume 1")
+        self.addParamsLine("  [--mask2 <m=\"\">] : Mask for volume 2")
+        self.addParamsLine("  [--maskSub <m=\"\">] : Mask for the subtraction region")
+        self.addParamsLine("  [--cutFreq <f=0>] : Low-pass both volumes at this digital frequency")
+        self.addParamsLine("  [--lambda <l=1>] : Relaxation factor for the amplitude POCS")
+        self.addParamsLine("  [--radavg] : Match radially averaged amplitudes instead of direct ones")
+        self.addParamsLine("  [--saveV1 <f=\"\">] : Save the filtered reference (with --sub)")
+        self.addParamsLine("  [--saveV2 <f=\"\">] : Save the adjusted volume (with --sub)")
+        self.addParamsLine("  [--computeEnergy] : Print per-step convergence energy")
 
     def run(self):
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops import pocs
         v1 = np.squeeze(Image(self.getParam("--i1")).data).astype(np.float32)
         v2 = np.squeeze(Image(self.getParam("--i2")).data).astype(np.float32)
-        if self.checkParam("--mask") and self.getParam("--mask"):
-            m = np.squeeze(Image(self.getParam("--mask")).data) > 0.5
+        mask = None
+        if self.getParam("--mask1") and self.getParam("--mask2"):
+            m1 = np.squeeze(Image(self.getParam("--mask1")).data)
+            m2 = np.squeeze(Image(self.getParam("--mask2")).data)
+            mask = (m1 * m2).astype(np.float32)
+        cut = float(self.getDoubleParam("--cutFreq"))
+        adj = pocs.volume_adjust(
+            v1, v2, mask=mask, iters=int(self.getIntParam("--iter")),
+            lam=float(self.getDoubleParam("--lambda")),
+            radavg=self.checkParam("--radavg"), cut_freq=cut)
+        adj = np.asarray(adj)
+        if self.checkParam("--sub"):
+            if self.getParam("--maskSub"):
+                msub = np.squeeze(Image(self.getParam("--maskSub")).data)
+            else:
+                base = np.ones(v1.shape, np.float32) if mask is None else mask
+                sigma = float(self.getIntParam("--sigma"))
+                from scipy.ndimage import gaussian_filter
+                msub = gaussian_filter(base, sigma)
+            if self.getParam("--saveV2"):
+                save_image(self.getParam("--saveV2"), adj)
+            if self.getParam("--saveV1"):
+                v1f = np.asarray(
+                    jnp.fft.irfftn(jnp.fft.rfftn(jnp.asarray(v1))
+                                   * pocs._lowpass3d(v1.shape, cut), v1.shape)
+                    if cut else v1)
+                save_image(self.getParam("--saveV1"), v1f)
+            out = np.asarray(pocs.subtract_adjusted(v1, adj, msub, cut))
         else:
-            m = np.ones(v1.shape, bool)
-        # least-squares amplitude + offset fit of B to A inside the mask
-        b = v2[m]
-        a = v1[m]
-        A = np.stack([b, np.ones_like(b)], axis=1)
-        coef, *_ = np.linalg.lstsq(A, a, rcond=None)
-        save_image(self.getParam("-o"), v1 - (coef[0] * v2 + coef[1]))
-        self.scale = float(coef[0])
+            out = adj
+        save_image(self.getParam("-o"), out)
 
 
 class ProgVolumeSegment(XmippProgram):
