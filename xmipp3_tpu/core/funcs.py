@@ -186,3 +186,32 @@ def zernike2d(n: int, m: int, rho, theta):
     if m >= 0:
         return R * np.cos(am * theta)
     return R * np.sin(am * theta)
+
+
+def radial_average_noncubic(vol, rounding: bool = False):
+    """Radial average of a (possibly non-cubic) volume over in-plane (x, y)
+    distance from the centered origin, all z-slices pooled (the reference
+    radialAverageNonCubic with a 2-D center; behavior pinned by
+    tests/test_golden_multidim.py on the reference's smallVolume.vol:
+    len 46 / count[0]==4 without rounding, len 47 with rounding).
+
+    Bin = round(r) when `rounding` else floor(r); the output length comes
+    from the geometric maximum sqrt((X/2)^2 + (Y/2)^2), so trailing bins
+    may be empty (mean 0). Returns (radial_mean, radial_count)."""
+    v = np.asarray(vol, np.float64)
+    if v.ndim == 2:
+        v = v[None]
+    Z, H, W = v.shape
+    y = np.arange(H) - H // 2
+    x = np.arange(W) - W // 2
+    r = np.sqrt(y[:, None] ** 2.0 + x[None, :] ** 2.0)
+    rmax = np.sqrt((H // 2) ** 2.0 + (W // 2) ** 2.0)
+    n = int(np.ceil(rmax) if rounding else np.floor(rmax)) + 1
+    idx = (np.round(r) if rounding else np.floor(r)).astype(np.int64)
+    idx = np.minimum(idx, n - 1)
+    count = np.bincount(idx.ravel(), minlength=n) * Z
+    sums = np.zeros(n)
+    for k in range(Z):
+        sums += np.bincount(idx.ravel(), weights=v[k].ravel(), minlength=n)
+    mean = np.where(count > 0, sums / np.maximum(count, 1), 0.0)
+    return mean, count

@@ -114,6 +114,11 @@ class CTFDescription:
     def write(self, path: str) -> None:
         self.to_metadata().write(path, block="fullMicrograph")
 
+    @property
+    def Tm(self) -> float:
+        """Reference-parity alias for the sampling rate (A/px)."""
+        return self.sampling_rate
+
     # ------------------------------------------------------------------
     def side_info(self) -> dict:
         """K1..K7 etc. (reference produceSideInfo, ctf.cpp:645-678)."""
@@ -348,3 +353,62 @@ def wiener_filter_2d(imgs, ctf: CTFDescription, wiener_constant: float = 0.1,
     wien = c / denom
     out = jnp.fft.irfft2(jnp.fft.rfft2(imgs) * wien[None], s=(H, W))
     return out[0] if single else out
+
+
+# ---------------------------------------------------------------------------
+# CTF comparison metrics (reference data/ctf.cpp:107-330:
+# errorBetween2CTFs, errorMaxFreqCTFs, errorMaxFreqCTFs2D — embedded
+# expected values transliterated in tests/test_golden_ctf.py)
+# ---------------------------------------------------------------------------
+
+def _full_freq_grid(xdim: int, Tm: float):
+    f = np.fft.fftfreq(xdim) / Tm
+    return f[:, None], f[None, :]
+
+
+def error_between_2ctfs(ctf1: "CTFDescription", ctf2: "CTFDescription",
+                        xdim: int, min_freq: float, max_freq: float) -> float:
+    """Sum over the full FFT grid of |CTF2_pure - CTF1_pure| (undamped pure
+    values) restricted to digital |f| in [min_freq, max_freq] (converted to
+    1/A with ctf1's sampling)."""
+    fy, fx = _full_freq_grid(xdim, ctf1.Tm)
+    mod = np.sqrt(fx * fx + fy * fy)
+    lo, hi = min_freq / ctf1.Tm, max_freq / ctf1.Tm
+    sel = (mod >= lo) & (mod <= hi)
+    a = np.asarray(ctf1.pure_at(fx, fy, damped=False), np.float64)
+    b = np.asarray(ctf2.pure_at(fx, fy, damped=False), np.float64)
+    return float(np.abs(b - a)[sel].sum())
+
+
+def error_max_freq_ctfs(ctf1: "CTFDescription", phase_rad: float) -> float:
+    """Resolution (A) at which the astigmatic phase difference reaches
+    phase_rad: 1/sqrt(phase/(K1·|dfU - dfV|))."""
+    si = ctf1.side_info()
+    return float(1.0 / np.sqrt(
+        phase_rad / (si["K1"] * abs(ctf1.defocusU - ctf1.defocusV))))
+
+
+def error_max_freq_ctfs_2d(ctf1: "CTFDescription", ctf2: "CTFDescription",
+                           xdim: int, phase_rad: float) -> float:
+    """Resolution (A) from the area of the Fourier plane where the two CTFs'
+    phase arguments differ by less than phase_rad."""
+    fy, fx = _full_freq_grid(xdim, ctf1.Tm)
+    a = np.asarray(ctf1.argument_at(fx, fy), np.float64)
+    b = np.asarray(ctf2.argument_at(fx, fy), np.float64)
+    counter = int((np.abs(b - a) < phase_rad).sum())
+    total = np.pi * xdim * xdim / 4.0
+    max_freq_a = 1.0 / (2.0 * ctf1.Tm)
+    res_inv = max_freq_a if counter > total else counter * max_freq_a / total
+    return float(1.0 / res_inv)
+
+
+def generate_image_with_2ctfs(ctf1: "CTFDescription",
+                              ctf2: "CTFDescription", xdim: int):
+    """Centered CTF display image: right half (fx in [0, 0.5)) from ctf1,
+    left half from ctf2 (reference generateCTFImageWith2CTFs)."""
+    fy, fx = _full_freq_grid(xdim, ctf1.Tm)
+    v1 = np.asarray(ctf1.pure_at(fx * 0 + fx, fy + 0 * fx, damped=True))
+    v2 = np.asarray(ctf2.pure_at(fx * 0 + fx, fy + 0 * fx, damped=True))
+    right = np.fft.fftfreq(xdim) >= 0
+    out = np.where(right[None, :], v1, v2)
+    return np.fft.fftshift(out)

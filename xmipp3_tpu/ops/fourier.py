@@ -139,3 +139,11 @@ def radial_average_half(power, nbins: int):
     counts = jnp.zeros(nbins).at[flat_bins].add(1.0)
     out = sums / jnp.maximum(counts, 1.0)
     return out.reshape(power.shape[:-2] + (nbins,))
+
+
+def fft_idx2digfreq(idx: int, dim: int) -> float:
+    """The reference FFT_IDX2DIGFREQ: w = idx/dim for idx <= dim/2 else
+    (idx-dim)/dim. NOTE the even-size Nyquist bin maps to +0.5 (numpy
+    fftfreq gives -0.5 there); pinned by test_golden_multidim.py from
+    function_tests/test_fftw_main.cpp:80-109."""
+    return (idx if idx <= dim // 2 else idx - dim) / float(dim)

@@ -383,3 +383,26 @@ def window_2d(imgs, out_h: int, out_w: int, fill: float = 0.0):
     out = out.at[:, y0_dst:y0_dst + hh, x0_dst:x0_dst + ww].set(
         imgs[:, y0_src:y0_src + hh, x0_src:x0_src + ww])
     return out[0] if single else out
+
+
+def window_2d_logical(img, y0: int, x0: int, yF: int, xF: int,
+                      fill: float = 0.0):
+    """Crop/pad to the logical window [y0..yF] x [x0..xF] (the reference
+    window2D contract: indices are LOGICAL, the array's origin at
+    (H//2, W//2); out size (yF-y0+1, xF-x0+1) with out's STARTING at
+    (y0, x0)). Out-of-range source pixels take `fill`."""
+    img = np.asarray(img)
+    H, W = img.shape[-2:]
+    oh, ow = yF - y0 + 1, xF - x0 + 1
+    out = np.full(img.shape[:-2] + (oh, ow), fill, img.dtype)
+    cy, cx = H // 2, W // 2
+    ys = np.arange(y0, yF + 1) + cy
+    xs = np.arange(x0, xF + 1) + cx
+    ok_y = (ys >= 0) & (ys < H)
+    ok_x = (xs >= 0) & (xs < W)
+    iy = np.where(ok_y)[0]
+    ix = np.where(ok_x)[0]
+    if iy.size and ix.size:
+        out[..., iy[0]:iy[-1] + 1, ix[0]:ix[-1] + 1] = \
+            img[..., ys[iy[0]]:ys[iy[-1]] + 1, xs[ix[0]]:xs[ix[-1]] + 1]
+    return out

@@ -331,3 +331,31 @@ def estimate_gain(frames) -> np.ndarray:
     m = mean.mean()
     gain = np.where(mean > 1e-6 * m, m / np.maximum(mean, 1e-12), 1.0)
     return gain.astype(np.float32)
+
+
+# scalar dose-model API (reference ProgMovieFilterDose::doseFilter/
+# criticalDose/optimalDoseGivenCriticalDose/initVoltage,
+# movie_filter_dose.cpp:85-122; embedded expected values transliterated in
+# tests/test_golden_movie_dose.py)
+
+def voltage_scaling_factor(voltage: float) -> float:
+    if 299.0 < voltage < 301.0:
+        return 1.0
+    if 199.0 < voltage < 201.0:
+        return 0.8
+    raise ValueError("acceleration voltage must be 200 or 300 kV")
+
+
+def critical_dose(spatial_frequency: float, voltage: float = 300.0) -> float:
+    """Nc(k) = (a·k^b + c) · voltage_scale, a=0.24499 b=-1.6649 c=2.8141."""
+    return ((0.24499 * spatial_frequency ** (-1.6649) + 2.8141)
+            * voltage_scaling_factor(voltage))
+
+
+def dose_filter_value(dose_at_end_of_frame: float,
+                      critical_dose_: float) -> float:
+    return float(np.exp(-0.5 * dose_at_end_of_frame / critical_dose_))
+
+
+def optimal_dose(critical_dose_: float) -> float:
+    return 2.51284 * critical_dose_

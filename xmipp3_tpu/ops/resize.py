@@ -106,3 +106,22 @@ def pyramid_reduce_2d(imgs, levels: int = 1):
         H, W = out.shape[-2:]
         out = fourier_resize_2d(out, H // 2, W // 2)
     return out
+
+
+def reslice(vol, view: str):
+    """Volume reslicing (the reference MultidimArray::reslice /
+    xmipp_image_base VIEW_* semantics, pinned by test_golden_multidim.py from
+    function_tests/test_multidim_main.cpp:283-308):
+      y_neg: out[Zout-1-i, k, j] = in[k, i, j]
+      x_neg: out[Xout-1-j, i, k] = in[k, i, j]
+    y_pos / x_pos are the transposes without the new-axis flip."""
+    v = np.asarray(vol)
+    if view == "y_neg":
+        return v.transpose(1, 0, 2)[::-1].copy()
+    if view == "y_pos":
+        return v.transpose(1, 0, 2)[:, ::-1].copy()
+    if view == "x_neg":
+        return v.transpose(2, 1, 0)[::-1].copy()
+    if view == "x_pos":
+        return v.transpose(2, 1, 0)[:, :, ::-1].copy()
+    raise ValueError(f"unknown reslice view '{view}'")
