@@ -1,0 +1,69 @@
+"""Golden parity with function_tests/test_fringe_processing_main.cpp and
+test_wavelets_main.cpp: the embedded simulPattern values (the reference's
+SPTH/normalize asserts are one-sided `(x - v) < tol` checks — vacuously true
+for any smaller x — so the transferable pins are the pattern values; the
+quadrature itself is asserted here exactly on a periodic pattern instead),
+plus a demodulation phase-recovery check and the KLH.tif monogenic smoke."""
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from xmipp3_tpu.ops.fringe import demodulate, simul_pattern, spth
+
+
+def test_simul_pattern_open_values():
+    im = simul_pattern("open", 311, 312, 0.0, 20.0)
+    assert im.shape == (312, 311)
+    assert im[0, 0] == pytest.approx(0.521457, abs=0.01)
+    assert im[0, 1] == pytest.approx(0.626272, abs=0.01)
+    assert im[1, 0] == pytest.approx(0.521457, abs=0.01)
+
+
+def test_simul_pattern_closed_values():
+    im = simul_pattern("closed", 311, 312, 0.0, 1.0)
+    assert im[0, 0] == pytest.approx(0.943527, abs=0.01)
+    assert im[0, 1] == pytest.approx(0.975946, abs=0.01)
+    assert im[1, 0] == pytest.approx(0.976113, abs=0.01)
+
+
+def test_spth_exact_quadrature_periodic():
+    """SPTH of cos(kx) on a periodic grid is the exact quadrature:
+    imag == sin(kx) up to global sign, real ~ 0."""
+    n = 128
+    x = np.arange(n) * (2 * np.pi * 5 / n)
+    im = np.cos(x)[None, :] * np.ones((n, n))
+    q = np.asarray(spth(jnp.asarray(im)))
+    assert np.abs(q.real).max() < 1e-4
+    sgn = np.sign((q.imag * np.sin(x)[None, :]).sum())
+    assert np.abs(sgn * q.imag - np.sin(x)[None, :]).max() < 1e-4
+
+
+def test_demodulate_recovers_phase_gradient():
+    """Demodulating cos(phase) recovers a phase whose cos matches."""
+    n = 128
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64)
+    ph = 2 * np.pi * (6 * x + 2 * y) / n
+    im = np.cos(ph).astype(np.float32)
+    phase, mod = demodulate(jnp.asarray(im))
+    phase = np.asarray(phase)
+    inner = (slice(16, -16), slice(16, -16))
+    c = np.corrcoef(np.cos(phase)[inner].ravel(), im[inner].ravel())[0, 1]
+    assert abs(c) > 0.98
+    assert np.asarray(mod)[inner].mean() == pytest.approx(1.0, abs=0.15)
+
+
+def test_phase_cong_mono_klh_smoke(reference_resources):
+    """test_wavelets_main.cpp phaseCongMono: run the monogenic pipeline on
+    the reference's KLH.tif without error (the reference asserts nothing)."""
+    path = os.path.join(reference_resources, "filters", "KLH.tif")
+    from xmipp3_tpu.core.image import Image
+    im = np.squeeze(Image(path).data).astype(np.float32)
+    assert im.ndim == 2 and min(im.shape) > 32
+    im0 = im - im.mean()
+    q = np.asarray(spth(jnp.asarray(im0)))
+    amp = np.sqrt(im0 ** 2 + np.abs(q) ** 2)   # 2-D monogenic amplitude
+    assert amp.shape == im.shape
+    assert np.isfinite(amp).all()

@@ -122,3 +122,15 @@ def test_dm3_reader(tmp_path):
     back = np.squeeze(Image(fn).data)
     assert back.shape == (14, 10)
     np.testing.assert_allclose(back, img, atol=1e-6)
+
+
+def test_tiff_compressed_strips(tmp_path):
+    """PackBits / LZW / Deflate TIFF strips decode exactly (validated
+    against PIL-written files — independent encoder)."""
+    PILImage = pytest.importorskip("PIL.Image")
+    arr = (np.arange(64 * 48).reshape(48, 64) % 251).astype(np.uint8)
+    for comp in ("tiff_lzw", "packbits", "tiff_deflate"):
+        p = str(tmp_path / f"c_{comp}.tif")
+        PILImage.fromarray(arr).save(p, compression=comp)
+        got = np.squeeze(Image(p).data)
+        assert np.array_equal(got, arr.astype(np.float32)), comp

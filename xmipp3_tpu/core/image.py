@@ -292,8 +292,78 @@ def read_raw(path: str, header_only=False):
 
 
 # ---------------------------------------------------------------------------
-# TIFF (minimal baseline-TIFF reader; no compression)
+# TIFF reader: baseline + PackBits / LZW / Deflate strips (the compression
+# schemes libtiff emits for cryo-EM micrographs; reference uses libtiff)
 # ---------------------------------------------------------------------------
+
+def _packbits_decode(data: bytes) -> bytes:
+    """TIFF PackBits (compression 32773) RLE."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i:i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += data[i:i + 1] * (257 - h)
+            i += 1
+        # 128 = no-op
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF LZW (compression 5): MSB-first variable-width codes with
+    early-change, clear=256, EOI=257."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev = None
+    bitbuf = 0
+    bitcnt = 0
+    for byte in data:
+        bitbuf = (bitbuf << 8) | byte
+        bitcnt += 8
+        while bitcnt >= width:
+            code = (bitbuf >> (bitcnt - width)) & ((1 << width) - 1)
+            bitcnt -= width
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOI:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) >= (1 << width) - 1 and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def _tiff_decompress(data: bytes, compression: int) -> bytes:
+    if compression == 1:
+        return data
+    if compression == 32773:
+        return _packbits_decode(data)
+    if compression == 5:
+        return _lzw_decode(data)
+    if compression in (8, 32946):
+        import zlib
+        return zlib.decompress(data)
+    raise XmippError(ErrCode.IMG_UNKNOWN,
+                     f"TIFF compression {compression} unsupported")
+
 
 def read_tiff(path: str, header_only=False):
     with open(path, "rb") as f:
@@ -326,8 +396,8 @@ def read_tiff(path: str, header_only=False):
         if isinstance(bits, tuple):
             bits = 8  # multi-channel unsupported; treat as gray8
         sfmt = tags.get(339, 1)
-        if tags.get(259, 1) != 1:
-            raise XmippError(ErrCode.IMG_UNKNOWN, "compressed TIFF unsupported")
+        compression = tags.get(259, 1)
+        predictor = tags.get(317, 1)
         strip_off = tags[273]
         if isinstance(strip_off, tuple):
             off, typ, cnt = strip_off
@@ -337,6 +407,17 @@ def read_tiff(path: str, header_only=False):
                                  f.read((2 if typ == 3 else 4) * cnt))
         else:
             offs = (strip_off,)
+        strip_cnt = tags.get(279)
+        if isinstance(strip_cnt, tuple):
+            off, typ, cnt = strip_cnt
+            f.seek(off)
+            fmtc = "H" if typ == 3 else "I"
+            counts = struct.unpack(order + fmtc * cnt,
+                                   f.read((2 if typ == 3 else 4) * cnt))
+        elif strip_cnt is not None:
+            counts = (strip_cnt,)
+        else:
+            counts = None
         rows_per_strip = tags.get(278, height)
         if isinstance(rows_per_strip, tuple):
             rows_per_strip = height
@@ -355,11 +436,21 @@ def read_tiff(path: str, header_only=False):
             return hdr, None
         rows = []
         remaining = height
-        for off in offs:
+        for si, off in enumerate(offs):
             f.seek(off)
             nrows = min(rows_per_strip, remaining)
-            rows.append(np.fromfile(f, dtype=dt, count=nrows * width
-                                    ).reshape(nrows, width))
+            if compression == 1:
+                strip = np.fromfile(f, dtype=dt, count=nrows * width)
+            else:
+                raw = f.read(counts[si] if counts else None)
+                dec = _tiff_decompress(raw, compression)
+                strip = np.frombuffer(dec, dtype=dt,
+                                      count=nrows * width).copy()
+            strip = strip.reshape(nrows, width)
+            if predictor == 2:
+                strip = np.cumsum(strip.astype(np.int64), axis=1).astype(
+                    dt.base if hasattr(dt, "base") else dt)
+            rows.append(strip)
             remaining -= nrows
         return hdr, np.concatenate(rows, axis=0).astype(np.float32)
 

@@ -59,3 +59,40 @@ def demodulate(im, sigma_or=2.0):
     mod = jnp.sqrt(im ** 2 + Q ** 2)
     phase = jnp.arctan2(Q, im)
     return phase, mod
+
+
+def simul_pattern(kind: str, nx: int, ny: int, noise_level: float = 0.0,
+                  freq: float = 1.0, coefs=None, rng=None):
+    """Synthetic fringe patterns (reference simulPattern,
+    fringe_processing.cpp:42-108), output in DIRECT coordinates (the
+    reference resets STARTING to 0 before returning). Kinds:
+      open:        cos(j·c·freq)
+      closed:      cos(50·exp(-((i·c·freq)^2+(j·c·freq)^2)/2))
+      complex_open/complex_closed: same with a Zernike phase term from
+      `coefs` added inside the cosine
+      closed_mod:  closed fringes under a Gaussian modulation envelope
+    with c = 2/max(nx, ny) over centered logical coords. Values pinned by
+    tests/test_golden_fringe.py against the embedded constants of
+    function_tests/test_fringe_processing_main.cpp."""
+    c = 2.0 / max(nx, ny)
+    i = (np.arange(ny) - ny // 2)[:, None] * c
+    j = (np.arange(nx) - nx // 2)[None, :] * c
+    phase = 0.0
+    if kind.startswith("complex") and coefs is not None:
+        from xmipp3_tpu.ops.zernike import zernike2d_pols
+        phase = zernike2d_pols(np.asarray(coefs, float), (ny, nx))
+    if kind in ("open", "complex_open"):
+        im = np.cos(j * freq + phase) * np.ones((ny, nx))
+    elif kind in ("closed", "complex_closed"):
+        im = np.cos(50 * np.exp(-0.5 * ((i * freq) ** 2 + (j * freq) ** 2))
+                    + phase)
+    elif kind == "closed_mod":
+        env = np.exp(-0.5 * ((i * freq) ** 2 + (j * freq) ** 2) / 4.0)
+        im = env * np.cos(50 * np.exp(
+            -0.5 * ((i * freq) ** 2 + (j * freq) ** 2)))
+    else:
+        raise ValueError(f"unknown pattern kind '{kind}'")
+    if noise_level > 0:
+        rng = np.random.default_rng() if rng is None else rng
+        im = im + rng.normal(0.0, noise_level, im.shape)
+    return np.broadcast_to(im, (ny, nx)).astype(np.float64).copy()
