@@ -130,9 +130,18 @@ def parse_star(text: str) -> list[StarBlock]:
                 # (per-line Python tokenizing was the large-table read
                 # bottleneck; quotes/vectors fall back to the tokenizer)
                 import io as _io
+                ncols = len(data_lines[0].split())
+                names = labels[:ncols]
+                # rows with MORE tokens than labels (ragged legacy files):
+                # absorb extras into dummy columns — and always pass
+                # index_col=False, else pandas silently promotes the first
+                # column to the index and shifts every field left
+                extra = [f"__extra{k}" for k in range(ncols - len(names))]
                 df = pd.read_csv(_io.StringIO("\n".join(data_lines)),
                                  sep=r"\s+", header=None,
-                                 names=labels[:len(data_lines[0].split())])
+                                 names=names + extra, index_col=False)
+                if extra:
+                    df = df.drop(columns=extra)
             elif labels and data_lines:
                 rows = [_tokenize_row(l) for l in data_lines]
                 df = pd.DataFrame(rows, columns=labels[: len(rows[0])])

@@ -101,3 +101,106 @@ def radial_profile(psd_half, nbins: int | None = None):
     prof = np.asarray(radial_average_half(jnp.asarray(psd_half)[None], nbins))[0]
     freqs = (np.arange(nbins) + 0.5) * (0.5 / nbins)
     return freqs, prof
+
+
+def get_patches_location(borders, mic_dims, patch_dims, overlap: float):
+    """Patch rectangles (xs, ys, xe, ye), inclusive, exactly the reference
+    PSDEstimator::getPatchesLocation stepping (psd_estimator.cpp:35-71);
+    contract transliterated in tests/test_golden_psd.py from
+    function_tests/test_psd_estimator.cpp windowCoords."""
+    bx, by = borders
+    mx, my = mic_dims
+    px, py = patch_dims
+    step_x = max(int((1.0 - overlap) * px), 1)
+    step_y = max(int((1.0 - overlap) * py), 1)
+    max_x = mx - bx - px
+    max_y = my - by - py
+    out = []
+    y = by
+    while y < max_y + step_y:
+        ys = min(y, max_y)
+        x = bx
+        while x < max_x + step_x:
+            xs = min(x, max_x)
+            out.append((xs, ys, xs + px - 1, ys + py - 1))
+            x += step_x
+        y += step_y
+    return out
+
+
+def half2whole(half: np.ndarray) -> np.ndarray:
+    """Expand an rfft half-spectrum (sy, fx) to the full (sy, sx) plane by
+    Hermitian mirroring: out[y, sx-1-x] = in[(sy-y) % sy, x+1]
+    (PSDEstimator::half2whole; index relations pinned by
+    tests/test_golden_psd.py from test_psd_estimator.cpp half2whole)."""
+    half = np.asarray(half)
+    sy, fx = half.shape
+    sx = (fx - 1) * 2 if (fx - 1) * 2 >= fx else fx  # even full size
+    # reference: sx = original spatial x; we reconstruct assuming even
+    # unless told otherwise — use half2whole_sized for explicit sizes
+    return half2whole_sized(half, sx)
+
+
+def half2whole_sized(half: np.ndarray, sx: int) -> np.ndarray:
+    half = np.asarray(half)
+    sy, fx = half.shape
+    out = np.empty((sy, sx), half.dtype)
+    out[:, :fx] = half
+    for x in range(sx - fx):
+        x_in = x + 1
+        y_in = (sy - np.arange(sy)) % sy
+        out[:, sx - x - 1] = half[y_in, x_in]
+    return out
+
+
+def _piece_smoother(py: int, px: int) -> np.ndarray:
+    """The reference border-attenuation window
+    (ProgCTFEstimateFromMicrograph::constructPieceSmoother,
+    ctf_estimate_from_micrograph.cpp:145-190): separable raised cosine over
+    the outer alpha=2.5% of each centered axis."""
+    alpha = 0.025
+    out = np.ones((py, px))
+    for axis, n in ((0, py), (1, px)):
+        coords = np.abs((np.arange(n) - n // 2) * (2.0 / n))
+        m = np.where(coords > 1 - alpha,
+                     0.5 * (1 + np.cos(np.pi * ((coords - 1) / alpha + 1))),
+                     1.0)
+        out *= m[:, None] if axis == 0 else m[None, :]
+    return out
+
+
+def estimate_psd_reference(mic: np.ndarray, overlap: float = 0.4,
+                           patch=(384, 384), normalize: bool = True):
+    """The psd_estimate program engine (PSDEstimator::estimatePSD,
+    psd_estimator.cpp:74-150): overlapped patches -> per-patch (0,1)
+    normalization -> piece smoother -> average |FFT| magnitude ->
+    Hermitian full plane -> optional 10·log10 display normalization.
+    The patch FFT loop runs as ONE batched device dispatch."""
+    mic = np.asarray(mic, np.float32)
+    H, W = mic.shape
+    px, py = patch
+    rects = get_patches_location((0, 0), (W, H), (px, py), overlap)
+    tiles = np.stack([mic[ys:ye + 1, xs:xe + 1] for (xs, ys, xe, ye)
+                      in rects])
+    smoother = _piece_smoother(py, px).astype(np.float32)
+
+    @jax.jit
+    def _run(tiles):
+        t = jnp.asarray(tiles, jnp.float32)
+        mean = t.mean(axis=(-2, -1), keepdims=True)
+        std = jnp.maximum(t.std(axis=(-2, -1), keepdims=True), 1e-12)
+        t = (t - mean) / std
+        t = t * jnp.asarray(smoother)[None]
+        return jnp.abs(jnp.fft.rfft2(t)).sum(axis=0)
+
+    mags = np.asarray(_run(tiles))
+    psd = half2whole_sized(mags, px)
+    if normalize:
+        pos = psd > 0
+        minv = 10 * np.log10(psd[pos].min()) if pos.any() else 0.0
+        psd = np.where(pos, 10 * np.log10(np.maximum(psd, 1e-30)), minv)
+        # outlier rejection (reference reject_outliers): clamp beyond
+        # 3 sigma of the map statistics
+        m, s = psd.mean(), psd.std()
+        psd = np.clip(psd, m - 3 * s, m + 3 * s)
+    return psd.astype(np.float32)

@@ -221,7 +221,7 @@ register("resolution_directional",
          P + "resolution_dir:ProgResolutionDirectional")
 register("ctf_estimate_psd_with_arma",
          P + "resolution_dir:ProgCTFEstimatePSDWithARMA")
-register("psd_estimate", P + "resolution_dir:ProgCTFEstimatePSDWithARMA")
+register("psd_estimate", P + "resolution_dir:ProgPSDEstimate")
 register("classify_CL2D_core_analysis",
          P + "resolution_dir:ProgClassifyCL2DCoreAnalysis")
 register("angular_accuracy_pca",

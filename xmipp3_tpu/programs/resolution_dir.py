@@ -260,3 +260,34 @@ class ProgAngularAccuracyPCA(XmippProgram):
 
 
 PROGRAM = None
+
+
+class ProgPSDEstimate(XmippProgram):
+    """Periodogram PSD of a micrograph (the reference psd_estimate program,
+    applications/programs/psd_estimate/psd_estimate_main.cpp over
+    PSDEstimator::estimatePSD, psd_estimator.cpp:74) — DISTINCT from the
+    ARMA-model program ctf_estimate_psd_with_arma."""
+    name = "xmipp_psd_estimate"
+
+    def defineParams(self):
+        self.addUsageLine("Estimate the PSD of a micrograph by averaged "
+                          "overlapping periodograms.")
+        self.addParamsLine("   -i <input_file> : Micrograph to be analyzed")
+        self.addParamsLine("   -o <output_file> : PSD to be stored")
+        self.addParamsLine("  [--overlap <o=0.4>] : overlap of the patches")
+        self.addParamsLine("  [--patches <x=384> <y=384>] : size of the patches")
+        self.addParamsLine("  [--threads <t=4>] : for FFT (accepted for CLI parity; the FFT is batched on device)")
+        self.addParamsLine("  [--skipNormalization] : if not present, FFT will be centered, and log_10 applied")
+
+    def run(self):
+        from xmipp3_tpu.core.image import Image
+        from xmipp3_tpu.ops.psd import estimate_psd_reference
+        mic = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        toks = self.getListParam("--patches")
+        px, py = int(float(toks[0])), int(float(toks[1]))
+        psd = estimate_psd_reference(
+            mic, overlap=float(self.getDoubleParam("--overlap")),
+            patch=(px, py),
+            normalize=not self.checkParam("--skipNormalization"))
+        Image(np.fft.fftshift(psd) if not self.checkParam(
+            "--skipNormalization") else psd).write(self.getParam("-o"))
