@@ -197,7 +197,7 @@ register("compare_density", P + "final_batch:ProgCompareDensity")
 register("image_assignment_tilt_pair",
          P + "final_batch:ProgImageAssignmentTiltPair")
 register("image_align_tilt_pairs",
-         P + "final_batch:ProgImageAssignmentTiltPair")
+         P + "align_tilt_pairs:ProgAlignTiltPairs")
 register("ctf_correct_wiener3d", P + "final_batch:ProgCTFCorrectWiener3D")
 register("transform_adjust_volume_grey_levels",
          P + "final_batch:ProgAdjustVolumeGreyLevels")
@@ -207,7 +207,7 @@ register("metadata_convert_emx",
 
 # functionality aliases: reference endpoints whose engine already exists
 register("forward_zernike_images",
-         P + "zernike_programs:ProgAngularSphAlignment")
+         P + "zernike_programs:ProgForwardZernikeImages")
 register("forward_zernike_volume", P + "zernike_programs:ProgVolumeDeformSph")
 register("volume_apply_deform_sph",
          P + "zernike_programs:ProgVolumeApplyCoefficientZernike3D")
@@ -279,7 +279,7 @@ register("flexible_alignment", P + "flex_misc_ext:ProgFlexibleAlignment")
 register("forward_zernike_subtomos",
          P + "flex_misc_ext:ProgForwardZernikeSubtomos")
 register("forward_zernike_images_priors",
-         P + "zernike_programs:ProgAngularSphAlignment")
+         P + "zernike_programs:ProgForwardZernikeImagesPriors")
 register("art_zernike3d", P + "flex_misc_ext:ProgArtZernike3D")
 register("forward_art_zernike3d_subtomos",
          P + "flex_misc_ext:ProgForwardArtZernike3DSubtomos")

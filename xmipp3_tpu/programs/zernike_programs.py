@@ -197,3 +197,120 @@ class ProgAngularSphAlignment(XmippProgram):
 
 
 PROGRAM = None
+
+
+class ProgForwardZernikeImages(XmippProgram):
+    """DISTINCT forward-model Zernike3D engine (reference
+    forward_zernike_images.{h,cpp}): each particle is fit by splatting the
+    deformed masked voxel cloud directly into its projection plane
+    (deformVol, forward_zernike_images.cpp:1047-1145) with simultaneous
+    pose-delta refinement and deformation regularization — not the
+    deform-volume-then-project scheme of angular_sph_alignment."""
+    name = "xmipp_forward_zernike_images"
+
+    def defineParams(self):
+        self.addUsageLine("Per-particle flexible refinement with the "
+                          "forward splatting model.")
+        self.addParamsLine("   -i <md_file> : Particles with poses")
+        self.addParamsLine("   --ref <volume> : Reference volume")
+        self.addParamsLine("   -o <md_file> : Output metadata")
+        self.addParamsLine("  [--l1 <l1=2>] : Zernike radial depth")
+        self.addParamsLine("  [--l2 <l2=2>] : Spherical harmonic depth")
+        self.addParamsLine("  [--max_shift <s=5>] : Maximum shift delta (px)")
+        self.addParamsLine("  [--max_angular_change <a=5>] : Maximum angular delta (deg)")
+        self.addParamsLine("  [--regularization <l=0.005>] : Deformation penalty lambda")
+        self.addParamsLine("  [--steps <n=60>] : Optimization steps")
+        self.addParamsLine("  [--batch <b=16>] : Particles per device batch")
+        self.addParamsLine("  [--priors <md=\"\">] : Metadata whose sphCoefficients initialize the fit (the _priors program contract)")
+
+    def _priors_for(self, B, K):
+        if not (self.checkParam("--priors") and self.getParam("--priors")):
+            return None
+        pmd = MetaData(self.getParam("--priors"))
+        pc = [np.asarray(v, np.float32).reshape(3, -1)
+              for v in pmd.getColumnValues("sphCoefficients")]
+        priors = np.stack(pc * B)[:B] if len(pc) == 1 else np.stack(pc)[:B]
+        if priors.shape[-1] != K:
+            raise XmippError(ErrCode.VALUE_INCORRECT,
+                             f"prior has {priors.shape[-1]} coefficients, "
+                             f"basis has {K}")
+        return priors
+
+    def run(self):
+        import jax.numpy as jnp
+        from xmipp3_tpu.core.metadata_program import load_image_rows
+        from xmipp3_tpu.ops.forward_zernike import (fit_forward_zernike_batch,
+                                                    masked_voxel_basis)
+
+        md = MetaData(self.getParam("-i"))
+        md.removeDisabled()
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(
+            np.float32)
+        L1 = self.getIntParam("--l1")
+        L2 = self.getIntParam("--l2")
+        lam = float(self.getDoubleParam("--regularization"))
+        positions, values, Z = masked_voxel_basis(
+            vol, L1, L2, value_threshold=float(np.abs(vol).max()) * 1e-3)
+        K = Z.shape[0]
+        size = imgs.shape[-1]
+        get = lambda k, d=0.0: np.array([float(r.get(k, d)) for r in rows],
+                                        np.float32)
+        rot, tilt, psi = get("angleRot"), get("angleTilt"), get("anglePsi")
+        B = len(rows)
+        bs = self.getIntParam("--batch")
+        self._rows = rows
+        priors = self._priors_for(B, K)
+        out_rows = []
+        for s in range(0, B, bs):
+            sl = slice(s, min(s + bs, B))
+            nb = sl.stop - sl.start
+            c0 = (jnp.zeros((nb, 3, K), jnp.float32) if priors is None
+                  else jnp.asarray(priors[sl]))
+            c3, dpose, corr, deform = fit_forward_zernike_batch(
+                jnp.asarray(positions), jnp.asarray(values), jnp.asarray(Z),
+                jnp.asarray(imgs[sl]), jnp.asarray(rot[sl]),
+                jnp.asarray(tilt[sl]), jnp.asarray(psi[sl]), c0, lam,
+                size, int(self.getIntParam("--steps")),
+                max_angular=float(self.getDoubleParam("--max_angular_change")),
+                max_shift=float(self.getDoubleParam("--max_shift")))
+            c3 = np.asarray(c3)
+            dpose = np.asarray(dpose)
+            for k in range(nb):
+                r = dict(rows[sl.start + k])
+                r["angleRot"] = float(rot[sl.start + k] + dpose[k, 0])
+                r["angleTilt"] = float(tilt[sl.start + k] + dpose[k, 1])
+                r["anglePsi"] = float(psi[sl.start + k] + dpose[k, 2])
+                r["shiftX"] = float(r.get("shiftX", 0.0)) + float(dpose[k, 3])
+                r["shiftY"] = float(r.get("shiftY", 0.0)) + float(dpose[k, 4])
+                r["sphCoefficients"] = c3[k].reshape(-1)
+                r["sphDeformation"] = float(np.asarray(deform)[k])
+                r["maxCC"] = float(np.asarray(corr)[k])
+                out_rows.append(r)
+        out = MetaData.fromRows(out_rows)
+        out.write(self.getParam("-o"))
+        self.mean_corr = float(np.mean([r["maxCC"] for r in out_rows]))
+        if self.verbose:
+            print(f"  mean corr {self.mean_corr:.4f}")
+
+
+class ProgForwardZernikeImagesPriors(ProgForwardZernikeImages):
+    """forward_zernike_images_priors: the forward engine initialized from
+    prior coefficients (reference forward_zernike_images_priors.h —
+    same model, priors seed the optimization). Priors come from --priors
+    or, failing that, from the input rows' own sphCoefficients column."""
+    name = "xmipp_forward_zernike_images_priors"
+
+    def _priors_for(self, B, K):
+        explicit = super()._priors_for(B, K)
+        if explicit is not None:
+            return explicit
+        rows = getattr(self, "_rows", [])
+        if rows and "sphCoefficients" in rows[0]:
+            pc = [np.asarray(r["sphCoefficients"],
+                             np.float32).reshape(3, -1) for r in rows]
+            priors = np.stack(pc)
+            if priors.shape[-1] == K:
+                return priors
+        return None
