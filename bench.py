@@ -184,7 +184,11 @@ def bench_reconstruct(interp="tri+kb", nimg=10000):
     import jax.numpy as jnp
     from xmipp3_tpu.core.geometry import euler_matrix
     from xmipp3_tpu.ops.reconstruct import (_taps, backproject_chunk,
+                                            backproject_chunk_packed,
                                             finalize_volume)
+    from xmipp3_tpu.ops.pallas_scatter_tri import (packed_cube_alloc,
+                                                   packed_cube_unpack,
+                                                   tri_fastpath_ok)
     N, BATCH, Pq = 128, 256, 256
     rng = np.random.default_rng(0)
     imgs = rng.standard_normal((BATCH, N, N)).astype(np.float32)
@@ -198,21 +202,38 @@ def bench_reconstruct(interp="tri+kb", nimg=10000):
     imgs_d = jax.device_put(jnp.asarray(imgs))
     z = jnp.zeros(BATCH)
     w1 = jnp.ones(BATCH)
-    dr = jnp.zeros((Pq, Pq, Pq), jnp.float32)
-    di = jnp.zeros_like(dr)
-    dw = jnp.zeros_like(dr)
-    dr, di, dw = backproject_chunk(dr, di, dw, imgs_d, mats_d[0], z, z, w1,
-                                   Pq, 0.5, interp=interp)
-    _sync(dw)
-    dr = jnp.zeros_like(dr)
-    di = jnp.zeros_like(di)
-    dw = jnp.zeros_like(dw)
-    t0 = time.time()
-    for b in range(nb):
-        dr, di, dw = backproject_chunk(dr, di, dw, imgs_d, mats_d[b],
-                                       z, z, w1, Pq, 0.5, interp=interp)
-    _sync(dw)
-    t_bp = time.time() - t0
+    packed_ok = interp in ("tri", "tri+kb") and tri_fastpath_ok(Pq) and \
+        jax.default_backend() == "tpu"
+    if packed_ok:
+        # round-3 packed path: raw-sample sort + packed-channel kernel
+        packed = packed_cube_alloc(Pq)
+        packed = backproject_chunk_packed(packed, imgs_d, mats_d[0], z, z,
+                                          w1, Pq, 0.5)
+        _sync(packed)
+        packed = packed_cube_alloc(Pq)
+        t0 = time.time()
+        for b in range(nb):
+            packed = backproject_chunk_packed(packed, imgs_d, mats_d[b],
+                                              z, z, w1, Pq, 0.5)
+        _sync(packed)
+        t_bp = time.time() - t0
+        dr, di, dw = packed_cube_unpack(packed, Pq)
+    else:
+        dr = jnp.zeros((Pq, Pq, Pq), jnp.float32)
+        di = jnp.zeros_like(dr)
+        dw = jnp.zeros_like(dr)
+        dr, di, dw = backproject_chunk(dr, di, dw, imgs_d, mats_d[0], z, z,
+                                       w1, Pq, 0.5, interp=interp)
+        _sync(dw)
+        dr = jnp.zeros_like(dr)
+        di = jnp.zeros_like(di)
+        dw = jnp.zeros_like(dw)
+        t0 = time.time()
+        for b in range(nb):
+            dr, di, dw = backproject_chunk(dr, di, dw, imgs_d, mats_d[b],
+                                           z, z, w1, Pq, 0.5, interp=interp)
+        _sync(dw)
+        t_bp = time.time() - t0
     vol = finalize_volume(dr, di, dw, N, Pq, interp=interp)
     _sync(vol)
     t0 = time.time()

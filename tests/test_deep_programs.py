@@ -3,6 +3,8 @@ train+predict runs on synthetic data with known answers."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from xmipp3_tpu.core.image import Image
 from xmipp3_tpu.core.metadata import MetaData
 from xmipp3_tpu.programs import get_program

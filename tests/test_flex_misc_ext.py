@@ -90,6 +90,7 @@ def test_forward_zernike_subtomos(blob_volume, tmp_path):
     assert md.getValue("maxCC", 0) > 0.98
 
 
+@pytest.mark.slow
 def test_art_zernike3d_two_states(blob_volume, tmp_path):
     import jax.numpy as jnp
     from xmipp3_tpu.ops.project import FourierProjector

@@ -5,6 +5,8 @@ tests/test_programs.py:57-59), ported to --mesh dp|tp|slab."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from xmipp3_tpu.core.image import Image, save_image
 from xmipp3_tpu.core.metadata import MetaData
 from xmipp3_tpu.programs import get_program

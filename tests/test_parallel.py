@@ -4,6 +4,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from xmipp3_tpu.parallel import data_mesh, parallel_match, parallel_reconstruct

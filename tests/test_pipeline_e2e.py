@@ -5,6 +5,8 @@ harness (SURVEY.md §4) exercised on a synthetic phantom."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from xmipp3_tpu.core.image import Image, save_image
 from xmipp3_tpu.core.metadata import MetaData
 from xmipp3_tpu.programs import get_program

@@ -135,6 +135,7 @@ def test_scissor_and_picking(tmp_path):
     assert parts[0][16, 16] < -1.0
 
 
+@pytest.mark.slow
 def test_wbp_reconstruction(proj_set):
     vol, fn_md, imgs = proj_set
     import tempfile, os

@@ -4,6 +4,8 @@ phantom.{h,cpp})."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from xmipp3_tpu.core.geometry import euler_matrix
 from xmipp3_tpu.core.sampling import Sampling, compute_sampling_points
 from xmipp3_tpu.core.sym import SymList, symmetry_matrices

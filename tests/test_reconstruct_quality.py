@@ -9,6 +9,8 @@ reconstruct_fourier.cpp:690-790, finishComputations :1103-1180)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from xmipp3_tpu.core.geometry import euler_matrix
 from xmipp3_tpu.ops.fsc import fsc_3d
 from xmipp3_tpu.ops.reconstruct import reconstruct_fourier

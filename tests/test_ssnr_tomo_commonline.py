@@ -163,6 +163,7 @@ def test_extract_particlestacks(tilt_data):
     assert stk[:, 7:13, 7:13].mean() < -0.5
 
 
+@pytest.mark.slow
 def test_angular_commonline(tmp_path):
     rng = np.random.default_rng(4)
     N, B = 48, 8

@@ -1,5 +1,6 @@
 """Tracing/profiling subsystem (core/timing.py, SURVEY §5.1)."""
 import numpy as np
+import pytest
 
 from xmipp3_tpu.core import timing
 
@@ -25,6 +26,7 @@ def test_timed_phase_noop_when_disabled():
     assert not timing._ACCUM
 
 
+@pytest.mark.slow
 def test_trace_scope(tmp_path):
     import jax.numpy as jnp
     d = str(tmp_path / "tr")

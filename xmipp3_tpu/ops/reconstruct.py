@@ -376,9 +376,20 @@ class FourierReconstructor:
         self.interp = interp
         self.niter_weight = niter_weight
         self.blob = tuple(blob)
-        self.data_r = jnp.zeros((P, P, P), jnp.float32)
-        self.data_i = jnp.zeros((P, P, P), jnp.float32)
-        self.weights = jnp.zeros((P, P, P), jnp.float32)
+        from xmipp3_tpu.ops.pallas_scatter_tri import (packed_cube_alloc,
+                                                       tri_fastpath_ok)
+        self._packed_mode = (interp in ("tri", "tri+kb")
+                             and tri_fastpath_ok(P)
+                             and jax.default_backend() == "tpu")
+        if self._packed_mode:
+            # round-3 fast path: accumulator stays in the packed kernel
+            # layout across all batches (ops/pallas_scatter_tri.py)
+            self._packed = packed_cube_alloc(P)
+            self.data_r = self.data_i = self.weights = None
+        else:
+            self.data_r = jnp.zeros((P, P, P), jnp.float32)
+            self.data_i = jnp.zeros((P, P, P), jnp.float32)
+            self.weights = jnp.zeros((P, P, P), jnp.float32)
         from xmipp3_tpu.core.sym import SymList
         self.sym = SymList(sym)
 
@@ -408,13 +419,26 @@ class FourierReconstructor:
         for S in self.sym.sym_matrices():
             # symmetry-equivalent pose: volume rotated by S ~ slice at A·S
             Asym = np.einsum("cij,jk->cik", A, S.astype(np.float32))
-            self.data_r, self.data_i, self.weights = backproject_chunk(
-                self.data_r, self.data_i, self.weights, imgs,
-                jnp.asarray(Asym), jnp.asarray(sx), jnp.asarray(sy),
-                jnp.asarray(w), self.P, self.max_freq,
-                interp=self.interp, blob=self.blob)
+            if self._packed_mode:
+                self._packed = backproject_chunk_packed(
+                    self._packed, imgs, jnp.asarray(Asym),
+                    jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(w),
+                    self.P, self.max_freq)
+            else:
+                self.data_r, self.data_i, self.weights = backproject_chunk(
+                    self.data_r, self.data_i, self.weights, imgs,
+                    jnp.asarray(Asym), jnp.asarray(sx), jnp.asarray(sy),
+                    jnp.asarray(w), self.P, self.max_freq,
+                    interp=self.interp, blob=self.blob)
 
     def finish(self):
+        if self._packed_mode:
+            from xmipp3_tpu.ops.pallas_scatter_tri import packed_cube_unpack
+            dr, di, dw = packed_cube_unpack(self._packed, self.P)
+            return finalize_volume(dr, di, dw, self.N, self.P,
+                                   interp=self.interp,
+                                   niter_weight=self.niter_weight,
+                                   blob=self.blob)
         return finalize_volume(self.data_r, self.data_i, self.weights,
                                self.N, self.P, interp=self.interp,
                                niter_weight=self.niter_weight,
@@ -441,3 +465,40 @@ def reconstruct_fourier(imgs, rot, tilt, psi, sx=None, sy=None, weights=None,
                       None if weights is None else np.asarray(weights)[sl],
                       None if flip is None else np.asarray(flip)[sl])
     return rec.finish()
+
+
+# ---------------------------------------------------------------------------
+# Packed-accumulator fast path (round 3): raw-sample sort + packed-channel
+# 2-pass trilinear kernel (ops/pallas_scatter_tri.py). The accumulator
+# stays in the kernel's (ntiles, 128, 3*40) layout across ALL batches and
+# is unpacked once at finalize — used by FourierReconstructor and bench
+# when interp is tri/tri+kb on TPU (serial path).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("P", "max_freq"))
+def backproject_chunk_packed(packed, imgs, mats, sx, sy, img_w,
+                             P: int, max_freq: float = 0.5):
+    from xmipp3_tpu.ops.pallas_scatter_tri import tri_scatter_packed
+    C, N, _ = imgs.shape
+    spec = jnp.fft.rfft2(jnp.fft.ifftshift(imgs, axes=(-2, -1)))
+    fy = jnp.fft.fftfreq(N).astype(jnp.float32)[None, :, None]
+    fx = jnp.fft.rfftfreq(N).astype(jnp.float32)[None, None, :]
+    phase = jnp.exp(-2j * jnp.pi * (fx * sx[:, None, None] +
+                                    fy * sy[:, None, None]))
+    spec = spec * phase
+    keep = _disk_mask(N, max_freq)
+    flat_keep = np.flatnonzero(keep.ravel())
+    spec = spec.reshape(C, -1)[:, flat_keep]
+    wimg = jnp.broadcast_to(img_w[:, None], spec.shape)
+    zi, yi, xi = _slice_tap_coords(mats, N, P, keep=keep)
+    z0 = jnp.floor(zi).astype(jnp.int32)
+    y0 = jnp.floor(yi).astype(jnp.int32)
+    x0 = jnp.floor(xi).astype(jnp.int32)
+    sr = jnp.real(spec) * wimg
+    si = jnp.imag(spec) * wimg
+    base = ((z0 * P + y0) * P + x0).reshape(-1)
+    srt = jax.lax.sort(
+        [base, (zi - z0).reshape(-1), (yi - y0).reshape(-1),
+         (xi - x0).reshape(-1), sr.reshape(-1), si.reshape(-1),
+         wimg.reshape(-1)], num_keys=1)
+    return tri_scatter_packed(packed, *srt, P=P)

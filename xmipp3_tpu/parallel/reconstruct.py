@@ -91,6 +91,61 @@ def parallel_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
                            niter_weight=niter_weight)
 
 
+def parallel_art_correction(mesh, vol, imgs, rot, tilt, psi,
+                            pad_factor: float = 2.0, max_freq: float = 0.5,
+                            axis_name: str = "data", interp: str = "tri"):
+    """One ART block update, data-parallel: project the current volume at
+    the block's poses, form residuals, backproject them — all with the
+    projection axis sharded over the mesh and ONE psum fusing the partial
+    accumulator cubes (the reference distributes ART blocks across MPI
+    workers the same way, basic_art.h:92-116 parallel modes).
+
+    Returns (correction volume (N,N,N) np.float32, residual sum of squares,
+    max |residual|) — everything art_reconstruct's mode family needs."""
+    from xmipp3_tpu.ops.project import (extract_central_slices,
+                                        prepare_fourier_volume,
+                                        slices_to_projections)
+
+    imgs = np.asarray(imgs, np.float32)
+    B, N, _ = imgs.shape
+    n_dev = mesh.shape[axis_name]
+    P_ = int(round(N * pad_factor))
+    P_ += P_ % 2
+    imgs_p, n_valid = pad_to_multiple(imgs, n_dev)
+    prep = lambda v: pad_to_multiple(np.asarray(v, np.float32), n_dev)[0]
+    mats = np.asarray(euler_matrix(prep(rot), prep(tilt), prep(psi)),
+                      np.float32)
+    w = np.zeros(len(imgs_p), np.float32)
+    w[:n_valid] = 1.0
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(), P(axis_name), P(axis_name), P(axis_name)),
+             out_specs=(P(), P(), P(), P(), P()))
+    def block_step(vol_r, imgs_l, mats_l, w_l):
+        vf, _ = prepare_fourier_volume(vol_r, pad_factor)
+        proj = slices_to_projections(
+            extract_central_slices(vf, mats_l, N), N)
+        resid = (imgs_l - proj) * w_l[:, None, None]
+        ss = jax.lax.psum((resid ** 2).sum(), axis_name)
+        rmax = jax.lax.pmax(jnp.abs(resid).max(), axis_name)
+        z = jnp.zeros(imgs_l.shape[0], jnp.float32)
+        dr = jnp.zeros((P_, P_, P_), jnp.float32)
+        di = jnp.zeros_like(dr)
+        dw = jnp.zeros_like(dr)
+        dr, di, dw = backproject_chunk(dr, di, dw, resid, mats_l, z, z,
+                                       w_l, P_, max_freq, interp=interp)
+        return (jax.lax.psum(dr, axis_name), jax.lax.psum(di, axis_name),
+                jax.lax.psum(dw, axis_name), ss, rmax)
+
+    sh = lambda a: shard_particles(a, mesh, axis_name)
+    dr, di, dw, ss, rmax = block_step(jnp.asarray(vol, jnp.float32),
+                                      sh(jnp.asarray(imgs_p)),
+                                      sh(jnp.asarray(mats)),
+                                      sh(jnp.asarray(w)))
+    corr = finalize_volume(dr, di, dw, N, P_, interp=interp)
+    return np.asarray(corr), float(ss), float(rmax)
+
+
 def slab_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
                      weights=None, pad_factor: float = 2.0,
                      max_freq: float = 0.5, axis_name: str = "data",
