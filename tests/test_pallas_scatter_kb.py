@@ -42,8 +42,16 @@ class TestGate:
         if jax.default_backend() != "tpu":
             assert not psk.kb_fastpath_ok(256, 1.9, False)
 
-    def test_slab_disables(self):
+    def test_slab_without_thickness_disables(self):
         assert not psk.kb_fastpath_ok(256, 1.9, True)
+
+    def test_slab_with_bad_thickness_disables(self):
+        # slab_p*P*P must tile into 8192-voxel kernel tiles
+        assert not psk.kb_fastpath_ok(250, 1.9, True, 1)
+
+    def test_slab_ok_on_tpu(self):
+        ok = psk.kb_fastpath_ok(256, 1.9, True, 32)
+        assert ok == (jax.default_backend() == "tpu")
 
     def test_radius_above_two_disables(self):
         assert not psk.kb_fastpath_ok(256, 2.5, False)
@@ -89,3 +97,38 @@ class TestKernelVsXLA:
             x1, x2 = np.asarray(x1), np.asarray(x2)
             err = np.abs(x1 - x2).max() / max(np.abs(x2).max(), 1e-9)
             assert err < 5e-3
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="Mosaic kernel needs a TPU")
+class TestSlabKernel:
+    def test_slabs_stack_to_full_cube(self):
+        """kz-slab mode: gridding each z-slab separately (offset tile
+        grid + slab tap mask) must reproduce the full-cube kernel."""
+        rng = np.random.default_rng(1)
+        P, M = 64, 50000
+        zi = jnp.asarray(rng.uniform(0.0, P - 1.001, M).astype(np.float32))
+        yi = jnp.asarray(rng.uniform(0.0, P - 1.001, M).astype(np.float32))
+        xi = jnp.asarray(rng.uniform(0.0, P - 1.001, M).astype(np.float32))
+        vals = [jnp.asarray(rng.standard_normal(M).astype(np.float32))
+                for _ in range(3)]
+        zeros = jnp.zeros((P * P * P,), jnp.float32)
+        full = psk.kb_scatter_3ch(zeros, zeros, zeros, zi, yi, xi, *vals,
+                                  P=P, radius=1.9, alpha=15.0, order=0)
+        nslab = 4
+        sp = P // nslab
+        zslab = jnp.zeros((sp * P * P,), jnp.float32)
+        parts = [[] for _ in range(3)]
+        for s in range(nslab):
+            out = psk.kb_scatter_3ch(zslab, zslab, zslab, zi, yi, xi,
+                                     *vals, P=P, radius=1.9, alpha=15.0,
+                                     order=0, zdim=sp,
+                                     z_lo=jnp.int32(s * sp))
+            for c in range(3):
+                parts[c].append(np.asarray(out[c]))
+        for c in range(3):
+            stacked = np.concatenate(parts[c])
+            ref = np.asarray(full[c])
+            err = np.abs(stacked - ref).max() / max(np.abs(ref).max(),
+                                                    1e-9)
+            assert err < 1e-5, err

@@ -217,8 +217,13 @@ def refine_defocus_batch(psds, seed_params, sampling, voltage=300.0,
                          Cs=2.7, Q0=0.07, Ca=2.0, min_freq=0.03,
                          max_freq=0.35, vpp_radius=0.0, maxiter=3):
     """Seeded per-PSD defocus refinement for a stack of piece PSDs, all
-    in one device dispatch. Returns (R, NPARAMS) refined parameters."""
-    psds = np.asarray(psds, np.float32)
+    in one device dispatch. Returns (R, NPARAMS) refined parameters.
+
+    Accepts an already-sharded jax Array (parallel.engines
+    .parallel_refine_defocus) — the sharding is preserved into the jitted
+    compass dispatch, so the region axis partitions over the mesh."""
+    if not isinstance(psds, jax.Array):
+        psds = np.asarray(psds, np.float32)
     R, n = psds.shape[0], psds.shape[1]
     fy, fx = _freq_grids(n, float(sampling))
     r_dig = np.sqrt((fy * sampling) ** 2 + (fx * sampling) ** 2)

@@ -83,7 +83,7 @@ def art_reconstruct(imgs, rot, tilt, psi, mode: str = "SIRT",
                     positivity: bool = False, surface_mask=None,
                     pocs_freq: int = 1, random_sort: bool = False,
                     pad_factor: float = 2.0, verbose: int = 0,
-                    sx=None, sy=None, seed: int = 0):
+                    sx=None, sy=None, seed: int = 0, mesh=None):
     """Algebraic reconstruction with the reference's parallel-mode family
     (basic_art.h:92 ARTParallelMode {ART, pCAV, pAVSP, pSART, pBiCAV,
     pSIRT, pfSIRT, SIRT}) and POCS constraints (:373-376).
@@ -152,19 +152,33 @@ def art_reconstruct(imgs, rot, tilt, psi, mode: str = "SIRT",
         nblk = 0
         for s in range(0, B, block_size):
             sel = order[s:s + block_size]
-            mats = jnp.asarray(mats_all[sel])
-            proj = np.asarray(_forward(jnp.asarray(vol), mats, N,
-                                       pad_factor))
-            resid = imgs[sel] - proj
-            sweep_resid += float((resid ** 2).sum())
-            corr = np.asarray(reconstruct_fourier(
-                resid, rot[sel], tilt[sel], psi[sel],
-                pad_factor=pad_factor, batch=max(len(sel), 1),
-                interp="tri"))
+            if mesh is not None:
+                # data-parallel block update: project + residual +
+                # backproject sharded over the mesh, ONE psum fusing the
+                # partial cubes (parallel/reconstruct.py — the reference
+                # distributes ART blocks across MPI workers the same way,
+                # basic_art.h:92-116)
+                from xmipp3_tpu.parallel.reconstruct import \
+                    parallel_art_correction
+                corr, ss, rmax = parallel_art_correction(
+                    mesh, vol, imgs[sel], rot[sel], tilt[sel], psi[sel],
+                    pad_factor=pad_factor, interp="tri")
+                sweep_resid += ss
+            else:
+                mats = jnp.asarray(mats_all[sel])
+                proj = np.asarray(_forward(jnp.asarray(vol), mats, N,
+                                           pad_factor))
+                resid = imgs[sel] - proj
+                sweep_resid += float((resid ** 2).sum())
+                rmax = float(np.abs(resid).max())
+                corr = np.asarray(reconstruct_fourier(
+                    resid, rot[sel], tilt[sel], psi[sel],
+                    pad_factor=pad_factor, batch=max(len(sel), 1),
+                    interp="tri"))
             if mode == "pfSIRT":
                 m = np.abs(corr).max()
                 if m > 1e-12:
-                    corr = corr * (np.abs(resid).max() / m)
+                    corr = corr * (rmax / m)
             if mode == "pAVSP":
                 sweep_corr += corr
             else:

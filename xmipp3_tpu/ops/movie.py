@@ -142,33 +142,53 @@ def patch_grid(H, W, ny: int, nx: int, patch: int):
     return cys, cxs
 
 
+@partial(jax.jit, static_argnames=("cys", "cxs", "patch_size",
+                                   "max_shift_px"))
+def _local_shifts_device(frames, gx, gy, cys, cxs, patch_size: int,
+                         max_shift_px: int):
+    """Whole local-alignment measurement in ONE dispatch: global
+    correction, on-device patch extraction, pairwise correlations per
+    patch via lax.map. Only the tiny (npatch, npairs, 2) shift tensors
+    leave the device — the 2 GB corrected stack never touches the host
+    (critical both for the relay and for HBM-bound production movies)."""
+    corrected = shift_sum_frames_keep(frames, gx, gy)
+    h = patch_size // 2
+    tiles = jnp.stack([corrected[:, cy - h: cy + h, cx - h: cx + h]
+                       for cy in cys for cx in cxs])
+
+    def one(tile):
+        specs = frame_ffts_scaled(tile, patch_size)
+        shifts, _, peaks = pairwise_shifts(specs, patch_size, max_shift_px)
+        return shifts, peaks
+
+    return jax.lax.map(one, tiles)
+
+
 def local_align(frames, global_pos, patches=(5, 5), patch_size: int = 256,
                 max_shift_px: int = 8):
     """Per-patch residual shifts after global correction.
 
     Returns (ny, nx, F, 2) local shift field + patch centers."""
-    frames = np.asarray(frames, np.float32)
+    frames = jnp.asarray(frames, jnp.float32)
     F, H, W = frames.shape
     patch_size = min(patch_size, H // 2, W // 2)
     patch_size -= patch_size % 2
     ny, nx = patches
-    # globally corrected frames (shift back by -pos)
-    corrected = np.asarray(shift_sum_frames_keep(frames, -global_pos[:, 0],
-                                                 -global_pos[:, 1]))
     cys, cxs = patch_grid(H, W, ny, nx, patch_size)
+    global_pos = np.asarray(global_pos, np.float32)
+    shifts_all, peaks_all = _local_shifts_device(
+        frames, jnp.asarray(-global_pos[:, 0]),
+        jnp.asarray(-global_pos[:, 1]), tuple(int(c) for c in cys),
+        tuple(int(c) for c in cxs), patch_size, max_shift_px)
+    shifts_all = np.asarray(shifts_all)
+    peaks_all = np.asarray(peaks_all)
+    ii, jj = np.triu_indices(F, k=1)
+    pairs = np.stack([ii, jj], axis=1)
     field = np.zeros((ny, nx, F, 2), np.float32)
-    for iy, cy in enumerate(cys):
-        for ix, cx in enumerate(cxs):
-            tile = corrected[:, cy - patch_size // 2: cy + patch_size // 2,
-                             cx - patch_size // 2: cx + patch_size // 2]
-            shifts, peaks = _global_pairwise_jit(jnp.asarray(tile),
-                                                 patch_size, max_shift_px)
-            ii, jj = np.triu_indices(F, k=1)
-            pos = solve_frame_trajectory(np.asarray(shifts),
-                                         np.stack([ii, jj], axis=1), F,
-                                         weights=np.maximum(
-                                             np.asarray(peaks), 0))
-            field[iy, ix] = pos
+    for p in range(ny * nx):
+        field[p // nx, p % nx] = solve_frame_trajectory(
+            shifts_all[p], pairs, F,
+            weights=np.maximum(peaks_all[p], 0))
     return field, cys, cxs
 
 

@@ -188,16 +188,18 @@ def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
     if interp == "kb":
         from xmipp3_tpu.ops.pallas_scatter_kb import (kb_fastpath_ok,
                                                       kb_scatter_3ch)
-        if kb_fastpath_ok(P, blob[0], slab_p is not None):
+        if kb_fastpath_ok(P, blob[0], slab_p is not None, slab_p):
             # fused kernel: sort raw samples once, expand the 64-tap
-            # blob in-kernel (ops/pallas_scatter_kb.py)
+            # blob in-kernel (ops/pallas_scatter_kb.py); in slab mode the
+            # kernel grids only this device's z-slab (tile grid offset by
+            # the traced slab origin, taps masked to the slab)
             dr, di, dw = kb_scatter_3ch(
                 data_r.reshape(-1), data_i.reshape(-1),
                 weights.reshape(-1), zi, yi, xi, sr, si, wimg,
                 P=P, radius=float(blob[0]), alpha=float(blob[2]),
-                order=int(blob[1]))
-            return (dr.reshape(P, P, P), di.reshape(P, P, P),
-                    dw.reshape(P, P, P))
+                order=int(blob[1]), zdim=slab_p, z_lo=zoff)
+            return (dr.reshape(zdim, P, P), di.reshape(zdim, P, P),
+                    dw.reshape(zdim, P, P))
 
     idx_list = []
     val_r = []

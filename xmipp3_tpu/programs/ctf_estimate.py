@@ -112,6 +112,8 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
         self.addParamsLine("  [--dont_estimate_ctf] : Only compute the PSD")
         self.addParamsLine("  [--acceleration1D]   : Use the fast 1-D radial fit")
         self._define_fit_params()
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def readParams(self):
         self.fn_mic = self.getParam("--micrograph")
@@ -130,6 +132,8 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
         self.only_psd = self.checkParam("--dont_estimate_ctf")
         self.accel_1d = self.checkParam("--acceleration1D")
         self._read_fit_params()
+        from xmipp3_tpu.parallel.cli import read_mesh_params
+        read_mesh_params(self)
 
     # -- helpers -----------------------------------------------------------
     def _fit_one(self, psd_half, seed_params=None):
@@ -176,6 +180,10 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
 
     # -- modes ---------------------------------------------------------------
     def run(self):
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             resolve_mesh)
+        maybe_init_distributed(self)
+        self._mesh, _ = resolve_mesh(getattr(self, "mesh_mode", "auto"))
         mic = np.squeeze(Image(self.fn_mic).data).astype(np.float32)
         if self.psd_mode == "micrograph":
             self._run_micrograph(mic)
@@ -248,12 +256,24 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
             region_params = None
         else:
             # ALL per-region seeded defocus refinements in one vmapped
-            # device dispatch (models/ctf_estimation.refine_defocus_batch)
-            from xmipp3_tpu.models.ctf_estimation import refine_defocus_batch
-            region_params = refine_defocus_batch(
-                psds, seed, self.Ts, self.kV, self.Cs, self.Q0,
-                Ca=self.Ca, min_freq=self.min_freq,
-                max_freq=self.max_freq, vpp_radius=self.vpp_radius)
+            # device dispatch (models/ctf_estimation.refine_defocus_batch);
+            # with --mesh, the region axis shards over the device mesh
+            # (regions are embarrassingly parallel — the reference farms
+            # them to MPI workers)
+            fit_kw = dict(voltage=self.kV, Cs=self.Cs, Q0=self.Q0,
+                          Ca=self.Ca, min_freq=self.min_freq,
+                          max_freq=self.max_freq,
+                          vpp_radius=self.vpp_radius)
+            if getattr(self, "_mesh", None) is not None:
+                from xmipp3_tpu.parallel.engines import \
+                    parallel_refine_defocus
+                region_params = parallel_refine_defocus(
+                    self._mesh, psds, seed, self.Ts, **fit_kw)
+            else:
+                from xmipp3_tpu.models.ctf_estimation import \
+                    refine_defocus_batch
+                region_params = refine_defocus_batch(psds, seed, self.Ts,
+                                                     **fit_kw)
         for k, ((y0, x0), psd_i) in enumerate(zip(regions, psds)):
             if region_params is None:
                 ctf_i, _ = self._fit_one(psd_i, seed_params=seed)

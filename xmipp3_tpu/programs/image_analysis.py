@@ -234,9 +234,16 @@ class ProgImageRotationalPCA(XmippProgram):
         self.addParamsLine("   --oroot <root>   : Output rootname (basis stack)")
         self.addParamsLine("  [--eigenvectors <n=8>] : Number of eigenimages")
         self.addParamsLine("  [--shuffles <n=4>] : Random in-plane rotations per image")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def run(self):
         from xmipp3_tpu.ops.geo import rotate_2d
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             read_mesh_params, resolve_mesh)
+        read_mesh_params(self)
+        maybe_init_distributed(self)
+        mesh, _ = resolve_mesh(self.mesh_mode)
         imgs, rows = _load(self.getParam("-i"))
         n_eig = self.getIntParam("--eigenvectors")
         n_shuf = self.getIntParam("--shuffles")
@@ -246,10 +253,24 @@ class ProgImageRotationalPCA(XmippProgram):
             angles = rng.uniform(0, 360, len(imgs)).astype(np.float32)
             expanded.append(np.asarray(rotate_2d(imgs, angles)))
         X = np.concatenate(expanded).reshape(len(imgs) * n_shuf, -1)
-        from xmipp3_tpu.models.dimred import pca
-        Y, model = pca(X, d=n_eig, return_model=True)
         H = imgs.shape[-1]
-        basis = model["components"].reshape(n_eig, H, H).astype(np.float32)
+        if mesh is not None:
+            # the mpi_image_rotational_pca analog
+            # (image_rotational_pca.h:41): sample axis sharded over the
+            # mesh, covariance accumulated with one psum, host eigh
+            from xmipp3_tpu.parallel.engines import parallel_pca_components
+            comps = parallel_pca_components(mesh, X, n_eig)
+        else:
+            from xmipp3_tpu.models.dimred import pca
+            Y, model = pca(X, d=n_eig, return_model=True)
+            comps = model["components"]
+        # deterministic sign: largest-|entry| coefficient positive (the
+        # serial SVD and the mesh eigh agree only up to sign)
+        for k in range(len(comps)):
+            j = int(np.argmax(np.abs(comps[k])))
+            if comps[k][j] < 0:
+                comps[k] = -comps[k]
+        basis = np.asarray(comps).reshape(n_eig, H, H).astype(np.float32)
         save_image(self.getParam("--oroot") + ".stk", basis)
         self.basis = basis
 

@@ -40,9 +40,16 @@ class ProgReconstructART(XmippProgram):
         self.addParamsLine("  [--parallel_mode <m=SIRT>] : ART|pCAV|pAVSP|pSART|pBiCAV|pSIRT|pfSIRT|SIRT (basic_art.h:92)")
         self.addParamsLine("  [--block_size <b=-1>] : Projections per parallel block")
         self.addParamsLine("  [--random_sort] : Random projection order")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def run(self):
         from xmipp3_tpu.ops.art import art_reconstruct
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             read_mesh_params, resolve_mesh)
+        read_mesh_params(self)
+        maybe_init_distributed(self)
+        mesh, _ = resolve_mesh(self.mesh_mode)
         md = MetaData(self.getParam("-i"))
         md.removeDisabled()
         imgs, rot, tilt, psi, sx, sy = _load(md)
@@ -59,7 +66,7 @@ class ProgReconstructART(XmippProgram):
             positivity=self.checkParam("--POCS_positivity"),
             surface_mask=surf, pocs_freq=self.getIntParam("--POCS_freq"),
             random_sort=self.checkParam("--random_sort"),
-            verbose=self.verbose, sx=sx, sy=sy)
+            verbose=self.verbose, sx=sx, sy=sy, mesh=mesh)
         save_image(self.getParam("-o"), vol)
         self.residual_history = hist
 
@@ -100,6 +107,8 @@ class ProgReconstructSignificant(XmippProgram):
         self.addParamsLine("  [--iter <n=10>] : Iterations")
         self.addParamsLine("  [--alpha0 <a=0.05>] : Initial significance level")
         self.addParamsLine("  [--angularSampling <a=15>] : Gallery sampling (deg)")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def run(self):
         import os
@@ -108,6 +117,12 @@ class ProgReconstructSignificant(XmippProgram):
         from xmipp3_tpu.ops.match import match_to_gallery
         from xmipp3_tpu.ops.project import FourierProjector
         from xmipp3_tpu.ops.reconstruct import reconstruct_fourier
+
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             read_mesh_params, resolve_mesh)
+        read_mesh_params(self)
+        maybe_init_distributed(self)
+        mesh, _ = resolve_mesh(self.mesh_mode)
 
         fn_in = self.getParam("-i")
         if is_metadata_file(fn_in):
@@ -133,8 +148,14 @@ class ProgReconstructSignificant(XmippProgram):
             tilt0 = np.degrees(np.arccos(rng.uniform(-1, 1, B))
                                ).astype(np.float32)
             psi0 = rng.uniform(-180, 180, B).astype(np.float32)
-            vol = np.asarray(reconstruct_fourier(imgs, rot0, tilt0, psi0,
-                                                 sym=sym, batch=B))
+            if mesh is not None:
+                from xmipp3_tpu.parallel.reconstruct import \
+                    parallel_reconstruct
+                vol = np.asarray(parallel_reconstruct(
+                    mesh, imgs, rot0, tilt0, psi0, sym=sym))
+            else:
+                vol = np.asarray(reconstruct_fourier(
+                    imgs, rot0, tilt0, psi0, sym=sym, batch=B))
 
         alpha0 = self.getDoubleParam("--alpha0")
         for it in range(n_iters):
@@ -145,7 +166,14 @@ class ProgReconstructSignificant(XmippProgram):
                 refs.append(np.asarray(proj.project_euler(
                     a[:, 0], a[:, 1], np.zeros(len(a), np.float32))))
             refs = np.concatenate(refs)
-            res = match_to_gallery(refs, imgs, max_shift=N // 8)
+            if mesh is not None:
+                # dp over particles: the reference's
+                # mpi_reconstruct_significant image distribution
+                from xmipp3_tpu.parallel.match import parallel_match_full
+                res = parallel_match_full(mesh, refs, imgs,
+                                          max_shift=N // 8)
+            else:
+                res = match_to_gallery(refs, imgs, max_shift=N // 8)
             corr = np.asarray(res["corr"])
             ref_idx = np.asarray(res["ref_idx"])
             # significance: keep the best (1-alpha growing) fraction
@@ -153,13 +181,20 @@ class ProgReconstructSignificant(XmippProgram):
             thresh = np.quantile(corr, 1.0 - frac)
             keep = corr >= thresh
             w = np.where(keep, np.maximum(corr, 0), 0).astype(np.float32)
-            vol = np.asarray(reconstruct_fourier(
-                imgs, angles[ref_idx, 0], angles[ref_idx, 1],
-                np.asarray(res["psi"], np.float32),
-                sx=np.asarray(res["sx"], np.float32),
-                sy=np.asarray(res["sy"], np.float32),
-                weights=w, sym=sym, batch=B,
-                flip=np.asarray(res["flip"])))
+            rec_kw = dict(sx=np.asarray(res["sx"], np.float32),
+                          sy=np.asarray(res["sy"], np.float32),
+                          weights=w, sym=sym,
+                          flip=np.asarray(res["flip"]))
+            if mesh is not None:
+                from xmipp3_tpu.parallel.reconstruct import \
+                    parallel_reconstruct
+                vol = np.asarray(parallel_reconstruct(
+                    mesh, imgs, angles[ref_idx, 0], angles[ref_idx, 1],
+                    np.asarray(res["psi"], np.float32), **rec_kw))
+            else:
+                vol = np.asarray(reconstruct_fourier(
+                    imgs, angles[ref_idx, 0], angles[ref_idx, 1],
+                    np.asarray(res["psi"], np.float32), batch=B, **rec_kw))
             if self.verbose:
                 print(f"  significant iter {it + 1}: mean corr "
                       f"{corr.mean():.4f} kept {keep.mean() * 100:.0f}%")

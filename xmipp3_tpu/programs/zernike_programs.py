@@ -105,6 +105,8 @@ class ProgAngularSphAlignment(XmippProgram):
                           "sphCoefficients (per-row, or one global row) used "
                           "to initialize the per-particle coefficients "
                           "(forward_zernike_images_priors contract)")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def run(self):
         import jax
@@ -148,6 +150,11 @@ class ProgAngularSphAlignment(XmippProgram):
             return losses.mean(), losses
 
         grad_fn = jax.jit(jax.value_and_grad(batch_loss, has_aux=True))
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             read_mesh_params, resolve_mesh)
+        read_mesh_params(self)
+        maybe_init_distributed(self)
+        mesh, _ = resolve_mesh(self.mesh_mode)
         B = len(rows)
         bs = self.getIntParam("--batch")
         n_steps = self.getIntParam("--steps")
@@ -168,23 +175,47 @@ class ProgAngularSphAlignment(XmippProgram):
         for s in range(0, B, bs):
             sl = slice(s, min(s + bs, B))
             nb = sl.stop - sl.start
-            coeffs = (jnp.zeros((nb, 3, K), jnp.float32) if priors is None
-                      else jnp.asarray(priors[sl]))
+            coeffs = (np.zeros((nb, 3, K), np.float32) if priors is None
+                      else priors[sl])
+            args = [imgs[sl], rot[sl], tilt[sl], psi[sl]]
+            nb_run = nb
+            if mesh is not None:
+                # per-particle DP (the reference's mpi_angular_sph_alignment
+                # particle distribution): everything in batch_loss is
+                # per-particle, so sharding the batch axis alone makes XLA
+                # partition the whole fit; padded rows are dropped after.
+                from xmipp3_tpu.parallel.engines import shard_batch
+                n_dev = mesh.shape["data"]
+                rep = (-nb) % n_dev
+
+                def pad_rep(a):
+                    # pad by repeating row 0 (zero images would make the
+                    # normalized-correlation grad NaN at sqrt(0))
+                    a = np.asarray(a, np.float32)
+                    if rep:
+                        a = np.concatenate(
+                            [a, np.broadcast_to(a[:1],
+                                                (rep,) + a.shape[1:])])
+                    return shard_batch(jnp.asarray(a), mesh)
+                coeffs = pad_rep(coeffs)
+                args = [pad_rep(a) for a in args]
+                nb_run = int(coeffs.shape[0])
+            else:
+                coeffs = jnp.asarray(coeffs, jnp.float32)
+                args = [jnp.asarray(a) for a in args]
             m = jnp.zeros_like(coeffs)
             v = jnp.zeros_like(coeffs)
-            args = (jnp.asarray(imgs[sl]), jnp.asarray(rot[sl]),
-                    jnp.asarray(tilt[sl]), jnp.asarray(psi[sl]))
             losses = None
             for step in range(n_steps):
                 (loss, losses), g = grad_fn(coeffs, *args)
-                g = g * nb
+                g = g * nb_run
                 m = 0.9 * m + 0.1 * g
                 v = 0.999 * v + 0.001 * g * g
                 mhat = m / (1 - 0.9 ** (step + 1))
                 vhat = v / (1 - 0.999 ** (step + 1))
                 coeffs = coeffs - 0.05 * mhat / (jnp.sqrt(vhat) + 1e-8)
-            cc = -np.asarray(losses)
-            cf = np.asarray(coeffs)
+            cc = -np.asarray(losses)[:nb]
+            cf = np.asarray(coeffs)[:nb]
             for i in range(nb):
                 d = dict(rows[s + i])
                 d["sphCoefficients"] = cf[i].ravel().astype(np.float64)
@@ -222,6 +253,8 @@ class ProgForwardZernikeImages(XmippProgram):
         self.addParamsLine("  [--steps <n=60>] : Optimization steps")
         self.addParamsLine("  [--batch <b=16>] : Particles per device batch")
         self.addParamsLine("  [--priors <md=\"\">] : Metadata whose sphCoefficients initialize the fit (the _priors program contract)")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def _priors_for(self, B, K):
         if not (self.checkParam("--priors") and self.getParam("--priors")):
@@ -262,21 +295,43 @@ class ProgForwardZernikeImages(XmippProgram):
         bs = self.getIntParam("--batch")
         self._rows = rows
         priors = self._priors_for(B, K)
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             read_mesh_params, resolve_mesh)
+        read_mesh_params(self)
+        maybe_init_distributed(self)
+        mesh, _ = resolve_mesh(self.mesh_mode)
         out_rows = []
         for s in range(0, B, bs):
             sl = slice(s, min(s + bs, B))
             nb = sl.stop - sl.start
-            c0 = (jnp.zeros((nb, 3, K), jnp.float32) if priors is None
-                  else jnp.asarray(priors[sl]))
+            c0 = (np.zeros((nb, 3, K), np.float32) if priors is None
+                  else np.asarray(priors[sl], np.float32))
+            batch = [imgs[sl], rot[sl], tilt[sl], psi[sl], c0]
+            if mesh is not None:
+                # per-particle DP (mpi_forward_zernike_images analog):
+                # shard the batch axis; the vmapped fit partitions with no
+                # collectives. Pad by repeating row 0, drop after.
+                from xmipp3_tpu.parallel.engines import shard_batch
+                rep = (-nb) % mesh.shape["data"]
+
+                def pad_rep(a):
+                    a = np.asarray(a, np.float32)
+                    if rep:
+                        a = np.concatenate(
+                            [a, np.broadcast_to(a[:1],
+                                                (rep,) + a.shape[1:])])
+                    return shard_batch(jnp.asarray(a), mesh)
+                batch = [pad_rep(a) for a in batch]
+            else:
+                batch = [jnp.asarray(a) for a in batch]
             c3, dpose, corr, deform = fit_forward_zernike_batch(
                 jnp.asarray(positions), jnp.asarray(values), jnp.asarray(Z),
-                jnp.asarray(imgs[sl]), jnp.asarray(rot[sl]),
-                jnp.asarray(tilt[sl]), jnp.asarray(psi[sl]), c0, lam,
+                batch[0], batch[1], batch[2], batch[3], batch[4], lam,
                 size, int(self.getIntParam("--steps")),
                 max_angular=float(self.getDoubleParam("--max_angular_change")),
                 max_shift=float(self.getDoubleParam("--max_shift")))
-            c3 = np.asarray(c3)
-            dpose = np.asarray(dpose)
+            c3 = np.asarray(c3)[:nb]
+            dpose = np.asarray(dpose)[:nb]
             for k in range(nb):
                 r = dict(rows[sl.start + k])
                 r["angleRot"] = float(rot[sl.start + k] + dpose[k, 0])
