@@ -1,0 +1,186 @@
+"""Flag-surface audit: reference CLI grammar vs this framework's.
+
+The reference's addParamsLine grammar is the de-facto Scipion API
+(SURVEY.md §5.6). This script extracts the option tokens declared by the
+reference sources for the top Scipion-facing programs, diffs them against
+the flags our registered programs declare, and rewrites
+docs/FLAG_AUDIT.md. Intentional divergences are annotated in
+DIVERGENCES below so the audit stays zero-unexplained.
+
+Run: JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python tools/flag_audit.py
+"""
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REF = "/root/reference/src/xmipp/libraries"
+
+# our program name -> reference sources holding its defineParams grammar
+PROGRAMS = {
+    "reconstruct_fourier": ["reconstruction/reconstruct_fourier.cpp"],
+    "angular_projection_matching":
+        ["reconstruction/angular_projection_matching.cpp"],
+    "angular_project_library":
+        ["reconstruction/angular_project_library.cpp"],
+    "ml_align2d": ["reconstruction/ml2d.cpp",
+                   "reconstruction/ml_align2d.cpp"],
+    "mlf_align2d": ["reconstruction/ml2d.cpp",
+                    "reconstruction/mlf_align2d.cpp"],
+    "ctf_estimate_from_micrograph":
+        ["reconstruction/ctf_estimate_from_micrograph.cpp",
+         "reconstruction/ctf_estimate_from_psd_base.cpp",
+         "reconstruction/ctf_estimate_from_psd.cpp"],
+    "ctf_estimate_from_psd":
+        ["reconstruction/ctf_estimate_from_psd_base.cpp",
+         "reconstruction/ctf_estimate_from_psd.cpp"],
+    "movie_alignment_correlation":
+        ["reconstruction/movie_alignment_correlation_base.cpp"],
+    "transform_filter": ["data/filters.cpp",
+                         "reconstruction/fourier_filter.cpp",
+                         "reconstruction/denoise.cpp"],
+    "transform_geometry": ["data/transform_geometry.cpp"],
+    "transform_normalize": ["data/normalize.cpp"],
+    "transform_mask": ["data/mask.cpp"],
+    "transform_window": ["reconstruction/transform_window.cpp"],
+    "classify_CL2D": ["classification/analyze_cluster.cpp",
+                      "reconstruction/classify_analyze_cluster.cpp"],
+    "reconstruct_art": ["reconstruction/basic_art.cpp",
+                        "reconstruction/reconstruct_art.cpp"],
+    "reconstruct_significant":
+        ["reconstruction/reconstruct_significant.cpp"],
+    "angular_continuous_assign2":
+        ["reconstruction/angular_continuous_assign2.cpp"],
+    "angular_discrete_assign":
+        ["reconstruction/angular_discrete_assign.cpp"],
+    "volume_align": ["reconstruction/volume_align_prog.cpp"],
+    "resolution_fsc": ["reconstruction/resolution_fsc.cpp"],
+    "image_resize": ["data/image_resize.cpp"],
+}
+
+# flags we consciously do NOT implement (reason shown in the audit table)
+DIVERGENCES = {
+    "reconstruct_fourier": {
+        "--useCTF": "CTF weighting flows through metadata weights "
+                    "(ctf_correct_* programs); per-image CTF volumes are "
+                    "not re-gridded",
+        "--phaseFlipped": "flip handling happens at the metadata pose "
+                          "level (ops.geo.apply_md_geometry)",
+        "--minCTF": "tied to --useCTF",
+        "--sampling": "sampling is read from the image headers",
+        "--fast": "the Pallas gridding path is already the fast path; "
+                  "there is no slow/fast split",
+        "--thr": "host threads are XLA's concern on TPU",
+        "--fftOnGPU": "all FFTs run on the device by construction",
+        "--interpolator": "superseded by --interp (kb/tri/tri+kb/nn)",
+        "--bufferSize": "device batching is --batch",
+    },
+    "movie_alignment_correlation": {
+        "--simpleCroppingDMA": "DMA cropping is an EER/IO detail of the "
+                               "GPU build",
+        "--storage": "FFT plan storage file: XLA caches compiles instead",
+    },
+    "ml_align2d": {
+        "--thr": "host threads are XLA's concern on TPU",
+    },
+}
+
+
+def extract_reference_flags(files):
+    flags = set()
+    pat = re.compile(r'"\s*\[?\s*(--?[A-Za-z_][A-Za-z0-9_]*)')
+    alias_pat = re.compile(r'alias\s+((?:--?[A-Za-z_][A-Za-z0-9_]*\s*)+);')
+    for rel in files:
+        path = os.path.join(REF, rel)
+        if not os.path.exists(path):
+            continue
+        src = open(path, errors="replace").read()
+        # addParamsLine / defaultComments blocks
+        for m in re.finditer(r'addParamsLine\s*\(([^;]*?)\)\s*;', src,
+                             re.S):
+            body = m.group(1)
+            fm = pat.search(body)
+            if fm:
+                flags.add(fm.group(1))
+            for am in alias_pat.finditer(body):
+                for tok in am.group(1).split():
+                    flags.add(tok)
+    return flags
+
+
+def our_flags(name):
+    from xmipp3_tpu.programs import get_program
+    prog = get_program(name)
+    if not getattr(prog, "_grammar", None) or not prog._grammar.params:
+        try:
+            prog.defineParams()
+        except Exception:
+            pass
+    g = prog._grammar
+    flags = set()
+    for cname, p in g.params.items():
+        flags.add(cname)
+        flags.update(getattr(p, "aliases", []))
+    return flags
+
+
+def main():
+    rows = []
+    total_missing = 0
+    for name, files in sorted(PROGRAMS.items()):
+        ref = extract_reference_flags(files)
+        ours = our_flags(name)
+        div = DIVERGENCES.get(name, {})
+        missing = sorted(f for f in ref if f not in ours and f not in div)
+        explained = sorted(f for f in ref if f in div)
+        extra = sorted(f for f in ours - ref
+                       if f not in ("--mesh", "--dist_coordinator",
+                                    "--dist_nprocs", "--dist_procid",
+                                    "--trace", "-v", "--verbose", "--help",
+                                    "--batch", "--interp", "--gui", "-h"))
+        total_missing += len(missing)
+        rows.append((name, len(ref), len(ref) - len(missing)
+                     - len(explained), missing, explained, extra, div))
+
+    out = ["# Flag-surface audit (reference addParamsLine vs this CLI)",
+           "",
+           "Generated by tools/flag_audit.py. 'covered' counts reference",
+           "flags our grammar accepts (same canonical name or alias);",
+           "'divergent' are intentionally not implemented with the reason",
+           "shown; anything in 'missing' is an open gap.",
+           "",
+           "| program | ref flags | covered | divergent | missing |",
+           "|---|---|---|---|---|"]
+    for name, nref, ncov, missing, explained, extra, div in rows:
+        out.append(f"| {name} | {nref} | {ncov} | {len(explained)} | "
+                   f"{' '.join('`%s`' % m for m in missing) or '-'} |")
+    out.append("")
+    out.append("## Intentional divergences")
+    out.append("")
+    for name, *_rest, div in rows:
+        if div:
+            out.append(f"### {name}")
+            for f, why in sorted(div.items()):
+                out.append(f"- `{f}`: {why}")
+            out.append("")
+    out.append("## Framework-only additions (not counted against parity)")
+    out.append("")
+    out.append("`--mesh`, `--dist_*` (device-mesh/multi-host parallelism), "
+               "`--trace` (xprof), `--interp`, `--batch` (device "
+               "batching).")
+    out.append("")
+    doc = "\n".join(out) + "\n"
+    dst = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "FLAG_AUDIT.md")
+    with open(dst, "w") as f:
+        f.write(doc)
+    print(f"wrote {dst}; total unexplained missing flags: {total_missing}")
+    for name, nref, ncov, missing, *_ in rows:
+        if missing:
+            print(f"  {name}: missing {missing}")
+    return 0 if total_missing == 0 else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
