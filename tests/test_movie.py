@@ -90,3 +90,33 @@ def test_movie_program_cli(tmp_path):
     assert np.abs(est - true_pos).max() < 0.5
     avg = Image(avg_fn).data
     assert avg.shape == (128, 128)
+
+
+def test_warp_fast_path_matches_scan_path():
+    """The 4-pass reshape-batched warp must reproduce the general
+    lax.scan tile path exactly (same tile set when H,W are tile
+    multiples and overlap=0.5)."""
+    import numpy as np
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    F, H, W = 4, 128, 128
+    frames = rng.standard_normal((F, H, W)).astype(np.float32)
+    ny = nx = 3
+    cys = np.linspace(16, H - 17, ny).astype(int)
+    cxs = np.linspace(16, W - 17, nx).astype(int)
+    field = rng.uniform(-1.5, 1.5, (ny, nx, F, 2)).astype(np.float32)
+    fast = np.asarray(mops.warp_sum_frames_tiled(frames, field, cys, cxs,
+                                                 tile=32, overlap=0.5))
+    # force the general path with an overlap the fast path rejects
+    slow = np.asarray(mops.warp_sum_frames_tiled(frames, field, cys, cxs,
+                                                 tile=32, overlap=0.499))
+    # overlap=0.499 gives step=ceil? step=max(int(32*0.501),1)=16 == fast
+    assert np.allclose(fast, slow, atol=1e-4), np.abs(fast - slow).max()
+
+
+def test_global_align_accepts_device_frames():
+    frames, _ = make_movie(n_frames=4, size=128)
+    import jax
+    est = mops.global_align(jax.device_put(frames), max_shift_px=20)
+    ref = mops.global_align(frames, max_shift_px=20)
+    assert np.allclose(est, ref, atol=1e-4)
