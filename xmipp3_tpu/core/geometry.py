@@ -197,12 +197,75 @@ def transformation_matrix_from_string(s: str, dim: int = 4):
     of the 4x4 IS the 2D homogeneous matrix (shifts in column 2)."""
     clean = s.replace("[", " ").replace("]", " ").replace(",", " ")
     vals = [float(t) for t in clean.split()]
+    if len(vals) == 9:
+        return np.array(vals, np.float64).reshape(3, 3)
     if len(vals) != 16:
-        raise ValueError(f"expected 16 matrix entries, got {len(vals)}")
+        raise ValueError(f"expected 9 or 16 matrix entries, got {len(vals)}")
     M = np.array(vals, np.float64).reshape(4, 4)
     if dim == 3:
         return M[:3, :3].copy()
     return M
+
+
+def align_with_z(axis):
+    """Rotation matrix R with R·axis_hat = z_hat (reference alignWithZ,
+    xmippCore geometry.cpp semantics: row 2 is the normalized axis; used by
+    transform_geometry --rotate_volume alignZ, phantom features, NMA)."""
+    v = np.asarray(axis, np.float64)
+    n = np.linalg.norm(v)
+    if n < 1e-12:
+        raise ValueError("align_with_z: null axis")
+    v = v / n
+    proj = np.hypot(v[1], v[2])
+    if proj > 1e-12:
+        return np.array([
+            [proj, -v[0] * v[1] / proj, -v[0] * v[2] / proj],
+            [0.0, v[2] / proj, -v[1] / proj],
+            [v[0], v[1], v[2]]], np.float64)
+    # axis along +-x
+    s = 1.0 if v[0] > 0 else -1.0
+    return np.array([[0.0, 0.0, -s], [0.0, 1.0, 0.0],
+                     [s, 0.0, 0.0]], np.float64)
+
+
+def ico_setting_rotation(ico_from: str, ico_to: str):
+    """Rotation taking an icosahedral volume from one standard setting to
+    another (reference rotation3DMatrixFromIcoOrientations; settings i1-i4
+    defined by the same reorientations core.sym uses for the symmetry
+    groups: a volume with symmetry Q_f·G·Q_f^T rotated by Q_t·Q_f^T has
+    symmetry Q_t·G·Q_t^T)."""
+    from xmipp3_tpu.core import euler_orders as _eo
+
+    def _setting(name):
+        name = name.strip().lower()
+        if name not in ("i1", "i2", "i3", "i4"):
+            raise ValueError(f"icosahedral setting must be i1..i4: {name}")
+        tilts = {"i1": 90.0, "i2": 0.0, "i3": 31.7174745559,
+                 "i4": -31.7174745559}
+        return _eo.to_matrix(0.0, np.deg2rad(tilts[name]), 0.0, _eo.ZYZ)
+
+    return _setting(ico_to) @ _setting(ico_from).T
+
+
+def md_pose_from_matrix(M):
+    """Decompose a 2-D homogeneous registration matrix into the metadata
+    pose contract M = M_x^flip · R(-psi) · S(scale) · T(sx, sy)
+    (ops.geo.metadata_alignment_matrices with scale). Returns dict with
+    psi (deg), x, y, scale, flip."""
+    M = np.asarray(M, np.float64)
+    L = M[:2, :2]
+    t = M[:2, 2]
+    det = np.linalg.det(L)
+    flip = det < 0
+    scale = np.sqrt(abs(det))
+    R = L / scale
+    if flip:
+        R = np.diag([-1.0, 1.0]) @ R
+    # R = R(-psi) with R(psi) = [[c, s], [-s, c]]
+    psi = np.degrees(np.arctan2(R[1, 0], R[0, 0]))
+    s = np.linalg.solve(L, t)
+    return {"psi": psi, "x": s[0], "y": s[1], "scale": scale,
+            "flip": bool(flip)}
 
 
 def rotation3d_matrix(angle_deg, axis):

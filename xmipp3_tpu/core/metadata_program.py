@@ -170,18 +170,27 @@ class XmippMetadataProgram(XmippProgram):
     def load_batch(self, rows: list[dict]) -> np.ndarray:
         arr = load_image_rows(rows)
         if self.do_apply_geo and arr.ndim == 3:
-            psi_or_shift = any(r.get(k) for r in rows
-                               for k in ("anglePsi", "shiftX", "shiftY", "flip"))
+            psi_or_shift = any(
+                r.get(k) for r in rows
+                for k in ("anglePsi", "shiftX", "shiftY", "flip")) or any(
+                abs(float(r.get("scale", 1.0) or 1.0) - 1.0) > 1e-6
+                for r in rows)
             if psi_or_shift:
                 arr = self.apply_geometry_batch(arr, rows)
         return arr
 
     def apply_geometry_batch(self, arr, rows):
-        from xmipp3_tpu.ops.geo import apply_md_geometry
+        from xmipp3_tpu.ops.geo import (apply_affine_2d, apply_md_geometry,
+                                        metadata_alignment_matrices)
         psi = np.array([r.get("anglePsi", 0.0) for r in rows], np.float32)
         sx = np.array([r.get("shiftX", 0.0) for r in rows], np.float32)
         sy = np.array([r.get("shiftY", 0.0) for r in rows], np.float32)
         flip = np.array([bool(r.get("flip", 0)) for r in rows])
+        scale = np.array([float(r.get("scale", 1.0) or 1.0) for r in rows],
+                         np.float32)
+        if np.any(np.abs(scale - 1.0) > 1e-6):
+            A = metadata_alignment_matrices(psi, sx, sy, flip, scale)
+            return np.asarray(apply_affine_2d(arr, A, order=1))
         return np.asarray(apply_md_geometry(arr, psi, sx, sy, flip))
 
     # ------------------------------------------------------------------

@@ -210,13 +210,16 @@ def apply_alignment_2d(imgs, psi, sx, sy, flip=None, order: int = 1,
 # (reconstruct_fourier.cpp:199 PRELOAD applies shifts, pose from MD).
 # ---------------------------------------------------------------------------
 
-def metadata_alignment_matrices(psi, sx, sy, flip=None):
-    """Matrices of the registration transform M_x^f·R(-psi)·T(s) (batched)."""
+def metadata_alignment_matrices(psi, sx, sy, flip=None, scale=None):
+    """Matrices of the registration transform M_x^f·R(-psi)·S·T(s)
+    (batched; scale defaults to 1)."""
     psi_r = jnp.deg2rad(jnp.asarray(psi, jnp.float32))
     sx = jnp.asarray(sx, jnp.float32)
     sy = jnp.asarray(sy, jnp.float32)
     B = psi_r.shape[0]
-    c, s = jnp.cos(-psi_r), jnp.sin(-psi_r)
+    sc = jnp.ones(B, jnp.float32) if scale is None else \
+        jnp.asarray(scale, jnp.float32)
+    c, s = jnp.cos(-psi_r) * sc, jnp.sin(-psi_r) * sc
     zeros = jnp.zeros(B, jnp.float32)
     ones = jnp.ones(B, jnp.float32)
     R = jnp.stack([
