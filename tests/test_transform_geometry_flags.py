@@ -191,3 +191,72 @@ def test_md_pose_from_matrix_roundtrip():
         assert abs(p["y"] - sy[i]) < 1e-3
         assert abs(p["scale"] - sc[i]) < 1e-4
         assert p["flip"] == bool(flip[i])
+
+
+# ---------------------------------------------------------------------------
+# transform_window reference flags (transform_window.cpp)
+# ---------------------------------------------------------------------------
+
+def test_window_corners_logical_equals_size(tmp_path):
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((3, 32, 32)).astype(np.float32)
+    fn = str(tmp_path / "s.mrcs")
+    save_image(fn, data)
+    out1 = str(tmp_path / "a.mrcs")
+    out2 = str(tmp_path / "b.mrcs")
+    # --size 16 == --corners -8 -8 7 7 (FIRST/LAST_XMIPP_INDEX of 16)
+    run_prog("transform_window", f"-i {fn} -o {out1} --size 16")
+    run_prog("transform_window", f"-i {fn} -o {out2} --corners -8 -8 7 7")
+    np.testing.assert_allclose(Image.read_stack(out1),
+                               Image.read_stack(out2), atol=1e-6)
+
+
+def test_window_corners_physical_and_pad(tmp_path):
+    rng = np.random.default_rng(1)
+    data = rng.standard_normal((2, 16, 16)).astype(np.float32) + 5.0
+    fn = str(tmp_path / "s.mrcs")
+    save_image(fn, data)
+    out = str(tmp_path / "p.mrcs")
+    run_prog("transform_window",
+             f"-i {fn} -o {out} --corners 2 2 13 13 --physical")
+    res = Image.read_stack(out)
+    np.testing.assert_allclose(res, data[:, 2:14, 2:14], atol=1e-6)
+    # pad avg: enlarge with average fill
+    out2 = str(tmp_path / "q.mrcs")
+    run_prog("transform_window",
+             f"-i {fn} -o {out2} --corners -12 -12 11 11 --pad avg")
+    res2 = Image.read_stack(out2)
+    assert res2.shape == (2, 24, 24)
+    assert abs(res2[0, 0, 0] - data[0].mean()) < 1e-5
+
+
+def test_window_volume_corners(tmp_path):
+    rng = np.random.default_rng(2)
+    vol = rng.standard_normal((16, 16, 16)).astype(np.float32)
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    out = str(tmp_path / "w.vol")
+    run_prog("transform_window",
+             f"-i {fn} -o {out} --corners -4 -4 -4 3 3 3")
+    res = load_image(out)
+    assert res.shape == (8, 8, 8)
+    np.testing.assert_allclose(res, vol[4:12, 4:12, 4:12], atol=1e-6)
+
+
+def test_window_unitcell_c4(tmp_path):
+    """c4 unit cell: mask covers ~1/4 of the shell and orbit copies tile
+    the full shell."""
+    n = 24
+    rng = np.random.default_rng(3)
+    vol = rng.standard_normal((n, n, n)).astype(np.float32)
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    out = str(tmp_path / "uc.vol")
+    run_prog("transform_window",
+             f"-i {fn} -o {out} --unitcell c4 3 10 0 0 1")
+    res = load_image(out)
+    nz = np.count_nonzero(np.abs(res) > 1e-8)
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float64) - n // 2
+    r = np.sqrt(x * x + y * y + z * z)
+    shell = np.count_nonzero((r >= 3) & (r <= 10))
+    assert 0.15 < nz / shell < 0.35   # ~1/4

@@ -13,35 +13,185 @@ from xmipp3_tpu.ops.geo import window_2d
 
 
 class ProgTransformWindow(XmippMetadataProgram):
+    """Reference transform_window.cpp: --size/--crop/--corners(+--physical)
+    /--unitcell modes with value/corner/avg padding."""
+
     name = "xmipp_transform_window"
 
     def defineProcessParams(self):
         self.addUsageLine("Crop or pad images to a new size (centered).")
-        self.addParamsLine("[--size <x> <y=-1> <z=-1>] : New size")
-        self.addParamsLine("[--crop <x> <y=-1> <z=-1>] : Crop this many pixels (negative pads)")
-        self.addParamsLine("[--fill_value <v=0>] : Padding fill value")
+        self.addParamsLine("[--size <x> <y=0> <z=0>] : New size")
+        self.addParamsLine("[--crop <x> <y=0> <z=0>] : Crop this many pixels (negative pads; half each side)")
+        self.addParamsLine("[--corners <...>] : Window corners, 2D <x0> <y0> <xF> <yF>, 3D <x0> <y0> <z0> <xF> <yF> <zF> (logical indexes)")
+        self.addParamsLine("[--physical] : corners are physical (0-based array) indexes")
+        self.addParamsLine("[--unitcell <...>] : <sym> <rmin=0> <rmax=0> <expandFactor=0> <offset=0> <sampling=1> <x_origin=-1> <y_origin=-1> <z_origin=-1> : extract a symmetry unit cell from a volume")
+        self.addParamsLine("[--pad <padtype=value>] : value used for padding")
+        self.addParamsLine("   where <padtype>")
+        self.addParamsLine("      value <v=0> : use this value")
+        self.addParamsLine("      corner      : use the top-left corner value")
+        self.addParamsLine("      avg         : use the image average")
+        self.addParamsLine("[--fill_value <v=0>] : (deprecated) same as --pad value v")
 
     def readProcessParams(self):
         self.size = None
         self.crop = None
+        self.corners = None
+        self.unitcell = None
+        self.physical = self.checkParam("--physical")
         if self.checkParam("--size"):
             x = self.getIntParam("--size", 0)
             y = self.getIntParam("--size", 1)
-            self.size = (x, x if y < 0 else y)
+            z = self.getIntParam("--size", 2)
+            self.size = (x, x if y <= 0 else y, x if z <= 0 else z)
         elif self.checkParam("--crop"):
             x = self.getIntParam("--crop", 0)
             y = self.getIntParam("--crop", 1)
-            self.crop = (x, x if y == -1 else y)
-        self.fill = self.getDoubleParam("--fill_value") if \
-            self.checkParam("--fill_value") else 0.0
+            z = self.getIntParam("--crop", 2)
+            # historical CLI used -1 as "same"; reference uses 0
+            self.crop = (x, x if y in (0, -1) else y, x if z in (0, -1) else z)
+        elif self.checkParam("--corners"):
+            self.corners = [int(t) for t in self.getListParam("--corners")]
+            if len(self.corners) not in (4, 6):
+                raise ValueError("--corners takes 4 (2D) or 6 (3D) values")
+        elif self.checkParam("--unitcell"):
+            toks = self.getListParam("--unitcell")
+            self.unitcell = dict(
+                sym=toks[0],
+                rmin=float(toks[1]) if len(toks) > 1 else 0.0,
+                rmax=float(toks[2]) if len(toks) > 2 else 0.0,
+                expand=float(toks[3]) if len(toks) > 3 else 0.0,
+                offset=float(toks[4]) if len(toks) > 4 else 0.0)
+        ptoks = self.getListParam("--pad") if self.checkParam("--pad") \
+            else ["value", "0"]
+        self.pad_type = ptoks[0]
+        self.pad_value = float(ptoks[1]) if len(ptoks) > 1 else 0.0
+        if self.checkParam("--fill_value"):
+            self.pad_type = "value"
+            self.pad_value = self.getDoubleParam("--fill_value")
+
+    def _fill(self, img):
+        if self.pad_type == "corner":
+            return float(np.ravel(img)[0])
+        if self.pad_type == "avg":
+            return float(img.mean())
+        return self.pad_value
+
+    def _window_nd(self, img, lo, hi):
+        """Logical-corner window of a 2-D or 3-D array ((y0,x0)/(z0,y0,x0)
+        ordering in lo/hi), out-of-range padded with the fill policy."""
+        nd = img.ndim
+        ctr = [s // 2 for s in img.shape]
+        out_shape = tuple(h - l + 1 for l, h in zip(lo, hi))
+        out = np.full(out_shape, self._fill(img), img.dtype)
+        src = []
+        dst = []
+        for d in range(nd):
+            s0 = lo[d] + ctr[d]
+            s1 = hi[d] + ctr[d] + 1
+            d0 = max(0, -s0)
+            s0c = max(0, s0)
+            s1c = min(img.shape[d], s1)
+            if s1c <= s0c:
+                return out
+            src.append(slice(s0c, s1c))
+            dst.append(slice(d0, d0 + (s1c - s0c)))
+        out[tuple(dst)] = img[tuple(src)]
+        return out
+
+    def _unitcell_volume(self, vol):
+        """TPU-first unit cell: mask voxels whose direction is the
+        orbit-canonical representative under the symmetry group (a valid
+        fundamental domain; the reference's unitCell.cpp picks a
+        plane-bounded one instead — same coverage property: the orbit of
+        the cell tiles the sphere), shell-limited to [rmin, rmax] and
+        dilated by the expand factor, then cropped to the bounding box."""
+        from xmipp3_tpu.core.sym import symmetry_matrices
+        uc = self.unitcell
+        G = np.asarray(symmetry_matrices(uc["sym"]), np.float64)
+        n = vol.shape[0]
+        zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float64) - n // 2
+        r = np.sqrt(xx * xx + yy * yy + zz * zz)
+        if uc["offset"]:
+            a = np.deg2rad(uc["offset"])
+            c, s = np.cos(a), np.sin(a)
+            xx, yy = c * xx - s * yy, s * xx + c * yy
+        pts = np.stack([xx, yy, zz], axis=-1)          # (n,n,n,3)
+        # orbit-canonical: keep voxels maximizing a fixed score over the
+        # orbit (z, then y, then x lexicographic via weighted sum)
+        w = np.array([1.0, n * 2.0, n * n * 4.0])
+        score = None
+        best = None
+        for R in G:
+            q = pts @ R.T
+            s_ = q @ w
+            if score is None:
+                score, best = s_, s_
+            else:
+                best = np.maximum(best, s_)
+        own = (pts @ w) >= best - 1e-9
+        rmin, rmax = uc["rmin"], uc["rmax"] or (n // 2)
+        mask = own & (r >= rmin) & (r <= rmax)
+        if uc["expand"] > 0:
+            from scipy.ndimage import binary_dilation
+            it = max(1, int(round(uc["expand"] * 4)))
+            mask = binary_dilation(mask, iterations=it) & \
+                (r >= max(0.0, rmin - it)) & (r <= rmax + it)
+        out = np.where(mask, vol, self._fill(vol)).astype(vol.dtype)
+        idx = np.argwhere(mask)
+        if idx.size:
+            lo = idx.min(axis=0)
+            hi = idx.max(axis=0) + 1
+            out = out[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]]
+        return out
 
     def processBatch(self, imgs, rows):
+        is_vol = imgs.ndim == 4
+        if self.unitcell is not None:
+            if not is_vol:
+                raise ValueError("--unitcell needs a volume input")
+            return np.stack([self._unitcell_volume(v) for v in imgs])
+        if self.corners is not None:
+            c = self.corners
+            out = []
+            for img in imgs:
+                if len(c) == 4:
+                    lo, hi = (c[1], c[0]), (c[3], c[2])
+                    if self.physical:
+                        ctr = [s // 2 for s in img.shape[-2:]]
+                        lo = tuple(v - k for v, k in zip(lo, ctr))
+                        hi = tuple(v - k for v, k in zip(hi, ctr))
+                else:
+                    lo, hi = (c[2], c[1], c[0]), (c[5], c[4], c[3])
+                    if self.physical:
+                        ctr = [s // 2 for s in img.shape[-3:]]
+                        lo = tuple(v - k for v, k in zip(lo, ctr))
+                        hi = tuple(v - k for v, k in zip(hi, ctr))
+                out.append(self._window_nd(img, lo, hi))
+            return np.stack(out)
+        if is_vol:
+            Z, H, W = imgs.shape[-3:]
+            if self.size:
+                ow, oh, oz = self.size
+            else:
+                ow, oh, oz = W - self.crop[0], H - self.crop[1], \
+                    Z - self.crop[2]
+            out = []
+            for v in imgs:
+                lo = (-(oz // 2), -(oh // 2), -(ow // 2))
+                hi = (oz - oz // 2 - 1, oh - oh // 2 - 1, ow - ow // 2 - 1)
+                out.append(self._window_nd(v, lo, hi))
+            return np.stack(out)
         H, W = imgs.shape[-2:]
         if self.size:
-            out_w, out_h = self.size
+            out_w, out_h = self.size[0], self.size[1]
         else:
             out_w, out_h = W - self.crop[0], H - self.crop[1]
-        return np.asarray(window_2d(imgs, out_h, out_w, fill=self.fill))
+        if self.pad_type == "value":
+            return np.asarray(window_2d(imgs, out_h, out_w,
+                                        fill=self.pad_value))
+        return np.stack([
+            np.asarray(window_2d(img, out_h, out_w, fill=self._fill(img)))
+            for img in imgs])
 
 
 class ProgTransformAddNoise(XmippMetadataProgram):

@@ -276,14 +276,30 @@ class ProgTransformMask(XmippMetadataProgram):
         self.addParamsLine("       gaussian <sigma> : Gaussian mask")
         self.addParamsLine("       rectangular <x> <y> <z=-1> : Box half-sizes")
         self.addParamsLine("       binary_file <file> : Mask image from file")
-        self.addParamsLine("[--substitute <v=0>] : Value outside the mask")
+        self.addParamsLine("[--substitute <v=0>] : Value outside the mask (number or min|max|avg)")
         self.addParamsLine("[--create_mask <out=\"\">] : Only write the mask image")
+        self.addParamsLine("[--count_above <th=0>] : Count pixels within mask >= th")
+        self.addParamsLine("[--count_below <th=0>] : Count pixels within mask <= th")
 
     def readProcessParams(self):
         self.mask_spec = self.getListParam("--mask")
-        self.sub = self.getDoubleParam("--substitute")
+        self.sub_str = self.getParam("--substitute") if \
+            self.checkParam("--substitute") else "0"
         self.fn_create = self.getParam("--create_mask") if \
             self.checkParam("--create_mask") else ""
+        self.count_above = self.getDoubleParam("--count_above") if \
+            self.checkParam("--count_above") else None
+        self.count_below = self.getDoubleParam("--count_below") if \
+            self.checkParam("--count_below") else None
+
+    def _sub_val(self, img):
+        if self.sub_str == "min":
+            return float(img.min())
+        if self.sub_str == "max":
+            return float(img.max())
+        if self.sub_str == "avg":
+            return float(img.mean())
+        return float(self.sub_str)
 
     def _mask_for(self, shape):
         from xmipp3_tpu.ops.mask import (circular_mask, crown_mask,
@@ -319,7 +335,35 @@ class ProgTransformMask(XmippMetadataProgram):
 
     def processBatch(self, imgs, rows):
         m = self._mask_for(imgs.shape[1:])
-        return imgs * m[None] + self.sub * (1.0 - m[None])
+        if self.count_above is not None or self.count_below is not None:
+            # reference ProgMask count mode (mask.cpp:1900-1936): report
+            # per-image counts of in-mask values crossing the thresholds
+            mb = m > 0.5
+            elem = "voxels" if imgs.ndim == 4 else "pixels"
+            for img, row in zip(imgs, rows):
+                name = row.get("image", "")
+                if self.count_above is not None and self.count_below is None:
+                    n = int(np.count_nonzero(mb & (img >= self.count_above)))
+                    print(f"{name} number of {elem} above "
+                          f"{self.count_above} = {n}")
+                elif self.count_below is not None and \
+                        self.count_above is None:
+                    n = int(np.count_nonzero(mb & (img <= self.count_below)))
+                    print(f"{name} number of {elem} below "
+                          f"{self.count_below} = {n}")
+                else:
+                    n = int(np.count_nonzero(
+                        mb & (img >= self.count_above)
+                        & (img <= self.count_below)))
+                    print(f"{name} number of {elem} above "
+                          f"{self.count_above} and below "
+                          f"{self.count_below} = {n}")
+                row["count"] = n
+            return imgs
+        if self.sub_str in ("min", "max", "avg"):
+            return np.stack([img * m + self._sub_val(img) * (1.0 - m)
+                             for img in imgs])
+        return imgs * m[None] + float(self.sub_str) * (1.0 - m[None])
 
 
 class ProgTransformSymmetrize(XmippMetadataProgram):
