@@ -215,3 +215,23 @@ def radial_average_noncubic(vol, rounding: bool = False):
         sums += np.bincount(idx.ravel(), weights=v[k].ravel(), minlength=n)
     mean = np.where(count > 0, sums / np.maximum(count, 1), 0.0)
     return mean, count
+
+
+def compare_two_files(fn1: str, fn2: str, offset: int = 0) -> bool:
+    """Byte-wise file equality skipping the first `offset` bytes (reference
+    core/xmipp_funcs compareTwoFiles, exercised by
+    applications/tests/function_tests/test_funcs_main.cpp)."""
+    import os
+    s1, s2 = os.path.getsize(fn1), os.path.getsize(fn2)
+    if s1 != s2:
+        return False
+    with open(fn1, "rb") as f1, open(fn2, "rb") as f2:
+        f1.seek(offset)
+        f2.seek(offset)
+        while True:
+            b1 = f1.read(1 << 20)
+            b2 = f2.read(1 << 20)
+            if b1 != b2:
+                return False
+            if not b1:
+                return True

@@ -15,6 +15,7 @@ import os as _os
 import numpy as _np
 
 from xmipp3_tpu.core.filename import FileName as _FileName
+from xmipp3_tpu.core.funcs import compare_two_files
 from xmipp3_tpu.core.image import Image as _CoreImage
 from xmipp3_tpu.core.metadata import (MetaData as _CoreMetaData,
                                       compare_two_metadata_files)
@@ -393,6 +394,10 @@ class Program:
 # ---------------------------------------------------------------------------
 # free functions (most used by scripts/tests)
 # ---------------------------------------------------------------------------
+
+def compareTwoFiles(fn1, fn2, offset=0):
+    return compare_two_files(str(fn1), str(fn2), int(offset))
+
 
 def compareTwoMetadataFiles(fn1, fn2):
     return compare_two_metadata_files(str(fn1), str(fn2))
