@@ -160,12 +160,17 @@ class ParamsGrammar:
             self._last_param = p
             return
         if self._where_arg is not None:
-            # choice line: "choicename <a> <b=d> : comment"
-            toks = s.split(None, 1)
-            choice = toks[0]
-            self._where_arg.choices[choice] = (
-                _parse_args_spec(toks[1]) if len(toks) > 1 else [])
-            self._last_choice = choice
+            # choice line: "choicename <a> <b=d> : comment".  The reference
+            # DSL also allows several bare sibling choices on one line
+            # ("DAUB4 DAUB12 DAUB20 : ..."), all sharing the arg spec.
+            toks = s.split()
+            names = []
+            while toks and not toks[0].startswith("<"):
+                names.append(toks.pop(0))
+            spec = _parse_args_spec(" ".join(toks)) if toks else []
+            for choice in names or [""]:
+                self._where_arg.choices[choice] = spec
+                self._last_choice = choice
             return
         # free text — treat as usage comment
         if self._last_param is not None and comment:
