@@ -78,81 +78,296 @@ class ProgVolumeCenter(XmippProgram):
 
 
 class ProgVolumeAlign(XmippProgram):
+    """Full reference flag surface of volume_align_prog.cpp: 10-D trial
+    vector (mirror, grey_scale, grey_shift, rot, tilt, psi, scale, z, y, x),
+    covariance / least-squares fitness, exhaustive grid / Powell local /
+    FRM engines, --copyGeo/--copyGray/--store outputs.  TPU-first: grid
+    trials are evaluated in device batches (one warp+fitness dispatch per
+    chunk of candidate 3x4 affines)."""
+
     name = "xmipp_volume_align"
 
     def defineParams(self):
-        self.addUsageLine("Align two volumes (exhaustive coarse Euler search "
-                          "+ local refinement by projection correlation).")
-        self.addParamsLine("   --i1 <volume> : Reference volume")
-        self.addParamsLine("   --i2 <volume> : Volume to align")
-        self.addParamsLine("  [--apply <out=\"\">] : Write aligned i2 here")
-        self.addParamsLine("  [--step <s=20>] : Coarse angular step (deg)")
-        self.addParamsLine("  [--local]       : Only local refinement around identity")
-        self.addParamsLine("  [--frm <L=24>]  : Fast Rotational Matching over SO(3) via spherical harmonics (reference interface/frm.h; replaces the coarse grid)")
+        self.addUsageLine("Align two volumes.")
+        self.addParamsLine("   --i1 <volume1> : the first volume to align")
+        self.addParamsLine("   --i2 <volume2> : the second one")
+        self.addParamsLine("  [--rot   <rot0=0>  <rotF=0>  <step_rot=1>]  : in degrees")
+        self.addParamsLine("  [--tilt  <tilt0=0> <tiltF=0> <step_tilt=1>] : in degrees")
+        self.addParamsLine("  [--psi   <psi0=0>  <psiF=0>  <step_psi=1>]  : in degrees")
+        self.addParamsLine("  [--scale <sc0=1>   <scF=1>   <step_sc=1>]   : size scale margin")
+        self.addParamsLine("  [--grey_scale <sc0=1> <scF=1> <step_sc=1>]  : grey scale margin")
+        self.addParamsLine("    requires --least_squares;")
+        self.addParamsLine("  [--grey_shift <sh0=0> <shF=0> <step_sh=1>]  : grey shift margin")
+        self.addParamsLine("    requires --least_squares;")
+        self.addParamsLine("  [-z <z0=0> <zF=0> <step_z=1>] : Z position in pixels")
+        self.addParamsLine("  [-y <y0=0> <yF=0> <step_y=1>] : Y position in pixels")
+        self.addParamsLine("  [-x <x0=0> <xF=0> <step_x=1>] : X position in pixels")
+        self.addParamsLine("  [--consider_mirror] : Consider the mirror volume")
+        self.addParamsLine("  [--show_fit]      : Show fitness values")
+        self.addParamsLine("  [--apply <file=\"\">] : Apply best movement to --i2 and store here")
+        self.addParamsLine("  [--covariance]    : Covariance fitness criterion")
+        self.addParamsLine("  [--least_squares] : LS fitness criterion")
+        self.addParamsLine("  [--local]         : Use local optimizer instead of exhaustive search")
+        self.addParamsLine("  [--frm <maxFreq=0.25> <maxShift=10> <tilt0=-90> <tiltF=90>] : Fast Rotational Matching")
+        self.addParamsLine("  [--onlyShift]     : Only shift")
+        self.addParamsLine("  [--dontScale]     : Do not look for scale changes")
+        self.addParamsLine("  [--copyGeo <file=\"\">] : write the 16 'A' matrix elements to a txt file")
+        self.addParamsLine("  [--copyGray <file=\"\">] : write grey scale and shift to a txt file")
+        self.addParamsLine("  [--store <file=\"\">] : write angles, shifts and fitness to a txt file")
+        self.addParamsLine("  [--dontWrap] : Do not wrap input2 when aligning to input1")
+        self.addParamsLine("  [--mask <type=\"\"> <r=0>] : restrict fitness to a mask (circular <r>, or a mask file path)")
+        self.addParamsLine("  [--step <s=0>] : framework extra: coarse sphere search at this angular step when no ranges are given")
+
+    # -- reference transform composition (volume_align_prog.cpp:57-97) ---
+    @staticmethod
+    def _trial_matrix(flip, rot, tilt, psi, scale, z, y, x):
+        from xmipp3_tpu.core.geometry import euler_matrix
+        A = np.eye(4)
+        A[:3, :3] = np.asarray(euler_matrix(float(rot), float(tilt),
+                                            float(psi)), np.float64)
+        A[:, 2] *= flip
+        zz = -z + 1 if flip < 0 else z
+        T = np.eye(4)
+        T[0, 3], T[1, 3], T[2, 3] = x, y, zz
+        S = np.diag([scale, scale, scale, 1.0])
+        return A @ T @ S
+
+    def _fitness_batch(self, warped, grey_scale, grey_shift):
+        """fit per candidate: covariance = -corr, least_squares = rms."""
+        import jax.numpy as jnp
+        v1, m = self._v1j, self._maskj
+        w = warped * grey_scale[:, None, None, None] \
+            + grey_shift[:, None, None, None]
+        nm = jnp.sum(m)
+        if self.method == "least_squares":
+            return jnp.sqrt(jnp.sum(((v1 - w) ** 2) * m, axis=(1, 2, 3))
+                            / nm)
+        mu1 = jnp.sum(v1 * m) / nm
+        muw = jnp.sum(w * m, axis=(1, 2, 3)) / nm
+        d1 = (v1 - mu1) * m
+        dw = (w - muw[:, None, None, None]) * m
+        num = jnp.sum(d1 * dw, axis=(1, 2, 3))
+        den = jnp.sqrt(jnp.sum(d1 ** 2) * jnp.sum(dw ** 2, axis=(1, 2, 3)))
+        return -num / jnp.maximum(den, 1e-12)
+
+    def _eval_trials(self, trials):
+        """trials: (N,10) rows (flip,gs,gh,rot,tilt,psi,scale,z,y,x)."""
+        from xmipp3_tpu.ops.geo import apply_affine_3d
+        fits = np.empty(len(trials), np.float64)
+        B = 16
+        for s in range(0, len(trials), B):
+            chunk = trials[s:s + B]
+            mats = np.stack([self._trial_matrix(*t[[0, 3, 4, 5, 6, 7, 8, 9]])
+                             for t in chunk])[:, :3, :4].astype(np.float32)
+            warped = apply_affine_3d(self._v2, mats, wrap=self.wrap)
+            fits[s:s + B] = np.asarray(self._fitness_batch(
+                warped, np.asarray(chunk[:, 1], np.float32),
+                np.asarray(chunk[:, 2], np.float32)))
+            if self.show_fit:
+                for t, f in zip(chunk, fits[s:s + len(chunk)]):
+                    print(" ".join(f"{v:g}" for v in t[1:]) + f" {f:g}")
+        return fits
+
+    def _range(self, flag, d0, dF, ds):
+        if not self.checkParam(flag):
+            return np.array([d0])
+        v0 = self.getDoubleParam(flag, 0)
+        vF = self.getDoubleParam(flag, 1)
+        st = self.getDoubleParam(flag, 2)
+        if vF <= v0:
+            return np.array([v0])
+        return np.arange(v0, vF + 1e-9, max(st, 1e-9))
 
     def run(self):
-        from xmipp3_tpu.core.sampling import compute_sampling_points
-        from xmipp3_tpu.ops.geo import apply_affine_3d
-        from xmipp3_tpu.core.geometry import euler_matrix
+        import itertools
         import jax.numpy as jnp
         v1 = np.squeeze(Image(self.getParam("--i1")).data).astype(np.float32)
         v2 = np.squeeze(Image(self.getParam("--i2")).data).astype(np.float32)
-        step = self.getDoubleParam("--step")
-        if self.checkParam("--frm"):
-            self._run_frm(v1, v2, self.getIntParam("--frm"))
-            return
-        if self.checkParam("--local"):
-            cands = [(0.0, 0.0, 0.0)]
-        else:
-            pts = compute_sampling_points(step)
-            psis = np.arange(-180.0, 180.0, step)
-            cands = [(r, t, p) for r, t in pts for p in psis]
-        v1j = jnp.asarray(v1 - v1.mean())
-        n1 = float(jnp.linalg.norm(v1j))
-        best = (-2.0, (0.0, 0.0, 0.0))
-        B = 32
-        for s in range(0, len(cands), B):
-            chunk = np.array(cands[s:s + B], np.float32)
-            mats = np.asarray(euler_matrix(chunk[:, 0], chunk[:, 1],
-                                           chunk[:, 2]), np.float32)
-            rotated = apply_affine_3d(v2, mats)
-            r = rotated - rotated.mean(axis=(1, 2, 3), keepdims=True)
-            norms = jnp.sqrt((r ** 2).sum(axis=(1, 2, 3)))
-            cc = np.asarray((r * v1j[None]).sum(axis=(1, 2, 3)) /
-                            jnp.maximum(norms * n1, 1e-12))
-            k = int(np.argmax(cc))
-            if cc[k] > best[0]:
-                best = (float(cc[k]), tuple(chunk[k]))
-        self.corr, self.angles = best
-        if self.verbose:
-            print(f"Best alignment: rot/tilt/psi = {self.angles} "
-                  f"corr={self.corr:.4f}")
-        if self.checkParam("--apply") and self.getParam("--apply"):
-            mats = np.asarray(euler_matrix(*self.angles), np.float32)[None]
-            from xmipp3_tpu.ops.geo import apply_affine_3d as aff
-            save_image(self.getParam("--apply"),
-                       np.asarray(aff(v2, mats))[0])
+        self._v2 = v2
+        self._v1j = jnp.asarray(v1)
+        self.wrap = not self.checkParam("--dontWrap")
+        self.show_fit = self.checkParam("--show_fit")
+        self.method = ("least_squares" if self.checkParam("--least_squares")
+                       else "covariance")
+        mask = np.ones(v1.shape, np.float32)
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            spec = self.getParam("--mask")
+            if spec == "circular":
+                from xmipp3_tpu.ops.mask import circular_mask
+                mask = np.asarray(circular_mask(
+                    v1.shape, abs(self.getDoubleParam("--mask", 1))),
+                    np.float32)
+            else:
+                mask = (np.squeeze(Image(spec).data) > 0.5).astype(np.float32)
+        self._maskj = jnp.asarray(mask)
 
-    def _run_frm(self, v1, v2, L):
-        """SO(3) FRM alignment (ops.frm) + correlation report."""
-        import jax.numpy as jnp
+        mirrors = [1.0, -1.0] if self.checkParam("--consider_mirror") \
+            else [1.0]
+        if self.checkParam("--frm"):
+            best = self._run_frm(v1, v2, mirrors)
+        elif self.checkParam("--local"):
+            best = self._run_local(mirrors)
+        elif self.checkParam("--step") and self.getDoubleParam("--step") > 0 \
+                and not any(self.checkParam(f)
+                            for f in ("--rot", "--tilt", "--psi")):
+            best = self._run_sphere(self.getDoubleParam("--step"), mirrors)
+        else:
+            axes = [self._range("--grey_scale", 1, 1, 1),
+                    self._range("--grey_shift", 0, 0, 1),
+                    self._range("--rot", 0, 0, 1),
+                    self._range("--tilt", 0, 0, 1),
+                    self._range("--psi", 0, 0, 1),
+                    self._range("--scale", 1, 1, 1),
+                    self._range("-z", 0, 0, 1),
+                    self._range("-y", 0, 0, 1),
+                    self._range("-x", 0, 0, 1)]
+            trials = np.array([(f,) + c for f in mirrors
+                               for c in itertools.product(*axes)])
+            fits = self._eval_trials(trials)
+            k = int(np.argmin(fits))
+            best = (fits[k], trials[k])
+        self._report(best)
+
+    def _run_sphere(self, step, mirrors):
+        """Framework extra: coarse search over the projection sphere."""
+        from xmipp3_tpu.core.sampling import compute_sampling_points
+        pts = compute_sampling_points(step)
+        psis = np.arange(-180.0, 180.0, step)
+        trials = np.array([(f, 1.0, 0.0, r, t, p, 1.0, 0.0, 0.0, 0.0)
+                           for f in mirrors for r, t in pts for p in psis])
+        fits = self._eval_trials(trials)
+        k = int(np.argmin(fits))
+        return fits[k], trials[k]
+
+    def _run_local(self, mirrors):
+        """Powell local optimization (reference usePowell branch)."""
+        from scipy.optimize import minimize
+        x0 = np.array([
+            self.getDoubleParam("--grey_scale", 0) if self.checkParam("--grey_scale") else 1.0,
+            self.getDoubleParam("--grey_shift", 0) if self.checkParam("--grey_shift") else 0.0,
+            self.getDoubleParam("--rot", 0) if self.checkParam("--rot") else 0.0,
+            self.getDoubleParam("--tilt", 0) if self.checkParam("--tilt") else 0.0,
+            self.getDoubleParam("--psi", 0) if self.checkParam("--psi") else 0.0,
+            self.getDoubleParam("--scale", 0) if self.checkParam("--scale") else 1.0,
+            self.getDoubleParam("-z", 0) if self.checkParam("-z") else 0.0,
+            self.getDoubleParam("-y", 0) if self.checkParam("-y") else 0.0,
+            self.getDoubleParam("-x", 0) if self.checkParam("-x") else 0.0])
+        active = np.ones(9, bool)
+        if self.checkParam("--onlyShift"):
+            active[:6] = False
+        if self.method == "covariance":
+            active[:2] = False
+        if self.checkParam("--dontScale"):
+            active[5] = False
+        best = None
+        for flip in mirrors:
+            def f(xa, flip=flip):
+                x = x0.copy()
+                x[active] = xa
+                t = np.concatenate([[flip], x])
+                return float(self._eval_trials(t[None])[0])
+            res = minimize(f, x0[active], method="Powell",
+                           options={"xtol": 0.01, "ftol": 0.01,
+                                    "maxiter": 20})
+            x = x0.copy()
+            x[active] = res.x
+            trial = np.concatenate([[flip], x])
+            if best is None or res.fun < best[0]:
+                best = (res.fun, trial)
+        return best
+
+    def _run_frm(self, v1, v2, mirrors):
+        """FRM SO(3) alignment (ops.frm) + bounded shift refinement."""
         from xmipp3_tpu.core.geometry import matrix_to_euler
         from xmipp3_tpu.ops.frm import frm_align_volumes
+        toks = self.getListParam("--frm")
+        max_freq = float(toks[0]) if toks else 0.25
+        max_shift = float(toks[1]) if len(toks) > 1 else 10.0
+        D = v1.shape[0]
+        # legacy framework signature: --frm <L>, L >= 1
+        L = int(max_freq) if max_freq >= 1 else \
+            int(np.clip(round(2 * max_freq * D), 8, 32))
+        best = None
+        for flip in mirrors:
+            vv = v2[::-1].copy() if flip < 0 else v2
+            M = frm_align_volumes(v1, vv, L=L)
+            rot, tilt, psi = (float(a) for a in matrix_to_euler(M))
+            sz, sy, sx = self._best_shift(v1, vv, M, max_shift)
+            trial = np.array([flip, 1.0, 0.0, rot, tilt, psi, 1.0,
+                              sz, sy, sx])
+            fit = float(self._eval_trials(trial[None])[0]) if flip > 0 \
+                else -self._corr_after(vv, M)
+            if best is None or fit < best[0]:
+                best = (fit, trial)
+        self.matrix = np.asarray(
+            self._trial_matrix(*best[1][[0, 3, 4, 5, 6, 7, 8, 9]]))[:3, :3]
+        return best
+
+    def _best_shift(self, v1, v2, M, max_shift):
+        """Translation by cross-correlation after rotating v2 by M."""
         from xmipp3_tpu.ops.geo import apply_affine_3d
-        M = frm_align_volumes(v1, v2, L=L)
-        rot, tilt, psi = (float(a) for a in matrix_to_euler(M))
-        rotated = np.asarray(apply_affine_3d(v2, M[None]))[0]
-        a = v1 - v1.mean()
-        b = rotated - rotated.mean()
-        corr = float((a * b).sum() /
+        if max_shift <= 0:
+            return 0.0, 0.0, 0.0
+        rot = np.asarray(apply_affine_3d(v2, M[None].astype(np.float32)))[0]
+        c = np.real(np.fft.ifftn(np.fft.fftn(v1) *
+                                 np.conj(np.fft.fftn(rot))))
+        c = np.fft.fftshift(c)
+        ctr = np.array(c.shape) // 2
+        ms = int(min(max_shift, min(c.shape) // 2 - 1))
+        win = c[ctr[0] - ms:ctr[0] + ms + 1, ctr[1] - ms:ctr[1] + ms + 1,
+                ctr[2] - ms:ctr[2] + ms + 1]
+        k = np.unravel_index(np.argmax(win), win.shape)
+        dz, dy, dx = (np.array(k) - ms).astype(float)
+        return dz, dy, dx
+
+    def _corr_after(self, v2, M):
+        from xmipp3_tpu.ops.geo import apply_affine_3d
+        rot = np.asarray(apply_affine_3d(v2, M[None].astype(np.float32)))[0]
+        a = self._v2 * 0 + np.asarray(self._v1j)
+        a = a - a.mean()
+        b = rot - rot.mean()
+        return float((a * b).sum() /
                      max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12))
-        self.corr, self.angles = corr, (rot, tilt, psi)
-        self.matrix = M
+
+    def _report(self, best):
+        best_fit, t = best
+        flip, gs, gh, rot, tilt, psi, scale, z, y, x = t
+        A = self._trial_matrix(flip, rot, tilt, psi, scale, z, y, x)
+        self.angles = (float(rot), float(tilt), float(psi))
+        self.corr = -float(best_fit) if self.method == "covariance" \
+            else float(best_fit)
+        self.fit = float(best_fit)
+        self.matrix_A = A
         if self.verbose:
-            print(f"FRM alignment: rot/tilt/psi = ({rot:.3f}, {tilt:.3f}, "
-                  f"{psi:.3f}) corr={corr:.4f}")
+            print("The best correlation is for")
+            print(f"Mirroring the in X axis: {int(flip < 0)}")
+            print(f"Scale                  : {scale}")
+            print(f"Translation (X,Y,Z)    : {x} {y} {z}")
+            print(f"Rotation (rot,tilt,psi): {rot} {tilt} {psi}")
+            print(f"Best grey scale       : {gs}")
+            print(f"Best grey shift       : {gh}")
+            print(f"Fitness value         : {best_fit}")
+            print("xmipp_transform_geometry will require the following "
+                  "values\n   Angles: %g %g %g\n   Shifts: %g %g %g"
+                  % (rot, tilt, psi, A[0, 3], A[1, 3], A[2, 3]))
+        if self.checkParam("--copyGeo") and self.getParam("--copyGeo"):
+            with open(self.getParam("--copyGeo"), "w") as f:
+                f.write("\n".join(f"{A[i, j]}" for i in range(4)
+                                  for j in range(4)) + "\n")
+        if self.checkParam("--copyGray") and self.getParam("--copyGray"):
+            with open(self.getParam("--copyGray"), "w") as f:
+                f.write(f"{gs}\n{gh}\n")
+        if self.checkParam("--store") and self.getParam("--store"):
+            with open(self.getParam("--store"), "w") as f:
+                f.write(f"{rot}, {tilt}, {psi}, {A[0, 3]}, {A[1, 3]}, "
+                        f"{A[2, 3]}, {best_fit}\n")
         if self.checkParam("--apply") and self.getParam("--apply"):
-            save_image(self.getParam("--apply"), rotated)
+            from xmipp3_tpu.ops.geo import apply_affine_3d
+            out = np.asarray(apply_affine_3d(
+                self._v2, A[None, :3, :4].astype(np.float32),
+                wrap=self.wrap))[0]
+            out = out * gs + gh
+            save_image(self.getParam("--apply"), out)
 
 
 class ProgVolumeSubtraction(XmippProgram):
