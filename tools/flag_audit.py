@@ -59,6 +59,25 @@ PROGRAMS = {
     "image_resize": ["data/image_resize.cpp"],
 }
 
+# shared ml2d.cpp grammar divergences (serial-CPU economies and
+# deprecated/debug knobs with no TPU analog)
+_ML2D_SHARED = {
+    "--thr": "host threads are XLA's concern on TPU",
+    "--fast": "the full (class, psi, trial) integration is a single einsum "
+              "dispatch; there is no slow/fast split (-C still applies the "
+              "significance truncation)",
+    "--zero_offsets": "kick-start detail of the reference's fast path; "
+                      "offsets are always searched in one dispatch",
+    "--save_memA": "deprecated in the reference; no host-memory staging",
+    "--save_memB": "deprecated in the reference; no host-memory staging",
+    "--scratch": "no scratch-disk staging; data lives in HBM",
+    "--debug": "use -v verbosity levels",
+    "--no_sigma_trick": "numerical trick of the serial implementation; the "
+                        "einsum E-step is exact",
+    "--trymindiff_factor": "restart heuristic of the serial implementation",
+    "--load": "host prefetch knob",
+}
+
 # flags we consciously do NOT implement (reason shown in the audit table)
 DIVERGENCES = {
     "reconstruct_fourier": {
@@ -81,9 +100,23 @@ DIVERGENCES = {
                                "GPU build",
         "--storage": "FFT plan storage file: XLA caches compiles instead",
     },
-    "ml_align2d": {
-        "--thr": "host threads are XLA's concern on TPU",
-    },
+    "ml_align2d": dict(_ML2D_SHARED),
+    "mlf_align2d": dict(
+        _ML2D_SHARED,
+        **{
+            "--ctf_affected_refs": "references are built from "
+            "Wiener-corrected images, so CTF-affected references do not "
+            "arise",
+            "--fix_high": "the ring noise weights are re-estimated and "
+            "renormalized every iteration; there is no separate high-freq "
+            "freeze",
+            "--reduce_snr": "a constant SNR scale folds into sigma^2 under "
+            "the renormalized ring weights (mathematically a no-op here)",
+            "--var_psi": "the full psi grid is searched every iteration in "
+            "one dispatch; adaptive coarsening is a serial-CPU economy",
+            "--var_trans": "the full translation grid is searched every "
+            "iteration in one dispatch",
+        }),
 }
 
 
