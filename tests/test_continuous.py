@@ -77,7 +77,7 @@ def test_continuous_assign_program(tmp_path):
     out = str(tmp_path / "ref.xmd")
     prog = run_prog("angular_continuous_assign2",
                     f"-i {tmp_path}/in.xmd -o {out} --ref {fn_vol} "
-                    f"--steps 60 -v 0")
+                    f"--optimizeAngles --steps 60 -v 0")
     assert prog.mean_cost > 0.95
     md = MetaData(out)
     err = np.abs(md.getColumn("angleRot") - rot_t)

@@ -164,7 +164,8 @@ def test_round2_refinement_cycle(tmp_path):
     # continuous refinement with gray optimization improves the model fit
     run_prog("angular_continuous_assign2",
              f"-i {tmp_path}/best.xmd -o {tmp_path}/cont.xmd "
-             f"--ref {fn_vol} --optimizeShift --optimizeGray --steps 40")
+             f"--ref {fn_vol} --optimizeAngles --optimizeShift "
+             f"--optimizeGray --steps 40")
     md_c = MetaData(str(tmp_path / "cont.xmd"))
     assert md_c.size() == n_parts
     assert md_c.containsLabel("continuousA")

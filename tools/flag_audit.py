@@ -129,6 +129,10 @@ def extract_reference_flags(files):
         if not os.path.exists(path):
             continue
         src = open(path, errors="replace").read()
+        # drop //-commented lines (e.g. the commented-out --penalization in
+        # angular_continuous_assign2.cpp:139)
+        src = "\n".join(l for l in src.splitlines()
+                        if not l.lstrip().startswith("//"))
         # addParamsLine / defaultComments blocks
         for m in re.finditer(r'addParamsLine\s*\(([^;]*?)\)\s*;', src,
                              re.S):

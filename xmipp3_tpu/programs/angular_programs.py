@@ -26,6 +26,7 @@ def _load_md(fn):
 
 
 class ProgAngularContinuousAssign2(XmippProgram):
+    """Reference grammar: angular_continuous_assign2.cpp:120-142."""
     name = "xmipp_angular_continuous_assign2"
 
     def defineParams(self):
@@ -35,11 +36,26 @@ class ProgAngularContinuousAssign2(XmippProgram):
         self.addParamsLine("   -i <md_file>  : Particles with initial poses")
         self.addParamsLine("   -o <md_file>  : Refined poses")
         self.addParamsLine("   --ref <volume> : Reference volume")
-        self.addParamsLine("  [--optimizeShift] : Also refine shifts")
+        self.addParamsLine("  [--optimizeAngles] : Refine the Euler angles")
+        self.addParamsLine("  [--optimizeShift] : Refine shifts")
+        self.addParamsLine("  [--optimizeScale] : Refine magnification")
         self.addParamsLine("  [--optimizeGray]  : Optimize gray scale a and shift b (reference continuous2cost a,b terms)")
         self.addParamsLine("  [--optimizeDefocus] : Optimize per-particle defocus (requires CTF columns in the metadata)")
+        self.addParamsLine("  [--max_shift <s=-1>] : Maximum shift allowed (px; -1 = unbounded)")
+        self.addParamsLine("  [--max_scale <s=0.02>] : Maximum scale change")
+        self.addParamsLine("  [--max_angular_change <a=5>] : Maximum angular change (deg)")
+        self.addParamsLine("  [--max_defocus_change <d=500>] : Maximum defocus change (Angstrom)")
+        self.addParamsLine("  [--max_resolution <f=4>] : Maximum resolution (Angstrom)")
+        self.addParamsLine("  [--max_gray_scale <a=0.05>] : Maximum gray scale change")
+        self.addParamsLine("  [--max_gray_shift <b=0.05>] : Maximum gray shift as a factor of the image stddev")
+        self.addParamsLine("  [--Rmax <R=-1>]   : Evaluation radius (px; -1 = half the image size)")
+        self.addParamsLine("  [--ignoreCTF]     : Ignore CTF columns even if present")
+        self.addParamsLine("  [--sameDefocus]   : Force defocusU = defocusV during refinement")
+        self.addParamsLine("  [--applyTo <label=image>] : Image column the final in-plane transform is applied to")
+        self.addParamsLine("  [--oresiduals <stack=\"\">] : Output stack for the residuals")
+        self.addParamsLine("  [--oprojections <stack=\"\">] : Output stack for the model projections")
         self.addParamsLine("  [--phaseFlipped]  : Images have been phase flipped")
-        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (Å), used with --optimizeDefocus")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (Angstrom)")
         self.addParamsLine("  [--steps <n=60>] : Optimization steps")
         self.addParamsLine("  [--padding <p=2>] : Projector padding")
 
@@ -48,37 +64,67 @@ class ProgAngularContinuousAssign2(XmippProgram):
                                                continuous_assign_full)
         md, rows, imgs, get = _load_md(self.getParam("-i"))
         vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        opt_ang = self.checkParam("--optimizeAngles")
+        opt_shift = self.checkParam("--optimizeShift")
+        opt_scale = self.checkParam("--optimizeScale")
         opt_gray = self.checkParam("--optimizeGray")
         opt_def = self.checkParam("--optimizeDefocus")
-        if opt_gray or opt_def:
-            has_ctf = any("ctfDefocusU" in r for r in rows[:1])
+        Ts = self.getDoubleParam("--sampling")
+        max_freq = min(Ts / self.getDoubleParam("--max_resolution"), 0.5) \
+            if self.checkParam("--max_resolution") else 0.35
+        ms = self.getDoubleParam("--max_shift")
+        max_shift = ms if ms >= 0 else None
+        mac = self.getDoubleParam("--max_angular_change") \
+            if self.checkParam("--max_angular_change") else None
+        Rmax = self.getDoubleParam("--Rmax")
+        fn_res = self.getParam("--oresiduals")
+        fn_proj = self.getParam("--oprojections")
+        full_needed = (opt_gray or opt_def or opt_scale or Rmax > 0
+                       or bool(fn_res) or bool(fn_proj))
+        sx0 = get("shiftX") if opt_shift else None
+        sy0 = get("shiftY") if opt_shift else None
+        if full_needed:
+            has_ctf = (not self.checkParam("--ignoreCTF")
+                       and any("ctfDefocusU" in r for r in rows[:1]))
             res = continuous_assign_full(
                 vol, imgs, get("angleRot"), get("angleTilt"),
-                get("anglePsi"),
-                get("shiftX") if self.checkParam("--optimizeShift")
-                else None,
-                get("shiftY") if self.checkParam("--optimizeShift")
-                else None,
+                get("anglePsi"), sx0, sy0,
                 defU0=get("ctfDefocusU") if has_ctf else None,
                 defV0=get("ctfDefocusV") if has_ctf else None,
                 def_ang=get("ctfDefocusAngle") if has_ctf else None,
-                Ts=self.getDoubleParam("--sampling"),
-                optimize_gray=opt_gray, optimize_defocus=opt_def,
+                Ts=Ts, optimize_gray=opt_gray, optimize_defocus=opt_def,
+                optimize_angles=opt_ang, optimize_shift=opt_shift,
+                optimize_scale=opt_scale,
                 phase_flipped=self.checkParam("--phaseFlipped"),
+                same_defocus=self.checkParam("--sameDefocus"),
                 n_steps=self.getIntParam("--steps"),
                 pad_factor=self.getDoubleParam("--padding"),
+                max_freq=max_freq, Rmax=Rmax if Rmax > 0 else None,
+                max_angular_change=mac, max_shift=max_shift,
+                max_scale=self.getDoubleParam("--max_scale")
+                if opt_scale else None,
+                max_defocus_change=self.getDoubleParam(
+                    "--max_defocus_change") if opt_def else None,
+                max_gray_scale=self.getDoubleParam("--max_gray_scale")
+                if opt_gray else None,
+                max_gray_shift=self.getDoubleParam("--max_gray_shift")
+                if opt_gray else None,
+                compute_outputs=bool(fn_res) or bool(fn_proj),
                 verbose=self.verbose)
+            if fn_res:
+                save_image(fn_res, res["residuals"])
+            if fn_proj:
+                save_image(fn_proj, res["projections"])
         else:
             res = continuous_assign(
                 vol, imgs, get("angleRot"), get("angleTilt"),
-                get("anglePsi"),
-                get("shiftX") if self.checkParam("--optimizeShift")
-                else None,
-                get("shiftY") if self.checkParam("--optimizeShift")
-                else None,
+                get("anglePsi"), sx0, sy0,
+                lr_angles=0.5 if opt_ang else 0.0,
+                lr_shifts=0.2 if opt_shift else 0.0,
                 n_steps=self.getIntParam("--steps"),
                 pad_factor=self.getDoubleParam("--padding"),
-                verbose=self.verbose)
+                max_freq=max_freq, max_angular_change=mac,
+                max_shift=max_shift, verbose=self.verbose)
         out_rows = []
         for i, r in enumerate(rows):
             d = dict(r)
@@ -89,6 +135,8 @@ class ProgAngularContinuousAssign2(XmippProgram):
                       "shiftY": float(res["sy"][i]),
                       "cost": float(res["cost"][i]),
                       "maxCC": float(res["cost"][i])})
+            if "scale" in res:
+                d["scale"] = float(res["scale"][i])
             if "grayA" in res:
                 d["continuousA"] = float(res["grayA"][i])
                 d["continuousB"] = float(res["grayB"][i])
@@ -96,6 +144,28 @@ class ProgAngularContinuousAssign2(XmippProgram):
                 d["ctfDefocusU"] = float(res["defocusU"][i])
                 d["ctfDefocusV"] = float(res["defocusV"][i])
             out_rows.append(d)
+        # --applyTo: write the images (from the given column) registered
+        # by the refined in-plane pose (angular_continuous_assign2.cpp:599)
+        if self.checkParam("--applyTo"):
+            import os
+            import jax.numpy as jnp
+            from xmipp3_tpu.core.metadata_program import load_image_rows
+            from xmipp3_tpu.ops.geo import (apply_affine_2d,
+                                            metadata_alignment_matrices)
+            label = self.getParam("--applyTo")
+            src = imgs if label == "image" else load_image_rows(
+                [dict(r, image=r[label]) for r in rows])
+            scale = res.get("scale")
+            A = metadata_alignment_matrices(
+                jnp.asarray(res["psi"]), jnp.asarray(res["sx"]),
+                jnp.asarray(res["sy"]),
+                scale=None if scale is None else jnp.asarray(scale))
+            reg = np.asarray(apply_affine_2d(jnp.asarray(src), A))
+            stem = os.path.splitext(self.getParam("-o"))[0]
+            fn_stk = stem + "_aligned.stk"
+            save_image(fn_stk, reg)
+            for i, d in enumerate(out_rows):
+                d["image"] = f"{i + 1:06d}@{fn_stk}"
         MetaData.fromRows(out_rows).write(self.getParam("-o"))
         self.mean_cost = float(np.asarray(res["cost"]).mean())
 
