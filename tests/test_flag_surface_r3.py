@@ -1,0 +1,152 @@
+"""Round-3 flag-surface additions: angular_discrete_assign extras
+(angular_discrete_assign.cpp grammar), angular_projection_matching
+--search5d_step/--sym, reconstruct_significant extras
+(reconstruct_significant.cpp grammar)."""
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.geometry import euler_matrix
+from xmipp3_tpu.core.image import Image
+from xmipp3_tpu.core.metadata import MetaData
+from xmipp3_tpu.core.sampling import compute_sampling_points
+from xmipp3_tpu.ops.project import FourierProjector
+from xmipp3_tpu.programs import get_program
+
+
+def run_prog(name, args):
+    prog = get_program(name)
+    prog.read(["x"] + args.split())
+    assert prog.tryRun() == 0, f"{name} failed"
+    return prog
+
+
+@pytest.fixture(scope="module")
+def gal(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("gal"))
+    rng = np.random.default_rng(3)
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
+    vol = (np.exp(-((z - 2) ** 2 + y ** 2 + (x + 3) ** 2) / 10)
+           + 0.8 * np.exp(-((z + 3) ** 2 + (y - 4) ** 2 + x ** 2) / 6)
+           ).astype(np.float32)
+    angles = compute_sampling_points(25.0)
+    refs = np.asarray(FourierProjector(vol).project_euler(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        np.zeros(len(angles), np.float32)))
+    Image(refs).write(d + "/gal.stk")
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{d}/gal.stk",
+         "angleRot": float(angles[i, 0]),
+         "angleTilt": float(angles[i, 1])}
+        for i in range(len(refs))]).write(d + "/gal.doc")
+    pick = rng.integers(0, len(refs), 8)
+    imgs = refs[pick] + 0.05 * rng.standard_normal(
+        (8, n, n)).astype(np.float32)
+    Image(imgs).write(d + "/imgs.stk")
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{d}/imgs.stk", "itemId": i + 1,
+         "angleRot": float(angles[pick[i], 0]),
+         "angleTilt": float(angles[pick[i], 1]), "anglePsi": 0.0}
+        for i in range(8)]).write(d + "/imgs.xmd")
+    return dict(dir=d, vol=vol, angles=angles, refs=refs, imgs=imgs,
+                pick=pick)
+
+
+def test_discrete_assign_psi_and_mirror_flags(gal, tmp_path):
+    d, angles, pick = gal["dir"], gal["angles"], gal["pick"]
+    out = str(tmp_path / "o.xmd")
+    run_prog("angular_discrete_assign",
+             f"-i {d}/imgs.xmd -o {out} --ref {d}/gal.doc --max_shift 2 "
+             f"--psi_step 10 --max_psi_change 15 --dont_check_mirrors "
+             f"--shift_step 1 --keep 60 --pick 0 --smax 2 --search5D -v 0")
+    md = MetaData(out)
+    assert md.size() == 8
+    # --max_psi_change 15: output psi stays within the window of psi0=0
+    psi = np.asarray(md.getColumn("anglePsi"))
+    d_psi = np.abs((psi + 180) % 360 - 180)
+    assert (d_psi <= 15.0 + 1e-3).all()
+    # --dont_check_mirrors: no flips reported
+    assert not np.asarray(md.getColumn("flip")).any()
+
+
+def test_discrete_assign_max_proj_change(gal, tmp_path):
+    d, angles, pick = gal["dir"], gal["angles"], gal["pick"]
+    out = str(tmp_path / "o2.xmd")
+    run_prog("angular_discrete_assign",
+             f"-i {d}/imgs.xmd -o {out} --ref {d}/gal.doc --max_shift 2 "
+             f"--max_proj_change 26 --sym c1 -v 0")
+    md = MetaData(out)
+    A = np.asarray(euler_matrix(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        np.zeros(len(angles), np.float32)))
+    dirs = A[:, 2, :]
+    for i, r in enumerate(md.iterRows()):
+        k = int(r["ref"]) - 1
+        cosd = abs(float(dirs[k] @ dirs[pick[i]]))
+        err = np.degrees(np.arccos(min(cosd, 1.0)))
+        # candidates restricted to within 26 deg of the previous pose
+        assert err <= 26.0 + 1e-3
+
+
+def test_projection_matching_search5d_step(gal, tmp_path):
+    d = gal["dir"]
+    out = str(tmp_path / "pm.xmd")
+    run_prog("angular_projection_matching",
+             f"-i {d}/imgs.xmd -o {out} -r {d}/gal.doc --max_shift 3 "
+             f"--search5d_step 1 -v 0")
+    assert MetaData(out).size() == 8
+
+
+def test_reconstruct_significant_validation_mode(gal, tmp_path):
+    d = gal["dir"]
+    fn_vol = str(tmp_path / "v.vol")
+    Image(gal["vol"]).write(fn_vol)
+    run_prog("reconstruct_significant",
+             f"-i {d}/imgs.xmd --odir {tmp_path} --initvolumes {fn_vol} "
+             f"--angularSampling 25 --useForValidation 3 -v 0")
+    md = MetaData(str(tmp_path / "angles_validation.xmd"))
+    assert md.size() == 8 * 3   # n best orientations per particle
+
+
+def test_reconstruct_significant_dont_reconstruct(gal, tmp_path):
+    import os
+    d = gal["dir"]
+    fn_vol = str(tmp_path / "v.vol")
+    Image(gal["vol"]).write(fn_vol)
+    run_prog("reconstruct_significant",
+             f"-i {d}/imgs.xmd --odir {tmp_path} --initvolumes {fn_vol} "
+             f"--angularSampling 25 --iter 2 --dontReconstruct "
+             f"--maxShift 2 --alpha0 0.5 --alphaF 0.5 -v 0")
+    md = MetaData(str(tmp_path / "significant_images.xmd"))
+    assert md.size() == 8
+    assert not os.path.exists(str(tmp_path / "significant_volume.vol"))
+    # with a perfect init volume the assignments recover the picks
+    angles, pick = gal["angles"], gal["pick"]
+    A = np.asarray(euler_matrix(
+        angles[:, 0].astype(np.float32), angles[:, 1].astype(np.float32),
+        np.zeros(len(angles), np.float32)))
+    dirs = A[:, 2, :]
+    errs = []
+    for i, r in enumerate(md.iterRows()):
+        Ae = np.asarray(euler_matrix(
+            np.array([float(r["angleRot"])], np.float32),
+            np.array([float(r["angleTilt"])], np.float32),
+            np.zeros(1, np.float32)))[0]
+        cosd = abs(float(Ae[2] @ dirs[pick[i]]))
+        errs.append(np.degrees(np.arccos(min(cosd, 1.0))))
+    assert np.median(errs) <= 25.0
+
+
+@pytest.mark.slow
+def test_reconstruct_significant_two_volumes(gal, tmp_path):
+    import os
+    d = gal["dir"]
+    run_prog("reconstruct_significant",
+             f"-i {d}/imgs.xmd --odir {tmp_path} --numberOfVolumes 2 "
+             f"--angularSampling 25 --iter 2 --maxShift 2 "
+             f"--keepIntermediateVolumes -v 0")
+    assert os.path.exists(str(tmp_path / "significant_volume_01.vol"))
+    assert os.path.exists(str(tmp_path / "significant_volume_02.vol"))
+    assert os.path.exists(str(tmp_path / "angles_iter001.xmd"))
+    md = MetaData(str(tmp_path / "significant_images.xmd"))
+    assert set(md.getColumnValues("ref3d")) <= {1, 2}

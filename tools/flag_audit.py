@@ -100,6 +100,11 @@ DIVERGENCES = {
                                "GPU build",
         "--storage": "FFT plan storage file: XLA caches compiles instead",
     },
+    "angular_projection_matching": {
+        "--mem": "device batching is --batch; XLA manages HBM",
+        "--pad": "the polar ring-FFT correlator has no Fourier-padding "
+                 "stage; gallery quality is set by angular_project_library",
+    },
     "ml_align2d": dict(_ML2D_SHARED),
     "mlf_align2d": dict(
         _ML2D_SHARED,

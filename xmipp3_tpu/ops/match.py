@@ -57,7 +57,8 @@ def rotational_corr_matrix(f_refs, f_imgs, radius_min: int = 2,
 
 
 @partial(jax.jit, static_argnames=("radius_min",))
-def best_rotation_matrix(f_refs, f_imgs, radius_min: int = 2):
+def best_rotation_matrix(f_refs, f_imgs, radius_min: int = 2,
+                         psi_allow=None):
     """Best psi + peak for every (image, ref) pair, straight and mirrored.
 
     Mirroring an image about x reverses its polar angle axis; the ring FFT of
@@ -67,6 +68,10 @@ def best_rotation_matrix(f_refs, f_imgs, radius_min: int = 2):
     cross conj(fi)·conj(fr) share the SAME four real products (ac, bd, bc,
     ad) — both spectra come from one set of four real contractions instead
     of two complex einsums (half the matmul work of the scan).
+
+    psi_allow (B, A) optionally restricts the searched in-plane angles
+    per image (reference --max_psi_change / --psi_step,
+    angular_discrete_assign.cpp grammar): masked angles score -inf.
 
     Returns (psi (B,R), peak (B,R), psi_m (B,R), peak_m (B,R))."""
     R, nr, k = f_refs.shape
@@ -94,6 +99,10 @@ def best_rotation_matrix(f_refs, f_imgs, radius_min: int = 2):
 
     def peaks(cross):
         corr = jnp.fft.irfft(cross, n=A, axis=-1) * A / norm[:, :, None]
+        if psi_allow is not None:
+            # large finite negative (not -inf): the winner's parabola
+            # neighbors may be masked and -inf arithmetic would NaN psi
+            corr = jnp.where(psi_allow[:, None, :] > 0, corr, -1e30)
         B = corr.shape[0]
         idx = jnp.argmax(corr, axis=-1)
         bi = jnp.arange(B)[:, None]
@@ -128,7 +137,8 @@ def _trial_shift_grid(max_shift: int, step: float | None = None):
 @partial(jax.jit, static_argnames=("trials", "radius_min", "radius_max",
                                    "check_mirror", "stride", "n_harmonics"))
 def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
-                 check_mirror: bool, stride: int = 2, n_harmonics: int = 128):
+                 check_mirror: bool, stride: int = 2, n_harmonics: int = 128,
+                 psi_allow=None):
     """Rotational matching over a STATIC trial-translation grid.
 
     TPU shape of the 5-D search: every (trial, ring, angle) sample of every
@@ -150,7 +160,8 @@ def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
     def body(carry, f_im):
         best_peak, best_psi, best_ref, best_trial, best_flip, ti = carry
         psi, peak, psi_m, peak_m = best_rotation_matrix(f_refs, f_im,
-                                                        radius_min)
+                                                        radius_min,
+                                                        psi_allow)
         if check_mirror:
             use_m = peak_m > peak
             peak_t = jnp.where(use_m, peak_m, peak)
@@ -182,7 +193,7 @@ def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
                                    "check_mirror", "stride", "n_harmonics"))
 def _scan_trials_full(refs, imgs, trials, radius_min: int, radius_max: int,
                       check_mirror: bool, stride: int = 2,
-                      n_harmonics: int = 128):
+                      n_harmonics: int = 128, psi_allow=None):
     """Like _scan_trials but keeps the FULL (B, R) best-over-trials score
     matrix (per-pair best psi/trial/flip) — the basis of top-N orientation
     tracking (reference angular_projection_matching.cpp:717-740) and of
@@ -200,7 +211,8 @@ def _scan_trials_full(refs, imgs, trials, radius_min: int, radius_max: int,
     def body(carry, f_im):
         bpeak, bpsi, btrial, bflip, ti = carry
         psi, peak, psi_m, peak_m = best_rotation_matrix(f_refs, f_im,
-                                                        radius_min)
+                                                        radius_min,
+                                                        psi_allow)
         if check_mirror:
             use_m = peak_m > peak
             peak_t = jnp.where(use_m, peak_m, peak)
@@ -305,7 +317,8 @@ def refine_winners(refs, imgs, best_ref, psi0, t, flip, max_shift: int,
                                    "radius_max", "refine_iters",
                                    "check_mirror"))
 def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
-               radius_max: int, refine_iters: int, check_mirror: bool):
+               radius_max: int, refine_iters: int, check_mirror: bool,
+               psi_allow=None):
     """Single-compilation gallery match (scan + winner refinement).
 
     One end-to-end jit: repeated calls with the same static config reuse the
@@ -313,7 +326,8 @@ def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
     retrace costs seconds. `trials` is a static tuple of (tx, ty) so the
     scan's gather indices are compile-time constants."""
     peak0, psi0, best_ref, trial_idx, flip = _scan_trials(
-        refs, imgs, trials, radius_min, radius_max, check_mirror)
+        refs, imgs, trials, radius_min, radius_max, check_mirror,
+        psi_allow=psi_allow)
     t = jnp.asarray(np.asarray(trials, np.float32))[trial_idx]  # (B,2)
     out = refine_winners(refs, imgs, best_ref, psi0, t, flip, max_shift,
                          radius_min, radius_max, refine_iters)
@@ -326,7 +340,8 @@ def _match_jit(refs, imgs, trials, max_shift: int, radius_min: int,
                                    "check_mirror", "n_orientations"))
 def _match_topn_jit(refs, imgs, trials, allowed, max_shift: int,
                     radius_min: int, radius_max: int, refine_iters: int,
-                    check_mirror: bool, n_orientations: int):
+                    check_mirror: bool, n_orientations: int,
+                    psi_allow=None):
     """Top-N orientations per image over a (possibly) restricted gallery.
 
     allowed: (B, R) float mask (1 = candidate, 0 = excluded) — the static
@@ -335,7 +350,8 @@ def _match_topn_jit(refs, imgs, trials, allowed, max_shift: int,
     over the full gallery + masking beats gather-based candidate lists)."""
     peak, psi, trial, flip = _scan_trials_full(refs, imgs, trials,
                                                radius_min, radius_max,
-                                               check_mirror)
+                                               check_mirror,
+                                               psi_allow=psi_allow)
     peak = jnp.where(allowed > 0, peak, -jnp.inf)
     topv, topi = jax.lax.top_k(peak, n_orientations)      # (B, N)
     tgrid = jnp.asarray(np.asarray(trials, np.float32))
@@ -352,10 +368,13 @@ def _match_topn_jit(refs, imgs, trials, allowed, max_shift: int,
     return jax.tree.map(lambda *xs: jnp.stack(xs, axis=1), *outs)
 
 
+N_ANGLES = 254   # coarse-scan psi curve length: 2 * (n_harmonics - 1)
+
+
 def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
                      radius_max: int | None = None, refine_iters: int = 2,
                      check_mirror: bool = True, trial_step: float | None = None,
-                     n_orientations: int = 1, allowed=None):
+                     n_orientations: int = 1, allowed=None, psi_allow=None):
     """Match each image to its best gallery reference + in-plane pose.
 
     5-D search: rotational ring correlation against all references at each
@@ -375,16 +394,19 @@ def match_to_gallery(refs, imgs, max_shift: int = 8, radius_min: int = 2,
         radius_max = H // 2 - 2
     trials = tuple(map(tuple, _trial_shift_grid(max_shift, trial_step)
                        .astype(float).tolist()))
+    if psi_allow is not None:
+        psi_allow = jnp.asarray(psi_allow, jnp.float32)
     if n_orientations == 1 and allowed is None:
         return _match_jit(refs, imgs, trials, max_shift, radius_min,
-                          radius_max, refine_iters, check_mirror)
+                          radius_max, refine_iters, check_mirror,
+                          psi_allow=psi_allow)
     if allowed is None:
         allowed = jnp.ones((imgs.shape[0], refs.shape[0]), jnp.float32)
     else:
         allowed = jnp.asarray(allowed, jnp.float32)
     out = _match_topn_jit(refs, imgs, trials, allowed, max_shift, radius_min,
                           radius_max, refine_iters, check_mirror,
-                          n_orientations)
+                          n_orientations, psi_allow=psi_allow)
     if n_orientations == 1:
         out = jax.tree.map(lambda x: x[:, 0], out)
     return out

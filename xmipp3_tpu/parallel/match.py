@@ -73,7 +73,8 @@ def parallel_match_full(mesh, refs, imgs, max_shift: int = 8,
 
 
 def parallel_match_score_matrix(mesh, refs, imgs, max_shift: int = 8,
-                                axis_name: str = "data"):
+                                axis_name: str = "data",
+                                check_mirror: bool = True):
     """Full (image, reference) best-over-(psi, shift) score matrix with
     the particle axis sharded over the mesh — the dp engine behind
     `align_significant --mesh dp` (reference align_significant_gpu's
@@ -85,7 +86,8 @@ def parallel_match_score_matrix(mesh, refs, imgs, max_shift: int = 8,
     imgs_p, n_valid = pad_to_multiple(imgs, n_dev)
     refs_d = replicate(jnp.asarray(refs), mesh)
     imgs_d = shard_particles(jnp.asarray(imgs_p), mesh, axis_name)
-    out = match_score_matrix(refs_d, imgs_d, max_shift=max_shift)
+    out = match_score_matrix(refs_d, imgs_d, max_shift=max_shift,
+                             check_mirror=check_mirror)
     return {k: (np.asarray(v) if k == "trials"
                 else np.asarray(v)[:n_valid]) for k, v in out.items()}
 

@@ -31,26 +31,160 @@ class ProgAngularDiscreteAssign(ProgAngularProjectionMatching):
 
     _ll_cache = None
 
+    def defineParams(self):
+        super().defineParams()
+        # reference grammar: angular_discrete_assign.cpp defineParams
+        self.addParamsLine("  [--sym <symmetry=\"\">] : Symmetry group "
+                           "(used by the rot-tilt restriction)")
+        self.addParamsLine("  [--max_shift_change <r=0>] : Maximum change "
+                           "allowed in shift (0 = use --max_shift)")
+        self.addParamsLine("  [--psi_step <ang=5>] : Step in psi (deg) of "
+                           "the coarse in-plane search")
+        self.addParamsLine("  [--shift_step <r=1>] : Step in shift (px) of "
+                           "the translation grid")
+        self.addParamsLine("  [--search5D]        : Joint 5D search (the "
+                           "TPU engine always searches (ref, psi, shift) "
+                           "jointly; accepted for grammar parity)")
+        self.addParamsLine("  [--dont_check_mirrors] : Do not check "
+                           "mirrors of the input images")
+        self.addParamsLine("  [--max_proj_change <ang=-1>] : Maximum "
+                           "change allowed in rot-tilt")
+        self.addParamsLine("  [--max_psi_change <ang=-1>] : Maximum change "
+                           "allowed in psi")
+        self.addParamsLine("  [--keep <th=50>]    : Percentage of gallery "
+                           "candidates kept by the wavelet preselection")
+        self.addParamsLine("  [--smin <s=1>]      : Finest DWT scale used")
+        self.addParamsLine("  [--smax <s=-1>]     : Coarsest DWT scale "
+                           "used (-1 = 2 levels)")
+        self.addParamsLine("  [--pick <mth=1>]    : 0 = best-correlation "
+                           "candidate set; 1 = most populated direction "
+                           "cluster among the candidates")
+        self.addParamsLine("  [--show_rot_tilt]   : Show the rot-tilt "
+                           "preselection")
+        self.addParamsLine("  [--show_psi_shift]  : Show the psi-shift "
+                           "resolution")
+        self.addParamsLine("  [--show_options]    : Show the final "
+                           "candidate options")
+
+    def readParams(self):
+        super().readParams()
+        if self.checkParam("--sym") and self.getParam("--sym"):
+            from xmipp3_tpu.core.sym import SymList
+            self.sym = SymList(self.getParam("--sym"))
+        msc = self.getDoubleParam("--max_shift_change")
+        if msc > 0:
+            self.max_shift = int(round(msc))
+        self.psi_step = self.getDoubleParam("--psi_step")
+        self.trial_step = self.getDoubleParam("--shift_step")
+        if self.checkParam("--dont_check_mirrors"):
+            self.check_mirror = False
+        mpc = self.getDoubleParam("--max_proj_change")
+        if mpc >= 0:
+            self.max_ang_change = mpc
+        mpsi = self.getDoubleParam("--max_psi_change")
+        self.max_psi_change = mpsi if mpsi >= 0 else None
+        self.keep_pct = self.getDoubleParam("--keep")
+        self.smin = self.getIntParam("--smin")
+        self.smax = self.getIntParam("--smax")
+        self.pick = self.getIntParam("--pick")
+        self.show_rot_tilt = self.checkParam("--show_rot_tilt")
+        self.show_psi_shift = self.checkParam("--show_psi_shift")
+        self.show_options = self.checkParam("--show_options")
+
+    def _dwt_levels(self, H):
+        """--smin/--smax -> number of db4 decomposition levels: the
+        coarsest scale bounds the pyramid depth (reference smax; -1 keeps
+        the 2-level default), clamped so the low band stays >= 8 px."""
+        import math
+        levels = self.smax if self.smax > 0 else 2
+        return int(max(1, min(levels, math.floor(math.log2(H)) - 3)))
+
     def _extra_allowed(self, imgs, refs):
         import jax.numpy as jnp
         from xmipp3_tpu.ops.denoise import db4_dwt2
+        levels = self._dwt_levels(refs.shape[-1])
         if self._ll_cache is None or self._ll_cache[0] is not refs:
-            ll_r, _ = db4_dwt2(jnp.asarray(refs), 2)
+            ll_r, _ = db4_dwt2(jnp.asarray(refs), levels)
             ll_r = np.array(ll_r).reshape(len(refs), -1)
             ll_r -= ll_r.mean(axis=1, keepdims=True)
             ll_r /= np.maximum(np.linalg.norm(ll_r, axis=1,
                                               keepdims=True), 1e-9)
             self._ll_cache = (refs, ll_r)
         ll_r = self._ll_cache[1]
-        ll_i, _ = db4_dwt2(jnp.asarray(imgs), 2)
+        ll_i, _ = db4_dwt2(jnp.asarray(imgs), levels)
         ll_i = np.array(ll_i).reshape(len(imgs), -1)
         ll_i -= ll_i.mean(axis=1, keepdims=True)
         ll_i /= np.maximum(np.linalg.norm(ll_i, axis=1, keepdims=True),
                            1e-9)
         cc = ll_i @ ll_r.T                       # (B, R) low-band NCC
-        m = max(len(ll_r) // 4, min(8, len(ll_r)))
+        R = len(ll_r)
+        # --keep is the PER-ROUND retention of the reference's
+        # coarse-to-fine scale sweep; the single-pass equivalent keeps
+        # (keep/100)^levels of the gallery (50% over 2 rounds = 25%)
+        keep = getattr(self, "keep_pct", 50.0)
+        frac = (keep / 100.0) ** levels
+        m = int(np.clip(round(R * frac), min(8, R), R))
         thresh = np.sort(cc, axis=1)[:, -m][:, None]
-        return (cc >= thresh).astype(np.float32)
+        mask = (cc >= thresh).astype(np.float32)
+        if getattr(self, "pick", 1) == 1 and self._ref_dirs_all is not None:
+            mask = self._pick_populated(mask, cc)
+        if getattr(self, "show_rot_tilt", False):
+            for i in range(len(mask)):
+                print(f"  image {i}: {int(mask[i].sum())} rot-tilt "
+                      f"candidates kept")
+        return mask
+
+    def _pick_populated(self, mask, cc):
+        """--pick 1: among the wavelet-preselected candidates keep only
+        the most populated projection-direction cluster (reference 'maximum
+        of the most populated' group selection). The clustering radius
+        adapts to the gallery's nearest-neighbor separation; size ties
+        break toward the cluster holding the best correlation."""
+        dirs = self._ref_dirs_all
+        # nearest-neighbor angular separation of the gallery
+        cosg = np.clip(np.abs(dirs @ dirs.T), -1.0, 1.0)
+        np.fill_diagonal(cosg, -1.0)
+        nn_sep = np.degrees(np.arccos(np.median(cosg.max(axis=1))))
+        cos_thr = np.cos(np.deg2rad(max(15.0, 1.6 * nn_sep)))
+        out = np.array(mask)
+        for i in range(len(mask)):
+            cand = np.flatnonzero(mask[i] > 0)
+            if len(cand) <= 1:
+                continue
+            # the reference picks among a SHORT final-options list (the
+            # per-scale winners); cluster only the best few candidates
+            if len(cand) > 8:
+                cand = cand[np.argsort(cc[i, cand])[-8:]]
+            d = dirs[cand]
+            adj = np.abs(d @ d.T) >= cos_thr
+            # connected components (greedy BFS)
+            comp = -np.ones(len(cand), int)
+            c = 0
+            for s in range(len(cand)):
+                if comp[s] >= 0:
+                    continue
+                stack = [s]
+                comp[s] = c
+                while stack:
+                    u = stack.pop()
+                    for v in np.flatnonzero(adj[u]):
+                        if comp[v] < 0:
+                            comp[v] = c
+                            stack.append(v)
+                c += 1
+            sizes = np.bincount(comp)
+            # score: population first, best candidate correlation second
+            cc_i = cc[i, cand]
+            best_cc = np.array([cc_i[comp == k].max()
+                                for k in range(c)])
+            best = np.lexsort((best_cc, sizes))[-1]
+            keep = cand[comp == best]
+            out[i] = 0.0
+            out[i, keep] = 1.0
+            if getattr(self, "show_options", False):
+                print(f"  image {i}: cluster sizes {sizes.tolist()}, "
+                      f"kept {len(keep)}")
+        return out
 
 
 class ProgAngularAssignmentMag(ProgAngularProjectionMatching):

@@ -26,8 +26,10 @@ class ProgAngularProjectionMatching(XmippProgram):
         self.addParamsLine("   -i <md_file>  : Metadata with experimental images")
         self.addParamsLine("   -o <md_file>  : Output metadata with assignments")
         self.addParamsLine("   --ref <gallery_root> : Gallery rootname or .doc from angular_project_library")
+        self.addParamsLine("     alias -r;")
         self.addParamsLine("  [--max_shift <s=-1>] : Maximum translation (pixels)")
         self.addParamsLine("  [--search5d_shift <s=0>] : 5D shift search range (compat; merged with max_shift)")
+        self.addParamsLine("  [--search5d_step <s=-1>] : Step of the 5D shift search grid (px; <0 = max_shift/2)")
         self.addParamsLine("  [--Ri <r=1>]   : Inner polar radius")
         self.addParamsLine("  [--Ro <r=-1>]  : Outer polar radius (-1 = dim/2-2)")
         self.addParamsLine("  [--append]     : Append assignments to output metadata")
@@ -59,6 +61,13 @@ class ProgAngularProjectionMatching(XmippProgram):
             else ""
         self.phase_flipped = self.checkParam("--phase_flipped")
         self.batch = self.getIntParam("--batch")
+        ts = self.getDoubleParam("--search5d_step")
+        self.trial_step = ts if ts > 0 else None
+        # hooks the discrete-assign subclass populates
+        self.check_mirror = True
+        self.max_psi_change = None
+        self.psi_step = None
+        self.sym = None
         from xmipp3_tpu.parallel.cli import read_mesh_params
         read_mesh_params(self)
 
@@ -86,13 +95,43 @@ class ProgAngularProjectionMatching(XmippProgram):
         return np.asarray(jnp.fft.irfft2(spec * jnp.asarray(amp_half),
                                          s=(H, H)), np.float32)
 
-    def _match_with_scales(self, refs, imgs, max_shift, Ro, allowed):
+    def _psi_allow(self, chunk):
+        """Per-image psi search mask (B, N_ANGLES) from --psi_step /
+        --max_psi_change (angular_discrete_assign.cpp grammar). Angles are
+        in the engine's psi_align convention (stored psi_md = -psi_align,
+        ops.geo.alignment_to_md_pose)."""
+        if self.max_psi_change is None and self.psi_step is None:
+            return None
+        from xmipp3_tpu.ops.match import N_ANGLES
+        A = N_ANGLES
+        keep = np.ones(A, bool)
+        if self.psi_step is not None and self.psi_step > 0:
+            stride = max(int(round(self.psi_step / (360.0 / A))), 1)
+            keep &= (np.arange(A) % stride) == 0
+        mask = np.broadcast_to(keep, (len(chunk), A)).astype(np.float32) \
+            .copy()
+        if self.max_psi_change is not None and self.max_psi_change >= 0:
+            ang = np.arange(A) * (360.0 / A)
+            psi0 = np.array([float(r.get("anglePsi", 0.0))
+                             for r in chunk], np.float32)
+            # condition |wrap(psi_md - psi0)| <= max with psi_md = -ang
+            d = (-ang[None, :] - psi0[:, None] + 180.0) % 360.0 - 180.0
+            mask *= (np.abs(d) <= self.max_psi_change + 1e-6)
+            empty = mask.sum(axis=1) < 1
+            if empty.any():
+                mask[empty] = keep
+        return mask
+
+    def _match_with_scales(self, refs, imgs, max_shift, Ro, allowed,
+                           psi_allow=None):
         """Match; optionally repeat over a scale grid and keep the best
         per image (reference scaleAlignOneImage, .h:176)."""
         base = match_to_gallery(refs, imgs, max_shift=max_shift,
                                 radius_min=max(self.Ri, 2), radius_max=Ro,
                                 n_orientations=self.n_orient,
-                                allowed=allowed)
+                                allowed=allowed, psi_allow=psi_allow,
+                                check_mirror=self.check_mirror,
+                                trial_step=self.trial_step)
         if self.scale_nsteps <= 0:
             return base
         import jax.numpy as jnp
@@ -113,7 +152,9 @@ class ProgAngularProjectionMatching(XmippProgram):
             r = match_to_gallery(refs, scaled, max_shift=max_shift,
                                  radius_min=max(self.Ri, 2), radius_max=Ro,
                                  n_orientations=self.n_orient,
-                                 allowed=allowed)
+                                 allowed=allowed, psi_allow=psi_allow,
+                                 check_mirror=self.check_mirror,
+                                 trial_step=self.trial_step)
             r = {k: np.asarray(v) for k, v in r.items()}
             better = r["corr"] > best["corr"]
             for key in ("ref_idx", "psi", "sx", "sy", "corr", "flip"):
@@ -170,6 +211,10 @@ class ProgAngularProjectionMatching(XmippProgram):
             A = np.asarray(euler_matrix(ref_rot, ref_tilt,
                                         np.zeros_like(ref_rot)))
             ref_dirs = A[:, 2, :].astype(np.float64)
+        from xmipp3_tpu.core.geometry import euler_matrix as _em
+        Aall = np.asarray(_em(ref_rot, ref_tilt, np.zeros_like(ref_rot)))
+        # gallery directions, for the discrete pick-1 clustering
+        self._ref_dirs_all = Aall[:, 2, :].astype(np.float64)
 
         out_rows = []
         # double-buffered loader: the next batch reads while this one matches
@@ -195,8 +240,16 @@ class ProgAngularProjectionMatching(XmippProgram):
                 Ai = np.asarray(euler_matrix(prot, ptilt,
                                              np.zeros_like(prot)))
                 idirs = Ai[:, 2, :].astype(np.float64)
-                cosd = np.clip(idirs @ ref_dirs.T, -1.0, 1.0)
-                ang = np.degrees(np.arccos(np.abs(cosd)))  # mirror-symmetric
+                if self.sym is not None and len(self.sym) > 1:
+                    # --sym: a reference qualifies if ANY symmetry-
+                    # equivalent image direction is close to it
+                    mats = np.asarray(self.sym.sym_matrices(), np.float64)
+                    isym = np.einsum("smn,bn->sbm", mats, idirs)
+                    cosd = np.abs(np.einsum("sbm,rm->sbr", isym, ref_dirs))
+                    cosd = np.clip(cosd.max(axis=0), -1.0, 1.0)
+                else:
+                    cosd = np.abs(np.clip(idirs @ ref_dirs.T, -1.0, 1.0))
+                ang = np.degrees(np.arccos(cosd))  # mirror-symmetric
                 prior_allowed = (ang <= self.max_ang_change) \
                     .astype(np.float32)
                 allowed = prior_allowed if allowed is None \
@@ -206,13 +259,15 @@ class ProgAngularProjectionMatching(XmippProgram):
                 empty = allowed.sum(axis=1) < 1
                 if empty.any():
                     allowed[empty] = 1.0
+            psi_allow = self._psi_allow(chunk)
             with timed_phase("match_to_gallery"):
                 if mesh is None or self.n_orient > 1 or \
-                        allowed is not None or self.scale_nsteps > 0:
-                    # top-N / neighborhoods / scale search run the serial
-                    # (single-device) path; dp/tp cover the plain case
+                        allowed is not None or self.scale_nsteps > 0 or \
+                        psi_allow is not None or not self.check_mirror:
+                    # top-N / neighborhoods / scale search / psi masks run
+                    # the serial (single-device) path; dp/tp the plain case
                     res = self._match_with_scales(refs, imgs, max_shift, Ro,
-                                                  allowed)
+                                                  allowed, psi_allow)
                 elif mesh_mode == "tp":
                     from xmipp3_tpu.parallel.match import parallel_match_tp
                     res = parallel_match_tp(mesh, refs, imgs,
@@ -231,6 +286,14 @@ class ProgAngularProjectionMatching(XmippProgram):
                 return v[:, None] if v.ndim == 1 else v
             ref_idx = col("ref_idx")
             psi = col("psi")
+            if self.max_psi_change is not None and self.max_psi_change >= 0:
+                # refinement may drift a little past the coarse-scan mask;
+                # project back onto the allowed psi window
+                psi0 = np.array([[float(r.get("anglePsi", 0.0))]
+                                 for r in chunk], np.float32)
+                d = (psi - psi0 + 180.0) % 360.0 - 180.0
+                psi = psi0 + np.clip(d, -self.max_psi_change,
+                                     self.max_psi_change)
             sx = col("sx")
             sy = col("sy")
             corr = col("corr")

@@ -95,6 +95,10 @@ class ProgReconstructWBP(XmippProgram):
 
 
 class ProgReconstructSignificant(XmippProgram):
+    """Reference grammar: reconstruct_significant.cpp defineParams.
+    Significance weighting reuses the align_significant rank-cdf pooling
+    (aalign_significant.cpp:283-311) over the full (image, direction)
+    correlation matrix."""
     name = "xmipp_reconstruct_significant"
 
     def defineParams(self):
@@ -102,21 +106,60 @@ class ProgReconstructSignificant(XmippProgram):
                           "angular assignment iterations.")
         self.addParamsLine("   -i <md_file>  : Metadata/stack with class averages")
         self.addParamsLine("  [--odir <dir=.>] : Output directory")
+        self.addParamsLine("  [--numberOfVolumes <N=1>] : Number of volumes to reconstruct")
         self.addParamsLine("  [--initvolumes <md=\"\">] : Initial volume(s); else random")
+        self.addParamsLine("  [--initgallery <md=\"\">] : Gallery metadata (projections of a single volume) used for the first iteration")
         self.addParamsLine("  [--sym <s=c1>] : Symmetry")
         self.addParamsLine("  [--iter <n=10>] : Iterations")
-        self.addParamsLine("  [--alpha0 <a=0.05>] : Initial significance level")
+        self.addParamsLine("  [--alpha0 <a=0.05>] : Initial significance")
+        self.addParamsLine("  [--alphaF <a=0.005>] : Final significance")
         self.addParamsLine("  [--angularSampling <a=15>] : Gallery sampling (deg)")
+        self.addParamsLine("  [--maxShift <s=-1>] : Maximum shift (px; -1 = dim/8)")
+        self.addParamsLine("  [--minTilt <t=0>]  : Minimum gallery tilt (deg)")
+        self.addParamsLine("  [--maxTilt <t=90>] : Maximum gallery tilt (deg)")
+        self.addParamsLine("  [--useImed]        : Weight with the IMED (Gaussian-coupled image Euclidean distance) of the aligned pair")
+        self.addParamsLine("  [--strictDirection] : Images below the significance threshold are fully discarded")
+        self.addParamsLine("  [--angDistance <a=10>] : Angular neighborhood for the significance pooling")
+        self.addParamsLine("  [--dontApplyFisher] : Plain positive-correlation weights (no rank-cdf significance pooling)")
+        self.addParamsLine("  [--dontReconstruct] : Only write the assignment metadata")
+        self.addParamsLine("  [--dontCheckMirrors] : Do not check mirrors in the alignment")
+        self.addParamsLine("  [--keepIntermediateVolumes] : Save the volume of each iteration")
+        self.addParamsLine("  [--useForValidation <n=10>] : Validation mode: write the n best orientations per particle and stop")
         from xmipp3_tpu.parallel.cli import add_mesh_params
         add_mesh_params(self)
 
+    @staticmethod
+    def _imed(a, b):
+        """IMED merit between aligned pairs: (a-b)^T G (a-b) with a
+        Gaussian coupling (reference useImed weighting)."""
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                                   real_gaussian_mask)
+        diff = jnp.asarray(a) - jnp.asarray(b)
+        H, W = diff.shape[-2:]
+        g = apply_fourier_mask_2d(diff, real_gaussian_mask(H, W, 1.0))
+        return np.asarray((g * diff).sum(axis=(-2, -1)))
+
+    def _gallery(self, vol, angles):
+        from xmipp3_tpu.ops.project import FourierProjector
+        proj = FourierProjector(vol)
+        refs = []
+        for s in range(0, len(angles), 256):
+            a = angles[s:s + 256]
+            refs.append(np.asarray(proj.project_euler(
+                a[:, 0], a[:, 1], np.zeros(len(a), np.float32))))
+        return np.concatenate(refs)
+
     def run(self):
         import os
+        from xmipp3_tpu.core.geometry import euler_matrix
         from xmipp3_tpu.core.metadata_program import is_metadata_file
         from xmipp3_tpu.core.sampling import Sampling
-        from xmipp3_tpu.ops.match import match_to_gallery
-        from xmipp3_tpu.ops.project import FourierProjector
+        from xmipp3_tpu.ops.match import (match_score_matrix,
+                                          match_to_gallery)
         from xmipp3_tpu.ops.reconstruct import reconstruct_fourier
+        from xmipp3_tpu.programs.align_significant import \
+            significance_weights
 
         from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
                                              read_mesh_params, resolve_mesh)
@@ -137,70 +180,228 @@ class ProgReconstructSignificant(XmippProgram):
         rate = self.getDoubleParam("--angularSampling")
         sampling = Sampling(rate, sym)
         angles = sampling.angles.astype(np.float32)
+        tilt_lo = self.getDoubleParam("--minTilt")
+        tilt_hi = self.getDoubleParam("--maxTilt")
+        keep_t = (angles[:, 1] >= tilt_lo) & (angles[:, 1] <= tilt_hi)
+        if keep_t.any():
+            angles = angles[keep_t]
+        n_vols = self.getIntParam("--numberOfVolumes")
+        max_shift = self.getIntParam("--maxShift")
+        if max_shift < 0:
+            max_shift = N // 8
+        alpha0 = self.getDoubleParam("--alpha0")
+        alphaF = self.getDoubleParam("--alphaF")
+        ang_dist = self.getDoubleParam("--angDistance")
+        check_mirror = not self.checkParam("--dontCheckMirrors")
+        use_fisher = not self.checkParam("--dontApplyFisher")
+        strict = self.checkParam("--strictDirection")
+        use_imed = self.checkParam("--useImed")
+        odir = self.getParam("--odir")
         rng = np.random.default_rng(0)
+        A = np.asarray(euler_matrix(angles[:, 0], angles[:, 1],
+                                    np.zeros(len(angles), np.float32)))
+        ref_dirs = A[:, 2, :].astype(np.float64)
 
-        if self.checkParam("--initvolumes") and self.getParam("--initvolumes"):
+        # --useForValidation: write the n best orientations and stop
+        # (reference validation mode feeding multireference_aligneability)
+        if self.checkParam("--useForValidation"):
+            n_or = self.getIntParam("--useForValidation")
             vol = np.squeeze(Image(self.getParam("--initvolumes")).data
                              ).astype(np.float32)
-        else:
-            # random-angle bootstrap (reference's random initial assignment)
-            rot0 = rng.uniform(-180, 180, B).astype(np.float32)
-            tilt0 = np.degrees(np.arccos(rng.uniform(-1, 1, B))
-                               ).astype(np.float32)
-            psi0 = rng.uniform(-180, 180, B).astype(np.float32)
-            if mesh is not None:
-                from xmipp3_tpu.parallel.reconstruct import \
-                    parallel_reconstruct
-                vol = np.asarray(parallel_reconstruct(
-                    mesh, imgs, rot0, tilt0, psi0, sym=sym))
-            else:
-                vol = np.asarray(reconstruct_fourier(
-                    imgs, rot0, tilt0, psi0, sym=sym, batch=B))
+            refs = self._gallery(vol, angles)
+            res = match_to_gallery(refs, imgs, max_shift=max_shift,
+                                   n_orientations=n_or,
+                                   check_mirror=check_mirror)
+            rows = []
+            for i in range(B):
+                for k in range(n_or):
+                    r = int(np.asarray(res["ref_idx"])[i, k])
+                    rows.append({
+                        "itemId": i + 1,
+                        "angleRot": float(angles[r, 0]),
+                        "angleTilt": float(angles[r, 1]),
+                        "anglePsi": float(np.asarray(res["psi"])[i, k]),
+                        "shiftX": float(np.asarray(res["sx"])[i, k]),
+                        "shiftY": float(np.asarray(res["sy"])[i, k]),
+                        "maxCC": float(np.asarray(res["corr"])[i, k]),
+                        "weight": float(max(np.asarray(
+                            res["corr"])[i, k], 0.0))})
+            MetaData.fromRows(rows).write(
+                os.path.join(odir, "angles_validation.xmd"))
+            return
 
-        alpha0 = self.getDoubleParam("--alpha0")
+        # initial volumes
+        vols = []
+        fn_init = self.getParam("--initvolumes") \
+            if self.checkParam("--initvolumes") else ""
+        init_gallery = self.getParam("--initgallery") \
+            if self.checkParam("--initgallery") else ""
+        if fn_init:
+            if is_metadata_file(fn_init):
+                vols = [np.squeeze(Image(r["image"]).data).astype(
+                    np.float32) for r in MetaData(fn_init).iterRows()]
+            else:
+                vols = [np.squeeze(Image(fn_init).data).astype(np.float32)]
+            n_vols = len(vols)
+        elif not init_gallery:
+            # random-angle bootstrap per volume (reference random init);
+            # images are split randomly across the volumes
+            groups = np.array_split(rng.permutation(B), n_vols)
+            for g in groups:
+                rot0 = rng.uniform(-180, 180, len(g)).astype(np.float32)
+                tilt0 = np.degrees(np.arccos(
+                    rng.uniform(-1, 1, len(g)))).astype(np.float32)
+                psi0 = rng.uniform(-180, 180, len(g)).astype(np.float32)
+                vols.append(np.asarray(reconstruct_fourier(
+                    imgs[g], rot0, tilt0, psi0, sym=sym, batch=len(g))))
+
+        last_rows = None
         for it in range(n_iters):
-            proj = FourierProjector(vol)
-            refs = []
-            for s in range(0, len(angles), 256):
-                a = angles[s:s + 256]
-                refs.append(np.asarray(proj.project_euler(
-                    a[:, 0], a[:, 1], np.zeros(len(a), np.float32))))
-            refs = np.concatenate(refs)
-            if mesh is not None:
-                # dp over particles: the reference's
-                # mpi_reconstruct_significant image distribution
-                from xmipp3_tpu.parallel.match import parallel_match_full
-                res = parallel_match_full(mesh, refs, imgs,
-                                          max_shift=N // 8)
-            else:
-                res = match_to_gallery(refs, imgs, max_shift=N // 8)
-            corr = np.asarray(res["corr"])
-            ref_idx = np.asarray(res["ref_idx"])
-            # significance: keep the best (1-alpha growing) fraction
-            frac = min(1.0, alpha0 + (1.0 - alpha0) * (it + 1) / n_iters)
-            thresh = np.quantile(corr, 1.0 - frac)
-            keep = corr >= thresh
-            w = np.where(keep, np.maximum(corr, 0), 0).astype(np.float32)
-            rec_kw = dict(sx=np.asarray(res["sx"], np.float32),
-                          sy=np.asarray(res["sy"], np.float32),
-                          weights=w, sym=sym,
-                          flip=np.asarray(res["flip"]))
-            if mesh is not None:
-                from xmipp3_tpu.parallel.reconstruct import \
-                    parallel_reconstruct
-                vol = np.asarray(parallel_reconstruct(
-                    mesh, imgs, angles[ref_idx, 0], angles[ref_idx, 1],
-                    np.asarray(res["psi"], np.float32), **rec_kw))
-            else:
-                vol = np.asarray(reconstruct_fourier(
-                    imgs, angles[ref_idx, 0], angles[ref_idx, 1],
-                    np.asarray(res["psi"], np.float32), batch=B, **rec_kw))
+            # alpha schedule: geometric alpha0 -> alphaF (reference
+            # iterates the significance from alpha0 to alphaF)
+            t = it / max(n_iters - 1, 1)
+            alpha = float(alpha0 * (alphaF / alpha0) ** t) \
+                if alpha0 > 0 and alphaF > 0 else alpha0
+            per_vol = []
+            for v in range(max(n_vols, 1)):
+                if it == 0 and init_gallery:
+                    md_g = MetaData(init_gallery)
+                    g_rows = list(md_g.iterRows())
+                    refs = load_image_rows(g_rows)
+                    g_ang = np.array(
+                        [[float(r.get("angleRot", 0.0)),
+                          float(r.get("angleTilt", 0.0))]
+                         for r in g_rows], np.float32)
+                    Ag = np.asarray(euler_matrix(
+                        g_ang[:, 0], g_ang[:, 1],
+                        np.zeros(len(g_ang), np.float32)))
+                    dirs = Ag[:, 2, :].astype(np.float64)
+                    ang_v = g_ang
+                else:
+                    refs = self._gallery(vols[v], angles)
+                    dirs = ref_dirs
+                    ang_v = angles
+                if mesh is not None:
+                    # dp over particles: the reference's
+                    # mpi_reconstruct_significant image distribution
+                    from xmipp3_tpu.parallel.match import \
+                        parallel_match_score_matrix
+                    sm = parallel_match_score_matrix(
+                        mesh, refs, imgs, max_shift=max_shift,
+                        check_mirror=check_mirror)
+                else:
+                    sm = match_score_matrix(refs, imgs,
+                                            max_shift=max_shift,
+                                            check_mirror=check_mirror)
+                cc = np.asarray(sm["peak"], np.float64)
+                if use_fisher:
+                    W = significance_weights(cc.astype(np.float32), dirs,
+                                             ang_dist)
+                else:
+                    W = np.maximum(cc, 0.0).astype(np.float32)
+                # pose = best raw correlation; the pooled significance W
+                # only sets the reconstruction weight (the pooling smears
+                # scores over angular neighborhoods and must not move the
+                # alignment winner)
+                best = cc.argmax(axis=1)
+                # refine the selected winners with the shared batched tail
+                import jax.numpy as jnp
+                from xmipp3_tpu.ops.match import refine_winners
+                bi = np.arange(B)
+                tgrid = np.asarray(sm["trials"], np.float32)
+                res = refine_winners(
+                    jnp.asarray(refs), jnp.asarray(imgs),
+                    jnp.asarray(best),
+                    jnp.asarray(np.asarray(sm["psi"])[bi, best],
+                                jnp.float32),
+                    jnp.asarray(tgrid[np.asarray(sm["trial"])[bi, best]]),
+                    jnp.asarray(np.asarray(sm["flip"])[bi, best]),
+                    max_shift, 2, N // 2 - 2)
+                w_best = W[bi, best].astype(np.float64)
+                per_vol.append((w_best, best, res, ang_v))
+            # assign each image to its best volume; significance
+            # threshold keeps the top (1 - alpha) ... alpha-strict tail
+            Wall = np.stack([pv[0] for pv in per_vol])     # (V, B)
+            v_best = Wall.argmax(axis=0)
+            w_img = Wall[v_best, np.arange(B)]
+            thresh = np.quantile(w_img, alpha) if B > 1 else -np.inf
+            keep = w_img >= thresh
+            rows_out = []
+            new_vols = []
+            for v in range(max(n_vols, 1)):
+                w_best, best, res, ang_v = per_vol[v]
+                mine = (v_best == v) & keep if n_vols > 1 else keep
+                w = np.where(mine, np.maximum(w_best, 0), 0.0)
+                if not strict:
+                    # soft floor: non-significant images keep a small
+                    # weight instead of being discarded
+                    w = np.where((v_best == v) & ~keep,
+                                 0.1 * np.maximum(w_best, 0), w)
+                if use_imed:
+                    aligned = res.get("aligned")
+                    if aligned is not None:
+                        ref_sel = refs[np.asarray(res["ref_idx"])]
+                        imed = self._imed(np.asarray(aligned), ref_sel)
+                        sc = np.exp(-imed / max(np.median(imed), 1e-9))
+                        w = w * sc
+                w = w.astype(np.float32)
+                ref_idx = np.asarray(res["ref_idx"])
+                if not self.checkParam("--dontReconstruct"):
+                    rec_kw = dict(sx=np.asarray(res["sx"], np.float32),
+                                  sy=np.asarray(res["sy"], np.float32),
+                                  weights=w, sym=sym,
+                                  flip=np.asarray(res["flip"]))
+                    if mesh is not None:
+                        from xmipp3_tpu.parallel.reconstruct import \
+                            parallel_reconstruct
+                        new_vols.append(np.asarray(parallel_reconstruct(
+                            mesh, imgs, ang_v[ref_idx, 0],
+                            ang_v[ref_idx, 1],
+                            np.asarray(res["psi"], np.float32), **rec_kw)))
+                    else:
+                        new_vols.append(np.asarray(reconstruct_fourier(
+                            imgs, ang_v[ref_idx, 0], ang_v[ref_idx, 1],
+                            np.asarray(res["psi"], np.float32), batch=B,
+                            **rec_kw)))
+                for i in range(B):
+                    if n_vols > 1 and v_best[i] != v:
+                        continue
+                    rows_out.append({
+                        "itemId": i + 1, "ref3d": v + 1,
+                        "angleRot": float(ang_v[ref_idx[i], 0]),
+                        "angleTilt": float(ang_v[ref_idx[i], 1]),
+                        "anglePsi": float(np.asarray(res["psi"])[i]),
+                        "shiftX": float(np.asarray(res["sx"])[i]),
+                        "shiftY": float(np.asarray(res["sy"])[i]),
+                        "flip": int(np.asarray(res["flip"])[i]),
+                        "maxCC": float(np.asarray(res["corr"])[i]),
+                        "weight": float(w[i]),
+                        "enabled": 1 if w[i] > 0 else -1})
+            last_rows = rows_out
+            if new_vols:
+                vols = new_vols
+            if self.checkParam("--keepIntermediateVolumes"):
+                for v, vol in enumerate(vols):
+                    save_image(os.path.join(
+                        odir, f"volume_iter{it + 1:03d}_{v + 1:02d}.vol"),
+                        vol)
+                MetaData.fromRows(rows_out).write(os.path.join(
+                    odir, f"angles_iter{it + 1:03d}.xmd"))
             if self.verbose:
-                print(f"  significant iter {it + 1}: mean corr "
-                      f"{corr.mean():.4f} kept {keep.mean() * 100:.0f}%")
-        odir = self.getParam("--odir")
-        save_image(os.path.join(odir, "significant_volume.vol"), vol)
-        self.volume = vol
+                print(f"  significant iter {it + 1}: alpha {alpha:.4f} "
+                      f"mean weight {w_img.mean():.4f} "
+                      f"kept {keep.mean() * 100:.0f}%")
+            if self.checkParam("--dontReconstruct"):
+                break
+        if last_rows:
+            MetaData.fromRows(last_rows).write(
+                os.path.join(odir, "significant_images.xmd"))
+        if not self.checkParam("--dontReconstruct"):
+            for v, vol in enumerate(vols):
+                suffix = f"_{v + 1:02d}" if n_vols > 1 else ""
+                save_image(os.path.join(
+                    odir, f"significant_volume{suffix}.vol"), vol)
+            self.volume = vols[0]
 
 
 PROGRAM = None
