@@ -150,3 +150,44 @@ def test_reconstruct_significant_two_volumes(gal, tmp_path):
     assert os.path.exists(str(tmp_path / "angles_iter001.xmd"))
     md = MetaData(str(tmp_path / "significant_images.xmd"))
     assert set(md.getColumnValues("ref3d")) <= {1, 2}
+
+
+def test_resolution_fsc_full_surface(tmp_path):
+    """resolution_fsc reference surface (resolution_fsc.cpp:59-210):
+    --set_of_images half-split mode, --do_dpr, --max_sam zeroing, rfactor@
+    appended block, writeFiles column set."""
+    rng = np.random.default_rng(5)
+    n, m = 12, 16
+    base = rng.standard_normal((m, n)).astype(np.float32)
+    imgs = base[None] + 0.1 * rng.standard_normal((6, m, n)).astype(np.float32)
+    d = str(tmp_path)
+    Image(imgs).write(d + "/set.stk")
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{d}/set.stk", "itemId": i + 1}
+        for i in range(6)]).write(d + "/set.xmd")
+    run_prog("resolution_fsc",
+             f"--set_of_images {d}/set.xmd --oroot {d}/half -s 2.0 --do_dpr")
+    md = MetaData(d + "/half.frc")
+    for col in ("resolutionFreq", "resolutionFRC", "resolutionDPR",
+                "resolutionErrorL2", "resolutionFRCRandomNoise",
+                "resolutionFreqReal"):
+        assert md.containsLabel(col), col
+    frc = md.getColumn("resolutionFRC")
+    assert md.size() == n // 2          # shells i=1..X/2
+    assert frc[0] > 0.9                 # halves agree at low freq
+
+    # volume pair: rfactor block + max_sam band kill
+    vol = rng.standard_normal((n, n, n)).astype(np.float32)
+    Image(vol).write(d + "/v1.vol")
+    Image((vol + 0.05 * rng.standard_normal(vol.shape))
+          .astype(np.float32)).write(d + "/v2.vol")
+    run_prog("resolution_fsc",
+             f"--ref {d}/v1.vol -i {d}/v2.vol -o {d}/v.frc -s 1.0 "
+             f"--do_rfactor --max_sam 4.0")
+    md = MetaData(d + "/v.frc")
+    freq_real = md.getColumn("resolutionFreqReal")
+    frc = md.getColumn("resolutionFRC")
+    assert np.all(frc[freq_real < 4.0] == 0.0)
+    md_r = MetaData(f"rfactor@{d}/v.frc")
+    assert md_r.size() == 1
+    assert 0.0 <= md_r.getColumn("resolutionRfactor")[0] <= 1.0

@@ -70,6 +70,7 @@ LABELS: dict[str, LabelType] = {
     "resolutionFreq": _D, "resolutionFreqReal": _D, "resolutionFRC": _D,
     "resolutionFRCRandomNoise": _D, "resolutionDPR": _D, "resolutionSSNR": _D,
     "resolutionLocalResidue": _D, "cumulativeSSNR": _D,
+    "resolutionErrorL2": _D, "resolutionRfactor": _D,
     "logStructureFactor": _D, "structureFactor": _D,
     # CTF forward model (.ctfparam contract, data/ctf.h:782)
     "ctfModel": _S, "ctfSamplingRate": _D, "ctfVoltage": _D,

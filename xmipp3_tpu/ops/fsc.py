@@ -83,6 +83,75 @@ def frc_2d(img1, img2, nbins: int | None = None):
     return freqs, num / jnp.maximum(jnp.sqrt(d1 * d2), 1e-12)
 
 
+def _int_shell_bins(shape):
+    """Integer-frequency shells idx = round(f*X) over the rfft layout —
+    the reference frc_dpr binning (resolution_fsc.cpp:188 caller)."""
+    if len(shape) == 3:
+        D, H, W = shape
+        fz = np.fft.fftfreq(D)[:, None, None]
+        fy = np.fft.fftfreq(H)[None, :, None]
+        fx = np.fft.rfftfreq(W)[None, None, :]
+        r = np.sqrt(fz * fz + fy * fy + fx * fx)
+        X = W
+    else:
+        H, W = shape
+        fy = np.fft.fftfreq(H)[:, None]
+        fx = np.fft.rfftfreq(W)[None, :]
+        r = np.sqrt(fy * fy + fx * fx)
+        X = W
+    nshell = X // 2 + 1
+    idx = np.minimum(np.round(r * X).astype(np.int32), nshell - 1)
+    return idx.ravel(), nshell, X
+
+
+@partial(jax.jit, static_argnames=("nshell", "do_dpr"))
+def _frc_dpr_device(F1, F2, bins, nshell: int, do_dpr: bool):
+    cross = jnp.real(F1 * jnp.conj(F2))
+    p1 = jnp.abs(F1) ** 2
+    p2 = jnp.abs(F2) ** 2
+    z = jnp.zeros(nshell)
+    num = z.at[bins].add(cross)
+    d1 = z.at[bins].add(p1)
+    d2 = z.at[bins].add(p2)
+    cnt = z.at[bins].add(1.0)
+    frc = num / jnp.maximum(jnp.sqrt(d1 * d2), 1e-30)
+    frc_noise = 2.0 / jnp.sqrt(jnp.maximum(cnt, 1.0))
+    err = z.at[bins].add(jnp.abs(F1 - F2) ** 2)
+    error_l2 = jnp.sqrt(err / jnp.maximum(cnt, 1.0))
+    if do_dpr:
+        w = jnp.abs(F1) + jnp.abs(F2)
+        delta = jnp.rad2deg(jnp.angle(F1 * jnp.conj(F2)))
+        tw = z.at[bins].add(w * delta * delta)
+        dw = z.at[bins].add(w)
+        dpr = jnp.sqrt(tw / jnp.maximum(dw, 1e-30))
+    else:
+        dpr = jnp.zeros(nshell)
+    return frc, frc_noise, dpr, error_l2
+
+
+def frc_dpr_curves(a1, a2, sampling: float = 1.0, do_dpr: bool = False):
+    """Reference frc_dpr: integer shells, FRC + random-noise FRC (2/sqrt(n))
+    + amplitude-weighted DPR (degrees) + per-shell L2 error.
+
+    Returns dict of numpy arrays keyed freq (1/Å), freq_dig, frc, frc_noise,
+    dpr, error_l2 over shells i=0..X/2 (resolution_fsc.cpp:115-163 output
+    contract)."""
+    a1 = np.asarray(a1, np.float32)
+    a2 = np.asarray(a2, np.float32)
+    bins, nshell, X = _int_shell_bins(a1.shape)
+    F1 = jnp.fft.rfftn(jnp.asarray(a1)).ravel()
+    F2 = jnp.fft.rfftn(jnp.asarray(a2)).ravel()
+    frc, frc_noise, dpr, error_l2 = _frc_dpr_device(
+        F1, F2, jnp.asarray(bins), nshell, do_dpr)
+    i = np.arange(nshell)
+    return {"freq_dig": i / X,
+            "freq": i / (X * sampling),
+            "frc": np.asarray(frc),
+            "frc_noise": np.asarray(frc_noise),
+            "dpr": np.asarray(dpr),
+            "error_l2": np.asarray(error_l2)}
+
+
 def frc_rfactor(vol1, vol2, min_freq: float = -2.0, max_freq: float = 1.0):
     """R-factor between two volumes: sum(||F1|-|F2||)/sum(|F1|) over the
     half (rfft) spectrum with digital |w| in (min_freq, max_freq) — the
