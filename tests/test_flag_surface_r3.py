@@ -191,3 +191,110 @@ def test_resolution_fsc_full_surface(tmp_path):
     md_r = MetaData(f"rfactor@{d}/v.frc")
     assert md_r.size() == 1
     assert 0.0 <= md_r.getColumn("resolutionRfactor")[0] <= 1.0
+
+
+def test_project_library_full_surface(gal, tmp_path):
+    """angular_project_library extras (angular_project_library.cpp:100-146):
+    --psi_sampling in-plane ladder, --perturb, --experimental_images +
+    --closer_sampling_points/--near_exp_data/--only_winner, --groups
+    per-block outputs, --sym_neigh."""
+    d = gal["dir"]
+    root = str(tmp_path / "lib")
+    fn_vol = str(tmp_path / "vol.vol")
+    Image(gal["vol"]).write(fn_vol)
+    # two-block groups file + experimental images with prior angles
+    fn_groups = str(tmp_path / "groups.xmd")
+    MetaData.fromRows([{"image": f"{i + 1:06d}@{d}/imgs.stk",
+                        "itemId": i + 1} for i in range(4)]
+                      ).write(fn_groups, block="group000001")
+    MetaData.fromRows([{"image": f"{i + 5:06d}@{d}/imgs.stk",
+                        "itemId": i + 5} for i in range(4)]
+                      ).write(fn_groups, block="group000002", append=True)
+    run_prog("angular_project_library",
+             f"-i {fn_vol} -o {root} --sampling_rate 25 --sym c1 "
+             f"--sym_neigh c1 --psi_sampling 90 --perturb 0.01 "
+             f"--experimental_images {d}/imgs.xmd --angular_distance 40 "
+             f"--compute_neighbors --closer_sampling_points --only_winner "
+             f"--groups {fn_groups}")
+    md = MetaData(root + ".doc")
+    psis = sorted(set(md.getColumnValues("anglePsi")))
+    assert psis == [0.0, 90.0, 180.0, 270.0]      # psi ladder
+    n_dirs = md.size() // 4
+    assert md.size() == 4 * n_dirs
+    # closest sampling point per experimental image
+    md_c = MetaData(root + "_closest_sampling_points.xmd")
+    assert md_c.size() == 8
+    assert all(1 <= r <= n_dirs for r in md_c.getColumnValues("ref"))
+    assert all(c > 0.8 for c in md_c.getColumnValues("maxCC"))
+    # only_winner: exactly one neighbor per experimental image
+    md_n = MetaData(root + "_neighbors.xmd")
+    assert md_n.size() == 8
+    assert set(md_n.getColumnValues("neighborCount")) == {1}
+    # per-group outputs
+    for g in (1, 2):
+        assert MetaData(
+            f"{root}_group{g:06d}_neighbors.xmd").size() == 4
+        assert MetaData(
+            f"{root}_group{g:06d}_closest_sampling_points.xmd").size() == 4
+
+
+def test_project_library_near_exp_data_filters(gal, tmp_path):
+    d = gal["dir"]
+    root = str(tmp_path / "near")
+    fn_vol = str(tmp_path / "vol.vol")
+    Image(gal["vol"]).write(fn_vol)
+    # experimental data clustered at one direction -> gallery shrinks
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{d}/imgs.stk", "itemId": i + 1,
+         "angleRot": 0.0, "angleTilt": 0.0} for i in range(3)]
+    ).write(str(tmp_path / "exp0.xmd"))
+    run_prog("angular_project_library",
+             f"-i {fn_vol} -o {root} --sampling_rate 20 --sym c1 "
+             f"--experimental_images {tmp_path}/exp0.xmd "
+             f"--angular_distance 25 --near_exp_data")
+    md = MetaData(root + ".doc")
+    full = MetaData(f"{d}/gal.doc")
+    assert 0 < md.size() < 30                      # filtered to the cap
+    tilts = md.getColumnValues("angleTilt")
+    assert max(tilts) <= 25.0 + 1e-6
+
+
+def test_movie_alignment_flag_surface(tmp_path):
+    """movie_alignment_correlation extras (movie_alignment_correlation_
+    base.cpp:39-52,121-149): --bin, --frameRange/--frameRangeSum,
+    --maxResForCorrelation, --minLocalRes grammar, sum-outside-align
+    rejection."""
+    from xmipp3_tpu.ops.movie import shift_sum_frames_keep
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((128, 128)).astype(np.float32)
+    from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                               band_pass_mask)
+    base = np.asarray(apply_fourier_mask_2d(
+        base, band_pass_mask(128, 128, 0.02, 0.3)))
+    true = np.array([[0, 0], [1.5, -1.0], [3.0, -2.0], [4.5, -3.0],
+                     [6.0, -4.0], [7.5, -5.0]], np.float32)
+    frames = np.asarray(shift_sum_frames_keep(
+        np.repeat(base[None], 6, 0).astype(np.float32),
+        true[:, 0], true[:, 1])).astype(np.float32)
+    d = str(tmp_path)
+    Image(frames).write(d + "/movie.mrcs")
+    run_prog("movie_alignment_correlation",
+             f"-i {d}/movie.mrcs -o {d}/shifts.xmd --sampling 1.0 "
+             f"--maxShift 12 --skipLocalAlignment --frameRange 1 4 "
+             f"--frameRangeSum 2 3 --bin 2 --maxResForCorrelation 5 "
+             f"--minLocalRes 400 --oavg {d}/avg.mrc")
+    md = MetaData(d + "/shifts.xmd")
+    assert md.size() == 4                      # frames 1..4 aligned
+    assert md.getColumnValues("itemId") == [2, 3, 4, 5]
+    avg = np.squeeze(Image(d + "/avg.mrc").data)
+    assert avg.shape == (64, 64)               # binned output
+    # relative shifts between aligned frames recovered at binned scale
+    sx = np.array(md.getColumn("shiftX"))
+    rel = sx - sx[0]
+    expect = (true[1:5, 0] - true[1, 0]) / 2.0
+    assert np.all(np.abs(rel - expect) < 0.6)
+    # sum range outside align range must be rejected
+    prog = get_program("movie_alignment_correlation")
+    prog.read(["x"] + (f"-i {d}/movie.mrcs -o {d}/bad.xmd "
+                       f"--frameRange 1 4 --frameRangeSum 0 3").split())
+    assert prog.tryRun() != 0

@@ -130,7 +130,7 @@ def test_round2_refinement_cycle(tmp_path):
     run_prog("angular_project_library",
              f"-i {fn_vol} -o {root} --sampling_rate 15 --sym c1 "
              f"--compute_neighbors --angular_distance 35 "
-             f"--near_exp_data {tmp_path}/parts.xmd")
+             f"--experimental_images {tmp_path}/parts.xmd")
     fn_assign = str(tmp_path / "assign.xmd")
     run_prog("angular_projection_matching",
              f"-i {tmp_path}/parts.xmd -o {fn_assign} --ref {root} "

@@ -68,9 +68,9 @@ def _ellip(valU, valV, angle_deg, c2t, s2t):
     return jnp.sqrt(valU * valU * cc + valV * valV * ss)
 
 
-@partial(jax.jit, static_argnames=("n",))
-def _model_psd(p, fy, fx, n: int, consts):
-    """Full model PSD: anisotropic noise + (K * CTF * E)^2.
+def _model_parts(p, fy, fx, n: int, consts):
+    """(noise, signal) halves of the model PSD: anisotropic noise and
+    (K * CTF * E)^2.
 
     consts = (voltage kV, Cs mm, Ca mm, Q0, VPP_radius)."""
     voltage, Cs, Ca, Q0, vpp_r = consts
@@ -129,27 +129,43 @@ def _model_psd(p, fy, fx, n: int, consts):
              + jnp.abs(p[G1K]) * jnp.exp(-sig1 * (u - c1) ** 2)
              + jnp.abs(p[SQK]) * jnp.exp(-sq * jnp.sqrt(u))
              - jnp.abs(p[G2K]) * jnp.exp(-sig2 * (u - c2c) ** 2))
-    out = jnp.maximum(noise, 0.0) + signal
+    return jnp.maximum(noise, 0.0), signal
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _model_psd(p, fy, fx, n: int, consts):
+    """Full model PSD: anisotropic noise + (K * CTF * E)^2."""
+    noise, signal = _model_parts(p, fy, fx, n, consts)
+    out = noise + signal
     # clamp to a finite range: host Powell explores extreme parameters and
     # an inf/NaN model would poison the line search
     return jnp.clip(jnp.nan_to_num(out, nan=0.0, posinf=1e30), 0.0, 1e30)
 
 
+def _masked_pearson(a, b, w):
+    wsum = jnp.maximum(w.sum(), 1.0)
+    aw = (a * w).sum() / wsum
+    bw = (b * w).sum() / wsum
+    num = ((a - aw) * (b - bw) * w).sum()
+    den = jnp.sqrt(((a - aw) ** 2 * w).sum() * ((b - bw) ** 2 * w).sum())
+    return num / jnp.maximum(den, 1e-12)
+
+
 @partial(jax.jit, static_argnames=("n",))
-def _fitness(p, psd, fy, fx, band, n: int, consts):
+def _fitness(p, psd, fy, fx, band, n: int, consts, enh=None):
     """Negative masked log-domain correlation + background penalties
     (reference CTF_fitness :601-984; penalization of backgrounds above
-    the PSD mirrors the reference's heavy_penalization)."""
+    the PSD mirrors the reference's heavy_penalization).
+
+    enh = (enhanced_psd_half, weight) adds the reference's defocus-stage
+    term: -weight * corr(enhancedPSD, pure CTF^2) over the band
+    (ctf_estimate_from_psd.cpp:848-874, actions 3-4)."""
     model = _model_psd(p, fy, fx, n, consts)
     lm = jnp.log1p(jnp.maximum(model, 0.0))
     lo = jnp.log1p(jnp.maximum(psd, 0.0))
     w = band
     wsum = w.sum()
-    mw = (lm * w).sum() / wsum
-    ow = (lo * w).sum() / wsum
-    num = ((lm - mw) * (lo - ow) * w).sum()
-    den = jnp.sqrt(((lm - mw) ** 2 * w).sum() * ((lo - ow) ** 2 * w).sum())
-    corr = num / jnp.maximum(den, 1e-12)
+    corr = _masked_pearson(lm, lo, w)
     # penalty: pure background must not exceed the observed PSD
     zero = jnp.zeros((NPARAMS,), p.dtype)
     bgonly = zero.at[BASE:G2CV + 1].set(p[BASE:G2CV + 1]).at[LOGK].set(-30.0)
@@ -157,20 +173,30 @@ def _fitness(p, psd, fy, fx, band, n: int, consts):
     over = jnp.maximum(jnp.log1p(noise) - lo, 0.0)
     pen = (over * w).sum() / wsum
     val = -(corr) + 2.0 * pen
+    if enh is not None:
+        enh_img, enh_w = enh
+        _, signal = _model_parts(p, fy, fx, n, consts)
+        signal = jnp.nan_to_num(signal, nan=0.0, posinf=1e30)
+        val = val - enh_w * _masked_pearson(enh_img, signal, w)
     return jnp.where(jnp.isfinite(val), val, 1e3)
 
 
 @partial(jax.jit, static_argnames=("n",))
-def _fitness_batch(P, psd, fy, fx, band, n: int, consts):
-    return jax.vmap(lambda p: _fitness(p, psd, fy, fx, band, n, consts))(P)
+def _fitness_batch(P, psd, fy, fx, band, n: int, consts, enh=None):
+    return jax.vmap(
+        lambda p: _fitness(p, psd, fy, fx, band, n, consts, enh))(P)
 
 
 def _compass_core(p0, steps0, psd, fy, fx, band, n: int, consts,
-                  free: tuple, n_rounds: int):
+                  free: tuple, n_rounds: int, enh=None, mirror: tuple = ()):
     """Whole compass/pattern search as ONE device program: n_rounds of
     [evaluate all +/-step coordinate candidates -> move or halve steps]
     inside a lax.scan, so a full stage costs a single dispatch (the
-    host-looped version paid one axon relay round-trip per round)."""
+    host-looped version paid one axon relay round-trip per round).
+
+    mirror = ((dst, src), ...) ties parameters after every move — the
+    --radial_noise / symmetric-Gaussian constraints (reference
+    CTF_fitness assign-from-U when the noise model is radial)."""
     F = len(free)
     E = np.zeros((2 * F + 1, NPARAMS), np.float32)
     for j, idx in enumerate(free):
@@ -178,13 +204,18 @@ def _compass_core(p0, steps0, psd, fy, fx, band, n: int, consts,
         E[2 + 2 * j, idx] = -1.0
     E = jnp.asarray(E)
 
+    def _mirror(q):
+        for dst, src in mirror:
+            q = q.at[..., dst].set(q[..., src])
+        return q
+
     def round_fn(carry, _):
         p, steps, best = carry
         srow = jnp.concatenate([jnp.zeros((1,), jnp.float32),
                                 jnp.repeat(steps, 2)])
-        cands = p[None, :] + E * srow[:, None]
+        cands = _mirror(p[None, :] + E * srow[:, None])
         costs = jax.vmap(
-            lambda q: _fitness(q, psd, fy, fx, band, n, consts))(cands)
+            lambda q: _fitness(q, psd, fy, fx, band, n, consts, enh))(cands)
         k = jnp.argmin(costs)
         improved = (k != 0) & (costs[k] < best - 1e-7)
         p = jnp.where(improved, cands[k], p)
@@ -192,14 +223,15 @@ def _compass_core(p0, steps0, psd, fy, fx, band, n: int, consts,
         best = jnp.where(improved, costs[k], best)
         return (p, steps, best), None
 
-    best0 = _fitness(p0, psd, fy, fx, band, n, consts)
+    p0 = _mirror(p0)
+    best0 = _fitness(p0, psd, fy, fx, band, n, consts, enh)
     (p, _, best), _ = jax.lax.scan(
         round_fn, (p0, steps0, best0), None, length=n_rounds)
     return p, best
 
 
-_compass_opt = partial(jax.jit, static_argnames=("n", "free", "n_rounds"))(
-    _compass_core)
+_compass_opt = partial(jax.jit, static_argnames=("n", "free", "n_rounds",
+                                                 "mirror"))(_compass_core)
 
 
 @partial(jax.jit, static_argnames=("n", "free", "n_rounds"))
@@ -211,6 +243,28 @@ def _compass_opt_batch(P0, steps0, psds, fy, fx, band, n: int, consts,
     return jax.vmap(
         lambda p0, psd: _compass_core(p0, steps0, psd, fy, fx, band, n,
                                       consts, free, n_rounds))(P0, psds)
+
+
+@partial(jax.jit, static_argnames=("n", "free", "n_rounds"))
+def _compass_opt_seeds(P0, steps0, psd, fy, fx, band, n: int, consts,
+                       free: tuple, n_rounds: int, enh=None):
+    """vmapped compass over seeds against ONE psd — the fastDefocus
+    multi-candidate refinement runs every Zernike-derived seed in a
+    single dispatch."""
+    return jax.vmap(
+        lambda p0: _compass_core(p0, steps0, psd, fy, fx, band, n,
+                                 consts, free, n_rounds, enh))(P0)
+
+
+@partial(jax.jit, static_argnames=("n", "free", "n_rounds"))
+def _compass_opt_bands(P0, steps0, psd, fy, fx, bands, n: int, consts,
+                       free: tuple, n_rounds: int):
+    """vmapped compass over per-sample frequency masks — the
+    --bootstrapFit resamples (reference random Fourier-pixel bootstrap,
+    ctf_estimate_from_psd_base.cpp:146-149) run in one dispatch."""
+    return jax.vmap(
+        lambda p0, band: _compass_core(p0, steps0, psd, fy, fx, band, n,
+                                       consts, free, n_rounds))(P0, bands)
 
 
 def refine_defocus_batch(psds, seed_params, sampling, voltage=300.0,
@@ -258,7 +312,13 @@ class CTFEstimator:
                  voltage: float = 300.0, Cs: float = 2.7, Q0: float = 0.07,
                  Ca: float = 2.0, min_freq: float = 0.03,
                  max_freq: float = 0.35, defocus_range=(2000.0, 40000.0),
-                 vpp_radius: float = 0.0, fast: bool = False):
+                 vpp_radius: float = 0.0, fast: bool = False,
+                 enhance_weight: float = 1.0, enhance_f1: float | None = None,
+                 enhance_f2: float | None = None, radial_noise: bool = False,
+                 model_simplification: int = 0,
+                 initial_defocus=None, no_defocus: bool = False,
+                 fast_defocus=None, refine_Q0: bool = False,
+                 show_optimization: bool = False):
         self.psd = np.asarray(psd_half, np.float32)
         self.n = self.psd.shape[0]
         self.Ts = float(sampling)
@@ -275,18 +335,90 @@ class CTFEstimator:
         self.max_freq_dig = max_freq
         self.defocus_range = defocus_range
         self.fast = fast
+        self.radial_noise = bool(radial_noise)
+        self.model_simplification = int(model_simplification)
+        self.initial_defocus = initial_defocus
+        self.no_defocus = bool(no_defocus)
+        self.fast_defocus = fast_defocus
+        self.refine_Q0 = bool(refine_Q0)
+        self.show = bool(show_optimization)
+        # enhanced PSD (reference enhance defaults,
+        # ctf_estimate_from_psd_base.cpp:155-167: f1/f2 switch on fmax)
+        if enhance_f1 is None:
+            enhance_f1 = 0.01 if max_freq > 0.35 else 0.02
+        if enhance_f2 is None:
+            enhance_f2 = 0.08 if max_freq > 0.35 else 0.15
+        self.enhance_f1, self.enhance_f2 = float(enhance_f1), \
+            float(enhance_f2)
+        self.enhance_weight = float(enhance_weight)
+        self._enh = None
+        if self.enhance_weight != 0.0:
+            enh = self._enhanced_half(self.psd, enhance_f1, enhance_f2)
+            self._enh = (jnp.asarray(enh), self.enhance_weight)
         self.params = np.zeros(NPARAMS, np.float32)
 
+    @staticmethod
+    def _enhanced_half(psd_half, f1, f2):
+        """Enhanced PSD in the half (rfft) layout: log1p, then bandpass the
+        PSD treated AS AN IMAGE at [f1, f2] (passes the Thon-ring
+        oscillation scale, removes the smooth background), then unit
+        normalization — the ProgCTFEnhancePSD pipeline the reference fit
+        is guided by (enhance_psd.cpp role; f1/f2 defaults
+        ctf_estimate_from_psd_base.cpp:155-167)."""
+        from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                                   band_pass_mask)
+        from xmipp3_tpu.ops.psd import psd_half_to_full_centered
+        n = psd_half.shape[0]
+        full = psd_half_to_full_centered(
+            np.log1p(np.maximum(psd_half, 0.0)).astype(np.float32), n)
+        filt = np.asarray(apply_fourier_mask_2d(
+            full, band_pass_mask(n, n, f1, f2)))
+        filt = (filt - filt.mean()) / max(filt.std(), 1e-12)
+        half = np.fft.ifftshift(filt)[:, : n // 2 + 1]
+        return np.ascontiguousarray(half).astype(np.float32)
+
+    # -- constraint plumbing (--radial_noise / --model_simplification) ----
+    def _mirrors(self) -> tuple:
+        """Parameter ties applied inside every compass move."""
+        m = []
+        if self.radial_noise:
+            m += [(SQV, SQU), (G1SV, G1SU), (G1CV, G1CU),
+                  (G2SV, G2SU), (G2CV, G2CU)]
+        elif self.model_simplification >= 3:
+            # symmetric intermediate Gaussian (level 3)
+            m += [(G1SV, G1SU), (G1CV, G1CU)]
+        return tuple(m)
+
+    def _frozen(self) -> set:
+        f = set()
+        if self.model_simplification >= 1:    # simplified envelope
+            f |= {DELTAF, DELTAR, ENVR1, ENVR2}
+        if self.model_simplification >= 2:    # last Gaussian removed
+            f |= {G2K, G2SU, G2SV, G2ANG, G2CU, G2CV}
+        if self.radial_noise:
+            f |= {SQV, SQANG, G1SV, G1CV, G1ANG, G2SV, G2CV, G2ANG}
+        elif self.model_simplification >= 3:
+            f |= {G1SV, G1CV, G1ANG}
+        if self.no_defocus:
+            f |= {DEFU, DEFV, ANGLE}
+        return f
+
+    def _free(self, stage: str) -> list:
+        frozen = self._frozen()
+        return [i for i in STAGE_SETS[stage] if i not in frozen]
+
     # -- fitness plumbing -------------------------------------------------
-    def _cost(self, p):
+    def _cost(self, p, use_enh: bool = False):
         return float(_fitness(jnp.asarray(p, jnp.float32), self.psd_j,
                               self.fy, self.fx, self.band, self.n,
-                              self.consts))
+                              self.consts,
+                              self._enh if use_enh else None))
 
-    def _cost_batch(self, P):
+    def _cost_batch(self, P, use_enh: bool = False):
         return np.asarray(_fitness_batch(jnp.asarray(P, jnp.float32),
                                          self.psd_j, self.fy, self.fx,
-                                         self.band, self.n, self.consts))
+                                         self.band, self.n, self.consts,
+                                         self._enh if use_enh else None))
 
     # per-parameter pattern-search step scales (same role as the
     # reference's Powell step vector)
@@ -297,13 +429,16 @@ class CTFEstimator:
                        0.2, 500.0, 500.0, 10.0, 0.01, 0.01,   # gauss2
                        0.1], np.float32)               # phase shift
 
-    def _powell(self, free, maxiter=4):
+    def _powell(self, free, maxiter=4, use_enh=False, label=""):
         """Batched compass/pattern search over the `free` subset — the
         reference's powellOptimizer role, re-shaped for the device: every
         round evaluates ALL +/-step coordinate candidates in ONE vmapped
         fitness call (a serial scipy Powell would pay one host<->device
         round-trip per evaluation, which dominates under the axon relay)."""
-        free = list(free)
+        frozen = self._frozen()
+        free = [i for i in free if i not in frozen]
+        if not free:
+            return getattr(self, "final_fitness", 0.0)
         p = self.params.copy()
         steps = self._STEPS[free].copy()
         # scale data-dependent magnitudes
@@ -315,9 +450,14 @@ class CTFEstimator:
         p_out, best = _compass_opt(
             jnp.asarray(p, jnp.float32), jnp.asarray(steps, jnp.float32),
             self.psd_j, self.fy, self.fx, self.band, self.n, self.consts,
-            free=tuple(free), n_rounds=int(n_rounds))
+            free=tuple(free), n_rounds=int(n_rounds),
+            enh=self._enh if use_enh else None, mirror=self._mirrors())
         self.params = np.array(p_out, np.float32)   # writable copy
         self.final_fitness = float(best)
+        if self.show:
+            print(f"  [opt] stage={label or free} fitness={best:.5f} "
+                  f"defU={self.params[DEFU]:.1f} defV={self.params[DEFV]:.1f}"
+                  f" ang={self.params[ANGLE]:.1f}")
         return self.final_fitness
 
     # -- stage 1: sqrt + baseline background ------------------------------
@@ -381,12 +521,14 @@ class CTFEstimator:
         logK0 = np.log(max(np.asarray(self.psd).max() * 1e-2, 1e-8))
         # coarse isotropic pass, two gain hypotheses, one vmapped batch
         defs = np.linspace(lo, hi, n_coarse, dtype=np.float32)
+        ang0 = 0.0 if self.initial_defocus is None \
+            else float(self.initial_defocus[2])
         cands = []
         for logK in (logK0, logK0 + np.log(10.0)):
             for d in defs:
                 p = self.params.copy()
                 p[DEFU] = p[DEFV] = d
-                p[ANGLE] = 0.0
+                p[ANGLE] = ang0
                 p[LOGK] = logK
                 cands.append(p)
         P = np.stack(cands)
@@ -447,25 +589,206 @@ class CTFEstimator:
         self.params = best
         return cost
 
+    # -- fast defocus via ring demodulation (--fastDefocus) -----------------
+    def fast_defocus_zernike(self) -> bool:
+        """Fast initial defocus from the enhanced PSD's ring pattern
+        (reference estimate_defoci_Zernike, ctf_estimate_from_psd.cpp:1936:
+        SPTH demodulate -> Zernike Z3/Z4/Z5/Z8 -> defocus+astigmatism,
+        iterated over a shrinking fmax ladder with powell defocus refines,
+        best fitness wins, fall back to the full grid when the winner is
+        outside [3000, 50000] A).
+
+        TPU-first redesign of the inner estimator: in x = u^2 coordinates
+        the CTF rings are a pure sinusoid of frequency lambda*defocus, so
+        each angular sector's defocus comes from an FFT peak of its radial
+        profile resampled on a uniform u^2 grid (per-ray FFT magnitudes
+        averaged across the sector — magnitude averaging is insensitive to
+        the astigmatic phase smear that kills profile averaging). A linear
+        LS over sectors d(theta) = d_avg + d_diff*cos(2(theta-az)) yields
+        the same Z3/Z4/Z5 quantities as the reference's Zernike fit. The
+        ladder candidates are compass-refined in ONE vmapped dispatch."""
+        from scipy.ndimage import map_coordinates
+
+        from xmipp3_tpu.ops.psd import psd_half_to_full_centered
+        n = self.n
+        # wide-band enhancement: the display band (f2~0.15) cuts image
+        # frequencies right where dense Thon rings live
+        enh_half = self._enhanced_half(self.psd, 0.01, 0.5)
+        enh_full = psd_half_to_full_centered(
+            np.asarray(enh_half, np.float32), n)
+        voltage = self.consts[0]
+        kv = voltage * 1e3
+        lam = 12.2643247 / np.sqrt(kv * (1 + 0.978466e-6 * kv))
+        cy = cx = n // 2
+        K, n_rays = 12, 9
+        thetas = (np.arange(K) + 0.5) * np.pi / K
+        r0 = max(int(self.min_freq_dig * n), 2)
+        M, P = 512, 8
+        win = np.hanning(M)
+
+        def sector_defoci(r1):
+            rr = np.arange(r0, r1, 0.5)
+            u = rr / (n * self.Ts)
+            x = np.linspace(u[0] ** 2, u[-1] ** 2, M)
+            df = 1.0 / (P * M * (x[1] - x[0]))
+            freqs = np.arange(P * M // 2 + 1) * df
+            # exclude the window-scale trend (<3 cycles over the window
+            # masquerades as a tiny-defocus ghost) and absurd defoci
+            f_lo = max(3.0 / (x[-1] - x[0]), 1.5e3 * lam)
+            sel = (freqs > f_lo) & (freqs < 1.2e5 * lam)
+            ds = np.empty(K)
+            for k in range(K):
+                Facc = np.zeros(P * M // 2 + 1)
+                for j in range(n_rays):
+                    t = thetas[k] + (j - (n_rays - 1) / 2) \
+                        * (np.pi / K) / n_rays
+                    for sgn in (1.0, -1.0):
+                        ys = cy + sgn * rr * np.sin(t)
+                        xs = cx + sgn * rr * np.cos(t)
+                        prof = map_coordinates(enh_full, [ys, xs], order=1)
+                        px = np.interp(x, u ** 2, prof)
+                        px -= px.mean()
+                        Facc += np.abs(np.fft.rfft(px * win, n=P * M))
+                pk = int(np.argmax(Facc * sel))
+                if 0 < pk < len(Facc) - 1:
+                    al, be, ga = Facc[pk - 1], Facc[pk], Facc[pk + 1]
+                    delta = 0.5 * (al - ga) / (al - 2 * be + ga + 1e-30)
+                else:
+                    delta = 0.0
+                ds[k] = (pk + delta) * df / lam
+            return ds
+
+        A = np.column_stack([np.ones(K), np.cos(2 * thetas),
+                             np.sin(2 * thetas)])
+        seeds = []
+        for fmax in np.linspace(0.95 * self.max_freq_dig,
+                                2.5 * self.min_freq_dig, 8):
+            r1 = int(fmax * n)
+            if r1 - r0 < 10:
+                break
+            ds = sector_defoci(r1)
+            med = np.median(ds)
+            # robust: a minority of sectors may lock onto an aliased fold;
+            # fit the astigmatic cosine on the median inliers only
+            inl = np.abs(ds - med) < 0.3 * max(med, 1.0)
+            if inl.sum() < max(K - 3, 3):
+                continue
+            coef, *_ = np.linalg.lstsq(A[inl], ds[inl], rcond=None)
+            d_avg, bc, bs = coef
+            d_diff = min(np.hypot(bc, bs), 0.9 * d_avg)
+            ang = 0.5 * np.degrees(np.arctan2(bs, bc)) % 180.0
+            if not (1e3 < d_avg < 100e3):
+                continue
+            p = self.params.copy()
+            p[DEFU] = d_avg + d_diff
+            p[DEFV] = d_avg - d_diff
+            p[ANGLE] = ang
+            p[LOGK] = np.log(max(np.asarray(self.psd).max() * 1e-2, 1e-8))
+            if not any(abs(q[DEFU] - p[DEFU]) < 0.02 * p[DEFU]
+                       for q in seeds):
+                seeds.append(p)
+        if not seeds:
+            return False
+        free = tuple(self._free("defocus"))
+        steps = self._STEPS[list(free)].copy()
+        steps[:2] = 400.0                # wider basin than the grid refine
+        P_out, costs = _compass_opt_seeds(
+            jnp.asarray(np.stack(seeds), jnp.float32),
+            jnp.asarray(steps, jnp.float32), self.psd_j,
+            self.fy, self.fx, self.band, self.n, self.consts, free=free,
+            n_rounds=30, enh=self._enh)
+        k = int(np.argmin(np.asarray(costs)))
+        best = np.array(P_out[k], np.float32)
+        d_win = 0.5 * (best[DEFU] + best[DEFV])
+        # reference acceptance window (ctf_estimate_from_psd.cpp:2049):
+        # outside it the ladder failed -> grid fallback
+        if not (3e3 < d_win < 50e3):
+            return False
+        self.params = best
+        self.final_fitness = float(np.asarray(costs)[k])
+        if self.show:
+            print(f"  [fastDefocus] {len(seeds)} ladder candidates -> "
+                  f"defU={best[DEFU]:.1f} defV={best[DEFV]:.1f} "
+                  f"ang={best[ANGLE]:.1f} fitness={self.final_fitness:.5f}")
+        return True
+
+    # -- amplitude-contrast refinement (--refine_amplitude_contrast) -------
+    def refine_amplitude_contrast(self):
+        """Line-search Q0 at the fitted model, then re-refine defocus
+        (reference: Q0 joins the optimized set when the flag is given)."""
+        v, Cs, Ca, q0, vpp = self.consts
+        grid = np.clip(np.linspace(max(0.01, q0 - 0.06), q0 + 0.15, 12),
+                       0.005, 0.6)
+        costs = []
+        for q in grid:
+            self.consts = (v, Cs, Ca, float(q), vpp)
+            costs.append(self._cost(self.params, use_enh=True))
+        q_best = float(grid[int(np.argmin(costs))])
+        self.consts = (v, Cs, Ca, q_best, vpp)
+        self._powell(STAGE_SETS["defocus"], maxiter=2, use_enh=True,
+                     label="Q0-refine")
+        if self.show:
+            print(f"  [Q0] refined amplitude contrast {q0:.3f} -> "
+                  f"{q_best:.3f}")
+        return q_best
+
+    # -- bootstrap variability (--bootstrapFit) -----------------------------
+    def bootstrap_fit(self, n_boot: int, seed: int = 0):
+        """Repeat the defocus fit over random halves of the band's Fourier
+        pixels; returns the (n_boot, 3) defocusU/V/angle samples (reference
+        bootstrap over randomly chosen Fourier pixels,
+        ctf_estimate_from_psd_base.cpp bootstrapWeights)."""
+        rng = np.random.default_rng(seed)
+        base = np.asarray(self.band)
+        masks = (rng.random((n_boot,) + base.shape) < 0.5) * base
+        free = tuple(self._free("defocus"))
+        steps = jnp.asarray(self._STEPS[list(free)], jnp.float32)
+        P0 = jnp.broadcast_to(jnp.asarray(self.params, jnp.float32),
+                              (n_boot, NPARAMS))
+        P, _ = _compass_opt_bands(
+            P0, steps, self.psd_j, self.fy, self.fx,
+            jnp.asarray(masks.astype(np.float32)), self.n, self.consts,
+            free=free, n_rounds=14)
+        P = np.asarray(P)
+        return np.stack([P[:, DEFU], P[:, DEFV], P[:, ANGLE]], axis=1)
+
     # -- full pipeline ------------------------------------------------------
     def estimate(self) -> CTFDescription:
         self.fit_background()
         self.fit_gaussian1()
-        self.grid_search_defocus()
-        self._powell(STAGE_SETS["defocus"], maxiter=3)
-        if not self.fast:
-            self._powell(STAGE_SETS["envelope"], maxiter=3)
-            # second Gaussian init: deepest residual valley at mid freq
-            self.params[G2CU] = self.params[G2CV] = \
-                0.9 * 0.5 / self.Ts
-            self.params[G2SU] = self.params[G2SV] = 100.0 * self.Ts ** 2
-            self.params[G2K] = 0.0
-            self._powell(STAGE_SETS["bg_gauss2"], maxiter=2)
-            self._powell(STAGE_SETS["all"], maxiter=4)
+        if self.no_defocus:
+            # keep the initial defocus (reference --noDefocus: the initial
+            # model's defocus is trusted, only envelope/background fit)
+            if self.initial_defocus is not None:
+                self.params[DEFU] = self.initial_defocus[0]
+                self.params[DEFV] = self.initial_defocus[1]
+                self.params[ANGLE] = self.initial_defocus[2]
+            self.params[LOGK] = np.log(
+                max(np.asarray(self.psd).max() * 1e-2, 1e-8))
+            self._powell([LOGK], maxiter=2, label="gain")
         else:
-            self._powell(STAGE_SETS["defocus"], maxiter=2)
+            if not (self.fast_defocus and self.fast_defocus_zernike()):
+                self.grid_search_defocus()
+            self._powell(STAGE_SETS["defocus"], maxiter=3, use_enh=True,
+                         label="defocus")
+        if not self.fast:
+            self._powell(STAGE_SETS["envelope"], maxiter=3, label="envelope")
+            if self.model_simplification < 2:
+                # second Gaussian init: deepest residual valley at mid freq
+                self.params[G2CU] = self.params[G2CV] = \
+                    0.9 * 0.5 / self.Ts
+                self.params[G2SU] = self.params[G2SV] = 100.0 * self.Ts ** 2
+                self.params[G2K] = 0.0
+                self._powell(STAGE_SETS["bg_gauss2"], maxiter=2,
+                             label="gauss2")
+            self._powell(STAGE_SETS["all"], maxiter=4, label="all")
+        elif not self.no_defocus:
+            self._powell(STAGE_SETS["defocus"], maxiter=2, use_enh=True,
+                         label="defocus2")
         if abs(self.consts[4]) > 1e-3:       # VPP mode
-            self._powell(STAGE_SETS["all_vpp"], maxiter=2)
+            self._powell(STAGE_SETS["all_vpp"], maxiter=2, label="vpp")
+        if self.refine_Q0:
+            self.refine_amplitude_contrast()
         return self.to_ctf()
 
     def to_ctf(self) -> CTFDescription:

@@ -54,41 +54,193 @@ def _piece_psds(pieces: np.ndarray) -> np.ndarray:
 
 class _CTFFitMixin:
     def _define_fit_params(self):
+        # CTF description surface (reference CTFDescription1D/2D::
+        # defineParams, data/ctf.cpp: canonical --voltage/--spherical_
+        # aberration/... with the short aliases)
         self.addParamsLine("  [--sampling_rate <Ts=1>] : Pixel size (Å)")
         self.addParamsLine("     alias -s;")
-        self.addParamsLine("  [--kV <v=300>]       : Acceleration voltage")
-        self.addParamsLine("  [--Cs <cs=2.7>]      : Spherical aberration (mm)")
-        self.addParamsLine("  [--Ca <ca=2>]        : Chromatic aberration (mm)")
+        self.addParamsLine("  [--voltage <v=300>]  : Acceleration voltage (kV)")
+        self.addParamsLine("     alias --kV;")
+        self.addParamsLine("  [--spherical_aberration <cs=2.7>] : mm")
+        self.addParamsLine("     alias --Cs;")
+        self.addParamsLine("  [--chromatic_aberration <ca=2>] : mm")
+        self.addParamsLine("     alias --Ca;")
         self.addParamsLine("  [--Q0 <q=0.07>]      : Amplitude contrast")
+        self.addParamsLine("  [--energy_loss <espr=0>] : eV")
+        self.addParamsLine("  [--lens_stability <ispr=0>] : ppm")
+        self.addParamsLine("  [--convergence_cone <alpha=0>] : mrad")
+        self.addParamsLine("  [--longitudinal_displace <DeltaF=0>] : Å")
+        self.addParamsLine("  [--transversal_displace <DeltaR=0>] : Å")
+        self.addParamsLine("  [--K <K=0>]          : Global gain")
+        self.addParamsLine("  [--phase_shift <ps=0>] : VPP phase shift")
+        self.addParamsLine("  [--VPP_radius <r=0>]  : Phase-plate radius (0 = no VPP)")
+        self.addParamsLine("  [--defocusU <U=0>]   : Initial defocus U (Å)")
+        self.addParamsLine("  [--defocusV <V=0>]   : Initial defocus V (Å)")
+        self.addParamsLine("  [--azimuthal_angle <a=0>] : Initial astigmatism angle")
+        self.addParamsLine("  [--ctf_similar_to <ctfFile=\"\">] : seed "
+                           "parameters from this ctfparam file (command-line "
+                           "values override it)")
+        # fit-constraint surface (reference ProgCTFBasicParams::
+        # defineBasicParams, ctf_estimate_from_psd_base.cpp:99-168)
         self.addParamsLine("  [--min_freq <f=0.03>] : Minimum digital freq for fit")
         self.addParamsLine("  [--max_freq <f=0.35>] : Maximum digital freq for fit")
-        self.addParamsLine("  [--defocus_range <min=2000> <max=40000>] : Search range (Å)")
-        self.addParamsLine("  [--VPP_radius <r=0>]  : Phase-plate radius (0 = no VPP)")
+        self.addParamsLine("  [--defocus_range <D=8000>] : Defocus range (Å) "
+                           "around the initial defocus (full span if none)")
+        self.addParamsLine("  [--downSamplingPerformed <F=1>] : Downsampling "
+                           "performed to produce this PSD; the output model "
+                           "is referred to the original sampling rate")
+        self.addParamsLine("  [--fastDefocus <lambda=2> <size=10>] : first "
+                           "defocus from SPTH ring demodulation")
+        self.addParamsLine("  [--noDefocus]        : No defocus estimation")
+        self.addParamsLine("  [--selfEstimation]   : Estimate defocus without "
+                           "previous estimation")
+        self.addParamsLine("  [--refine_amplitude_contrast] : Refine Q0")
+        self.addParamsLine("  [--show_optimization] : Show optimization process")
+        self.addParamsLine("  [--radial_noise]     : radially symmetric noise "
+                           "(default: astigmatic)")
+        self.addParamsLine("  [--enhance_weight <w=1>] : Weight of the "
+                           "enhanced-PSD term")
+        self.addParamsLine("  [--model_simplification <s=0>] : 0 none, "
+                           "1 simplified envelope, 2 no 2nd Gaussian, "
+                           "3 symmetric intermediate Gaussian")
+        self.addParamsLine("  [--bootstrapFit <N=-1>] : repeat the fit N "
+                           "times on random Fourier-pixel halves to measure "
+                           "variability")
+        self.addParamsLine("  [--ctfmodelSize <size=256>] : size of the "
+                           "ctfmodel quadrant/halfplane thumbnails")
+        self.addParamsLine("  [--enhance_min_freq <f1=-1>] : enhancement "
+                           "bandpass low cutoff (defaults per max_freq)")
+        self.addParamsLine("  [--enhance_max_freq <f2=-1>] : enhancement "
+                           "bandpass high cutoff (defaults per max_freq)")
 
     def _read_fit_params(self):
         self.Ts = self.getDoubleParam("--sampling_rate")
-        self.kV = self.getDoubleParam("--kV")
-        self.Cs = self.getDoubleParam("--Cs")
-        self.Ca = self.getDoubleParam("--Ca")
-        self.Q0 = self.getDoubleParam("--Q0")
+        # seed model from a ctfparam file (overridden by explicit flags)
+        self.similar = None
+        if self.checkParam("--ctf_similar_to") and \
+                self.getParam("--ctf_similar_to"):
+            from xmipp3_tpu.ops.ctf import CTFDescription
+            self.similar = CTFDescription.from_metadata(
+                self.getParam("--ctf_similar_to"))
+
+        def _d(flag, attr, default):
+            if self.checkParam(flag):
+                return self.getDoubleParam(flag)
+            if self.similar is not None and attr:
+                return float(getattr(self.similar, attr))
+            return default
+
+        self.kV = _d("--voltage", "voltage", 300.0)
+        self.Cs = _d("--spherical_aberration", "Cs", 2.7)
+        self.Ca = _d("--chromatic_aberration", "Ca", 2.0)
+        self.Q0 = _d("--Q0", "Q0", 0.07)
+        self.espr = _d("--energy_loss", "espr", 0.0)
+        self.vpp_radius = _d("--VPP_radius", "VPP_radius", 0.0)
+        def0U = _d("--defocusU", "defocusU", 0.0)
+        def0V = _d("--defocusV", "defocusV", 0.0)
+        ang0 = _d("--azimuthal_angle", "azimuthal_angle", 0.0)
+        if def0U and not def0V:
+            def0V = def0U
+        self.initial_defocus = (def0U, def0V, ang0) if def0U else None
         self.min_freq = self.getDoubleParam("--min_freq")
         self.max_freq = self.getDoubleParam("--max_freq")
-        self.def_range = (self.getDoubleParam("--defocus_range", 0),
-                          self.getDoubleParam("--defocus_range", 1))
-        self.vpp_radius = self.getDoubleParam("--VPP_radius")
+        self.self_estimation = self.checkParam("--selfEstimation")
+        D = self.getDoubleParam("--defocus_range")
+        if self.initial_defocus and not self.self_estimation:
+            # reference bounds (ctf_estimate_from_psd.cpp:1699-1713)
+            self.def_range = (max(1e3, def0U - D), min(150e3, def0U + D))
+        else:
+            self.def_range = (1e3, 100e3) if self.checkParam(
+                "--defocus_range") else (2000.0, 40000.0)
+        self.downsample_factor = self.getDoubleParam("--downSamplingPerformed")
+        self.no_defocus = self.checkParam("--noDefocus")
+        self.fast_defocus = None
+        if self.checkParam("--fastDefocus"):
+            self.fast_defocus = (self.getDoubleParam("--fastDefocus", 0),
+                                 self.getDoubleParam("--fastDefocus", 1))
+        self.refine_q0 = self.checkParam("--refine_amplitude_contrast")
+        self.show_opt = self.checkParam("--show_optimization")
+        self.radial_noise = self.checkParam("--radial_noise")
+        self.enhance_weight = self.getDoubleParam("--enhance_weight")
+        self.model_simpl = self.getIntParam("--model_simplification")
+        self.n_bootstrap = self.getIntParam("--bootstrapFit")
+        self.ctfmodel_size = self.getIntParam("--ctfmodelSize")
+        f1 = self.getDoubleParam("--enhance_min_freq")
+        f2 = self.getDoubleParam("--enhance_max_freq")
+        self.enhance_f1 = f1 if f1 >= 0 else None
+        self.enhance_f2 = f2 if f2 >= 0 else None
 
     def _estimator(self, psd_half, fast=False):
         return CTFEstimator(psd_half, self.Ts, self.kV, self.Cs, self.Q0,
                             Ca=self.Ca, min_freq=self.min_freq,
                             max_freq=self.max_freq,
                             defocus_range=self.def_range,
-                            vpp_radius=self.vpp_radius, fast=fast)
+                            vpp_radius=self.vpp_radius, fast=fast,
+                            enhance_weight=self.enhance_weight,
+                            enhance_f1=self.enhance_f1,
+                            enhance_f2=self.enhance_f2,
+                            radial_noise=self.radial_noise,
+                            model_simplification=self.model_simpl,
+                            initial_defocus=self.initial_defocus,
+                            no_defocus=self.no_defocus,
+                            fast_defocus=self.fast_defocus,
+                            refine_Q0=self.refine_q0,
+                            show_optimization=self.show_opt)
+
+    def _finalize_ctf(self, ctf):
+        """Refer the model to the original sampling rate (reference
+        ctf_estimate_from_psd.cpp:2456: Tm /= downsampleFactor) and stamp
+        the factor."""
+        if self.downsample_factor != 1.0:
+            ctf.sampling_rate = self.Ts / self.downsample_factor
+        return ctf
+
+    def _write_ctfmodels(self, est, oroot):
+        """<oroot>.ctfmodel_quadrant / _halfplane thumbnails: observed
+        centered PSD with the fitted model substituted in one quadrant /
+        half plane (reference ctfmodelSize outputs)."""
+        import jax.numpy as jnp
+
+        from xmipp3_tpu.models.ctf_estimation import _freq_grids, _model_psd
+        from xmipp3_tpu.ops.psd import psd_half_to_full_centered
+        from xmipp3_tpu.ops.resize import spline_resize_2d
+        size = self.ctfmodel_size
+        n = est.n
+        fy, fx = _freq_grids(n, est.Ts)
+        model = np.asarray(_model_psd(
+            jnp.asarray(est.params), jnp.asarray(fy), jnp.asarray(fx), n,
+            est.consts))
+        obs_c = psd_half_to_full_centered(np.log1p(np.maximum(est.psd, 0)), n)
+        mod_c = psd_half_to_full_centered(np.log1p(np.maximum(model, 0)), n)
+        if size != n:
+            obs_c = np.asarray(spline_resize_2d(obs_c[None], size, size))[0]
+            mod_c = np.asarray(spline_resize_2d(mod_c[None], size, size))[0]
+        h = size // 2
+        quad = obs_c.copy()
+        quad[:h, h:] = mod_c[:h, h:]
+        half = obs_c.copy()
+        half[:h, :] = mod_c[:h, :]
+        save_image(oroot + "_ctfmodel_quadrant.xmp", quad.astype(np.float32))
+        save_image(oroot + "_ctfmodel_halfplane.xmp",
+                   half.astype(np.float32))
+
+    def _run_bootstrap(self, est, oroot):
+        samples = est.bootstrap_fit(self.n_bootstrap)
+        MetaData.fromRows([
+            {"ctfDefocusU": float(u), "ctfDefocusV": float(v),
+             "ctfDefocusAngle": float(a)} for u, v, a in samples
+        ]).write(oroot + "_bootstrap.xmd")
+        if self.verbose:
+            print(f"bootstrap ({self.n_bootstrap}x): defU std="
+                  f"{samples[:, 0].std():.1f} A  defV std="
+                  f"{samples[:, 1].std():.1f} A  angle std="
+                  f"{samples[:, 2].std():.2f} deg")
 
     def _fit(self, psd_half):
         est = self._estimator(psd_half)
         ctf = est.estimate()
         self.fitness = est.final_fitness
-        return ctf
+        return self._finalize_ctf(ctf)
 
 
 class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
@@ -101,9 +253,17 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
         self.addParamsLine("   --micrograph <file> : Input micrograph")
         self.addParamsLine("     alias -i;")
         self.addParamsLine("  [--oroot <root=\"\">]  : Output rootname (default: micrograph name)")
+        self.addParamsLine("  [--psd_estimator <method=periodogram>] : PSD "
+                           "estimation method")
+        self.addParamsLine("         where <method>")
+        self.addParamsLine("                  periodogram")
+        self.addParamsLine("                  ARMA : 2-D causal ARMA spectral model")
         self.addParamsLine("  [--pieceDim <d=512>] : Tile size for periodogram")
         self.addParamsLine("  [--overlap <o=0.5>]  : Tile overlap fraction")
         self.addParamsLine("  [--skipBorders <s=2>] : Border pieces to skip (regions mode)")
+        self.addParamsLine("  [--Nsubpiece <N=1>]  : subdivide each piece "
+                           "into NxN subpieces whose upsampled PSDs are "
+                           "averaged (smoother PSD for small micrographs)")
         self.addParamsLine("  [--mode <mode=micrograph>] : How many PSDs/CTFs to estimate")
         self.addParamsLine("         where <mode>")
         self.addParamsLine("                  micrograph : single PSD for the whole micrograph")
@@ -122,6 +282,8 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
         self.piece = self.getIntParam("--pieceDim")
         self.overlap = self.getDoubleParam("--overlap")
         self.skip_borders = self.getIntParam("--skipBorders")
+        self.n_subpiece = self.getIntParam("--Nsubpiece")
+        self.estimator_kind = self.getParam("--psd_estimator")
         self.psd_mode = self.getParam("--mode")
         try:
             self.fn_pos = self.getParam("--mode", 1) \
@@ -136,6 +298,46 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
         read_mesh_params(self)
 
     # -- helpers -----------------------------------------------------------
+    def _psds_of_pieces(self, pieces: np.ndarray) -> np.ndarray:
+        """Per-piece PSDs under the chosen estimator (half rfft layout).
+
+        --psd_estimator ARMA -> causal ARMA spectra; --Nsubpiece N>1 ->
+        each piece's PSD is the average of the upsampled PSDs of its NxN
+        subpieces (reference PSD_piece_by_averaging,
+        ctf_estimate_from_micrograph.cpp:193-263)."""
+        piece = pieces.shape[-1]
+        if self.estimator_kind == "ARMA":
+            from xmipp3_tpu.ops.arma import causal_arma_psd
+            out = []
+            for pc in pieces:
+                psd, _ = causal_arma_psd([pc], piece)
+                out.append(psd[:, :piece // 2 + 1])
+            return np.stack(out).astype(np.float32)
+        if self.n_subpiece <= 1:
+            return _piece_psds(pieces)
+        from xmipp3_tpu.ops.psd import psd_half_to_full_centered
+        from xmipp3_tpu.ops.resize import spline_resize_2d
+        N = self.n_subpiece
+        small = max((2 * piece // N) & ~1, 8)
+        step = (piece - small) // max(N - 1, 1)
+        subs = []
+        for i in range(N):
+            for j in range(N):
+                y0 = min(i * step, piece - small)
+                x0 = min(j * step, piece - small)
+                subs.append(pieces[:, y0:y0 + small, x0:x0 + small])
+        sub_psds = _piece_psds(np.concatenate(subs))   # (N*N*B, small, ...)
+        B = pieces.shape[0]
+        acc = np.zeros((B, piece, piece), np.float32)
+        for k in range(N * N):
+            blk = sub_psds[k * B:(k + 1) * B]
+            cent = np.stack([psd_half_to_full_centered(b, small)
+                             for b in blk])
+            acc += np.asarray(spline_resize_2d(cent, piece, piece))
+        acc /= N * N
+        out = np.fft.ifftshift(acc, axes=(-2, -1))[:, :, :piece // 2 + 1]
+        return np.ascontiguousarray(out).astype(np.float32)
+
     def _fit_one(self, psd_half, seed_params=None):
         """Full fit, or a short seeded refine for local pieces."""
         if self.accel_1d:
@@ -154,7 +356,7 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
             est.params = seed_params.copy()
             est._powell(STAGE_SETS["defocus"], maxiter=3)
             ctf = est.to_ctf()
-        return ctf, est.final_fitness
+        return self._finalize_ctf(ctf), est.final_fitness
 
     def _pca_criteria(self, psds: np.ndarray):
         """PSD-PCA quality criteria (reference :600-667): stdQ, first-PC
@@ -195,7 +397,7 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
     def _run_micrograph(self, mic):
         pieces = extract_tiles(mic, min(self.piece, min(mic.shape)),
                                self.overlap)
-        psds = _piece_psds(pieces)
+        psds = self._psds_of_pieces(pieces)
         psd = psds.mean(axis=0)
         n = psd.shape[0]
         save_image(self.oroot + ".psd", psd_half_to_full_centered(psd, n))
@@ -203,7 +405,16 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
             return
         stdQ, pca1, zruns = self._pca_criteria(psds) if len(psds) > 2 \
             else (0.0, 0.0, 0.0)
-        ctf, fitness = self._fit_one(psd)
+        if self.accel_1d:
+            ctf, fitness = self._fit_one(psd)
+        else:
+            est = self._estimator(psd)
+            ctf = self._finalize_ctf(est.estimate())
+            fitness = est.final_fitness
+            if self.checkParam("--ctfmodelSize"):
+                self._write_ctfmodels(est, self.oroot)
+            if self.n_bootstrap > 0:
+                self._run_bootstrap(est, self.oroot)
         md = ctf.to_metadata()
         oid = md.firstObject()
         md.setValue("ctfCritPsdStdQ", stdQ, oid)
@@ -237,7 +448,7 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
         piece, regions = self._region_grid(mic)
         pieces = np.stack([mic[y0:y0 + piece, x0:x0 + piece]
                            for y0, x0 in regions])
-        psds = _piece_psds(pieces)
+        psds = self._psds_of_pieces(pieces)
         psd_avg = psds.mean(axis=0)
         save_image(self.oroot + ".psd",
                    psd_half_to_full_centered(psd_avg, piece))
@@ -327,7 +538,7 @@ class ProgCTFEstimateFromMicrograph(XmippProgram, _CTFFitMixin):
             x0 = int(np.clip(x - piece // 2, 0, W - piece))
             pieces.append(mic[y0:y0 + piece, x0:x0 + piece])
             ids.append(oid)
-        psds = _piece_psds(np.stack(pieces))
+        psds = self._psds_of_pieces(np.stack(pieces))
         save_image(self.oroot + ".psdstk",
                    np.stack([psd_half_to_full_centered(p, piece)
                              for p in psds]))
@@ -382,8 +593,15 @@ class ProgCTFEstimateFromPSD(XmippProgram, _CTFFitMixin):
         return np.ascontiguousarray(unshift[:, : n // 2 + 1])
 
     def run(self):
-        ctf = self._fit(self._load_half())
+        est = self._estimator(self._load_half())
+        ctf = self._finalize_ctf(est.estimate())
+        self.fitness = est.final_fitness
         ctf.write(self.fn_out)
+        oroot = os.path.splitext(self.fn_out)[0]
+        if self.checkParam("--ctfmodelSize"):
+            self._write_ctfmodels(est, oroot)
+        if self.n_bootstrap > 0:
+            self._run_bootstrap(est, oroot)
         if self.verbose:
             print(f"DefocusU={ctf.defocusU:.1f} A  DefocusV="
                   f"{ctf.defocusV:.1f} A  angle={ctf.azimuthal_angle:.1f} deg")
@@ -400,7 +618,7 @@ class ProgCTFEstimateFromPSDFast(ProgCTFEstimateFromPSD):
                               Ca=self.Ca, min_freq=self.min_freq,
                               max_freq=self.max_freq,
                               defocus_range=self.def_range)
-        ctf.write(self.fn_out)
+        self._finalize_ctf(ctf).write(self.fn_out)
         if self.verbose:
             print(f"Defocus={ctf.defocusU:.1f} A (1-D radial fit)")
 

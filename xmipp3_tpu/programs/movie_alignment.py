@@ -40,7 +40,11 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
         self.addParamsLine("  [--skipLocalAlignment]       : Only global alignment")
         self.addParamsLine("  [--controlPoints <x=6> <y=6> <t=5>] : BSpline control points")
         self.addParamsLine("  [--patches <x=7> <y=7>]      : Patches for local alignment")
-        self.addParamsLine("  [--frameRange <n0=-1> <nF=-1>] : First and last frame to align")
+        self.addParamsLine("  [--frameRange <n0=-1> <nF=-1>] : First and last frame to align (0-based)")
+        self.addParamsLine("  [--frameRangeSum <n0=-1> <nF=-1>] : First and last frame to sum; must lie within --frameRange")
+        self.addParamsLine("  [--bin <s=1>]                : Binning factor (>=1, may be fractional); output micrograph is binned")
+        self.addParamsLine("  [--maxResForCorrelation <R=30>] : Maximum resolution used for the alignment correlations (Å)")
+        self.addParamsLine("  [--minLocalRes <R=500>]      : Minimal resolution (Å) of patches during local alignment (sets the patch extent R/Ts px)")
         self.addParamsLine("  [--dose_per_frame <d=0>]     : e/A^2 per frame (enables dose weighting)")
         self.addParamsLine("  [--voltage <kV=300>]         : For dose weighting")
         from xmipp3_tpu.parallel.cli import add_mesh_params
@@ -59,6 +63,18 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
         self.local = not self.checkParam("--skipLocalAlignment")
         self.patches = (self.getIntParam("--patches", 1),
                         self.getIntParam("--patches", 0))
+        # binned sampling governs shifts/outputs (reference
+        # movie_alignment_correlation_base.cpp:39-43: Ts *= binning)
+        self.binning = self.getDoubleParam("--bin")
+        if self.binning < 1.0:
+            raise ValueError("Binning must be >= 1")
+        self.Ts *= self.binning
+        self.max_res_corr = self.getDoubleParam("--maxResForCorrelation")
+        self.min_local_res = self.getIntParam("--minLocalRes")
+        self.frame_range = (self.getIntParam("--frameRange", 0),
+                            self.getIntParam("--frameRange", 1))
+        self.sum_range = (self.getIntParam("--frameRangeSum", 0),
+                          self.getIntParam("--frameRangeSum", 1))
         self.dose = self.getDoubleParam("--dose_per_frame") if \
             self.checkParam("--dose_per_frame") else 0.0
         self.kV = self.getDoubleParam("--voltage")
@@ -67,16 +83,42 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
 
     def run(self):
         frames = _load_movie(self.fn_in)
-        F, H, W = frames.shape
         if self.fn_dark:
             frames = frames - np.squeeze(Image(self.fn_dark).data)
         if self.fn_gain:
             frames = frames * np.squeeze(Image(self.fn_gain).data)
+        # --frameRange / --frameRangeSum (reference checkSettings: summing
+        # frames that were not aligned is not allowed)
+        n0, nF = self.frame_range
+        n0 = 0 if n0 < 0 else n0
+        nF = len(frames) - 1 if nF < 0 else nF
+        s0, sF = self.sum_range
+        s0 = n0 if s0 < 0 else s0
+        sF = nF if sF < 0 else sF
+        if s0 < n0 or sF > nF:
+            from xmipp3_tpu.core.errors import ErrCode, XmippError
+            raise XmippError(ErrCode.ARG_INCORRECT,
+                             "Summing frames that were not aligned is not "
+                             "allowed (--frameRangeSum outside --frameRange)")
+        frames = frames[n0:nF + 1]
+        sum_sel = slice(s0 - n0, sF - n0 + 1)
+        if self.binning > 1.0:
+            Hb = int(round(frames.shape[1] / self.binning)) & ~1
+            Wb = int(round(frames.shape[2] / self.binning)) & ~1
+            from xmipp3_tpu.ops.resize import fourier_resize_2d
+            frames = np.asarray(fourier_resize_2d(frames, Hb, Wb))
+        F, H, W = frames.shape
         if self.fn_avg0:
             save_image(self.fn_avg0, frames.mean(axis=0))
 
         max_shift_px = max(int(self.max_shift_A / self.Ts), 4)
-        pos = mops.global_align(frames, max_shift_px)
+        corr_n = None
+        if self.checkParam("--maxResForCorrelation"):
+            # align on a grid whose Nyquist matches the requested band
+            # (reference LPF sigma = Ts*C/maxRes, base.cpp:208)
+            corr_n = int(2 * H * self.Ts / self.max_res_corr)
+            corr_n = max(64, min(corr_n - corr_n % 2, H, W))
+        pos = mops.global_align(frames, max_shift_px, corr_n=corr_n)
         if self.verbose:
             print("global per-frame shifts (px):")
             for i, (x, y) in enumerate(pos):
@@ -87,6 +129,10 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
             dose_f = mops.dose_filter(H, F, self.dose, self.Ts,
                                       voltage=self.kV)
 
+        # requested patch extent from --minLocalRes (reference
+        # getRequestedPatchSize: minLocalRes / Ts pixels)
+        patch_px = max(int(self.min_local_res / self.Ts), 64) \
+            if self.checkParam("--minLocalRes") else 256
         if self.local and min(H, W) >= 128:
             from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
                                                  resolve_mesh)
@@ -101,20 +147,26 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
                 from xmipp3_tpu.parallel.movie import local_align_mesh
                 field, cys, cxs = local_align_mesh(mesh, frames, pos,
                                                    patches=self.patches,
+                                                   patch_size=patch_px,
                                                    max_shift_px=8)
             else:
                 field, cys, cxs = mops.local_align(frames, pos,
                                                    patches=self.patches,
+                                                   patch_size=patch_px,
                                                    max_shift_px=8)
             total = field + pos[None, None]
-            # gather-free tiled warp (Fourier-shifted Hann tiles)
+            # gather-free tiled warp (Fourier-shifted Hann tiles); sum only
+            # the --frameRangeSum window
             avg = np.asarray(mops.warp_sum_frames_tiled(
-                frames, total, cys, cxs)) / F
+                frames[sum_sel], total[:, :, sum_sel], cys, cxs)) \
+                / len(frames[sum_sel])
             aligned = None
         else:
+            nsum = frames[sum_sel].shape[0]
             avg = np.asarray(mops.shift_sum_frames(
-                frames, -pos[:, 0], -pos[:, 1], dose_f)) / \
-                (1.0 if dose_f is not None else F)
+                frames[sum_sel], -pos[sum_sel, 0], -pos[sum_sel, 1],
+                dose_f[sum_sel] if dose_f is not None else None)) / \
+                (1.0 if dose_f is not None else nsum)
             aligned = np.asarray(mops.shift_sum_frames_keep(
                 frames, -pos[:, 0], -pos[:, 1]))
 
@@ -126,8 +178,10 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
                     frames, -pos[:, 0], -pos[:, 1]))
             save_image(self.fn_aligned, aligned, sampling=self.Ts)
         md = MetaData.fromRows([
-            {"image": f"{i + 1:06d}@{self.fn_in}", "shiftX": float(pos[i, 0]),
-             "shiftY": float(pos[i, 1]), "itemId": i + 1} for i in range(F)])
+            {"image": f"{n0 + i + 1:06d}@{self.fn_in}",
+             "shiftX": float(pos[i, 0]),
+             "shiftY": float(pos[i, 1]), "itemId": n0 + i + 1}
+            for i in range(F)])
         md.write(self.fn_out)
 
 

@@ -102,77 +102,19 @@ class ProgCTFEstimatePSDWithARMA(XmippProgram):
         self.addParamsLine("  [--pieceDim <d=256>] : Analysis piece size")
 
     def run(self):
+        from xmipp3_tpu.ops.arma import causal_arma_psd
         from xmipp3_tpu.ops.psd import extract_tiles
         mic = np.squeeze(Image(self.getParam("-i")).data).astype(np.float64)
         p = self.getIntParam("--pieceDim")
-        Nh = self.getIntParam("--N_horizontal")
-        Nv = self.getIntParam("--N_vertical")
         tiles = extract_tiles(mic.astype(np.float32), p, 0.5)
-        # average autocorrelation over tiles
-        acf = np.zeros((2 * Nv + 1, 2 * Nh + 1))
-        for t in tiles:
-            tt = t - t.mean()
-            Ft = np.fft.rfft2(tt)
-            ac = np.fft.irfft2(np.abs(Ft) ** 2, s=tt.shape) / tt.size
-            block = np.zeros_like(acf)
-            block[Nv:, Nh:] = ac[:Nv + 1, :Nh + 1]
-            block[:Nv, Nh:] = ac[-Nv:, :Nh + 1]
-            block[Nv:, :Nh] = ac[:Nv + 1, -Nh:]
-            block[:Nv, :Nh] = ac[-Nv:, -Nh:]
-            acf += block
-        acf /= len(tiles)
-        # causal AR support: (dy, dx) with dy>0 or (dy==0 and dx>0)
-        support = [(dy, dx) for dy in range(0, Nv + 1)
-                   for dx in range(-Nh, Nh + 1)
-                   if (dy > 0 or dx > 0)]
-        K = len(support)
-        R = np.zeros((K, K))
-        rvec = np.zeros(K)
-
-        def ac(dy, dx):
-            return acf[Nv + dy if abs(dy) <= Nv else 0,
-                       Nh + dx if abs(dx) <= Nh else 0] \
-                if abs(dy) <= Nv and abs(dx) <= Nh else 0.0
-
-        for i, (iy, ix) in enumerate(support):
-            rvec[i] = ac(iy, ix)
-            for j, (jy, jx) in enumerate(support):
-                R[i, j] = ac(iy - jy, ix - jx)
-        coeffs = np.linalg.solve(R + 1e-8 * np.trace(R) / K * np.eye(K), rvec)
-        sigma2 = ac(0, 0) - coeffs @ rvec
-        fy = np.fft.fftfreq(p)[:, None]
-        fx = np.fft.fftfreq(p)[None, :]
-        denom = np.ones((p, p), np.complex128)
-        for (dy, dx), a in zip(support, coeffs):
-            denom -= a * np.exp(-2j * np.pi * (fy * dy + fx * dx))
-        Mv = self.getIntParam("--N_MA")
-        Mh = self.getIntParam("--M_MA")
-        if Mv > 0 and Mh > 0:
-            # MA numerator: autocovariance of the AR-whitened process,
-            # c_e(l) = sum_m Ra(m) gamma(l - m) with Ra = autocorrelation of
-            # the AR coefficient array (a_(0,0) = -1) — i.e. conv(Ra, gamma)
-            # (no refiltering); numerator spectrum = DFT of c_e over the MA
-            # support
-            from scipy.signal import fftconvolve
-            A = np.zeros((Nv + 1, 2 * Nh + 1))
-            A[0, Nh] = -1.0
-            for (dy, dx), a in zip(support, coeffs):
-                A[dy, Nh + dx] = a
-            Ra = fftconvolve(A, A[::-1, ::-1])        # (2Nv+1, 4Nh+1)
-            ce = fftconvolve(Ra, acf)                 # lags around center
-            cy, cx = (ce.shape[0] - 1) // 2, (ce.shape[1] - 1) // 2
-            num = np.zeros((p, p), np.complex128)
-            for ly in range(-Mv, Mv + 1):
-                for lx in range(-Mh, Mh + 1):
-                    num += ce[cy + ly, cx + lx] * np.exp(
-                        -2j * np.pi * (fy * ly + fx * lx))
-            psd = np.maximum(np.real(num), 1e-12 * abs(sigma2)) / \
-                np.maximum(np.abs(denom) ** 2, 1e-12)
-        else:
-            psd = np.abs(sigma2) / np.maximum(np.abs(denom) ** 2, 1e-12)
+        psd, sigma2 = causal_arma_psd(
+            tiles, p, Nh=self.getIntParam("--N_horizontal"),
+            Nv=self.getIntParam("--N_vertical"),
+            N_MA=self.getIntParam("--N_MA"),
+            M_MA=self.getIntParam("--M_MA"))
         save_image(self.getParam("-o"),
                    np.fft.fftshift(psd).astype(np.float32))
-        self.sigma2 = float(abs(sigma2))
+        self.sigma2 = sigma2
 
 
 class ProgClassifyCL2DCoreAnalysis(XmippProgram):
