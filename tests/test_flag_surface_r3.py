@@ -2,6 +2,8 @@
 (angular_discrete_assign.cpp grammar), angular_projection_matching
 --search5d_step/--sym, reconstruct_significant extras
 (reconstruct_significant.cpp grammar)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -298,3 +300,125 @@ def test_movie_alignment_flag_surface(tmp_path):
     prog.read(["x"] + (f"-i {d}/movie.mrcs -o {d}/bad.xmd "
                        f"--frameRange 1 4 --frameRangeSum 0 3").split())
     assert prog.tryRun() != 0
+
+
+def test_cl2d_full_surface(gal, tmp_path):
+    """classify_CL2D extras (mpi_classify_CL2D.cpp:1727-1755): nref0/ref0,
+    correntropy|correlation distance, classical gates, minsize,
+    dontNormalizeImages, useThresholdMask, dontAlign, classifyAllImages."""
+    d = gal["dir"]
+    o = str(tmp_path)
+    rng = np.random.default_rng(11)
+    refs = gal["refs"][:2]
+    imgs = np.concatenate([
+        refs[0][None] + 0.1 * rng.standard_normal((10,) + refs[0].shape),
+        refs[1][None] + 0.1 * rng.standard_normal((10,) + refs[1].shape),
+    ]).astype(np.float32)
+    Image(imgs).write(o + "/parts.stk")
+    Image(refs.astype(np.float32)).write(o + "/ref0.stk")
+    run_prog("classify_CL2D",
+             f"-i {o}/parts.stk --odir {o} --oroot cla --nref 2 "
+             f"--ref0 {o}/ref0.stk --iter 4 --distance correntropy "
+             f"--minsize 10 --maxSplitTrials 2 --neigh 2 "
+             f"--useThresholdMask -10 --maxShift 4")
+    md = MetaData(o + "/cla_images.xmd")
+    assert md.size() == 20
+    a = np.array(md.getColumnValues("ref"))
+    # the two planted clusters separate
+    assert len(set(a[:10])) == 1 and len(set(a[10:])) == 1
+    assert a[0] != a[10]
+    # default leaves an enabled column (low-confidence marking)
+    assert md.containsLabel("enabled")
+    # classical correlation mode + classifyAllImages + dontAlign
+    run_prog("classify_CL2D",
+             f"-i {o}/parts.stk --odir {o} --oroot clb --nref 2 --nref0 2 "
+             f"--iter 3 --distance correlation --classicalMultiref "
+             f"--classifyAllImages --dontNormalizeImages --dontAlign "
+             f"--dontMirrorImages --maxShift 4")
+    md2 = MetaData(o + "/clb_images.xmd")
+    assert md2.size() == 20
+    # classifyAllImages: nothing marked disabled
+    assert not md2.containsLabel("enabled") or \
+        set(md2.getColumnValues("enabled")) == {1}
+    assert set(md2.getColumnValues("ref")) <= {1, 2}
+
+
+def test_analyze_cluster_full_surface(gal, tmp_path):
+    """classify_analyze_cluster (analyze_cluster.cpp:30-45): optional --ref,
+    --NPCA/--iter EM-PCA, --basis stack, --dontMask, --maxDist -1."""
+    d = gal["dir"]
+    o = str(tmp_path)
+    rng = np.random.default_rng(13)
+    ref = gal["refs"][0]
+    members = (ref[None] + 0.05 * rng.standard_normal((12,) + ref.shape)
+               ).astype(np.float32)
+    members[-1] += 5.0 * rng.standard_normal(ref.shape).astype(np.float32)
+    Image(members).write(o + "/memb.stk")
+    Image(ref.astype(np.float32)).write(o + "/rep.xmp")
+    MetaData.fromRows([{"image": f"{i + 1:06d}@{o}/memb.stk",
+                        "itemId": i + 1} for i in range(12)]
+                      ).write(o + "/memb.xmd")
+    run_prog("classify_analyze_cluster",
+             f"-i {o}/memb.xmd -o {o}/scored.xmd --ref {o}/rep.xmp "
+             f"--NPCA 3 --iter 5 --basis {o}/basis.stk --maxDist 3")
+    md = MetaData(o + "/scored.xmd")
+    assert md.size() == 12
+    z = np.array(md.getColumnValues("zScore"))
+    assert np.argmax(z) == 11                  # planted outlier
+    basis = Image(o + "/basis.stk").data
+    assert basis.shape[0] == 2 + 3             # avg, std, 3 PCA images
+    # --dontMask + maxDist -1 keeps everything enabled
+    run_prog("classify_analyze_cluster",
+             f"-i {o}/memb.xmd -o {o}/s2.xmd --dontMask --maxDist -1")
+    md2 = MetaData(o + "/s2.xmd")
+    assert set(md2.getColumnValues("enabled")) == {1}
+
+
+def test_reconstruct_art_full_surface(gal, tmp_path):
+    """reconstruct_art extras (basic_art.cpp defineParams): start volume,
+    max_tilt filter, sym expansion, WLS + kappa, sort_last orthogonal
+    ordering, POCS known_volume/sparse/diffusion, -R sphere, ext padding,
+    output_size, stop_at, save_intermediate, noisy/variability outputs."""
+    d = gal["dir"]
+    o = str(tmp_path)
+    angles = gal["angles"]
+    refs = gal["refs"]
+    MetaData.fromRows([
+        {"image": f"{i + 1:06d}@{d}/gal.stk",
+         "angleRot": float(angles[i, 0]), "angleTilt": float(angles[i, 1]),
+         "anglePsi": 0.0, "itemId": i + 1}
+        for i in range(len(refs))]).write(o + "/proj.xmd")
+    run_prog("reconstruct_art",
+             f"-i {o}/proj.xmd -o {o}/a.vol -n 2 -l 0.2 --WLS -k 0.7 "
+             f"--sort_last 3 --POCS_positivity -R 14 --sparse 0.001 "
+             f"--known_volume 20000 --max_tilt 170 --ext 2 "
+             f"--output_size 32 32 32 --sampling_rate 1.5 "
+             f"--save_intermediate --stop_at 500 --show_error "
+             f"--dont_apply_shifts")
+    vol = np.squeeze(Image(o + "/a.vol").data)
+    assert vol.shape == (32, 32, 32)
+    assert vol.min() >= 0.0                       # positivity POCS
+    # interest sphere: corners are zero
+    assert vol[0, 0, 0] == 0.0
+    assert os.path.exists(o + "/ait0.vol")        # intermediate save
+    # correlation against the true volume survives all the constraints
+    truev = gal["vol"]
+    c = np.corrcoef(vol.ravel(), truev.ravel())[0, 1]
+    assert c > 0.5
+    # symmetry expansion + equation-mode mapping + noisy/variability
+    run_prog("reconstruct_art",
+             f"-i {o}/proj.xmd -o {o}/b.vol -n 1 -l 0.3 --sym c2 "
+             f"--equation_mode CAV --noisy_reconstruction --variability "
+             f"--no_sort --goldmask -100")
+    assert os.path.exists(o + "/b_noise.vol")
+    assert os.path.exists(o + "/b_noise_proj.sel")
+    assert os.path.exists(o + "/b_signal_proj.sel")
+    assert os.path.exists(o + "/b_variability.vol")
+    var = np.squeeze(Image(o + "/b_variability.vol").data)
+    assert var.min() >= 0.0
+    # start volume + refine path runs
+    run_prog("reconstruct_art",
+             f"-i {o}/proj.xmd -o {o}/c.vol -n 1 -l 0.2 --start {o}/a.vol "
+             f"--refine --ref_trans_step 2 --shiftedTomograms "
+             f"--parallel_mode pSART --block_size 8")
+    assert os.path.exists(o + "/c.vol")

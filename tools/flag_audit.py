@@ -48,8 +48,8 @@ PROGRAMS = {
     "transform_normalize": ["data/normalize.cpp"],
     "transform_mask": ["data/mask.cpp"],
     "transform_window": ["reconstruction/transform_window.cpp"],
-    "classify_CL2D": ["classification/analyze_cluster.cpp",
-                      "reconstruction/classify_analyze_cluster.cpp"],
+    "classify_CL2D": ["parallel/mpi_classify_CL2D.cpp"],
+    "classify_analyze_cluster": ["classification/analyze_cluster.cpp"],
     "reconstruct_art": ["reconstruction/basic_art.cpp",
                         "reconstruction/reconstruct_art.cpp"],
     "reconstruct_significant":
@@ -120,6 +120,27 @@ DIVERGENCES = {
         "--mem": "device batching is --batch; XLA manages HBM",
         "--pad": "the polar ring-FFT correlator has no Fourier-padding "
                  "stage; gallery quality is set by angular_project_library",
+    },
+    "reconstruct_art": {
+        "-g": "voxel-grid design: the XLA projector reconstructs on the "
+              "pixel grid; BCC/FCC basis grids are serial ray-tracer "
+              "machinery",
+        "--grid_type": "voxel-grid design (see -g)",
+        "--save_basis": "no basis volume exists in the voxel-grid design",
+        "--save_at_each_step": "interactive step-debugger of the serial "
+                               "implementation (press-a-key loop); use "
+                               "--save_intermediate/--show_error",
+        "--print_system_matrix": "debug printout of the basis equation "
+                                 "system; no basis system is formed",
+        "--manual_order": "interactive prompt for the next projection; "
+                          "non-interactive runtime (use --sort_last/"
+                          "--random_sort/--no_sort)",
+        "--unmatched": "the batched projector/adjoint pair is matched by "
+                       "construction; unmatched footprints are a basis-"
+                       "grid economy",
+        "--ray_length": "the batched projector integrates full rays; "
+                        "ray-length truncation is a serial ray-tracer "
+                        "economy (use -R for the interest sphere)",
     },
     "ml_align2d": dict(_ML2D_SHARED),
     "mlf_align2d": dict(

@@ -77,13 +77,71 @@ ART_MODES = ("ART", "pCAV", "pAVSP", "pSART", "pBiCAV", "pSIRT", "pfSIRT",
              "SIRT")
 
 
+def _orthogonal_order(rot, tilt, psi, sort_last: int = 2):
+    """Greedy most-orthogonal ordering: next projection minimizes the
+    summed |dot| of its direction with the last `sort_last` chosen ones
+    (reference sortPerpendicular / --sort_last, basic_art.cpp; -1 = use
+    all previous)."""
+    A = np.asarray(euler_matrix(np.asarray(rot, np.float32),
+                                np.asarray(tilt, np.float32),
+                                np.asarray(psi, np.float32)))
+    dirs = A[:, 2, :]
+    B = len(dirs)
+    order = [0]
+    remaining = set(range(1, B))
+    while remaining:
+        last = order if sort_last < 0 else order[-sort_last:]
+        rem = np.fromiter(remaining, int)
+        cost = np.abs(dirs[rem] @ dirs[last].T).sum(axis=1)
+        pick = int(rem[np.argmin(cost)])
+        order.append(pick)
+        remaining.discard(pick)
+    return np.asarray(order)
+
+
+def _pocs_extras(v, known_volume: float = -1, sparse_eps: float = -1,
+                 diffusion_eps: float = -1, sphere_mask=None,
+                 sym_mats=None):
+    """Extra POCS projections (reference basic_art.cpp POCS chain):
+    --known_volume top-mass cut, --sparse soft support, --diffusion
+    smoothing, -R interest sphere, volume symmetrization."""
+    if known_volume > 0:
+        k = int(min(known_volume, v.size))
+        thr = np.partition(v.ravel(), -k)[-k]
+        v = np.where(v >= thr, v, 0.0)
+    if sparse_eps > 0:
+        v = np.where(np.abs(v) >= sparse_eps * max(np.abs(v).max(), 1e-12),
+                     v, 0.0)
+    if diffusion_eps > 0:
+        lap = (-6.0 * v
+               + np.roll(v, 1, 0) + np.roll(v, -1, 0)
+               + np.roll(v, 1, 1) + np.roll(v, -1, 1)
+               + np.roll(v, 1, 2) + np.roll(v, -1, 2))
+        v = v + diffusion_eps * lap
+    if sphere_mask is not None:
+        v = np.where(sphere_mask, v, 0.0)
+    if sym_mats is not None and len(sym_mats) > 1:
+        from xmipp3_tpu.ops.geo import apply_affine_3d
+        v = np.asarray(apply_affine_3d(v, sym_mats)).mean(axis=0)
+    return v
+
+
 def art_reconstruct(imgs, rot, tilt, psi, mode: str = "SIRT",
                     n_iters: int = 5, lambda_list=(0.5,),
                     block_size: int | None = None,
                     positivity: bool = False, surface_mask=None,
                     pocs_freq: int = 1, random_sort: bool = False,
                     pad_factor: float = 2.0, verbose: int = 0,
-                    sx=None, sy=None, seed: int = 0, mesh=None):
+                    sx=None, sy=None, seed: int = 0, mesh=None,
+                    init_vol=None, stop_at: int = 0, sort_last: int = 0,
+                    no_sort: bool = True, known_volume: float = -1,
+                    sparse_eps: float = -1, diffusion_eps: float = -1,
+                    sphere_R: float = -1, sym_mats=None, sym_each: int = 0,
+                    force_sym: int = 0, wls: bool = False,
+                    kappa_list=(0.5,), pixel_masks=None, ctf=None,
+                    refine: bool = False, ref_trans_after: int = -1,
+                    ref_trans_step: float = -1.0, show_error: bool = False,
+                    save_intermediate=None):
     """Algebraic reconstruction with the reference's parallel-mode family
     (basic_art.h:92 ARTParallelMode {ART, pCAV, pAVSP, pSART, pBiCAV,
     pSIRT, pfSIRT, SIRT}) and POCS constraints (:373-376).
@@ -112,6 +170,8 @@ def art_reconstruct(imgs, rot, tilt, psi, mode: str = "SIRT",
 
     Returns (volume, residual_history)."""
     imgs = np.asarray(imgs, np.float32)
+    if refine or ref_trans_after > 0 or wls:
+        imgs = imgs.copy()          # refined in place below
     B, N, _ = imgs.shape
     rot = np.asarray(rot, np.float32)
     tilt = np.asarray(tilt, np.float32)
@@ -131,22 +191,45 @@ def art_reconstruct(imgs, rot, tilt, psi, mode: str = "SIRT",
     lambda_list = list(np.atleast_1d(lambda_list).astype(np.float64))
 
     rng = np.random.default_rng(seed)
-    vol = np.zeros((N, N, N), np.float32)
+    vol = np.zeros((N, N, N), np.float32) if init_vol is None \
+        else np.asarray(init_vol, np.float32).copy()
     mask = None if surface_mask is None else \
         np.asarray(surface_mask) > 0.5
+    sphere = None
+    if sphere_R > 0:
+        zz, yy, xx = np.mgrid[0:N, 0:N, 0:N].astype(np.float32) - N // 2
+        sphere = (zz * zz + yy * yy + xx * xx) <= sphere_R * sphere_R
+    if pixel_masks is not None:
+        pixel_masks = np.asarray(pixel_masks, np.float32)
+    kappa_list = list(np.atleast_1d(kappa_list).astype(np.float64))
+    resid_store = np.zeros_like(imgs) if wls else None
+    ortho = None
+    if not random_sort and (not no_sort or sort_last != 0):
+        ortho = _orthogonal_order(rot, tilt, psi,
+                                  sort_last if sort_last != 0 else 2)
     hist = []
     upd_count = 0
+    stopped = False
 
     def pocs(v):
         if positivity:
             v = np.maximum(v, 0.0)
         if mask is not None:
             v = np.where(mask, 0.0, v)
+        v = _pocs_extras(v, known_volume, sparse_eps, diffusion_eps,
+                         sphere,
+                         sym_mats if force_sym > 0 else None)
         return v
 
     for it in range(n_iters):
         lam = lambda_list[min(it, len(lambda_list) - 1)]
-        order = rng.permutation(B) if random_sort else np.arange(B)
+        kappa = kappa_list[min(it, len(kappa_list) - 1)]
+        if random_sort:
+            order = rng.permutation(B)
+        elif ortho is not None:
+            order = ortho
+        else:
+            order = np.arange(B)
         sweep_resid = 0.0
         sweep_corr = np.zeros_like(vol) if mode == "pAVSP" else None
         nblk = 0
@@ -168,9 +251,40 @@ def art_reconstruct(imgs, rot, tilt, psi, mode: str = "SIRT",
                 mats = jnp.asarray(mats_all[sel])
                 proj = np.asarray(_forward(jnp.asarray(vol), mats, N,
                                            pad_factor))
+                if ctf is not None:
+                    # theoretical projections see the same CTF as the data
+                    # (reference --ctf, basic_art.cpp)
+                    from xmipp3_tpu.ops.ctf import apply_ctf
+                    proj = np.asarray(apply_ctf(proj, ctf))
+                if refine or (ref_trans_after > 0
+                              and upd_count >= ref_trans_after):
+                    # translational re-alignment of the experimental
+                    # projections against the theoretical ones
+                    # (reference --refine / --ref_trans_after/_step)
+                    from xmipp3_tpu.ops.geo import shift_2d_real
+                    from xmipp3_tpu.ops.shift import best_shift
+                    sx_r, sy_r, _ = best_shift(proj, imgs[sel])
+                    sx_r, sy_r = np.asarray(sx_r), np.asarray(sy_r)
+                    if ref_trans_step > 0:
+                        sx_r = np.clip(sx_r, -ref_trans_step, ref_trans_step)
+                        sy_r = np.clip(sy_r, -ref_trans_step, ref_trans_step)
+                    imgs[sel] = np.asarray(shift_2d_real(
+                        imgs[sel], -sx_r, -sy_r))
                 resid = imgs[sel] - proj
+                if pixel_masks is not None:
+                    resid = resid * pixel_masks[sel]
+                if wls:
+                    # weighted-least-squares ART: the backprojected
+                    # residual is the kappa-relaxed running residual
+                    # (reference --WLS / -k kappa list)
+                    resid_store[sel] = (1.0 - kappa) * resid_store[sel] \
+                        + kappa * resid
+                    resid = resid_store[sel]
                 sweep_resid += float((resid ** 2).sum())
                 rmax = float(np.abs(resid).max())
+                if show_error:
+                    print(f"    block {nblk}: |resid|_rms "
+                          f"{np.sqrt((resid ** 2).mean()):.5f}")
                 corr = np.asarray(reconstruct_fourier(
                     resid, rot[sel], tilt[sel], psi[sel],
                     pad_factor=pad_factor, batch=max(len(sel), 1),
@@ -186,7 +300,15 @@ def art_reconstruct(imgs, rot, tilt, psi, mode: str = "SIRT",
                 upd_count += 1
                 if pocs_freq > 0 and upd_count % pocs_freq == 0:
                     vol = pocs(vol)
+                if sym_mats is not None and sym_each > 0 \
+                        and (upd_count * block_size) % sym_each < block_size:
+                    from xmipp3_tpu.ops.geo import apply_affine_3d
+                    vol = np.asarray(apply_affine_3d(vol, sym_mats)) \
+                        .mean(axis=0)
             nblk += 1
+            if stop_at > 0 and (it * B + s + len(sel)) >= stop_at:
+                stopped = True
+                break
         if mode == "pAVSP":
             vol = pocs(vol + lam * sweep_corr / max(nblk, 1))
         else:
@@ -196,6 +318,10 @@ def art_reconstruct(imgs, rot, tilt, psi, mode: str = "SIRT",
         if verbose:
             print(f"  {mode} iter {it + 1}: residual rms {rms:.5f} "
                   f"(lambda {lam})")
+        if save_intermediate is not None:
+            save_intermediate(it, vol)
+        if stopped:
+            break
         if it > 1 and hist[-2] - hist[-1] < 1e-6 * hist[0]:
             break
     return vol.astype(np.float32), hist

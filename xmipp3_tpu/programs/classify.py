@@ -47,10 +47,26 @@ class ProgClassifyCL2D(XmippProgram):
         self.addParamsLine("   -i <md_or_stack>  : Input images")
         self.addParamsLine("  [--odir <dir=.>]   : Output directory")
         self.addParamsLine("  [--oroot <root=class>] : Output rootname")
-        self.addParamsLine("  [--nref <n=4>]     : Number of classes")
+        self.addParamsLine("  [--nref <n=4>]     : Final number of classes")
+        self.addParamsLine("  [--nref0 <n=1>]    : Initial number of code vectors")
+        self.addParamsLine("  [--ref0 <selfile=\"\">] : Selfile with initial code vectors")
         self.addParamsLine("  [--iter <n=10>]    : Number of iterations")
+        self.addParamsLine("  [--neigh <n=4>]    : Number of neighbour code vectors (-1 = all)")
+        self.addParamsLine("  [--minsize <pct=20>] : Percentage minimum node size; smaller classes are re-split")
+        self.addParamsLine("  [--distance <type=correntropy>] : Distance type")
+        self.addParamsLine("         where <type>")
+        self.addParamsLine("                  correntropy : robust Gaussian-kernel similarity (CL2D paper)")
+        self.addParamsLine("                  correlation")
+        self.addParamsLine("  [--classicalMultiref] : plain max-correlation instead of enhanced clustering")
+        self.addParamsLine("  [--classicalSplit] : classical clustering at the split iterations only")
+        self.addParamsLine("  [--maxSplitTrials <n=5>] : Maximum split trials before giving up")
         self.addParamsLine("  [--maxShift <s=8>] : Maximum shift (px)")
-        self.addParamsLine("  [--dont_mirror]    : Do not check mirrors")
+        self.addParamsLine("  [--classifyAllImages] : classify low-confidence images too (default marks them disabled)")
+        self.addParamsLine("  [--dontNormalizeImages] : skip the 0-mean/1-std input normalization")
+        self.addParamsLine("  [--dontMirrorImages] : Do not check mirrors")
+        self.addParamsLine("     alias --dont_mirror;")
+        self.addParamsLine("  [--useThresholdMask <t=0>] : ignore reference pixels <= t in the comparisons")
+        self.addParamsLine("  [--dontAlign]      : do not center the class representatives")
         from xmipp3_tpu.parallel.cli import add_mesh_params
         add_mesh_params(self)
 
@@ -59,9 +75,22 @@ class ProgClassifyCL2D(XmippProgram):
         self.odir = self.getParam("--odir")
         self.oroot = self.getParam("--oroot")
         self.n_refs = self.getIntParam("--nref")
+        self.nref0 = self.getIntParam("--nref0")
+        self.fn_ref0 = self.getParam("--ref0")
         self.n_iters = self.getIntParam("--iter")
+        self.neigh = self.getIntParam("--neigh")
+        self.minsize = self.getDoubleParam("--minsize")
+        self.distance = self.getParam("--distance")
+        self.classical = self.checkParam("--classicalMultiref")
+        self.classical_split = self.checkParam("--classicalSplit")
+        self.max_split_trials = self.getIntParam("--maxSplitTrials")
         self.max_shift = self.getIntParam("--maxShift")
-        self.mirror = not self.checkParam("--dont_mirror")
+        self.classify_all = self.checkParam("--classifyAllImages")
+        self.normalize = not self.checkParam("--dontNormalizeImages")
+        self.mirror = not self.checkParam("--dontMirrorImages")
+        self.thr_mask = self.getDoubleParam("--useThresholdMask") \
+            if self.checkParam("--useThresholdMask") else None
+        self.align_refs = not self.checkParam("--dontAlign")
         from xmipp3_tpu.parallel.cli import read_mesh_params
         read_mesh_params(self)
 
@@ -76,12 +105,27 @@ class ProgClassifyCL2D(XmippProgram):
             print(f"mesh: {mesh_mode} over "
                   f"{len(mesh.devices.ravel())} devices")
         imgs, rows = _load_stack_md(self.fn_in)
+        init_refs = None
+        if self.fn_ref0:
+            init_refs, _ = _load_stack_md(self.fn_ref0)
         res = classify_cl2d(imgs, self.n_refs, self.n_iters, self.max_shift,
                             verbose=self.verbose, check_mirror=self.mirror,
-                            mesh=mesh)
+                            mesh=mesh, nref0=self.nref0,
+                            init_refs=init_refs, distance=self.distance,
+                            classical_multiref=self.classical,
+                            classical_split=self.classical_split,
+                            max_split_trials=self.max_split_trials,
+                            min_size_pct=self.minsize,
+                            normalize=self.normalize,
+                            threshold_mask=self.thr_mask,
+                            align_refs=self.align_refs, neigh=self.neigh)
         root = os.path.join(self.odir, self.oroot)
         fn_refs = root + "_references.stk"
         save_image(fn_refs, res["refs"])
+        # reference default leaves low-confidence images unclassified
+        # (enabled = -1); --classifyAllImages keeps them all
+        corr = np.asarray(res["corr"])
+        lo = corr.mean() - 3.0 * corr.std()
         out_rows = []
         for i, r in enumerate(rows):
             d = dict(r)
@@ -91,6 +135,8 @@ class ProgClassifyCL2D(XmippProgram):
                       "shiftY": float(res["sy"][i]),
                       "flip": int(res["flip"][i]),
                       "maxCC": float(res["corr"][i])})
+            if not self.classify_all:
+                d["enabled"] = 1 if corr[i] >= lo else -1
             out_rows.append(d)
         MetaData.fromRows(out_rows).write(root + "_images.xmd")
         counts = [{"ref": k + 1,

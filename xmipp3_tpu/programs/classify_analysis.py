@@ -64,20 +64,46 @@ class ProgClassifyAnalyzeCluster(XmippProgram):
     name = "xmipp_classify_analyze_cluster"
 
     def defineParams(self):
-        self.addUsageLine("PCA analysis of one class: project members onto "
-                          "principal components, flag outliers.")
+        self.addUsageLine("Score the images in a cluster according to their "
+                          "PCA projection (reference ProgAnalyzeCluster, "
+                          "classification/analyze_cluster.cpp:30-45).")
         self.addParamsLine("   -i <md_file>  : Class members metadata")
-        self.addParamsLine("   --ref <img>   : Class representative")
+        self.addParamsLine("  [--ref <img=\"\">] : if given, differences are "
+                           "computed with respect to this representative")
         self.addParamsLine("  [-o <md=\"\">]   : Output with zScores")
-        self.addParamsLine("  [--maxDist <d=3>] : Mahalanobis outlier distance")
+        self.addParamsLine("  [--basis <stackName=\"\">] : write the average "
+                           "(image 1), standard deviation (image 2) and the "
+                           "PCA basis in a stack")
+        self.addParamsLine("  [--NPCA <dim=2>] : PCA dimension")
+        self.addParamsLine("  [--iter <N=10>] : Number of iterations")
+        self.addParamsLine("  [--maxDist <d=3>] : Mahalanobis outlier "
+                           "distance; -1 = keep all")
+        self.addParamsLine("  [--dontMask]  : Don't use a circular mask")
 
     def run(self):
-        from xmipp3_tpu.models.dimred import pca
         md = MetaData(self.getParam("-i"))
         rows = list(md.iterRows())
-        imgs = load_image_rows(rows)
-        X = imgs.reshape(len(imgs), -1).astype(np.float64)
-        Y, model = pca(X, d=min(5, len(imgs) - 1), return_model=True)
+        imgs = load_image_rows(rows).astype(np.float64)
+        n = imgs.shape[-1]
+        if self.checkParam("--ref") and self.getParam("--ref"):
+            ref = np.squeeze(Image(self.getParam("--ref")).data) \
+                .astype(np.float64)
+            imgs = imgs - ref[None]
+        mask = None
+        if not self.checkParam("--dontMask"):
+            yy, xx = np.mgrid[0:n, 0:n].astype(np.float64) - n // 2
+            mask = (yy * yy + xx * xx) <= (n / 2) ** 2
+            X = imgs[:, mask]
+        else:
+            X = imgs.reshape(len(imgs), -1)
+        npca = max(min(self.getIntParam("--NPCA"), len(imgs) - 1), 1)
+        # EM-PCA with --iter refinement steps (reference
+        # PCAMahalanobisAnalyzer::learnPCABasis Niter)
+        from xmipp3_tpu.models.dimred import empca
+        Y, basis, _mu = empca(X, d=npca,
+                              n_iters=self.getIntParam("--iter"),
+                              return_basis=True)
+        model = {"components": basis}
         # mahalanobis distance in PCA space
         std = Y.std(axis=0) + 1e-12
         dist = np.sqrt(((Y / std) ** 2).mean(axis=1))
@@ -86,11 +112,28 @@ class ProgClassifyAnalyzeCluster(XmippProgram):
         for i, r in enumerate(rows):
             d = dict(r)
             d["zScore"] = float(dist[i])
-            d["enabled"] = 1 if dist[i] <= thr else -1
+            d["enabled"] = 1 if (thr < 0 or dist[i] <= thr) else -1
             out.append(d)
         result = MetaData.fromRows(out)
         if self.checkParam("-o") and self.getParam("-o"):
             result.write(self.getParam("-o"))
+        if self.checkParam("--basis") and self.getParam("--basis"):
+            # avg (1), std (2), then the NPCA basis images (reference
+            # --basis stack contract)
+            comps = np.asarray(model["components"])[:npca]
+            stack = np.zeros((2 + npca, n, n), np.float32)
+            full_avg = imgs.mean(axis=0)
+            full_std = imgs.std(axis=0)
+            stack[0] = full_avg
+            stack[1] = full_std
+            for k in range(npca):
+                if mask is not None:
+                    img = np.zeros((n, n))
+                    img[mask] = comps[k]
+                else:
+                    img = comps[k].reshape(n, n)
+                stack[2 + k] = img
+            save_image(self.getParam("--basis"), stack)
         self.distances = dist
 
 

@@ -315,7 +315,8 @@ class ProgPDBSphDeform(XmippProgram):
         self.addParamsLine("   --pdb <file> : Input model")
         self.addParamsLine("   -o <file>    : Deformed model")
         self.addParamsLine("   --clnm <md>  : Metadata with sphCoefficients")
-        self.addParamsLine("  [--l1 <l=3>] [--l2 <l=2>] : Basis depths")
+        self.addParamsLine("  [--l1 <l=3>] : Zernike radial depth")
+        self.addParamsLine("  [--l2 <l=2>] : Spherical harmonic depth")
         self.addParamsLine("  [--radius <r=-1>] : Normalization radius (Å)")
 
     def run(self):

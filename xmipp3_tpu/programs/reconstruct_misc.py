@@ -29,19 +29,92 @@ class ProgReconstructART(XmippProgram):
 
     def defineParams(self):
         self.addUsageLine("Algebraic (ART/SIRT) 3D reconstruction from "
-                          "projections.")
+                          "projections (full reference surface, "
+                          "basic_art.cpp defineParams).")
         self.addParamsLine("   -i <md_file>  : Metadata with projections")
         self.addParamsLine("  [-o <volume=rec_art.vol>] : Output volume")
         self.addParamsLine("  [-n <iters=5>] : Number of iterations")
         self.addParamsLine("  [-l <lambdas=0.5>] : Relaxation parameter(s), comma-separated per iteration")
+        self.addParamsLine("  [--stop_at <n=0>] : Stop after n iterated projections")
+        self.addParamsLine("  [--start <vol=\"\">] : Start from this volume")
+        self.addParamsLine("  [--ctf <ctf_file=\"\">] : ctfparam applied to the theoretical projections")
+        self.addParamsLine("  [--max_tilt <alpha=1.e6>] : skip projections with tilt outside 0/180 +- alpha")
+        self.addParamsLine("  [--dont_apply_shifts] : ignore shiftX/shiftY from the metadata")
+        self.addParamsLine("  [--refine] : refine the projection alignment against the theoretical projection before backprojecting")
+        self.addParamsLine("  [--ref_trans_after <n=-1>] : refine translations after n projections")
+        self.addParamsLine("  [--ref_trans_step <v=-1>] : maximum displacement in the refinement (px)")
         self.addParamsLine("  [--POCS_positivity] : Positivity constraint")
         self.addParamsLine("  [--POCS_freq <f=1>] : Apply POCS every f block updates")
         self.addParamsLine("  [--surface <mask=\"\">] : Surface mask volume (forced to 0 where mask=1)")
+        self.addParamsLine("  [--known_volume <v=-1>] : keep only the v highest voxels (POCS)")
+        self.addParamsLine("  [--sparse <eps=-1>] : sparsity threshold (POCS)")
+        self.addParamsLine("  [--diffusion <eps=-1>] : diffusion smoothing weight (POCS)")
+        self.addParamsLine("  [--goldmask <v=1.e6>] : image pixels below this value are excluded (gold beads)")
+        self.addParamsLine("  [--shiftedTomograms] : exclude zero-valued border pixels created by tomogram alignment")
+        self.addParamsLine("  [--noisy_reconstruction] : companion pure-noise reconstruction (for SSNR)")
+        self.addParamsLine("  [--variability] : variability analysis (block-wise variance volume)")
+        self.addParamsLine("  [--sym <sym=\"\">] : symmetry group or file")
+        self.addParamsLine("  [--sym_each <n=0>] : symmetrize the volume every n projections")
+        self.addParamsLine("  [--force_sym <n=0>] : symmetrize at every POCS step")
+        self.addParamsLine("  [--no_group] : do not expand to the symmetry subgroup")
+        self.addParamsLine("  [--no_symproj] : do not add symmetrized projections")
+        self.addParamsLine("  [--only_sym] : use only the symmetrized copies, not the originals")
         self.addParamsLine("  [--parallel_mode <m=SIRT>] : ART|pCAV|pAVSP|pSART|pBiCAV|pSIRT|pfSIRT|SIRT (basic_art.h:92)")
+        self.addParamsLine("  [--equation_mode <mode=ARTK>] : equation to project onto the hyperplane")
+        self.addParamsLine("         where <mode>")
+        self.addParamsLine("                  ARTK : block ART")
+        self.addParamsLine("                  CAV  : component averaging")
+        self.addParamsLine("                  CAVK : block component averaging")
+        self.addParamsLine("                  CAVARTK : component-averaging variant of block ART")
         self.addParamsLine("  [--block_size <b=-1>] : Projections per parallel block")
+        self.addParamsLine("  [--sort_last <N=2>] : orthogonal projection ordering against the last N insertions (-1 = all)")
         self.addParamsLine("  [--random_sort] : Random projection order")
+        self.addParamsLine("  [--no_sort] : keep the input order")
+        self.addParamsLine("  [--WLS] : weighted-least-squares ART")
+        self.addParamsLine("  [-k <kappas=0.5>] : WLS residual relaxation factor(s), comma-separated")
+        self.addParamsLine("  [-R <r=-1>] : interest-sphere radius (px)")
+        self.addParamsLine("  [--ext <px=0>] : projection extension (px) against the box effect")
+        self.addParamsLine("  [--output_size <X=0> <Y=0> <Z=0>] : output volume size (0 = projection size)")
+        self.addParamsLine("  [--sampling_rate <Ts=1>] : pixel size (Å), stored in the output header")
+        self.addParamsLine("  [--show_error] : per-block residual printout")
+        self.addParamsLine("  [--show_stats] : per-iteration statistics")
+        self.addParamsLine("  [--show_iv <n=10>] : alias of --show_stats granularity (accepted)")
+        self.addParamsLine("  [--save_intermediate <n=0>] : save the volume every iteration as <root>it<N>.vol")
         from xmipp3_tpu.parallel.cli import add_mesh_params
         add_mesh_params(self)
+
+    def _sym_expand(self, imgs, rot, tilt, psi, sx, sy):
+        """--sym: add symmetrized projection copies (reference
+        --no_symproj/--only_sym gates; the symmetry orbit of each pose
+        contributes an equivalent projection)."""
+        from xmipp3_tpu.core.geometry import euler_matrix, matrix_to_euler
+        from xmipp3_tpu.core.sym import SymList
+        sym = self.getParam("--sym")
+        if not sym:
+            return imgs, rot, tilt, psi, sx, sy, None
+        mats = SymList(sym).sym_matrices()
+        if self.checkParam("--no_group") and len(mats) > 1:
+            # only the generators, no subgroup expansion: keep identity +
+            # the first non-identity element
+            mats = mats[:2]
+        if self.checkParam("--no_symproj") or len(mats) <= 1:
+            return imgs, rot, tilt, psi, sx, sy, mats
+        A = np.asarray(euler_matrix(rot, tilt, psi))
+        out_i, out_r, out_t, out_p, out_x, out_y = [], [], [], [], [], []
+        ks = range(1, len(mats)) if self.checkParam("--only_sym") \
+            else range(len(mats))
+        for k in ks:
+            comp = np.einsum("nij,jk->nik", A, mats[k].T)
+            eul = np.array([matrix_to_euler(c) for c in comp])
+            out_i.append(imgs)
+            out_r.append(eul[:, 0].astype(np.float32))
+            out_t.append(eul[:, 1].astype(np.float32))
+            out_p.append(eul[:, 2].astype(np.float32))
+            out_x.append(sx)
+            out_y.append(sy)
+        return (np.concatenate(out_i), np.concatenate(out_r),
+                np.concatenate(out_t), np.concatenate(out_p),
+                np.concatenate(out_x), np.concatenate(out_y), mats)
 
     def run(self):
         from xmipp3_tpu.ops.art import art_reconstruct
@@ -53,22 +126,146 @@ class ProgReconstructART(XmippProgram):
         md = MetaData(self.getParam("-i"))
         md.removeDisabled()
         imgs, rot, tilt, psi, sx, sy = _load(md)
+        # --max_tilt: tilt within 0 +- a or 180 +- a (angles mod 360)
+        a = self.getDoubleParam("--max_tilt")
+        if a < 1e5:
+            t = np.mod(tilt, 360.0)
+            keep = (np.minimum(t, 360.0 - t) <= a) | (np.abs(t - 180.0) <= a)
+            imgs, rot, tilt, psi = imgs[keep], rot[keep], tilt[keep], \
+                psi[keep]
+            sx, sy = sx[keep], sy[keep]
+        if self.checkParam("--dont_apply_shifts"):
+            sx = np.zeros_like(sx)
+            sy = np.zeros_like(sy)
+        imgs, rot, tilt, psi, sx, sy, sym_mats = \
+            self._sym_expand(imgs, rot, tilt, psi, sx, sy)
+        # pixel exclusion masks: --goldmask / --shiftedTomograms
+        pixel_masks = None
+        gold = self.getDoubleParam("--goldmask")
+        if gold < 1e5 or self.checkParam("--shiftedTomograms"):
+            pixel_masks = np.ones_like(imgs)
+            if gold < 1e5:
+                pixel_masks *= (imgs >= gold)
+            if self.checkParam("--shiftedTomograms"):
+                pixel_masks *= (imgs != 0.0)
+        # --ext: pad projections against the box effect
+        ext = self.getIntParam("--ext")
+        if ext > 0:
+            pad = ((0, 0), (ext, ext), (ext, ext))
+            imgs = np.pad(imgs, pad)
+            if pixel_masks is not None:
+                pixel_masks = np.pad(pixel_masks, pad)
         lambdas = [float(v) for v in
                    str(self.getParam("-l")).split(",") if v]
+        kappas = [float(v) for v in str(self.getParam("-k")).split(",")
+                  if v]
         bs = self.getIntParam("--block_size")
         surf = None
         if self.checkParam("--surface") and self.getParam("--surface"):
             surf = np.squeeze(Image(self.getParam("--surface")).data)
-        vol, hist = art_reconstruct(
-            imgs, rot, tilt, psi, mode=self.getParam("--parallel_mode"),
-            n_iters=self.getIntParam("-n"), lambda_list=lambdas,
+        init_vol = None
+        if self.checkParam("--start") and self.getParam("--start"):
+            init_vol = np.squeeze(Image(self.getParam("--start")).data)
+        ctf = None
+        if self.checkParam("--ctf") and self.getParam("--ctf"):
+            from xmipp3_tpu.ops.ctf import CTFDescription
+            ctf = CTFDescription.from_metadata(self.getParam("--ctf"))
+        mode = self.getParam("--parallel_mode")
+        if self.checkParam("--equation_mode"):
+            # reference equation modes map onto the parallel family:
+            # ARTK = block ART, CAV = component averaging (one
+            # simultaneous CAV update), CAVK = block CAV, CAVARTK = the
+            # block-iterative CAV variant (basic_art.h:92-116)
+            mode = {"ARTK": "ART", "CAV": "pCAV", "CAVK": "pBiCAV",
+                    "CAVARTK": "pSART"}[self.getParam("--equation_mode")]
+        fn_out = self.getParam("-o")
+        root = fn_out.rsplit(".", 1)[0]
+        save_cb = None
+        if self.checkParam("--save_intermediate"):
+            def save_cb(it, v):
+                save_image(f"{root}it{it}.vol", self._finish_vol(v, ext))
+        kw = dict(
+            mode=mode, n_iters=self.getIntParam("-n"), lambda_list=lambdas,
             block_size=None if bs <= 0 else bs,
             positivity=self.checkParam("--POCS_positivity"),
             surface_mask=surf, pocs_freq=self.getIntParam("--POCS_freq"),
             random_sort=self.checkParam("--random_sort"),
-            verbose=self.verbose, sx=sx, sy=sy, mesh=mesh)
-        save_image(self.getParam("-o"), vol)
+            verbose=self.verbose or self.checkParam("--show_stats"),
+            mesh=mesh, init_vol=init_vol,
+            stop_at=self.getIntParam("--stop_at"),
+            sort_last=(self.getIntParam("--sort_last")
+                       if self.checkParam("--sort_last") else 0),
+            no_sort=not self.checkParam("--sort_last"),
+            known_volume=self.getDoubleParam("--known_volume"),
+            sparse_eps=self.getDoubleParam("--sparse"),
+            diffusion_eps=self.getDoubleParam("--diffusion"),
+            sphere_R=self.getDoubleParam("-R"), sym_mats=sym_mats,
+            sym_each=self.getIntParam("--sym_each"),
+            force_sym=self.getIntParam("--force_sym"),
+            wls=self.checkParam("--WLS"), kappa_list=kappas,
+            pixel_masks=pixel_masks, ctf=ctf,
+            refine=self.checkParam("--refine"),
+            ref_trans_after=self.getIntParam("--ref_trans_after"),
+            ref_trans_step=self.getDoubleParam("--ref_trans_step"),
+            show_error=self.checkParam("--show_error"),
+            save_intermediate=save_cb)
+        vol, hist = art_reconstruct(imgs, rot, tilt, psi, sx=sx, sy=sy,
+                                    **kw)
+        Ts = self.getDoubleParam("--sampling_rate")
+        save_image(fn_out, self._finish_vol(vol, ext), sampling=Ts)
+        if self.checkParam("--noisy_reconstruction"):
+            # companion reconstruction from pure noise, same procedure
+            # (reference --noisy_reconstruction outputs for SSNR)
+            rng = np.random.default_rng(0)
+            noise = rng.normal(0.0, imgs.std(),
+                               imgs.shape).astype(np.float32)
+            save_image(root + "_noise_proj.stk", noise)
+            MetaData.fromRows([
+                {"image": f"{i + 1:06d}@{root}_noise_proj.stk",
+                 "angleRot": float(rot[i]), "angleTilt": float(tilt[i]),
+                 "anglePsi": float(psi[i]), "itemId": i + 1}
+                for i in range(len(noise))]).write(root + "_noise_proj.sel")
+            md.write(root + "_signal_proj.sel")
+            nvol, _ = art_reconstruct(noise, rot, tilt, psi, sx=sx, sy=sy,
+                                      **dict(kw, save_intermediate=None))
+            save_image(root + "_noise.vol", self._finish_vol(nvol, ext),
+                       sampling=Ts)
+        if self.checkParam("--variability"):
+            # block-wise variance volume (reference variability analysis)
+            nb = min(8, len(imgs))
+            vols = []
+            for blk in np.array_split(np.arange(len(imgs)), nb):
+                v, _ = art_reconstruct(
+                    imgs[blk], rot[blk], tilt[blk], psi[blk], sx=sx[blk],
+                    sy=sy[blk], **dict(kw, save_intermediate=None,
+                                       stop_at=0))
+                vols.append(self._finish_vol(v, ext))
+            save_image(root + "_variability.vol",
+                       np.stack(vols).var(axis=0).astype(np.float32),
+                       sampling=Ts)
         self.residual_history = hist
+
+    def _finish_vol(self, vol, ext):
+        """Crop the --ext padding back and apply --output_size."""
+        if ext > 0:
+            vol = vol[ext:-ext, ext:-ext, ext:-ext]
+        if self.checkParam("--output_size"):
+            X = self.getIntParam("--output_size", 0)
+            Y = self.getIntParam("--output_size", 1)
+            Z = self.getIntParam("--output_size", 2)
+            if X > 0:
+                Y = Y or X
+                Z = Z or X
+                out = np.zeros((Z, Y, X), np.float32)
+                sz = [min(a, b) for a, b in zip(vol.shape, (Z, Y, X))]
+                so = [(a - c) // 2 for a, c in zip(vol.shape, sz)]
+                do = [(a - c) // 2 for a, c in zip((Z, Y, X), sz)]
+                out[do[0]:do[0] + sz[0], do[1]:do[1] + sz[1],
+                    do[2]:do[2] + sz[2]] = \
+                    vol[so[0]:so[0] + sz[0], so[1]:so[1] + sz[1],
+                        so[2]:so[2] + sz[2]]
+                return out
+        return np.asarray(vol, np.float32)
 
 
 class ProgReconstructWBP(XmippProgram):
