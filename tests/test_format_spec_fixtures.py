@@ -203,3 +203,62 @@ class TestDM4SpecBytes:
         hdr, data = read_dm(fn)
         assert data.shape == (4, 7)
         assert np.abs(data - img).max() < 1e-6
+
+
+class TestPIFSpecBytes:
+    """PIF fixtures constructed byte-by-byte from the documented layout
+    (512-byte file header: magic ints (8,8) LE at 0-8, ASCII FLOATSCALE at
+    8-24, image count at 24, (htype, nx, ny, nz, mode) at 64-84; one
+    512-byte header per image, then the scaled integer/float pixel data) —
+    independent of write_pif, so reader and writer cannot share a bug."""
+
+    def _file_header(self, scale, n_imgs, nx, ny, nz, mode):
+        hdr = bytearray(512)
+        hdr[0:8] = struct.pack("<2i", 8, 8)
+        hdr[8:24] = f"{scale:.8g}".encode().ljust(16, b"\x00")
+        hdr[24:32] = struct.pack("<2i", n_imgs, 0)
+        hdr[64:84] = struct.pack("<5i", 1, nx, ny, nz, mode)
+        return bytes(hdr)
+
+    def test_int16_stack_with_floatscale(self, tmp_path):
+        from xmipp3_tpu.core.image_formats import read_pif
+        vals1 = np.arange(12, dtype="<i2").reshape(3, 4) - 5
+        vals2 = (np.arange(12, dtype="<i2").reshape(3, 4) * 3).astype("<i2")
+        blob = self._file_header(0.25, 2, 4, 3, 1, 1)
+        for v in (vals1, vals2):
+            blob += bytes(512) + v.tobytes()
+        fn = str(tmp_path / "spec.pif")
+        with open(fn, "wb") as f:
+            f.write(blob)
+        hdr, data = read_pif(fn)
+        assert data.shape == (2, 3, 4)
+        # FLOATSCALE multiplies the stored integers
+        assert np.allclose(data[0], vals1.astype(np.float32) * 0.25)
+        assert np.allclose(data[1], vals2.astype(np.float32) * 0.25)
+        # idx selection is 1-based
+        _, one = read_pif(fn, idx=2)
+        assert np.allclose(one, vals2.astype(np.float32) * 0.25)
+
+    def test_float32_volume(self, tmp_path):
+        from xmipp3_tpu.core.image_formats import read_pif
+        rng = np.random.default_rng(11)
+        vol = rng.standard_normal((2, 3, 4)).astype("<f4")
+        blob = self._file_header(1.0, 1, 4, 3, 2, 7)
+        blob += bytes(512) + vol.tobytes()
+        fn = str(tmp_path / "vol.pif")
+        with open(fn, "wb") as f:
+            f.write(blob)
+        hdr, data = read_pif(fn)
+        assert data.shape == (2, 3, 4)
+        assert np.abs(data - vol).max() < 1e-6
+
+    def test_bad_magic_rejected(self, tmp_path):
+        import pytest
+
+        from xmipp3_tpu.core.errors import XmippError
+        from xmipp3_tpu.core.image_formats import read_pif
+        fn = str(tmp_path / "bad.pif")
+        with open(fn, "wb") as f:
+            f.write(b"\x00" * 512)
+        with pytest.raises(XmippError):
+            read_pif(fn)
