@@ -48,15 +48,43 @@ class FileName:
 
     @property
     def slice_index(self) -> int | None:
-        """1-based stack slice if the prefix is numeric, else None."""
-        pre = self.prefix
+        """1-based stack slice if the prefix (or its 'n,block' first half)
+        is numeric, else None."""
+        pre = self.prefix.split(",", 1)[0]
         return int(pre) if pre.isdigit() else None
 
     @property
     def block(self) -> str | None:
-        """Metadata block name if prefix is non-numeric, else None."""
+        """Metadata block name if present, else None. Handles the compound
+        'n,block@file' form (reference FileName::getBlockName,
+        test_filename_main.cpp:24-44: '1@f' has NO block, 'a@f' -> 'a',
+        '1,a@f' -> 'a', '1,@f' -> none)."""
         pre = self.prefix
+        if "," in pre:
+            pre = pre.split(",", 1)[1]
         return pre if pre and not pre.isdigit() else None
+
+    def get_block_name(self) -> str:
+        """Reference FileName::getBlockName: block name or ''. """
+        return self.block or ""
+
+    def remove_block_name(self) -> "FileName":
+        """Reference FileName::removeBlockName (test_filename_main.cpp:47-65):
+        strips the block part of the prefix, keeping a numeric slice —
+        'a@f' -> 'f', '1,a@f' -> '1@f', '1,@f' -> '1@f', '@f' -> 'f',
+        '1@f' and 'f' unchanged."""
+        if "@" not in self.raw:
+            return self
+        pre, rest = self.raw.split("@", 1)
+        if "," in pre:
+            head = pre.split(",", 1)[0]
+            return FileName(f"{head}@{rest}")
+        if pre == "" or (pre and not pre.isdigit()):
+            return FileName(rest)
+        return self
+
+    def is_empty(self) -> bool:
+        return self.raw == ""
 
     @property
     def ext(self) -> str:

@@ -319,6 +319,18 @@ class ProgTransformRandomizePhases(XmippMetadataProgram):
         rng = np.random.default_rng(self.seed)
         spec = np.fft.rfft2(imgs)
         phases = rng.uniform(0, 2 * np.pi, spec.shape).astype(np.float32)
+        # Hermitian consistency at the self-conjugate rfft columns
+        # (kx = 0 and kx = W/2): phase(-ky) = -phase(ky), so the irfft
+        # preserves the amplitude there instead of silently averaging the
+        # inconsistent halves away
+        for c in (0, W // 2):
+            if c < phases.shape[-1]:
+                half = (H - 1) // 2
+                phases[..., H - half:, c] = -phases[..., 1:half + 1, c][
+                    ..., ::-1]
+                phases[..., 0, c] = 0.0
+                if H % 2 == 0:
+                    phases[..., H // 2, c] = 0.0
         rand = np.abs(spec) * np.exp(1j * phases)
         out_spec = np.where(r[None] > self.freq, rand, spec)
         return np.fft.irfft2(out_spec, s=(H, W)).astype(np.float32)
