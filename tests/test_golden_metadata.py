@@ -1,0 +1,256 @@
+"""Transliteration of the reference MetaData gtest suite
+(applications/tests/function_tests/test_metadata_vec_main.cpp) with the
+reference's own fixtures (resources/test/metadata/*.xmd) and embedded
+expected values. Covers the behavioral contract of the L0 metadata store:
+sort windows, split, selectPart, removeDuplicates, queries, block
+addressing (regex reads, append/in-place block writes), randomize."""
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from xmipp3_tpu.core.metadata import MetaData, compare_two_metadata_files
+from xmipp3_tpu.core.star import read_star
+
+
+def md_source():
+    """The gtest fixture mDsource: x=[1,3], y=[2,4]
+    (test_metadata_vec_main.cpp:33-42)."""
+    return MetaData([{"x": 1.0, "y": 2.0}, {"x": 3.0, "y": 4.0}])
+
+
+def assert_md_equal(a: MetaData, b: MetaData):
+    assert list(a.getActiveLabels()) == list(b.getActiveLabels())
+    assert a.size() == b.size()
+    for lab in a.getActiveLabels():
+        assert np.allclose(np.asarray(a.getColumnValues(lab), np.float64),
+                           np.asarray(b.getColumnValues(lab), np.float64))
+
+
+def test_union_all_matches_fixture_values():
+    # SetUp mDunion (test_metadata_vec_main.cpp:52-61)
+    md = md_source()
+    md.unionAll(MetaData([{"x": 11.0, "y": 22.0}, {"x": 33.0, "y": 44.0}]))
+    assert md.getColumnValues("x") == [1.0, 3.0, 11.0, 33.0]
+    assert md.getColumnValues("y") == [2.0, 4.0, 22.0, 44.0]
+
+
+def test_get_value_and_default():
+    # GetValue (test_metadata_vec_main.cpp:84-112)
+    md = MetaData()
+    oid = md.addRow({"x": 10.0})
+    assert md.getValue("x", oid) == 10.0
+    row = md.getRow(oid)
+    assert row.getValue("x") == 10.0
+    assert row.getValue("y", 0.0) == 0.0   # getValueOrDefault
+
+
+def test_sort_with_limit_and_offset():
+    # Sort (test_metadata_vec_main.cpp:975-1011)
+    md = MetaData([{"x": 3.0, "y": 4.0}, {"x": 1.0, "y": 2.0}])
+    md.sort("x")
+    assert_md_equal(md, md_source())
+
+    md = MetaData([{"x": 3.0, "y": 4.0}, {"x": 1.0, "y": 2.0},
+                   {"x": 5.0, "y": 6.0}])
+    m1 = md.copy()
+    m1.sort("x", True, 1, 0)
+    assert m1.getColumnValues("x") == [1.0] and \
+        m1.getColumnValues("y") == [2.0]
+    m2 = md.copy()
+    m2.sort("x", True, 2, 1)
+    assert m2.getColumnValues("x") == [3.0, 5.0]
+    assert m2.getColumnValues("y") == [4.0, 6.0]
+
+
+def test_split_matches_reference_values():
+    # split (test_metadata_vec_main.cpp:1258-1295)
+    md = MetaData([{"x": float(v)} for v in (3, 2, 1, 0)])
+    parts = md.split(1, "x")
+    assert len(parts) == 1
+    assert parts[0].getColumnValues("x") == [0.0, 1.0, 2.0, 3.0]
+    # source untouched
+    assert md.getColumnValues("x") == [3.0, 2.0, 1.0, 0.0]
+
+    parts = md.split(2, "x")
+    assert [p.size() for p in parts] == [2, 2]
+    assert parts[0].getColumnValues("x") == [0.0, 1.0]
+    assert parts[1].getColumnValues("x") == [2.0, 3.0]
+
+    parts = md.split(3, "x")
+    assert len(parts) == 3
+    assert all(1 <= p.size() <= 2 for p in parts)
+    assert sum(p.size() for p in parts) == 4
+
+
+def test_select_part_matches_reference_values():
+    # selectPart (test_metadata_vec_main.cpp:1325-1347)
+    md = MetaData([{"x": 0.0}, {"x": 1.0}])
+    for i in range(2):
+        part = MetaData()
+        part.selectPart(md, i, 1, "objId")
+        assert part.size() == 1
+        assert part.getColumnValues("x") == [float(i)]
+    part = MetaData()
+    part.selectPart(md, 0, 2, "objId")
+    assert part.getColumnValues("x") == [0.0, 1.0]
+
+
+def test_remove_duplicates_matches_reference_values():
+    # RemoveDuplicates (test_metadata_vec_main.cpp:917-931)
+    md3 = MetaData([{"x": 1.0, "y": 2.0}, {"x": 3.0, "y": 4.0},
+                    {"x": 1.0, "y": 2.0}])
+    md1 = MetaData()
+    md1.removeDuplicates(md3)
+    assert_md_equal(md1, md_source())
+
+
+def test_remove_label_and_column_values():
+    # Removelabel (test_metadata_vec_main.cpp:933-968)
+    md = md_source()
+    md.unionAll(MetaData([{"x": 11.0, "y": 22.0}, {"x": 33.0, "y": 44.0}]))
+    assert md.containsLabel("x")
+    assert md.getColumnValues("x") == [1.0, 3.0, 11.0, 33.0]
+    md.removeLabel("x")
+    assert not md.containsLabel("x")
+    assert md.getColumnValues("y") == [2.0, 4.0, 22.0, 44.0]
+    md.setColumnValues("z", [0.0, 1.0, 2.0, 3.0])
+    assert md.getColumnValues("z") == [0.0, 1.0, 2.0, 3.0]
+    md.setColumnValues("x", [1.0, 2.0, 3.0, 4.0])
+    assert md.getColumnValues("x") == [1.0, 2.0, 3.0, 4.0]
+    assert md.getColumnValues("z") == [0.0, 1.0, 2.0, 3.0]
+
+
+def test_query_and_multi_query_match_reference_values():
+    # Query / MultiQuery / MDValueEQ (test_metadata_vec_main.cpp:551-612,676)
+    md3 = MetaData([{"x": 1.0, "y": 2.0, "z": 222.0},
+                    {"x": 3.0, "y": 4.0, "z": 333.0},
+                    {"x": 3.0, "y": 4.0, "z": 444.0}])
+    out = MetaData()
+    out.importObjects(md3, "")            # empty query = everything
+    assert_md_equal(out, md3)
+    out.importObjects(md3, "x == 3 and y == 4")   # MDMultiQuery of two EQs
+    assert out.getColumnValues("z") == [333.0, 444.0]
+    out.importObjects(md3, "x == 3")              # single MDValueEQ
+    assert out.getColumnValues("z") == [333.0, 444.0]
+    # MDValueEQ on strings (test_metadata_vec_main.cpp:594-612)
+    md = MetaData([{"image": s} for s in ("a", "b", "c", "a")])
+    out.importObjects(md, "image == 'a'")
+    assert out.getColumnValues("image") == ["a", "a"]
+
+
+def test_randomize_changes_order():
+    # Randomize (test_metadata_vec_main.cpp:709-727)
+    md = md_source()
+    out = MetaData()
+    for seed in range(50):
+        out.randomize(md, seed=seed)
+        assert sorted(out.getColumnValues("x")) == [1.0, 3.0]
+        if out.getColumnValues("x") != md.getColumnValues("x"):
+            return
+    pytest.fail("randomize never changed the row order in 50 tries")
+
+
+def test_get_blocks_in_metadata(tmp_path):
+    # GetBlocksInMetadata (test_metadata_vec_main.cpp:375-406)
+    sfn = str(tmp_path / "blocks.xmd")
+    md = MetaData([{"image": "image_1.xmp"}, {"image": "image_2.xmp"}])
+    md.write(sfn)
+    for b in ("block_000001", "block_000002"):
+        tag = b.split("_")[1]
+        md = MetaData([{"image": f"image_data_{int(tag)}_1.xmp"},
+                       {"image": f"image_data_{int(tag)}_2.xmp"}])
+        md.write(f"{b}@{sfn}", append=True)
+    assert MetaData.blocksInFile(sfn) == ["noname", "block_000001",
+                                          "block_000002"]
+
+
+def test_block_regular_expression_read(tmp_path):
+    # CheckRegularExpression (test_metadata_vec_main.cpp:408-449)
+    sfn = str(tmp_path / "re.xmd")
+    MetaData([{"image": "image_1.xmp"},
+              {"image": "image_2.xmp"}]).write(sfn)
+    for b, tag in [("block_000001", "1"), ("block_000002", "2"),
+                   ("block_000003", "3"), ("block_A", "A")]:
+        MetaData([{"image": f"image_data_{tag}_1.xmp"},
+                  {"image": f"image_data_{tag}_2.xmp"}]
+                 ).write(f"{b}@{sfn}", append=True)
+    got = MetaData(f"block_000[0-9][0-9][123]@{sfn}")
+    assert got.getColumnValues("image") == [
+        "image_data_1_1.xmp", "image_data_1_2.xmp",
+        "image_data_2_1.xmp", "image_data_2_2.xmp",
+        "image_data_3_1.xmp", "image_data_3_2.xmp"]
+
+
+def test_read_empty_blocks(tmp_path):
+    # ReadEmptyBlock / ReadEmptyBlocksII (test_metadata_vec_main.cpp:356,824)
+    sfn = str(tmp_path / "empty.xmd")
+    MetaData().write(f"block_Empty@{sfn}")
+    MetaData([{"image": "image_data_2_1.xmp"},
+              {"image": "image_data_2_2.xmp"}]).write(f"block_B1@{sfn}",
+                                                      append=True)
+    md = MetaData(f"block_Empty@{sfn}")
+    assert md.size() == 0
+
+
+def test_read_write_roundtrip_against_reference_fixture(reference_resources):
+    # ReadWrite + the mDsource.xmd fixture file itself
+    md = MetaData(os.path.join(reference_resources, "metadata",
+                               "mDsource.xmd"))
+    assert_md_equal(md, md_source())
+
+
+def test_read_write_append_block_matches_reference_golden(
+        tmp_path, reference_resources):
+    # ReadWriteAppendBlock (test_metadata_vec_main.cpp:901-915): writing
+    # one@, two@, three@ MD_APPEND must produce the reference's golden
+    # ReadWriteAppendBlock.xmd (compared semantically)
+    sfn = str(tmp_path / "append.xmd")
+    src = md_source()
+    src.write(f"one@{sfn}")
+    src.write(f"two@{sfn}", append=True)
+    src.write(f"three@{sfn}", append=True)
+    golden = os.path.join(reference_resources, "metadata",
+                          "ReadWriteAppendBlock.xmd")
+    ours, ref = read_star(sfn), read_star(golden)
+    assert [b.name for b in ours] == [b.name for b in ref]
+    for bo, br in zip(ours, ref):
+        assert np.allclose(bo.df.to_numpy(np.float64),
+                           br.df.to_numpy(np.float64))
+
+
+def test_write_intermediate_block_matches_reference_golden(
+        tmp_path, reference_resources):
+    # WriteIntermediateBlock (test_metadata_vec_main.cpp:858-899): modify
+    # block 'two' of the fixture in place; the result must equal the
+    # reference golden WriteIntermediateBlock2.xmd with blocks in file order
+    fixture = os.path.join(reference_resources, "metadata",
+                           "WriteIntermediateBlock.xmd")
+    sfn = str(tmp_path / "wib.xmd")
+    shutil.copy(fixture, sfn)
+    md = MetaData(f"two@{fixture}")
+    md.addRow({"x": 11.0, "y": 22.0})
+    md.addRow({"x": 33.0, "y": 44.0})
+    md.setValue("x", 111.0, md.firstObject())
+    md.write(f"two@{sfn}", append=True)
+    golden = os.path.join(reference_resources, "metadata",
+                          "WriteIntermediateBlock2.xmd")
+    ours, ref = read_star(sfn), read_star(golden)
+    assert [b.name for b in ours] == [b.name for b in ref] == \
+        ["one", "two", "three"]
+    for bo, br in zip(ours, ref):
+        assert np.allclose(bo.df.to_numpy(np.float64),
+                           br.df.to_numpy(np.float64))
+
+
+def test_compare_two_metadata_files(tmp_path):
+    # compareTwoMetadataFiles (test_metadata_vec_main.cpp:488-541)
+    f1, f2 = str(tmp_path / "a.xmd"), str(tmp_path / "b.xmd")
+    md_source().write(f1)
+    md_source().write(f2)
+    assert compare_two_metadata_files(f1, f2)
+    changed = md_source()
+    changed.setValue("x", 99.0, changed.firstObject())
+    changed.write(f2)
+    assert not compare_two_metadata_files(f1, f2)

@@ -87,7 +87,25 @@ class MetaData:
         else:
             named = [b for b in blocks if b.name == block]
             if not named:
+                # block names act as regular expressions: all matching
+                # blocks concatenate in file order (reference
+                # MetaData::read, test_metadata_vec_main.cpp
+                # CheckRegularExpression)
+                import re as _re
+                try:
+                    pat = _re.compile(block)
+                except _re.error:
+                    pat = None
+                if pat is not None:
+                    named = [b for b in blocks if pat.fullmatch(b.name)]
+            if not named:
                 raise XmippError(ErrCode.MD_BADBLOCK, f"{block}@{path}")
+            if len(named) > 1:
+                self._df = pd.concat([b.df for b in named],
+                                     ignore_index=True)
+                self.row_format = named[0].row_format
+                self._block_read = named[0].name
+                return self
             chosen = named[0]
         self._df = chosen.df.reset_index(drop=True)
         self.row_format = chosen.row_format
@@ -178,8 +196,58 @@ class MetaData:
     def unionAll(self, other: "MetaData") -> None:
         self._df = pd.concat([self._df, other._df], ignore_index=True)
 
-    def sort(self, label: str = "itemId") -> None:
-        self._df = self._df.sort_values(label, kind="stable").reset_index(drop=True)
+    def sort(self, label: str = "itemId", ascending: bool = True,
+             limit: int | None = None, offset: int = 0) -> None:
+        """Stable sort; optional (limit, offset) window of the sorted rows
+        (reference MetaDataVec::sort(md, label, asc, limit, offset),
+        test_metadata_vec_main.cpp Sort)."""
+        df = self._df.sort_values(label, ascending=ascending,
+                                  kind="stable").reset_index(drop=True)
+        if offset or limit is not None:
+            stop = None if limit is None else offset + limit
+            df = df.iloc[offset:stop].reset_index(drop=True)
+        self._df = df
+
+    def split(self, n: int, sort_label: str | None = None
+              ) -> list["MetaData"]:
+        """Split into n parts (sorted first when sort_label is given); the
+        source is left untouched (reference MetaDataVec::split)."""
+        df = self._df if sort_label is None else \
+            self._df.sort_values(sort_label, kind="stable")
+        df = df.reset_index(drop=True)
+        bounds = np.linspace(0, len(df), n + 1).round().astype(int)
+        return [MetaData(df.iloc[a:b].reset_index(drop=True))
+                for a, b in zip(bounds[:-1], bounds[1:])]
+
+    def selectPart(self, other: "MetaData", start: int, num: int,
+                   sort_label: str | None = None) -> None:
+        """Fill self with rows [start, start+num) of other, optionally
+        sorted (reference MetaDataVec::selectPart; 'objId' keeps the
+        original order)."""
+        df = other._df
+        if sort_label not in (None, "objId"):
+            df = df.sort_values(sort_label, kind="stable")
+        self._df = df.iloc[start:start + num].reset_index(drop=True)
+
+    def removeDuplicates(self, other: "MetaData | None" = None) -> None:
+        """Fill self with other (or self) minus exact duplicate rows,
+        keeping first occurrences (reference removeDuplicates)."""
+        src = self._df if other is None else other._df
+        self._df = src.drop_duplicates().reset_index(drop=True)
+
+    def randomize(self, other: "MetaData | None" = None,
+                  seed: int | None = None) -> None:
+        """Fill self with a random permutation of other's rows (or self's)."""
+        src = self._df if other is None else other._df
+        self._df = src.sample(frac=1, random_state=seed
+                              ).reset_index(drop=True)
+
+    def importObjects(self, other: "MetaData", expr: str = "") -> None:
+        """Fill self with other's rows matching a query expression
+        (reference importObjects + MDValueEQ/MDMultiQuery; the expression
+        is a pandas query, e.g. 'x == 3 and y == 4'; empty = all rows)."""
+        df = other._df if not expr else other._df.query(expr)
+        self._df = df.reset_index(drop=True)
 
     def removeObjects(self, mask) -> None:
         self._df = self._df[~np.asarray(mask)].reset_index(drop=True)

@@ -120,6 +120,10 @@ class XmippMetadataProgram(XmippProgram):
         self.addParamsLine(" [--save_metadata_stack <output_md=\"\">] : Write output metadata")
         self.addParamsLine(" [--keep_input_columns]  : Keep input metadata columns")
         self.addParamsLine(" [--dont_apply_geo]      : Do not apply metadata transformations")
+        self.addParamsLine(" [--geo_convention <c=native>] : Geometry-row interpretation when applying on read")
+        self.addParamsLine("    where <c>")
+        self.addParamsLine("      native : this framework's pose contract (M_x^f R(-psi) T(s))")
+        self.addParamsLine("      xmipp  : reference readApplyGeo semantics, for metadata written by the reference/Scipion (ops.geo.read_apply_geo, fixture-exact)")
         self.addParamsLine(" [--mode <mode=overwrite>] : Output file write mode")
         self.addParamsLine("    where <mode>")
         self.addParamsLine("      overwrite   : Replace output")
@@ -138,6 +142,9 @@ class XmippMetadataProgram(XmippProgram):
         self.fn_out_md = (self.getParam("--save_metadata_stack")
                           if self.checkParam("--save_metadata_stack") else "")
         self.do_apply_geo = self.apply_geo and not self.checkParam("--dont_apply_geo")
+        self.geo_convention = (self.getParam("--geo_convention")
+                               if self.checkParam("--geo_convention")
+                               else "native")
         self.resume = self.checkParam("--resume")
         self.readProcessParams()
 
@@ -181,13 +188,19 @@ class XmippMetadataProgram(XmippProgram):
 
     def apply_geometry_batch(self, arr, rows):
         from xmipp3_tpu.ops.geo import (apply_affine_2d, apply_md_geometry,
-                                        metadata_alignment_matrices)
+                                        metadata_alignment_matrices,
+                                        read_apply_geo)
         psi = np.array([r.get("anglePsi", 0.0) for r in rows], np.float32)
         sx = np.array([r.get("shiftX", 0.0) for r in rows], np.float32)
         sy = np.array([r.get("shiftY", 0.0) for r in rows], np.float32)
         flip = np.array([bool(r.get("flip", 0)) for r in rows])
         scale = np.array([float(r.get("scale", 1.0) or 1.0) for r in rows],
                          np.float32)
+        if getattr(self, "geo_convention", "native") == "xmipp":
+            # reference readApplyGeo semantics (BSPLINE3), for rows written
+            # by the reference/Scipion (pinned by test_golden_readapplygeo)
+            return np.asarray(read_apply_geo(arr, psi, sx, sy, flip, scale,
+                                             order=3))
         if np.any(np.abs(scale - 1.0) > 1e-6):
             A = metadata_alignment_matrices(psi, sx, sy, flip, scale)
             return np.asarray(apply_affine_2d(arr, A, order=1))

@@ -253,7 +253,11 @@ def write_star(path: str, blocks: list[StarBlock], append: bool = False) -> None
     if append:
         import os
         existing = read_star(path) if os.path.exists(path) else []
-        names = {b.name for b in blocks}
-        blocks = [b for b in existing if b.name not in names] + blocks
+        # same-named blocks are replaced IN PLACE (file order preserved —
+        # reference MD_APPEND semantics pinned by test_metadata_vec_main.cpp
+        # WriteIntermediateBlock); new names append at the end
+        by_name = {b.name: b for b in blocks}
+        merged = [by_name.pop(e.name, e) for e in existing]
+        blocks = merged + list(by_name.values())
     with open(path, "w") as f:
         f.write(format_star(blocks))

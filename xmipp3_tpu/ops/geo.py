@@ -272,25 +272,89 @@ def rotate_vector_2d(vx, vy, angle_deg):
 
 
 def alignment_to_md_pose(psi_align, sx, sy, flip=None):
-    """Convert 'applied alignment' params (aligned = T(s)·R(ψ)·img, possibly
-    of the y-flipped image) into the stored metadata pose convention.
+    """Convert 'applied alignment' params (aligned = warp(T(s)·S·R_a(ψ)) of
+    the experimental image, found on its x-mirror when flip) into the stored
+    metadata pose convention consumed by apply_md_geometry
+    (M = M_x^flip·R_md(ψm)·T(sm)).
 
-    Derivation: T(s)R(ψ)img = proj  =>  shift(img, R(-ψ)s) = proj(A(...,-ψ)).
-    For flip (aligned = T(s)R(ψ)·F_y·img): ψ' = 180-ψ, s' = (-sx, sy), then
-    psi_md = -ψ', s_md = R(-ψ')s', flip=1."""
+    Derivation (matrix identity warp(M_md) == warp(A_align·F^flip)):
+      no flip:  M_md = T(s)·R_md(-ψ)         => ψm = -ψ, sm = R_md(-ψ)·s
+      flip:     F·R_md(ψm)·T(sm) = T(s)·R_md(-ψ)·F
+                                 = F·T(Fs)·R_md(ψ)
+                => ψm = ψ,  sm = R_md(-ψ)·(-sx, sy)
+    (F = diag(-1,1) x-mirror; R_a(ψ) = R_md(-ψ).) The flip branch is pinned
+    by the mirror writer-identity golden (tests/test_golden_readapplygeo.py)."""
     psi_align = jnp.asarray(psi_align, jnp.float32)
     sx = jnp.asarray(sx, jnp.float32)
     sy = jnp.asarray(sy, jnp.float32)
     if flip is None:
         flip = jnp.zeros(psi_align.shape, bool)
     f = jnp.asarray(flip)
-    psi_eff = jnp.where(f, 180.0 - psi_align, psi_align)
+    psi_md = jnp.where(f, psi_align, -psi_align)
     sx_eff = jnp.where(f, -sx, sx)
-    sy_eff = sy
-    psi_md = -psi_eff
-    sx_md, sy_md = rotate_vector_2d(sx_eff, sy_eff, -psi_eff)
+    sx_md, sy_md = rotate_vector_2d(sx_eff, sy, psi_md)
     psi_md = jnp.mod(psi_md + 180.0, 360.0) - 180.0
     return psi_md, sx_md, sy_md, f
+
+
+def xmipp_geo_matrices(psi, sx, sy, flip=None, scale=None):
+    """The reference geo2TransformationMatrix: gather matrix
+    A = [[S·c, -S·s, sx], [S·s, S·c, sy], [0,0,1]] in (x, y) logical coords
+    (flip negates the first row's rotation part). readApplyGeo resamples
+    out(x) = in(A·x) — pinned EXACTLY by the reference fixtures
+    pythoninterface/tinyRotated.spi (psi=90) and image/test2_wrap_*.spi
+    (psi=45, tests/test_golden_readapplygeo.py)."""
+    psi_r = jnp.deg2rad(jnp.asarray(psi, jnp.float32))
+    sx = jnp.asarray(sx, jnp.float32)
+    sy = jnp.asarray(sy, jnp.float32)
+    B = psi_r.shape[0]
+    sc = jnp.ones(B, jnp.float32) if scale is None else \
+        jnp.asarray(scale, jnp.float32)
+    c, s = jnp.cos(psi_r) * sc, jnp.sin(psi_r) * sc
+    if flip is None:
+        f = jnp.zeros(B, bool)
+    else:
+        f = jnp.asarray(flip).astype(bool)
+    sgn = jnp.where(f, -1.0, 1.0)
+    zeros = jnp.zeros(B, jnp.float32)
+    ones = jnp.ones(B, jnp.float32)
+    return jnp.stack([
+        jnp.stack([sgn * c, -sgn * s, sx], axis=-1),
+        jnp.stack([s, c, sy], axis=-1),
+        jnp.stack([zeros, zeros, ones], axis=-1)], axis=-2)
+
+
+def read_apply_geo(imgs, psi, sx, sy, flip=None, scale=None,
+                   order: int = 3, wrap: bool = False):
+    """Reference Image::readApplyGeo semantics: apply the stored 2-D
+    registration geometry exactly as xmippCore does (BSPLINE3, gather with
+    the geo2TransformationMatrix — see xmipp_geo_matrices). This is the
+    convention of reference-written align2d-style metadata; note it differs
+    from apply_md_geometry (our projection-pose registration,
+    readApplyGeo(psi) == apply_md_geometry(-psi) for pure rotations)."""
+    A = xmipp_geo_matrices(psi, sx, sy, flip, scale)
+    return apply_affine_2d(imgs, A, order=order, wrap=wrap, inverse=True)
+
+
+def registration_pose_to_xmipp_row(psi_align, sx, sy, flip=None):
+    """Convert our aligner's registration parameters into the reference
+    align2d row convention (transformationMatrix2Parameters2D analog):
+    the returned (psi, shiftX, shiftY, flip, scale) row satisfies
+    read_apply_geo(row) == apply_md_geometry(alignment_to_md_pose(...)),
+    i.e. a reference readApplyGeo reproduces our registered image
+    (reference align2d.cpp:231-234 writer; identity pinned by
+    tests/test_golden_readapplygeo.py)."""
+    pm, sxm, sym, f = alignment_to_md_pose(psi_align, sx, sy, flip)
+    M = np.asarray(metadata_alignment_matrices(pm, sxm, sym, f), np.float64)
+    A = np.linalg.inv(M)
+    flip_out = np.linalg.det(A[:, :2, :2]) < 0
+    R = A[:, :2, :2].copy()
+    R[flip_out, 0, :] *= -1.0
+    psi_out = np.degrees(np.arctan2(R[:, 1, 0], R[:, 0, 0]))
+    scale = np.hypot(R[:, 0, 0], R[:, 1, 0])
+    return (psi_out.astype(np.float32), A[:, 0, 2].astype(np.float32),
+            A[:, 1, 2].astype(np.float32), flip_out,
+            scale.astype(np.float32))
 
 
 def rotate_2d(imgs, angles, order: int = 1, wrap: bool = False):

@@ -307,8 +307,12 @@ def refine_winners(refs, imgs, best_ref, psi0, t, flip, max_shift: int,
 
     # Convert to the framework-wide metadata pose convention
     # (ops.geo: shift(img, s_md) ≈ M_x^flip proj(A(rot, tilt, psi_md))).
+    # The matcher's mirror candidates are Y-flips (polar angle reversal);
+    # alignment_to_md_pose takes the X-mirror convention (xmipp MDL_FLIP),
+    # and F_y = F_x·R(180), so flipped rows carry psi+180.
     from xmipp3_tpu.ops.geo import alignment_to_md_pose
-    psi_md, sx_md, sy_md, _ = alignment_to_md_pose(psi_cur, sx, sy, flip)
+    psi_x = jnp.where(flip, psi_cur + 180.0, psi_cur)
+    psi_md, sx_md, sy_md, _ = alignment_to_md_pose(psi_x, sx, sy, flip)
     return dict(ref_idx=best_ref, psi=psi_md, sx=sx_md, sy=sy_md, corr=corr,
                 flip=flip, aligned=aligned)
 

@@ -50,6 +50,8 @@ class ProgImageResize(XmippMetadataProgram):
 
 class ProgImageConvert(XmippMetadataProgram):
     name = "xmipp_image_convert"
+    apply_geo = True   # the reference converts WITH geometry unless
+    #                    --dont_apply_geo (ProgConvImg, XmippMetadataProgram)
 
     def defineProcessParams(self):
         self.addUsageLine("Convert between image formats (by output extension).")
