@@ -455,6 +455,67 @@ def read_tiff(path: str, header_only=False):
         return hdr, np.concatenate(rows, axis=0).astype(np.float32)
 
 
+def write_tiff(path: str, data: np.ndarray) -> None:
+    """Baseline little-endian float32 TIFF, one uncompressed strip per page
+    (reference: libtiff via rwTIFF writeTIFF)."""
+    data = np.atleast_2d(np.asarray(data, dtype="<f4"))
+    pages = data.reshape((-1,) + data.shape[-2:])
+    with open(path, "wb") as f:
+        f.write(b"II*\x00")
+        ifd_ptr_pos = f.tell()
+        f.write(struct.pack("<I", 0))            # patched per page
+        for pi, page in enumerate(pages):
+            h, w = page.shape
+            strip_off = f.tell()
+            f.write(page.tobytes())
+            ifd_off = f.tell()
+            cur = f.tell()
+            f.seek(ifd_ptr_pos)
+            f.write(struct.pack("<I", ifd_off))
+            f.seek(cur)
+            tags = [
+                (256, 4, 1, w),                  # ImageWidth
+                (257, 4, 1, h),                  # ImageLength
+                (258, 3, 1, 32),                 # BitsPerSample
+                (259, 3, 1, 1),                  # Compression: none
+                (262, 3, 1, 1),                  # Photometric: BlackIsZero
+                (273, 4, 1, strip_off),          # StripOffsets
+                (277, 3, 1, 1),                  # SamplesPerPixel
+                (278, 4, 1, h),                  # RowsPerStrip
+                (279, 4, 1, h * w * 4),          # StripByteCounts
+                (339, 3, 1, 3),                  # SampleFormat: IEEE float
+            ]
+            f.write(struct.pack("<H", len(tags)))
+            for tag, typ, cnt, val in tags:
+                f.write(struct.pack("<HHI", tag, typ, cnt))
+                f.write(struct.pack("<H2x", val) if typ == 3
+                        else struct.pack("<I", val))
+            ifd_ptr_pos = f.tell()
+            f.write(struct.pack("<I", 0))        # next-IFD (patched)
+
+
+def write_raw(path: str, data: np.ndarray) -> None:
+    """Headerless float32 raw + the reference's .inf sidecar
+    (rwINF writeINF; fixture: resources/test/image/singleImage.raw.inf)."""
+    data = np.asarray(data, dtype="<f4")
+    if data.ndim != 2:
+        data = np.squeeze(data)
+    if data.ndim != 2:
+        raise XmippError(ErrCode.IMG_NOWRITE, "raw writer is 2-D only")
+    with open(path, "wb") as f:
+        f.write(data.tobytes())
+    ydim, xdim = data.shape
+    with open(path + ".inf", "w") as f:
+        f.write("# Bits per sample\nbitspersample= 32\n"
+                "# Samples per pixel\nsamplesperpixel= 1\n"
+                f"# Image width\nXdim= {xdim}\n"
+                f"# Image length\nYdim= {ydim}\n"
+                "# offset in bytes (zero by default)\noffset= 0\n"
+                "# Is a signed or Unsigned int (by default true)\n"
+                "is_signed= true\n"
+                "# Byte order\nendianess= little\n")
+
+
 # ---------------------------------------------------------------------------
 # Dispatch
 # ---------------------------------------------------------------------------
@@ -626,6 +687,10 @@ class Image:
         elif fmt == "pif":
             from xmipp3_tpu.core.image_formats import write_pif
             write_pif(fn.path, self.data)
+        elif fmt in ("tif", "tiff"):
+            write_tiff(fn.path, self.data)
+        elif fmt in ("raw", "inf"):
+            write_raw(fn.path, self.data)
         else:
             raise XmippError(ErrCode.IMG_NOWRITE, f"format {fmt}")
 

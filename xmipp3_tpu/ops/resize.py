@@ -51,6 +51,23 @@ def fourier_resize_3d(vol, out_d: int, out_h: int, out_w: int):
     return res * ((out_d * out_h * out_w) / (D * H * W))
 
 
+def scale_to_size_nearest(arr, out_shape):
+    """Nearest-neighbor rescale to `out_shape` (any rank). Matches the
+    reference's NEAREST preview scaling (Image::readPreview /
+    scaleToSize(NEAREST), core/xmipp_image_base.cpp): pure index gather,
+    every output value is an exact input value."""
+    arr = jnp.asarray(arr)
+    if len(out_shape) != arr.ndim:
+        raise ValueError("out_shape rank must match input rank")
+    out = arr
+    for ax, (n_in, n_out) in enumerate(zip(arr.shape, out_shape)):
+        if n_in == n_out:
+            continue
+        idx = jnp.clip((jnp.arange(n_out) * n_in) // n_out, 0, n_in - 1)
+        out = jnp.take(out, idx, axis=ax)
+    return out
+
+
 def spline_resize_2d(imgs, out_h: int, out_w: int, order: int = 3):
     """Scale by resampling with B-spline/bilinear interpolation."""
     from xmipp3_tpu.ops.geo import apply_affine_2d
