@@ -108,6 +108,145 @@ def _read_cif(path: str) -> AtomicModel:
                        np.array(occ, np.float32))
 
 
+@dataclass
+class RichAtom:
+    """Full atom record (reference data/pdb.h RichAtom, asserted by
+    test_cif_main.cpp compareFirstAtom). mmCIF '.'/'?' null tokens map
+    to empty strings."""
+    serial: int = 0
+    name: str = ""
+    alt_id: str = ""            # label_alt_id
+    resname: str = ""           # label_comp_id
+    altloc: str = ""            # label_asym_id (reference field name)
+    resseq: int = 0             # label_seq_id
+    seq_id: int = 0             # label_entity_id
+    icode: str = ""
+    x: float = 0.0
+    y: float = 0.0
+    z: float = 0.0
+    occupancy: float = 1.0
+    bfactor: float = 0.0
+    charge: str = ""
+    auth_seq_id: int = 0
+    auth_comp_id: str = ""
+    auth_asym_id: str = ""
+    auth_atom_id: str = ""
+    pdb_num: int = 1            # pdbx_PDB_model_num
+    record: str = "ATOM"
+
+
+_CIF_ATOM_COLS = [
+    "group_PDB", "id", "type_symbol", "label_atom_id", "label_alt_id",
+    "label_comp_id", "label_asym_id", "label_entity_id", "label_seq_id",
+    "pdbx_PDB_ins_code", "Cartn_x", "Cartn_y", "Cartn_z", "occupancy",
+    "B_iso_or_equiv", "pdbx_formal_charge", "auth_seq_id", "auth_comp_id",
+    "auth_asym_id", "auth_atom_id", "pdbx_PDB_model_num"]
+
+
+def _cif_open(path: str):
+    if path.endswith(".gz"):
+        import gzip
+        return gzip.open(path, "rt")
+    return open(path)
+
+
+def _null(tok: str) -> str:
+    return "" if tok in (".", "?") else tok
+
+
+def read_rich_cif(path: str) -> list[RichAtom]:
+    """mmCIF atom_site loop -> RichAtom list (reference PDBRichPhantom::read
+    via libcifpp, data/pdb.cpp; field mapping pinned by test_cif_main.cpp)."""
+    cols, rows = [], []
+    in_loop = False
+    with _cif_open(path) as f:
+        for line in f:
+            s = line.strip()
+            if s.startswith("loop_"):
+                in_loop = True
+                cols = []
+                continue
+            if in_loop and s.startswith("_atom_site."):
+                cols.append(s.split(".", 1)[1].strip())
+                continue
+            if in_loop and cols:
+                if s.startswith(("_", "loop_", "#")) or not s:
+                    if rows:
+                        break
+                    in_loop = False
+                    cols = []
+                    continue
+                toks = s.split()
+                if len(toks) >= len(cols):
+                    rows.append(toks[:len(cols)])
+    if not rows:
+        raise ValueError(f"no atom_site records in {path}")
+    ix = {c: i for i, c in enumerate(cols)}
+
+    def get(r, name, default=""):
+        return r[ix[name]] if name in ix else default
+
+    def geti(r, name):
+        tok = _null(get(r, name, "0"))
+        return int(tok) if tok else 0
+
+    atoms = []
+    for r in rows:
+        atoms.append(RichAtom(
+            serial=geti(r, "id"),
+            name=_null(get(r, "label_atom_id")),
+            alt_id=_null(get(r, "label_alt_id")),
+            resname=_null(get(r, "label_comp_id")),
+            altloc=_null(get(r, "label_asym_id")),
+            resseq=geti(r, "label_seq_id"),
+            seq_id=geti(r, "label_entity_id"),
+            icode=_null(get(r, "pdbx_PDB_ins_code")),
+            x=float(get(r, "Cartn_x", "0")),
+            y=float(get(r, "Cartn_y", "0")),
+            z=float(get(r, "Cartn_z", "0")),
+            occupancy=float(_null(get(r, "occupancy", "1")) or 1.0),
+            bfactor=float(_null(get(r, "B_iso_or_equiv", "0")) or 0.0),
+            charge=_null(get(r, "pdbx_formal_charge")),
+            auth_seq_id=geti(r, "auth_seq_id"),
+            auth_comp_id=_null(get(r, "auth_comp_id")),
+            auth_asym_id=_null(get(r, "auth_asym_id")),
+            auth_atom_id=_null(get(r, "auth_atom_id")),
+            pdb_num=geti(r, "pdbx_PDB_model_num") or 1,
+            record=get(r, "group_PDB", "ATOM")))
+    return atoms
+
+
+def write_rich_cif(path: str, atoms: list[RichAtom]) -> None:
+    """Write the atom_site loop back out (reference PDBRichPhantom::write
+    CIF branch; test_cif_main.cpp writeFile roundtrips through this)."""
+    def tok(s: str) -> str:
+        return s if s else "."
+    with open(path, "w") as f:
+        f.write("data_xmipp3tpu\n#\nloop_\n")
+        for c in _CIF_ATOM_COLS:
+            f.write(f"_atom_site.{c}\n")
+        for a in atoms:
+            f.write(" ".join([
+                a.record, str(a.serial), tok(a.name and a.name[0]),
+                tok(a.name), tok(a.alt_id), tok(a.resname), tok(a.altloc),
+                str(a.seq_id), str(a.resseq), "?" if not a.icode
+                else a.icode, f"{a.x:.3f}", f"{a.y:.3f}", f"{a.z:.3f}",
+                f"{a.occupancy:.2f}", f"{a.bfactor:.2f}",
+                "?" if not a.charge else a.charge, str(a.auth_seq_id),
+                tok(a.auth_comp_id), tok(a.auth_asym_id),
+                tok(a.auth_atom_id), str(a.pdb_num)]) + "\n")
+        f.write("#\n")
+
+
+def rich_to_model(atoms: list[RichAtom]) -> AtomicModel:
+    """RichAtom list -> the compact AtomicModel used by rasterization."""
+    coords = np.array([[a.x, a.y, a.z] for a in atoms], np.float64)
+    els = [a.name[:1] if a.name else "C" for a in atoms]
+    return AtomicModel(coords, els,
+                       np.array([a.bfactor for a in atoms], np.float32),
+                       np.array([a.occupancy for a in atoms], np.float32))
+
+
 def write_pdb(path: str, model: AtomicModel) -> None:
     with open(path, "w") as f:
         for i in range(len(model)):

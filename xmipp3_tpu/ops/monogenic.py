@@ -38,6 +38,52 @@ def monogenic_amplitude_3d(vol):
     return jnp.sqrt(vol * vol + rx * rx + ry * ry + rz * rz)
 
 
+@partial(jax.jit, static_argnames=("n_scale",))
+def phase_cong_mono(im, n_scale: int = 2, min_wavelength: float = 80.0,
+                    mult: float = 1.25, sigma_onf: float = 2.0):
+    """2-D monogenic phase congruency (Kovesi-style log-Gabor scales +
+    Riesz transform). Reference: data/wavelet.cpp:850-1025 phaseCongMono,
+    exercised by test_wavelets_main.cpp on filters/KLH.tif with
+    (nScale=2, minWaveLength=80, mult=1.25, sigmaOnf=2).
+
+    Same parameterization and accumulation formulas as the reference
+    (butterworth lowpass cutoff .4 order 10, DC radius substituted to 1,
+    Or=atan2(h1,h2), Ph=atan2(F,|h|), Energy=sqrt(F^2+h1^2+h2^2)+1e-4),
+    but with the Riesz kernel applied in the SAME fft layout as the
+    spectrum — the reference multiplies a centered H against an
+    uncentered spectrum (wavelet.cpp:965-966), a layout mismatch we do
+    not reproduce. Everything stays in fft order: no shifts on device.
+
+    Returns (Ph, Or, Energy) float32 arrays shaped like `im`.
+    """
+    im = jnp.asarray(im, jnp.float32)
+    H, W = im.shape
+    wy = jnp.fft.fftfreq(H).astype(jnp.float32)[:, None]
+    wx = jnp.fft.fftfreq(W).astype(jnp.float32)[None, :]
+    r = jnp.sqrt(wy * wy + wx * wx)
+    r0 = jnp.where(r < 1e-10, 1.0, r)            # DC substitution (ref :901)
+    lowpass = 1.0 / (1.0 + (r0 / 0.4) ** 10)
+    spec = jnp.fft.fft2(im)
+    riesz = (wy + 1j * wx) / r0                   # complex built inside jit
+    log_so2 = 2.0 * jnp.log(sigma_onf) ** 2
+    F = jnp.zeros((H, W), jnp.float32)
+    h1 = jnp.zeros((H, W), jnp.float32)
+    h2 = jnp.zeros((H, W), jnp.float32)
+    for s in range(n_scale):                      # static unroll, tiny
+        fo = 1.0 / (min_wavelength * mult ** s)
+        lg = jnp.exp(-jnp.log(r0 / fo) ** 2 / log_so2) * lowpass
+        bp = spec * lg
+        f = jnp.fft.ifft2(bp)
+        h = jnp.fft.ifft2(bp * riesz)
+        F = F + jnp.real(f)
+        h1 = h1 + jnp.real(h)
+        h2 = h2 + jnp.imag(h)
+    ph = jnp.arctan2(F, jnp.sqrt(h1 * h1 + h2 * h2))
+    orient = jnp.arctan2(h1, h2)
+    energy = jnp.sqrt(F * F + h1 * h1 + h2 * h2) + 1e-4
+    return ph, orient, energy
+
+
 @partial(jax.jit, static_argnames=())
 def bandpass_3d(vol, w1, w2):
     """Raised-cosine bandpass in digital frequency (traced cutoffs)."""
