@@ -74,6 +74,9 @@ class MetaData:
         path = fn.path
         if not os.path.exists(path):
             raise XmippError(ErrCode.IO_NOTEXIST, path)
+        if path.endswith(".sqlite"):
+            self._df = _read_sqlite(path, block)
+            return self
         blocks = read_star(path)
         if not blocks:
             legacy = _read_legacy_selsdoc(path)
@@ -115,6 +118,9 @@ class MetaData:
     def write(self, fn, block: str | None = None, append: bool = False) -> None:
         fn = as_filename(fn)
         block = block or fn.block or "noname"
+        if fn.path.endswith(".sqlite"):
+            _write_sqlite(fn.path, block, self._df, append=append)
+            return
         write_star(fn.path, [StarBlock(block, self._df, self.row_format)],
                    append=append or fn.block is not None and os.path.exists(fn.path))
 
@@ -123,7 +129,10 @@ class MetaData:
 
     @staticmethod
     def blocksInFile(path: str) -> list[str]:
-        return [b.name for b in read_star(as_filename(path).path)]
+        p = as_filename(path).path
+        if p.endswith(".sqlite"):
+            return _sqlite_blocks(p)
+        return [b.name for b in read_star(p)]
 
     # ---------------- object access ----------------
     def addObject(self) -> int:
@@ -280,11 +289,209 @@ class MetaData:
     def aggregate(self, op: str, label: str):
         return getattr(self._df[label], op)()
 
+    # ---------------- relational ops (reference MetaDataDb SQL layer,
+    # test_metadata_db_main.cpp pins all semantics) ----------------
+    def join1(self, md_left: "MetaData", md_other: "MetaData", labels,
+              join_type: str = "left") -> "MetaData":
+        """Join on shared label(s); the right side contributes only its
+        NEW columns — on a column collision the left side wins
+        (MetaDataDb::join1, pinned by LeftJoin/JoinVector gtests: a left
+        row matching k right rows appears k times)."""
+        if isinstance(labels, str):
+            labels = [labels]
+        right_new = [c for c in md_other._df.columns
+                     if c in labels or c not in md_left._df.columns]
+        merged = md_left._df.merge(md_other._df[right_new], on=list(labels),
+                                   how="left" if join_type == "left"
+                                   else "inner")
+        self._df = merged.reset_index(drop=True)
+        return self
+
+    def join2(self, md_left: "MetaData", md_right: "MetaData",
+              label_left: str, label_right: str,
+              join_type: str = "inner") -> "MetaData":
+        """Join left.label_left == right.label_right; the right join
+        column is dropped and colliding right columns lose to the left
+        (MetaDataDb::join2, InnerJoin1/InnerJoin2 gtests)."""
+        keep = [c for c in md_right._df.columns
+                if c == label_right or c not in md_left._df.columns]
+        merged = md_left._df.merge(
+            md_right._df[keep], left_on=label_left, right_on=label_right,
+            how="left" if join_type == "left" else "inner")
+        if label_right != label_left and label_right in merged.columns:
+            merged = merged.drop(columns=[label_right])
+        self._df = merged.reset_index(drop=True)
+        return self
+
+    def joinNatural(self, md1: "MetaData", md2: "MetaData") -> "MetaData":
+        """Inner join on ALL shared labels (MetaDataDb::joinNatural)."""
+        common = [c for c in md1._df.columns if c in md2._df.columns]
+        return self.join1(md1, md2, common, join_type="inner")
+
+    def intersection(self, other: "MetaData", label: str) -> None:
+        """Keep rows whose `label` value occurs in `other`
+        (MetaDataDb::intersection, Intersect gtest)."""
+        keep = self._df[label].isin(set(other._df[label]))
+        self._df = self._df[keep].reset_index(drop=True)
+
+    def subtraction(self, other: "MetaData", label: str) -> None:
+        """Remove rows whose `label` value occurs in `other`
+        (MetaDataDb::subtraction, Substraction gtest)."""
+        keep = ~self._df[label].isin(set(other._df[label]))
+        self._df = self._df[keep].reset_index(drop=True)
+
+    def merge(self, other: "MetaData") -> None:
+        """Column-wise merge: other's columns are zipped onto this table
+        row by row (MetaDataDb::merge, Merge gtest)."""
+        right = other._df.reset_index(drop=True)
+        left = self._df.reset_index(drop=True)
+        for c in right.columns:
+            if c not in left.columns:
+                left[c] = right[c]
+        self._df = left
+
+    def operate(self, expr: str) -> None:
+        """SQL-style column update 'label=expression' evaluated over the
+        whole table (MetaDataDb::operate + activateMathExtensions,
+        Operate/OperateExt gtests). numpy functions are in scope."""
+        target, rhs = (s.strip() for s in expr.split("=", 1))
+        ns = {c: self._df[c].to_numpy() for c in self._df.columns}
+        ns.update({n: getattr(np, n) for n in
+                   ("sqrt", "abs", "exp", "log", "sin", "cos", "tan",
+                    "floor", "ceil", "power", "minimum", "maximum")})
+        self._df[target] = eval(rhs, {"__builtins__": {}}, ns)
+
+    def distinct(self, other: "MetaData", label: str) -> "MetaData":
+        """Fill self with the unique values of other's `label`, first-seen
+        order (MetaDataDb::distinct, Distinct gtest)."""
+        vals = other._df[label].drop_duplicates().reset_index(drop=True)
+        self._df = pd.DataFrame({label: vals})
+        return self
+
+    def fillExpand(self, label: str) -> None:
+        """Each row's `label` names a metadata file; expand the row with
+        that file's (row-format) columns (MetaData::fillExpand,
+        FillExpand gtest — the CTF_MODEL pattern)."""
+        cache: dict[str, dict] = {}
+        extra_rows = []
+        for fn in self._df[label]:
+            if fn not in cache:
+                sub = MetaData(str(fn))
+                cache[fn] = sub.getRow(sub.firstObject()) if len(sub) else {}
+            extra_rows.append(cache[fn])
+        extra = pd.DataFrame(extra_rows).reset_index(drop=True)
+        base = self._df.reset_index(drop=True)
+        for c in extra.columns:
+            if c not in base.columns:
+                base[c] = extra[c]
+        self._df = base
+
+    def aggregateOn(self, other: "MetaData", op: str, aggregate_label: str,
+                    operate_label: str, result_label: str) -> "MetaData":
+        """Group other by `aggregate_label` and aggregate `operate_label`
+        into `result_label` (MetaDataDb::aggregate, Aggregate1 gtest)."""
+        g = other._df.groupby(aggregate_label, sort=True)[operate_label]
+        res = g.count() if op == "count" else getattr(g, op)()
+        self._df = pd.DataFrame({aggregate_label: res.index,
+                                 result_label: res.to_numpy()})
+        return self
+
+    def aggregateMulti(self, other: "MetaData", ops, operate_labels,
+                       result_labels) -> "MetaData":
+        """Multi-aggregate grouped by result_labels[0]
+        (MetaDataDb::aggregate vector form, Aggregate2 gtest: ops[i]
+        applies to operate_labels[i] -> result_labels[i+1])."""
+        key = result_labels[0]
+        g = other._df.groupby(key, sort=True)
+        out = {key: list(g.groups.keys())}
+        for op, src, dst in zip(ops, operate_labels, result_labels[1:]):
+            col = g[src]
+            out[dst] = (col.count() if op == "count"
+                        else getattr(col, op)()).to_numpy()
+        self._df = pd.DataFrame(out)
+        return self
+
+    def aggregateGroupBy(self, other: "MetaData", op: str, group_labels,
+                         operate_label: str,
+                         result_label: str) -> "MetaData":
+        """Aggregate grouped by several labels
+        (MetaDataDb::aggregateGroupBy, AggregateGroupBy gtest)."""
+        g = other._df.groupby(list(group_labels), sort=True)[operate_label]
+        res = (g.count() if op == "count" else getattr(g, op)()).reset_index()
+        res = res.rename(columns={operate_label: result_label})
+        self._df = res
+        return self
+
+    def addIndex(self, label: str) -> None:
+        """SQL index creation hint — a no-op on the columnar backend
+        (MetaDataDb::addIndex, AddIndex gtest)."""
+
+    @staticmethod
+    def existsBlock(fn) -> bool:
+        """True if 'block@file' names an existing block
+        (MetaDataDb::existsBlock, ExistsBlock gtest)."""
+        f = as_filename(fn)
+        if not os.path.exists(f.path):
+            return False
+        if f.block is None:
+            return True
+        return f.block in MetaData.blocksInFile(f.path)
+
 
 def _store(v):
     if isinstance(v, np.generic):
         return v.item()
     return v
+
+
+# ---------------------------------------------------------------------------
+# SQLite metadata backend (reference MetaDataDb native format; block ==
+# table, write without MD_APPEND recreates the file, append replaces only
+# the named table — multiWriteSqlite gtest)
+# ---------------------------------------------------------------------------
+
+def _sqlite_connect(path: str):
+    import sqlite3
+    return sqlite3.connect(path)
+
+
+def _sqlite_blocks(path: str) -> list[str]:
+    with _sqlite_connect(path) as con:
+        rows = con.execute(
+            "SELECT name FROM sqlite_master WHERE type='table' "
+            "ORDER BY rowid").fetchall()
+    return [r[0] for r in rows]
+
+
+def _read_sqlite(path: str, block: str | None) -> pd.DataFrame:
+    blocks = _sqlite_blocks(path)
+    if not blocks:
+        return pd.DataFrame()
+    name = block or blocks[0]
+    if name not in blocks:
+        raise XmippError(ErrCode.MD_BADBLOCK, f"{name}@{path}")
+    with _sqlite_connect(path) as con:
+        cur = con.execute(f'SELECT * FROM "{name}"')
+        cols = [d[0] for d in cur.description]
+        data = cur.fetchall()
+    return pd.DataFrame(data, columns=cols)
+
+
+def _write_sqlite(path: str, block: str, df: pd.DataFrame,
+                  append: bool) -> None:
+    if not append and os.path.exists(path):
+        os.remove(path)
+    with _sqlite_connect(path) as con:
+        con.execute(f'DROP TABLE IF EXISTS "{block}"')
+        cols = ", ".join(f'"{c}"' for c in df.columns) or '"_empty"'
+        con.execute(f'CREATE TABLE "{block}" ({cols})')
+        if len(df):
+            ph = ", ".join("?" * len(df.columns))
+            con.executemany(
+                f'INSERT INTO "{block}" VALUES ({ph})',
+                [tuple(_store(v) for v in row)
+                 for row in df.itertuples(index=False)])
+        con.commit()
 
 
 def compare_two_metadata_files(fn1: str, fn2: str, rtol=1e-5, atol=1e-4) -> bool:
