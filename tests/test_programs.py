@@ -165,7 +165,7 @@ def test_metadata_utilities_ops(tmp_path):
     md = MetaData.fromRows([{"itemId": i + 1, "cost": float(i)} for i in range(10)])
     md.write(fn1)
     out = str(tmp_path / "out.xmd")
-    run_prog("metadata_utilities", f"-i {fn1} -o {out} --fill constant weight 2.5")
+    run_prog("metadata_utilities", f"-i {fn1} -o {out} --fill weight constant 2.5")
     md2 = MetaData(out)
     assert (md2.getColumn("weight") == 2.5).all()
     run_prog("metadata_utilities", f'-i {out} -o {out} --query select "cost > 4"')

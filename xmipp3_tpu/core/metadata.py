@@ -17,7 +17,8 @@ import pandas as pd
 
 from xmipp3_tpu.core.errors import ErrCode, XmippError
 from xmipp3_tpu.core.filename import as_filename
-from xmipp3_tpu.core.star import StarBlock, format_star, read_star, write_star
+from xmipp3_tpu.core.star import (StarBlock, _parse_value, format_star,
+                                  read_star, write_star)
 
 
 class Row(dict):
@@ -253,9 +254,22 @@ class MetaData:
 
     def importObjects(self, other: "MetaData", expr: str = "") -> None:
         """Fill self with other's rows matching a query expression
-        (reference importObjects + MDValueEQ/MDMultiQuery; the expression
-        is a pandas query, e.g. 'x == 3 and y == 4'; empty = all rows)."""
-        df = other._df if not expr else other._df.query(expr)
+        (reference importObjects + MDValueEQ/MDMultiQuery/MDExpression).
+        Accepts pandas syntax ('x == 3 and y == 4') or, as the reference
+        does, a SQL WHERE clause ('angleRot > 10 AND anglePsi < 0.5')."""
+        if not expr:
+            self._df = other._df.reset_index(drop=True)
+            return
+        try:
+            df = other._df.query(expr)
+        except Exception:
+            con = _sqlite_mem(other._df)
+            try:
+                df = _sqlite_fetch(con,
+                                   f"SELECT * FROM objects WHERE {expr}",
+                                   like=other._df)
+            finally:
+                con.close()
         self._df = df.reset_index(drop=True)
 
     def removeObjects(self, mask) -> None:
@@ -280,6 +294,22 @@ class MetaData:
     def removeLabel(self, label: str) -> None:
         if label in self._df.columns:
             self._df = self._df.drop(columns=[label])
+
+    def readPlain(self, path: str, labels: str) -> None:
+        """Import a whitespace/comma text file, assigning columns to the
+        given space-separated label list (reference MetaData::readPlain,
+        used by `metadata_utilities --file import_txt`)."""
+        names = labels.replace(",", " ").split()
+        rows = []
+        with open(as_filename(path).path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith(("#", ";")):
+                    continue
+                toks = line.split()
+                rows.append({n: _parse_value(t)
+                             for n, t in zip(names, toks)})
+        self._df = pd.DataFrame(rows, columns=names)
 
     def copy(self) -> "MetaData":
         out = MetaData(self._df.copy())
@@ -351,15 +381,18 @@ class MetaData:
         self._df = left
 
     def operate(self, expr: str) -> None:
-        """SQL-style column update 'label=expression' evaluated over the
-        whole table (MetaDataDb::operate + activateMathExtensions,
-        Operate/OperateExt gtests). numpy functions are in scope."""
-        target, rhs = (s.strip() for s in expr.split("=", 1))
-        ns = {c: self._df[c].to_numpy() for c in self._df.columns}
-        ns.update({n: getattr(np, n) for n in
-                   ("sqrt", "abs", "exp", "log", "sin", "cos", "tan",
-                    "floor", "ceil", "power", "minimum", "maximum")})
-        self._df[target] = eval(rhs, {"__builtins__": {}}, ns)
+        """SQL UPDATE SET clause run over the whole table — true SQLite
+        semantics including string functions, `||` concatenation, and an
+        optional trailing WHERE (MetaDataDb::operate issues
+        `UPDATE objects SET <expr>`; math extensions per
+        MDSql::activateMathExtensions; Operate/OperateExt gtests)."""
+        con = _sqlite_mem(self._df)
+        try:
+            con.execute(f"UPDATE objects SET {expr}")
+            self._df = _sqlite_fetch(con, "SELECT * FROM objects",
+                                     like=self._df)
+        finally:
+            con.close()
 
     def distinct(self, other: "MetaData", label: str) -> "MetaData":
         """Fill self with the unique values of other's `label`, first-seen
@@ -453,6 +486,71 @@ def _store(v):
 def _sqlite_connect(path: str):
     import sqlite3
     return sqlite3.connect(path)
+
+
+def _register_extensions(con) -> None:
+    """Math + string UDFs matching the reference's
+    MDSql::activateMathExtensions/activateRegExtensions (sqliteExt.cpp:
+    acos..floor, pi, and the string helpers usable from modify_values)."""
+    import math
+    import re as _re
+    for name in ("acos", "asin", "atan", "acosh", "asinh", "atanh",
+                 "cos", "sin", "tan", "cosh", "sinh", "tanh",
+                 "degrees", "radians", "exp", "log10", "sqrt",
+                 "floor", "ceil"):
+        con.create_function(name, 1, getattr(math, name))
+    con.create_function("log", 1, math.log)
+    con.create_function("cot", 1, lambda x: math.cos(x) / math.sin(x))
+    con.create_function("coth", 1, lambda x: math.cosh(x) / math.sinh(x))
+    con.create_function("square", 1, lambda x: x * x)
+    con.create_function("sign", 1, lambda x: (x > 0) - (x < 0))
+    con.create_function("power", 2, lambda x, y: x ** y)
+    con.create_function("atan2", 2, math.atan2)
+    con.create_function("atn2", 2, math.atan2)
+    con.create_function("pi", 0, lambda: math.pi)
+    con.create_function("reverse", 1, lambda s: s[::-1])
+    con.create_function("replicate", 2, lambda s, n: s * int(n))
+    con.create_function("leftstr", 2, lambda s, n: s[:int(n)])
+    con.create_function("rightstr", 2, lambda s, n: s[-int(n):] if n else "")
+    con.create_function("charindex", 2, lambda sub, s: s.find(sub) + 1)
+    con.create_function("proper", 1, lambda s: s.title())
+    con.create_function("padl", 2, lambda s, n: s.rjust(int(n)))
+    con.create_function("padr", 2, lambda s, n: s.ljust(int(n)))
+    con.create_function("padc", 2, lambda s, n: s.center(int(n)))
+    con.create_function("regexp", 2,
+                        lambda pat, s: _re.search(pat, s) is not None)
+
+
+def _sqlite_mem(df: pd.DataFrame):
+    """In-memory sqlite table named `objects` holding df, with the
+    reference math/string extensions registered — the evaluation engine
+    behind operate() / SQL importObjects (MDSql's ephemeral db)."""
+    con = _sqlite_connect(":memory:")
+    _register_extensions(con)
+    cols = ", ".join(f'"{c}"' for c in df.columns) or '"_empty"'
+    con.execute(f"CREATE TABLE objects ({cols})")
+    if len(df):
+        ph = ", ".join("?" * len(df.columns))
+        con.executemany(f"INSERT INTO objects VALUES ({ph})",
+                        [tuple(_store(v) for v in row)
+                         for row in df.itertuples(index=False)])
+    return con
+
+
+def _sqlite_fetch(con, sql: str, like: pd.DataFrame) -> pd.DataFrame:
+    """Run a SELECT and rebuild a DataFrame, keeping `like`'s integer
+    columns integral when SQL arithmetic preserved them."""
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    out = pd.DataFrame(cur.fetchall(), columns=cols)
+    for c in cols:
+        if (c in like.columns and len(out)
+                and pd.api.types.is_integer_dtype(like[c].dtype)
+                and pd.api.types.is_float_dtype(out[c].dtype)):
+            vals = out[c].to_numpy()
+            if np.all(vals == np.round(vals)):
+                out[c] = out[c].astype(like[c].dtype)
+    return out
 
 
 def _sqlite_blocks(path: str) -> list[str]:
