@@ -254,3 +254,122 @@ def test_compare_two_metadata_files(tmp_path):
     changed.setValue("x", 99.0, changed.firstObject())
     changed.write(f2)
     assert not compare_two_metadata_files(f1, f2)
+
+
+def test_similar_to_operator_precision():
+    # SimilarToOperator (test_metadata_vec_main.cpp:128-157): attribute
+    # order must not matter; precission 2 makes 2.001 == 2.0, precission
+    # 4 does not
+    src = md_source()
+    other = MetaData([{"x": 11.0, "y": 22.0}, {"x": 33.0, "y": 44.0}])
+    assert src == md_source()
+    assert not (src == other)
+    reordered = MetaData([{"y": 2.0, "x": 1.0}, {"y": 4.0, "x": 3.0}])
+    assert reordered == src
+    close = MetaData([{"y": 2.001, "x": 1.0}, {"y": 4.0, "x": 3.0}])
+    close.setPrecission(2)
+    assert close == src
+    close.setPrecission(4)
+    assert not (close == src)
+
+
+def test_add_row_and_update_row():
+    # AddRow + updateRow (test_metadata_vec_main.cpp:215-236, 1214-1248)
+    md = MetaData()
+    md.addRow({"x": 1.0, "y": 2.0})
+    md.addRow({"x": 3.0, "y": 4.0})
+    assert md == md_source()
+    zeros = MetaData([{"y": 0.0, "x": 0.0}, {"y": 0.0, "x": 0.0}])
+    assert not (zeros == md_source())
+    zeros.setRow({"x": 1.0, "y": 2.0}, 0)
+    zeros.setRow({"x": 3.0, "y": 4.0}, 1)
+    assert zeros == md_source()
+
+
+def test_add_label():
+    # AddLabel (test_metadata_vec_main.cpp:206-213): new label appends to
+    # the active-label list
+    md = md_source()
+    md.fillConstant("z", 0.0)
+    assert md.getActiveLabels() == ["x", "y", "z"]
+
+
+def test_copy_column():
+    # CopyColumn (test_metadata_vec_main.cpp:1115-1129)
+    md1, md2 = md_source(), md_source()
+    for oid in range(md1.size()):
+        md1.setValue("z", md1.getValue("y", oid), oid)
+    md2.copyColumn("z", "y")
+    assert md1 == md2
+
+
+def test_comment_roundtrip(tmp_path):
+    # Comment (test_metadata_vec_main.cpp:1029-1048): a >80-char comment
+    # wraps in the file yet roundtrips exactly
+    md = md_source()
+    s1 = ("This is a very long comment that has more than 80 characters"
+          " Therefore should be split in several lines"
+          " Let us see what happened")
+    md.setComment(s1)
+    fn = str(tmp_path / "c.xmd")
+    md.write(fn)
+    md2 = MetaData(fn)
+    assert md2.getComment() == s1
+    assert md2 == md
+
+
+def test_md_info_max_rows(tmp_path):
+    # MDInfo (test_metadata_vec_main.cpp:316-340): a 1-row capped read
+    # still reports the file's row count and sees every label
+    fn = str(tmp_path / "info.xmd")
+    md_source().write(fn)
+    full = MetaData(fn)
+    capped = MetaData()
+    capped.setMaxRows(1)
+    capped.read(fn)
+    assert capped.size() == 1
+    assert capped.getParsedLines() == full.size()
+    for lab in full.getActiveLabels():
+        assert capped.containsLabel(lab)
+
+
+def test_multi_write_named_block_matches_fixture(tmp_path,
+                                                 reference_resources):
+    # multiWrite (test_metadata_vec_main.cpp:341-354): writing
+    # myblock@file on a fresh file must produce exactly the reference's
+    # mDsource.xmd (textual golden)
+    fn = str(tmp_path / "mw.xmd")
+    md_source().write(f"myblock@{fn}")
+    golden = os.path.join(reference_resources, "metadata", "mDsource.xmd")
+    ours = [ln.rstrip() for ln in open(fn) if ln.strip()]
+    ref = [ln.rstrip() for ln in open(golden) if ln.strip()]
+    assert ours[1:] == ref[1:]  # line 0 is the version header
+    assert compare_two_metadata_files(fn, golden)
+
+
+def test_add_label_alias_reads_foreign_label(reference_resources):
+    # addLabelAlias (test_metadata_vec_main.cpp:275-283): after aliasing,
+    # the noXmipp.xmd fixture reads into the canonical column
+    from xmipp3_tpu.core.labels import ALIASES, add_label_alias
+    add_label_alias("y", "noExixtingLabel")
+    try:
+        md = MetaData(os.path.join(reference_resources, "metadata",
+                                   "noXmipp.xmd"))
+        assert md == md_source()
+    finally:
+        ALIASES.pop("noExixtingLabel", None)
+
+
+def test_get_new_alias_keeps_foreign_label(reference_resources):
+    # getNewAlias (test_metadata_vec_main.cpp:284-300): an unknown label
+    # gets a usable column whose values match the fixture's y column
+    from xmipp3_tpu.core.labels import ALIASES, get_new_alias
+    name = get_new_alias("noExixtingLabel")
+    try:
+        assert name == "noExixtingLabel"
+        md = MetaData(os.path.join(reference_resources, "metadata",
+                                   "noXmipp.xmd"))
+        vals = [float(v) for v in md.getColumnValues(name)]
+        assert vals == md_source().getColumnValues("y")
+    finally:
+        ALIASES.pop("noExixtingLabel", None)

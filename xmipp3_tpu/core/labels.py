@@ -142,3 +142,18 @@ def label_type(name: str) -> LabelType:
 
 def is_known(name: str) -> bool:
     return name in LABELS or name in ALIASES
+
+
+def add_label_alias(canonical: str, alias: str) -> None:
+    """Register a foreign spelling for an existing label so files using it
+    read into the canonical column (reference MDL::addLabelAlias,
+    test_metadata_vec_main.cpp addLabelAlias)."""
+    ALIASES[alias] = canonical
+
+
+def get_new_alias(name: str) -> str:
+    """Register an unknown label under a buffer slot and return its column
+    name (reference MDL::getNewAlias -> BUFFER_xx whose label2Str is the
+    original spelling; our columnar store keeps the spelling itself)."""
+    ALIASES.setdefault(name, name)
+    return name

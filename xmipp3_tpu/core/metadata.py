@@ -17,8 +17,8 @@ import pandas as pd
 
 from xmipp3_tpu.core.errors import ErrCode, XmippError
 from xmipp3_tpu.core.filename import as_filename
-from xmipp3_tpu.core.star import (StarBlock, _parse_value, format_star,
-                                  read_star, write_star)
+from xmipp3_tpu.core.star import (StarBlock, _parse_value, extract_comment,
+                                  format_star, read_star, write_star)
 
 
 class Row(dict):
@@ -68,6 +68,42 @@ class MetaData:
     def containsLabel(self, label: str) -> bool:
         return label in self._df.columns
 
+    def setComment(self, comment: str) -> None:
+        """File-level comment, persisted on write (reference setComment,
+        test_metadata_vec_main.cpp Comment)."""
+        self.comment = comment
+
+    def getComment(self) -> str:
+        return self.comment
+
+    def setPrecission(self, digits: int) -> None:
+        """Decimal digits used by == on float values (reference
+        setPrecission, test_metadata_vec_main.cpp SimilarToOperator:
+        |a-b| < 10^-digits counts as equal)."""
+        self._precission = digits
+
+    def __eq__(self, other) -> bool:
+        """Value equality, column-order insensitive, floats compared to
+        the configured precission (reference MetaData::operator==)."""
+        if not isinstance(other, MetaData):
+            return NotImplemented
+        if len(self) != len(other) or \
+                set(self._df.columns) != set(other._df.columns):
+            return False
+        tol = 10.0 ** -getattr(self, "_precission", 4)
+        for c in self._df.columns:
+            a, b = self._df[c], other._df[c]
+            if (pd.api.types.is_numeric_dtype(a.dtype)
+                    and pd.api.types.is_numeric_dtype(b.dtype)):
+                if not np.all(np.abs(a.to_numpy(dtype=float)
+                                     - b.to_numpy(dtype=float)) < tol):
+                    return False
+            elif not all(_cell_eq(x, y) for x, y in zip(a, b)):
+                return False
+        return True
+
+    __hash__ = None  # value-compared containers; identity hashing would lie
+
     # ---------------- I/O ----------------
     def read(self, fn, block: str | None = None) -> "MetaData":
         fn = as_filename(fn)
@@ -77,15 +113,20 @@ class MetaData:
             raise XmippError(ErrCode.IO_NOTEXIST, path)
         if path.endswith(".sqlite"):
             self._df = _read_sqlite(path, block)
-            return self
+            return self._finish_read()
         blocks = read_star(path)
+        try:
+            with open(path) as _fh:
+                self.comment = extract_comment(_fh.read(2048))
+        except OSError:
+            pass
         if not blocks:
             legacy = _read_legacy_selsdoc(path)
             if legacy is not None:
                 self._df = legacy
-                return self
+                return self._finish_read()
             self._df = pd.DataFrame()
-            return self
+            return self._finish_read()
         if block is None:
             chosen = blocks[0]
         else:
@@ -109,12 +150,28 @@ class MetaData:
                                      ignore_index=True)
                 self.row_format = named[0].row_format
                 self._block_read = named[0].name
-                return self
+                return self._finish_read()
             chosen = named[0]
         self._df = chosen.df.reset_index(drop=True)
         self.row_format = chosen.row_format
         self._block_read = chosen.name
+        return self._finish_read()
+
+    def _finish_read(self) -> "MetaData":
+        """Record the full parsed size and honor setMaxRows truncation
+        (reference setMaxRows/getParsedLines, test_metadata_vec_main.cpp
+        MDInfo: a 1-row capped read still reports the file's row count)."""
+        self._parsed_lines = len(self._df)
+        cap = getattr(self, "_max_rows", None)
+        if cap is not None and len(self._df) > cap:
+            self._df = self._df.iloc[:cap].reset_index(drop=True)
         return self
+
+    def setMaxRows(self, n: int) -> None:
+        self._max_rows = n
+
+    def getParsedLines(self) -> int:
+        return getattr(self, "_parsed_lines", len(self._df))
 
     def write(self, fn, block: str | None = None, append: bool = False) -> None:
         fn = as_filename(fn)
@@ -123,7 +180,8 @@ class MetaData:
             _write_sqlite(fn.path, block, self._df, append=append)
             return
         write_star(fn.path, [StarBlock(block, self._df, self.row_format)],
-                   append=append or fn.block is not None and os.path.exists(fn.path))
+                   append=append or fn.block is not None and os.path.exists(fn.path),
+                   comment=self.comment)
 
     def __str__(self) -> str:
         return format_star([StarBlock("noname", self._df, self.row_format)])
@@ -290,6 +348,17 @@ class MetaData:
 
     def renameColumn(self, old: str, new: str) -> None:
         self._df = self._df.rename(columns={old: new})
+
+    def copyColumn(self, to_label: str, from_label: str) -> None:
+        """Duplicate a column under a new label (reference copyColumn,
+        test_metadata_vec_main.cpp CopyColumn)."""
+        self._df[to_label] = self._df[from_label]
+
+    def setRow(self, row: dict, objId: int) -> None:
+        """Overwrite one object's values from a row mapping (reference
+        setRow, test_metadata_vec_main.cpp updateRow)."""
+        for label, value in row.items():
+            self.setValue(label, value, objId)
 
     def removeLabel(self, label: str) -> None:
         if label in self._df.columns:
@@ -469,6 +538,14 @@ class MetaData:
         if f.block is None:
             return True
         return f.block in MetaData.blocksInFile(f.path)
+
+
+def _cell_eq(x, y) -> bool:
+    if isinstance(x, np.ndarray) or isinstance(y, np.ndarray):
+        return np.array_equal(np.asarray(x), np.asarray(y))
+    if x != x and y != y:  # both NaN
+        return True
+    return x == y
 
 
 def _store(v):

@@ -224,9 +224,30 @@ def _fmt_column(label: str, series) -> np.ndarray:
     return np.array([_fmt_value(label, v) for v in arr])
 
 
-def format_star(blocks: list[StarBlock]) -> str:
+def extract_comment(text: str) -> str:
+    """File-level comment: the '# ' lines between the XMIPP_STAR_1 header
+    and the first data_ block, word-rejoined (reference MetaData comment,
+    test_metadata_vec_main.cpp Comment — long comments wrap at ~80 chars
+    and must roundtrip)."""
+    parts = []
+    for line in text.splitlines()[1:]:
+        s = line.strip()
+        if s.startswith("#"):
+            parts.append(s[1:].strip())
+        elif s:
+            break
+    return " ".join(p for p in parts if p)
+
+
+def format_star(blocks: list[StarBlock], comment: str = "") -> str:
+    import textwrap
     out = io.StringIO()
-    out.write(STAR_HEADER + "\n# \n")
+    out.write(STAR_HEADER + "\n")
+    if comment:
+        for ln in textwrap.wrap(comment, width=78):
+            out.write(f"# {ln}\n")
+    else:
+        out.write("# \n")
     for blk in blocks:
         out.write(f"data_{blk.name}\n")
         df = blk.df
@@ -249,7 +270,8 @@ def format_star(blocks: list[StarBlock]) -> str:
     return out.getvalue()
 
 
-def write_star(path: str, blocks: list[StarBlock], append: bool = False) -> None:
+def write_star(path: str, blocks: list[StarBlock], append: bool = False,
+               comment: str = "") -> None:
     if append:
         import os
         existing = read_star(path) if os.path.exists(path) else []
@@ -260,4 +282,4 @@ def write_star(path: str, blocks: list[StarBlock], append: bool = False) -> None
         merged = [by_name.pop(e.name, e) for e in existing]
         blocks = merged + list(by_name.values())
     with open(path, "w") as f:
-        f.write(format_star(blocks))
+        f.write(format_star(blocks, comment=comment))

@@ -98,6 +98,47 @@ def bandpass_3d(vol, w1, w2):
     return jnp.fft.irfftn(jnp.fft.rfftn(vol) * mask, s=(D, H, W))
 
 
+@partial(jax.jit, static_argnames=("significance",))
+def _monores_bands(vol_j, mask_j, freqs_j, significance):
+    """Per-band monogenic hypothesis test, fully on device: band mask from
+    the frequency radius grid, amplitude via 4 inverse FFTs, noise
+    threshold = significance-percentile of amplitudes outside the mask
+    (resolution_monogenic_signal.cpp:349-460)."""
+    D, H, W = vol_j.shape
+    fz = jnp.fft.fftfreq(D).astype(jnp.float32)[:, None, None]
+    fy = jnp.fft.fftfreq(H).astype(jnp.float32)[None, :, None]
+    fx = jnp.fft.rfftfreq(W).astype(jnp.float32)[None, None, :]
+    r = jnp.sqrt(fz ** 2 + fy ** 2 + fx ** 2)
+    rr = jnp.maximum(r, 1e-12)
+    uz, uy, ux = fz / rr, fy / rr, fx / rr
+    F = jnp.fft.rfftn(vol_j)
+    nvox = D * H * W
+    n_noise = nvox - mask_j.sum()
+    # ascending sort puts masked (-inf) voxels first; the noise block is
+    # the trailing n_noise entries
+    k_idx = (nvox - n_noise
+             + (significance * (n_noise - 1)).astype(jnp.int32))
+
+    def one(f):
+        bmask = ((r >= jnp.maximum(f - 0.02, 0.001))
+                 & (r <= jnp.minimum(f + 0.02, 0.5))).astype(jnp.float32)
+        Fb = F * bmask
+        band = jnp.fft.irfftn(Fb, s=(D, H, W))
+        rx = jnp.fft.irfftn(1j * ux * Fb, s=(D, H, W))
+        ry = jnp.fft.irfftn(1j * uy * Fb, s=(D, H, W))
+        rz = jnp.fft.irfftn(1j * uz * Fb, s=(D, H, W))
+        amp = jnp.sqrt(band ** 2 + rx ** 2 + ry ** 2 + rz ** 2)
+        noise = jnp.where(mask_j, -jnp.inf, amp).ravel()
+        thresh = jnp.sort(noise)[jnp.clip(k_idx, 0, nvox - 1)]
+        return mask_j & (amp > thresh)
+
+    resolved = jax.lax.map(one, freqs_j)              # (K, D, H, W) bool
+    mono = jnp.cumprod(resolved.astype(jnp.int32), axis=0)
+    count = mono.sum(axis=0)                          # bands resolved
+    frac = mono.sum(axis=(1, 2, 3)) / jnp.maximum(mask_j.sum(), 1)
+    return count, frac
+
+
 def local_resolution_monores(vol, mask, sampling: float,
                              min_res: float | None = None,
                              max_res: float | None = None,
@@ -124,43 +165,12 @@ def local_resolution_monores(vol, mask, sampling: float,
     # FFTs (the round-1 loop recomputed rfftn(vol) and three Riesz FFT
     # pairs per band — 30x redundant transforms), and the monotonic
     # resolution assignment runs on-device as a cumulative product.
-    fz, fy, fx = (np.fft.fftfreq(D).astype(np.float32)[:, None, None],
-                  np.fft.fftfreq(H).astype(np.float32)[None, :, None],
-                  np.fft.rfftfreq(W).astype(np.float32)[None, None, :])
-    r = np.sqrt(fz ** 2 + fy ** 2 + fx ** 2)
-    bands = np.stack([((r >= max(f - 0.02, 0.001))
-                       & (r <= min(f + 0.02, 0.5))).astype(np.float32)
-                      for f in freqs])
-    noise_idx = np.flatnonzero(~mask.ravel())
-    k_noise = int(significance * (len(noise_idx) - 1))
-
-    @partial(jax.jit, static_argnames=())
-    def band_resolved(vol_j, bands_j, mask_j, noise_j):
-        F = jnp.fft.rfftn(vol_j)
-        rr = jnp.maximum(jnp.asarray(r), 1e-12)
-        uz = jnp.asarray(fz) / rr
-        uy = jnp.asarray(fy) / rr
-        ux = jnp.asarray(fx) / rr
-
-        def one(bmask):
-            Fb = F * bmask
-            band = jnp.fft.irfftn(Fb, s=(D, H, W))
-            rx = jnp.fft.irfftn(1j * ux * Fb, s=(D, H, W))
-            ry = jnp.fft.irfftn(1j * uy * Fb, s=(D, H, W))
-            rz = jnp.fft.irfftn(1j * uz * Fb, s=(D, H, W))
-            amp = jnp.sqrt(band ** 2 + rx ** 2 + ry ** 2 + rz ** 2)
-            noise_vals = amp.ravel()[noise_j]
-            thresh = jnp.sort(noise_vals)[k_noise]
-            return mask_j & (amp > thresh)
-
-        resolved = jax.lax.map(one, bands_j)          # (K, D, H, W) bool
-        mono = jnp.cumprod(resolved.astype(jnp.int32), axis=0)
-        count = mono.sum(axis=0)                      # bands resolved
-        frac = mono.sum(axis=(1, 2, 3)) / jnp.maximum(mask_j.sum(), 1)
-        return count, frac
-
-    count, frac = band_resolved(jnp.asarray(vol), jnp.asarray(bands),
-                                jnp.asarray(mask), jnp.asarray(noise_idx))
+    # Band masks and the noise percentile are built ON DEVICE inside one
+    # module-level jit: the former per-call closure retraced every call
+    # and shipped a dense (K, D, H, Wh) band stack (54 MB at 96^3) plus a
+    # noise-index vector through the host->device link each invocation.
+    count, frac = _monores_bands(jnp.asarray(vol), jnp.asarray(mask),
+                                 jnp.asarray(freqs), float(significance))
     count = np.asarray(count)
     res_map = np.full(vol.shape, min_res, np.float32)
     sel = count > 0

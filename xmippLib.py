@@ -137,8 +137,30 @@ class Image:
         return self
 
     def readApplyGeo(self, filename, md=None, objId=None):
+        """Read + apply the row's 2-D registration geometry, reference
+        readApplyGeo semantics (ops/geo.read_apply_geo; psi/shift/flip
+        pulled from the metadata row when given)."""
         self.read(filename)
+        if md is None or objId is None:
+            return self
+        from xmipp3_tpu.ops.geo import read_apply_geo
+        row = md.getRow(objId) if hasattr(md, "getRow") else md
+        psi = float(row.get("anglePsi", 0.0) or 0.0)
+        sx = float(row.get("shiftX", 0.0) or 0.0)
+        sy = float(row.get("shiftY", 0.0) or 0.0)
+        flip = bool(row.get("flip", False))
+        data = _np.asarray(self._img.data, _np.float32)
+        out = read_apply_geo(data[None], _np.array([psi]), _np.array([sx]),
+                             _np.array([sy]), _np.array([flip]))
+        self._img = _CoreImage(_np.asarray(out)[0])
         return self
+
+    def convertPSD(self):
+        """In-place xmipp2PSD: 10*log10(1+PSD), centered (reference
+        Image convertPSD binding, xmippmodule.cpp:1169-1193 area)."""
+        d = _np.asarray(self._img.data, _np.float64)
+        d = _np.fft.fftshift(10.0 * _np.log10(1.0 + _np.abs(d)))
+        self._img = _CoreImage(d.astype(_np.float32))
 
     def write(self, filename):
         self._img.write(str(filename))
