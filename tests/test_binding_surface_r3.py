@@ -221,3 +221,29 @@ def test_alias_registration():
         ALIASES.pop("foreignWeight", None)
         ALIASES.pop("myForeignLabel", None)
     assert xl.activateRegExtensions()
+
+
+def test_module_function_parity_complete():
+    """The full reference PyMethodDef table (xmippmodule.cpp:1395-1523)
+    resolves on the shim — the name diff is empty."""
+    names = ("getBlocksInMetaDataFile label2Str colorStr labelType "
+             "labelHasTag labelIsImage str2Label isValidLabel "
+             "MDValueRelational MDValueEQ MDValueNE MDValueLT MDValueLE "
+             "MDValueGT MDValueGE MDValueRange addLabelAlias getNewAlias "
+             "createEmptyFile getImageSize MetaDataInfo "
+             "existsBlockInMetaDataFile ImgCompare checkImageFileSize "
+             "checkImageCorners compareTwoFiles bsoftRemoveLoopBlock "
+             "bsoftRestoreLoopBlock compareTwoImageTolerance "
+             "readMetaDataWithTwoPossibleImages substituteOriginalImages "
+             "compareTwoMetadataFiles dumpToFile Euler_angles2matrix "
+             "Euler_matrix2angles Euler_direction alignWithZ "
+             "activateMathExtensions activateRegExtensions "
+             "fastEstimateEnhancedPSD bandPassFilter gaussianFilter "
+             "realGaussianFilter badPixelFilter errorBetween2CTFs "
+             "errorMaxFreqCTFs errorMaxFreqCTFs2D image_align applyCTF "
+             "getPSF projectVolumeDouble").split()
+    missing = [n for n in names if not hasattr(xl, n)]
+    assert missing == []
+    for t in ("FileName", "Image", "MetaData", "MDQuery", "SymList",
+              "FourierProjector", "Program"):
+        assert hasattr(xl, t)
