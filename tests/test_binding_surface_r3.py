@@ -247,3 +247,65 @@ def test_module_function_parity_complete():
     for t in ("FileName", "Image", "MetaData", "MDQuery", "SymList",
               "FourierProjector", "Program"):
         assert hasattr(xl, t)
+
+
+# ---------------------------------------------------------------------------
+# xmipp_base module (reference bindings/python/xmipp_base.py)
+# ---------------------------------------------------------------------------
+def test_xmipp_base_script_dsl(tmp_path, monkeypatch):
+    import xmipp_base as xb
+
+    class MyScript(xb.XmippScript):
+        def defineParams(self):
+            self.addUsageLine("test script")
+            self.addParamsLine(" -i <input> : input file")
+            self.addParamsLine("[--n <n=3>] : count")
+
+        def readParams(self):
+            self.inp = self.getParam("-i")
+            self.n = self.getIntParam("--n")
+
+        def run(self):
+            self.result = (self.inp, self.n)
+
+    monkeypatch.setattr("sys.argv", ["myscript", "-i", "a.xmd", "--n", "7"])
+    s = MyScript()
+    assert s.tryRun() == 0
+    assert s.result == ("a.xmd", 7)
+
+
+def test_xmipp_base_md_helpers(tmp_path):
+    import xmipp_base as xb
+    md = MetaData.fromRows([{"x": float(i)} for i in range(4)])
+    fn = str(tmp_path / "m.xmd")
+    md.write(fn)
+    assert xb.getMdSize(fn) == 4
+    assert not xb.isMdEmpty(fn)
+    xb.writeInfoField(str(tmp_path), "info", "count", 42)
+    assert xb.readInfoField(str(tmp_path), "info", "count") == 42
+
+
+def test_xmipp_base_md_row():
+    import xmipp_base as xb
+    row = xb.XmippMdRow()
+    row.setValue("x", 1.5)
+    row.setValue("image", "a.spi")
+    assert row.containsLabel("x") and row.getValue("x") == 1.5
+    md = xl.MetaData()
+    row.addToMd(md)
+    assert md.size() == 1 and md.getValue("image", 0) == "a.spi"
+    row2 = xb.XmippMdRow()
+    row2.readFromMd(md, 0)
+    assert row2.getValue("x") == 1.5
+
+
+def test_xmipp_base_pattern_and_conda(tmp_path, img_file):
+    import xmipp_base as xb
+    fn, _ = img_file
+    md = xb.createMetaDataFromPattern(os.path.join(os.path.dirname(fn),
+                                                   "*.spi"))
+    assert md.size() >= 1 and md.containsLabel("enabled")
+    assert list(xb.CondaEnvManager.yieldInstallAllCmds(False)) == []
+    env = xb.CondaEnvManager.getCondaEnv(os.environ, "anything")
+    assert isinstance(env, dict)
+    assert xb.CondaEnvManager.getCondaActivationCmd() == ""

@@ -401,7 +401,10 @@ class Program:
         self._p.addExampleLine(line, verbatim)
 
     def read(self, argv):
+        """Parse argv; returns False when only help was requested
+        (xmipp_base.XmippScript.tryRun gates run() on this)."""
         self._p.read(list(argv))
+        return not getattr(self._p, "_help_requested", False)
 
     def checkParam(self, name):
         return self._p.checkParam(name)
