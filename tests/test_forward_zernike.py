@@ -102,7 +102,8 @@ def test_forward_zernike_cli_and_priors(tmp_path):
     assert type(p).__name__ == "ProgForwardZernikeImages"
     p.read(["x", "-i", d + "/parts.xmd", "--ref", d + "/vol.mrc",
             "-o", d + "/out.xmd", "--l1", "2", "--l2", "2",
-            "--steps", "50", "-v", "0"])
+            "--steps", "50", "-v", "0", "--optimizeDeformation",
+            "--blobr", "-1", "--max_resolution", "0"])
     assert p.tryRun() == 0
     out = MetaData(d + "/out.xmd")
     assert "sphCoefficients" in out.df.columns
@@ -114,6 +115,137 @@ def test_forward_zernike_cli_and_priors(tmp_path):
     assert type(p2).__name__ == "ProgForwardZernikeImagesPriors"
     p2.read(["x", "-i", d + "/out.xmd", "--ref", d + "/vol.mrc",
              "-o", d + "/out2.xmd", "--l1", "2", "--l2", "2",
-             "--steps", "10", "-v", "0"])
+             "--steps", "10", "-v", "0", "--optimizeDeformation",
+             "--blobr", "-1", "--max_resolution", "0"])
     assert p2.tryRun() == 0
     assert p2.mean_corr > 0.95
+
+
+def test_blob_splat_profile_unit_mass():
+    """The projected-KB splat footprint integrates to ~1 on the plane and
+    decreases with radius (reference blob order 2, alpha 7.05)."""
+    from xmipp3_tpu.ops.forward_zernike import blob_splat_profile
+    prof, taps = blob_splat_profile(4.0)
+    assert taps == 4
+    s = np.arange(len(prof)) / 32.0
+    mass = np.trapezoid(2 * np.pi * s * prof, s)
+    assert abs(mass - 1.0) < 0.02
+    assert prof[0] > prof[32] > prof[96]
+
+
+def test_blob_splat_preserves_total_intensity():
+    vol = _blob_vol()
+    pos, vals, Z = masked_voxel_basis(vol, 1, 1, value_threshold=1e-3)
+    from xmipp3_tpu.ops.forward_zernike import blob_splat_profile
+    prof, taps = blob_splat_profile(2.0)
+    img_b, _ = forward_splat_project(
+        jnp.asarray(pos), jnp.asarray(vals), jnp.asarray(Z),
+        jnp.zeros((3, Z.shape[0]), jnp.float32), 0.0, 0.0, 0.0, 32,
+        blob_profile=jnp.asarray(prof), n_taps=taps)
+    assert abs(float(img_b.sum()) - vals.sum()) / vals.sum() < 0.02
+
+
+def test_pairs_mode_and_per_image_poses(tmp_path):
+    """image + image1 columns trigger the pairs mode: one shared
+    coefficient set, per-image poses written back with the angleRot2
+    suffix (reference forward_zernike_images.cpp:653-683)."""
+    d = str(tmp_path)
+    vol = _blob_vol()
+    Image(vol).write(d + "/vol.mrc")
+    pos, vals, Z = masked_voxel_basis(vol, 2, 2, value_threshold=1e-3)
+    K = Z.shape[0]
+    c_true = np.zeros((3, K), np.float32)
+    c_true[0, 1] = 1.5
+    poses = [(20.0, 40.0), (75.0, 60.0)]
+    for i, (rot, tilt) in enumerate(poses):
+        img, _ = forward_splat_project(
+            jnp.asarray(pos), jnp.asarray(vals), jnp.asarray(Z),
+            jnp.asarray(c_true), rot, tilt, 0.0, 32)
+        Image(np.asarray(img)).write(d + f"/p{i}.mrc")
+    MetaData.fromRows([{
+        "image": d + "/p0.mrc", "angleRot": 20.0, "angleTilt": 40.0,
+        "anglePsi": 0.0, "image1": d + "/p1.mrc", "angleRot2": 75.0,
+        "angleTilt2": 60.0, "anglePsi2": 0.0,
+    }]).write(d + "/pairs.xmd")
+    p = get_program("forward_zernike_images")
+    p.read(["x", "-i", d + "/pairs.xmd", "--ref", d + "/vol.mrc",
+            "-o", d + "/out.xmd", "--l1", "2", "--l2", "2",
+            "--steps", "60", "-v", "0", "--optimizeDeformation",
+            "--blobr", "-1", "--max_resolution", "0"])
+    assert p.tryRun() == 0
+    out = MetaData(d + "/out.xmd")
+    row = next(out.iterRows())
+    assert "angleRot2" in row and abs(row["angleRot2"] - 75.0) < 1e-3
+    assert p.mean_corr > 0.95
+    c_fit = np.asarray(row["sphCoefficients"]).reshape(3, -1)
+    assert c_fit.shape[1] == K
+
+
+def test_resume_skips_done_rows(tmp_path):
+    d = str(tmp_path)
+    vol = _blob_vol()
+    Image(vol).write(d + "/vol.mrc")
+    img = vol.sum(axis=0)
+    Image(img.astype(np.float32)).write(d + "/p0.mrc")
+    MetaData.fromRows([{"image": d + "/p0.mrc", "angleRot": 0.0,
+                        "angleTilt": 0.0, "anglePsi": 0.0}]).write(
+        d + "/parts.xmd")
+    args = ["x", "-i", d + "/parts.xmd", "--ref", d + "/vol.mrc",
+            "-o", "out.xmd", "--odir", d, "--l1", "1", "--l2", "1",
+            "--steps", "5", "-v", "0", "--optimizeDeformation",
+            "--blobr", "-1", "--max_resolution", "0", "--resume"]
+    p = get_program("forward_zernike_images")
+    p.read(list(args))
+    assert p.tryRun() == 0
+    import os
+    assert os.path.exists(d + "/sphDone.xmd")
+    c1 = np.asarray(next(MetaData(d + "/out.xmd").iterRows())
+                    ["sphCoefficients"])
+    # resumed run touches no rows: coefficients identical even though the
+    # step count differs
+    p2 = get_program("forward_zernike_images")
+    args2 = list(args)
+    args2[args2.index("--steps") + 1] = "40"
+    p2.read(args2)
+    assert p2.tryRun() == 0
+    c2 = np.asarray(next(MetaData(d + "/out.xmd").iterRows())
+                    ["sphCoefficients"])
+    np.testing.assert_allclose(c1, c2)
+
+
+def test_use_ctf_forward_model(tmp_path):
+    """--useCTF folds the rows' CTF into the forward projection: fitting
+    CTF-affected images with --useCTF must beat fitting them without."""
+    d = str(tmp_path)
+    vol = _blob_vol()
+    Image(vol).write(d + "/vol.mrc")
+    pos, vals, Z = masked_voxel_basis(vol, 1, 1, value_threshold=1e-3)
+    from xmipp3_tpu.ops.forward_zernike import _ctf_spec
+    img, _ = forward_splat_project(
+        jnp.asarray(pos), jnp.asarray(vals), jnp.asarray(Z),
+        jnp.zeros((3, Z.shape[0]), jnp.float32), 15.0, 30.0, 0.0, 32)
+    lam_e = 12.2643247 / np.sqrt(300e3 * (1 + 0.978466e-6 * 300e3))
+    consts = (float(np.pi * lam_e),
+              float(np.pi / 2 * 2.7e7 * lam_e ** 3 / 1),
+              float(np.sqrt(1 - 0.07 ** 2)), 0.07, 2.0)
+    ctf = _ctf_spec(32, 18000.0, 16000.0, 20.0, consts, False)
+    img_ctf = np.asarray(jnp.fft.irfft2(jnp.fft.rfft2(img) * ctf,
+                                        (32, 32)))
+    Image(img_ctf.astype(np.float32)).write(d + "/p0.mrc")
+    MetaData.fromRows([{
+        "image": d + "/p0.mrc", "angleRot": 15.0, "angleTilt": 30.0,
+        "anglePsi": 0.0, "ctfDefocusU": 18000.0, "ctfDefocusV": 16000.0,
+        "ctfDefocusAngle": 20.0, "ctfVoltage": 300.0,
+        "ctfSphericalAberration": 2.7, "ctfQ0": 0.07,
+    }]).write(d + "/parts.xmd")
+    base_args = ["x", "-i", d + "/parts.xmd", "--ref", d + "/vol.mrc",
+                 "--l1", "1", "--l2", "1", "--steps", "5", "-v", "0",
+                 "--optimizeDeformation", "--blobr", "-1",
+                 "--max_resolution", "0", "--sampling", "2.0"]
+    p = get_program("forward_zernike_images")
+    p.read(base_args + ["-o", d + "/ctf.xmd", "--useCTF"])
+    assert p.tryRun() == 0
+    p2 = get_program("forward_zernike_images")
+    p2.read(base_args + ["-o", d + "/noctf.xmd"])
+    assert p2.tryRun() == 0
+    assert p.mean_corr > 0.995 > p2.mean_corr

@@ -114,3 +114,27 @@ def test_local_volume_adjust(tmp_path):
     inner = slice(6, 18)
     err = np.abs(adj - v1)[inner, inner, inner].mean()
     assert err < 0.15
+
+
+def test_movie_filter_dose_cli(tmp_path):
+    """CLI endpoint applies the Grant-Grigorieff weights exactly
+    (reference movie_filter_dose.cpp applyDoseFilterToImage)."""
+    import jax.numpy as jnp
+    from xmipp3_tpu.ops import movie as mops
+
+    rng = np.random.default_rng(7)
+    frames = rng.standard_normal((4, 16, 16)).astype(np.float32)
+    fn = str(tmp_path / "movie.mrcs")
+    save_image(fn, frames)
+    out = str(tmp_path / "weighted.mrcs")
+    run_prog("movie_filter_dose",
+             f"-i {fn} -o {out} --sampling 1.2 --dose_per_frame 2.5 "
+             f"--pre_dose 1.0 --voltage 300")
+    got = np.squeeze(Image(out).data)
+    q = mops.dose_filter(16, 4, 2.5, 1.2, 1.0, 300.0)
+    want = np.asarray(jnp.fft.irfft2(jnp.fft.rfft2(jnp.asarray(frames)) * q,
+                                     s=(16, 16)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # later frames are strictly more attenuated at high frequency
+    hi = np.asarray(q)[:, 8, 8]
+    assert np.all(np.diff(hi) < 0)

@@ -2,20 +2,24 @@
 
 The reference's addParamsLine grammar is the de-facto Scipion API
 (SURVEY.md §5.6). This script extracts the option tokens declared by the
-reference sources for the top Scipion-facing programs, diffs them against
-the flags our registered programs declare, and rewrites
-docs/FLAG_AUDIT.md. Intentional divergences are annotated in
-DIVERGENCES below so the audit stays zero-unexplained.
+reference sources for EVERY reference program (hand-curated source lists
+for the top Scipion-facing programs; auto-discovered via the program
+main.cpp's #include graph for the rest), diffs them against the flags our
+registered programs declare, and rewrites docs/FLAG_AUDIT.md. Intentional
+divergences are annotated in DIVERGENCES / GLOBAL_DIVERGENCES below so
+the audit stays zero-unexplained.
 
 Run: JAX_PLATFORMS=cpu PALLAS_AXON_POOL_IPS= python tools/flag_audit.py
 """
 from __future__ import annotations
 
+import glob
 import os
 import re
 import sys
 
 REF = "/root/reference/src/xmipp/libraries"
+REFAPP = "/root/reference/src/xmipp/applications/programs"
 
 # our program name -> reference sources holding its defineParams grammar
 PROGRAMS = {
@@ -162,12 +166,70 @@ DIVERGENCES = {
 }
 
 
+# flags with no analog anywhere in a static-sharded XLA runtime; applied to
+# every program (only counted when the reference program actually has them)
+GLOBAL_DIVERGENCES = {
+    "--mpi_job_size": "dynamic master-worker job sizing; static mesh "
+                      "sharding (--mesh) replaces the job queue",
+    "--mem": "host/GPU memory budget knob; XLA manages HBM",
+    "--memory": "host/GPU memory budget knob; XLA manages HBM",
+    "--in_core": "host memory staging knob; data lives in HBM",
+    "--storage": "FFT plan storage file; XLA caches compiles instead",
+    "-gpusPerNode": "GPU topology knob; the device mesh is --mesh",
+    "-threadsPerGPU": "GPU topology knob; the device mesh is --mesh",
+    "--mpiCommand": "command used to spawn MPI children; no subprocess "
+                    "farm exists (the mesh is in-process)",
+    "--Nsimultaneous": "simultaneous-MPI-process knob; device batching "
+                       "is --batch",
+    "--nThreads": "host threads: standard --thr alias",
+    "--chunk_angular_distance": "master-worker job-locality chunking; "
+                                "static sharding has no job queue",
+}
+
+# reference program dirs with no auditable CLI grammar of their own or
+# covered by a differently-named endpoint on our side
+AUTO_SKIP = {
+    "CMakeLists.txt",
+    "xmipp_sync_data",       # data-download utility (network)
+    "mpi_write_test",        # MPI filesystem self-test; no algorithm
+    "mpi_run",               # job farm: ours is the threaded host runner
+}
+
+# reference program name -> our endpoint name when they differ
+NAME_MAP = {
+    "template_threads": "template",
+}
+
+
+def discover_sources(prog: str):
+    """Reference sources holding `prog`'s grammar: the program dir's
+    main.cpp + every library source reachable from its #includes (one
+    level — the reference declares defineParams in the program class's
+    own .cpp/.h)."""
+    d = os.path.join(REFAPP, prog)
+    mains = glob.glob(d + "/*.cpp")
+    srcs = list(mains)
+    for m in mains:
+        src = open(m, errors="replace").read()
+        for inc in re.findall(r'#include\s+[<"]([^">]+)[">]', src):
+            stem = os.path.splitext(os.path.basename(inc))[0]
+            srcs.extend(_LIB_INDEX.get(stem, []))
+    return sorted(set(srcs))
+
+
+_LIB_INDEX: dict[str, list[str]] = {}
+for _p in (glob.glob(REF + "/**/*.cpp", recursive=True)
+           + glob.glob(REF + "/**/*.h", recursive=True)):
+    _LIB_INDEX.setdefault(
+        os.path.splitext(os.path.basename(_p))[0], []).append(_p)
+
+
 def extract_reference_flags(files):
     flags = set()
     pat = re.compile(r'"\s*\[?\s*(--?[A-Za-z_][A-Za-z0-9_]*)')
     alias_pat = re.compile(r'alias\s+((?:--?[A-Za-z_][A-Za-z0-9_]*\s*)+);')
     for rel in files:
-        path = os.path.join(REF, rel)
+        path = rel if os.path.isabs(rel) else os.path.join(REF, rel)
         if not os.path.exists(path):
             continue
         src = open(path, errors="replace").read()
@@ -190,7 +252,10 @@ def extract_reference_flags(files):
 
 def our_flags(name):
     from xmipp3_tpu.programs import get_program
-    prog = get_program(name)
+    try:
+        prog = get_program(name)
+    except Exception:
+        return None
     if not getattr(prog, "_grammar", None) or not prog._grammar.params:
         try:
             prog.defineParams()
@@ -204,13 +269,36 @@ def our_flags(name):
     return flags
 
 
+def all_programs():
+    """Full audit map: hand-curated source lists for the top programs,
+    auto-discovered #include graphs for the rest of the 209."""
+    full = dict(PROGRAMS)
+    for prog in sorted(os.listdir(REFAPP)):
+        if prog in AUTO_SKIP or prog in full:
+            continue
+        if not os.path.isdir(os.path.join(REFAPP, prog)):
+            continue
+        ours_name = NAME_MAP.get(prog, prog)
+        if ours_name in full:
+            continue
+        full[ours_name] = discover_sources(prog)
+    return full
+
+
 def main():
     rows = []
     total_missing = 0
-    for name, files in sorted(PROGRAMS.items()):
+    for name, files in sorted(all_programs().items()):
         ref = extract_reference_flags(files) - EXCLUDES.get(name, set())
         ours = our_flags(name)
-        div = DIVERGENCES.get(name, {})
+        if ours is None:
+            total_missing += 1
+            rows.append((name, len(ref), 0, ["<endpoint-not-registered>"],
+                         [], [], {}))
+            continue
+        div = dict(GLOBAL_DIVERGENCES)
+        div.update(DIVERGENCES.get(name, {}))
+        div = {f: why for f, why in div.items() if f in ref}
         missing = sorted(f for f in ref if f not in ours and f not in div)
         explained = sorted(f for f in ref if f in div)
         extra = sorted(f for f in ours - ref
@@ -220,7 +308,9 @@ def main():
                                     "--batch", "--interp", "--gui", "-h"))
         total_missing += len(missing)
         rows.append((name, len(ref), len(ref) - len(missing)
-                     - len(explained), missing, explained, extra, div))
+                     - len(explained), missing, explained, extra,
+                     {f: w for f, w in DIVERGENCES.get(name, {}).items()
+                      if f in ref}))
 
     out = ["# Flag-surface audit (reference addParamsLine vs this CLI)",
            "",
@@ -234,6 +324,12 @@ def main():
     for name, nref, ncov, missing, explained, extra, div in rows:
         out.append(f"| {name} | {nref} | {ncov} | {len(explained)} | "
                    f"{' '.join('`%s`' % m for m in missing) or '-'} |")
+    out.append("")
+    out.append("## Global divergences (host/GPU-runtime knobs with no "
+               "static-mesh analog)")
+    out.append("")
+    for f, why in sorted(GLOBAL_DIVERGENCES.items()):
+        out.append(f"- `{f}`: {why}")
     out.append("")
     out.append("## Intentional divergences")
     out.append("")

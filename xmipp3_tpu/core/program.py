@@ -335,8 +335,10 @@ class XmippProgram:
                            "device selection is mesh-driven on TPU")
         self.addParamsLine("  [--device <dev=default>] : JAX device/mesh spec, "
                            "e.g. tpu, cpu, tpu:0-3")
+        self._grammar.add_line("     alias --dev;")
         self.addParamsLine("  [--thr <threads=1> <rows=1>] : Host worker threads "
                            "(I/O pipelining); device parallelism is automatic")
+        self._grammar.add_line("     alias --threads --nThreads;")
         self.addParamsLine("  [--trace <dir=\"\">]  : Write a jax.profiler "
                            "trace of the run to this directory (xprof/"
                            "TensorBoard viewable); -v 2 adds phase timing")

@@ -9,8 +9,16 @@ which deforms the volume and projects through the Fourier projector.
 
 TPU-first: the splat is a differentiable bilinear scatter-add inside jit,
 so the per-particle optimization is GRADIENT-based (Adam on coefficients +
-pose deltas) instead of the reference's Powell loop, and runs vmapped over
-a particle batch as one device dispatch.
+pose/defocus deltas) instead of the reference's Powell loop, and runs
+vmapped over a particle batch as one device dispatch. The full reference
+option surface is supported: voxel selection via --mask/--Rmax/--step,
+basis radius --RDef, KB blob splatting (--blobr; reference blob order 2,
+alpha 7.05, forward_zernike_images.cpp:279-281), per-image CTF in the
+forward model (--useCTF/--phaseFlipped/--optimizeDefocus), per-group
+optimize gates, and the pairs/triplets multi-image mode (MDL_IMAGE1/2 +
+angleRot2/3... labels, forward_zernike_images.cpp:653-705) where the
+deformation coefficients are shared across the 2-3 images of a particle
+and each image keeps its own pose/defocus deltas.
 """
 from __future__ import annotations
 
@@ -26,20 +34,35 @@ from xmipp3_tpu.ops.zernike import (real_sph_harm, zernike_indices,
 
 def masked_voxel_basis(vol: np.ndarray, L1: int, L2: int,
                        rmax: float | None = None,
-                       value_threshold: float = 0.0):
+                       value_threshold: float = 0.0,
+                       mask: np.ndarray | None = None,
+                       rdef: float | None = None,
+                       step: int = 1):
     """Voxel positions/values inside the deformation sphere + the Zernike3D
     basis evaluated AT those voxels: returns (positions (N,3) [x,y,z]
-    centered, values (N,), Z (K,N))."""
+    centered, values (N,), Z (K,N)).
+
+    rmax selects voxels (radius in px; reference --Rmax), rdef normalizes
+    the Zernike basis (reference --RDef; defaults to rmax), mask restricts
+    the selection to mask>0 (reference --mask), and step keeps every
+    step-th voxel along each axis (reference --step, the deformVol loop
+    stride)."""
     D = vol.shape[0]
-    if rmax is None:
+    if rmax is None or rmax <= 0:
         rmax = D / 2 - 1
+    if rdef is None or rdef <= 0:
+        rdef = rmax
     z, y, x = np.mgrid[0:D, 0:D, 0:D].astype(np.float64)
     zc, yc, xc = z - D // 2, y - D // 2, x - D // 2
     r = np.sqrt(xc * xc + yc * yc + zc * zc)
     sel = (r <= rmax) & (np.abs(vol) > value_threshold)
+    if mask is not None:
+        sel &= np.squeeze(np.asarray(mask)) > 0.5
+    if step > 1:
+        sel &= ((z % step == 0) & (y % step == 0) & (x % step == 0))
     pos = np.stack([xc[sel], yc[sel], zc[sel]], axis=1)
     vals = np.asarray(vol)[sel].astype(np.float32)
-    xr, yr, zr = (pos[:, 0] / rmax, pos[:, 1] / rmax, pos[:, 2] / rmax)
+    xr, yr, zr = (pos[:, 0] / rdef, pos[:, 1] / rdef, pos[:, 2] / rdef)
     rr = np.sqrt(xr * xr + yr * yr + zr * zr)
     rs = np.where(rr > 0, rr, 1e-9)
     theta = np.arccos(np.clip(zr / rs, -1, 1))
@@ -50,6 +73,31 @@ def masked_voxel_basis(vol: np.ndarray, L1: int, L2: int,
         Z[k] = (zernike_radial(n, l, rr)
                 * real_sph_harm(l, m, theta, phi)).astype(np.float32)
     return pos.astype(np.float32), vals, Z
+
+
+def blob_splat_profile(blob_r: float, order: int = 2, alpha: float = 7.05,
+                       samples_per_px: int = 32):
+    """Radial profile of the PROJECTED 3-D Kaiser-Bessel blob (its line
+    integral along the projection direction), tabulated at 1/samples_per_px
+    px — the reference's splatting footprint (blob.radius=blobr, order 2,
+    alpha 7.05, forward_zernike_images.cpp:279-281). Returns (profile
+    (T,), n_taps) where n_taps is the integer tap half-width."""
+    from xmipp3_tpu.ops.basis import kaiser_value
+    n_taps = int(np.ceil(blob_r))
+    smax = n_taps + 1.0
+    s = np.arange(int(smax * samples_per_px) + 2) / samples_per_px
+    zq = np.linspace(-blob_r, blob_r, 257)
+    rr = np.sqrt(s[:, None] ** 2 + zq[None, :] ** 2)
+    vals = np.asarray(kaiser_value(rr.ravel(), a=blob_r, alpha=alpha,
+                                   m=order), np.float64).reshape(rr.shape)
+    prof = np.trapezoid(vals, zq, axis=1)
+    # normalize to unit mass on the 2-D plane so splatted images keep the
+    # voxel values' scale (sum over the footprint ≈ 1)
+    ss = np.arange(0.0, smax, 1.0 / samples_per_px)
+    pr = np.interp(ss, s, prof)
+    mass = np.trapezoid(2 * np.pi * ss * pr, ss)
+    prof = prof / max(mass, 1e-12)
+    return prof.astype(np.float32), n_taps
 
 
 def _euler_rows(rot, tilt, psi):
@@ -66,94 +114,216 @@ def _euler_rows(rot, tilt, psi):
 
 
 def forward_splat_project(positions, values, Z, coeffs3, rot, tilt, psi,
-                          size: int):
+                          size: int, blob_profile=None, n_taps: int = 0,
+                          samples_per_px: int = 32):
     """Project the deformed voxel cloud: g = coeffs3·Z displaces each voxel,
     the pose rows map it to image coords, and the value is splat with
-    bilinear weights (differentiable scatter-add). Returns ((size, size)
-    image, mean squared deformation)."""
+    bilinear weights (differentiable scatter-add) — or, when blob_profile
+    is given, with the projected KB blob footprint over a (2·n_taps+1)²
+    tap window. Returns ((size, size) image, mean squared deformation)."""
     g = coeffs3 @ Z                                      # (3, N)
     p = positions.T + g                                  # (3, N) x,y,z
     row0, row1 = _euler_rows(rot, tilt, psi)
     xi = row0[0] * p[0] + row0[1] * p[1] + row0[2] * p[2] + size // 2
     yi = row1[0] * p[0] + row1[1] * p[1] + row1[2] * p[2] + size // 2
-    x0 = jnp.floor(xi)
-    y0 = jnp.floor(yi)
-    fx = xi - x0
-    fy = yi - y0
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
     img = jnp.zeros((size, size), jnp.float32)
-    for dy in (0, 1):
-        for dx in (0, 1):
-            w = jnp.where(dy, fy, 1 - fy) * jnp.where(dx, fx, 1 - fx)
-            yy = jnp.clip(y0 + dy, 0, size - 1)
-            xx = jnp.clip(x0 + dx, 0, size - 1)
-            inside = ((y0 + dy >= 0) & (y0 + dy < size)
-                      & (x0 + dx >= 0) & (x0 + dx < size))
-            img = img.at[yy, xx].add(jnp.where(inside, w * values, 0.0))
+    if blob_profile is None or n_taps <= 0:
+        x0 = jnp.floor(xi)
+        y0 = jnp.floor(yi)
+        fx = xi - x0
+        fy = yi - y0
+        x0 = x0.astype(jnp.int32)
+        y0 = y0.astype(jnp.int32)
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = jnp.where(dy, fy, 1 - fy) * jnp.where(dx, fx, 1 - fx)
+                yy = jnp.clip(y0 + dy, 0, size - 1)
+                xx = jnp.clip(x0 + dx, 0, size - 1)
+                inside = ((y0 + dy >= 0) & (y0 + dy < size)
+                          & (x0 + dx >= 0) & (x0 + dx < size))
+                img = img.at[yy, xx].add(jnp.where(inside, w * values, 0.0))
+    else:
+        x0 = jnp.round(xi).astype(jnp.int32)
+        y0 = jnp.round(yi).astype(jnp.int32)
+        T = blob_profile.shape[0]
+        for dy in range(-n_taps, n_taps + 1):
+            for dx in range(-n_taps, n_taps + 1):
+                yy = y0 + dy
+                xx = x0 + dx
+                dist = jnp.sqrt((yi - yy.astype(jnp.float32)) ** 2
+                                + (xi - xx.astype(jnp.float32)) ** 2
+                                + 1e-12)
+                # linear interpolation of the footprint table so the
+                # position gradient flows through the blob weight (an
+                # integer lookup would zero the deformation/pose grads)
+                tf = jnp.clip(dist * samples_per_px, 0.0, T - 1.001)
+                ti = tf.astype(jnp.int32)
+                frac = tf - ti.astype(jnp.float32)
+                w = (jnp.take(blob_profile, ti) * (1 - frac)
+                     + jnp.take(blob_profile, ti + 1) * frac)
+                inside = ((yy >= 0) & (yy < size) & (xx >= 0) & (xx < size)
+                          & (dist < n_taps + 1.0))
+                img = img.at[jnp.clip(yy, 0, size - 1),
+                             jnp.clip(xx, 0, size - 1)].add(
+                    jnp.where(inside, w * values, 0.0))
     def2 = jnp.mean(jnp.sum(g * g, axis=0))
     return img, def2
 
 
-@partial(jax.jit, static_argnames=("size", "steps"))
+def _ctf_spec(size: int, defU, defV, ang, ctf_consts,
+              phase_flipped: bool):
+    """Astigmatic CTF on this image's rfft grid from scalar defocus
+    (same parametrization as ops/continuous._ctf_rfft)."""
+    K1, K2, Ksin, Kcos, Ts = ctf_consts
+    fy = jnp.fft.fftfreq(size).astype(jnp.float32)[:, None]
+    fx = jnp.fft.rfftfreq(size).astype(jnp.float32)[None, :]
+    r2 = fx * fx + fy * fy
+    u2 = r2 / (Ts * Ts)
+    safe = jnp.maximum(r2, 1e-30)
+    c2t = (fx * fx - fy * fy) / safe
+    s2t = 2 * fx * fy / safe
+    az = jnp.deg2rad(ang)
+    cos2 = c2t * jnp.cos(2 * az) + s2t * jnp.sin(2 * az)
+    deltaf = -(defU + defV) / 2 + (-(defU - defV) / 2) * cos2
+    arg = K1 * deltaf * u2 + K2 * u2 * u2
+    ctf = -(Ksin * jnp.sin(arg) - Kcos * jnp.cos(arg))
+    return jnp.abs(ctf) if phase_flipped else ctf
+
+
+@partial(jax.jit, static_argnames=("size", "steps", "n_taps", "use_ctf",
+                                   "phase_flipped", "opt_align",
+                                   "opt_deform", "opt_defocus"))
 def fit_forward_zernike_batch(positions, values, Z, imgs, rots, tilts, psis,
                               coeffs0, lam: float, size: int, steps: int,
                               lr: float = 0.5, max_angular: float = 5.0,
-                              max_shift: float = 5.0):
+                              max_shift: float = 5.0,
+                              shifts_x=None, shifts_y=None,
+                              blob_profile=None, n_taps: int = 0,
+                              use_ctf: bool = False,
+                              phase_flipped: bool = False,
+                              defU=None, defV=None, defAng=None,
+                              ctf_consts=(0.0, 0.0, 1.0, 0.0, 1.0),
+                              opt_align: bool = True,
+                              opt_deform: bool = True,
+                              opt_defocus: bool = False,
+                              img_mask=None):
     """Per-particle forward-model fit (vmapped batch, single dispatch):
-    Adam over (3, K) deformation coefficients + (drot, dtilt, dpsi, dx, dy)
-    minimizing  -corr(P, I) + lam·sqrt(mean|g|^2).
-    Returns (coeffs (B,3,K), dpose (B,5), corr (B,), deformation (B,))."""
+    Adam over (3, K) deformation coefficients + per-image
+    (drot, dtilt, dpsi, dx, dy, ddefU, ddefV, ddefAng) deltas minimizing
+    mean_images[-corr(P_m, I_m)] + lam·sqrt(mean|g|^2), with the
+    --optimize* gates as per-group learning rates (0 freezes a group, the
+    reference's parameter-subset Powell). Images may carry a multi-image
+    axis (B, M, H, W) for the pairs/triplets mode — the coefficients are
+    shared across M, the deltas are per image.
+    Returns (coeffs (B,3,K), dpose (B,[M,]8), corr (B[,M]), deform (B,))."""
+    multi = imgs.ndim == 4
+    if not multi:
+        imgs = imgs[:, None]
+        rots, tilts, psis = rots[:, None], tilts[:, None], psis[:, None]
+    B, M = imgs.shape[0], imgs.shape[1]
 
-    def project(c3, dpose, rot, tilt, psi):
+    def opt2(a):
+        if a is None:
+            return jnp.zeros((B, M), jnp.float32)
+        a = jnp.asarray(a, jnp.float32)
+        return a[:, None] * jnp.ones((1, M), jnp.float32) if a.ndim == 1 \
+            else a
+    sx0, sy0 = opt2(shifts_x), opt2(shifts_y)
+    dU0, dV0, dA0 = opt2(defU), opt2(defV), opt2(defAng)
+
+    lr_a = lr if opt_align else 0.0
+    lr_d = 30.0 if (opt_defocus and use_ctf) else 0.0
+    lr_pose = jnp.asarray([lr_a, lr_a, lr_a, lr_a, lr_a, lr_d, lr_d,
+                           0.1 * lr_d], jnp.float32)
+    lr_c = lr if opt_deform else 0.0
+
+    def project(c3, dp, rot, tilt, psi, sx_i, sy_i, dU_i, dV_i, dA_i):
         img, def2 = forward_splat_project(
             positions, values, Z, c3,
-            rot + jnp.clip(dpose[0], -max_angular, max_angular),
-            tilt + jnp.clip(dpose[1], -max_angular, max_angular),
-            psi + jnp.clip(dpose[2], -max_angular, max_angular), size)
-        sx = jnp.clip(dpose[3], -max_shift, max_shift)
-        sy = jnp.clip(dpose[4], -max_shift, max_shift)
+            rot + jnp.clip(dp[0], -max_angular, max_angular),
+            tilt + jnp.clip(dp[1], -max_angular, max_angular),
+            psi + jnp.clip(dp[2], -max_angular, max_angular), size,
+            blob_profile=blob_profile, n_taps=n_taps)
+        sx = sx_i + jnp.clip(dp[3], -max_shift, max_shift)
+        sy = sy_i + jnp.clip(dp[4], -max_shift, max_shift)
         # shift the projection in Fourier space (differentiable, exact)
         fy = jnp.fft.fftfreq(size).astype(jnp.float32)[:, None]
         fx = jnp.fft.rfftfreq(size).astype(jnp.float32)[None, :]
         spec = jnp.fft.rfft2(img)
         phase = jnp.exp(-2j * jnp.pi * (fy * sy + fx * sx))
-        return jnp.fft.irfft2(spec * phase, (size, size)), def2
+        spec = spec * phase
+        if use_ctf:
+            spec = spec * _ctf_spec(size, dU_i + dp[5], dV_i + dp[6],
+                                    dA_i + dp[7], ctf_consts, phase_flipped)
+        return jnp.fft.irfft2(spec, (size, size)), def2
 
     def corr(a, b):
-        am = a - a.mean()
-        bm = b - b.mean()
-        return (am * bm).sum() / jnp.sqrt(
-            jnp.maximum((am * am).sum() * (bm * bm).sum(), 1e-20))
+        # masked correlation over the --Rmax circular region (the
+        # reference's mask2D, forward_zernike_images.cpp:242-246)
+        if img_mask is None:
+            am = a - a.mean()
+            bm = b - b.mean()
+            return (am * bm).sum() / jnp.sqrt(
+                jnp.maximum((am * am).sum() * (bm * bm).sum(), 1e-20))
+        w = img_mask
+        ws = jnp.maximum(w.sum(), 1e-20)
+        am = a - (a * w).sum() / ws
+        bm = b - (b * w).sum() / ws
+        return (w * am * bm).sum() / jnp.sqrt(
+            jnp.maximum((w * am * am).sum() * (w * bm * bm).sum(), 1e-20))
 
-    def loss_one(params, img, rot, tilt, psi):
-        c3, dpose = params
-        P, def2 = project(c3, dpose, rot, tilt, psi)
-        return -corr(P, img) + lam * jnp.sqrt(def2 + 1e-12)
+    def loss_one(params, img_m, rot_m, tilt_m, psi_m, sx_m, sy_m,
+                 dU_m, dV_m, dA_m):
+        c3, dpose = params                       # dpose (M, 8)
+        Ps, def2s = jax.vmap(
+            lambda dp, im, r, t, p, sx, sy, du, dv, da: project(
+                c3, dp, r, t, p, sx, sy, du, dv, da))(
+            dpose, img_m, rot_m, tilt_m, psi_m, sx_m, sy_m, dU_m, dV_m,
+            dA_m)
+        cc = jax.vmap(corr)(Ps, img_m)
+        return -cc.mean() + lam * jnp.sqrt(def2s[0] + 1e-12)
 
-    def fit_one(img, rot, tilt, psi, c0):
-        params = (c0, jnp.zeros(5, jnp.float32))
+    def fit_one(img_m, rot_m, tilt_m, psi_m, c0, sx_m, sy_m, dU_m, dV_m,
+                dA_m):
+        params = (c0, jnp.zeros((M, 8), jnp.float32))
         m = jax.tree_util.tree_map(jnp.zeros_like, params)
         v = jax.tree_util.tree_map(jnp.zeros_like, params)
         b1, b2, eps = 0.9, 0.999, 1e-8
+        lrs = (lr_c, lr_pose[None, :])
 
         def step(carry, t):
             params, m, v = carry
-            g = jax.grad(loss_one)(params, img, rot, tilt, psi)
+            g = jax.grad(loss_one)(params, img_m, rot_m, tilt_m, psi_m,
+                                   sx_m, sy_m, dU_m, dV_m, dA_m)
             m = jax.tree_util.tree_map(lambda a, b: b1 * a + (1 - b1) * b,
                                        m, g)
             v = jax.tree_util.tree_map(
                 lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
             tt = t + 1
             params = jax.tree_util.tree_map(
-                lambda p, mm, vv: p - lr * (mm / (1 - b1 ** tt))
-                / (jnp.sqrt(vv / (1 - b2 ** tt)) + eps), params, m, v)
+                lambda p, mm, vv, l: p - l * (mm / (1 - b1 ** tt))
+                / (jnp.sqrt(vv / (1 - b2 ** tt)) + eps), params, m, v,
+                lrs)
             return (params, m, v), 0.0
 
         (params, _, _), _ = jax.lax.scan(step, (params, m, v),
                                          jnp.arange(steps, dtype=jnp.float32))
         c3, dpose = params
-        P, def2 = project(c3, dpose, rot, tilt, psi)
-        return c3, dpose, corr(P, img), jnp.sqrt(def2)
+        Ps, def2s = jax.vmap(
+            lambda dp, im, r, t, p, sx, sy, du, dv, da: project(
+                c3, dp, r, t, p, sx, sy, du, dv, da))(
+            dpose, img_m, rot_m, tilt_m, psi_m, sx_m, sy_m, dU_m, dV_m,
+            dA_m)
+        cc = jax.vmap(corr)(Ps, img_m)
+        # report clipped (= applied) deltas
+        dpose = dpose.at[:, 0:3].set(
+            jnp.clip(dpose[:, 0:3], -max_angular, max_angular))
+        dpose = dpose.at[:, 3:5].set(
+            jnp.clip(dpose[:, 3:5], -max_shift, max_shift))
+        return c3, dpose, cc, jnp.sqrt(def2s[0])
 
-    return jax.vmap(fit_one)(imgs, rots, tilts, psis, coeffs0)
+    c3, dpose, cc, deform = jax.vmap(fit_one)(
+        imgs, rots, tilts, psis, coeffs0, sx0, sy0, dU0, dV0, dA0)
+    if not multi:
+        dpose, cc = dpose[:, 0], cc[:, 0]
+    return c3, dpose, cc, deform

@@ -88,6 +88,14 @@ class ProgVolumeApplyCoefficientZernike3D(XmippProgram):
 
 
 class ProgAngularSphAlignment(XmippProgram):
+    """Full reference option surface (angular_sph_alignment.cpp:104-120):
+    mask/RDef restrict+normalize the deformation basis, Rmax masks the 2-D
+    correlation region, sampling+max_resolution low-pass the images, the
+    --optimize* gates select the fitted parameter groups (pose/shift
+    deltas clipped to max_angular_change / max_shift), per-particle
+    defocus deltas ride the rows' CTF (applied when CTF columns exist;
+    --phaseFlipped uses |CTF|), and --resume skips rows in the odir
+    sphDone.xmd ledger."""
     name = "xmipp_angular_sph_alignment"
 
     def defineParams(self):
@@ -97,8 +105,33 @@ class ProgAngularSphAlignment(XmippProgram):
         self.addParamsLine("   -i <md_file> : Particles with poses")
         self.addParamsLine("   --ref <volume> : Reference volume")
         self.addParamsLine("   -o <md_file> : Output with sphCoefficients")
-        self.addParamsLine("  [--l1 <l1=2>]  : Zernike radial depth")
+        self.addParamsLine("  [--mask <m=\"\">] : Reference volume mask "
+                           "(deformation support)")
+        self.addParamsLine("  [--odir <outputDir=\".\">] : Output directory")
+        self.addParamsLine("  [--max_shift <s=-1>] : Maximum shift delta "
+                           "(px); -1 = 20% of the image size")
+        self.addParamsLine("  [--max_angular_change <a=5>] : Maximum "
+                           "angular delta (deg)")
+        self.addParamsLine("  [--max_resolution <f=4>] : Low-pass the "
+                           "images to this resolution (A); <=0 disables")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (A)")
+        self.addParamsLine("  [--Rmax <R=-1>] : Correlation mask radius "
+                           "(px); -1 = half the image size")
+        self.addParamsLine("  [--RDef <r=-1>] : Deformation sphere radius "
+                           "(px); -1 = half the volume size")
+        self.addParamsLine("  [--l1 <l1=3>]  : Zernike radial depth")
         self.addParamsLine("  [--l2 <l2=2>]  : Spherical harmonic depth")
+        self.addParamsLine("  [--optimizeAlignment] : Optimize pose deltas")
+        self.addParamsLine("  [--optimizeDeformation] : Optimize Zernike3D "
+                           "coefficients")
+        self.addParamsLine("  [--optimizeDefocus] : Optimize per-particle "
+                           "defocus deltas")
+        self.addParamsLine("  [--phaseFlipped] : Input images have been "
+                           "phase flipped (use |CTF|)")
+        self.addParamsLine("  [--regularization <l=0.01>] : Deformation "
+                           "penalty lambda")
+        self.addParamsLine("  [--resume] : Resume from the odir "
+                           "sphDone.xmd ledger")
         self.addParamsLine("  [--steps <n=40>] : Optimization steps per batch")
         self.addParamsLine("  [--batch <b=16>] : Particles per batch")
         self.addParamsLine("  [--priors <md=\"\">] : Metadata with prior "
@@ -109,44 +142,135 @@ class ProgAngularSphAlignment(XmippProgram):
         add_mesh_params(self)
 
     def run(self):
+        import os
         import jax
         import jax.numpy as jnp
         from xmipp3_tpu.core.metadata_program import load_image_rows
+        from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                                   low_pass_mask)
         from xmipp3_tpu.ops.zernike import deform_volume, zernike_basis_grid
+        from xmipp3_tpu.ops.forward_zernike import _ctf_spec
         from xmipp3_tpu.ops.project import (prepare_fourier_volume,
                                             extract_central_slices,
                                             slices_to_projections)
         from xmipp3_tpu.ops.continuous import _euler_jnp
 
+        odir = self.getParam("--odir")
+        out_fn = self.getParam("-o")
+        if odir and odir != "." and not os.path.isabs(out_fn):
+            os.makedirs(odir, exist_ok=True)
+            out_fn = os.path.join(odir, out_fn)
         md = MetaData(self.getParam("-i"))
         md.removeDisabled()
         rows = list(md.iterRows())
+        done_fn = os.path.join(odir, "sphDone.xmd")
+        done_rows = []
+        if self.checkParam("--resume") and os.path.exists(done_fn):
+            done_rows = list(MetaData(done_fn).iterRows())
+            done = {str(r.get("image", "")) for r in done_rows}
+            rows = [r for r in rows if str(r.get("image", "")) not in done]
+        if not rows:
+            MetaData.fromRows(done_rows).write(out_fn)
+            return
         imgs = load_image_rows(rows)
         vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
         D = vol.shape[0]
         L1, L2 = self.getIntParam("--l1"), self.getIntParam("--l2")
-        basis = jnp.asarray(zernike_basis_grid(D, L1, L2))
+        rdef = float(self.getIntParam("--RDef"))
+        basis = zernike_basis_grid(D, L1, L2,
+                                   radius=rdef if rdef > 0 else None)
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            mvol = np.squeeze(Image(self.getParam("--mask")).data)
+            basis = basis * (mvol > 0.5).astype(np.float32)[None]
+        basis = jnp.asarray(basis)
         K = basis.shape[0]
         get = lambda k, d=0.0: np.array([float(r.get(k, d)) for r in rows],
                                         np.float32)
         rot, tilt, psi = get("angleRot"), get("angleTilt"), get("anglePsi")
+        sx0, sy0 = get("shiftX"), get("shiftY")
         N = imgs.shape[-1]
+        Ts = float(self.getDoubleParam("--sampling"))
+        max_res = float(self.getDoubleParam("--max_resolution"))
+        if max_res > 0:
+            lp = low_pass_mask(N, N, min(0.5, Ts / max_res), raised_w=0.02)
+            imgs = np.asarray(apply_fourier_mask_2d(jnp.asarray(imgs), lp))
+        rmax2d = float(self.getIntParam("--Rmax"))
+        if rmax2d <= 0:
+            rmax2d = N / 2
+        yy, xx = np.mgrid[0:N, 0:N].astype(np.float32) - N // 2
+        w2d = jnp.asarray((yy * yy + xx * xx <= rmax2d * rmax2d)
+                          .astype(np.float32))
+        lam = float(self.getDoubleParam("--regularization"))
+        opt_align = self.checkParam("--optimizeAlignment")
+        opt_deform = self.checkParam("--optimizeDeformation")
+        opt_defocus = self.checkParam("--optimizeDefocus")
+        if not (opt_align or opt_deform or opt_defocus):
+            opt_deform = True
+        phase_flipped = self.checkParam("--phaseFlipped")
+        use_ctf = "ctfDefocusU" in md.df.columns
+        if use_ctf:
+            kV = float(rows[0].get("ctfVoltage", 300.0))
+            Cs = float(rows[0].get("ctfSphericalAberration", 2.7))
+            Q0 = float(rows[0].get("ctfQ0", 0.07))
+            lam_e = 12.2643247 / np.sqrt(kV * 1e3
+                                         * (1 + 0.978466e-6 * kV * 1e3))
+            ctf_consts = (float(np.pi * lam_e),
+                          float(np.pi / 2 * Cs * 1e7 * lam_e ** 3),
+                          float(np.sqrt(max(1 - Q0 ** 2, 0.0))), float(Q0),
+                          float(max(Ts, 1e-6)))
+            defU, defV = get("ctfDefocusU"), get("ctfDefocusV")
+            defA = get("ctfDefocusAngle")
+        else:
+            ctf_consts = (0.0, 0.0, 1.0, 0.0, 1.0)
+            defU = defV = defA = np.zeros(len(rows), np.float32)
+        max_ang = float(self.getDoubleParam("--max_angular_change"))
+        max_shift = float(self.getDoubleParam("--max_shift"))
+        if max_shift < 0:
+            max_shift = 0.2 * N
+        lr_a = 0.5 if opt_align else 0.0
+        lr_d = 30.0 if (opt_defocus and use_ctf) else 0.0
+        lr_pose = jnp.asarray([lr_a] * 5 + [lr_d, lr_d, 0.1 * lr_d],
+                              jnp.float32)
+        lr_c = 0.05 if opt_deform else 0.0
         vol_j = jnp.asarray(vol)
 
-        def one_loss(coeffs, img, rot_i, tilt_i, psi_i):
+        def one_loss(coeffs, dp, img, rot_i, tilt_i, psi_i, sx_i, sy_i,
+                     dU, dV, dA):
             warped = deform_volume(vol_j, basis, coeffs)
             vf, _ = prepare_fourier_volume(warped, 2.0)
-            mats = _euler_jnp(rot_i[None], tilt_i[None], psi_i[None])
+            mats = _euler_jnp(
+                (rot_i + jnp.clip(dp[0], -max_ang, max_ang))[None],
+                (tilt_i + jnp.clip(dp[1], -max_ang, max_ang))[None],
+                (psi_i + jnp.clip(dp[2], -max_ang, max_ang))[None])
             proj = slices_to_projections(
                 extract_central_slices(vf, mats, N), N)[0]
-            pm = proj - proj.mean()
-            im = img - img.mean()
-            return -(pm * im).sum() / jnp.maximum(
-                jnp.sqrt((pm ** 2).sum() * (im ** 2).sum()), 1e-12)
+            sx = sx_i + jnp.clip(dp[3], -max_shift, max_shift)
+            sy = sy_i + jnp.clip(dp[4], -max_shift, max_shift)
+            fy = jnp.fft.fftfreq(N).astype(jnp.float32)[:, None]
+            fx = jnp.fft.rfftfreq(N).astype(jnp.float32)[None, :]
+            spec = jnp.fft.rfft2(proj) * jnp.exp(
+                -2j * jnp.pi * (fy * sy + fx * sx))
+            if use_ctf:
+                spec = spec * _ctf_spec(N, dU + dp[5], dV + dp[6],
+                                        dA + dp[7], ctf_consts,
+                                        phase_flipped)
+            proj = jnp.fft.irfft2(spec, (N, N))
+            ws = jnp.maximum(w2d.sum(), 1e-20)
+            pm = proj - (proj * w2d).sum() / ws
+            im = img - (img * w2d).sum() / ws
+            cc = (w2d * pm * im).sum() / jnp.maximum(
+                jnp.sqrt((w2d * pm * pm).sum() * (w2d * im * im).sum()),
+                1e-12)
+            g2 = (jnp.einsum("ck,kzyx->czyx", coeffs, basis) ** 2
+                  ).sum(0).mean()
+            return -cc + lam * jnp.sqrt(g2 + 1e-12)
 
-        def batch_loss(coeffs_b, imgs_b, rot_b, tilt_b, psi_b):
-            losses = jax.vmap(one_loss)(coeffs_b, imgs_b, rot_b, tilt_b,
-                                        psi_b)
+        def batch_loss(params, imgs_b, rot_b, tilt_b, psi_b, sx_b, sy_b,
+                       dU_b, dV_b, dA_b):
+            coeffs_b, dpose_b = params
+            losses = jax.vmap(one_loss)(coeffs_b, dpose_b, imgs_b, rot_b,
+                                        tilt_b, psi_b, sx_b, sy_b, dU_b,
+                                        dV_b, dA_b)
             return losses.mean(), losses
 
         grad_fn = jax.jit(jax.value_and_grad(batch_loss, has_aux=True))
@@ -177,7 +301,8 @@ class ProgAngularSphAlignment(XmippProgram):
             nb = sl.stop - sl.start
             coeffs = (np.zeros((nb, 3, K), np.float32) if priors is None
                       else priors[sl])
-            args = [imgs[sl], rot[sl], tilt[sl], psi[sl]]
+            args = [imgs[sl], rot[sl], tilt[sl], psi[sl], sx0[sl], sy0[sl],
+                    defU[sl], defV[sl], defA[sl]]
             nb_run = nb
             if mesh is not None:
                 # per-particle DP (the reference's mpi_angular_sph_alignment
@@ -203,28 +328,59 @@ class ProgAngularSphAlignment(XmippProgram):
             else:
                 coeffs = jnp.asarray(coeffs, jnp.float32)
                 args = [jnp.asarray(a) for a in args]
-            m = jnp.zeros_like(coeffs)
-            v = jnp.zeros_like(coeffs)
+            dpose = jnp.zeros((coeffs.shape[0], 8), jnp.float32)
+            params = (coeffs, dpose)
+            m = jax.tree_util.tree_map(jnp.zeros_like, params)
+            v = jax.tree_util.tree_map(jnp.zeros_like, params)
+            lrs = (lr_c, lr_pose[None, :])
             losses = None
             for step in range(n_steps):
-                (loss, losses), g = grad_fn(coeffs, *args)
-                g = g * nb_run
-                m = 0.9 * m + 0.1 * g
-                v = 0.999 * v + 0.001 * g * g
-                mhat = m / (1 - 0.9 ** (step + 1))
-                vhat = v / (1 - 0.999 ** (step + 1))
-                coeffs = coeffs - 0.05 * mhat / (jnp.sqrt(vhat) + 1e-8)
+                (loss, losses), g = grad_fn(params, *args)
+                g = jax.tree_util.tree_map(lambda a: a * nb_run, g)
+                m = jax.tree_util.tree_map(
+                    lambda a, b: 0.9 * a + 0.1 * b, m, g)
+                v = jax.tree_util.tree_map(
+                    lambda a, b: 0.999 * a + 0.001 * b * b, v, g)
+                t = step + 1
+                params = jax.tree_util.tree_map(
+                    lambda p, mm, vv, l: p - l * (mm / (1 - 0.9 ** t))
+                    / (jnp.sqrt(vv / (1 - 0.999 ** t)) + 1e-8),
+                    params, m, v, lrs)
+            coeffs, dpose = params
             cc = -np.asarray(losses)[:nb]
             cf = np.asarray(coeffs)[:nb]
+            dp = np.asarray(dpose)[:nb]
             for i in range(nb):
                 d = dict(rows[s + i])
                 d["sphCoefficients"] = cf[i].ravel().astype(np.float64)
                 d["sphDeformation"] = float(np.abs(cf[i]).mean())
                 d["maxCC"] = float(cc[i])
+                if opt_align:
+                    d["angleRot"] = float(rot[s + i]
+                                          + np.clip(dp[i, 0], -max_ang,
+                                                    max_ang))
+                    d["angleTilt"] = float(tilt[s + i]
+                                           + np.clip(dp[i, 1], -max_ang,
+                                                     max_ang))
+                    d["anglePsi"] = float(psi[s + i]
+                                          + np.clip(dp[i, 2], -max_ang,
+                                                    max_ang))
+                    d["shiftX"] = float(sx0[s + i]
+                                        + np.clip(dp[i, 3], -max_shift,
+                                                  max_shift))
+                    d["shiftY"] = float(sy0[s + i]
+                                        + np.clip(dp[i, 4], -max_shift,
+                                                  max_shift))
+                if opt_defocus and use_ctf:
+                    d["ctfDefocusU"] = float(defU[s + i] + dp[i, 5])
+                    d["ctfDefocusV"] = float(defV[s + i] + dp[i, 6])
                 out_rows.append(d)
             if self.verbose:
                 print(f"  sph batch {s // bs + 1}: mean CC {cc.mean():.4f}")
-        MetaData.fromRows(out_rows).write(self.getParam("-o"))
+            if self.checkParam("--resume"):
+                os.makedirs(odir or ".", exist_ok=True)
+                MetaData.fromRows(done_rows + out_rows).write(done_fn)
+        MetaData.fromRows(done_rows + out_rows).write(out_fn)
 
 
 PROGRAM = None
@@ -245,11 +401,44 @@ class ProgForwardZernikeImages(XmippProgram):
         self.addParamsLine("   -i <md_file> : Particles with poses")
         self.addParamsLine("   --ref <volume> : Reference volume")
         self.addParamsLine("   -o <md_file> : Output metadata")
-        self.addParamsLine("  [--l1 <l1=2>] : Zernike radial depth")
+        self.addParamsLine("  [--mask <m=\"\">] : Mask volume selecting the "
+                           "voxels to deform (default: sphere of radius "
+                           "--RDef)")
+        self.addParamsLine("  [--odir <outputDir=\".\">] : Output directory "
+                           "(relative outputs + the resume ledger live here)")
+        self.addParamsLine("  [--l1 <l1=3>] : Zernike radial depth")
         self.addParamsLine("  [--l2 <l2=2>] : Spherical harmonic depth")
-        self.addParamsLine("  [--max_shift <s=5>] : Maximum shift delta (px)")
+        self.addParamsLine("  [--max_shift <s=-1>] : Maximum shift delta "
+                           "(px); -1 = 20% of the image size")
         self.addParamsLine("  [--max_angular_change <a=5>] : Maximum angular delta (deg)")
-        self.addParamsLine("  [--regularization <l=0.005>] : Deformation penalty lambda")
+        self.addParamsLine("  [--max_resolution <f=4>] : Low-pass the "
+                           "images to this resolution (A) before fitting")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (A)")
+        self.addParamsLine("  [--Rmax <R=-1>] : Correlation mask radius "
+                           "(px); -1 = half the image size")
+        self.addParamsLine("  [--RDef <r=-1>] : Deformation sphere radius "
+                           "(px); -1 = half the volume size")
+        self.addParamsLine("  [--step <step=1>] : Voxel index stride of the "
+                           "splatted cloud")
+        self.addParamsLine("  [--useCTF] : Apply the rows' CTF to the "
+                           "forward projection")
+        self.addParamsLine("  [--phaseFlipped] : Input images have been "
+                           "phase flipped (use |CTF|)")
+        self.addParamsLine("  [--optimizeAlignment] : Optimize pose deltas")
+        self.addParamsLine("  [--optimizeDeformation] : Optimize Zernike3D "
+                           "coefficients")
+        self.addParamsLine("  [--optimizeDefocus] : Optimize per-particle "
+                           "defocus deltas (with --useCTF)")
+        self.addParamsLine("  [--regularization <l=0.01>] : Deformation penalty lambda")
+        self.addParamsLine("  [--blobr <b=4>] : Splatting blob radius "
+                           "(KB blob, order 2, alpha 7.05); <=0 selects the "
+                           "differentiable bilinear splat (TPU-native "
+                           "default path of this engine)")
+        self.addParamsLine("  [--image_mode <im=-1>] : 1=single, 2=pairs, "
+                           "3=triplets; -1 auto-detects from the image1/"
+                           "image2 columns")
+        self.addParamsLine("  [--resume] : Resume from this output's "
+                           "sphDone.xmd ledger")
         self.addParamsLine("  [--steps <n=60>] : Optimization steps")
         self.addParamsLine("  [--batch <b=16>] : Particles per device batch")
         self.addParamsLine("  [--priors <md=\"\">] : Metadata whose sphCoefficients initialize the fit (the _priors program contract)")
@@ -269,31 +458,145 @@ class ProgForwardZernikeImages(XmippProgram):
                              f"basis has {K}")
         return priors
 
+    # per-image metadata label suffixes for the pairs/triplets mode
+    # (reference forward_zernike_images.cpp:653-705: image/angleRot...,
+    # image1/angleRot2..., image2/angleRot3...)
+    _IMG_LABELS = [("image", ""), ("image1", "2"), ("image2", "3")]
+
+    def _num_images(self, md) -> int:
+        im = self.getIntParam("--image_mode")
+        if im > 0:
+            return min(im, 3)
+        has1 = "image1" in md.df.columns
+        has2 = "image2" in md.df.columns
+        return 3 if (has1 and has2) else (2 if has1 else 1)
+
     def run(self):
+        import os
         import jax.numpy as jnp
         from xmipp3_tpu.core.metadata_program import load_image_rows
-        from xmipp3_tpu.ops.forward_zernike import (fit_forward_zernike_batch,
+        from xmipp3_tpu.ops.forward_zernike import (blob_splat_profile,
+                                                    fit_forward_zernike_batch,
                                                     masked_voxel_basis)
+        from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                                   low_pass_mask)
 
+        odir = self.getParam("--odir")
         md = MetaData(self.getParam("-i"))
         md.removeDisabled()
         rows = list(md.iterRows())
-        imgs = load_image_rows(rows)
+        M = self._num_images(md)
         vol = np.squeeze(Image(self.getParam("--ref")).data).astype(
             np.float32)
         L1 = self.getIntParam("--l1")
         L2 = self.getIntParam("--l2")
         lam = float(self.getDoubleParam("--regularization"))
+        mask = None
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            mask = np.squeeze(Image(self.getParam("--mask")).data)
+        rdef = float(self.getIntParam("--RDef"))
         positions, values, Z = masked_voxel_basis(
-            vol, L1, L2, value_threshold=float(np.abs(vol).max()) * 1e-3)
+            vol, L1, L2,
+            value_threshold=float(np.abs(vol).max()) * 1e-3,
+            mask=mask, rmax=rdef if rdef > 0 else None,
+            step=max(1, self.getIntParam("--step")))
         K = Z.shape[0]
+
+        # resume ledger (reference Rerunable fnOutDir + "/sphDone.xmd")
+        done_fn = os.path.join(odir, "sphDone.xmd")
+        done_names = set()
+        done_rows = []
+        if self.checkParam("--resume") and os.path.exists(done_fn):
+            dmd = MetaData(done_fn)
+            done_rows = list(dmd.iterRows())
+            done_names = {str(r.get("image", "")) for r in done_rows}
+            rows = [r for r in rows
+                    if str(r.get("image", "")) not in done_names]
+        self._rows = rows
+        if not rows:
+            MetaData.fromRows(done_rows).write(self._out_path(odir))
+            self.mean_corr = float(np.mean(
+                [r.get("maxCC", 0.0) for r in done_rows])) if done_rows \
+                else 0.0
+            return
+
+        # (B, M, H, W) images + per-image poses/shifts
+        imgs_m, rot, tilt, psi, sx, sy = [], [], [], [], [], []
+        for m in range(M):
+            label, suf = self._IMG_LABELS[m]
+            sub = [dict(r, image=r.get(label, r.get("image")))
+                   for r in rows]
+            imgs_m.append(load_image_rows(sub))
+            g = lambda k, d=0.0: np.array(
+                [float(r.get(k + suf, d)) for r in rows], np.float32)
+            rot.append(g("angleRot"))
+            tilt.append(g("angleTilt"))
+            psi.append(g("anglePsi"))
+            sx.append(g("shiftX"))
+            sy.append(g("shiftY"))
+        imgs = np.stack(imgs_m, axis=1)
+        rot, tilt, psi = (np.stack(rot, 1), np.stack(tilt, 1),
+                          np.stack(psi, 1))
+        sx, sy = np.stack(sx, 1), np.stack(sy, 1)
         size = imgs.shape[-1]
-        get = lambda k, d=0.0: np.array([float(r.get(k, d)) for r in rows],
-                                        np.float32)
-        rot, tilt, psi = get("angleRot"), get("angleTilt"), get("anglePsi")
+
+        Ts = float(self.getDoubleParam("--sampling"))
+        max_res = float(self.getDoubleParam("--max_resolution"))
+        if max_res > 0:
+            # reference low-pass at w1 = Ts/maxResol before fitting
+            # (forward_zernike_images.cpp:249-251)
+            flat = jnp.asarray(imgs.reshape(-1, size, size))
+            lp = low_pass_mask(size, size, min(0.5, Ts / max_res),
+                               raised_w=0.02)
+            imgs = np.asarray(apply_fourier_mask_2d(
+                flat, lp)).reshape(imgs.shape)
+
+        rmax2d = float(self.getIntParam("--Rmax"))
+        if rmax2d <= 0:
+            rmax2d = size / 2
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) - size // 2
+        img_mask = jnp.asarray(
+            (yy * yy + xx * xx <= rmax2d * rmax2d).astype(np.float32))
+
+        blobr = float(self.getDoubleParam("--blobr"))
+        blob_profile, n_taps = (None, 0)
+        if blobr > 0:
+            prof, n_taps = blob_splat_profile(blobr)
+            blob_profile = jnp.asarray(prof)
+
+        use_ctf = self.checkParam("--useCTF")
+        phase_flipped = self.checkParam("--phaseFlipped")
+        opt_align = self.checkParam("--optimizeAlignment")
+        opt_deform = self.checkParam("--optimizeDeformation")
+        opt_defocus = self.checkParam("--optimizeDefocus")
+        if not (opt_align or opt_deform or opt_defocus):
+            # bare invocation: evaluate AND refine the deformation (the
+            # reference's practical default via Scipion always passes
+            # --optimizeDeformation; a no-op run is rarely intended)
+            opt_deform = True
+        ctf_consts = (0.0, 0.0, 1.0, 0.0, max(Ts, 1e-6))
+        defU = defV = defAng = None
+        if use_ctf:
+            g0 = lambda k, d: float(rows[0].get(k, d)) if rows else d
+            kV = g0("ctfVoltage", 300.0)
+            Cs = g0("ctfSphericalAberration", 2.7)
+            Q0 = g0("ctfQ0", 0.07)
+            lam_e = 12.2643247 / np.sqrt(kV * 1e3
+                                         * (1 + 0.978466e-6 * kV * 1e3))
+            ctf_consts = (float(np.pi * lam_e),
+                          float(np.pi / 2 * Cs * 1e7 * lam_e ** 3),
+                          float(np.sqrt(max(1 - Q0 ** 2, 0.0))), float(Q0),
+                          float(max(Ts, 1e-6)))
+            gc = lambda k: np.array([[float(r.get(k, 0.0))] * M
+                                     for r in rows], np.float32)
+            defU, defV, defAng = (gc("ctfDefocusU"), gc("ctfDefocusV"),
+                                  gc("ctfDefocusAngle"))
+
+        max_shift = float(self.getDoubleParam("--max_shift"))
+        if max_shift < 0:
+            max_shift = 0.2 * size
         B = len(rows)
         bs = self.getIntParam("--batch")
-        self._rows = rows
         priors = self._priors_for(B, K)
         from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
                                              read_mesh_params, resolve_mesh)
@@ -306,7 +609,10 @@ class ProgForwardZernikeImages(XmippProgram):
             nb = sl.stop - sl.start
             c0 = (np.zeros((nb, 3, K), np.float32) if priors is None
                   else np.asarray(priors[sl], np.float32))
-            batch = [imgs[sl], rot[sl], tilt[sl], psi[sl], c0]
+            batch = [imgs[sl], rot[sl], tilt[sl], psi[sl], c0, sx[sl],
+                     sy[sl]]
+            ctf_b = [None if a is None else a[sl]
+                     for a in (defU, defV, defAng)]
             if mesh is not None:
                 # per-particle DP (mpi_forward_zernike_images analog):
                 # shard the batch axis; the vmapped fit partitions with no
@@ -322,32 +628,70 @@ class ProgForwardZernikeImages(XmippProgram):
                                                 (rep,) + a.shape[1:])])
                     return shard_batch(jnp.asarray(a), mesh)
                 batch = [pad_rep(a) for a in batch]
+                ctf_b = [None if a is None else pad_rep(a) for a in ctf_b]
             else:
                 batch = [jnp.asarray(a) for a in batch]
+                ctf_b = [None if a is None else jnp.asarray(a)
+                         for a in ctf_b]
             c3, dpose, corr, deform = fit_forward_zernike_batch(
                 jnp.asarray(positions), jnp.asarray(values), jnp.asarray(Z),
                 batch[0], batch[1], batch[2], batch[3], batch[4], lam,
                 size, int(self.getIntParam("--steps")),
                 max_angular=float(self.getDoubleParam("--max_angular_change")),
-                max_shift=float(self.getDoubleParam("--max_shift")))
+                max_shift=max_shift, shifts_x=batch[5], shifts_y=batch[6],
+                blob_profile=blob_profile, n_taps=n_taps,
+                use_ctf=use_ctf, phase_flipped=phase_flipped,
+                defU=ctf_b[0], defV=ctf_b[1], defAng=ctf_b[2],
+                ctf_consts=ctf_consts, opt_align=opt_align,
+                opt_deform=opt_deform, opt_defocus=opt_defocus,
+                img_mask=img_mask)
             c3 = np.asarray(c3)[:nb]
             dpose = np.asarray(dpose)[:nb]
+            corr = np.asarray(corr)[:nb]
+            if dpose.ndim == 2:          # single-image mode: (nb, 8)
+                dpose = dpose[:, None]
+                corr = corr[:, None]
             for k in range(nb):
                 r = dict(rows[sl.start + k])
-                r["angleRot"] = float(rot[sl.start + k] + dpose[k, 0])
-                r["angleTilt"] = float(tilt[sl.start + k] + dpose[k, 1])
-                r["anglePsi"] = float(psi[sl.start + k] + dpose[k, 2])
-                r["shiftX"] = float(r.get("shiftX", 0.0)) + float(dpose[k, 3])
-                r["shiftY"] = float(r.get("shiftY", 0.0)) + float(dpose[k, 4])
+                for m in range(M):
+                    suf = self._IMG_LABELS[m][1]
+                    r["angleRot" + suf] = float(rot[sl.start + k, m]
+                                                + dpose[k, m, 0])
+                    r["angleTilt" + suf] = float(tilt[sl.start + k, m]
+                                                 + dpose[k, m, 1])
+                    r["anglePsi" + suf] = float(psi[sl.start + k, m]
+                                                + dpose[k, m, 2])
+                    r["shiftX" + suf] = float(sx[sl.start + k, m]
+                                              + dpose[k, m, 3])
+                    r["shiftY" + suf] = float(sy[sl.start + k, m]
+                                              + dpose[k, m, 4])
+                    if use_ctf and opt_defocus:
+                        r["ctfDefocusU"] = float(
+                            (defU[sl.start + k, m] if defU is not None
+                             else 0.0) + dpose[k, m, 5])
+                        r["ctfDefocusV"] = float(
+                            (defV[sl.start + k, m] if defV is not None
+                             else 0.0) + dpose[k, m, 6])
                 r["sphCoefficients"] = c3[k].reshape(-1)
                 r["sphDeformation"] = float(np.asarray(deform)[k])
-                r["maxCC"] = float(np.asarray(corr)[k])
+                r["maxCC"] = float(corr[k].mean())
                 out_rows.append(r)
-        out = MetaData.fromRows(out_rows)
-        out.write(self.getParam("-o"))
-        self.mean_corr = float(np.mean([r["maxCC"] for r in out_rows]))
+            if self.checkParam("--resume"):
+                os.makedirs(odir or ".", exist_ok=True)
+                MetaData.fromRows(done_rows + out_rows).write(done_fn)
+        all_rows = done_rows + out_rows
+        MetaData.fromRows(all_rows).write(self._out_path(odir))
+        self.mean_corr = float(np.mean([r["maxCC"] for r in all_rows]))
         if self.verbose:
             print(f"  mean corr {self.mean_corr:.4f}")
+
+    def _out_path(self, odir: str) -> str:
+        import os
+        out = self.getParam("-o")
+        if odir and odir != "." and not os.path.isabs(out):
+            os.makedirs(odir, exist_ok=True)
+            return os.path.join(odir, out)
+        return out
 
 
 class ProgForwardZernikeImagesPriors(ProgForwardZernikeImages):
