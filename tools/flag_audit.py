@@ -184,6 +184,8 @@ GLOBAL_DIVERGENCES = {
     "--nThreads": "host threads: standard --thr alias",
     "--chunk_angular_distance": "master-worker job-locality chunking; "
                                 "static sharding has no job queue",
+    "--useCPU": "CPU-fallback selector of the GPU build; device choice "
+                "is --device/--mesh",
 }
 
 # reference program dirs with no auditable CLI grammar of their own or

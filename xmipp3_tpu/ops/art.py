@@ -32,12 +32,22 @@ def _forward(vol, mats, N, pad_factor=2.0):
 def sirt_reconstruct(imgs, rot, tilt, psi, n_iters: int = 10,
                      lam: float = 1.0, positivity: bool = False,
                      pad_factor: float = 2.0, verbose: int = 0,
-                     sx=None, sy=None):
+                     sx=None, sy=None, ridge: float = 0.0,
+                     tv: float = 0.0, l1: float = 0.0,
+                     soft_threshold: float = 0.0, vol_mask=None,
+                     iter_callback=None):
     """SIRT: vol <- vol + lam * R^T(b - R vol) with R normalized per pass.
 
     Initialization = the weighted direct Fourier reconstruction (a very good
     starting point; the iterations then correct interpolation/coverage bias).
-    Returns (volume, residual_history)."""
+    Optional per-iteration regularizers (the cuda11_forward_art_zernike3d
+    family, forward_art_zernike3d_gpu.cpp:145-148): ridge = Tikhonov
+    shrinkage (--ltk), tv = smoothed total-variation subgradient step
+    (--ltv), l1 = L1 subgradient (--ll1), soft_threshold = proximal soft
+    threshold (--lst); vol_mask multiplies the volume each iteration
+    (--maskb), positivity clamps negatives (--onlyPositive);
+    iter_callback(it, vol) fires after each iteration (--save_iter /
+    --debug_iter). Returns (volume, residual_history)."""
     imgs = np.asarray(imgs, np.float32)
     B, N, _ = imgs.shape
     mats = jnp.asarray(np.asarray(euler_matrix(
@@ -64,8 +74,26 @@ def sirt_reconstruct(imgs, rot, tilt, psi, n_iters: int = 10,
             np.asarray(resid), rot, tilt, psi, pad_factor=pad_factor,
             batch=max(B, 1)))
         vol = vol + lam * corr
+        if ridge > 0:
+            vol = vol * (1.0 - ridge)
+        if tv > 0:
+            gz, gy, gx = np.gradient(vol)
+            mag = np.sqrt(gz * gz + gy * gy + gx * gx + 1e-8)
+            div = (np.gradient(gz / mag, axis=0)
+                   + np.gradient(gy / mag, axis=1)
+                   + np.gradient(gx / mag, axis=2))
+            vol = vol + tv * div
+        if l1 > 0:
+            vol = vol - l1 * np.sign(vol)
+        if soft_threshold > 0:
+            vol = np.sign(vol) * np.maximum(np.abs(vol) - soft_threshold,
+                                            0.0)
+        if vol_mask is not None:
+            vol = vol * vol_mask
         if positivity:
             vol = np.maximum(vol, 0.0)
+        if iter_callback is not None:
+            iter_callback(it + 1, vol)
         if verbose:
             print(f"  SIRT iter {it + 1}: residual rms {rms:.5f}")
         if it > 1 and hist[-2] - hist[-1] < 1e-6 * hist[0]:
@@ -356,3 +384,43 @@ def wbp_reconstruct(imgs, rot, tilt, psi, pad_factor: float = 2.0,
                                          pad_factor=pad_factor,
                                          batch=max(B, 1)))
     return vol.astype(np.float32)
+
+
+def wedge_aware_average(subs, rot, tilt, psi, t1: float = -60.0,
+                        t2: float = 60.0, apply_alignment: bool = True):
+    """Missing-wedge-compensated subtomogram average (the
+    forward_art_zernike3d_subtomos / tomo_average_subtomos data model):
+    each subtomogram is rotated into the reference frame by its row pose,
+    its wedge pass-band (tilt range t1..t2 about y) rotates analytically
+    with it, and the Fourier sum is normalized by the accumulated
+    per-voxel wedge coverage — voxels seen by more subtomos get full
+    weight, never-seen wedge regions stay zero instead of averaging in
+    noise."""
+    from xmipp3_tpu.ops.fourier_filter import wedge_mask_3d
+    from xmipp3_tpu.ops.geo import apply_affine_3d
+    subs = np.asarray(subs, np.float32)
+    B, n = subs.shape[0], subs.shape[-1]
+    Fsum = np.zeros((n, n, n // 2 + 1), np.complex128)
+    Wsum = np.zeros((n, n, n // 2 + 1), np.float64)
+    A = np.asarray(euler_matrix(np.asarray(rot, np.float32),
+                                np.asarray(tilt, np.float32),
+                                np.asarray(psi, np.float32)))
+    for k in range(B):
+        if apply_alignment:
+            aligned = np.asarray(apply_affine_3d(
+                jnp.asarray(subs[k]), jnp.asarray(A[k].T))[0])
+            w = wedge_mask_3d(n, n, n, t1, t2,
+                              rot=float(np.asarray(rot)[k]),
+                              tilt=float(np.asarray(tilt)[k]),
+                              psi=float(np.asarray(psi)[k]))
+        else:
+            aligned = subs[k]
+            w = wedge_mask_3d(n, n, n, t1, t2)
+        Fsum += np.fft.rfftn(aligned) * w
+        Wsum += w
+    # clamp coverage at 1: never AMPLIFY a barely-covered voxel (the
+    # analytic wedge only approximates the pass-band of the interpolated
+    # rotation; dividing by <1 coverage blows up interpolation leakage)
+    avg = np.fft.irfftn(Fsum / np.maximum(Wsum, 1.0), (n, n, n),
+                        axes=(0, 1, 2))
+    return avg.astype(np.float32)

@@ -327,3 +327,204 @@ def fit_forward_zernike_batch(positions, values, Z, imgs, rots, tilts, psis,
     if not multi:
         dpose, cc = dpose[:, 0], cc[:, 0]
     return c3, dpose, cc, deform
+
+
+# ---------------------------------------------------------------------------
+# 3-D forward splatting (forward_zernike_subtomos / forward_zernike_volume /
+# volume_apply_coefficient_zernike3d --blobr)
+# ---------------------------------------------------------------------------
+
+def blob_splat_profile_3d(blob_r: float, order: int = 2,
+                          alpha: float = 7.05, samples_per_px: int = 32):
+    """Radial table of the 3-D Kaiser-Bessel blob VALUE (not projected),
+    normalized to unit integral over R^3 — the volume-splat footprint.
+    Returns (profile (T,), n_taps)."""
+    from xmipp3_tpu.ops.basis import kaiser_value
+    n_taps = int(np.ceil(blob_r))
+    smax = n_taps + 1.0
+    s = np.arange(int(smax * samples_per_px) + 2) / samples_per_px
+    prof = np.asarray(kaiser_value(s, a=blob_r, alpha=alpha, m=order),
+                      np.float64)
+    mass = np.trapezoid(4 * np.pi * s * s * prof, s)
+    prof = prof / max(mass, 1e-12)
+    return prof.astype(np.float32), n_taps
+
+
+def _euler_full(rot, tilt, psi):
+    """Full ZYZ passive matrix rows (traced angles, degrees)."""
+    r, t, p = (jnp.deg2rad(rot), jnp.deg2rad(tilt), jnp.deg2rad(psi))
+    c1, s1 = jnp.cos(r), jnp.sin(r)
+    c2, s2 = jnp.cos(t), jnp.sin(t)
+    c3, s3 = jnp.cos(p), jnp.sin(p)
+    row0 = jnp.stack([c3 * c2 * c1 - s3 * s1, c3 * c2 * s1 + s3 * c1,
+                      -c3 * s2])
+    row1 = jnp.stack([-s3 * c2 * c1 - c3 * s1, -s3 * c2 * s1 + c3 * c1,
+                      s3 * s2])
+    row2 = jnp.stack([s2 * c1, s2 * s1, c2])
+    return row0, row1, row2
+
+
+def forward_splat_volume(positions, values, Z, coeffs3, rot, tilt, psi,
+                         size: int, blob_profile=None, n_taps: int = 0,
+                         samples_per_px: int = 32):
+    """Splat the deformed, rotated voxel cloud into a (size,size,size)
+    volume: g = coeffs3·Z displaces each voxel, the full pose matrix maps
+    it, and the value lands with trilinear weights (differentiable) — or
+    the 3-D KB blob footprint over a (2·n_taps+1)³ window. Returns
+    (volume, mean squared deformation)."""
+    g = coeffs3 @ Z
+    p = positions.T + g                                  # (3,N) x,y,z
+    row0, row1, row2 = _euler_full(rot, tilt, psi)
+    xi = row0[0] * p[0] + row0[1] * p[1] + row0[2] * p[2] + size // 2
+    yi = row1[0] * p[0] + row1[1] * p[1] + row1[2] * p[2] + size // 2
+    zi = row2[0] * p[0] + row2[1] * p[1] + row2[2] * p[2] + size // 2
+    vol = jnp.zeros((size, size, size), jnp.float32)
+    if blob_profile is None or n_taps <= 0:
+        x0 = jnp.floor(xi); y0 = jnp.floor(yi); z0 = jnp.floor(zi)
+        fx = xi - x0; fy = yi - y0; fz = zi - z0
+        x0 = x0.astype(jnp.int32); y0 = y0.astype(jnp.int32)
+        z0 = z0.astype(jnp.int32)
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    w = (jnp.where(dz, fz, 1 - fz)
+                         * jnp.where(dy, fy, 1 - fy)
+                         * jnp.where(dx, fx, 1 - fx))
+                    zz = z0 + dz; yy = y0 + dy; xx = x0 + dx
+                    inside = ((zz >= 0) & (zz < size) & (yy >= 0)
+                              & (yy < size) & (xx >= 0) & (xx < size))
+                    vol = vol.at[jnp.clip(zz, 0, size - 1),
+                                 jnp.clip(yy, 0, size - 1),
+                                 jnp.clip(xx, 0, size - 1)].add(
+                        jnp.where(inside, w * values, 0.0))
+    else:
+        x0 = jnp.round(xi).astype(jnp.int32)
+        y0 = jnp.round(yi).astype(jnp.int32)
+        z0 = jnp.round(zi).astype(jnp.int32)
+        T = blob_profile.shape[0]
+        for dz in range(-n_taps, n_taps + 1):
+            for dy in range(-n_taps, n_taps + 1):
+                for dx in range(-n_taps, n_taps + 1):
+                    zz = z0 + dz; yy = y0 + dy; xx = x0 + dx
+                    dist = jnp.sqrt(
+                        (xi - xx.astype(jnp.float32)) ** 2
+                        + (yi - yy.astype(jnp.float32)) ** 2
+                        + (zi - zz.astype(jnp.float32)) ** 2 + 1e-12)
+                    tf = jnp.clip(dist * samples_per_px, 0.0, T - 1.001)
+                    ti = tf.astype(jnp.int32)
+                    frac = tf - ti.astype(jnp.float32)
+                    w = (jnp.take(blob_profile, ti) * (1 - frac)
+                         + jnp.take(blob_profile, ti + 1) * frac)
+                    inside = ((zz >= 0) & (zz < size) & (yy >= 0)
+                              & (yy < size) & (xx >= 0) & (xx < size)
+                              & (dist < n_taps + 1.0))
+                    vol = vol.at[jnp.clip(zz, 0, size - 1),
+                                 jnp.clip(yy, 0, size - 1),
+                                 jnp.clip(xx, 0, size - 1)].add(
+                        jnp.where(inside, w * values, 0.0))
+    def2 = jnp.mean(jnp.sum(g * g, axis=0))
+    return vol, def2
+
+
+@partial(jax.jit, static_argnames=("size", "steps", "n_taps", "use_ctf",
+                                   "phase_flipped", "opt_align",
+                                   "opt_deform", "opt_defocus"))
+def fit_forward_zernike_subtomos_batch(
+        positions, values, Z, subs, rots, tilts, psis, coeffs0,
+        lam: float, size: int, steps: int, lr: float = 0.5,
+        max_angular: float = 5.0, max_shift: float = 5.0,
+        shifts=None, spec_mask=None, vol_mask=None,
+        blob_profile=None, n_taps: int = 0,
+        use_ctf: bool = False, phase_flipped: bool = False,
+        defU=None, defV=None, ctf_consts=(0.0, 0.0, 1.0, 0.0, 1.0),
+        opt_align: bool = True, opt_deform: bool = True,
+        opt_defocus: bool = False):
+    """Per-subtomogram forward fit (forward_zernike_subtomos): the deformed
+    cloud is splat as a 3-D volume, missing-wedge/low-pass filtered
+    (spec_mask on the rfftn grid — the reference's filterMW with
+    --t1/--t2), isotropic-CTF-attenuated (subtomo CTF has no astigmatic
+    meaning; (defU+defV)/2 drives a radial CTF), shifted in Fourier, and
+    correlated against the subtomo inside vol_mask (the --Rmax sphere).
+    dpose per subtomo = (drot,dtilt,dpsi,dx,dy,dz,ddefU,ddefV)."""
+    B = subs.shape[0]
+    sh0 = (jnp.zeros((B, 3), jnp.float32) if shifts is None
+           else jnp.asarray(shifts, jnp.float32))
+    dU0 = (jnp.zeros(B, jnp.float32) if defU is None
+           else jnp.asarray(defU, jnp.float32))
+    dV0 = (jnp.zeros(B, jnp.float32) if defV is None
+           else jnp.asarray(defV, jnp.float32))
+    lr_a = lr if opt_align else 0.0
+    lr_d = 30.0 if (opt_defocus and use_ctf) else 0.0
+    lr_pose = jnp.asarray([lr_a] * 6 + [lr_d, lr_d], jnp.float32)
+    lr_c = lr if opt_deform else 0.0
+
+    fz = jnp.fft.fftfreq(size).astype(jnp.float32)[:, None, None]
+    fy = jnp.fft.fftfreq(size).astype(jnp.float32)[None, :, None]
+    fx = jnp.fft.rfftfreq(size).astype(jnp.float32)[None, None, :]
+
+    def project(c3, dp, rot, tilt, psi, sh, dU, dV):
+        v, def2 = forward_splat_volume(
+            positions, values, Z, c3,
+            rot + jnp.clip(dp[0], -max_angular, max_angular),
+            tilt + jnp.clip(dp[1], -max_angular, max_angular),
+            psi + jnp.clip(dp[2], -max_angular, max_angular), size,
+            blob_profile=blob_profile, n_taps=n_taps)
+        s = sh + jnp.clip(dp[3:6], -max_shift, max_shift)
+        spec = jnp.fft.rfftn(v)
+        spec = spec * jnp.exp(-2j * jnp.pi * (fz * s[2] + fy * s[1]
+                                              + fx * s[0]))
+        if spec_mask is not None:
+            spec = spec * spec_mask
+        if use_ctf:
+            K1, K2, Ksin, Kcos, Ts = ctf_consts
+            r2 = fx * fx + fy * fy + fz * fz
+            u2 = r2 / (Ts * Ts)
+            dmean = (dU + dp[6] + dV + dp[7]) / 2
+            arg = -K1 * dmean * u2 + K2 * u2 * u2
+            ctf = -(Ksin * jnp.sin(arg) - Kcos * jnp.cos(arg))
+            spec = spec * (jnp.abs(ctf) if phase_flipped else ctf)
+        return jnp.fft.irfftn(spec, (size, size, size)), def2
+
+    def corr(a, b):
+        w = vol_mask if vol_mask is not None else jnp.ones_like(a)
+        ws = jnp.maximum(w.sum(), 1e-20)
+        am = a - (a * w).sum() / ws
+        bm = b - (b * w).sum() / ws
+        return (w * am * bm).sum() / jnp.sqrt(
+            jnp.maximum((w * am * am).sum() * (w * bm * bm).sum(), 1e-20))
+
+    def loss_one(params, sub, rot, tilt, psi, sh, dU, dV):
+        c3, dp = params
+        P, def2 = project(c3, dp, rot, tilt, psi, sh, dU, dV)
+        return -corr(P, sub) + lam * jnp.sqrt(def2 + 1e-12)
+
+    def fit_one(sub, rot, tilt, psi, c0, sh, dU, dV):
+        params = (c0, jnp.zeros(8, jnp.float32))
+        m = jax.tree_util.tree_map(jnp.zeros_like, params)
+        v = jax.tree_util.tree_map(jnp.zeros_like, params)
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        lrs = (lr_c, lr_pose)
+
+        def step(carry, t):
+            params, m, v = carry
+            g = jax.grad(loss_one)(params, sub, rot, tilt, psi, sh, dU, dV)
+            m = jax.tree_util.tree_map(lambda a, b: b1 * a + (1 - b1) * b,
+                                       m, g)
+            v = jax.tree_util.tree_map(
+                lambda a, b: b2 * a + (1 - b2) * b * b, v, g)
+            tt = t + 1
+            params = jax.tree_util.tree_map(
+                lambda p, mm, vv, l: p - l * (mm / (1 - b1 ** tt))
+                / (jnp.sqrt(vv / (1 - b2 ** tt)) + eps), params, m, v, lrs)
+            return (params, m, v), 0.0
+
+        (params, _, _), _ = jax.lax.scan(
+            step, (params, m, v), jnp.arange(steps, dtype=jnp.float32))
+        c3, dp = params
+        P, def2 = project(c3, dp, rot, tilt, psi, sh, dU, dV)
+        dp = dp.at[0:3].set(jnp.clip(dp[0:3], -max_angular, max_angular))
+        dp = dp.at[3:6].set(jnp.clip(dp[3:6], -max_shift, max_shift))
+        return c3, dp, corr(P, sub), jnp.sqrt(def2)
+
+    return jax.vmap(fit_one)(subs, rots, tilts, psis, coeffs0, sh0, dU0,
+                             dV0)

@@ -123,28 +123,91 @@ def _vol_ncc(a, b):
 
 def fit_deformation(vol_ref, vol_target, L1: int = 3, L2: int = 2,
                     n_steps: int = 100, lr: float = 0.05,
-                    radius: float | None = None, verbose: int = 0):
+                    radius: float | None = None, verbose: int = 0,
+                    lam: float = 0.0, sigmas=None, mask=None,
+                    coeffs0=None):
     """Find Zernike3D coefficients deforming vol_ref onto vol_target
-    (the volume_deform_sph engine). Returns (coeffs (3,K), deformed, ncc)."""
+    (the volume_deform_sph engine). Returns (coeffs (3,K), deformed, ncc).
+
+    lam adds the reference's deformation penalty (--regularization,
+    volume_deform_sph.cpp:47); sigmas is the --sigma multiresolution
+    list — the NCC is averaged over Gaussian-filtered copies of both
+    volumes at each sigma (0 = unfiltered); mask zeroes the basis
+    outside its support; coeffs0 seeds the optimization (--clnm)."""
     D = vol_ref.shape[0]
-    basis = jnp.asarray(zernike_basis_grid(D, L1, L2, radius))
+    basis = zernike_basis_grid(D, L1, L2, radius)
+    if mask is not None:
+        basis = basis * (np.squeeze(np.asarray(mask)) > 0.5
+                         ).astype(np.float32)[None]
+    basis = jnp.asarray(basis)
     K = basis.shape[0]
     vol_ref = jnp.asarray(vol_ref, jnp.float32)
     vol_target = jnp.asarray(vol_target, jnp.float32)
 
+    gmasks = []
+    if sigmas:
+        from xmipp3_tpu.ops.fourier import freq_grid_3d
+        fz, fy, fx = freq_grid_3d(D, D, D)
+        r2 = fz * fz + fy * fy + fx * fx
+        for sg in sigmas:
+            if sg <= 0:
+                gmasks.append(None)
+            else:
+                # real-space Gaussian of std sg px == Fourier Gaussian of
+                # std 1/(2 pi sg) cycles/px
+                gmasks.append(jnp.asarray(np.exp(
+                    -2 * np.pi ** 2 * sg * sg * r2).astype(np.float32)))
+
+    def _filtered(v, gm):
+        if gm is None:
+            return v
+        return jnp.fft.irfftn(jnp.fft.rfftn(v) * gm, (D, D, D))
+
+    targets = [(_filtered(vol_target, gm), gm) for gm in gmasks] \
+        if gmasks else [(vol_target, None)]
+
     def loss_fn(coeffs):
         warped = deform_volume(vol_ref, basis, coeffs)
-        return -_vol_ncc(warped, vol_target)
+        ncc = 0.0
+        for tgt, gm in targets:
+            ncc = ncc + _vol_ncc(_filtered(warped, gm), tgt)
+        loss = -ncc / len(targets)
+        if lam > 0:
+            g2 = (jnp.einsum("ck,kzyx->czyx", coeffs, basis) ** 2
+                  ).sum(0).mean()
+            loss = loss + lam * jnp.sqrt(g2 + 1e-12)
+        return loss
 
     from xmipp3_tpu.ops.optim import adam_scan
-    coeffs, last = adam_scan(loss_fn, jnp.zeros((3, K), jnp.float32),
-                             n_steps, lr)
+    c_init = (jnp.zeros((3, K), jnp.float32) if coeffs0 is None
+              else jnp.asarray(np.asarray(coeffs0, np.float32)))
+    coeffs, last = adam_scan(loss_fn, c_init, n_steps, lr)
     if verbose:
         print(f"  deform refine ({n_steps} steps): NCC "
               f"{-float(last):.4f}")
     deformed = deform_volume(vol_ref, basis, coeffs)
     return (np.asarray(coeffs), np.asarray(deformed),
             float(_vol_ncc(deformed, vol_target)))
+
+
+def strain_rotation_volumes(basis, coeffs):
+    """Local strain / rotation analysis of the Zernike3D displacement
+    field (volume_deform_sph --analyzeStrain): from the displacement
+    jacobian J, strain = ||(J + J^T)/2||_F and rotation =
+    ||(J - J^T)/2||_F per voxel. Returns (strain, rotation) volumes."""
+    b = np.asarray(basis)
+    c = np.asarray(coeffs, np.float32).reshape(3, -1)
+    d = np.einsum("ck,kzyx->czyx", c, b)        # displacement x,y,z fields
+    # np.gradient axes: z,y,x -> J[c][ax]
+    J = np.empty((3, 3) + d.shape[1:], np.float32)
+    for ci in range(3):
+        gz, gy, gx = np.gradient(d[ci])
+        J[ci] = np.stack([gx, gy, gz])          # d u_ci / d(x,y,z)
+    sym = 0.5 * (J + np.swapaxes(J, 0, 1))
+    asym = 0.5 * (J - np.swapaxes(J, 0, 1))
+    strain = np.sqrt((sym ** 2).sum(axis=(0, 1)))
+    rotation = np.sqrt((asym ** 2).sum(axis=(0, 1)))
+    return strain.astype(np.float32), rotation.astype(np.float32)
 
 
 def deformation_amplitude(basis, coeffs) -> float:

@@ -136,6 +136,14 @@ class ProgFlexibleAlignment(ProgNMAAlignment):
 
 
 class ProgForwardZernikeSubtomos(XmippProgram):
+    """Forward-splat 3-D Zernike3D fitting per subtomogram (reference
+    forward_zernike_subtomos.cpp:113-134): the deformed masked voxel
+    cloud of --ref is splat as a volume (trilinear or --blobr KB blob),
+    missing-wedge filtered to the --t1/--t2 tilt range, optionally
+    isotropic-CTF-attenuated (--useCTF), and fit against each subtomo
+    with the --optimize* gated Adam (pose/shift deltas clipped to
+    --max_angular_change/--max_shift), vmapped over the batch as one
+    device dispatch."""
     name = "xmipp_forward_zernike_subtomos"
 
     def defineParams(self):
@@ -145,37 +153,205 @@ class ProgForwardZernikeSubtomos(XmippProgram):
         self.addParamsLine("   -i <md>        : Subtomograms")
         self.addParamsLine("   --ref <volume> : Reference volume")
         self.addParamsLine("   -o <md>        : Output with sphCoefficients")
-        self.addParamsLine("  [--l1 <l1=2>]   : Zernike radial depth")
+        self.addParamsLine("  [--mask <m=\"\">] : Reference volume mask")
+        self.addParamsLine("  [--odir <outputDir=\".\">] : Output directory")
+        self.addParamsLine("  [--max_shift <s=-1>] : Max shift delta (px); "
+                           "-1 = 20% of the box")
+        self.addParamsLine("  [--max_angular_change <a=5>] : Max angular "
+                           "delta (deg)")
+        self.addParamsLine("  [--max_resolution <f=4>] : Low-pass (A); "
+                           "<=0 disables")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (A)")
+        self.addParamsLine("  [--Rmax <R=-1>] : Correlation sphere radius "
+                           "(px); -1 = half the box")
+        self.addParamsLine("  [--RDef <r=-1>] : Deformation sphere radius")
+        self.addParamsLine("  [--l1 <l1=3>]   : Zernike radial depth")
         self.addParamsLine("  [--l2 <l2=2>]   : Spherical harmonic depth")
+        self.addParamsLine("  [--step <step=1>] : Voxel index stride")
+        self.addParamsLine("  [--useCTF] : Attenuate the model with the "
+                           "rows' (isotropic) CTF")
+        self.addParamsLine("  [--optimizeAlignment] : Optimize pose deltas")
+        self.addParamsLine("  [--optimizeDeformation] : Optimize Zernike3D "
+                           "coefficients")
+        self.addParamsLine("  [--optimizeDefocus] : Optimize defocus deltas")
+        self.addParamsLine("  [--phaseFlipped] : Inputs phase flipped")
+        self.addParamsLine("  [--regularization <l=0.01>] : Deformation "
+                           "penalty lambda")
+        self.addParamsLine("  [--blobr <b=-1>] : Splat blob radius; <=0 = "
+                           "trilinear splat (TPU-native default path)")
+        self.addParamsLine("  [--t1 <t1=-60>] : First tilt angle of the "
+                           "missing wedge")
+        self.addParamsLine("  [--t2 <t2=60>] : Second tilt angle of the "
+                           "missing wedge")
+        self.addParamsLine("  [--resume] : Resume from the odir "
+                           "sphDone.xmd ledger")
         self.addParamsLine("  [--steps <n=60>] : Optimization steps")
+        self.addParamsLine("  [--batch <b=8>] : Subtomos per device batch")
         self.addParamsLine("  [--priors <md=\"\">] : Prior coefficients to start from")
 
     def run(self):
-        from xmipp3_tpu.ops.zernike import fit_deformation
+        import os
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.forward_zernike import (
+            blob_splat_profile_3d, fit_forward_zernike_subtomos_batch,
+            masked_voxel_basis)
+        from xmipp3_tpu.ops.fourier_filter import wedge_mask_3d
+
+        odir = self.getParam("--odir")
+        out_fn = self.getParam("-o")
+        if odir and odir != "." and not os.path.isabs(out_fn):
+            os.makedirs(odir, exist_ok=True)
+            out_fn = os.path.join(odir, out_fn)
         md = MetaData(self.getParam("-i"))
         rows = list(md.iterRows())
+        done_fn = os.path.join(odir, "sphDone.xmd")
+        done_rows = []
+        if self.checkParam("--resume") and os.path.exists(done_fn):
+            done_rows = list(MetaData(done_fn).iterRows())
+            done = {str(r.get("image", "")) for r in done_rows}
+            rows = [r for r in rows if str(r.get("image", "")) not in done]
+        if not rows:
+            MetaData.fromRows(done_rows).write(out_fn)
+            return
         ref = np.squeeze(Image(self.getParam("--ref")).data
                          ).astype(np.float32)
         L1, L2 = self.getIntParam("--l1"), self.getIntParam("--l2")
-        steps = self.getIntParam("--steps") if self.checkParam("--steps") \
-            else 60
+        mask = None
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            mask = np.squeeze(Image(self.getParam("--mask")).data)
+        rdef = float(self.getIntParam("--RDef"))
+        positions, values, Z = masked_voxel_basis(
+            ref, L1, L2, value_threshold=float(np.abs(ref).max()) * 1e-3,
+            mask=mask, rmax=rdef if rdef > 0 else None,
+            step=max(1, self.getIntParam("--step")))
+        K = Z.shape[0]
+        subs = np.stack([np.squeeze(Image(r["image"]).data)
+                         .astype(np.float32) for r in rows])
+        n = subs.shape[-1]
+        get = lambda k, d=0.0: np.array([float(r.get(k, d)) for r in rows],
+                                        np.float32)
+        rot, tilt, psi = get("angleRot"), get("angleTilt"), get("anglePsi")
+        shifts = np.stack([get("shiftX"), get("shiftY"), get("shiftZ")], 1)
+
+        # spectral mask: missing wedge (t1..t2) * low-pass
+        t1 = float(self.getDoubleParam("--t1"))
+        t2 = float(self.getDoubleParam("--t2"))
+        spec_mask = wedge_mask_3d(n, n, n, t1, t2)
+        Ts = float(self.getDoubleParam("--sampling"))
+        max_res = float(self.getDoubleParam("--max_resolution"))
+        if max_res > 0:
+            from xmipp3_tpu.ops.fourier import freq_grid_3d
+            fz, fy, fx = freq_grid_3d(n, n, n)
+            r = np.sqrt(fx * fx + fy * fy + fz * fz)
+            spec_mask = spec_mask * (r <= min(0.5, Ts / max_res)
+                                     ).astype(np.float32)
+        # subtomos already live in the wedge-filtered world; filter them
+        # the same way so the masked model compares like-for-like
+        subs = np.asarray(jnp.fft.irfftn(
+            jnp.fft.rfftn(jnp.asarray(subs), axes=(-3, -2, -1))
+            * jnp.asarray(spec_mask)[None], (n, n, n), axes=(-3, -2, -1)))
+
+        rmax2 = float(self.getIntParam("--Rmax"))
+        if rmax2 <= 0:
+            rmax2 = n / 2
+        zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
+        vol_mask = jnp.asarray((zz * zz + yy * yy + xx * xx
+                                <= rmax2 * rmax2).astype(np.float32))
+
+        opt_align = self.checkParam("--optimizeAlignment")
+        opt_deform = self.checkParam("--optimizeDeformation")
+        opt_defocus = self.checkParam("--optimizeDefocus")
+        if not (opt_align or opt_deform or opt_defocus):
+            opt_deform = True
+        use_ctf = self.checkParam("--useCTF")
+        ctf_consts = (0.0, 0.0, 1.0, 0.0, max(Ts, 1e-6))
+        defU = defV = None
+        if use_ctf:
+            kV = float(rows[0].get("ctfVoltage", 300.0))
+            Cs = float(rows[0].get("ctfSphericalAberration", 2.7))
+            Q0 = float(rows[0].get("ctfQ0", 0.07))
+            lam_e = 12.2643247 / np.sqrt(kV * 1e3
+                                         * (1 + 0.978466e-6 * kV * 1e3))
+            ctf_consts = (float(np.pi * lam_e),
+                          float(np.pi / 2 * Cs * 1e7 * lam_e ** 3),
+                          float(np.sqrt(max(1 - Q0 ** 2, 0.0))),
+                          float(Q0), float(max(Ts, 1e-6)))
+            defU, defV = get("ctfDefocusU"), get("ctfDefocusV")
+        blobr = float(self.getDoubleParam("--blobr"))
+        blob_profile, n_taps = (None, 0)
+        if blobr > 0:
+            prof, n_taps = blob_splat_profile_3d(blobr)
+            blob_profile = jnp.asarray(prof)
+        max_shift = float(self.getDoubleParam("--max_shift"))
+        if max_shift < 0:
+            max_shift = 0.2 * n
+        steps = self.getIntParam("--steps")
+        lam = float(self.getDoubleParam("--regularization"))
+        bs = self.getIntParam("--batch")
+        priors = None
+        if self.checkParam("--priors") and self.getParam("--priors"):
+            pmd = MetaData(self.getParam("--priors"))
+            pc = [np.asarray(v, np.float32).reshape(3, -1)
+                  for v in pmd.getColumnValues("sphCoefficients")]
+            priors = (np.stack(pc * len(rows))[:len(rows)]
+                      if len(pc) == 1 else np.stack(pc)[:len(rows)])
         out = []
-        for r in rows:
-            sub = np.squeeze(Image(r["image"]).data).astype(np.float32)
-            coeffs, _, ncc = fit_deformation(ref, sub, L1, L2,
-                                             n_steps=steps)
-            d = dict(r)
-            d["sphCoefficients"] = coeffs.ravel().astype(np.float64)
-            d["sphDeformation"] = float(np.abs(coeffs).mean())
-            d["maxCC"] = float(ncc)
-            out.append(d)
-        MetaData.fromRows(out).write(self.getParam("-o"))
+        for s in range(0, len(rows), bs):
+            sl = slice(s, min(s + bs, len(rows)))
+            nb = sl.stop - sl.start
+            c0 = (np.zeros((nb, 3, K), np.float32) if priors is None
+                  else np.asarray(priors[sl], np.float32))
+            c3, dp, cc, deform = fit_forward_zernike_subtomos_batch(
+                jnp.asarray(positions), jnp.asarray(values),
+                jnp.asarray(Z), jnp.asarray(subs[sl]),
+                jnp.asarray(rot[sl]), jnp.asarray(tilt[sl]),
+                jnp.asarray(psi[sl]), jnp.asarray(c0), lam, n, steps,
+                max_angular=float(
+                    self.getDoubleParam("--max_angular_change")),
+                max_shift=max_shift, shifts=shifts[sl],
+                spec_mask=jnp.asarray(spec_mask), vol_mask=vol_mask,
+                blob_profile=blob_profile, n_taps=n_taps,
+                use_ctf=use_ctf,
+                phase_flipped=self.checkParam("--phaseFlipped"),
+                defU=None if defU is None else defU[sl],
+                defV=None if defV is None else defV[sl],
+                ctf_consts=ctf_consts, opt_align=opt_align,
+                opt_deform=opt_deform, opt_defocus=opt_defocus)
+            c3, dp = np.asarray(c3), np.asarray(dp)
+            cc, deform = np.asarray(cc), np.asarray(deform)
+            for i in range(nb):
+                d = dict(rows[s + i])
+                d["sphCoefficients"] = c3[i].ravel().astype(np.float64)
+                d["sphDeformation"] = float(deform[i])
+                d["maxCC"] = float(cc[i])
+                if opt_align:
+                    d["angleRot"] = float(rot[s + i] + dp[i, 0])
+                    d["angleTilt"] = float(tilt[s + i] + dp[i, 1])
+                    d["anglePsi"] = float(psi[s + i] + dp[i, 2])
+                    d["shiftX"] = float(shifts[s + i, 0] + dp[i, 3])
+                    d["shiftY"] = float(shifts[s + i, 1] + dp[i, 4])
+                    d["shiftZ"] = float(shifts[s + i, 2] + dp[i, 5])
+                if use_ctf and opt_defocus:
+                    d["ctfDefocusU"] = float(defU[s + i] + dp[i, 6])
+                    d["ctfDefocusV"] = float(defV[s + i] + dp[i, 7])
+                out.append(d)
+            if self.checkParam("--resume"):
+                os.makedirs(odir or ".", exist_ok=True)
+                MetaData.fromRows(done_rows + out).write(done_fn)
+        MetaData.fromRows(done_rows + out).write(out_fn)
         if self.verbose:
             cc = np.mean([r["maxCC"] for r in out])
             print(f"fitted {len(out)} subtomos, mean CC {cc:.4f}")
 
 
 class ProgArtZernike3D(XmippProgram):
+    """Full reference grammar (art_zernike3d.cpp:96-112): --ref initial
+    volume, --useZernike gate on the heterogeneity correction, --useCTF
+    per-row phase-flip pre-correction, --regularization as Tikhonov
+    shrinkage per iteration, --save_iter intermediates, --resume, --odir.
+    --sort_last is accepted but inert for the batched SIRT update
+    (insertion-order-free; the serial reference ART needs orthogonal
+    ordering)."""
     name = "xmipp_art_zernike3d"
 
     def defineParams(self):
@@ -189,39 +365,126 @@ class ProgArtZernike3D(XmippProgram):
                           "reconstruction for the device.)")
         self.addParamsLine("   -i <md>       : Particles with poses + sphCoefficients")
         self.addParamsLine("   -o <volume>   : Output volume")
-        self.addParamsLine("  [--l1 <l1=2>]  : Zernike radial depth")
+        self.addParamsLine("  [--ref <volume=\"\">] : Initial volume of the "
+                           "iteration")
+        self.addParamsLine("  [--odir <outputDir=\".\">] : Output directory")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (A)")
+        self.addParamsLine("  [--RDef <r=-1>] : Deformation radius (px); "
+                           "-1 = half the box")
+        self.addParamsLine("  [--l1 <l1=3>]  : Zernike radial depth")
         self.addParamsLine("  [--l2 <l2=2>]  : Spherical harmonic depth")
+        self.addParamsLine("  [--useZernike] : Correct heterogeneity with "
+                           "the rows' Zernike3D coefficients")
+        self.addParamsLine("  [--useCTF] : Phase-flip-correct each image "
+                           "with its row CTF before reconstruction")
+        self.addParamsLine("  [--phaseFlipped] : Inputs already phase "
+                           "flipped")
+        self.addParamsLine("  [--regularization <l=0.01>] : Tikhonov "
+                           "shrinkage per iteration")
+        self.addParamsLine("  [--niter <n=1>]    : SIRT iterations per cluster")
+        self.addParamsLine("  [--save_iter <s=0>] : Save the volume every "
+                           "s iterations (<odir>/<out>_iterNNN.vol)")
+        self.addParamsLine("  [--sort_last <N=2>] : Projection insertion "
+                           "order knob; the batched SIRT update is order-"
+                           "free, accepted for CLI compatibility")
+        self.addParamsLine("  [--resume] : Skip the run if the output "
+                           "volume already exists")
         self.addParamsLine("  [--clusters <c=4>] : Conformational clusters")
-        self.addParamsLine("  [--niter <n=5>]    : SIRT iterations per cluster")
+        self._define_extra_params()
+
+    def _define_extra_params(self):
+        pass
+
+    def _precorrect_ctf(self, imgs, rows, Ts):
+        """Per-row CTF phase flip (sign correction) before reconstruction
+        (the effect of the reference's CTF-aware ART forward model on
+        phases; amplitude weighting stays with the Wiener programs)."""
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.continuous import _ctf_rfft
+        N = imgs.shape[-1]
+        kV = float(rows[0].get("ctfVoltage", 300.0))
+        Cs = float(rows[0].get("ctfSphericalAberration", 2.7))
+        Q0 = float(rows[0].get("ctfQ0", 0.07))
+        lam_e = 12.2643247 / np.sqrt(kV * 1e3
+                                     * (1 + 0.978466e-6 * kV * 1e3))
+        consts = (float(np.pi * lam_e),
+                  float(np.pi / 2 * Cs * 1e7 * lam_e ** 3),
+                  float(np.sqrt(max(1 - Q0 ** 2, 0.0))), float(Q0),
+                  float(max(Ts, 1e-6)))
+        g = lambda k: jnp.asarray(np.array(
+            [float(r.get(k, 0.0)) for r in rows], np.float32))
+        fy = jnp.fft.fftfreq(N).astype(jnp.float32)[:, None]
+        fx = jnp.fft.rfftfreq(N).astype(jnp.float32)[None, :]
+        r = jnp.sqrt(fx * fx + fy * fy)
+        ctf = _ctf_rfft(r, fx, fy, g("ctfDefocusU"), g("ctfDefocusV"),
+                        g("ctfDefocusAngle"), consts, False)
+        spec = jnp.fft.rfft2(jnp.asarray(imgs)) * jnp.sign(ctf)
+        return np.asarray(jnp.fft.irfft2(spec, (N, N)))
 
     def run(self):
+        import os
         import jax.numpy as jnp
         from xmipp3_tpu.ops.art import sirt_reconstruct
         from xmipp3_tpu.ops.zernike import deform_volume, zernike_basis_grid
+        odir = self.getParam("--odir")
+        out_fn = self.getParam("-o")
+        if odir and odir != "." and not os.path.isabs(out_fn):
+            os.makedirs(odir, exist_ok=True)
+            out_fn = os.path.join(odir, out_fn)
+        if self.checkParam("--resume") and os.path.exists(out_fn):
+            self.volume = np.squeeze(Image(out_fn).data)
+            self.labels = None
+            return
         md = MetaData(self.getParam("-i"))
         md.removeDisabled()
         rows = list(md.iterRows())
         imgs = load_image_rows(rows)
         N = imgs.shape[-1]
+        Ts = float(self.getDoubleParam("--sampling"))
+        if (self.checkParam("--useCTF")
+                and not self.checkParam("--phaseFlipped")
+                and "ctfDefocusU" in md.df.columns):
+            imgs = self._precorrect_ctf(imgs, rows, Ts)
         get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
                                  np.float32)
         rot, tilt, psi = get("angleRot"), get("angleTilt"), get("anglePsi")
+        use_zernike = self.checkParam("--useZernike") or (
+            not self.checkParam("--useZernike")
+            and "sphCoefficients" in md.df.columns
+            and self.getIntParam("--clusters") > 1)
         coeffs = np.stack([np.asarray(r.get("sphCoefficients", [0.0]),
                                       np.float64).ravel() for r in rows])
-        C = min(self.getIntParam("--clusters")
-                if self.checkParam("--clusters") else 4, len(rows))
-        niter = self.getIntParam("--niter") if self.checkParam("--niter") \
-            else 5
+        C = (min(self.getIntParam("--clusters"), len(rows))
+             if use_zernike else 1)
+        niter = self.getIntParam("--niter")
+        init_vol = None
+        if self.checkParam("--ref") and self.getParam("--ref"):
+            init_vol = np.squeeze(Image(self.getParam("--ref")).data
+                                  ).astype(np.float32)
+        ridge = float(self.getDoubleParam("--regularization"))
+        save_iter = self.getIntParam("--save_iter")
+        base = os.path.splitext(out_fn)[0]
+
+        def cb(it, v):
+            if save_iter > 0 and it % save_iter == 0:
+                save_image(f"{base}_iter{it:03d}.vol",
+                           np.asarray(v, np.float32))
         # k-means over coefficients -> conformational clusters
         rng = np.random.default_rng(0)
-        cen = coeffs[rng.choice(len(coeffs), C, replace=False)].copy()
-        for _ in range(25):
-            lab = ((coeffs[:, None] - cen[None]) ** 2).sum(-1).argmin(1)
-            for c in range(C):
-                if (lab == c).any():
-                    cen[c] = coeffs[lab == c].mean(0)
+        if C > 1:
+            cen = coeffs[rng.choice(len(coeffs), C, replace=False)].copy()
+            for _ in range(25):
+                lab = ((coeffs[:, None] - cen[None]) ** 2).sum(-1).argmin(1)
+                for c in range(C):
+                    if (lab == c).any():
+                        cen[c] = coeffs[lab == c].mean(0)
+        else:
+            lab = np.zeros(len(rows), int)
+            cen = coeffs.mean(0, keepdims=True)
         L1, L2 = self.getIntParam("--l1"), self.getIntParam("--l2")
-        basis = jnp.asarray(zernike_basis_grid(N, L1, L2))
+        rdef = float(self.getIntParam("--RDef"))
+        basis = jnp.asarray(zernike_basis_grid(
+            N, L1, L2, rdef if rdef > 0 else None))
         K = basis.shape[0]
         acc = np.zeros((N, N, N), np.float64)
         wsum = 0.0
@@ -229,12 +492,13 @@ class ProgArtZernike3D(XmippProgram):
             m = lab == c
             if not m.any():
                 continue
-            volc, _ = sirt_reconstruct(imgs[m], rot[m], tilt[m], psi[m],
-                                       n_iters=niter)
+            volc = self._reconstruct_cluster(
+                imgs[m], rot[m], tilt[m], psi[m], rows, m, niter, ridge,
+                init_vol, cb if save_iter > 0 else None)
             # undeform into the reference frame: warp by the negated mean
             # cluster coefficients (first-order inverse of the deformation)
             cc = cen[c]
-            if cc.size == 3 * K:
+            if use_zernike and cc.size == 3 * K:
                 und = deform_volume(jnp.asarray(volc),
                                     basis, -jnp.asarray(
                                         cc.reshape(3, K), jnp.float32))
@@ -243,19 +507,200 @@ class ProgArtZernike3D(XmippProgram):
             acc += np.asarray(und, np.float64) * m.sum()
             wsum += m.sum()
         vol = (acc / max(wsum, 1)).astype(np.float32)
-        save_image(self.getParam("-o"), vol)
+        save_image(out_fn, vol)
         self.volume = vol
         self.labels = lab
         if self.verbose:
             print(f"reconstructed from {len(rows)} particles in {C} "
                   f"conformational clusters")
 
+    def _reconstruct_cluster(self, imgs, rot, tilt, psi, rows, sel, niter,
+                             ridge, init_vol, cb):
+        from xmipp3_tpu.ops.art import sirt_reconstruct
+        volc, _ = sirt_reconstruct(imgs, rot, tilt, psi, n_iters=niter,
+                                   ridge=ridge, iter_callback=cb)
+        return volc
+
 
 class ProgForwardArtZernike3DSubtomos(ProgArtZernike3D):
-    """Subtomo flavor (forward_art_zernike3d_subtomos): same cluster-wise
-    undeform+average, with subtomogram averaging replacing SIRT when inputs
-    are volumes."""
+    """Subtomo flavor (forward_art_zernike3d_subtomos.cpp:106-128): same
+    cluster-wise undeform+average; adds --mask (reconstruction support),
+    --t1/--t2 (missing wedge — volume inputs are averaged with the
+    wedge-aware Fourier normalization; image inputs keep cluster SIRT),
+    --sigma and --blobr/--step accepted as splatting internals of the
+    reference's forward model (no splatting stage in the Fourier path)."""
     name = "xmipp_forward_art_zernike3d_subtomos"
+
+    def _define_extra_params(self):
+        self.addParamsLine("  [--mask <m=\"\">] : Reconstruction support "
+                           "mask (volume multiplied in each iteration)")
+        self.addParamsLine("  [--sigma <s=0.25>] : Splatting Gaussian of "
+                           "the reference's forward model (accepted; the "
+                           "Fourier path has no splatting stage)")
+        self.addParamsLine("  [--blobr <b=-1>] : Splat blob radius "
+                           "(accepted; see --sigma)")
+        self.addParamsLine("  [--step <step=1>] : Voxel stride (accepted; "
+                           "see --sigma)")
+        self.addParamsLine("  [--t1 <t1=-60>] : First tilt angle of the "
+                           "missing wedge (volume inputs)")
+        self.addParamsLine("  [--t2 <t2=60>] : Second tilt angle of the "
+                           "missing wedge (volume inputs)")
+
+    def run(self):
+        # volume inputs -> wedge-aware average path; image inputs fall
+        # back to the cluster-SIRT of the base class
+        first = MetaData(self.getParam("-i"))
+        rows = list(first.iterRows())
+        if rows:
+            v0 = np.squeeze(Image(str(rows[0]["image"])).data)
+            if v0.ndim == 3:
+                return self._run_subtomos(rows)
+        return super().run()
+
+    def _run_subtomos(self, rows):
+        import os
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.art import wedge_aware_average
+        from xmipp3_tpu.ops.zernike import deform_volume, zernike_basis_grid
+        odir = self.getParam("--odir")
+        out_fn = self.getParam("-o")
+        if odir and odir != "." and not os.path.isabs(out_fn):
+            os.makedirs(odir, exist_ok=True)
+            out_fn = os.path.join(odir, out_fn)
+        if self.checkParam("--resume") and os.path.exists(out_fn):
+            self.volume = np.squeeze(Image(out_fn).data)
+            self.labels = None
+            return
+        subs = np.stack([np.squeeze(Image(str(r["image"])).data)
+                         .astype(np.float32) for r in rows])
+        N = subs.shape[-1]
+        get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
+                                 np.float32)
+        rot, tilt, psi = get("angleRot"), get("angleTilt"), get("anglePsi")
+        t1 = float(self.getDoubleParam("--t1"))
+        t2 = float(self.getDoubleParam("--t2"))
+        use_zernike = self.checkParam("--useZernike")
+        coeffs = np.stack([np.asarray(r.get("sphCoefficients", [0.0]),
+                                      np.float64).ravel() for r in rows])
+        C = (min(self.getIntParam("--clusters"), len(rows))
+             if use_zernike else 1)
+        rng = np.random.default_rng(0)
+        if C > 1:
+            cen = coeffs[rng.choice(len(coeffs), C, replace=False)].copy()
+            for _ in range(25):
+                lab = ((coeffs[:, None] - cen[None]) ** 2).sum(-1).argmin(1)
+                for c in range(C):
+                    if (lab == c).any():
+                        cen[c] = coeffs[lab == c].mean(0)
+        else:
+            lab = np.zeros(len(rows), int)
+            cen = coeffs.mean(0, keepdims=True)
+        L1, L2 = self.getIntParam("--l1"), self.getIntParam("--l2")
+        rdef = float(self.getIntParam("--RDef"))
+        basis = jnp.asarray(zernike_basis_grid(
+            N, L1, L2, rdef if rdef > 0 else None))
+        K = basis.shape[0]
+        acc = np.zeros((N, N, N), np.float64)
+        wsum = 0.0
+        for c in range(C):
+            m = lab == c
+            if not m.any():
+                continue
+            volc = wedge_aware_average(subs[m], rot[m], tilt[m], psi[m],
+                                       t1, t2)
+            cc = cen[c]
+            if use_zernike and cc.size == 3 * K:
+                volc = np.asarray(deform_volume(
+                    jnp.asarray(volc), basis,
+                    -jnp.asarray(cc.reshape(3, K), jnp.float32)))
+            acc += np.asarray(volc, np.float64) * m.sum()
+            wsum += m.sum()
+        vol = (acc / max(wsum, 1)).astype(np.float32)
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            vol = vol * (np.squeeze(Image(self.getParam("--mask")).data)
+                         > 0.5)
+        save_image(out_fn, vol)
+        self.volume = vol
+        self.labels = lab
+
+
+class ProgCuda11ForwardArtZernike3D(ProgArtZernike3D):
+    """cuda11_forward_art_zernike3d (forward_art_zernike3d_gpu.cpp:
+    132-168): the regularized flavor — per-iteration TV (--ltv), Tikhonov
+    (--ltk), L1 (--ll1) and soft-threshold (--lst) steps, forward/backward
+    masks, --onlyPositive clamp, --sym symmetrization of the result,
+    --debug_iter intermediates, and the multiresolution (--mr/--dSize) /
+    splatting (--blobr/--step/--sigma) internals of the GPU implementation
+    accepted for CLI compatibility (the Fourier SIRT path runs full-res
+    in one dispatch)."""
+    name = "xmipp_cuda11_forward_art_zernike3d"
+
+    def _define_extra_params(self):
+        self.addParamsLine("  [--maskf <m=\"\">] : Forward-model mask "
+                           "(multiplies the volume before projection)")
+        self.addParamsLine("  [--maskb <m=\"\">] : Backward mask "
+                           "(multiplies the update each iteration)")
+        self.addParamsLine("  [--blobr <b=-1>] : Splat blob radius "
+                           "(GPU splatting internal; accepted)")
+        self.addParamsLine("  [--step <step=1>] : Voxel stride (accepted)")
+        self.addParamsLine("  [--sigma <...>] : Splatting Gaussian sigmas "
+                           "(accepted)")
+        self.addParamsLine("  [--mr <mr=0>] : Multiresolution levels "
+                           "(accepted; full-res single dispatch)")
+        self.addParamsLine("  [--dSize <ds=0>] : Multiresolution size "
+                           "(accepted)")
+        self.addParamsLine("  [--ltv <ltv=1e-4>] : Total-variation step")
+        self.addParamsLine("  [--ltk <ltk=1e-4>] : Tikhonov shrinkage")
+        self.addParamsLine("  [--ll1 <ll1=1e-4>] : L1 subgradient step")
+        self.addParamsLine("  [--lst <lst=1e-4>] : Soft-threshold prox")
+        self.addParamsLine("  [--sym <sym=c1>] : Symmetrize the result")
+        self.addParamsLine("  [--onlyPositive] : Clamp negatives")
+        self.addParamsLine("  [--debug_iter] : Save the volume after every "
+                           "iteration")
+        self.addParamsLine("  [--sort_random] : Random projection order "
+                           "(order-free batched update; accepted)")
+
+    def _reconstruct_cluster(self, imgs, rot, tilt, psi, rows, sel, niter,
+                             ridge, init_vol, cb):
+        from xmipp3_tpu.ops.art import sirt_reconstruct
+        vol_mask = None
+        if self.checkParam("--maskb") and self.getParam("--maskb"):
+            vol_mask = (np.squeeze(Image(self.getParam("--maskb")).data)
+                        > 0.5).astype(np.float32)
+        if self.checkParam("--maskf") and self.getParam("--maskf"):
+            mf = (np.squeeze(Image(self.getParam("--maskf")).data)
+                  > 0.5).astype(np.float32)
+            vol_mask = mf if vol_mask is None else vol_mask * mf
+            if init_vol is not None:
+                init_vol = init_vol * mf
+        if self.checkParam("--debug_iter") and cb is None:
+            import os
+            base = os.path.splitext(self.getParam("-o"))[0]
+
+            def cb(it, v):
+                save_image(f"{base}_iter{it:03d}.vol",
+                           np.asarray(v, np.float32))
+        volc, _ = sirt_reconstruct(
+            imgs, rot, tilt, psi, n_iters=niter, ridge=ridge,
+            tv=float(self.getDoubleParam("--ltv")),
+            l1=float(self.getDoubleParam("--ll1")),
+            soft_threshold=float(self.getDoubleParam("--lst")),
+            vol_mask=vol_mask,
+            positivity=self.checkParam("--onlyPositive"),
+            iter_callback=cb)
+        # --ltk Tikhonov rides the base --regularization ridge; apply the
+        # extra shrinkage once if it differs
+        ltk = float(self.getDoubleParam("--ltk"))
+        if ltk > 0:
+            volc = volc * (1.0 - ltk)
+        sym = self.getParam("--sym")
+        if sym and sym.lower() != "c1":
+            from xmipp3_tpu.core.sym import SymList
+            from xmipp3_tpu.ops.geo import apply_affine_3d
+            mats = SymList(sym).sym_matrices()
+            volc = np.asarray(apply_affine_3d(volc, np.asarray(
+                mats, np.float32))).mean(axis=0)
+        return volc
 
 
 class ProgClassifyFTTRI(XmippProgram):

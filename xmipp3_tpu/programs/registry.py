@@ -208,7 +208,8 @@ register("metadata_convert_emx",
 # functionality aliases: reference endpoints whose engine already exists
 register("forward_zernike_images",
          P + "zernike_programs:ProgForwardZernikeImages")
-register("forward_zernike_volume", P + "zernike_programs:ProgVolumeDeformSph")
+register("forward_zernike_volume",
+         P + "zernike_programs:ProgForwardZernikeVolume")
 register("volume_apply_deform_sph",
          P + "zernike_programs:ProgVolumeApplyCoefficientZernike3D")
 register("ctf_correct_phase", P + "ctf_correct:ProgCTFPhaseFlip")
@@ -284,7 +285,7 @@ register("art_zernike3d", P + "flex_misc_ext:ProgArtZernike3D")
 register("forward_art_zernike3d_subtomos",
          P + "flex_misc_ext:ProgForwardArtZernike3DSubtomos")
 register("cuda11_forward_art_zernike3d",
-         P + "flex_misc_ext:ProgArtZernike3D")
+         P + "flex_misc_ext:ProgCuda11ForwardArtZernike3D")
 register("classify_FTTRI", P + "flex_misc_ext:ProgClassifyFTTRI")
 register("classify_CLTomo_prog", P + "flex_misc_ext:ProgClassifyCLTomo")
 register("volume_initial_simulated_annealing",

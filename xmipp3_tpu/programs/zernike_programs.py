@@ -16,6 +16,11 @@ from xmipp3_tpu.core.program import XmippProgram
 
 
 class ProgVolumeDeformSph(XmippProgram):
+    """Full reference surface (volume_deform_sph.cpp:37-49): --sigma
+    multiresolution NCC, --regularization deformation penalty,
+    --Rmax basis radius, --optimizeRadius (radius-candidate search —
+    the Powell radius parameter recast as a TPU-friendly grid),
+    --analyzeStrain strain/rotation volumes."""
     name = "xmipp_volume_deform_sph"
 
     def defineParams(self):
@@ -24,29 +29,67 @@ class ProgVolumeDeformSph(XmippProgram):
         self.addParamsLine("   -i <volume>  : Volume to deform")
         self.addParamsLine("   -r <volume>  : Target (reference) volume")
         self.addParamsLine("  [-o <out=deformed.vol>] : Deformed volume")
+        self.addParamsLine("  [--sigma <...>] : Gaussian sigmas (px) for "
+                           "multiresolution NCC (0 = unfiltered level)")
+        self.addParamsLine("  [--analyzeStrain] : Write <oroot>_strain.vol "
+                           "and <oroot>_rotation.vol from the displacement "
+                           "jacobian")
+        self.addParamsLine("  [--optimizeRadius] : Also search the basis "
+                           "radius (candidates 0.8/0.9/1.0/1.1 x Rmax)")
         self.addParamsLine("  [--l1 <l1=3>]  : Zernike radial depth")
         self.addParamsLine("  [--l2 <l2=2>]  : Spherical harmonic depth")
+        self.addParamsLine("  [--regularization <l=0.00025>] : Deformation "
+                           "penalty lambda")
+        self.addParamsLine("  [--Rmax <r=-1>] : Basis radius (px); -1 = "
+                           "half the volume size")
         self.addParamsLine("  [--steps <n=100>] : Optimization steps")
-        self.addParamsLine("  [--oroot <root=\"\">] : Also write coefficients (.xmd)")
+        self.addParamsLine("  [--oroot <root=\"\">] : Root for extra "
+                           "outputs (coefficients .xmd, strain volumes; "
+                           "reference default 'Volumes')")
+
+    def _fit(self, vol, ref, L1, L2, radius, lam, sigmas, steps):
+        from xmipp3_tpu.ops.zernike import fit_deformation
+        return fit_deformation(vol, ref, L1, L2, n_steps=steps,
+                               radius=radius, lam=lam, sigmas=sigmas,
+                               verbose=self.verbose)
 
     def run(self):
         from xmipp3_tpu.ops.zernike import (deformation_amplitude,
-                                            fit_deformation,
+                                            strain_rotation_volumes,
                                             zernike_basis_grid)
         vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
         ref = np.squeeze(Image(self.getParam("-r")).data).astype(np.float32)
         L1 = self.getIntParam("--l1")
         L2 = self.getIntParam("--l2")
-        coeffs, deformed, ncc = fit_deformation(
-            vol, ref, L1, L2, n_steps=self.getIntParam("--steps"),
-            verbose=self.verbose)
-        save_image(self.getParam("-o"), deformed)
+        lam = float(self.getDoubleParam("--regularization"))
+        rmax = float(self.getIntParam("--Rmax"))
+        if rmax <= 0:
+            rmax = vol.shape[0] / 2 - 1
+        sigmas = None
+        if self.checkParam("--sigma"):
+            toks = self.getListParam("--sigma")
+            sigmas = [float(t) for t in toks if t != ""] or None
+        steps = self.getIntParam("--steps")
+        radii = [rmax]
+        if self.checkParam("--optimizeRadius"):
+            radii = [0.8 * rmax, 0.9 * rmax, rmax, 1.1 * rmax]
+        best = None
+        for rad in radii:
+            coeffs, deformed, ncc = self._fit(vol, ref, L1, L2, rad, lam,
+                                              sigmas, steps)
+            if best is None or ncc > best[3]:
+                best = (coeffs, deformed, rad, ncc)
+        coeffs, deformed, radius, ncc = best
+        out = self.getParam("-o")
+        save_image(out if out else self.getParam("-i"), deformed)
         self.ncc = ncc
-        basis = zernike_basis_grid(vol.shape[0], L1, L2)
+        self.radius = radius
+        basis = zernike_basis_grid(vol.shape[0], L1, L2, radius)
         self.deformation = deformation_amplitude(basis, coeffs)
         if self.verbose:
             print(f"NCC after deformation: {ncc:.4f}  "
-                  f"RMS deformation: {self.deformation:.3f} px")
+                  f"RMS deformation: {self.deformation:.3f} px  "
+                  f"radius: {radius:.1f}")
         root = self.getParam("--oroot")
         if root:
             md = MetaData.fromRows([{
@@ -54,6 +97,102 @@ class ProgVolumeDeformSph(XmippProgram):
                 "sphDeformation": self.deformation,
                 "image": self.getParam("-i")}])
             md.write(root + ".xmd")
+        if self.checkParam("--analyzeStrain"):
+            strain, rotation = strain_rotation_volumes(basis, coeffs)
+            save_image((root or "Volumes") + "_strain.vol", strain)
+            save_image((root or "Volumes") + "_rotation.vol", rotation)
+
+
+class ProgForwardZernikeVolume(ProgVolumeDeformSph):
+    """forward_zernike_volume (forward_zernike_volume.cpp:120-135): the
+    volume-to-volume fit through the FORWARD splat model — the input's
+    masked voxel cloud is displaced and splat back into a volume
+    (trilinear or --blobr KB blob, --step stride), optimized against the
+    masked reference; --clnm seeds the coefficients."""
+    name = "xmipp_forward_zernike_volume"
+
+    def defineParams(self):
+        super().defineParams()
+        self.addParamsLine("  [--maski <m=\"\">] : Input volume mask "
+                           "(voxel-cloud support)")
+        self.addParamsLine("  [--maskr <m=\"\">] : Reference volume mask "
+                           "(fit region)")
+        self.addParamsLine("  [--blobr <b=-1>] : Splat blob radius; <=0 = "
+                           "trilinear splat")
+        self.addParamsLine("  [--step <step=1>] : Voxel index stride")
+        self.addParamsLine("  [--clnm <metadata_file=\"\">] : Coefficients "
+                           "seeding the optimization")
+
+    def run(self):
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.forward_zernike import (
+            blob_splat_profile_3d, fit_forward_zernike_subtomos_batch,
+            masked_voxel_basis)
+        from xmipp3_tpu.ops.zernike import strain_rotation_volumes, \
+            zernike_basis_grid
+        from xmipp3_tpu.ops.forward_zernike import forward_splat_volume
+        vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        ref = np.squeeze(Image(self.getParam("-r")).data).astype(np.float32)
+        L1, L2 = self.getIntParam("--l1"), self.getIntParam("--l2")
+        lam = float(self.getDoubleParam("--regularization"))
+        rmax = float(self.getIntParam("--Rmax"))
+        maski = None
+        if self.checkParam("--maski") and self.getParam("--maski"):
+            maski = np.squeeze(Image(self.getParam("--maski")).data)
+        positions, values, Z = masked_voxel_basis(
+            vol, L1, L2, value_threshold=float(np.abs(vol).max()) * 1e-3,
+            mask=maski, rmax=rmax if rmax > 0 else None,
+            step=max(1, self.getIntParam("--step")))
+        K = Z.shape[0]
+        n = vol.shape[0]
+        vol_mask = None
+        if self.checkParam("--maskr") and self.getParam("--maskr"):
+            vol_mask = jnp.asarray(
+                (np.squeeze(Image(self.getParam("--maskr")).data) > 0.5)
+                .astype(np.float32))
+        blobr = float(self.getDoubleParam("--blobr"))
+        blob_profile, n_taps = (None, 0)
+        if blobr > 0:
+            prof, n_taps = blob_splat_profile_3d(blobr)
+            blob_profile = jnp.asarray(prof)
+        c0 = np.zeros((1, 3, K), np.float32)
+        if self.checkParam("--clnm") and self.getParam("--clnm"):
+            cmd = MetaData(self.getParam("--clnm"))
+            c0 = np.asarray(cmd.getValue("sphCoefficients",
+                                         cmd.firstObject()),
+                            np.float32).reshape(1, 3, K)
+        z0 = jnp.zeros(1, jnp.float32)
+        c3, dp, cc, deform = fit_forward_zernike_subtomos_batch(
+            jnp.asarray(positions), jnp.asarray(values), jnp.asarray(Z),
+            jnp.asarray(ref[None]), z0, z0, z0, jnp.asarray(c0), lam, n,
+            int(self.getIntParam("--steps")), vol_mask=vol_mask,
+            blob_profile=blob_profile, n_taps=n_taps, opt_align=False,
+            opt_deform=True)
+        coeffs = np.asarray(c3)[0]
+        deformed, _ = forward_splat_volume(
+            jnp.asarray(positions), jnp.asarray(values), jnp.asarray(Z),
+            jnp.asarray(coeffs), 0.0, 0.0, 0.0, n,
+            blob_profile=blob_profile, n_taps=n_taps)
+        out = self.getParam("-o")
+        save_image(out if out else self.getParam("-i"),
+                   np.asarray(deformed))
+        self.ncc = float(np.asarray(cc)[0])
+        self.deformation = float(np.asarray(deform)[0])
+        if self.verbose:
+            print(f"NCC after forward deformation: {self.ncc:.4f}  "
+                  f"RMS deformation: {self.deformation:.3f} px")
+        root = self.getParam("--oroot")
+        if root:
+            MetaData.fromRows([{
+                "sphCoefficients": coeffs.ravel().astype(np.float64),
+                "sphDeformation": self.deformation,
+                "image": self.getParam("-i")}]).write(root + ".xmd")
+        if self.checkParam("--analyzeStrain"):
+            basis = zernike_basis_grid(n, L1, L2,
+                                       rmax if rmax > 0 else None)
+            strain, rotation = strain_rotation_volumes(basis, coeffs)
+            save_image((root or "Volumes") + "_strain.vol", strain)
+            save_image((root or "Volumes") + "_rotation.vol", rotation)
 
 
 class ProgVolumeApplyCoefficientZernike3D(XmippProgram):
@@ -64,6 +203,12 @@ class ProgVolumeApplyCoefficientZernike3D(XmippProgram):
         self.addParamsLine("   -i <volume>  : Input volume")
         self.addParamsLine("   --clnm <md>  : Metadata with sphCoefficients")
         self.addParamsLine("  [-o <out=deformed.vol>] : Output")
+        self.addParamsLine("  [--mask <m=\"\">] : Deformation support mask")
+        self.addParamsLine("  [--step <step=1>] : Voxel index stride "
+                           "(forward splat mode)")
+        self.addParamsLine("  [--blobr <b=-1>] : Blob radius for forward "
+                           "splat application; <=0 applies the backward "
+                           "warp (TPU-native default path)")
         self.addParamsLine("  [--l1 <l1=3>]  : Zernike radial depth")
         self.addParamsLine("  [--l2 <l2=2>]  : Spherical harmonic depth")
 
@@ -75,9 +220,38 @@ class ProgVolumeApplyCoefficientZernike3D(XmippProgram):
         flat = np.asarray(md.getValue("sphCoefficients", md.firstObject()),
                           np.float32)
         coeffs = flat.reshape(3, -1)
-        basis = jnp.asarray(zernike_basis_grid(
+        mask = None
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            mask = np.squeeze(Image(self.getParam("--mask")).data)
+        blobr = (float(self.getDoubleParam("--blobr"))
+                 if self.checkParam("--blobr") else -1.0)
+        if blobr > 0:
+            # forward splat application (the reference's forward mapping)
+            from xmipp3_tpu.ops.forward_zernike import (
+                blob_splat_profile_3d, forward_splat_volume,
+                masked_voxel_basis)
+            positions, values, Z = masked_voxel_basis(
+                vol, self.getIntParam("--l1"), self.getIntParam("--l2"),
+                value_threshold=0.0, mask=mask,
+                step=max(1, self.getIntParam("--step")))
+            if Z.shape[0] != coeffs.shape[1]:
+                raise XmippError(ErrCode.PARAM_INCORRECT,
+                                 f"coefficient count {coeffs.shape[1]} != "
+                                 f"basis size {Z.shape[0]} for l1/l2")
+            prof, n_taps = blob_splat_profile_3d(blobr)
+            out, _ = forward_splat_volume(
+                jnp.asarray(positions), jnp.asarray(values),
+                jnp.asarray(Z), jnp.asarray(coeffs), 0.0, 0.0, 0.0,
+                vol.shape[0], blob_profile=jnp.asarray(prof),
+                n_taps=n_taps)
+            save_image(self.getParam("-o"), np.asarray(out))
+            return
+        basis = zernike_basis_grid(
             vol.shape[0], self.getIntParam("--l1"),
-            self.getIntParam("--l2")))
+            self.getIntParam("--l2"))
+        if mask is not None:
+            basis = basis * (mask > 0.5).astype(np.float32)[None]
+        basis = jnp.asarray(basis)
         if basis.shape[0] != coeffs.shape[1]:
             from xmipp3_tpu.core.errors import ErrCode, XmippError
             raise XmippError(ErrCode.PARAM_INCORRECT,
@@ -430,7 +604,7 @@ class ProgForwardZernikeImages(XmippProgram):
         self.addParamsLine("  [--optimizeDefocus] : Optimize per-particle "
                            "defocus deltas (with --useCTF)")
         self.addParamsLine("  [--regularization <l=0.01>] : Deformation penalty lambda")
-        self.addParamsLine("  [--blobr <b=4>] : Splatting blob radius "
+        self.addParamsLine("  [--blobr <b=-1>] : Splatting blob radius "
                            "(KB blob, order 2, alpha 7.05); <=0 selects the "
                            "differentiable bilinear splat (TPU-native "
                            "default path of this engine)")
