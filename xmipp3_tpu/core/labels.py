@@ -41,11 +41,14 @@ LABELS: dict[str, LabelType] = {
     # geometry / alignment
     "angleRot": _D, "angleRot2": _D, "angleTilt": _D, "angleTilt2": _D,
     "anglePsi": _D, "anglePsi2": _D, "angleY": _D, "angleY2": _D,
-    "angleDiff": _D, "angleDiff2": _D, "anglePsiDiff": _D, "angleRotDiff": _D,
+    "angleDiff": _D, "angleDiff0": _D, "angleDiff2": _D,
+    "anglePsiDiff": _D, "angleRotDiff": _D,
     "angleTiltDiff": _D,
+    "weightJumper": _D, "weightJumper0": _D, "weightJumper2": _D,
     "shiftX": _D, "shiftX2": _D, "shiftX3": _D,
     "shiftY": _D, "shiftY2": _D, "shiftY3": _D,
-    "shiftZ": _D, "shiftZ2": _D, "shiftDiff": _D,
+    "shiftZ": _D, "shiftZ2": _D, "shiftDiff": _D, "shiftDiff0": _D,
+    "shiftDiff2": _D,
     "flip": _B, "scale": _D, "scale2": _D, "scale3": _D,
     "xcoor": _I, "ycoor": _I, "zcoor": _I,
     "x": _D, "y": _D, "z": _D, "X": _D, "Y": _D, "Z": _D,

@@ -74,18 +74,25 @@ def angular_distance_deg(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
 
 
 def compute_neighbors(angles: np.ndarray, ref_angles: np.ndarray,
-                      max_dist_deg: float, sym: SymList | None = None):
+                      max_dist_deg: float, sym: SymList | None = None,
+                      check_mirrors: bool = False):
     """For each row of `angles`, indices of ref_angles within max_dist_deg
-    (considering symmetry if given). Returns list of index arrays."""
+    (considering symmetry if given; check_mirrors also accepts antipodal
+    directions — reference angular_neighbourhood --check_mirrors).
+    Returns list of index arrays."""
     d_exp = directions_from_angles(angles)
     d_ref = directions_from_angles(ref_angles)
     if sym is not None and len(sym) > 1:
         mats = sym.sym_matrices().astype(np.float64)
         d_exp_orbit = np.einsum("sij,nj->nsi", mats, d_exp)  # (N,S,3)
         cos = np.einsum("nsi,mi->nsm", d_exp_orbit, d_ref)
+        if check_mirrors:
+            cos = np.maximum(cos, -cos)
         cos = cos.max(axis=1)
     else:
         cos = d_exp @ d_ref.T
+        if check_mirrors:
+            cos = np.maximum(cos, -cos)
     ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
     return [np.where(ang[i] <= max_dist_deg)[0] for i in range(len(angles))]
 

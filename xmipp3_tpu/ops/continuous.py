@@ -98,15 +98,25 @@ def _dwt2_levels(x, levels: int):
 
 
 @partial(jax.jit, static_argnames=("N", "levels"))
-def _wavelet_loss(params, vf, imgs, N: int, levels: int = 2):
+def _wavelet_loss(params, vf, imgs, N: int, levels: int = 2,
+                  spec_w=None, real_w=None):
     """Wavelet-space continuous assignment objective (reference
     angular_continuous_assign.h:39 — the original algorithm matches image
     and projection in DWT space, weighting scales; here: NCC over the
     multi-level Haar coefficient pyramid with the finest detail band
     down-weighted, which is what makes the wavelet variant robust to
-    high-frequency noise)."""
+    high-frequency noise). spec_w/real_w are the reference's
+    --gaussian_Fourier / --gaussian_Real / --zerofreq_weight weighting
+    masks, applied identically to projection and image (a weighted
+    matching metric)."""
     rot, tilt, psi, sx, sy = params
     proj = _project_posed(vf, rot, tilt, psi, sx, sy, N)
+    if spec_w is not None:
+        proj = jnp.fft.irfft2(jnp.fft.rfft2(proj) * spec_w, (N, N))
+        imgs = jnp.fft.irfft2(jnp.fft.rfft2(imgs) * spec_w, (N, N))
+    if real_w is not None:
+        proj = proj * real_w
+        imgs = imgs * real_w
     cp = _dwt2_levels(proj, levels)
     ci = _dwt2_levels(imgs, levels)
     # weights: finest-level details (first 3 arrays) get 0.25; all other
@@ -215,13 +225,15 @@ def _adam_step(params, m, v, grads, lrs, t, lo=None, hi=None):
 
 @partial(jax.jit, static_argnames=("N", "max_freq", "n_steps", "domain"))
 def _adam_scan_pose(p0, vf, imgs, lrs, N: int, max_freq: float,
-                    n_steps: int, domain: str, lo=None, hi=None):
+                    n_steps: int, domain: str, lo=None, hi=None,
+                    spec_w=None, real_w=None):
     """Whole pose refinement (Adam over rot/tilt/psi/sx/sy) as one scan."""
     def step_fn(carry, t):
         params, m, v = carry
         if domain == "wavelet":
             (_, ncc), grads = jax.value_and_grad(
-                _wavelet_loss, has_aux=True)(tuple(params), vf, imgs, N)
+                _wavelet_loss, has_aux=True)(tuple(params), vf, imgs, N,
+                                             2, spec_w, real_w)
         else:
             (_, ncc), grads = jax.value_and_grad(
                 _ncc_loss, has_aux=True)(tuple(params), vf, imgs, N,
@@ -388,7 +400,10 @@ def continuous_assign(vol, imgs, rot0, tilt0, psi0, sx0=None, sy0=None,
                       max_freq: float = 0.35, verbose: int = 0,
                       domain: str = "fourier",
                       max_angular_change: float | None = None,
-                      max_shift: float | None = None):
+                      max_shift: float | None = None,
+                      gaussian_fourier: float | None = None,
+                      gaussian_real: float | None = None,
+                      zerofreq_weight: float | None = None):
     """Refine poses continuously. Returns dict(rot, tilt, psi, sx, sy, cost).
 
     sx0/sy0 and the returned sx/sy follow the METADATA shift convention
@@ -418,12 +433,31 @@ def continuous_assign(vol, imgs, rot0, tilt0, psi0, sx0=None, sy0=None,
     if max_shift is not None and max_shift >= 0:
         lo[3] = lo[4] = -max_shift
         hi[3] = hi[4] = max_shift
+    # weighting masks of the ORIGINAL continuous assign (reference
+    # angular_continuous_assign.cpp:104-112: Gaussian weights in Fourier
+    # and real space + a zero-frequency weight)
+    spec_w = real_w = None
+    if gaussian_fourier is not None or zerofreq_weight is not None:
+        fy = np.fft.fftfreq(N)[:, None]
+        fx = np.fft.rfftfreq(N)[None, :]
+        f2 = fy * fy + fx * fx
+        sF = gaussian_fourier if gaussian_fourier is not None else 0.5
+        w = np.exp(-f2 / (2 * sF * sF))
+        if zerofreq_weight is not None:
+            w[0, 0] = zerofreq_weight
+        spec_w = jnp.asarray(w.astype(np.float32))
+    if gaussian_real is not None:
+        yy, xx = np.mgrid[0:N, 0:N].astype(np.float32) - N // 2
+        sR = gaussian_real * N
+        real_w = jnp.asarray(np.exp(-(yy * yy + xx * xx)
+                                    / (2 * sR * sR)).astype(np.float32))
     # the whole Adam refinement is ONE lax.scan dispatch (a host step
     # loop pays dozens of link round-trips per step for the eager
     # moment updates)
     p, ncc = _adam_scan_pose(jnp.asarray(np.stack(p_init)), vf, imgs, lrs,
                              N, float(max_freq), int(n_steps), domain,
-                             jnp.asarray(lo), jnp.asarray(hi))
+                             jnp.asarray(lo), jnp.asarray(hi),
+                             spec_w, real_w)
     if verbose:
         print(f"  continuous refine ({n_steps} steps): mean wNCC "
               f"{float(np.asarray(ncc).mean()):.4f}")

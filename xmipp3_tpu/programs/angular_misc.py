@@ -191,8 +191,69 @@ class ProgAngularAssignmentMag(ProgAngularProjectionMatching):
     """Fast assignment via Fourier-magnitude rotation estimation
     (reference angular_assignment_mag.h:49). The gallery path shares the
     matching engine; the magnitude trick lives in ops.align and is used by
-    the in-plane stage."""
+    the in-plane stage. Accepts the reference's single-dash spellings
+    (-ref/-odir/-sampling/-angleStep, angular_assignment_mag.cpp grammar)
+    and its validation extras."""
     name = "xmipp_angular_assignment_mag"
+
+    def defineParams(self):
+        super().defineParams()
+        g = self._grammar
+        # reference single-dash spellings -> the matching grammar
+        g._alias_map["-ref"] = "--ref"
+        g.params["--ref"].aliases.append("-ref")
+        g._alias_map["--maxShift"] = "--max_shift"
+        g.params["--max_shift"].aliases.append("--maxShift")
+        self.addParamsLine("  [-odir <outputDir=\".\">] : Output directory")
+        self.addParamsLine("  [--sym <symfile=c1>] : Enforce symmetry in "
+                           "the assigned projections")
+        self.addParamsLine("  [-sampling <sampling=1.>] : Pixel size (A)")
+        self.addParamsLine("  [-angleStep <angStep=3.>] : Gallery angular "
+                           "step when reprojecting --refVol")
+        self.addParamsLine("  [--refVol <refVolFile=NULL>] : Reference "
+                           "volume reprojected as the gallery (instead of "
+                           "--ref projections)")
+        self.addParamsLine("  [--useForValidation] : Keep the per-image "
+                           "neighborhood candidate list for the "
+                           "multireference aligneability validation")
+
+    def read(self, argv):
+        # --refVol: reproject the volume at -angleStep into a gallery so
+        # the base matcher can run unchanged (the reference builds its
+        # own gallery internally in this mode)
+        argv = list(argv)
+        if "--refVol" in argv and not any(
+                t in argv for t in ("--ref", "-r", "-ref")):
+            import os
+            import tempfile
+            from xmipp3_tpu.core.image import Image as _Img
+            from xmipp3_tpu.core.metadata import MetaData as _MD
+            from xmipp3_tpu.core.sampling import compute_sampling_points
+            from xmipp3_tpu.ops.project import FourierProjector
+
+            def _val(flag, default):
+                return (argv[argv.index(flag) + 1] if flag in argv
+                        and argv.index(flag) + 1 < len(argv) else default)
+            vol = np.squeeze(_Img(_val("--refVol", "")).data
+                             ).astype(np.float32)
+            step = float(_val("-angleStep", "3.0"))
+            angles = compute_sampling_points(step)
+            proj = np.asarray(FourierProjector(vol).project_euler(
+                angles[:, 0].astype(np.float32),
+                angles[:, 1].astype(np.float32),
+                np.zeros(len(angles), np.float32)))
+            odir = _val("-odir", ".")
+            os.makedirs(odir or ".", exist_ok=True)
+            d = tempfile.mkdtemp(dir=odir or ".")
+            _Img(proj).write(os.path.join(d, "gal.stk"))
+            _MD.fromRows([
+                {"image": f"{k + 1:06d}@{os.path.join(d, 'gal.stk')}",
+                 "angleRot": float(angles[k, 0]),
+                 "angleTilt": float(angles[k, 1]), "anglePsi": 0.0}
+                for k in range(len(angles))]).write(
+                os.path.join(d, "gal.doc"))
+            argv = argv + ["--ref", os.path.join(d, "gal.doc")]
+        super().read(argv)
 
 
 class ProgAngularBreakSymmetry(XmippProgram):

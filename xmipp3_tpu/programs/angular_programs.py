@@ -186,19 +186,37 @@ class ProgAngularContinuousAssign(XmippProgram):
         self.addParamsLine("   --ref <volume> : Reference volume")
         self.addParamsLine("  [--optimizeShift] : Also refine shifts")
         self.addParamsLine("  [--steps <n=60>] : Optimization steps")
+        self.addParamsLine("     alias --max_iter;")
         self.addParamsLine("  [--padding <p=2>] : Projector padding")
+        self.addParamsLine("  [--gaussian_Fourier <s=0.5>] : Weighting "
+                           "sigma in Fourier space")
+        self.addParamsLine("  [--gaussian_Real <s=0.5>] : Weighting sigma "
+                           "in real space (fraction of the image size)")
+        self.addParamsLine("  [--zerofreq_weight <s=0.>] : Zero-frequency "
+                           "weight")
+        self.addParamsLine("  [--max_angular_change <a=-1>] : Maximum "
+                           "angular change (deg; -1 = unbounded)")
+        self.addParamsLine("  [--max_shift <s=-1>] : Maximum shift (px; "
+                           "-1 = unbounded)")
 
     def run(self):
         from xmipp3_tpu.ops.continuous import continuous_assign
         md, rows, imgs, get = _load_md(self.getParam("-i"))
         vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        mac = self.getDoubleParam("--max_angular_change")
+        ms = self.getDoubleParam("--max_shift")
         res = continuous_assign(
             vol, imgs, get("angleRot"), get("angleTilt"), get("anglePsi"),
             get("shiftX") if self.checkParam("--optimizeShift") else None,
             get("shiftY") if self.checkParam("--optimizeShift") else None,
             n_steps=self.getIntParam("--steps"),
             pad_factor=self.getDoubleParam("--padding"),
-            verbose=self.verbose, domain="wavelet")
+            verbose=self.verbose, domain="wavelet",
+            max_angular_change=mac if mac >= 0 else None,
+            max_shift=ms if ms >= 0 else None,
+            gaussian_fourier=self.getDoubleParam("--gaussian_Fourier"),
+            gaussian_real=self.getDoubleParam("--gaussian_Real"),
+            zerofreq_weight=self.getDoubleParam("--zerofreq_weight"))
         out_rows = []
         for i, r in enumerate(rows):
             d = dict(r)
@@ -219,35 +237,146 @@ class ProgAngularClassAverage(XmippProgram):
 
     def defineParams(self):
         self.addUsageLine("Compute class averages from an angular assignment "
-                          "(one average per reference).")
+                          "(one average per reference; full reference "
+                          "grammar, mpi_angular_class_average.cpp).")
         self.addParamsLine("   -i <md_file>  : Assignment metadata (ref/psi/shift/flip)")
         self.addParamsLine("   --lib <md_file> : Gallery metadata (ref angles)")
         self.addParamsLine("   -o <root>     : Output rootname")
-        self.addParamsLine("  [--wien <w=\"\">] : (accepted; Wiener handled upstream)")
+        self.addParamsLine("  [--split] : Also output averages of random "
+                           "halves of the data (_split1/_split2)")
+        self.addParamsLine("  [--wien <img=\"\">] : Apply this Wiener "
+                           "filter image to the averages")
+        self.addParamsLine("  [--pad <factor=1.>] : Padding factor for the "
+                           "Wiener correction")
+        self.addParamsLine("  [--save_images_assigned_to_classes] : Save "
+                           "per-class image blocks in <root>_images.xmd")
+        self.addParamsLine("     alias --siatc;")
+        self.addParamsLine("  [--select <col=maxCC>] : Column used for "
+                           "image selection")
+        self.addParamsLine("  [--limit0 <l0=-1e30>] : Discard images below")
+        self.addParamsLine("  [--limitF <lF=1e30>] : Discard images above")
+        self.addParamsLine("  [--limitRclass <lRc=0>] : Discard the lowest "
+                           "(>0) / highest (<0) percent in each class")
+        self.addParamsLine("  [--limitRper <lRp=0>] : Discard the lowest "
+                           "(>0) / highest (<0) percent globally")
+        self.addParamsLine("  [--pcaSorting] : Reject first-PC outliers "
+                           "(|z|>2.5) before averaging")
+        self.addParamsLine("  [--iter <nr_iter=0>] : Re-alignment "
+                           "iterations of each class against its average")
+        self.addParamsLine("  [--Ri <ri=1>] : Inner radius of the "
+                           "rotational search")
+        self.addParamsLine("  [--Ro <r0=-1>] : Outer radius (-1 = dim/2-1)")
 
     def run(self):
+        import jax.numpy as jnp
         from xmipp3_tpu.ops.geo import apply_md_geometry
         md, rows, imgs, get = _load_md(self.getParam("-i"))
         md_lib = MetaData(self.getParam("--lib"))
         refs = md_lib.getColumn("ref") if md_lib.containsLabel("ref") else \
             np.arange(1, md_lib.size() + 1)
+        # --select / --limit* image selection
+        col = self.getParam("--select")
+        score = np.array([float(r.get(col, 0.0)) for r in rows])
+        keep = ((score >= self.getDoubleParam("--limit0"))
+                & (score <= self.getDoubleParam("--limitF")))
+        lRp = self.getDoubleParam("--limitRper")
+        if 0 < abs(lRp) < 100:
+            thr = np.percentile(score, abs(lRp))
+            keep &= (score >= thr) if lRp > 0 else (
+                score <= np.percentile(score, 100 - abs(lRp)))
         registered = np.asarray(apply_md_geometry(
             imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
             np.array([bool(r.get("flip", 0)) for r in rows])))
         assign = get("ref").astype(int)
+        lRc = self.getDoubleParam("--limitRclass")
+        if 0 < abs(lRc) < 100:
+            for k in np.unique(assign):
+                sel = np.where(assign == k)[0]
+                if len(sel) < 2:
+                    continue
+                thr = np.percentile(score[sel], abs(lRc))
+                if lRc > 0:
+                    keep[sel] &= score[sel] >= thr
+                else:
+                    keep[sel] &= score[sel] <= np.percentile(
+                        score[sel], 100 - abs(lRc))
         root = self.getParam("-o")
         n_refs = int(refs.max())
         H = imgs.shape[-1]
+        n_iter = self.getIntParam("--iter")
+        Ri = self.getIntParam("--Ri")
+        Ro = self.getIntParam("--Ro")
+        if Ro <= 0:
+            Ro = H // 2 - 1
+        rng = np.random.default_rng(0)
         avgs = np.zeros((n_refs, H, H), np.float32)
         counts = np.zeros(n_refs, int)
-        for i, r in enumerate(rows):
-            k = assign[i] - 1
-            if 0 <= k < n_refs:
-                avgs[k] += registered[i]
-                counts[k] += 1
-        nonzero = counts > 0
-        avgs[nonzero] /= counts[nonzero][:, None, None]
+        splits = np.zeros((2, n_refs, H, H), np.float32)
+        scounts = np.zeros((2, n_refs), int)
+        save_assigned = self.checkParam("--save_images_assigned_to_classes")
+        first_block = True
+        for k in range(1, n_refs + 1):
+            sel = np.where((assign == k) & keep)[0]
+            if len(sel) == 0:
+                continue
+            members = registered[sel]
+            if self.checkParam("--pcaSorting") and len(sel) > 2:
+                flat = members.reshape(len(sel), -1)
+                flat0 = flat - flat.mean(0)
+                _, _, vt = np.linalg.svd(flat0, full_matrices=False)
+                pc = flat0 @ vt[0]
+                z = (pc - pc.mean()) / max(pc.std(), 1e-12)
+                inliers = np.abs(z) <= 2.5
+                members = members[inliers]
+                sel = sel[inliers]
+            avg = members.mean(axis=0)
+            if n_iter > 0 and len(members) > 1:
+                from xmipp3_tpu.ops.align import iterative_align
+                for _ in range(n_iter):
+                    _, _, _, _, aligned = iterative_align(
+                        jnp.asarray(avg), jnp.asarray(members),
+                        n_iters=2, radius_min=max(Ri, 1), radius_max=Ro)
+                    members = np.asarray(aligned)
+                    avg = members.mean(axis=0)
+            avgs[k - 1] = avg
+            counts[k - 1] = len(members)
+            if self.checkParam("--split"):
+                half = rng.permutation(len(members))
+                h1 = half[: len(members) // 2]
+                h2 = half[len(members) // 2:]
+                for hi, hs in enumerate((h1, h2)):
+                    if len(hs):
+                        splits[hi, k - 1] = members[hs].mean(axis=0)
+                        scounts[hi, k - 1] = len(hs)
+            if save_assigned:
+                MetaData.fromRows([dict(rows[i]) for i in sel]).write(
+                    root + "_images.xmd", block=f"class{k:06d}_images",
+                    append=not first_block)
+                first_block = False
+        if self.checkParam("--wien") and self.getParam("--wien"):
+            wien = np.squeeze(Image(self.getParam("--wien")).data
+                              ).astype(np.float32)
+            pad = max(1.0, self.getDoubleParam("--pad"))
+            P = int(round(H * pad))
+            spec = np.fft.rfft2(avgs, s=(P, P))
+            if wien.shape[-1] != spec.shape[-1]:
+                # center-crop/pad the filter to the padded rfft grid
+                full = np.fft.fftshift(wien)
+                fy = np.fft.fftfreq(P)[:, None]
+                fx = np.fft.rfftfreq(P)[None, :]
+                wy = (np.clip((fy + 0.5) * wien.shape[0], 0,
+                              wien.shape[0] - 1)).astype(int)
+                wx = (np.clip((np.abs(fx)) * wien.shape[1], 0,
+                              wien.shape[1] - 1)).astype(int)
+                wgrid = full[wy, wx]
+            else:
+                wgrid = wien
+            avgs = np.fft.irfft2(spec * wgrid, s=(P, P)
+                                 )[:, :H, :H].astype(np.float32)
         save_image(root + ".stk", avgs)
+        if self.checkParam("--split"):
+            save_image(root + "_split1.stk", splits[0])
+            save_image(root + "_split2.stk", splits[1])
         out_rows = []
         for k in range(n_refs):
             d = {"ref": k + 1, "image": f"{k + 1:06d}@{root}.stk",
@@ -271,6 +400,8 @@ class ProgAngularNeighbourhood(XmippProgram):
         self.addParamsLine("   -o <md_file>   : Output neighborhood metadata")
         self.addParamsLine("  [--dist <d=10>] : Neighbourhood radius (deg)")
         self.addParamsLine("  [--sym <s=c1>]  : Symmetry")
+        self.addParamsLine("  [--check_mirrors] : Also accept antipodal "
+                           "(mirrored) directions")
 
     def run(self):
         from xmipp3_tpu.core.sampling import compute_neighbors
@@ -283,7 +414,9 @@ class ProgAngularNeighbourhood(XmippProgram):
                           md_ref.getColumn("angleTilt").astype(float)], axis=1)
         sym = SymList(self.getParam("--sym"))
         nbrs = compute_neighbors(a_ref, a_exp, self.getDoubleParam("--dist"),
-                                 sym)
+                                 sym,
+                                 check_mirrors=self.checkParam(
+                                     "--check_mirrors"))
         rows = []
         for k, nb in enumerate(nbrs):
             rows.append({"ref": k + 1, "neighbors": np.asarray(nb + 1,

@@ -40,6 +40,10 @@ class ProgAngularProjectionMatching(XmippProgram):
         self.addParamsLine("     alias -s;")
         self.addParamsLine("  [--ctf <file=\"\">]  : CTF to apply to the references (.ctfparam or 2D amplitude image)")
         self.addParamsLine("  [--phase_flipped] : Experimental images are phase flipped")
+        self.addParamsLine("  [--sym <symmetry=\"\">] : Symmetry group for "
+                           "the --max_angular_change restriction (a "
+                           "reference qualifies if ANY symmetry copy is "
+                           "close; mpi_angular_projection_matching --sym)")
         self.addParamsLine("  [--batch <b=512>] : Particles per device batch")
         from xmipp3_tpu.parallel.cli import add_mesh_params
         add_mesh_params(self)
@@ -68,6 +72,10 @@ class ProgAngularProjectionMatching(XmippProgram):
         self.max_psi_change = None
         self.psi_step = None
         self.sym = None
+        if (self._grammar.canonical("--sym") and self.checkParam("--sym")
+                and self.getParam("--sym")):
+            from xmipp3_tpu.core.sym import SymList
+            self.sym = SymList(self.getParam("--sym"))
         from xmipp3_tpu.parallel.cli import read_mesh_params
         read_mesh_params(self)
 

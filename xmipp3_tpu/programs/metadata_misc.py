@@ -112,56 +112,222 @@ class ProgAngularDistance(XmippProgram):
         self.addParamsLine("  [--oroot <root=\"\">] : Output rootname")
         self.addParamsLine("  [--sym <s=c1>]    : Symmetry group")
         self.addParamsLine("  [--check_mirrors] : Consider antipodal directions equal")
+        self.addParamsLine("  [--object_rotation] : Compare full object "
+                           "rotations (geodesic SO(3) distance) rather "
+                           "than projection directions")
+        self.addParamsLine("  [--compute_weights <minSigma=1> "
+                           "<idLabel=particleId> <minSigmaD=-1>] : Weight "
+                           "ang2 rows by a Gaussian of their angular (and, "
+                           "with minSigmaD>0, shift) distance to ang1 "
+                           "(reference computeWeights, "
+                           "angular_distance.cpp:344-430); rewrites ang2 "
+                           "and writes <oroot>_weights.xmd")
+        self.addParamsLine("  [--set <set=1>] : Which diff/weight label "
+                           "set to write (0/1/2 -> angleDiff0/angleDiff/"
+                           "angleDiff2 + weightJumper*)")
+        self.addParamsLine("  [--ang <ang=1>] : Angle set written in the "
+                           "output rows (1 = ang1, 2 = ang2)")
+        self.addParamsLine("  [--compute_average_angle] : Output rows "
+                           "carry the average of both angle sets")
+        self.addParamsLine("  [--compute_average_shift] : Output rows "
+                           "carry the average of both shift sets")
+
+    def _row_dist(self, a1, a2, mats, check_mirrors, object_rotation):
+        """Per-row symmetric distance: directions (default) or SO(3)
+        geodesic (--object_rotation). a* = (rot, tilt, psi)."""
+        from xmipp3_tpu.core.geometry import euler_matrix
+        from xmipp3_tpu.core.sampling import directions_from_angles
+        if not object_rotation:
+            d1 = directions_from_angles(a1[:, :2])
+            d2 = directions_from_angles(a2[:, :2])
+            orbit = np.einsum("sij,nj->nsi", mats, d2)
+            cos = np.einsum("ni,nsi->ns", d1, orbit).max(axis=1)
+            if check_mirrors:
+                cos = np.maximum(
+                    cos, np.einsum("ni,nsi->ns", d1, -orbit).max(axis=1))
+            return np.degrees(np.arccos(np.clip(cos, -1, 1)))
+        R1 = np.asarray(euler_matrix(a1[:, 0].astype(np.float32),
+                                     a1[:, 1].astype(np.float32),
+                                     a1[:, 2].astype(np.float32)))
+        R2 = np.asarray(euler_matrix(a2[:, 0].astype(np.float32),
+                                     a2[:, 1].astype(np.float32),
+                                     a2[:, 2].astype(np.float32)))
+        # geodesic angle of R1 (S R2)^T, minimized over the orbit
+        SR2 = np.einsum("sij,njk->nsik", mats, R2)
+        tr = np.einsum("nik,nsik->ns", R1, SR2)
+        best = tr.max(axis=1)
+        if check_mirrors:
+            M = np.diag([-1.0, 1.0, 1.0])
+            SR2m = np.einsum("ij,nsjk->nsik", M, SR2)
+            best = np.maximum(best, np.einsum(
+                "nik,nsik->ns", R1, SR2m).max(axis=1))
+        return np.degrees(np.arccos(np.clip((best - 1) / 2, -1, 1)))
 
     def run(self):
-        from xmipp3_tpu.core.sampling import directions_from_angles
         from xmipp3_tpu.core.sym import SymList
         md1 = MetaData(self.getParam("--ang1"))
         md2 = MetaData(self.getParam("--ang2"))
-        get = lambda md: np.stack(
-            [md.getColumn("angleRot").astype(float),
-             md.getColumn("angleTilt").astype(float)], axis=1)
-        a1, a2 = get(md1), get(md2)
-        d1 = directions_from_angles(a1)
-        d2 = directions_from_angles(a2)
-        sym = SymList(self.getParam("--sym"))
+        sym = SymList(self.getParam("--sym") or "c1")
         mats = sym.sym_matrices().astype(np.float64)
-        orbit = np.einsum("sij,nj->nsi", mats, d2)
-        cos = np.einsum("ni,nsi->ns", d1, orbit).max(axis=1)
-        if self.checkParam("--check_mirrors"):
-            cos_m = np.einsum("ni,nsi->ns", d1, -orbit).max(axis=1)
-            cos = np.maximum(cos, cos_m)
-        ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+        check_mirrors = self.checkParam("--check_mirrors")
+        object_rotation = self.checkParam("--object_rotation")
+        suffix = {0: "0", 1: "", 2: "2"}[self.getIntParam("--set")]
+        if self.checkParam("--compute_weights"):
+            return self._compute_weights(md1, md2, mats, check_mirrors,
+                                         object_rotation, suffix)
+        geta = lambda md: np.stack(
+            [np.asarray(md.getColumn(c), float) if md.containsLabel(c)
+             else np.zeros(md.size())
+             for c in ("angleRot", "angleTilt", "anglePsi")], axis=1)
+        gets = lambda md: np.stack(
+            [np.asarray(md.getColumn(c), float) if md.containsLabel(c)
+             else np.zeros(md.size()) for c in ("shiftX", "shiftY")],
+            axis=1)
+        a1, a2 = geta(md1), geta(md2)
+        s1, s2 = gets(md1), gets(md2)
+        ang = self._row_dist(a1, a2, mats, check_mirrors, object_rotation)
+        shift_d = 0.5 * np.abs(s1 - s2).sum(axis=1)
         self.distances = ang
         if self.verbose:
             print(f"Mean angular distance: {ang.mean():.3f} deg "
                   f"(median {np.median(ang):.3f})")
         root = self.getParam("--oroot")
         if root:
+            src = md2 if self.getIntParam("--ang") == 2 else md1
             rows = []
-            for i in md1:
-                r = md1.getRow(i)
-                r["angleDiff"] = float(ang[i])
+            for i, rid in enumerate(src):
+                r = src.getRow(rid)
+                if self.checkParam("--compute_average_angle"):
+                    for k, c in enumerate(("angleRot", "angleTilt",
+                                           "anglePsi")):
+                        r[c] = 0.5 * (a1[i, k] + a2[i, k])
+                if self.checkParam("--compute_average_shift"):
+                    r["shiftX"] = 0.5 * (s1[i, 0] + s2[i, 0])
+                    r["shiftY"] = 0.5 * (s1[i, 1] + s2[i, 1])
+                r["angleDiff" + suffix] = float(ang[i])
+                r["shiftDiff" + suffix] = float(shift_d[i])
                 rows.append(r)
             MetaData.fromRows(rows).write(root + ".xmd")
+
+    def _compute_weights(self, md1, md2, mats, check_mirrors,
+                         object_rotation, suffix):
+        """Gaussian jumper weights (angular_distance.cpp:344-430): per-id
+        mean best-match distance, sigma over the population clamped at
+        minSigma, weight = exp(-d^2/(2 sigma^2)) [* shift term]."""
+        minSigma = float(self.getDoubleParam("--compute_weights"))
+        idLabel = self.getParam("--compute_weights", 1)
+        minSigmaD = float(self.getDoubleParam("--compute_weights", 2))
+        rows1 = list(md1.iterRows())
+        rows2 = list(md2.iterRows())
+        by_id1 = {}
+        for r in rows1:
+            by_id1.setdefault(r.get(idLabel), []).append(r)
+        by_id2 = {}
+        for r in rows2:
+            by_id2.setdefault(r.get(idLabel), []).append(r)
+        a = lambda r: np.array([[float(r.get("angleRot", 0.0)),
+                                 float(r.get("angleTilt", 0.0)),
+                                 float(r.get("anglePsi", 0.0))]])
+        s = lambda r: np.array([float(r.get("shiftX", 0.0)),
+                                float(r.get("shiftY", 0.0))])
+        diffs = {}
+        for cid, grp2 in by_id2.items():
+            grp1 = by_id1.get(cid)
+            if not grp1:
+                diffs[cid] = (-1.0, -1.0)
+                continue
+            cum = cumS = 0.0
+            for r2 in grp2:
+                best, bestS = 1e38, 1e38
+                for r1 in grp1:
+                    d = float(self._row_dist(a(r1), a(r2), mats,
+                                             check_mirrors,
+                                             object_rotation)[0])
+                    if d < best:
+                        best = d
+                        bestS = 0.5 * np.abs(s(r1) - s(r2)).sum()
+                cum += best
+                cumS += bestS
+            diffs[cid] = (cum / len(grp2), cumS / len(grp2))
+        dvals = np.array([d for d, _ in diffs.values() if d > 0])
+        svals = np.array([sd for d, sd in diffs.values() if d > 0])
+        n = max(len(dvals), 1)
+        sigma2 = max(minSigma ** 2, float((dvals ** 2).sum()) / n)
+        sigma2D = max(minSigmaD ** 2, float((svals ** 2).sum()) / n) \
+            if minSigmaD > 0 else 1.0
+        if self.verbose:
+            print(f"Sigma of angular distances={np.sqrt(sigma2):.4f}")
+        out2 = []
+        wrows = []
+        for r in rows2:
+            d, sd = diffs.get(r.get(idLabel), (-1.0, -1.0))
+            w = 1.0
+            if d >= 0:
+                w *= float(np.exp(-0.5 * d * d / sigma2))
+                if minSigmaD > 0:
+                    w *= float(np.exp(-0.5 * sd * sd / sigma2D))
+            else:
+                w = 0.0
+            rr = dict(r)
+            rr["angleDiff" + suffix] = d
+            rr["shiftDiff" + suffix] = sd
+            rr["weightJumper" + suffix] = w
+            out2.append(rr)
+        MetaData.fromRows(out2).write(self.getParam("--ang2"))
+        for cid, (d, sd) in diffs.items():
+            wrows.append({idLabel: cid, "angleDiff" + suffix: d,
+                          "shiftDiff" + suffix: sd})
+        root = self.getParam("--oroot")
+        if root:
+            MetaData.fromRows(wrows).write(root + "_weights.xmd")
 
 
 class ProgAngularRotate(XmippProgram):
     name = "xmipp_angular_rotate"
 
     def defineParams(self):
-        self.addUsageLine("Apply a 3D rotation to a set of Euler angles.")
+        self.addUsageLine("Apply a 3D rotation to a set of Euler angles "
+                          "(reference angular_rotate.cpp grammar: --ang/"
+                          "--euler/--alignZ/--axis rotation specs).")
         self.addParamsLine("   -i <metadata>  : Input angles")
-        self.addParamsLine("   -o <metadata>  : Output angles")
-        self.addParamsLine("   --rotate <rot> <tilt> <psi> : Rotation to compose")
+        self.addParamsLine("  [-o <metadata=\"\">] : Output angles "
+                           "(default: overwrite input)")
+        self.addParamsLine("  [--rotate <rot=0> <tilt=0> <psi=0>] : "
+                           "Rotation to compose")
+        self.addParamsLine("     alias --euler;")
+        self.addParamsLine("  [--ang <angle=0>] : In-plane rotation (deg, "
+                           "about Z); overrides --rotate when given")
+        self.addParamsLine("  [--alignZ <x=0> <y=0> <z=1>] : Rotation "
+                           "aligning (x,y,z) with the Z axis")
+        self.addParamsLine("  [--axis <ang=0> <x=0> <y=0> <z=1>] : Rotate "
+                           "ang degrees about (x,y,z)")
+        self.addParamsLine("  [--write_matrix] : Print the rotation matrix")
+
+    def _rotation(self):
+        from xmipp3_tpu.core.geometry import (align_with_z, euler_matrix,
+                                              rotation3d_matrix)
+        if self.checkParam("--ang"):
+            return np.asarray(euler_matrix(
+                0.0, 0.0, self.getDoubleParam("--ang")), np.float64)
+        if self.checkParam("--alignZ"):
+            axis = [self.getDoubleParam("--alignZ", k) for k in range(3)]
+            return np.asarray(align_with_z(axis), np.float64)[:3, :3]
+        if self.checkParam("--axis"):
+            ang = self.getDoubleParam("--axis", 0)
+            axis = [self.getDoubleParam("--axis", k + 1) for k in range(3)]
+            return np.asarray(rotation3d_matrix(ang, axis),
+                              np.float64)[:3, :3]
+        return np.asarray(euler_matrix(self.getDoubleParam("--rotate", 0),
+                                       self.getDoubleParam("--rotate", 1),
+                                       self.getDoubleParam("--rotate", 2)),
+                          np.float64)
 
     def run(self):
         from xmipp3_tpu.core.geometry import euler_matrix, matrix_to_euler
         md = MetaData(self.getParam("-i"))
-        R = np.asarray(euler_matrix(self.getDoubleParam("--rotate", 0),
-                                    self.getDoubleParam("--rotate", 1),
-                                    self.getDoubleParam("--rotate", 2)),
-                       np.float64)
+        R = self._rotation()
+        if self.checkParam("--write_matrix"):
+            print(np.array_str(R, precision=6))
         rows = []
         for i in md:
             r = md.getRow(i)
@@ -172,7 +338,8 @@ class ProgAngularRotate(XmippProgram):
             rot, tilt, psi = matrix_to_euler(A @ R)
             r["angleRot"], r["angleTilt"], r["anglePsi"] = rot, tilt, psi
             rows.append(r)
-        MetaData.fromRows(rows).write(self.getParam("-o"))
+        out = self.getParam("-o") or self.getParam("-i")
+        MetaData.fromRows(rows).write(out)
 
 
 PROGRAM = None

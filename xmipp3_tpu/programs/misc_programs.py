@@ -58,6 +58,8 @@ class ProgAngularDistributionShow(XmippProgram):
         self.addParamsLine("   -i <md_file>  : Metadata with angles")
         self.addParamsLine("   -o <md_file>  : Output distribution metadata")
         self.addParamsLine("  [--sampling <s=10>] : Bin size (deg)")
+        self.addParamsLine("  [--up_down_correction] : Fold directions to "
+                           "the upper hemisphere before binning")
 
     def run(self):
         from xmipp3_tpu.core.sampling import (Sampling,
@@ -66,6 +68,8 @@ class ProgAngularDistributionShow(XmippProgram):
         angles = np.stack([md.getColumn("angleRot").astype(float),
                            md.getColumn("angleTilt").astype(float)], axis=1)
         d_exp = directions_from_angles(angles)
+        if self.checkParam("--up_down_correction"):
+            d_exp = np.where(d_exp[:, 2:3] < 0, -d_exp, d_exp)
         grid = Sampling(self.getDoubleParam("--sampling"), "c1")
         d_ref = grid.directions
         nearest = np.argmax(d_exp @ d_ref.T, axis=1)
@@ -86,9 +90,15 @@ class ProgImageOddEven(XmippProgram):
 
     def defineParams(self):
         self.addUsageLine("Split a stack/metadata into odd and even subsets "
-                          "(gold-standard halves).")
-        self.addParamsLine("   -i <md_or_stack> : Input")
-        self.addParamsLine("   --oroot <root>   : Output rootname (_odd/_even)")
+                          "(gold-standard halves; reference image_odd_even "
+                          "--img/--type/-o/-e grammar).")
+        self.addParamsLine("  [-i <md_or_stack=\"\">] : Input")
+        self.addParamsLine("     alias --img;")
+        self.addParamsLine("  [--type <split_type=images>] : frames or "
+                           "images (both split along the stack axis)")
+        self.addParamsLine("  [--oroot <root=\"\">]   : Output rootname (_odd/_even)")
+        self.addParamsLine("  [-o <odd=\"\">]  : Odd-half output (overrides --oroot)")
+        self.addParamsLine("  [-e <even=\"\">] : Even-half output")
         self.addParamsLine("  [--sum_frames]    : Also write the two averages")
 
     def run(self):
@@ -99,19 +109,26 @@ class ProgImageOddEven(XmippProgram):
             md = MetaData(fn)
             rows = list(md.iterRows())
         else:
-            n = Image().read(fn, header_only=True).header.n_images if False \
-                else None
             imgs = Image.read_stack(fn)
             rows = [{"image": f"{i + 1:06d}@{fn}", "itemId": i + 1}
                     for i in range(len(imgs))]
         odd = [r for i, r in enumerate(rows) if i % 2 == 0]
         even = [r for i, r in enumerate(rows) if i % 2 == 1]
-        MetaData.fromRows(odd).write(root + "_odd.xmd")
-        MetaData.fromRows(even).write(root + "_even.xmd")
+        fn_odd = self.getParam("-o") or (root + "_odd.xmd")
+        fn_even = self.getParam("-e") or (root + "_even.xmd")
+        if fn_odd.endswith((".xmd", ".sel", ".star")):
+            MetaData.fromRows(odd).write(fn_odd)
+            MetaData.fromRows(even).write(fn_even)
+        else:
+            imgs = load_image_rows(rows)
+            save_image(fn_odd, imgs[0::2])
+            save_image(fn_even, imgs[1::2])
         if self.checkParam("--sum_frames"):
             imgs = load_image_rows(rows)
-            save_image(root + "_odd_avg.mrc", imgs[0::2].mean(axis=0))
-            save_image(root + "_even_avg.mrc", imgs[1::2].mean(axis=0))
+            base_o = fn_odd.rsplit(".", 1)[0]
+            base_e = fn_even.rsplit(".", 1)[0]
+            save_image(base_o + "_avg.mrc", imgs[0::2].mean(axis=0))
+            save_image(base_e + "_avg.mrc", imgs[1::2].mean(axis=0))
 
 
 class ProgAdjustGreyLevels(XmippMetadataProgram):

@@ -164,6 +164,11 @@ class ProgAngularAccuracyPCA(XmippProgram):
         self.addParamsLine("   -i <md_file>  : Particles with poses")
         self.addParamsLine("   --ref <volume> : Reference volume")
         self.addParamsLine("  [-o <md=\"\">]   : Output with accuracy scores")
+        self.addParamsLine("  [--i2 <md_file=\"\">] : Metadata with "
+                           "neighbour projections to use as references "
+                           "instead of reprojecting --ref")
+        self.addParamsLine("  [--dim <d=-1>] : Rescale images to this size "
+                           "if larger (-1 = no rescaling)")
 
     def run(self):
         from xmipp3_tpu.models.dimred import pca
@@ -174,15 +179,36 @@ class ProgAngularAccuracyPCA(XmippProgram):
         rows = list(md.iterRows())
         imgs = load_image_rows(rows)
         vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        dim = self.getIntParam("--dim")
+        if dim > 0 and imgs.shape[-1] > dim:
+            import jax.numpy as jnp
+            from xmipp3_tpu.ops.resize import (fourier_resize_2d,
+                                               fourier_resize_3d)
+            imgs = np.asarray(fourier_resize_2d(jnp.asarray(imgs), dim,
+                                                dim))
+            vol = np.asarray(fourier_resize_3d(jnp.asarray(vol), dim, dim,
+                                               dim))
         proj = FourierProjector(vol)
         get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
                                  np.float32)
         reg = np.asarray(apply_md_geometry(
             imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
             np.array([bool(r.get("flip", 0)) for r in rows])))
-        refs = np.asarray(proj.project_euler(get("angleRot"),
-                                             get("angleTilt"),
-                                             np.zeros(len(rows), np.float32)))
+        if self.checkParam("--i2") and self.getParam("--i2"):
+            nb = MetaData(self.getParam("--i2"))
+            refs = load_image_rows(list(nb.iterRows()))[:len(rows)]
+            if refs.shape[-1] != imgs.shape[-1]:
+                import jax.numpy as jnp
+                from xmipp3_tpu.ops.resize import fourier_resize_2d
+                refs = np.asarray(fourier_resize_2d(
+                    jnp.asarray(refs), imgs.shape[-1], imgs.shape[-1]))
+            if len(refs) < len(rows):
+                refs = np.concatenate(
+                    [refs, np.repeat(refs[-1:], len(rows) - len(refs), 0)])
+        else:
+            refs = np.asarray(proj.project_euler(
+                get("angleRot"), get("angleTilt"),
+                np.zeros(len(rows), np.float32)))
         resid = (reg - refs).reshape(len(rows), -1)
         Y, model = pca(resid.astype(np.float64),
                        d=min(5, len(rows) - 1), return_model=True)
