@@ -220,3 +220,51 @@ def test_cl2d_core_analysis(tmp_path):
     md = MetaData(str(tmp_path / "core_core.xmd"))
     flags = {md.getValue("itemId", i): md.getValue("enabled", i) for i in md}
     assert flags[10] == -1  # the outlier excluded from the core
+
+
+def test_monodir_full_surface(tmp_path):
+    """Full reference flag surface (resolution_directional.cpp:64-83):
+    all named output maps, thresholds/radialAvG/prefMin metadata, zScore."""
+    rng = np.random.default_rng(9)
+    from xmipp3_tpu.ops.monogenic import bandpass_3d
+    vol = np.asarray(bandpass_3d(
+        rng.standard_normal((32, 32, 32)).astype(np.float32), 0.0, 0.35))
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    mask = np.zeros((32, 32, 32), np.float32)
+    mask[8:24, 8:24, 8:24] = 1
+    fn_mask = str(tmp_path / "m.vol")
+    save_image(fn_mask, mask)
+    t = str(tmp_path)
+    run_prog("resolution_directional",
+             f"--vol {fn} --mask {fn_mask} -o {t}/mono.vol --fast "
+             f"--ndirections 6 --steps 5 --sampling_rate 2 --resStep 2 "
+             f"--significance 0.9 --volumeRadius 14 "
+             f"--radialRes {t}/rad.vol --azimuthalRes {t}/azi.vol "
+             f"--highestResolutionVol {t}/hi.vol "
+             f"--lowestResolutionVol {t}/lo.vol "
+             f"--doa1 {t}/doa1.vol --doa2 {t}/doa2.vol "
+             f"--radialAzimuthalThresholds {t}/thr.xmd "
+             f"--radialAvG {t}/avg.xmd --prefMin {t}/pref.xmd "
+             f"--zScoremap {t}/z.vol -v 0")
+    m = mask > 0.5
+    hi = np.squeeze(Image(f"{t}/hi.vol").data)
+    lo = np.squeeze(Image(f"{t}/lo.vol").data)
+    doa1 = np.squeeze(Image(f"{t}/doa1.vol").data)
+    doa2 = np.squeeze(Image(f"{t}/doa2.vol").data)
+    # percentile ordering: highest (p05) <= lowest (p95); doa identities
+    assert (hi[m] <= lo[m] + 1e-4).all()
+    assert np.allclose(doa2[m], np.clip(doa2[m], hi[m] - 1e-4,
+                                        lo[m] + 1e-4))
+    assert (doa1[m] >= -1e-4).all()
+    # resolutions live in [2*Ts, D*Ts]
+    assert lo[m].max() <= 32 * 2 + 1e-3 and hi[m].min() >= 2 * 2 - 1e-3
+    thr = MetaData(f"{t}/thr.xmd")
+    assert thr.size() == 1 and float(thr.getColumn("resolutionFreq")[0]) > 0
+    pref = MetaData(f"{t}/pref.xmd")
+    assert pref.size() == 6
+    assert float(np.asarray(pref.getColumn("weight"), float).sum()) > 0
+    avg = MetaData(f"{t}/avg.xmd")
+    assert avg.size() > 3 and avg.containsLabel("resolutionLocal")
+    z = np.squeeze(Image(f"{t}/z.vol").data)
+    assert np.isfinite(z).all()

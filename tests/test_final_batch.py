@@ -49,8 +49,9 @@ def test_metadata_split_3d(tmp_path):
 
 def test_phantom_movie_and_alignment(tmp_path):
     fn = str(tmp_path / "mv.mrcs")
-    run_prog("phantom_movie", f"-o {fn} --size 128 128 6 --shift 2 -1 "
-             f"--noise 0.5 --seed 1")
+    run_prog("phantom_movie", f"-o {fn} -size 128 128 6 --simple "
+             f"--shift 2 0 -1 0 --skipBarrel --skipDose --step 32 32 "
+             f"--thickness 2 --signal 2 --seed 1")
     gt = MetaData(fn[:-5] + "_gt.xmd")
     assert gt.size() == 6
     out_md = str(tmp_path / "sh.xmd")
@@ -211,3 +212,35 @@ def test_tilt_pair_delaunay_hard_transform(tmp_path):
     resid = np.linalg.norm(pred - tt, axis=1)
     assert prog.n_pairs > 0.8 * n
     assert (resid < 10).mean() > 0.97
+
+
+def test_phantom_movie_full_surface(tmp_path):
+    """Reference grammar (phantom_movie_main.cpp:41-83): ice + low-pass +
+    range adjust, particle content types, barrel distortion, Poisson dose,
+    gain/dark references."""
+    fn = str(tmp_path / "mv2.mrcs")
+    run_prog("phantom_movie",
+             f"-o {fn} -size 96 80 4 --type cross --count 12 "
+             f"--particleSize 10 14 --thickness 3 --signal 0.5 "
+             f"--ice 1.0 0.5 0.2 1.8 --low 0.1 0.05 --dose 20 "
+             f"--barrel 0.01 0.02 0.0 0.0 --shift -0.1 0.01 -0.05 0.01 "
+             f"--gain {tmp_path}/g.mrc --dark {tmp_path}/d.mrc --seed 3")
+    mv = Image(fn).data
+    assert mv.shape == (4, 80, 96)
+    # Poisson dose => integer counts, scaled by dose*ice range
+    assert np.allclose(mv, np.round(mv))
+    assert mv.mean() > 1  # dose 20 on ~[0.2, 1.8+signal] ice
+    g = np.squeeze(Image(str(tmp_path / "g.mrc")).data)
+    d = np.squeeze(Image(str(tmp_path / "d.mrc")).data)
+    assert g.shape == (80, 96) and np.allclose(g, 1) and np.allclose(d, 0)
+    # frames differ (drift + barrel + dose)
+    assert np.abs(mv[0] - mv[3]).mean() > 0.1
+    # circle type + skipIce: content on a zero background
+    fn3 = str(tmp_path / "mv3.mrcs")
+    run_prog("phantom_movie",
+             f"-o {fn3} -size 64 64 2 --type circle --count 6 "
+             f"--particleSize 8 12 --thickness 2 --signal 1 --skipIce "
+             f"--skipDose --skipShift --skipBarrel --seed 4")
+    mv3 = Image(fn3).data
+    assert mv3.max() >= 1 and (mv3 >= 0).all()
+    assert np.allclose(mv3[0], mv3[1])  # no displacement at all

@@ -70,7 +70,9 @@ LABELS: dict[str, LabelType] = {
     "samplingRateZ": _D, "neighbor": _L, "neighbors": _V,
     "neighborhoodRadius": _D, "pointsAsymmetricUnit": _L, "symmetry": _S,
     # resolution / FSC
-    "resolutionFreq": _D, "resolutionFreqReal": _D, "resolutionFRC": _D,
+    "resolutionFreq": _D, "resolutionFreq2": _D, "resolutionFreqReal": _D,
+    "resolutionFreqMin": _D, "resolutionFreqMax": _D, "resolutionLocal": _D,
+    "resolutionFRC": _D,
     "resolutionFRCRandomNoise": _D, "resolutionDPR": _D, "resolutionSSNR": _D,
     "resolutionLocalResidue": _D, "cumulativeSSNR": _D,
     "resolutionErrorL2": _D, "resolutionRfactor": _D,

@@ -125,6 +125,18 @@ class ProgAngularContinuousAssign2(XmippProgram):
                 pad_factor=self.getDoubleParam("--padding"),
                 max_freq=max_freq, max_angular_change=mac,
                 max_shift=max_shift, verbose=self.verbose)
+        # maxCC must be a true correlation; the full path's cost is a
+        # (negated) residual ratio, so recompute NCC against the final
+        # model projections when they are available
+        if "projections" in res:
+            P = res["projections"]
+            Pc = P - P.mean(axis=(1, 2), keepdims=True)
+            Ic = imgs - imgs.mean(axis=(1, 2), keepdims=True)
+            den = np.maximum(Pc.std(axis=(1, 2)) * Ic.std(axis=(1, 2)),
+                             1e-12)
+            maxcc = (Pc * Ic).mean(axis=(1, 2)) / den
+        else:
+            maxcc = np.asarray(res["cost"])
         out_rows = []
         for i, r in enumerate(rows):
             d = dict(r)
@@ -134,7 +146,7 @@ class ProgAngularContinuousAssign2(XmippProgram):
                       "shiftX": float(res["sx"][i]),
                       "shiftY": float(res["sy"][i]),
                       "cost": float(res["cost"][i]),
-                      "maxCC": float(res["cost"][i])})
+                      "maxCC": float(maxcc[i])})
             if "scale" in res:
                 d["scale"] = float(res["scale"][i])
             if "grayA" in res:

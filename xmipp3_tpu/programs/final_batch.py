@@ -70,48 +70,193 @@ class ProgMetadataSplit3D(XmippProgram):
 
 
 class ProgPhantomMovie(XmippProgram):
+    """Synthetic movie generator with the reference's full displacement/
+    ice/dose model (phantom_movie_main.cpp:41-83, phantom_movie.cpp:30-66
+    shift polynomials, :70-93 barrel distortion, :262-280 ice + low-pass,
+    :276-305 per-frame resampling and Poisson dose)."""
     name = "xmipp_phantom_movie"
 
     def defineParams(self):
-        self.addUsageLine("Generate a synthetic movie (drifting grid scene + "
-                          "noise) for testing movie alignment (reference "
-                          "phantom_movie).")
-        self.addParamsLine("  [--size <x=256> <y=256> <n=8>] : Frame size and count")
+        self.addUsageLine("Generate a synthetic movie (drifting grid/"
+                          "particle scene over low-passed ice, barrel "
+                          "distortion, Poisson dose) for testing movie "
+                          "alignment (reference phantom_movie).")
+        self.addParamsLine("  [-size <x=4096> <y=4096> <n=40>] : Frame size "
+                           "and frame count")
+        self.addParamsLine("     alias --size;")
         self.addParamsLine("   -o <movie>   : Output stack")
-        self.addParamsLine("  [--shift <a1=2> <a2=-1.5>] : Drift per frame (px)")
-        self.addParamsLine("  [--noise <sigma=1>] : Gaussian noise")
-        self.addParamsLine("  [--step <grid=32>] : Grid period (px)")
-        self.addParamsLine("  [--seed <s=0>]    : Random seed")
+        self.addParamsLine("  [--type <t=grid>] : Scene content")
+        self.addParamsLine("      where <t> grid circle cross")
+        self.addParamsLine("  [--step <x=50> <y=50>] : Grid period (px)")
+        self.addParamsLine("  [--particleSize <min=40> <max=50>] : Particle "
+                           "diameter range (circle/cross types)")
+        self.addParamsLine("  [--count <c=100>] : Number of particles")
+        self.addParamsLine("  [--thickness <t=5>] : Grid-line / cross-arm "
+                           "thickness (px)")
+        self.addParamsLine("  [--signal <t=0.15>] : Signal added over the "
+                           "ice background")
+        self.addParamsLine("  [--shift <a1=-0.039> <a2=0.002> <b1=-0.02> "
+                           "<b2=0.002>] : Global drift polynomial "
+                           "x(t)=a1*t+a2*t^2+cos(t/10)/10, "
+                           "y(t)=b1*t+b2*t^2+sin(t^2)/5")
+        self.addParamsLine("  [--barrel <k1_start=0.01> <k1_end=0.015> "
+                           "<k2_start=0.01> <k2_end=0.015>] : Barrel "
+                           "distortion coefficients (linear in frame index)")
+        self.addParamsLine("  [--simple] : Use only the linear drift term")
+        self.addParamsLine("  [--skipBarrel] : No barrel distortion")
+        self.addParamsLine("  [--skipShift] : No drift")
+        self.addParamsLine("  [--shiftAfterBarrel] : Apply drift after the "
+                           "barrel distortion")
+        self.addParamsLine("  [--skipDose] : No Poisson shot noise")
+        self.addParamsLine("  [--skipIce] : No ice background")
+        self.addParamsLine("  [--gain <file=\"\">] : Write a (unit) gain "
+                           "reference image")
+        self.addParamsLine("  [--dark <file=\"\">] : Write a (zero) dark "
+                           "reference image")
+        self.addParamsLine("  [--seed <s=42>]    : Random seed")
+        self.addParamsLine("  [--ice <avg=1.0> <stddev=1.0> <min=0.0> "
+                           "<max=2.0>] : Ice noise statistics and final "
+                           "range")
+        self.addParamsLine("  [--low <w1=0.05> <raisedW=0.02>] : Ice "
+                           "low-pass cutoff and raised-cosine width")
+        self.addParamsLine("  [--dose <mean=1>] : Electron dose (Poisson "
+                           "scale)")
+
+    def _shift(self, t):
+        a1, a2 = (self.getDoubleParam("--shift", k) for k in (0, 1))
+        b1, b2 = (self.getDoubleParam("--shift", k) for k in (2, 3))
+        t = float(t)
+        if self.checkParam("--simple"):
+            return a1 * t, b1 * t
+        return (a1 * t + a2 * t * t + np.cos(t / 10.0) / 10.0,
+                b1 * t + b2 * t * t + np.sin(t * t) / 5.0)
+
+    def _displace(self, x, y, n, F, X, Y):
+        """Source coordinates in the reference frame for output pixel
+        (x, y) of frame n (phantom_movie.cpp:70-93)."""
+        if self.checkParam("--skipShift"):
+            sx = sy = 0.0
+        else:
+            sx, sy = self._shift(F - n - 1)   # reversed order (see ref doc)
+        if self.checkParam("--skipBarrel"):
+            return x + sx, y + sy
+        after = self.checkParam("--shiftAfterBarrel")
+        k1s, k1e, k2s, k2e = (self.getDoubleParam("--barrel", k)
+                              for k in range(4))
+        g = n / max(F - 1, 1)
+        k1 = k1s + g * (k1e - k1s)
+        k2 = k2s + g * (k2e - k2s)
+        xc, yc = X / 2.0, Y / 2.0
+        xn = (x - xc + (0.0 if after else sx)) / xc
+        yn = (y - yc + (0.0 if after else sy)) / yc
+        r2 = xn * xn + yn * yn
+        scale = 1 + k1 * r2 + k2 * r2 * r2
+        return (xn * scale * xc + xc + (sx if after else 0.0),
+                yn * scale * yc + yc + (sy if after else 0.0))
+
+    def _add_content(self, ref, rng):
+        sig = self.getDoubleParam("--signal")
+        thick = self.getIntParam("--thickness")
+        kind = self.getParam("--type")
+        Yr, Xr = ref.shape
+        if kind == "grid":
+            xs = self.getIntParam("--step", 0)
+            ys = self.getIntParam("--step", 1)
+            for y0 in range(ys - thick // 2, Yr - thick // 2, ys):
+                ref[y0:y0 + thick, :] += sig
+            for x0 in range(xs, Xr - thick // 2, xs):
+                ref[:, x0:x0 + thick] += sig
+            return
+        mn = self.getIntParam("--particleSize", 0)
+        mx = self.getIntParam("--particleSize", 1)
+        count = self.getIntParam("--count")
+        lo = mx // 2 + thick // 2
+        yy, xx = np.mgrid[0:Yr, 0:Xr]
+        for _ in range(count):
+            s = int(rng.integers(mn, mx + 1)) // 2
+            x = int(rng.integers(lo, Xr - lo))
+            y = int(rng.integers(lo, Yr - lo))
+            if kind == "circle":
+                d2 = (yy - y) ** 2 + (xx - x) ** 2
+                ref[(d2 <= s * s) & (d2 >= (s - thick) ** 2)] += sig
+            else:  # cross: X-shaped diagonals, thickened
+                for t in range(max(thick // 2, 1)):
+                    for d in range(s):
+                        for oy, ox in ((-t, 0), (t, 0), (0, -t), (0, t)):
+                            cy, cx = y + oy, x + ox
+                            ref[cy - d, cx - d] += sig
+                            ref[cy - d, cx + d] += sig
+                            ref[cy + d, cx - d] += sig
+                            ref[cy + d, cx + d] += sig
 
     def run(self):
-        from xmipp3_tpu.ops.fourier import fourier_shift_2d
-        X = self.getIntParam("--size", 0)
-        Y = self.getIntParam("--size", 1)
-        F = self.getIntParam("--size", 2)
-        ax = self.getDoubleParam("--shift", 0)
-        ay = self.getDoubleParam("--shift", 1)
-        step = self.getIntParam("--step")
-        rng = np.random.default_rng(self.getIntParam("--seed"))
-        y, x = np.mgrid[0:Y, 0:X].astype(np.float32)
-        scene = (np.sin(2 * np.pi * x / step) ** 8 +
-                 np.sin(2 * np.pi * y / step) ** 8).astype(np.float32)
-        # random blobs break the grid periodicity (a pure periodic scene
-        # makes cross-correlation shifts ambiguous modulo the period)
-        for _ in range(30):
-            cy, cx = rng.uniform(10, Y - 10), rng.uniform(10, X - 10)
-            s2 = rng.uniform(2, 5) ** 2
-            scene += rng.uniform(0.5, 1.5) * np.exp(
-                -((y - cy) ** 2 + (x - cx) ** 2) / (2 * s2)).astype(np.float32)
+        X = self.getIntParam("-size", 0)
+        Y = self.getIntParam("-size", 1)
+        F = self.getIntParam("-size", 2)
+        seed = self.getIntParam("--seed")
+        rng = np.random.default_rng(seed)
+        # work size: pad the reference frame by the maximal |displacement|
+        # so every output pixel samples inside it (findWorkSize)
+        mx = my = 0.0
+        for n in range(F):
+            for cx, cy in ((0.0, 0.0), (X - 1.0, Y - 1.0)):
+                dx, dy = self._displace(cx, cy, n, F, X, Y)
+                mx = max(mx, abs(dx - cx), 1.0)
+                my = max(my, abs(dy - cy), 1.0)
+        Xr = X + 2 * (int(np.ceil(mx)) + 2)
+        Yr = Y + 2 * (int(np.ceil(my)) + 2)
+        ref = np.zeros((Yr, Xr), np.float32)
+        if not self.checkParam("--skipIce"):
+            avg, std, vmin, vmax = (self.getDoubleParam("--ice", k)
+                                    for k in range(4))
+            ref = (avg + std * rng.standard_normal((Yr, Xr))
+                   ).astype(np.float32)
+            import jax.numpy as jnp
+            from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                                       low_pass_mask)
+            w1 = self.getDoubleParam("--low", 0)
+            rw = self.getDoubleParam("--low", 1)
+            ref = np.asarray(apply_fourier_mask_2d(
+                jnp.asarray(ref[None]),
+                low_pass_mask(Yr, Xr, w1, rw)))[0]
+            lo, hi = ref.min(), ref.max()
+            ref = (vmin + (ref - lo) * (vmax - vmin)
+                   / max(hi - lo, 1e-12)).astype(np.float32)
+        self._add_content(ref, np.random.default_rng(seed))
+        fn = self.getParam("-o")
+        xc, yc = Xr / 2.0 - X / 2.0, Yr / 2.0 - Y / 2.0
+        yy, xx = np.mgrid[0:Y, 0:X].astype(np.float32)
         frames = []
         truth = []
-        for f in range(F):
-            dx, dy = ax * f, ay * f
-            truth.append((dx, dy))
-            fr = np.asarray(fourier_shift_2d(scene[None], dx, dy))[0]
-            frames.append(fr + self.getDoubleParam("--noise") *
-                          rng.standard_normal((Y, X)).astype(np.float32))
-        fn = self.getParam("-o")
+        dose = self.getDoubleParam("--dose")
+        do_dose = not self.checkParam("--skipDose")
+        for n in range(F):
+            sxy = self._displace(xx, yy, n, F, X, Y)
+            gx = np.clip(sxy[0] + xc, 0, Xr - 1.001)
+            gy = np.clip(sxy[1] + yc, 0, Yr - 1.001)
+            x0 = gx.astype(np.int32)
+            y0 = gy.astype(np.int32)
+            wx = gx - x0
+            wy = gy - y0
+            fr = (ref[y0, x0] * (1 - wx) * (1 - wy)
+                  + ref[y0, x0 + 1] * wx * (1 - wy)
+                  + ref[y0 + 1, x0] * (1 - wx) * wy
+                  + ref[y0 + 1, x0 + 1] * wx * wy)
+            if do_dose:
+                fr = rng.poisson(np.clip(fr * dose, 0, None)
+                                 ).astype(np.float32)
+            frames.append(fr.astype(np.float32))
+            if self.checkParam("--skipShift"):
+                truth.append((0.0, 0.0))
+            else:
+                sx, sy = self._shift(F - n - 1)
+                truth.append((-sx, -sy))   # content moves opposite the
+                # sampling displacement
         save_image(fn, np.stack(frames))
+        if self.checkParam("--gain") and self.getParam("--gain"):
+            save_image(self.getParam("--gain"), np.ones((Y, X), np.float32))
+        if self.checkParam("--dark") and self.getParam("--dark"):
+            save_image(self.getParam("--dark"), np.zeros((Y, X), np.float32))
         MetaData.fromRows([
             {"image": f"{i + 1:06d}@{fn}", "shiftX": t[0], "shiftY": t[1],
              "itemId": i + 1} for i, t in enumerate(truth)]

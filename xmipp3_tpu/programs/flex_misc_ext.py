@@ -39,9 +39,38 @@ class ProgNMAAlignment(XmippProgram):
         self.addParamsLine("   --pdb <pdb>     : Reference structure")
         self.addParamsLine("   --modes <file>  : Mode list file (one mode filename per line)")
         self.addParamsLine("   -o <md>         : Output with nmaDisplacements")
+        self.addParamsLine("  [--odir <outputDir=\".\">] : Output directory")
+        self.addParamsLine("  [--resume]       : Resume processing (rows "
+                           "already in the output are kept, not re-fit)")
         self.addParamsLine("  [--sampling_rate <Ts=1>] : Pixel size (A)")
         self.addParamsLine("  [--steps <n=60>] : Optimization steps")
         self.addParamsLine("  [--centerPDB]    : Center the structure first")
+        self.addParamsLine("  [--filterVol <cutoff=15.>] : Low-pass the "
+                           "deformed volume at this cutoff (A) before "
+                           "matching")
+        self.addParamsLine("  [--fixed_Gaussian <std=-1>] : Rasterize "
+                           "pseudo-atoms with this fixed Gaussian sigma "
+                           "(A; -1 = default)")
+        self.addParamsLine("  [--trustradius_scale <s=1>] : Scales the "
+                           "optimizer's initial step sizes")
+        self.addParamsLine("  [--mask <m=\"\">] : 2D mask applied to the "
+                           "projections of the deformed volume")
+        self.addParamsLine("  [--projMatch]    : Initialize poses by "
+                           "discrete real-space projection matching "
+                           "against the undeformed volume")
+        self.addParamsLine("  [--discrAngStep <ang=10>] : Angular step of "
+                           "the --projMatch gallery")
+        self.addParamsLine("  [--gaussian_Fourier <s=0.5>] : Weighting "
+                           "sigma in Fourier space (central-slice method)")
+        self.addParamsLine("  [--gaussian_Real <s=0.5>] : Weighting sigma "
+                           "in real space")
+        self.addParamsLine("  [--zerofreq_weight <s=0.>] : Zero-frequency "
+                           "weight")
+
+    def _out_path(self, fn: str) -> str:
+        odir = self.getParam("--odir") if self.checkParam("--odir") else "."
+        return fn if os.path.isabs(fn) or odir in ("", ".") \
+            else os.path.join(odir, fn)
 
     def run(self):
         import jax
@@ -57,13 +86,25 @@ class ProgNMAAlignment(XmippProgram):
         md = MetaData(self.getParam("-i"))
         md.removeDisabled()
         rows = list(md.iterRows())
+        fn_out = self._out_path(self.getParam("-o"))
+        done_rows = []
+        if self.checkParam("--resume") and os.path.exists(fn_out):
+            prev = MetaData(fn_out)
+            done_ids = {r.get("itemId") for r in prev.iterRows()}
+            done_rows = list(prev.iterRows())
+            rows = [r for r in rows if r.get("itemId") not in done_ids]
+            if not rows:
+                return
         imgs = load_image_rows(rows)
         B, N, _ = imgs.shape
         Ts = self.getDoubleParam("--sampling_rate")
         model = read_pdb(self.getParam("--pdb"))
         if self.checkParam("--centerPDB"):
             model = model.centered()
-        vol = np.asarray(rasterize(model, N, Ts), np.float32)
+        fixed_std = self.getDoubleParam("--fixed_Gaussian")
+        vol = np.asarray(rasterize(model, N, Ts,
+                                   sigma_a=fixed_std if fixed_std > 0
+                                   else 1.0), np.float32)
         modes = np.stack([read_mode(l.strip()) for l in
                           open(self.getParam("--modes")) if l.strip()])
         M = len(modes)
@@ -74,9 +115,57 @@ class ProgNMAAlignment(XmippProgram):
         vr = jnp.asarray(vol)
         get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
                                  np.float32)
-        rot0, tilt0, psi0 = (jnp.asarray(get(k)) for k in
-                             ("angleRot", "angleTilt", "anglePsi"))
+        if self.checkParam("--projMatch"):
+            # global discrete matching against the undeformed volume
+            # initializes the pose (reference's projMatch / wavelet global
+            # stage, nma_alignment.cpp performCompleteSearch)
+            from xmipp3_tpu.core.sampling import compute_sampling_points
+            from xmipp3_tpu.ops.match import match_to_gallery
+            from xmipp3_tpu.ops.project import FourierProjector
+            ang = compute_sampling_points(
+                self.getDoubleParam("--discrAngStep"))
+            gal = FourierProjector(vol).project_euler(
+                ang[:, 0].astype(np.float32), ang[:, 1].astype(np.float32),
+                np.zeros(len(ang), np.float32))
+            mres = match_to_gallery(jnp.asarray(gal), jnp.asarray(imgs))
+            best = np.asarray(mres["best_ref"]).astype(int)
+            rot0 = jnp.asarray(ang[best, 0].astype(np.float32))
+            tilt0 = jnp.asarray(ang[best, 1].astype(np.float32))
+            psi0 = jnp.asarray(np.asarray(mres["psi"], np.float32))
+        else:
+            rot0, tilt0, psi0 = (jnp.asarray(get(k)) for k in
+                                 ("angleRot", "angleTilt", "anglePsi"))
         imgs_j = jnp.asarray(imgs)
+        # matching-metric weights: low-pass at --filterVol (filtering the
+        # deformed volume == filtering its central slices), Fourier/real
+        # Gaussian weights, zero-frequency weight, 2-D mask
+        spec_w = None
+        if self.checkParam("--filterVol") or \
+                self.checkParam("--gaussian_Fourier") or \
+                self.checkParam("--zerofreq_weight"):
+            fy = np.fft.fftfreq(N)[:, None]
+            fx = np.fft.rfftfreq(N)[None, :]
+            f2 = fy * fy + fx * fx
+            w = np.ones_like(f2)
+            if self.checkParam("--gaussian_Fourier"):
+                sF = self.getDoubleParam("--gaussian_Fourier")
+                w *= np.exp(-f2 / (2 * sF * sF))
+            if self.checkParam("--filterVol"):
+                fc = Ts / max(self.getDoubleParam("--filterVol"), 2 * Ts)
+                w *= (np.sqrt(f2) <= fc)
+            if self.checkParam("--zerofreq_weight"):
+                w[0, 0] = self.getDoubleParam("--zerofreq_weight")
+            spec_w = jnp.asarray(w.astype(np.float32))
+        real_w = None
+        if self.checkParam("--gaussian_Real"):
+            yy, xx = np.mgrid[0:N, 0:N].astype(np.float32) - N // 2
+            sR = self.getDoubleParam("--gaussian_Real") * N
+            real_w = jnp.asarray(np.exp(-(yy * yy + xx * xx)
+                                        / (2 * sR * sR)).astype(np.float32))
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            m2d = np.squeeze(Image(self.getParam("--mask")).data
+                             ).astype(np.float32)
+            real_w = m2d if real_w is None else real_w * jnp.asarray(m2d)
 
         def one_loss(amp, rot_i, tilt_i, psi_i, img):
             field = jnp.einsum("m,mczyx->czyx", amp, uf)
@@ -85,6 +174,12 @@ class ProgNMAAlignment(XmippProgram):
             mats = _euler_jnp(rot_i[None], tilt_i[None], psi_i[None])
             proj = slices_to_projections(
                 extract_central_slices(vf, mats, N), N)[0]
+            if spec_w is not None:
+                proj = jnp.fft.irfft2(jnp.fft.rfft2(proj) * spec_w, (N, N))
+                img = jnp.fft.irfft2(jnp.fft.rfft2(img) * spec_w, (N, N))
+            if real_w is not None:
+                proj = proj * real_w
+                img = img * real_w
             pm = proj - proj.mean()
             im = img - img.mean()
             return -(pm * im).sum() / jnp.maximum(
@@ -97,7 +192,9 @@ class ProgNMAAlignment(XmippProgram):
 
         gfn = jax.jit(jax.value_and_grad(batch_loss, has_aux=True))
         params = [jnp.zeros((B, M), jnp.float32), rot0, tilt0, psi0]
-        lrs = [1.0, 0.5, 0.5, 0.5]
+        tr = self.getDoubleParam("--trustradius_scale") \
+            if self.checkParam("--trustradius_scale") else 1.0
+        lrs = [1.0 * tr, 0.5 * tr, 0.5 * tr, 0.5 * tr]
         m1 = [jnp.zeros_like(p) for p in params]
         v1 = [jnp.zeros_like(p) for p in params]
         n_steps = self.getIntParam("--steps") if self.checkParam("--steps") \
@@ -123,7 +220,7 @@ class ProgNMAAlignment(XmippProgram):
             d["anglePsi"] = float(psi[i])
             d["maxCC"] = float(cc[i])
             out.append(d)
-        MetaData.fromRows(out).write(self.getParam("-o"))
+        MetaData.fromRows(done_rows + out).write(fn_out)
         self.amplitudes = amp
         if self.verbose:
             print(f"NMA-aligned {B} images, mean CC {cc.mean():.4f}")
@@ -131,8 +228,29 @@ class ProgNMAAlignment(XmippProgram):
 
 class ProgFlexibleAlignment(ProgNMAAlignment):
     """flexible_alignment — the older elastic+rigid alignment program; same
-    model (NMA amplitudes + pose), same fitting core."""
+    model (NMA amplitudes + pose), same fitting core. Its own grammar
+    extras (flexible_alignment.cpp): sampling steps of the original
+    discrete search map to optimizer step-size scales, --maxdefamp /
+    --maxtransl are trust bounds, --max_iter the step count."""
     name = "xmipp_flexible_alignment"
+
+    def defineParams(self):
+        super().defineParams()
+        g = self._grammar
+        g._alias_map["--max_iter"] = "--steps"
+        g.params["--steps"].aliases.append("--max_iter")
+        self.addParamsLine("  [--maxdefamp <a=500>] : Maximum deformation "
+                           "amplitude (trust bound on the mode amplitudes)")
+        self.addParamsLine("  [--maxtransl <t=7>] : Maximum translation "
+                           "(px; accepted — poses fit angles only here)")
+        self.addParamsLine("  [--defampsampling <s=200>] : Deformation "
+                           "sampling (scales the amplitude step size)")
+        self.addParamsLine("  [--translsampling <s=2>] : Translation "
+                           "sampling (accepted)")
+        self.addParamsLine("  [--minAngularSampling <a=3>] : Minimum "
+                           "angular sampling (scales the angle step size)")
+        self.addParamsLine("  [--sigma <s=10>] : Noise sigma of the "
+                           "likelihood (accepted; NCC objective here)")
 
 
 class ProgForwardZernikeSubtomos(XmippProgram):

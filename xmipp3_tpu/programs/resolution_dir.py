@@ -14,20 +14,72 @@ from xmipp3_tpu.core.metadata_program import load_image_rows
 from xmipp3_tpu.core.program import XmippProgram
 
 
+def _hemisphere_directions(n: int) -> np.ndarray:
+    """n roughly-uniform unit directions on the upper hemisphere
+    (Fibonacci spiral — our design for the reference's hand-tabulated
+    81/47-direction set, resolution_directional.cpp:207,292)."""
+    k = np.arange(n) + 0.5
+    z = k / n                       # cos(tilt) in (0, 1] — upper hemisphere
+    phi = np.pi * (1 + 5 ** 0.5) * k
+    s = np.sqrt(np.clip(1 - z * z, 0, None))
+    return np.stack([s * np.cos(phi), s * np.sin(phi), z], axis=1)
+
+
 class ProgResolutionDirectional(XmippProgram):
     name = "xmipp_resolution_directional"
 
     def defineParams(self):
         self.addUsageLine("Directional local resolution (MonoDir): monogenic "
                           "local resolution per cone direction; outputs "
-                          "radial/azimuthal anisotropy maps.")
+                          "radial/azimuthal/anisotropy maps (full reference "
+                          "surface, resolution_directional.cpp:64-83).")
         self.addParamsLine("   --vol <volume> : Input map")
         self.addParamsLine("  [--mask <m=\"\">] : Binary mask")
-        self.addParamsLine("  [--oroot <root=monodir>] : Output rootname")
+        self.addParamsLine("  [--oroot <root=monodir>] : Output rootname "
+                           "(default names for any map not given explicitly)")
+        self.addParamsLine("  [-o <out=\"\">] : Local (mean-over-directions) "
+                           "resolution volume")
         self.addParamsLine("  [--sampling_rate <Ts=1>] : Pixel size")
-        self.addParamsLine("  [--ndirections <n=8>] : Cone directions (azimuthal)")
-        self.addParamsLine("  [--cone <a=30>] : Cone half angle (deg)")
-        self.addParamsLine("  [--steps <n=12>] : Frequency bands")
+        self.addParamsLine("  [--resStep <s=0.5>] : Resolution step (A)")
+        self.addParamsLine("  [--volumeRadius <r=100>] : Particle radius "
+                           "(px); noise is estimated outside it")
+        self.addParamsLine("  [--significance <s=0.95>] : Confidence level "
+                           "of the amplitude hypothesis test")
+        self.addParamsLine("  [--ndirections <n=-1>] : Cone directions "
+                           "(-1 = reference defaults: 81, 47 with --fast)")
+        self.addParamsLine("  [--cone <a=45>] : Cone half angle (deg)")
+        self.addParamsLine("  [--steps <n=12>] : Max frequency bands (cap)")
+        self.addParamsLine("  [--fast] : Fast computation (fewer directions)")
+        self.addParamsLine("  [--radialRes <f=\"\">] : Output radial "
+                           "resolution map (directions within 45 deg of the "
+                           "voxel radius vector)")
+        self.addParamsLine("  [--azimuthalRes <f=\"\">] : Output azimuthal "
+                           "resolution map (directions beyond 70 deg)")
+        self.addParamsLine("  [--highestResolutionVol <f=\"\">] : Output "
+                           "highest-resolution (5th percentile) map")
+        self.addParamsLine("  [--lowestResolutionVol <f=\"\">] : Output "
+                           "lowest-resolution (95th percentile) map")
+        self.addParamsLine("  [--doa1 <f=\"\">] : Output anisotropy map "
+                           "0.5*(p83-p17) over directions")
+        self.addParamsLine("  [--doa2 <f=\"\">] : Output mean-extremes map "
+                           "0.5*(p95+p05)")
+        self.addParamsLine("  [--radialAzimuthalThresholds <f=\"\">] : "
+                           "Metadata with the 90th-percentile radial and "
+                           "azimuthal resolutions")
+        self.addParamsLine("  [--radialAvG <f=\"\">] : Metadata with radial "
+                           "averages of the five resolution maps")
+        self.addParamsLine("  [--monores <f=\"\">] : Local resolution map "
+                           "(MonoRes output) used for the radial average "
+                           "and z-score (default: mean over directions)")
+        self.addParamsLine("  [--prefMin <f=\"\">] : Metadata histogram of "
+                           "the preferred (highest-resolution) direction")
+        self.addParamsLine("  [--zScoremap <f=\"\">] : Local resolution "
+                           "z-score map (|z|>3 = suspicious voxels)")
+        self.addParamsLine("  [--threads <n=4>] : Accepted (XLA-managed)")
+
+    def _out(self, flag, default):
+        v = self.getParam(flag) if self.checkParam(flag) else ""
+        return v or default
 
     def run(self):
         import jax.numpy as jnp
@@ -42,43 +94,151 @@ class ProgResolutionDirectional(XmippProgram):
         else:
             mask = circular_mask(vol.shape, D // 2 - 4) > 0.5
         n_dirs = self.getIntParam("--ndirections")
+        if n_dirs <= 0:
+            n_dirs = 47 if self.checkParam("--fast") else 81
         cone = np.deg2rad(self.getDoubleParam("--cone"))
-        n_freqs = self.getIntParam("--steps")
+        significance = self.getDoubleParam("--significance")
+        r_part = min(self.getDoubleParam("--volumeRadius"), D / 2 - 1)
+        # resolution sweep: maxRes = box size (A) down to 2*Ts in resStep
+        # steps (reference resolution_directional.cpp:105-106), capped at
+        # --steps bands
+        res_step = max(self.getDoubleParam("--resStep"), 1e-3)
+        res_vals = np.arange(2 * Ts, D * Ts, res_step)[::-1]
+        n_cap = self.getIntParam("--steps")
+        if len(res_vals) > n_cap:
+            res_vals = res_vals[np.linspace(0, len(res_vals) - 1, n_cap
+                                            ).astype(int)]
+        freqs = Ts / res_vals                    # ascending digital freq
         fz, fy, fx = freq_grid_3d(*vol.shape)
         r = np.sqrt(fz ** 2 + fy ** 2 + fx ** 2)
         rr = np.where(r == 0, 1.0, r)
-        freqs = np.linspace(0.05, 0.45, n_freqs)
         F = np.fft.rfftn(vol)
+        dirs = _hemisphere_directions(n_dirs)
+        # noise region: outside the mask and beyond the particle radius
+        zz, yy, xx = np.mgrid[:vol.shape[0], :vol.shape[1], :vol.shape[2]]
+        rad = np.sqrt((zz - vol.shape[0] / 2) ** 2
+                      + (yy - vol.shape[1] / 2) ** 2
+                      + (xx - vol.shape[2] / 2) ** 2)
+        pos = np.stack([xx - vol.shape[2] / 2, yy - vol.shape[1] / 2,
+                        zz - vol.shape[0] / 2], axis=-1).astype(np.float32)
+        pos_n = pos / np.maximum(rad, 1.0)[..., None]
+        noise_reg = (~mask) & (rad > r_part)
+        if not noise_reg.any():
+            noise_reg = ~mask
         res_dir = np.zeros((n_dirs,) + vol.shape, np.float32)
-        # azimuthal cone directions in the xy plane
+        hw = max(0.5 * (freqs[1:] - freqs[:-1]).mean()
+                 if len(freqs) > 1 else 0.03, 0.015)
         for d in range(n_dirs):
-            a = 2 * np.pi * d / n_dirs
-            ux, uy, uz = np.cos(a), np.sin(a), 0.0
+            ux, uy, uz = dirs[d]
             cosang = np.abs((fx * ux + fy * uy + fz * uz) / rr)
             conemask = (cosang >= np.cos(cone)).astype(np.float32)
-            res_map = np.full(vol.shape, Ts / freqs[0], np.float32)
+            res_map = np.full(vol.shape, res_vals[0], np.float32)
             prev = mask.copy()
-            for f in freqs:
-                band = ((r >= f - 0.03) & (r <= f + 0.03)).astype(np.float32)
+            for f, rv in zip(freqs, res_vals):
+                band = ((r >= f - hw) & (r <= f + hw)).astype(np.float32)
                 sub = np.fft.irfftn(F * band * conemask, s=vol.shape,
-                                    axes=(0, 1, 2)
-                                    ).astype(np.float32)
+                                    axes=(0, 1, 2)).astype(np.float32)
                 amp = np.asarray(monogenic_amplitude_3d(jnp.asarray(sub)))
-                thr = np.percentile(amp[~mask], 95)
+                # significance-percentile of cone noise (hypothesis test)
+                thr = np.percentile(amp[noise_reg], 100 * significance)
                 resolved = mask & (amp > thr) & prev
-                res_map[resolved] = Ts / f
+                res_map[resolved] = rv
                 prev = resolved
                 if not resolved.any():
                     break
             res_dir[d] = np.where(mask, res_map, 0.0)
         root = self.getParam("--oroot")
-        # radial average (mean over directions) + anisotropy (spread)
-        mean_res = res_dir.mean(axis=0)
-        aniso = res_dir.max(axis=0) - res_dir.min(axis=0)
-        save_image(root + "_radial.vol", mean_res, sampling=Ts)
-        save_image(root + "_azimuthal.vol", aniso, sampling=Ts)
+        # per-voxel direction statistics (radialAzimuthalResolution,
+        # resolution_directional.cpp:1078-1251)
+        p05, p17, p83, p95 = np.percentile(res_dir, [5, 17, 83, 95], axis=0)
+        highest = np.where(mask, p05, 0).astype(np.float32)
+        lowest = np.where(mask, p95, 0).astype(np.float32)
+        doa1 = np.where(mask, 0.5 * (p83 - p17), 0).astype(np.float32)
+        doa2 = np.where(mask, 0.5 * (p95 + p05), 0).astype(np.float32)
+        # radial/azimuthal split by angle between direction and the voxel
+        # position vector (45/70 deg)
+        cosvd = np.abs(np.einsum("di,zyxi->dzyx",
+                                 dirs[:, [0, 1, 2]].astype(np.float32),
+                                 pos_n))
+        wrad = (cosvd >= np.cos(np.deg2rad(45))).astype(np.float32)
+        wazi = (cosvd <= np.cos(np.deg2rad(70))).astype(np.float32)
+        nrad = wrad.sum(axis=0)
+        nazi = wazi.sum(axis=0)
+        radial = np.where(nrad > 0, (res_dir * wrad).sum(axis=0)
+                          / np.maximum(nrad, 1), doa2)
+        azimuthal = np.where(nazi > 0, (res_dir * wazi).sum(axis=0)
+                             / np.maximum(nazi, 1), doa2)
+        radial = np.where(mask, radial, 0).astype(np.float32)
+        azimuthal = np.where(mask, azimuthal, 0).astype(np.float32)
+        mean_res = np.where(mask, res_dir.mean(axis=0), 0).astype(np.float32)
+        if self.checkParam("--monores") and self.getParam("--monores"):
+            monores = np.squeeze(Image(self.getParam("--monores")).data
+                                 ).astype(np.float32)
+        else:
+            monores = mean_res
+        # z-score of the local resolution against its radial-shell stats
+        shell = np.clip(rad.astype(int), 0, D // 2)
+        zmap = np.zeros_like(mean_res)
+        for s in range(D // 2 + 1):
+            sel = mask & (shell == s)
+            if sel.sum() > 1:
+                m, sd = monores[sel].mean(), monores[sel].std()
+                zmap[sel] = (monores[sel] - m) / max(sd, 1e-6)
+        save_image(self._out("--radialRes", root + "_radial.vol"),
+                   radial, sampling=Ts)
+        save_image(self._out("--azimuthalRes", root + "_azimuthal.vol"),
+                   azimuthal, sampling=Ts)
+        save_image(self._out("--highestResolutionVol", root + "_highest.vol"),
+                   highest, sampling=Ts)
+        save_image(self._out("--lowestResolutionVol", root + "_lowest.vol"),
+                   lowest, sampling=Ts)
+        save_image(self._out("--doa1", root + "_doa1.vol"), doa1, sampling=Ts)
+        save_image(self._out("--doa2", root + "_doa2.vol"), doa2, sampling=Ts)
+        save_image(self._out("-o", root + "_monores.vol"), mean_res,
+                   sampling=Ts)
+        if self.checkParam("--zScoremap") and self.getParam("--zScoremap"):
+            save_image(self.getParam("--zScoremap"), zmap.astype(np.float32),
+                       sampling=Ts)
+        # 90th-percentile display thresholds
+        if self.checkParam("--radialAzimuthalThresholds") and \
+                self.getParam("--radialAzimuthalThresholds"):
+            MetaData.fromRows([{
+                "resolutionFreq": float(np.percentile(radial[mask], 90)),
+                "resolutionFreq2": float(np.percentile(azimuthal[mask], 90)),
+            }]).write(self.getParam("--radialAzimuthalThresholds"))
+        # preferred-direction histogram: which direction attains the
+        # per-voxel best (minimum) resolution, within 0.1 A
+        if self.checkParam("--prefMin") and self.getParam("--prefMin"):
+            best = res_dir[:, mask]                     # (ndirs, nvox)
+            is_best = np.abs(best - highest[mask]) < 0.1
+            counts = is_best.sum(axis=1)
+            mean_per_dir = np.where(
+                counts > 0, (best * is_best).sum(axis=1)
+                / np.maximum(counts, 1), 0.0)
+            tilt = np.degrees(np.arccos(np.clip(dirs[:, 2], -1, 1)))
+            rot = np.degrees(np.arctan2(dirs[:, 1], dirs[:, 0]))
+            MetaData.fromRows([
+                {"angleRot": float(rot[i]), "angleTilt": float(tilt[i]),
+                 "weight": float(counts[i]),
+                 "resolutionFreq": float(mean_per_dir[i]),
+                 "x": float(i), "count": int(counts[i])}
+                for i in range(n_dirs)]).write(self.getParam("--prefMin"))
+        # radial averages of the five maps
+        if self.checkParam("--radialAvG") and self.getParam("--radialAvG"):
+            rows = []
+            for s in range(1, D // 2):
+                sel = mask & (np.abs(rad - s) <= 1)
+                if not sel.any():
+                    continue
+                rows.append({"resolutionFreq": float(s),
+                             "resolutionFreqReal": float(radial[sel].mean()),
+                             "resolutionFreq2": float(azimuthal[sel].mean()),
+                             "resolutionFreqMin": float(highest[sel].mean()),
+                             "resolutionFreqMax": float(lowest[sel].mean()),
+                             "resolutionLocal": float(monores[sel].mean())})
+            MetaData.fromRows(rows).write(self.getParam("--radialAvG"))
         self.mean_resolution = float(mean_res[mask].mean())
-        self.mean_anisotropy = float(aniso[mask].mean())
+        self.mean_anisotropy = float(doa1[mask].mean())
         if self.verbose:
             print(f"mean directional resolution {self.mean_resolution:.2f} A"
                   f"  anisotropy {self.mean_anisotropy:.2f} A")

@@ -20,6 +20,8 @@ from xmipp3_tpu.core.image import Image, save_image
 from xmipp3_tpu.core.metadata import MetaData
 from xmipp3_tpu.core.metadata_program import load_image_rows
 from xmipp3_tpu.core.program import XmippProgram
+from xmipp3_tpu.programs.angular_programs import \
+    ProgAngularContinuousAssign2 as _Assign2Base
 
 
 def _ring_accumulate(power, ring_width, n_bins):
@@ -242,71 +244,21 @@ class ProgResolutionSSNR(XmippProgram):
             print(f"SSNR table -> {fn}")
 
 
-class ProgContinuousCreateResiduals(XmippProgram):
+class ProgContinuousCreateResiduals(_Assign2Base):
+    """Create residual images (experimental minus continuously-refined
+    reference projection). The reference grammar
+    (continuous_create_residuals.cpp defineParams) is a strict subset of
+    angular_continuous_assign2's — the engine and every optimize*/max_*
+    flag are shared; this endpoint additionally tags each row with its
+    MDL_IMAGE_RESIDUAL entry."""
     name = "xmipp_continuous_create_residuals"
 
-    def defineParams(self):
-        self.addUsageLine("Create residual images (experimental minus posed "
-                          "reference projection, gray-optimized; the "
-                          "projection is moved onto the image).")
-        self.addParamsLine("   -i <md>            : Particles with pose metadata")
-        self.addParamsLine("   -o <md>            : Output metadata")
-        self.addParamsLine("   --ref <volume>     : Reference volume")
-        self.addParamsLine("  [--oresiduals <stack=\"\">]   : Output residual stack")
-        self.addParamsLine("  [--oprojections <stack=\"\">] : Output projection stack")
-        self.addParamsLine("  [--optimizeGray]    : Optimize gray scale a, offset b")
-        self.addParamsLine("  [--sampling <Ts=1>] : Sampling rate (A/px)")
-        self.addParamsLine("  [--padding <p=2>]   : Projector padding factor")
-
     def run(self):
-        from xmipp3_tpu.ops.project import FourierProjector
-        md = MetaData(self.getParam("-i"))
-        md.removeDisabled()
-        rows = list(md.iterRows())
-        imgs = load_image_rows(rows)
-        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
-        get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
-                                 np.float32)
-        flips = np.array([bool(r.get("flip", 0)) for r in rows])
-        proj = FourierProjector(vol, pad_factor=self.getDoubleParam("--padding"))
-        # Pose contract (ops.geo): shift(img, s_md) = M_x^f proj(rot,tilt,psi)
-        # => the projection in the experimental frame is
-        # shift(M_x^f proj, -s_md): project, mirror flipped rows, anti-shift.
-        shifts = np.stack([-get("shiftX"), -get("shiftY")], axis=1)
-        P = np.asarray(proj.project_euler(get("angleRot"), get("angleTilt"),
-                                          get("anglePsi")))
-        if flips.any():
-            P = np.where(flips[:, None, None], P[:, :, ::-1], P)
-        from xmipp3_tpu.ops.fourier import fourier_shift_2d
-        import jax.numpy as jnp
-        P = np.asarray(fourier_shift_2d(jnp.asarray(P),
-                                        jnp.asarray(shifts[:, 0]),
-                                        jnp.asarray(shifts[:, 1])))
-        if self.checkParam("--optimizeGray"):
-            pm = P.mean(axis=(1, 2), keepdims=True)
-            im = imgs.mean(axis=(1, 2), keepdims=True)
-            cov = ((P - pm) * (imgs - im)).mean(axis=(1, 2), keepdims=True)
-            var = ((P - pm) ** 2).mean(axis=(1, 2), keepdims=True)
-            a = cov / np.maximum(var, 1e-12)
-            b = im - a * pm
-            P = a * P + b
-        R = imgs - P
-        out = []
-        for i, r in enumerate(rows):
-            d = dict(r)
-            denom = max(float(imgs[i].std() * P[i].std()), 1e-12)
-            d["maxCC"] = float(((imgs[i] - imgs[i].mean())
-                                * (P[i] - P[i].mean())).mean() / denom)
-            d["cost"] = float(np.abs(R[i]).mean())
-            if self.checkParam("--oresiduals") and self.getParam("--oresiduals"):
-                d["imageResidual"] = \
-                    f"{i + 1:06d}@{self.getParam('--oresiduals')}"
-            out.append(d)
-        if self.checkParam("--oresiduals") and self.getParam("--oresiduals"):
-            save_image(self.getParam("--oresiduals"), R.astype(np.float32))
-        if self.checkParam("--oprojections") and self.getParam("--oprojections"):
-            save_image(self.getParam("--oprojections"), P.astype(np.float32))
-        MetaData.fromRows(out).write(self.getParam("-o"))
-        if self.verbose:
-            print(f"{len(out)} residuals; mean |R| "
-                  f"{float(np.abs(R).mean()):.4g}")
+        super().run()
+        fn_res = self.getParam("--oresiduals")
+        if fn_res:
+            md = MetaData(self.getParam("-o"))
+            rows = list(md.iterRows())
+            for i, r in enumerate(rows):
+                r["imageResidual"] = f"{i + 1:06d}@{fn_res}"
+            MetaData.fromRows(rows).write(self.getParam("-o"))
