@@ -159,3 +159,79 @@ def test_continuous_assign_full_gray_and_defocus():
     assert np.abs(res["grayA"] - 1.4).max() < 0.05
     assert np.abs(res["grayB"] - 0.25).max() < 0.05
     assert np.abs(res["defocusU"] - 15000).max() < 200
+
+
+def test_subtract_projection_full_surface(tmp_path):
+    """Full reference surface (subtract_projection.cpp:125-147): ROI mask
+    keep/subtract modes, order-0/1 transfer fit labels, nonNegative,
+    boost, noise estimation, real-space projector, save."""
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
+    blob_a = np.exp(-((x - 6) ** 2 + y ** 2 + z ** 2) / 12)
+    blob_b = np.exp(-((x + 6) ** 2 + y ** 2 + z ** 2) / 12)
+    vol = (blob_a + blob_b).astype(np.float32)
+    fn_vol = str(tmp_path / "v.vol")
+    save_image(fn_vol, vol)
+    # ROI = the +x blob region
+    roi = (blob_a > 0.1).astype(np.float32)
+    fn_roi = str(tmp_path / "roi.vol")
+    save_image(fn_roi, roi)
+    rot = np.array([0.0, 40.0, 110.0, 250.0], np.float32)
+    tilt = np.array([0.0, 30.0, 75.0, 120.0], np.float32)
+    proj = np.asarray(FourierProjector(vol).project_euler(
+        rot, tilt, np.zeros(4, np.float32)))
+    # particles = 1.5x scaled projections + offset (exercises the fit)
+    parts = (1.5 * proj + 0.1).astype(np.float32)
+    fn_parts = str(tmp_path / "p.mrcs")
+    save_image(fn_parts, parts)
+    rows = [{"image": f"{i + 1:06d}@{fn_parts}", "itemId": i + 1,
+             "angleRot": float(rot[i]), "angleTilt": float(tilt[i]),
+             "anglePsi": 0.0, "shiftX": 0.0, "shiftY": 0.0}
+            for i in range(4)]
+    fn_md = str(tmp_path / "parts.xmd")
+    MetaData.fromRows(rows).write(fn_md)
+    # keep-mode: subtract everything EXCEPT the ROI -> ROI signal remains
+    run_prog("subtract_projection",
+             f"-i {fn_md} --ref {fn_vol} -o {tmp_path}/sub "
+             f"--mask_roi {fn_roi} --sampling 2 --nonNegative "
+             f"--save {tmp_path}/adj.mrcs --noise_est -v 0")
+    sub = Image.read_stack(str(tmp_path / "sub.mrcs"))
+    md_out = MetaData(str(tmp_path / "sub.xmd"))
+    # transfer fit recovered the 1.5 gray scale
+    b0 = np.asarray(md_out.getColumn("subtractionBeta0"), float)
+    assert np.abs(b0 - 1.5).max() < 0.15
+    # keep-mode R2 is bounded by the ROI energy left unexplained; it must
+    # still be clearly positive (nonNegative keeps all rows enabled)
+    assert (np.asarray(md_out.getColumn("subtractionR2"), float) > 0.3).all()
+    # nonNegative disabled no rows (no enabled=-1 column written)
+    assert not md_out.containsLabel("enabled") or \
+        (np.asarray(md_out.getColumn("enabled"), float) > 0).all()
+    # view 0 projects blob_a onto +x: kept region holds the energy
+    left = sub[0][:, : n // 2]
+    right = sub[0][:, n // 2:]
+    assert (right ** 2).sum() > 10 * (left ** 2).sum()
+    assert (tmp_path / "adj.mrcs").exists()
+    assert (tmp_path / "noisePower.mrc").exists()
+    # subtract-mode removes ONLY the ROI -> left blob survives instead
+    run_prog("subtract_projection",
+             f"-i {fn_md} --ref {fn_vol} -o {tmp_path}/sub2 "
+             f"--mask_roi {fn_roi} --subtract --sampling 2 -v 0")
+    sub2 = Image.read_stack(str(tmp_path / "sub2.mrcs"))
+    # the background constant b is subtracted from the WHOLE image
+    # (reference `I() -= b`), so compare de-meaned structure energy
+    left2 = sub2[0][:, : n // 2]
+    right2 = sub2[0][:, n // 2:]
+    assert ((left2 - left2.mean()) ** 2).sum() > \
+        5 * ((right2 - right2.mean()) ** 2).sum()
+    # full subtraction without ROI: residual tiny vs particle energy
+    run_prog("subtract_projection",
+             f"-i {fn_md} --ref {fn_vol} -o {tmp_path}/sub3 "
+             f"--realSpaceProjection --cirmaskrad 14 -v 0")
+    sub3 = Image.read_stack(str(tmp_path / "sub3.mrcs"))
+    assert (sub3 ** 2).mean() < 0.02 * (parts ** 2).mean()
+    # boost divides by the fitted transfer: result ~ projections again
+    run_prog("subtract_projection",
+             f"-i {fn_md} --ref {fn_vol} -o {tmp_path}/boost --boost -v 0")
+    bst = Image.read_stack(str(tmp_path / "boost.mrcs"))
+    corr = np.corrcoef(bst.ravel(), proj.ravel())[0, 1]
+    assert corr > 0.99

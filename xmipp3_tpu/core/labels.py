@@ -77,6 +77,9 @@ LABELS: dict[str, LabelType] = {
     "resolutionLocalResidue": _D, "cumulativeSSNR": _D,
     "resolutionErrorL2": _D, "resolutionRfactor": _D,
     "logStructureFactor": _D, "structureFactor": _D,
+    # projection subtraction (subtract_projection.cpp writeParticle)
+    "subtractionR2": _D, "subtractionBeta0": _D, "subtractionBeta1": _D,
+    "subtractionB": _D,
     # CTF forward model (.ctfparam contract, data/ctf.h:782)
     "ctfModel": _S, "ctfSamplingRate": _D, "ctfVoltage": _D,
     "ctfDefocusU": _D, "ctfDefocusV": _D, "ctfDefocusAngle": _D,

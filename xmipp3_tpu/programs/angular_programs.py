@@ -7,6 +7,8 @@ angular_class_average, angular_neighbourhood, subtract_projection
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from xmipp3_tpu.core.image import Image, save_image
@@ -438,49 +440,307 @@ class ProgAngularNeighbourhood(XmippProgram):
         self.neighbors = nbrs
 
 
+def _subtract_adjust_batch(I, P, Pmask, iM, wi, maxwi):
+    """Frequency-transfer adjustment + subtraction for one batch.
+
+    Reference subtract_projection.cpp:636-812: background level b, then
+    order-0 (T(w)=beta00) and order-1 (T(w)=beta01+beta1*w) multiplicative
+    fits of the projection's spectrum against the particle's over rings
+    0<w<maxwi, adjusted-R2 model selection per particle. Returns the
+    adjusted projection spectrum (rfft), b, betas and R2.
+    """
+    import jax.numpy as jnp
+    inside = (iM > 0) & (Pmask > 0)
+    n_in = jnp.maximum(inside.sum(axis=(1, 2)), 1)
+    b = (jnp.where(inside, I - P, 0.0).sum(axis=(1, 2)) / n_in)
+    I = I - b[:, None, None]
+    IF = jnp.fft.rfft2(I)
+    PF = jnp.fft.rfft2(P)
+    IiM = jnp.fft.rfft2(I * iM)
+    PiM = jnp.fft.rfft2(P * iM)
+    sel = ((wi > 0) & (wi < maxwi))[None]
+    p2 = jnp.where(sel, (PiM * jnp.conj(PiM)).real, 0.0)
+    ip = jnp.where(sel, (IiM * jnp.conj(PiM)).real, 0.0)
+    w = wi[None].astype(jnp.float32)
+    # order 0
+    beta00 = ip.sum(axis=(1, 2)) / jnp.maximum(p2.sum(axis=(1, 2)), 1e-20)
+    # order 1: least squares of IiM ~ (b0 + b1*w)*PiM (real coefficients)
+    a00 = p2.sum(axis=(1, 2))
+    a01 = (w * p2).sum(axis=(1, 2))
+    a11 = (w * w * p2).sum(axis=(1, 2))
+    r0 = ip.sum(axis=(1, 2))
+    r1 = (w * ip).sum(axis=(1, 2))
+    det = a00 * a11 - a01 * a01
+    safe = jnp.abs(det) > 1e-20
+    beta01 = jnp.where(safe, (r0 * a11 - r1 * a01) / jnp.where(safe, det, 1.0),
+                       beta00)
+    beta1 = jnp.where(safe, (a00 * r1 - a01 * r0) / jnp.where(safe, det, 1.0),
+                      0.0)
+    # candidate adjusted spectra (order 0 applies only inside the fit band,
+    # subtract_projection.cpp:745-752; order 1 everywhere + DC pinned)
+    PF0 = jnp.where((wi < maxwi)[None], PF * beta00[:, None, None], PF)
+    T1 = beta01[:, None, None] + beta1[:, None, None] * w
+    PF1 = PF * T1
+    PF1 = PF1.at[:, 0, 0].set(IiM[:, 0, 0])
+    # adjusted R2 against the particle spectrum (evaluateFitting,
+    # subtract_projection.cpp:324-341)
+    N2 = 2.0 * IF.shape[1] * IF.shape[2]
+    meanY = (IF.real + IF.imag).sum(axis=(1, 2)) / N2
+    varY = ((IF.real ** 2 + IF.imag ** 2).sum(axis=(1, 2)) / N2
+            - meanY ** 2)
+    varY = jnp.maximum(varY, 1e-20)
+
+    def r2(PFa):
+        e2 = (jnp.abs(IF - PFa) ** 2).sum(axis=(1, 2))
+        return 1.0 - (e2 / N2) / varY
+
+    R20 = r2(PF0)
+    R21 = 1.0 - (1.0 - r2(PF1)) * (N2 - 1.0) / (N2 - 2.0)
+    use1 = R21 > R20
+    PFbest = jnp.where(use1[:, None, None], PF1, PF0)
+    R2 = jnp.where(use1, R21, R20)
+    beta0 = jnp.where(use1, beta01, beta00)
+    beta1 = jnp.where(use1, beta1, 0.0)
+    T = jnp.where(use1[:, None, None], T1,
+                  jnp.where((wi < maxwi)[None],
+                            beta00[:, None, None],
+                            jnp.ones_like(T1)))
+    return I, IF, PFbest, T, b, beta00, beta0, beta1, R2
+
+
 class ProgSubtractProjection(XmippProgram):
+    """Reference grammar subtract_projection.cpp:125-147; algorithm
+    subtract_projection.cpp:600-826 (order-0/1 frequency-transfer fit with
+    adjusted-R2 model selection, boosting, noise estimation)."""
     name = "xmipp_subtract_projection"
 
     def defineParams(self):
-        self.addUsageLine("Subtract the reference projection from each "
-                          "particle (for focused analysis).")
+        self.addUsageLine("Subtract the adjusted reference projection from "
+                          "each particle (focused analysis).")
         self.addParamsLine("   -i <md_file>  : Particles with poses")
         self.addParamsLine("   --ref <volume> : Reference volume")
         self.addParamsLine("   -o <root>     : Output rootname")
-        self.addParamsLine("  [--mask <m=\"\">] : Keep-region mask volume (projected)")
+        self.addParamsLine("  [--mask_roi <m=\"\">] : 3D mask of the region "
+                           "of interest to keep (or subtract, with "
+                           "--subtract); empty = subtract whole images")
+        self.addParamsLine("  [--cirmaskrad <c=-1.0>] : Circular mask radius "
+                           "for the projected particles (-1 = fit a sphere "
+                           "in the reference volume)")
+        self.addParamsLine("  [--mask <mask=\"\">] : 3D mask volume; density "
+                           "outside its projection is removed from the "
+                           "analysis (alternative to --cirmaskrad)")
+        self.addParamsLine("  [--sampling <sampling=1>] : Pixel size (A/px)")
+        self.addParamsLine("  [--max_resolution <f=-1>] : Maximum resolution "
+                           "(A) up to which the subtraction is fit "
+                           "(-1 = sampling rate, i.e. Nyquist)")
+        self.addParamsLine("  [--padding <p=2>] : Padding factor for the "
+                           "Fourier projector")
+        self.addParamsLine("  [--sigma <s=1>] : Decay of the mask-transition "
+                           "smoothing filter")
+        self.addParamsLine("  [--nonNegative] : Disable particles with "
+                           "negative beta0 or R2")
+        self.addParamsLine("  [--boost] : Boost original particles by the "
+                           "inverse transfer instead of subtracting")
+        self.addParamsLine("  [--save <structure=\"\">] : Path for saving "
+                           "intermediate files (adjusted projections)")
+        self.addParamsLine("  [--subtract] : The ROI mask contains the "
+                           "region to SUBTRACT (default: region to keep)")
+        self.addParamsLine("  [--realSpaceProjection] : Project the volume "
+                           "in real space (avoid Fourier artifacts)")
+        self.addParamsLine("  [--ignoreCTF] : Do not consider CTF in the "
+                           "subtraction (CTF-corrected particles)")
+        self.addParamsLine("  [--noise_est] : Estimate the noise power "
+                           "spectrum from the subtracted region "
+                           "(writes noisePower.mrc next to the output)")
 
     def run(self):
-        from xmipp3_tpu.ops.project import FourierProjector
-        from xmipp3_tpu.ops.geo import apply_md_geometry
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.project import (FourierProjector,
+                                            project_real_space)
+        from xmipp3_tpu.ops.geo import centered_flip
+        from xmipp3_tpu.ops.mask import circular_mask
+        from xmipp3_tpu.ops.fourier import fourier_shift_2d
+        from xmipp3_tpu.programs.ctf_correct import _row_ctf
+
         md, rows, imgs, get = _load_md(self.getParam("-i"))
-        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
-        proj = FourierProjector(vol)
+        V = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        N = V.shape[-1]
+        Ts = self.getDoubleParam("--sampling")
+        pad = self.getDoubleParam("--padding")
+        max_res = self.getDoubleParam("--max_resolution")
+        if max_res <= 0:
+            max_res = Ts
+        subtract_roi = self.checkParam("--subtract")
+        boost = self.checkParam("--boost")
+        real_space = self.checkParam("--realSpaceProjection")
+        ignore_ctf = self.checkParam("--ignoreCTF")
+        non_negative = self.checkParam("--nonNegative")
+        noise_est = self.checkParam("--noise_est")
+
+        # ROI mask: the volume is multiplied by ivM BEFORE projecting
+        # (createMask + preProcess, subtract_projection.cpp:177-198,602-607)
+        fn_roi = self.getParam("--mask_roi") if \
+            self.checkParam("--mask_roi") else ""
+        vM = None
+        if fn_roi:
+            vM = (np.squeeze(Image(fn_roi).data) > 0).astype(np.float32)
+            ivM = vM if subtract_roi else 1.0 - vM
+        else:
+            ivM = np.ones_like(V)
+        Vm = V * ivM
+
+        projector = None if real_space else FourierProjector(Vm, pad)
+
+        # particle-region mask: projected 3-D mask or raised-cosine circle
+        # (preProcess, subtract_projection.cpp:530-546)
+        fn_maskvol = self.getParam("--mask") if \
+            self.checkParam("--mask") else ""
+        cirmaskrad = self.getDoubleParam("--cirmaskrad")
+        mask_vol = None
+        if fn_maskvol:
+            mask_vol = np.squeeze(Image(fn_maskvol).data).astype(np.float32)
+        else:
+            if cirmaskrad <= 0:
+                cirmaskrad = N / 2.0
+            circ = np.asarray(circular_mask((N, N), cirmaskrad,
+                                            mode="raised_cosine"),
+                              np.float32)
+
         rot, tilt, psi = get("angleRot"), get("angleTilt"), get("anglePsi")
         sx, sy = get("shiftX"), get("shiftY")
         flip = np.array([bool(r.get("flip", 0)) for r in rows])
-        # register particles onto the projection frame, subtract, write
-        registered = np.asarray(apply_md_geometry(imgs, psi, sx, sy, flip))
+        has_ctf = (not ignore_ctf) and rows and (
+            "ctfDefocusU" in rows[0] or "ctfModel" in rows[0])
+
+        # ring index map and fit band (preProcess,
+        # subtract_projection.cpp:556-583)
+        fy = np.fft.fftfreq(N).astype(np.float32)[:, None]
+        fx = np.fft.rfftfreq(N).astype(np.float32)[None, :]
+        wi = np.round(np.sqrt(fx * fx + fy * fy) * N).astype(np.int32)
+        maxwi = int(round((Ts / max_res) / np.sqrt(2.0) * N))
+
         B = len(rows)
-        out = np.empty_like(registered)
-        batch = 256
+        out = np.empty((B, N, N), np.float32)
+        proj_saved = np.empty((B, N, N), np.float32) if \
+            self.checkParam("--save") and self.getParam("--save") else None
+        R2a = np.empty(B, np.float32)
+        beta0s = np.empty(B, np.float32)
+        beta1s = np.empty(B, np.float32)
+        bsave = np.empty(B, np.float32)
+        beta00s = np.empty(B, np.float32)
+        noise_power = np.zeros((N, N // 2 + 1), np.float64)
+        crop = 11
+
+        batch = 128
         for s in range(0, B, batch):
             sl = slice(s, min(s + batch, B))
-            p = np.asarray(proj.project_euler(rot[sl], tilt[sl],
-                                              np.zeros(sl.stop - sl.start,
-                                                       np.float32)))
-            # amplitude fit per particle (gray a,b as in the reference)
-            pm = p - p.mean(axis=(1, 2), keepdims=True)
-            im = registered[sl]
-            a = ((pm * im).sum(axis=(1, 2)) /
-                 np.maximum((pm ** 2).sum(axis=(1, 2)), 1e-12))
-            b = im.mean(axis=(1, 2)) - a * p.mean(axis=(1, 2))
-            out[sl] = im - (a[:, None, None] * p + b[:, None, None])
+            nb = sl.stop - sl.start
+            # model = shift_{-s}(M_x^flip proj) — flip acts before the
+            # translation, so flipped rows project with +sx and mirror after
+            fb = flip[sl]
+            shifts = np.stack([np.where(fb, sx[sl], -sx[sl]), -sy[sl]],
+                              axis=1).astype(np.float32)
+            if real_space:
+                P = project_real_space(Vm, rot[sl], tilt[sl], psi[sl])
+                if fb.any():
+                    P = jnp.where(jnp.asarray(fb)[:, None, None],
+                                  centered_flip(P, axis=2), P)
+                P = fourier_shift_2d(P, -sx[sl], -sy[sl])
+            else:
+                P = projector.project_euler(rot[sl], tilt[sl], psi[sl],
+                                            shifts=shifts)
+                if fb.any():
+                    P = jnp.where(jnp.asarray(fb)[:, None, None],
+                                  centered_flip(P, axis=2), P)
+            if has_ctf:
+                ctfs = np.stack([
+                    np.asarray(_row_ctf(rows[i], Ts).generate_2d(N, N))
+                    for i in range(sl.start, sl.stop)])
+                P = jnp.fft.irfft2(jnp.fft.rfft2(P) * ctfs, s=(N, N))
+            Ib = jnp.asarray(imgs[sl])
+            # particle-region mask
+            if mask_vol is not None:
+                Pm = project_real_space(mask_vol, rot[sl], tilt[sl], psi[sl])
+                Pm = fourier_shift_2d(Pm, -sx[sl], -sy[sl])
+                Pm = jnp.asarray(np.asarray(Pm) > 0.5, jnp.float32)
+            else:
+                Pm = jnp.broadcast_to(jnp.asarray(circ), (nb, N, N))
+            P = jnp.where(Pm > 0, P, 0.0)
+            Ib = jnp.where(Pm > 0, Ib, 0.0)
+            # projected ROI mask (processImage,
+            # subtract_projection.cpp:643-668)
+            if vM is not None:
+                Mb = project_real_space(vM, rot[sl], tilt[sl], psi[sl])
+                Mb = fourier_shift_2d(Mb, -sx[sl], -sy[sl])
+                Mb = (np.asarray(Mb) > 0.5).astype(np.float32)
+                iM = Mb if subtract_roi else 1.0 - Mb
+            else:
+                Mb = np.zeros((nb, N, N), np.float32)
+                iM = np.ones((nb, N, N), np.float32)
+            (Ib, IF, PFbest, T, b, beta00, beta0, beta1,
+             R2) = _subtract_adjust_batch(Ib, P, Pm, jnp.asarray(iM),
+                                          jnp.asarray(wi), maxwi)
+            Padj = jnp.fft.irfft2(PFbest, s=(N, N))
+            if boost:
+                Idiff = jnp.fft.irfft2(IF / jnp.where(jnp.abs(T) > 1e-12,
+                                                      T, 1.0), s=(N, N))
+            else:
+                Idiff = Ib - Padj
+            out[sl] = np.asarray(Idiff, np.float32)
+            if proj_saved is not None:
+                proj_saved[sl] = np.asarray(Padj, np.float32)
+            R2a[sl] = np.asarray(R2)
+            beta0s[sl] = np.asarray(beta0)
+            beta1s[sl] = np.asarray(beta1)
+            beta00s[sl] = np.asarray(beta00)
+            bsave[sl] = np.asarray(b)
+            if noise_est:
+                # deterministic analog of noiseEstimation()
+                # (subtract_projection.cpp:418-510): first valid crop
+                # (inside the particle mask, outside the ROI projection)
+                # on a coarse grid, power accumulated at canvas center
+                Pm_np = np.asarray(Pm)
+                Mb_np = np.asarray(Mb)
+                Id_np = np.asarray(Idiff)
+                scale = (N * N) / float(crop * crop)
+                for k in range(nb):
+                    placed = False
+                    for y0 in range(0, N - crop, crop):
+                        for x0 in range(0, N - crop, crop):
+                            reg_m = Pm_np[k, y0:y0 + crop, x0:x0 + crop]
+                            reg_r = Mb_np[k, y0:y0 + crop, x0:x0 + crop]
+                            if (reg_m > 0).all() and not (reg_r > 0).any():
+                                canvas = np.zeros((N, N), np.float32)
+                                c0 = N // 2 - crop // 2
+                                canvas[c0:c0 + crop, c0:c0 + crop] = \
+                                    scale * Id_np[k, y0:y0 + crop,
+                                                  x0:x0 + crop]
+                                spec = np.fft.rfft2(canvas)
+                                noise_power += (spec * spec.conj()).real
+                                placed = True
+                                break
+                        if placed:
+                            break
+
         root = self.getParam("-o")
         save_image(root + ".mrcs", out)
+        if proj_saved is not None:
+            save_image(self.getParam("--save"), proj_saved)
+        if noise_est:
+            noise_power /= max(B, 1)
+            out_dir = os.path.dirname(os.path.abspath(root))
+            save_image(os.path.join(out_dir, "noisePower.mrc"),
+                       noise_power.astype(np.float32))
         out_rows = []
         for i, r in enumerate(rows):
             d = dict(r)
             d["image"] = f"{i + 1:06d}@{root}.mrcs"
+            d["subtractionR2"] = float(R2a[i])
+            d["subtractionBeta0"] = float(beta0s[i])
+            d["subtractionBeta1"] = float(beta1s[i])
+            d["subtractionB"] = float(bsave[i])
+            if non_negative and (beta00s[i] < 0 or R2a[i] < 0):
+                d["enabled"] = -1
             out_rows.append(d)
         MetaData.fromRows(out_rows).write(root + ".xmd")
 
