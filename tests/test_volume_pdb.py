@@ -145,6 +145,8 @@ def test_transform_symmetrize_c4(tmp_path):
 
 
 def test_volume_to_pseudoatoms(tmp_path):
+    """Reference surface volume_to_pseudoatoms.cpp:111-1020: seed-grow
+    optimization reaches targetError; atoms land on the blob centers."""
     n = 24
     z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
     vol = (np.exp(-((z - 12) ** 2 + (y - 8) ** 2 + (x - 12) ** 2) / 4.0) +
@@ -153,11 +155,47 @@ def test_volume_to_pseudoatoms(tmp_path):
     fn = str(tmp_path / "v.vol")
     save_image(fn, vol)
     prog = run_prog("volume_to_pseudoatoms",
-                    f"-i {fn} -o {tmp_path}/pa --nAtoms 20 --sigma 2 -v 0")
+                    f"-i {fn} -o {tmp_path}/pa --initialSeeds 10 "
+                    f"--sigma 1.4 --targetError 8 -v 0")
     model = read_pdb(str(tmp_path / "pa.pdb"))
     assert len(model) >= 2
-    # strongest two atoms near the two blob centers (centered coords)
-    got = model.coords[:2]
+    assert prog.final_error < 0.15
+    # both blob centers covered by a nearby atom (centered coords)
     targets = np.array([[0, -4, 0], [0, 4, 0]], float)
-    d = np.linalg.norm(got[:, None] - targets[None], axis=2)
-    assert d.min(axis=1).max() < 2.5
+    d = np.linalg.norm(model.coords[:, None] - targets[None], axis=2)
+    assert d.min(axis=0).max() < 2.0
+    # header REMARKs (writeResults, volume_to_pseudoatoms.cpp:929-932)
+    head = open(str(tmp_path / "pa.pdb")).read()
+    assert "REMARK fixedGaussian" in head
+    assert "REMARK intensityColumn Bfactor" in head
+
+
+def test_volume_to_pseudoatoms_options(tmp_path):
+    """occupancy column, dontAllowIntensity, verbose-2 diagnostics."""
+    n = 20
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    vol = np.exp(-((z - 10) ** 2 + (y - 10) ** 2 + (x - 10) ** 2) / 6.0
+                 ).astype(np.float32)
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    run_prog("volume_to_pseudoatoms",
+             f"-i {fn} -o {tmp_path}/pb --initialSeeds 6 --sigma 1.7 "
+             f"--targetError 20 --intensityColumn occupancy "
+             f"--dontScale -v 2")
+    model = read_pdb(str(tmp_path / "pb.pdb"))
+    assert len(model) >= 1
+    # intensity went to the occupancy column (min atom writes exactly
+    # 0.01 by the reference formula); Bfactor holds the literal 1
+    assert model.occupancies.min() >= 0.01
+    assert np.allclose(model.bfactors, 1.0)
+    for suffix in ("_approximation.vol", "_rawDiff.vol",
+                   "_relativeDiff.vol", "_approximation.hist"):
+        assert (tmp_path / ("pb" + suffix)).exists(), suffix
+    # fixed-intensity mode: every atom carries fraction f of the range
+    run_prog("volume_to_pseudoatoms",
+             f"-i {fn} -o {tmp_path}/pc --initialSeeds 6 --sigma 1.7 "
+             f"--targetError 20 --dontAllowIntensity 0.2 "
+             f"--dontAllowMovement -v 0")
+    model = read_pdb(str(tmp_path / "pc.pdb"))
+    # all intensities equal -> written as 1.0 in the Bfactor column
+    assert np.allclose(model.bfactors, model.bfactors[0])

@@ -615,55 +615,371 @@ class ProgTransformSymmetrize(XmippMetadataProgram):
         return out
 
 
+def _pseudo_render_factory(shape, sigma, penalty, vol, valid, rng):
+    """Jitted separable pseudo-atom renderer + asymmetric loss.
+
+    TPU-first redesign of the reference's per-atom drawGaussian scalar
+    loops (volume_to_pseudoatoms.cpp:604-631): each isotropic Gaussian
+    factors into rank-1 1-D profiles, so the whole cloud renders as two
+    chained contractions `cz,cy->czy` then `czy,cx->zyx` that land on the
+    MXU; gradients w.r.t. positions/intensities flow through the same
+    matmuls (replacing the reference's 8-trial coordinate descent,
+    volume_to_pseudoatoms.cpp:755-830).
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    D0, D1, D2 = shape
+    axz = jnp.arange(D0, dtype=jnp.float32)
+    axy = jnp.arange(D1, dtype=jnp.float32)
+    axx = jnp.arange(D2, dtype=jnp.float32)
+    inv2s2 = 1.0 / (2.0 * sigma * sigma)
+    volj = jnp.asarray(vol, jnp.float32)
+    validj = jnp.asarray(valid, jnp.float32)
+    nvalid = jnp.maximum(validj.sum(), 1.0)
+
+    def render(pos, amp, alive):
+        gz = jnp.exp(-(axz[None] - pos[:, 0:1]) ** 2 * inv2s2)
+        gy = jnp.exp(-(axy[None] - pos[:, 1:2]) ** 2 * inv2s2)
+        gx = jnp.exp(-(axx[None] - pos[:, 2:3]) ** 2 * inv2s2)
+        czy = jnp.einsum("cz,cy->czy", gz * (amp * alive)[:, None], gy)
+        return jnp.einsum("czy,cx->zyx", czy, gx)
+
+    def loss(pos, amp, alive):
+        diff = render(pos, amp, alive) - volj
+        vperc = jnp.where(diff < 0, -diff, penalty * diff)
+        return (vperc * validj).sum() / (nvalid * rng)
+
+    def perc_err(pos, amp, alive):
+        diff = jnp.abs(render(pos, amp, alive) - volj)
+        return (diff * validj).sum() / (nvalid * rng)
+
+    grad = jax.grad(loss, argnums=(0, 1))
+
+    @partial(jax.jit, static_argnums=(5,))
+    def opt_steps(pos, amp, alive, lr_pos, lr_amp, nsteps):
+        def body(carry, _):
+            p, a = carry
+            gp, ga = grad(p, a, alive)
+            p = p - lr_pos * gp
+            a = jnp.maximum(a - lr_amp * ga, 0.0)
+            return (p, a), 0.0
+        (pos, amp), _ = jax.lax.scan(body, (pos, amp), None,
+                                     length=int(nsteps))
+        return pos, amp, perc_err(pos, amp, alive)
+
+    return render, perc_err, opt_steps
+
+
 class ProgVolumeToPseudoatoms(XmippProgram):
+    """Full reference surface volume_to_pseudoatoms.cpp:111-1020.
+
+    Algorithm redesign for TPU: the grow/optimize outer loop is kept
+    (placeSeeds / removeSeeds / optimize until targetError,
+    volume_to_pseudoatoms.cpp:966-1014) but the inner optimizer is a
+    batched gradient descent on the same penalty-asymmetric objective
+    (evaluateRegion, :694-701) over ALL atoms at once instead of the
+    threaded per-atom 8-trial search; seeding is max-pool non-maximum
+    suppression on the Gaussian-filtered difference volume (placeSeeds,
+    :328-399) in one device pass.
+    """
     name = "xmipp_volume_to_pseudoatoms"
 
     def defineParams(self):
         self.addUsageLine("Approximate a volume with gaussian pseudoatoms "
-                          "(greedy placement + local refinement).")
+                          "(seed growth + batched gradient refinement).")
         self.addParamsLine("   -i <volume>  : Input volume")
-        self.addParamsLine("   -o <root>    : Output rootname (.pdb)")
-        self.addParamsLine("  [--nAtoms <n=200>] : Number of pseudoatoms")
-        self.addParamsLine("  [--sigma <s=1.5>]  : Gaussian sigma (voxels)")
-        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size")
+        self.addParamsLine("  [-o <root=\"\">] : Output rootname (.pdb); "
+                           "default = input rootname")
+        self.addParamsLine("  [--sigma <s=1.5>]  : Gaussian sigma "
+                           "(Angstroms)")
+        self.addParamsLine("  [--initialSeeds <N=300>] : Initial number of "
+                           "pseudoatoms")
+        self.addParamsLine("  [--growSeeds <percentage=30>] : Percentage of "
+                           "growth; each iteration removes percentage/2 and "
+                           "places percentage new seeds")
+        self.addParamsLine("  [--stop <p=0.001>] : Stop criterion for inner "
+                           "iterations (relative error decrease)")
+        self.addParamsLine("  [--targetError <e=2>] : Finish when the "
+                           "average representation error is below this "
+                           "threshold (percentage)")
+        self.addParamsLine("  [--dontAllowMovement] : Don't allow "
+                           "pseudoatoms to move")
+        self.addParamsLine("  [--dontAllowIntensity <f=0.01>] : Don't allow "
+                           "intensity change; f = fraction of the intensity "
+                           "range held by each pseudoatom")
+        self.addParamsLine("  [--intensityColumn <s=Bfactor>] : PDB column "
+                           "for the intensity (occupancy or Bfactor)")
+        self.addParamsLine("  [--Nclosest <N=3>] : N closest atoms for the "
+                           "distance histogram")
+        self.addParamsLine("  [--minDistance <d=0.001>] : Minimum distance "
+                           "between two pseudoatoms (Angstroms); -1 disables")
+        self.addParamsLine("  [--penalty <p=10>] : Penalty for overshooting")
+        self.addParamsLine("  [--sampling_rate <Ts=1>] : Sampling rate "
+                           "(Angstroms/pixel)")
+        self.addParamsLine("  [--sampling <Ts2=1>] : Alias of "
+                           "--sampling_rate")
+        self.addParamsLine("  [--dontScale] : Don't scale atom weights in "
+                           "the PDB")
+        self.addParamsLine("  [--binarize <threshold>] : Binarize the "
+                           "volume for a more uniform distribution")
+        self.addParamsLine("  [--thr <n=1>] : Number of threads (XLA "
+                           "manages device parallelism)")
+        self.addParamsLine("  [--mask <binary_file=\"\">] : Restrict to a "
+                           "binary mask volume")
 
     def run(self):
-        from xmipp3_tpu.core.pdb import AtomicModel, write_pdb
-        vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float64)
-        n_atoms = self.getIntParam("--nAtoms")
-        sigma = self.getDoubleParam("--sigma")
-        Ts = self.getDoubleParam("--sampling")
-        D = vol.shape[0]
-        resid = np.maximum(vol, 0).copy()
-        r = max(int(3 * sigma), 1)
-        offs = np.arange(-r, r + 1)
-        dz, dy, dx = np.meshgrid(offs, offs, offs, indexing="ij")
-        kern = np.exp(-(dz ** 2 + dy ** 2 + dx ** 2) / (2 * sigma ** 2))
-        coords, weights = [], []
-        for _ in range(n_atoms):
-            idx = np.argmax(resid)
-            z, rem = divmod(int(idx), vol.shape[1] * vol.shape[2])
-            y, x = divmod(rem, vol.shape[2])
-            amp = resid[z, y, x]
-            if amp <= 0:
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter, maximum_filter
+
+        fn_in = self.getParam("-i")
+        vol = np.squeeze(Image(fn_in).data).astype(np.float32)
+        Ts = self.getDoubleParam("--sampling_rate") if \
+            self.checkParam("--sampling_rate") else \
+            self.getDoubleParam("--sampling")
+        # produceSideInfo: sigma and minDistance are given in Angstroms
+        sigma = self.getDoubleParam("--sigma") / Ts
+        min_dist = self.getDoubleParam("--minDistance") / Ts
+        penalty = self.getDoubleParam("--penalty")
+        stop = self.getDoubleParam("--stop")
+        target_error = self.getDoubleParam("--targetError") / 100.0
+        initial_seeds = self.getIntParam("--initialSeeds")
+        grow = self.getDoubleParam("--growSeeds")
+        allow_movement = not self.checkParam("--dontAllowMovement")
+        allow_intensity = not self.checkParam("--dontAllowIntensity")
+        intensity_fraction = self.getDoubleParam("--dontAllowIntensity") \
+            if not allow_intensity else 0.01
+        col = self.getParam("--intensityColumn")
+        if col not in ("occupancy", "Bfactor"):
+            raise ValueError(f"Unknown column: {col}")
+        n_closest = self.getIntParam("--Nclosest")
+        dont_scale = self.checkParam("--dontScale")
+        root = self.getParam("-o") if self.checkParam("-o") and \
+            self.getParam("-o") else fn_in.rsplit(".", 1)[0]
+        if self.checkParam("--binarize"):
+            vol = (vol > self.getDoubleParam("--binarize")).astype(
+                np.float32)
+        mask = None
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            mask = np.squeeze(Image(self.getParam("--mask")).data) > 0
+        valid_region = (vol > 0) if mask is None else (vol > 0) & mask
+        sel = vol[mask] if mask is not None else vol
+        p1 = np.percentile(sel, 1)
+        if p1 <= 0:
+            p1 = sel.max() / 500.0
+        rng = float(np.percentile(sel, 99) - p1)
+        if rng == 0:
+            raise ValueError("Range cannot be zero")
+        small_atom = rng * intensity_fraction
+
+        render, perc_err, opt_steps = _pseudo_render_factory(
+            vol.shape, sigma, penalty, vol, valid_region, rng)
+
+        pos = np.zeros((0, 3), np.float32)
+        amp = np.zeros((0,), np.float32)
+
+        def place_seeds(nseeds, current):
+            """placeSeeds: NMS top-N on the Gaussian-filtered difference."""
+            vdiff = gaussian_filter(vol - current, sigma)
+            if mask is not None:
+                vdiff = np.where(mask, vdiff, -np.inf)
+            w = max(int(np.floor(sigma)), 1)
+            local_max = vdiff >= maximum_filter(vdiff, size=2 * w + 1)
+            cand = np.argwhere(local_max & np.isfinite(vdiff))
+            vals = vdiff[tuple(cand.T)]
+            order = np.argsort(-vals)[:nseeds]
+            new_pos, new_amp = [], []
+            for idx in order:
+                v = float(vals[idx])
+                if allow_intensity:
+                    new_amp.append(v)
+                else:
+                    if v < small_atom:
+                        break
+                    new_amp.append(small_atom)
+                new_pos.append(cand[idx])
+            if not new_pos:
+                return np.zeros((0, 3), np.float32), np.zeros(0, np.float32)
+            return (np.array(new_pos, np.float32),
+                    np.array(new_amp, np.float32))
+
+        def remove_seeds(nseeds, pos, amp, current):
+            """removeSeeds: drop the smallest half + the half sitting on
+            the most-negative filtered difference
+            (volume_to_pseudoatoms.cpp:402-483)."""
+            if nseeds <= 0 or len(amp) == 0:
+                return pos, amp
+            from_negative = int(round(nseeds * 0.5))
+            from_small = nseeds - from_negative
+            if not allow_intensity:
+                from_negative, from_small = nseeds, 0
+            keep = np.ones(len(amp), bool)
+            if from_small > 0:
+                keep[np.argsort(amp)[:from_small]] = False
+            vdiff = gaussian_filter(vol - current, sigma)
+            score = vdiff[tuple(np.round(pos).astype(int).clip(
+                0, np.array(vol.shape) - 1).T)]
+            order = np.argsort(score)
+            removed = 0
+            for i in order:
+                if removed >= from_negative:
+                    break
+                if keep[i] and score[i] < 0:
+                    keep[i] = False
+                    removed += 1
+            return pos[keep], amp[keep]
+
+        def remove_too_close(pos, amp):
+            """removeTooCloseSeeds (volume_to_pseudoatoms.cpp:486-553)."""
+            if min_dist <= 0 or not allow_intensity or len(amp) < 2:
+                return pos, amp
+            keep = np.ones(len(amp), bool)
+            d2 = ((pos[:, None] - pos[None]) ** 2).sum(-1)
+            md2 = min_dist * min_dist
+            for i in range(len(amp)):
+                if not keep[i]:
+                    continue
+                for j in range(i + 1, len(amp)):
+                    if not keep[j] or d2[i, j] >= md2:
+                        continue
+                    if amp[i] < amp[j]:
+                        keep[i] = False
+                        break
+                    keep[j] = False
+            return pos[keep], amp[keep]
+
+        def optimize(pos, amp):
+            """optimizeCurrentAtoms as batched gradient descent on the
+            penalty objective; stop on relative error stall."""
+            if len(amp) == 0 or (not allow_movement and
+                                 not allow_intensity):
+                return pos, amp, float(np.asarray(perc_err(
+                    jnp.asarray(pos.reshape(-1, 3)), jnp.asarray(amp),
+                    jnp.ones(max(len(amp), 1), jnp.float32))))
+            posj, ampj = jnp.asarray(pos), jnp.asarray(amp)
+            alive = jnp.ones(len(amp), jnp.float32)
+            lr_pos = 0.1 * sigma if allow_movement else 0.0
+            lr_amp = 0.05 * rng if allow_intensity else 0.0
+            err = float(np.asarray(perc_err(posj, ampj, alive)))
+            for _ in range(40):
+                posj, ampj, e = opt_steps(posj, ampj, alive, lr_pos,
+                                          lr_amp, 10)
+                e = float(np.asarray(e))
+                if err > 0 and (err - e) / err < stop:
+                    err = min(err, e)
+                    break
+                err = e
+            pos, amp = np.asarray(posj), np.asarray(ampj)
+            live = amp > 0
+            return pos[live], amp[live], err
+
+        def current_volume(pos, amp):
+            if len(amp) == 0:
+                return np.zeros_like(vol)
+            return np.asarray(render(jnp.asarray(pos), jnp.asarray(amp),
+                                     jnp.ones(len(amp), jnp.float32)))
+
+        perc_diff = 1.0
+        prev_natoms = 0.0
+        it = 0
+        actual_grow = 0.0
+        while True:
+            cur = current_volume(pos, amp)
+            if it == 0:
+                npos, namp = place_seeds(initial_seeds, cur)
+            else:
+                natoms = len(amp)
+                actual_grow = grow * min(
+                    1.0, 0.1 + (perc_diff - target_error) / target_error)
+                pos, amp = remove_seeds(
+                    int(np.floor(natoms * (actual_grow / 2) / 100)),
+                    pos, amp, cur)
+                cur = current_volume(pos, amp)
+                npos, namp = place_seeds(
+                    int(np.floor(natoms * actual_grow / 100)), cur)
+            pos = np.concatenate([pos, npos]).astype(np.float32)
+            amp = np.concatenate([amp, namp]).astype(np.float32)
+            pos, amp, perc_diff = optimize(pos, amp)
+            pos, amp = remove_too_close(pos, amp)
+            if self.verbose:
+                print(f"Iteration {it} error= {perc_diff:.5f} "
+                      f"Natoms= {len(amp)}")
+            self._write_results(root, pos, amp, vol, sigma, Ts, col,
+                                allow_intensity, dont_scale, n_closest,
+                                current_volume, rng, mask)
+            it += 1
+            if perc_diff <= target_error:
                 break
-            z0, z1 = max(z - r, 0), min(z + r + 1, vol.shape[0])
-            y0, y1 = max(y - r, 0), min(y + r + 1, vol.shape[1])
-            x0, x1 = max(x - r, 0), min(x + r + 1, vol.shape[2])
-            k = kern[r - (z - z0): r + (z1 - z), r - (y - y0): r + (y1 - y),
-                     r - (x - x0): r + (x1 - x)]
-            resid[z0:z1, y0:y1, x0:x1] -= amp * k
-            np.maximum(resid, 0, out=resid)
-            coords.append(((x - D // 2) * Ts, (y - D // 2) * Ts,
-                           (z - D // 2) * Ts))
-            weights.append(amp)
-        model = AtomicModel(np.array(coords), ["C"] * len(coords),
-                            np.array(weights, np.float32),
-                            np.ones(len(coords), np.float32))
-        write_pdb(self.getParam("-o") + ".pdb", model)
-        self.n_placed = len(coords)
-        if self.verbose:
-            print(f"Placed {len(coords)} pseudoatoms")
+            if len(amp) == 0 or (
+                    it > 1 and abs(prev_natoms - len(amp)) / len(amp)
+                    < 0.01 * actual_grow / 100):
+                if self.verbose:
+                    print("The required precision cannot be attained\n"
+                          "Suggestion: Reduce sigma and/or minDistance")
+                break
+            prev_natoms = len(amp)
+        pos, amp = remove_too_close(pos, amp)
+        self._write_results(root, pos, amp, vol, sigma, Ts, col,
+                            allow_intensity, dont_scale, n_closest,
+                            current_volume, rng, mask)
+        self.n_placed = len(amp)
+        self.final_error = perc_diff
+
+    def _write_results(self, root, pos, amp, vol, sigma, Ts, col,
+                       allow_intensity, dont_scale, n_closest,
+                       current_volume, rng, mask):
+        """writeResults (volume_to_pseudoatoms.cpp:885-963): PDB with the
+        intensity in the chosen column; at -v 2 also the approximation
+        volume, intensity/distance histograms and raw/relative diffs."""
+        n = len(amp)
+        mn = amp.min() if n else 0.0
+        mx = amp.max() if n else 1.0
+        a = 1.0 if dont_scale or mx == mn else 0.99 / (mx - mn)
+        D = np.array(vol.shape)
+        cen = D // 2
+        with open(root + ".pdb", "w") as fh:
+            fh.write("REMARK xmipp_volume_to_pseudoatoms\n")
+            fh.write(f"REMARK fixedGaussian {sigma * Ts:f}\n")
+            fh.write(f"REMARK intensityColumn {col}\n")
+            for i in range(n):
+                inten = 1.0
+                if allow_intensity:
+                    inten = 0.01 + round(100 * a * (amp[i] - mn)) / 100.0
+                x = (pos[i, 2] - cen[2]) * Ts
+                y = (pos[i, 1] - cen[1]) * Ts
+                z = (pos[i, 0] - cen[0]) * Ts
+                if col == "occupancy":
+                    fh.write(f"ATOM  {i+1:5d} DENS DENS{i+1:5d}    "
+                             f"{x:8.3f}{y:8.3f}{z:8.3f}{inten:6.2f}"
+                             f"     1      DENS\n")
+                else:
+                    fh.write(f"ATOM  {i+1:5d} DENS DENS{i+1:5d}    "
+                             f"{x:8.3f}{y:8.3f}{z:8.3f}     1"
+                             f"{inten:6.2f}      DENS\n")
+        if self.verbose >= 2 and n:
+            cur = current_volume(pos, amp)
+            save_image(root + "_approximation.vol", cur.astype(np.float32))
+            counts, edges = np.histogram(amp, bins=100, range=(0, amp.max()))
+            with open(root + "_approximation.hist", "w") as fh:
+                for c, e in zip(counts, edges):
+                    fh.write(f"{e:g} {c}\n")
+            vdiff = vol - cur
+            if mask is not None:
+                vdiff = np.where(mask, vdiff, 0.0)
+            save_image(root + "_rawDiff.vol", vdiff.astype(np.float32))
+            save_image(root + "_relativeDiff.vol",
+                       (vdiff / rng).astype(np.float32))
+            if n > 1:
+                d = np.sqrt(((pos[:, None] - pos[None]) ** 2).sum(-1)) * Ts
+                np.fill_diagonal(d, np.inf)
+                k = min(n_closest, n - 1)
+                dists = np.sort(d, axis=1)[:, :k].ravel()
+                counts, edges = np.histogram(dists, bins=200)
+                with open(root + "_distance.hist", "w") as fh:
+                    for c, e in zip(counts, edges):
+                        fh.write(f"{e:g} {c}\n")
 
 
 PROGRAM = None
