@@ -455,8 +455,12 @@ def test_subtomo_subtraction_removes_reference(world, tmp_path):
     MetaData.fromRows([{"subtomoName": str(tmp_path / "sub1.vol"),
                         "itemId": 1}]).write(str(tmp_path / "subs.xmd"))
     run_prog("subtomo_subtraction",
-             f"-i {tmp_path}/subs.xmd --ref {d}/vol.vol "
+             f"-i {tmp_path}/subs.xmd --ref {d}/vol.vol --sub --radavg "
+             f"--saveV1 {tmp_path}/v1f.mrc --saveV2 {tmp_path}/v2a.mrc "
              f"--oroot {tmp_path}/out")
+    # adjusted intermediate matches the reference closely (POCS converged)
+    v2a = np.squeeze(Image(str(tmp_path / "v2a.mrc")).data)
+    assert np.corrcoef(v2a.ravel(), world["vol"].ravel())[0, 1] > 0.9
     md = MetaData(str(tmp_path / "out.xmd"))
     fn = str(next(iter(md.iterRows()))["subtomoName"])
     out = np.squeeze(Image(fn).data)
@@ -465,6 +469,36 @@ def test_subtomo_subtraction_removes_reference(world, tmp_path):
     c_sub = np.corrcoef(sub.ravel(), world["vol"].ravel())[0, 1]
     c_out = np.corrcoef(out.ravel(), world["vol"].ravel())[0, 1]
     assert abs(c_out) < 0.5 * c_sub
+
+
+def test_subtomo_subtraction_alignment_recovery(world, tmp_path):
+    """With pose labels the particle is aligned to the reference before the
+    POCS adjustment and the alignment is recovered on output
+    (subtomo_subtraction.cpp:399-487)."""
+    from xmipp3_tpu.core.geometry import euler_matrix
+    from xmipp3_tpu.ops.geo import apply_affine_3d
+    vol = world["vol"]
+    rot, tilt, psi = 30.0, 20.0, -15.0
+    s = np.array([2.0, -1.0, 1.5], np.float32)
+    E = np.asarray(euler_matrix(rot, tilt, psi), np.float32)
+    M2 = np.concatenate([E, -(E @ s)[:, None]], axis=1)
+    part = np.asarray(apply_affine_3d(vol, M2[None]))[0].astype(np.float32)
+    Image(part).write(str(tmp_path / "p.vol"))
+    MetaData.fromRows([{"image": str(tmp_path / "p.vol"), "itemId": 1,
+                        "angleRot": rot, "angleTilt": tilt, "anglePsi": psi,
+                        "shiftX": float(s[0]), "shiftY": float(s[1]),
+                        "shiftZ": float(s[2])}]
+                      ).write(str(tmp_path / "p.xmd"))
+    run_prog("subtomo_subtraction",
+             f"-i {tmp_path}/p.xmd --ref {world['dir']}/vol.vol --radavg "
+             f"--computeEnergy --oroot {tmp_path}/adj")
+    md = MetaData(str(tmp_path / "adj.xmd"))
+    fn = str(next(iter(md.iterRows()))["image"])
+    out = np.squeeze(Image(fn).data)
+    # no --sub: output is the adjusted particle, back in ITS OWN alignment
+    inner = np.s_[4:-4, 4:-4, 4:-4]
+    c = np.corrcoef(out[inner].ravel(), part[inner].ravel())[0, 1]
+    assert c > 0.9
 
 
 def test_tomo_misalignment_resid_statistics(world, tmp_path):

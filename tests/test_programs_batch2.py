@@ -127,12 +127,48 @@ def test_scissor_and_picking(tmp_path):
     MetaData.fromRows([{"xcoor": cx, "ycoor": cy, "itemId": i + 1}
                        for i, (cx, cy) in enumerate(coords)]).write(fn_true)
     run_prog("micrograph_scissor",
-             f"-i {fn_mic} --pos {fn_true} --oroot {tmp_path}/parts "
+             f"-i {fn_mic} --pos {fn_true} -o {tmp_path}/parts.mrcs "
              f"--Xdim 32 -v 0")
     parts = Image.read_stack(str(tmp_path / "parts.mrcs"))
     assert parts.shape == (4, 32, 32)
     # particle center is dark
     assert parts[0][16, 16] < -1.0
+    md_out = MetaData(str(tmp_path / "parts.xmd"))
+    r0 = md_out.getRow(next(iter(md_out)))
+    assert r0["micrograph"] == fn_mic and int(r0["enabled"]) == 1
+    # --invert: normalized inverse contrast makes the center bright
+    run_prog("micrograph_scissor",
+             f"-i {fn_mic} --pos {fn_true} -o {tmp_path}/inv.mrcs "
+             f"--Xdim 32 --invert -v 0")
+    inv = Image.read_stack(str(tmp_path / "inv.mrcs"))
+    assert inv[0][16, 16] > inv[0].mean()
+    # border particle: blank+disabled by default, filled with --fillBorders
+    fn_edge = str(tmp_path / "edge.xmd")
+    MetaData.fromRows([{"xcoor": 5, "ycoor": 5, "itemId": 1}]).write(fn_edge)
+    run_prog("micrograph_scissor",
+             f"-i {fn_mic} --pos {fn_edge} -o {tmp_path}/edgecut.mrcs "
+             f"--Xdim 32 -v 0")
+    run_prog("micrograph_scissor",
+             f"-i {fn_mic} --pos {fn_edge} -o {tmp_path}/fill.mrcs "
+             f"--Xdim 32 --fillBorders -v 0")
+    blank = Image.read_stack(str(tmp_path / "edgecut.mrcs"))
+    filled = Image.read_stack(str(tmp_path / "fill.mrcs"))
+    assert np.abs(blank[0]).max() == 0.0
+    assert np.abs(filled[0]).max() > 0.0
+    # --extractNoise rewrites the pos file away from the particles
+    fn_noise_pos = str(tmp_path / "noise.xmd")
+    MetaData.fromRows([{"xcoor": cx, "ycoor": cy, "itemId": i + 1}
+                       for i, (cx, cy) in enumerate(coords)]
+                      ).write(fn_noise_pos)
+    run_prog("micrograph_scissor",
+             f"-i {fn_mic} --pos {fn_noise_pos} -o {tmp_path}/noise.mrcs "
+             f"--Xdim 32 --extractNoise -1 -v 0")
+    md_noise = MetaData(fn_noise_pos)
+    assert md_noise.size() == 4
+    for i in md_noise:
+        r = md_noise.getRow(i)
+        for cx, cy in coords:
+            assert abs(r["xcoor"] - cx) >= 16 or abs(r["ycoor"] - cy) >= 16
 
 
 @pytest.mark.slow

@@ -14,53 +14,217 @@ from xmipp3_tpu.core.metadata import MetaData
 from xmipp3_tpu.core.program import XmippProgram
 
 
+def _scissor_cut(mic, coords, Xdim, Ydim, invert, log_trans, fill_borders,
+                 Dmin, Dmax):
+    """templateScissor (data/micrograph.h:263-327) for a coordinate list:
+    window [c - size//2, c - size//2 + size), optional transmitance
+    (log10) and inverse normalization, border fill-or-blank."""
+    H, W = mic.shape
+    irange = 1.0 / max(Dmax - Dmin, 1e-30)
+    parts = np.zeros((len(coords), Ydim, Xdim), np.float32)
+    ok = np.ones(len(coords), bool)
+    for n, (x, y) in enumerate(coords):
+        i0 = int(round(y)) - Ydim // 2
+        j0 = int(round(x)) - Xdim // 2
+        if not fill_borders and (i0 < 0 or i0 + Ydim > H or
+                                 j0 < 0 or j0 + Xdim > W):
+            ok[n] = False
+            continue
+        ii = np.clip(np.arange(i0, i0 + Ydim), 0, H - 1)
+        jj = np.clip(np.arange(j0, j0 + Xdim), 0, W - 1)
+        val = mic[np.ix_(ii, jj)].astype(np.float64)
+        if log_trans:
+            val = np.where(val < 1, val, np.log10(np.maximum(val, 1e-30)))
+            val = ((Dmax - val) if invert else (val - Dmin)) * irange
+        elif invert:
+            val = (Dmax - val) * irange
+        parts[n] = val
+    return parts, ok
+
+
 class ProgMicrographScissor(XmippProgram):
+    """Full reference surface micrograph_scissor.cpp:37-208 +
+    Micrograph::produce_all_images (data/micrograph.cpp:326-470)."""
     name = "xmipp_micrograph_scissor"
 
     def defineParams(self):
         self.addUsageLine("Extract (cut out) particles from a micrograph at "
                           "given coordinates.")
-        self.addParamsLine("   -i <micrograph>   : Input micrograph")
-        self.addParamsLine("   --pos <coords_md> : Metadata with xcoor/ycoor")
-        self.addParamsLine("   --oroot <root>    : Output rootname (.mrcs stack + .xmd)")
-        self.addParamsLine("   --Xdim <size>     : Particle box size")
-        self.addParamsLine("  [--invert]         : Invert contrast")
-        self.addParamsLine("  [--downsampling <f=1>] : Coordinate downsampling factor")
+        self.addParamsLine("   -i <micrograph>   : Untilted micrograph to "
+                           "cut from")
+        self.addParamsLine("     alias --untilted;")
+        self.addParamsLine("  [--orig <micrograph=\"\">] : Cut from this "
+                           "original micrograph instead (coordinates are "
+                           "rescaled)")
+        self.addParamsLine("  [-o <stack=\"\">]  : Output particle stack "
+                           "(+ .xmd with names, micrograph, coordinates)")
+        self.addParamsLine("     alias --untiltfn;")
+        self.addParamsLine("  [--oroot <root=\"\">] : Alias of -o")
+        self.addParamsLine("  [--pos <coords_md=\"\">] : Particle "
+                           "coordinates (xcoor/ycoor)")
+        self.addParamsLine("     alias --untiltPos;")
+        self.addParamsLine("  [--extractNoise <n=-1>] : Extract n noise "
+                           "particles instead (-1 = as many as "
+                           "coordinates); the pos file is rewritten with "
+                           "the noise coordinates")
+        self.addParamsLine("   --Xdim <window_X_dim> : Box width (pixels)")
+        self.addParamsLine("  [--downsampling <float=1.>] : The positions "
+                           "were determined with this downsampling rate")
+        self.addParamsLine("  [--Ydim <window_Y_dim=-1>] : Box height "
+                           "(default = Xdim)")
+        self.addParamsLine("  [--invert] : Invert contrast")
+        self.addParamsLine("  [--log] : Take logarithm (compute "
+                           "transmitance)")
+        self.addParamsLine("  [--appendToStack] : Append to an existing "
+                           "output stack instead of overwriting")
+        self.addParamsLine("  [--fillBorders] : Fill missing pixels for "
+                           "boxes outside the micrograph instead of "
+                           "blanking the image")
+        self.addParamsLine("  [-t <tilted_micrograph=\"\">] : Tilted "
+                           "micrograph for tilt pairs")
+        self.addParamsLine("     alias --tilted;")
+        self.addParamsLine("  [--tiltfn <stack=\"\">] : Output stack for "
+                           "the tilted images")
+        self.addParamsLine("  [--tiltAngles <angles_file=\"\">] : Metadata "
+                           "with the estimated tilt angles "
+                           "(angleY/angleY2/angleTilt)")
+        self.addParamsLine("  [--tiltPos <position_file=\"\">] : Tilted "
+                           "particle coordinates")
+        self.addParamsLine("  [--ctfparam <ctfparam=\"\">] : Metadata with "
+                           "CTF parameters, copied into the output rows")
 
-    def run(self):
-        mic = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
-        md = MetaData(self.getParam("--pos"))
-        box = self.getIntParam("--Xdim")
-        root = self.getParam("--oroot")
-        factor = self.getDoubleParam("--downsampling")
-        invert = self.checkParam("--invert")
-        H, W = mic.shape
-        half = box // 2
-        parts = []
-        rows = []
-        k = 0
+    def _read_coords(self, fn, factor):
+        md = MetaData(fn)
+        coords, extras = [], []
         for i in md:
             r = md.getRow(i)
-            x = int(round(float(r["xcoor"]) * factor))
-            y = int(round(float(r["ycoor"]) * factor))
-            x0, y0 = x - half, y - half
-            if x0 < 0 or y0 < 0 or x0 + box > W or y0 + box > H:
-                continue
-            p = mic[y0:y0 + box, x0:x0 + box].copy()
-            if invert:
-                p = -p
-            parts.append(p)
-            k += 1
-            rows.append({"image": f"{k:06d}@{root}.mrcs",
-                         "xcoor": x, "ycoor": y, "itemId": k, "enabled": 1})
-        if not parts:
-            from xmipp3_tpu.core.errors import ErrCode, XmippError
-            raise XmippError(ErrCode.MD_NOACTIVE,
-                             "no particle fits inside the micrograph")
-        save_image(root + ".mrcs", np.stack(parts))
-        MetaData.fromRows(rows).write(root + ".xmd")
+            x, y = float(r["xcoor"]), float(r["ycoor"])
+            if factor != 1.0:
+                x, y = int(x / factor), int(y / factor)
+            coords.append((x, y))
+            extras.append({k: r[k] for k in ("scoreByVariance",
+                                             "scoreByGiniCoeff")
+                           if k in r})
+        return coords, extras
+
+    def _cut_one(self, fn_mic, fn_pos, fn_out, box, ydim, factor,
+                 invert, log_trans, append, fill_borders, extract_noise,
+                 n_noise, ctf_row):
+        import os
+        mic = np.squeeze(Image(fn_mic).data).astype(np.float32)
+        # --orig: coordinates come from the -i micrograph's frame
+        fn_orig = self.getParam("--orig") if self.checkParam("--orig") and \
+            self.getParam("--orig") else ""
+        src = np.squeeze(Image(fn_orig).data).astype(np.float32) \
+            if fn_orig else mic
+        scale_x = src.shape[1] / mic.shape[1]
+        scale_y = src.shape[0] / mic.shape[0]
+        coords, extras = self._read_coords(fn_pos, factor)
+        Dmin, Dmax = float(mic.min()), float(mic.max())
+        if log_trans:
+            if Dmin > 1:
+                Dmin = float(np.log10(Dmin))
+            if Dmax > 1:
+                Dmax = float(np.log10(Dmax))
+        if extract_noise:
+            # random coords a half-window away from every particle
+            # (produce_all_images, micrograph.cpp:403-440)
+            rng = np.random.default_rng(0)
+            n_out = n_noise if n_noise > 0 else len(coords)
+            min_d = ydim // 2
+            px = np.array([c[0] for c in coords], float)
+            py = np.array([c[1] for c in coords], float)
+            noise = []
+            H, W = mic.shape
+            while len(noise) < n_out:
+                x = rng.uniform(box, W - box)
+                y = rng.uniform(ydim, H - ydim)
+                if len(px) == 0 or not ((np.abs(x - px) < min_d) &
+                                        (np.abs(y - py) < min_d)).any():
+                    noise.append((int(x), int(y)))
+            self._rewrite_pos(fn_pos, noise)
+            coords = noise
+            extras = [{} for _ in noise]
+        cut_coords = [(x * scale_x, y * scale_y) for x, y in coords]
+        parts, ok = _scissor_cut(src, cut_coords, box, ydim, invert,
+                                 log_trans, fill_borders, Dmin, Dmax)
+        if not fn_out.rsplit("/", 1)[-1].count("."):
+            fn_out = fn_out + ".stk"
+        start = 0
+        if append and os.path.exists(fn_out):
+            old = Image.read_stack(fn_out)
+            parts = np.concatenate([old.astype(np.float32), parts])
+            start = len(old)
+        save_image(fn_out, parts)
+        rows = []
+        for n, (x, y) in enumerate(coords):
+            mean = float(parts[start + n].mean())
+            d = {"image": f"{start + n + 1:06d}@{fn_out}",
+                 "micrograph": fn_mic,
+                 "xcoor": int(x), "ycoor": int(y),
+                 "enabled": 1 if ok[n] else -1,
+                 "localAverage": (Dmax - (Dmax - Dmin) * mean)
+                 if invert else mean,
+                 "itemId": start + n + 1}
+            d.update(extras[n])
+            if ctf_row:
+                d.update(ctf_row)
+            rows.append(d)
+        MetaData.fromRows(rows).write(fn_out.rsplit(".", 1)[0] + ".xmd")
         if self.verbose:
-            print(f"Extracted {len(parts)} particles of {box}x{box}")
+            print(f"Extracted {len(coords)} particles of {box}x{ydim} "
+                  f"from {fn_mic}")
+
+    @staticmethod
+    def _rewrite_pos(fn_pos, noise_coords):
+        md = MetaData(fn_pos)
+        mic_id = None
+        for i in md:
+            r = md.getRow(i)
+            mic_id = r.get("micrographId")
+            break
+        rows = [{"xcoor": int(x), "ycoor": int(y),
+                 **({"micrographId": mic_id} if mic_id is not None else {})}
+                for x, y in noise_coords]
+        MetaData.fromRows(rows).write(fn_pos)
+
+    def run(self):
+        box = self.getIntParam("--Xdim")
+        ydim = self.getIntParam("--Ydim")
+        if ydim <= 0:
+            ydim = box
+        factor = self.getDoubleParam("--downsampling")
+        invert = self.checkParam("--invert")
+        log_trans = self.checkParam("--log")
+        append = self.checkParam("--appendToStack")
+        fill_borders = self.checkParam("--fillBorders")
+        extract_noise = self.checkParam("--extractNoise")
+        n_noise = self.getIntParam("--extractNoise") if extract_noise else -1
+        fn_out = self.getParam("-o") or self.getParam("--oroot")
+        ctf_row = None
+        if self.checkParam("--ctfparam") and self.getParam("--ctfparam"):
+            ctf_md = MetaData(self.getParam("--ctfparam"))
+            ctf_row = {k: v for k, v in
+                       ctf_md.getRow(next(iter(ctf_md))).items()
+                       if str(k).startswith("ctf")}
+        pair_mode = self.checkParam("-t") and self.getParam("-t")
+        self._cut_one(self.getParam("-i"), self.getParam("--pos"), fn_out,
+                      box, ydim, factor, invert, log_trans, append,
+                      fill_borders, extract_noise and not pair_mode,
+                      n_noise, ctf_row)
+        if pair_mode:
+            # tilt angles are read for reporting; the rotation is not
+            # applied (commented out in the reference,
+            # micrograph.cpp:456 `// if (ang!=0) I().rotate(-ang);`)
+            if self.getParam("--tiltAngles") and self.verbose:
+                amd = MetaData(self.getParam("--tiltAngles"))
+                r = amd.getRow(next(iter(amd)))
+                print(f"Angle from Y axis to tilt axis "
+                      f"{r.get('angleY', 0.0)}")
+            self._cut_one(self.getParam("-t"), self.getParam("--tiltPos"),
+                          self.getParam("--tiltfn"), box, ydim, factor,
+                          invert, log_trans, append, fill_borders, False,
+                          -1, ctf_row)
 
 
 class ProgMicrographAutomaticPicking(XmippProgram):

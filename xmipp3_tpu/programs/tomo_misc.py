@@ -192,34 +192,134 @@ class ProgTomoCtfWiener2DCorrection(XmippProgram):
 
 
 class ProgSubtomoSubtraction(XmippProgram):
+    """Full reference surface subtomo_subtraction.cpp:48-494: per-subtomo
+    POCS adjustment of the aligned particle to the reference (amplitude /
+    min-max / mask / phase / nonnegativity / std projections via
+    ops.pocs.volume_adjust), optional subtraction, alignment recovered on
+    output."""
     name = "xmipp_subtomo_subtraction"
 
     def defineParams(self):
-        self.addUsageLine("Subtract a reference from subtomograms "
-                          "(amplitude-adjusted).")
-        self.addParamsLine("   -i <md>    : Metadata with subtomoName")
-        self.addParamsLine("   --ref <vol> : Reference average")
-        self.addParamsLine("   --oroot <root> : Output rootname")
+        self.addUsageLine("Adjust each subtomogram to a reference volume "
+                          "by POCS iteration and optionally subtract.")
+        self.addParamsLine("   -i <md>    : Metadata with the subtomograms")
+        self.addParamsLine("   --ref <volume> : Reference volume")
+        self.addParamsLine("  [--oroot <root=\"\">] : Output rootname")
+        self.addParamsLine("  [-o <out=\"\">] : Output metadata (alias of "
+                           "--oroot)")
+        self.addParamsLine("  [--sub] : Perform the subtraction; the "
+                           "output is the difference")
+        self.addParamsLine("  [--sigma <s=3>] : Decay of the filter to "
+                           "smooth the mask transition")
+        self.addParamsLine("  [--iter <n=5>] : Adjustment iterations")
+        self.addParamsLine("  [--mask1 <mask=\"\">] : Mask for volume 1")
+        self.addParamsLine("  [--mask2 <mask=\"\">] : Mask for volume 2")
+        self.addParamsLine("  [--maskSub <mask=\"\">] : Mask for the "
+                           "subtraction region")
+        self.addParamsLine("  [--cutFreq <f=0>] : Low-pass both volumes at "
+                           "this cutoff frequency (<0.5)")
+        self.addParamsLine("  [--lambda <l=1>] : Relaxation factor for the "
+                           "Fourier amplitude POCS")
+        self.addParamsLine("  [--radavg] : Match radially averaged Fourier "
+                           "amplitudes instead of direct ones")
+        self.addParamsLine("  [--computeEnergy] : Print the energy "
+                           "difference between iterations")
+        self.addParamsLine("  [--saveV1 <structure=\"\">] : Save the "
+                           "filtered reference (with --sub)")
+        self.addParamsLine("  [--saveV2 <structure=\"\">] : Save the "
+                           "adjusted subtomogram (with --sub)")
 
     def run(self):
-        ref = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
+        import jax.numpy as jnp
+        from scipy.ndimage import gaussian_filter
+
+        from xmipp3_tpu.core.geometry import euler_matrix
+        from xmipp3_tpu.ops import pocs
+        from xmipp3_tpu.ops.geo import apply_affine_3d
+
+        ref = np.squeeze(Image(self.getParam("--ref")).data
+                         ).astype(np.float32)
         md = MetaData(self.getParam("-i"))
-        root = self.getParam("--oroot")
+        root = self.getParam("--oroot") if self.checkParam("--oroot") and \
+            self.getParam("--oroot") else self.getParam("-o")
+        if root.endswith(".xmd"):
+            root = root[:-4]
+        perform_sub = self.checkParam("--sub")
+        iters = self.getIntParam("--iter")
+        sigma = self.getIntParam("--sigma")
+        cut = self.getDoubleParam("--cutFreq")
+        lam = self.getDoubleParam("--lambda")
+        radavg = self.checkParam("--radavg")
+        compute_e = self.checkParam("--computeEnergy")
+        fn_v1f = self.getParam("--saveV1") or "volume1_filtered.mrc"
+        fn_v2a = self.getParam("--saveV2") or "volume2_adjusted.mrc"
+
+        # createMask (subtomo_subtraction.cpp:371-375): mask1*mask2 or all-1
+        mask = None
+        if self.getParam("--mask1") and self.getParam("--mask2"):
+            m1 = np.squeeze(Image(self.getParam("--mask1")).data)
+            m2 = np.squeeze(Image(self.getParam("--mask2")).data)
+            mask = ((m1 > 0) & (m2 > 0)).astype(np.float32)
+        if self.getParam("--maskSub"):
+            masksub = np.squeeze(Image(self.getParam("--maskSub")).data
+                                 ).astype(np.float32)
+        else:
+            base = np.ones(ref.shape, np.float32) if mask is None else mask
+            masksub = gaussian_filter(base, sigma)
+
         rows = []
         k = 0
-        rm = ref - ref.mean()
         for i in md:
             r = md.getRow(i)
-            v = np.squeeze(Image(str(r["subtomoName"])).data
-                           ).astype(np.float32)
-            a = ((rm * (v - v.mean())).sum() /
-                 max((rm ** 2).sum(), 1e-12))
-            out = v - a * rm - v.mean()
+            label = "image" if "image" in r else "subtomoName"
+            v = np.squeeze(Image(str(r[label])).data).astype(np.float32)
+            rot = float(r.get("angleRot", 0.0))
+            tilt = float(r.get("angleTilt", 0.0))
+            psi = float(r.get("anglePsi", 0.0))
+            s = np.array([float(r.get("shiftX", 0.0)),
+                          float(r.get("shiftY", 0.0)),
+                          float(r.get("shiftZ", 0.0))], np.float32)
+            aligned_pose = rot or tilt or psi or s.any()
+            E = np.asarray(euler_matrix(rot, tilt, psi), np.float32)
+            if aligned_pose:
+                # Euler_rotate + selfTranslate (cpp:399-407): content at p
+                # moves to E^T p + s
+                M1 = np.concatenate([E.T, s[:, None]], axis=1)
+                v = np.asarray(apply_affine_3d(v, M1[None]))[0]
+            if compute_e:
+                adj = jnp.asarray(v)
+                for it in range(iters):
+                    prev = adj
+                    adj = pocs.volume_adjust(ref, prev, mask=mask, iters=1,
+                                             lam=lam, radavg=radavg,
+                                             cut_freq=cut)
+                    e = float(np.asarray(((adj - prev) ** 2).mean()))
+                    print(f"Energy difference iteration {it}: {e:.6g}")
+                adj = np.asarray(adj)
+            else:
+                adj = np.asarray(pocs.volume_adjust(
+                    ref, v, mask=mask, iters=iters, lam=lam, radavg=radavg,
+                    cut_freq=cut))
+            if perform_sub:
+                save_image(fn_v2a, adj)
+                v1f = np.asarray(
+                    jnp.fft.irfftn(jnp.fft.rfftn(jnp.asarray(ref))
+                                   * pocs._lowpass3d(ref.shape, cut),
+                                   ref.shape) if cut else ref)
+                save_image(fn_v1f, v1f.astype(np.float32))
+                out = np.asarray(pocs.subtract_adjusted(ref, adj, masksub,
+                                                        cut))
+            else:
+                out = adj
+            if aligned_pose:
+                # recover original alignment (cpp:479-487)
+                M2 = np.concatenate([E, -(E @ s)[:, None]], axis=1)
+                out = np.asarray(apply_affine_3d(out, M2[None]))[0]
             k += 1
             fn = f"{root}_{k:06d}.mrc"
-            save_image(fn, out)
+            save_image(fn, out.astype(np.float32))
             d = dict(r)
-            d["subtomoName"] = fn
+            d[label] = fn
             rows.append(d)
         MetaData.fromRows(rows).write(root + ".xmd")
 
