@@ -98,6 +98,62 @@ def test_ctf_group_program(tmp_path):
     assert set(md.getColumn("defGroup")) == {1, 2, 3}
 
 
+def test_ctf_group_full_surface(tmp_path):
+    """Reference surface ctf_group.cpp:116-790: auto grouping by CTF
+    profile error, simple bins, per-group filter stacks + Wiener."""
+    rng = np.random.default_rng(0)
+    imgs = rng.standard_normal((12, 32, 32)).astype(np.float32)
+    fn_img = str(tmp_path / "imgs.mrcs")
+    save_image(fn_img, imgs)
+    rows = []
+    for i in range(12):
+        # two well-separated defocus clusters with tiny intra-cluster jitter
+        base = 12000.0 if i < 6 else 26000.0
+        d = base + 20.0 * (i % 3)
+        rows.append({"image": f"{i + 1:06d}@{fn_img}", "itemId": i + 1,
+                     "ctfDefocusU": d, "ctfDefocusV": d,
+                     "ctfDefocusAngle": 0.0, "ctfVoltage": 300.0,
+                     "ctfSphericalAberration": 2.7, "ctfQ0": 0.07,
+                     "ctfSamplingRate": 2.0})
+    fn = str(tmp_path / "ctfs.xmd")
+    MetaData.fromRows(rows).write(fn)
+    prog = run_prog("ctf_group",
+                    f"--ctfdat {fn} --oroot {tmp_path}/auto --wiener "
+                    f"--error 0.5 --resol 8 --pad 1 -v 0")
+    # the two clusters cannot merge (profiles differ >0.5 within 8 A)
+    assert prog.n_groups == 2
+    md = MetaData(str(tmp_path / "auto.xmd"))
+    g = np.asarray(md.getColumn("defGroup"), int)
+    assert len(set(g[:6])) == 1 and len(set(g[6:])) == 1 and g[0] != g[-1]
+    ctfs = Image.read_stack(str(tmp_path / "auto_ctf.mrcs"))
+    assert ctfs.shape == (2, 32, 32)
+    # group-average CTF at DC is ~ -K*Q0 contribution, bounded by 1
+    assert np.abs(ctfs).max() <= 1.0 + 1e-3
+    assert (tmp_path / "auto_wien.mrcs").exists()
+    assert (tmp_path / "autoInfo.xmd").exists()
+    assert (tmp_path / "auto_split.doc").exists()
+    info = MetaData(f"groups@{tmp_path}/autoInfo.xmd")
+    assert info.size() == 2
+    assert float(info.getColumn("sum").sum()) == 12.0
+    # simple mode: fixed defocus bins on defocusU
+    prog = run_prog("ctf_group",
+                    f"--ctfdat {fn} --oroot {tmp_path}/simp --simple 4 "
+                    f"-v 0")
+    md = MetaData(str(tmp_path / "simp.xmd"))
+    g = np.asarray(md.getColumn("defGroup"), int)
+    assert g.min() == 1 and g.max() >= 4
+    # manual mode: split at 19000 A
+    MetaData.fromRows([{"ctfDefocusA": 19000.0}]).write(
+        str(tmp_path / "split.doc"))
+    prog = run_prog("ctf_group",
+                    f"--ctfdat {fn} --oroot {tmp_path}/man "
+                    f"--split {tmp_path}/split.doc -v 0")
+    md = MetaData(str(tmp_path / "man.xmd"))
+    g = np.asarray(md.getColumn("defGroup"), int)
+    assert prog.n_groups == 2
+    assert len(set(g[:6])) == 1 and g[0] != g[-1]
+
+
 def test_scissor_and_picking(tmp_path):
     rng = np.random.default_rng(2)
     mic = rng.standard_normal((256, 256)).astype(np.float32) * 0.1

@@ -89,40 +89,262 @@ class ProgCTFCorrectWiener2D(XmippMetadataProgram):
 
 
 class ProgCTFGroup(XmippProgram):
+    """Full reference surface ctf_group.cpp:34-790: auto (max CTF-profile
+    error up to a resolution), simple (defocus bins) and manual (split
+    docfile) grouping; per-group averaged CTF filter stacks and Wiener
+    filters; Info/split/images.sel outputs."""
     name = "xmipp_ctf_group"
 
     def defineParams(self):
-        self.addUsageLine("Group images by similar CTF (defocus clustering).")
-        self.addParamsLine("   --ctfdat <metadata> : Metadata with per-image CTF info")
+        self.addUsageLine("Group images by similar CTF.")
+        self.addParamsLine("   --ctfdat <ctfdat_file> : Metadata with "
+                           "per-image CTF info")
         self.addParamsLine("  [--oroot <root=ctf_group>] : Output rootname")
-        self.addParamsLine("  [--error <e=0.5>]   : Max error (in CTF units) within a group")
-        self.addParamsLine("  [--maxdiff <d=1000>] : Max defocus difference within a group (A)")
+        self.addParamsLine("  [-o <oext=\"ctf:stk\">] : Output name:format "
+                           "for the filter stacks (ctf:mrc to force MRC)")
+        self.addParamsLine("  [--pad <float=1>] : Padding factor")
+        self.addParamsLine("  [--phase_flipped] : Output filters for "
+                           "phase-flipped data")
+        self.addParamsLine("  [--discard_anisotropy] : Exclude anisotropic "
+                           "CTFs from groups")
+        self.addParamsLine("  [--wiener] : Also calculate Wiener filters")
+        self.addParamsLine("  [--sampling_rate <s=-1>] : Overwrite the "
+                           "sampling rate of the ctf.param files")
+        self.addParamsLine("  [--do1Dctf] : Compute groups using 1D CTFs "
+                           "(many groups)")
+        self.addParamsLine("  [--wc <float=-1>] : Wiener-filter constant "
+                           "(<0: FREALIGN default, 10% of the mean)")
+        self.addParamsLine("  [--error <float=0.5>] : Maximum allowed "
+                           "error (auto mode)")
+        self.addParamsLine("  [--resol <float=-1>] : Resolution (A) for "
+                           "the error calculation (-1 = Nyquist)")
+        self.addParamsLine("  [--simple <bins=-1>] : Simple algorithm on "
+                           "defocus bins of size (max-min)/bins")
+        self.addParamsLine("  [--split <docfile=\"\">] : Manual mode: "
+                           "1-column docfile with defocus split values")
+        self.addParamsLine("  [--maxdiff <d=-1>] : (legacy) group by max "
+                           "defocus difference instead")
 
     def run(self):
         md = MetaData(self.getParam("--ctfdat"))
-        maxdiff = self.getDoubleParam("--maxdiff")
-        defocus = 0.5 * (md.getColumn("ctfDefocusU").astype(float) +
-                         md.getColumn("ctfDefocusV", 0.0).astype(float)
-                         if md.containsLabel("ctfDefocusV")
-                         else md.getColumn("ctfDefocusU").astype(float))
-        order = np.argsort(defocus)
-        groups = np.zeros(len(md), int)
-        g = 0
-        start_val = None
-        for k in order:
-            if start_val is None or defocus[k] - start_val > maxdiff:
-                g += 1
-                start_val = defocus[k]
-            groups[k] = g
-        rows = []
-        for i in md:
-            r = md.getRow(i)
-            r["defGroup"] = int(groups[i])
-            rows.append(r)
-        MetaData.fromRows(rows).write(self.getParam("--oroot") + ".xmd")
+        root = self.getParam("--oroot")
+        simple_bins = self.getIntParam("--simple")
+        fn_split = self.getParam("--split")
+        do_auto = not fn_split
+        max_error = self.getDoubleParam("--error")
+        pad = self.getDoubleParam("--pad")
+        phase_flipped = self.checkParam("--phase_flipped")
+        do_wiener = self.checkParam("--wiener")
+        wc = self.getDoubleParam("--wc")
+        fmt = "stk"
+        if self.checkParam("-o"):
+            oext = self.getParam("-o")
+            fmt = oext.split(":", 1)[1] if ":" in oext else oext
+
+        du = md.getColumn("ctfDefocusU").astype(float)
+        dv = md.getColumn("ctfDefocusV").astype(float) if \
+            md.containsLabel("ctfDefocusV") else du.copy()
+        defocus = 0.5 * (du + dv)
+
+        # legacy defocus-difference clustering (pre-reference surface)
+        if self.checkParam("--maxdiff") and \
+                self.getDoubleParam("--maxdiff") > 0:
+            maxdiff = self.getDoubleParam("--maxdiff")
+            order = np.argsort(defocus)
+            groups = np.zeros(len(md), int)
+            g = 0
+            start_val = None
+            for k in order:
+                if start_val is None or defocus[k] - start_val > maxdiff:
+                    g += 1
+                    start_val = defocus[k]
+                groups[k] = g
+            self._write_groups(md, groups, root)
+            self.n_groups = g
+            return
+
+        if simple_bins > 0:
+            # simpleRun (ctf_group.cpp:721-757): bins on defocusU
+            dmin, dmax = du.min(), du.max()
+            istep = 1.0 / max((dmax - dmin) / simple_bins, 1e-30)
+            groups = (np.floor((du - dmin) * istep) + 1).astype(int)
+            self._write_groups(md, groups, root)
+            self._write_images_sel(md, groups, root)
+            self.n_groups = int(groups.max())
+            return
+
+        # group identical CTFs (groupCTFMetaData analog)
+        keys = [(float(du[i]), float(dv[i]),
+                 float(md.getRow(j).get("ctfDefocusAngle", 0.0)))
+                for i, j in enumerate(md)]
+        uniq = sorted(set(keys), key=lambda k: -(k[0] + k[1]))
+        key_to_u = {k: n for n, k in enumerate(uniq)}
+        img_u = np.array([key_to_u[k] for k in keys])
+        counts = np.bincount(img_u, minlength=len(uniq)).astype(float)
+
+        rows0 = md.getRow(next(iter(md)))
+        Ts = self.getDoubleParam("--sampling_rate")
+        base = _row_ctf(rows0, Ts if Ts > 0 else None)
+        if Ts <= 0:
+            Ts = base.sampling_rate
+        dim = 64
+        if md.containsLabel("image"):
+            try:
+                first = Image(str(rows0["image"])).data
+                dim = first.shape[-1]
+            except Exception:
+                pass
+        paddim = int(round(pad * dim))
+        nrad = int(np.sqrt(2.0) * paddim + 1)
+        resol = self.getDoubleParam("--resol")
+        resol_err = 2.0 * Ts if resol < 0 else resol
+        resol_err = min(0.5, Ts / resol_err)
+        iresol = int(round(resol_err * paddim))
+
+        # radial CTF tables: table[r] = CTF at freq r/(paddim*Ts)
+        # (produceSideInfo, ctf_group.cpp:259-300: averaged defocus,
+        # Tm /= sqrt(2) 1-row trick)
+        import dataclasses
+        fr = np.arange(nrad) / (paddim * Ts)
+        tables = np.zeros((len(uniq), nrad), np.float32)
+        keep = np.ones(len(uniq), bool)
+        for n, (u, v, ang) in enumerate(uniq):
+            ctf = dataclasses.replace(base, defocusU=0.5 * (u + v),
+                                      defocusV=0.5 * (u + v),
+                                      azimuthal_angle=0.0)
+            if self.checkParam("--discard_anisotropy"):
+                aniso = dataclasses.replace(base, defocusU=u, defocusV=v,
+                                            azimuthal_angle=ang)
+                if not self._is_isotropic(aniso, resol_err, max_error, Ts):
+                    keep[n] = False
+                    if self.verbose:
+                        print(f" Discard CTF {u}/{v} because of too large "
+                              "anisotropy")
+                    continue
+            t = np.asarray(ctf.pure_at(fr, np.zeros_like(fr)))
+            tables[n] = np.abs(t) if phase_flipped else t
+
+        # assign groups over kept CTFs, sorted by defocus desc (autoRun,
+        # ctf_group.cpp:420-486 / manualRun :488-536)
+        kept = np.where(keep)[0]
+        groups_u = np.zeros(len(uniq), int)
+        if do_auto:
+            g = 0
+            members: list[list[int]] = []
+            for n in kept:
+                placed = False
+                for gi, mem in enumerate(members):
+                    for m in mem:
+                        if (np.abs(tables[n, :iresol + 1] -
+                                   tables[m, :iresol + 1])
+                                < max_error).all():
+                            groups_u[n] = gi + 1
+                            mem.append(n)
+                            placed = True
+                            break
+                    if placed:
+                        break
+                if not placed:
+                    members.append([n])
+                    groups_u[n] = len(members)
+            g = len(members)
+        else:
+            split_md = MetaData(fn_split)
+            col = "ctfDefocusA" if split_md.containsLabel("ctfDefocusA") \
+                else split_md.activeLabels()[0]
+            splits = np.sort(np.asarray(split_md.getColumn(col),
+                                        float))[::-1]
+            avg = np.array([(uniq[n][0] + uniq[n][1]) / 2 for n in kept])
+            groups_kept = np.searchsorted(-splits, -avg, side="right") + 1
+            groups_u[kept] = groups_kept
+            g = int(groups_kept.max()) if len(groups_kept) else 0
+
+        groups = groups_u[img_u]
+        self.n_groups = g
+        self._write_groups(md, groups, root)
+        self._write_images_sel(md, groups, root)
+
+        # Info.xmd: per-group micrograph/image counts + defocus stats
+        avg_u = np.array([(k[0] + k[1]) / 2 for k in uniq])
+        info_rows = []
+        for gi in range(1, g + 1):
+            sel = kept[groups_u[kept] == gi]
+            info_rows.append({
+                "defGroup": gi, "count": int(len(sel)),
+                "sum": float(counts[sel].sum()),
+                "min": float(avg_u[sel].min()),
+                "max": float(avg_u[sel].max()),
+                "avg": float(avg_u[sel].mean())})
+        MetaData.fromRows(info_rows).write(f"groups@{root}Info.xmd")
+        MetaData.fromRows([{"count": g}]).write(
+            f"numberGroups@{root}Info.xmd", append=True)
+        # split docfile: midpoints between consecutive groups
+        split_rows = [{"ctfDefocusA":
+                       (info_rows[i]["min"] + info_rows[i + 1]["max"]) / 2}
+                      for i in range(g - 1)]
+        if split_rows:
+            MetaData.fromRows(split_rows).write(root + "_split.doc")
+
+        # per-group averaged 2-D CTF (+ Wiener) via the radial tables
+        # (writeOutputToDisc, ctf_group.cpp:639-721)
+        ii = np.arange(paddim)
+        ii = np.minimum(ii, paddim - ii)
+        d = np.sqrt(ii[:, None] ** 2 + ii[None, :] ** 2)
+        idd = d.astype(int)
+        frac = (d - idd).astype(np.float32)
+        ctf2d_u = (frac[None] * tables[:, np.minimum(idd + 1, nrad - 1)]
+                   + (1 - frac)[None] * tables[:, idd])
+        if do_wiener:
+            mwien = (counts[keep, None, None] * ctf2d_u[keep] ** 2).sum(0) \
+                / max(counts[keep].sum(), 1e-30)
+            if wc < 0:
+                wc = 0.1 * float(mwien.mean())
+            mwien = mwien + wc
+        gstack = np.zeros((g, paddim, paddim), np.float32)
+        for gi in range(1, g + 1):
+            sel = kept[groups_u[kept] == gi]
+            w = counts[sel] / max(counts[sel].sum(), 1e-30)
+            gstack[gi - 1] = (w[:, None, None] * ctf2d_u[sel]).sum(0)
+        ext = "mrcs" if fmt in ("stk", "mrcs") else fmt
+        save_image(f"{root}_ctf.{ext}", gstack)
+        if do_wiener:
+            save_image(f"{root}_wien.{ext}",
+                       (gstack / mwien[None]).astype(np.float32))
         if self.verbose:
             print(f"Created {g} CTF groups")
-        self.n_groups = g
+
+    @staticmethod
+    def _is_isotropic(ctf, resol_err, max_error, Ts):
+        """isIsotropic (ctf_group.cpp:391-418): compare the CTF along the
+        astigmatism axis against the swapped axis up to resol_err."""
+        dig = np.arange(0.0, resol_err, 0.001)
+        cosp = np.cos(np.deg2rad(ctf.azimuthal_angle))
+        sinp = np.sin(np.deg2rad(ctf.azimuthal_angle))
+        fx, fy = cosp * dig / Ts, sinp * dig / Ts
+        a = np.asarray(ctf.pure_at(fx, fy))
+        b = np.asarray(ctf.pure_at(fy, fx))
+        return bool((np.abs(a - b) <= max_error).all())
+
+    def _write_groups(self, md, groups, root):
+        rows = []
+        for n, i in enumerate(md):
+            r = md.getRow(i)
+            r["defGroup"] = int(groups[n])
+            rows.append(r)
+        MetaData.fromRows(rows).write(root + ".xmd")
+
+    @staticmethod
+    def _write_images_sel(md, groups, root):
+        rows_by_g: dict[int, list] = {}
+        for n, i in enumerate(md):
+            r = md.getRow(i)
+            r["defGroup"] = int(groups[n])
+            rows_by_g.setdefault(int(groups[n]), []).append(r)
+        first = True
+        for gi in sorted(rows_by_g):
+            MetaData.fromRows(rows_by_g[gi]).write(
+                f"ctfGroup{gi:06d}@{root}_images.sel", append=not first)
+            first = False
 
 
 class ProgCTFSortPSDs(XmippProgram):
