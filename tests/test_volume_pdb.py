@@ -144,6 +144,68 @@ def test_transform_symmetrize_c4(tmp_path):
     assert err < 0.05
 
 
+def test_transform_symmetrize_helical(tmp_path):
+    """Helical symmetrization (symmetry_Helical, symmetries.cpp:1632):
+    a perfect helix of blobs is invariant; an off-helix blob is smeared."""
+    n = 32
+    z_rise, rot_step = 4.0, np.deg2rad(40.0)
+    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
+    vol = np.zeros((n, n, n), np.float32)
+    r0 = 8.0
+    for l in range(-4, 5):
+        zc = l * z_rise
+        th = l * rot_step
+        yc, xc = r0 * np.sin(th), r0 * np.cos(th)
+        vol += np.exp(-((zz - zc) ** 2 + (yy - yc) ** 2 + (xx - xc) ** 2)
+                      / 4.0)
+    fn = str(tmp_path / "helix.vol")
+    save_image(fn, vol)
+    out = str(tmp_path / "sym.vol")
+    run_prog("transform_symmetrize",
+             f"-i {fn} -o {out} --sym helical "
+             f"--helixParams 4 40 --heightFraction 0.8")
+    s = np.squeeze(Image(out).data)
+    core = np.s_[10:22, 4:28, 4:28]
+    c = np.corrcoef(s[core].ravel(), vol[core].ravel())[0, 1]
+    assert c > 0.95
+    # off-helix blob gets averaged away relative to the helix density
+    vol2 = vol.copy()
+    vol2[16, 16 + 12, 16] += 5.0
+    fn2 = str(tmp_path / "helix2.vol")
+    save_image(fn2, vol2)
+    out2 = str(tmp_path / "sym2.vol")
+    run_prog("transform_symmetrize",
+             f"-i {fn2} -o {out2} --sym helical "
+             f"--helixParams 4 40 --heightFraction 0.8")
+    s2 = np.squeeze(Image(out2).data)
+    assert s2[16, 28, 16] < 2.5  # the 5.0 spike is smeared along the orbit
+
+
+def test_transform_symmetrize_dihedral_and_sum(tmp_path):
+    n = 24
+    zz, yy, xx = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
+    # z-asymmetric object: blob above the equator
+    vol = np.exp(-((zz - 4) ** 2 + yy ** 2 + (xx - 5) ** 2) / 6.0
+                 ).astype(np.float32)
+    fn = str(tmp_path / "v.vol")
+    save_image(fn, vol)
+    out = str(tmp_path / "dih.vol")
+    run_prog("transform_symmetrize", f"-i {fn} -o {out} --sym dihedral")
+    s = np.squeeze(Image(out).data)
+    # dihedral result is (close to) invariant under 180deg X rotation
+    s180 = s[::-1, ::-1, :]
+    err = np.abs(s - s180).max() / max(s.max(), 1e-6)
+    assert err < 1e-4  # exact by construction (W + X180(W))/2
+    # --sum on a point group scales by the group order
+    out_avg = str(tmp_path / "avg.vol")
+    out_sum = str(tmp_path / "sum.vol")
+    run_prog("transform_symmetrize", f"-i {fn} -o {out_avg} --sym c2")
+    run_prog("transform_symmetrize", f"-i {fn} -o {out_sum} --sym c2 --sum")
+    a = np.squeeze(Image(out_avg).data)
+    b = np.squeeze(Image(out_sum).data)
+    np.testing.assert_allclose(b, 2 * a, rtol=1e-4, atol=1e-5)
+
+
 def test_volume_to_pseudoatoms(tmp_path):
     """Reference surface volume_to_pseudoatoms.cpp:111-1020: seed-grow
     optimization reaches targetError; atoms land on the blob centers."""

@@ -581,37 +581,202 @@ class ProgTransformMask(XmippMetadataProgram):
         return imgs * m[None] + float(self.sub_str) * (1.0 - m[None])
 
 
+def _helical_symmetrize(vol, z_helical, rot_helical, rot_phase,
+                        height_fraction, cn, dihedral=False):
+    """symmetry_Helical (data/symmetries.cpp:1632-1705), vectorized: for
+    every voxel average the volume sampled along the helical orbit
+    (z + l*zHelical, theta + l*rotHelical) x Cn rotations, with the
+    reference's edge weight ramp over half a helical rise."""
+    from scipy.ndimage import map_coordinates
+
+    D = vol.shape[0]
+    half = round(height_fraction * D)
+    z_first = -(half // 2)
+    z_last = z_first + half - 1
+    z_h2 = int(np.floor(0.5 * z_helical))
+    cen = D // 2
+    k, i, j = np.mgrid[0:D, 0:D, 0:D].astype(np.float64)
+    k, i, j = k - cen, i - cen, j - cen
+    rot = np.arctan2(i, j) + rot_phase
+    rho = np.sqrt(i * i + j * j)
+    l_len = int(np.ceil(D / z_helical))
+    l0 = int(np.ceil((-cen - (D - 1 - cen)) / z_helical))
+    acc = np.zeros_like(vol, np.float64)
+    wsum = np.zeros_like(vol, np.float64)
+    for il in range(l0, l0 + 2 * l_len + 1):
+        kp = k + il * z_helical
+        inside = (kp >= z_first) & (kp <= z_last)
+        if not inside.any():
+            continue
+        w = np.ones_like(kp)
+        w = np.where(kp - z_first <= z_h2,
+                     (kp - z_first + 1) / (z_h2 + 1), w)
+        w = np.where(z_last - kp <= z_h2, (z_last + 1 - kp) / (z_h2 + 1), w)
+        w = np.where(inside, w, 0.0)
+        rotp = rot + il * rot_helical
+        ipb = rho * np.sin(rotp)
+        jpb = rho * np.cos(rotp)
+        variants = [(jpb, ipb, kp)]
+        for n in range(1, cn):
+            c, s = np.cos(2 * np.pi * n / cn), np.sin(2 * np.pi * n / cn)
+            variants.append((c * jpb - s * ipb, s * jpb + c * ipb, kp))
+        if dihedral:
+            variants.append((jpb, -ipb, -kp))
+        for jp, ip, kpp in variants:
+            val = map_coordinates(vol, [kpp + cen, ip + cen, jp + cen],
+                                  order=1, mode="constant")
+            acc += w * val
+            wsum += w
+    return (acc / np.maximum(wsum, 1e-30)).astype(np.float32)
+
+
+def _dihedral_symmetrize(vol):
+    """symmetry_Dihedral (data/symmetries.cpp:1735-1773): find the best
+    (rotZ, shiftZ) aligning the volume with its 180deg X-rotated copy,
+    then average the two half-transformed copies."""
+    from scipy.ndimage import affine_transform
+
+    D = vol.shape[0]
+    zmax = int(0.1 * D)
+
+    def apply(v, deg, zshift, order=1):
+        a = np.deg2rad(deg)
+        # grid (z,y,x); rotation about z acts on (y,x)
+        R = np.array([[1, 0, 0],
+                      [0, np.cos(a), -np.sin(a)],
+                      [0, np.sin(a), np.cos(a)]])
+        c = np.array(v.shape) // 2
+        Rinv = R.T
+        off = c - Rinv @ (c + np.array([zshift, 0, 0]))
+        return affine_transform(v, Rinv, offset=off, order=order,
+                                mode="constant")
+
+    x180 = vol[::-1, ::-1, :]  # 180deg about X: z->-z, y->-y
+    best = (-np.inf, 0.0, 0.0)
+    for rot in np.arange(-180.0, 180.0, 10.0):
+        for z in np.arange(-zmax, zmax + 0.5, 1.0):
+            cand = apply(vol, rot, z)
+            c = np.corrcoef(cand.ravel(), x180.ravel())[0, 1]
+            if c > best[0]:
+                best = (c, rot, z)
+    _, brot, bz = best
+    # AZ(-r/2,-z/2)*AX == AX*AZ(r/2,z/2), so the symmetrized volume is
+    # exactly the average of W and X180(W) with W the half-transformed map
+    va = apply(vol, brot / 2, bz / 2, order=3)
+    return (0.5 * (va + va[::-1, ::-1, :])).astype(np.float32)
+
+
 class ProgTransformSymmetrize(XmippMetadataProgram):
+    """Full reference surface symmetrize.cpp:62-215 +
+    symmetrizeVolume/symmetrizeImage: point groups, helical /
+    dihedral / helicalDihedral, mask_in, sum, dont_wrap, spline order."""
     name = "xmipp_transform_symmetrize"
 
     def defineProcessParams(self):
-        self.addUsageLine("Symmetrize a volume (average over the symmetry "
-                          "group; reference symmetrize.h:39).")
-        self.addParamsLine(" [--sym <s=c1>] : Symmetry group")
+        self.addUsageLine("Symmetrize volumes and images.")
+        self.addParamsLine("   --sym <symmetry> : 2D images: a number; 3D "
+                           "volumes: point group (Cn/Dn/T/O/I...), symmetry "
+                           "file, helical, dihedral or helicalDihedral")
+        self.addParamsLine("  [--sym2 <sym2=C1>] : Cn symmetry for helical/"
+                           "helicalDihedral")
+        self.addParamsLine("  [--helixParams <z=1> <rot=0> <rotPhase=0>] : "
+                           "Helical z (Angstroms), rot and rotPhase (deg)")
+        self.addParamsLine("  [--heightFraction <f=0.95>] : Height fraction "
+                           "used for symmetrizing a helix")
+        self.addParamsLine("  [--sampling <T=1>] : Sampling rate (A/px), "
+                           "only for helical parameters")
+        self.addParamsLine("  [--no_group] : Do not generate the symmetry "
+                           "subgroup")
+        self.addParamsLine("  [--dont_wrap] : Fill outside values with the "
+                           "outside average instead of wrapping")
+        self.addParamsLine("  [--sum] : Sum instead of average (for "
+                           "symmetrizing pieces)")
+        self.addParamsLine("  [--mask_in <fileName=\"\">] : Symmetrize only "
+                           "the masked area")
+        self.addParamsLine("  [--spline <order=3>] : Interpolation spline "
+                           "order (1 or 3)")
 
     def readProcessParams(self):
         self.sym = self.getParam("--sym")
+        self.sym2 = self.getParam("--sym2")
+        self.wrap = not self.checkParam("--dont_wrap")
+        self.sum_mode = self.checkParam("--sum")
+        self.spline = self.getIntParam("--spline")
+        self.height_fraction = self.getDoubleParam("--heightFraction")
+        self.mask_in = None
+        if self.checkParam("--mask_in") and self.getParam("--mask_in"):
+            self.mask_in = np.squeeze(
+                Image(self.getParam("--mask_in")).data) > 0
+        if self.sym in ("helical", "helicalDihedral"):
+            Ts = self.getDoubleParam("--sampling")
+            toks = self.getListParam("--helixParams")
+            self.z_helical = float(toks[0]) / Ts
+            self.rot_helical = np.deg2rad(float(toks[1]))
+            self.rot_phase = np.deg2rad(float(toks[2])) if len(toks) > 2 \
+                else 0.0
+            self.cn = int(self.sym2[1:]) if len(self.sym2) > 1 else 1
+
+    def _symmetrize_volume(self, v):
+        from scipy.ndimage import affine_transform, spline_filter
+
+        from xmipp3_tpu.core.sym import SymList
+        if self.sym == "helical":
+            return _helical_symmetrize(v, self.z_helical, self.rot_helical,
+                                       self.rot_phase, self.height_fraction,
+                                       self.cn)
+        if self.sym == "helicalDihedral":
+            out = _helical_symmetrize(v, self.z_helical, self.rot_helical,
+                                      self.rot_phase, self.height_fraction,
+                                      self.cn, dihedral=True)
+            rot = out[:, ::-1, ::-1]  # 180deg about X
+            return (0.5 * (out + rot)).astype(np.float32)
+        if self.sym == "dihedral":
+            return _dihedral_symmetrize(v)
+        mats = SymList(self.sym).sym_matrices()
+        cval = 0.0
+        if not self.wrap:
+            # do_outside_avg: fill with the average outside the sphere
+            D = min(v.shape)
+            zz, yy, xx = np.mgrid[:v.shape[0], :v.shape[1], :v.shape[2]]
+            c = np.array(v.shape) // 2
+            outside = (np.sqrt((zz - c[0]) ** 2 + (yy - c[1]) ** 2 +
+                               (xx - c[2]) ** 2) > D / 2)
+            cval = float(v[outside].mean()) if outside.any() else 0.0
+        acc = v.astype(np.float64).copy()
+        vd = v.astype(np.float64)
+        c = np.array(v.shape) // 2
+        for M in mats:
+            R = np.asarray(M, np.float64)
+            if np.allclose(R, np.eye(3)):
+                continue
+            # matrices act on (x,y,z); the grid is (z,y,x)
+            Rg = R[::-1, ::-1].T
+            off = c - Rg @ c
+            acc += affine_transform(vd, Rg, offset=off,
+                                    order=min(self.spline, 3),
+                                    mode="grid-wrap" if self.wrap
+                                    else "constant", cval=cval)
+        if not self.sum_mode:
+            acc /= len(mats)
+        out = acc.astype(np.float32)
+        if self.mask_in is not None:
+            out = np.where(self.mask_in, out, v)
+        return out
 
     def processBatch(self, imgs, rows):
-        from xmipp3_tpu.core.sym import SymList
-        from xmipp3_tpu.ops.geo import apply_affine_3d
         out = np.empty_like(imgs)
-        mats = SymList(self.sym).sym_matrices()
         for i in range(len(imgs)):
             v = imgs[i]
             if v.ndim == 2:
-                # 2D: rotational symmetrization about center
                 from xmipp3_tpu.ops.geo import rotate_2d
-                import re
-                m = re.fullmatch(r"c(\d+)", self.sym.lower())
-                n = int(m.group(1)) if m else 1
-                acc = np.zeros_like(v)
-                for k in range(n):
+                n = int(float(self.sym))
+                acc = v.astype(np.float64).copy()
+                for k in range(1, n):
                     acc += np.asarray(rotate_2d(v[None], 360.0 * k / n))[0]
-                out[i] = acc / max(n, 1)
+                out[i] = (acc if self.sum_mode else acc / max(n, 1)
+                          ).astype(np.float32)
             else:
-                rotated = np.asarray(apply_affine_3d(v, mats))
-                out[i] = rotated.mean(axis=0)
+                out[i] = self._symmetrize_volume(v)
         return out
 
 
