@@ -86,6 +86,29 @@ def test_nma_programs(tmp_path):
                     f"-i {f_t} --pdb {fn_pdb} --modes {tmp_path}/nm_modes.xmd "
                     f"--vol {f_ref} -o {tmp_path}/amp.xmd --steps 50 -v 0")
     assert abs(prog.amplitudes[0]) > abs(prog.amplitudes[1])
+    # full surface: opdb + mask + filterVol + condor_params + odir + resume
+    mask = (vol_ref > 0.02 * vol_ref.max()).astype(np.float32)
+    f_mask = str(tmp_path / "m.vol")
+    save_image(f_mask, mask)
+    prog = run_prog(
+        "nma_alignment_vol",
+        f"-i {f_t} --pdb {fn_pdb} --modes {tmp_path}/nm_modes.xmd "
+        f"--vol {f_ref} -o amp2.xmd --odir {tmp_path} --steps 50 "
+        f"--mask {f_mask} --filterVol 4 --condor_params 250 50 10000 "
+        f"--trustradius_scale 1 --opdb {tmp_path}/opdb.pdb -v 0")
+    assert abs(prog.amplitudes[0]) > abs(prog.amplitudes[1])
+    assert (tmp_path / "amp2.xmd").exists()
+    dm2 = read_pdb(str(tmp_path / "opdb.pdb"))
+    # the deformed output PDB moved along the fitted mode
+    assert np.linalg.norm(dm2.coords - model.coords, axis=1).max() > 0.3
+    md2 = MetaData(str(tmp_path / "amp2.xmd"))
+    assert float(md2.getColumn("maxCC")[0]) > 0.9
+    # --resume: output exists -> untouched second run
+    mtime = (tmp_path / "amp2.xmd").stat().st_mtime_ns
+    run_prog("nma_alignment_vol",
+             f"-i {f_t} --pdb {fn_pdb} --modes {tmp_path}/nm_modes.xmd "
+             f"--vol {f_ref} -o amp2.xmd --odir {tmp_path} --resume -v 0")
+    assert (tmp_path / "amp2.xmd").stat().st_mtime_ns == mtime
 
 
 def test_alignability_validation(tmp_path):
