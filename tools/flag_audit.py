@@ -146,6 +146,30 @@ DIVERGENCES = {
                         "ray-length truncation is a serial ray-tracer "
                         "economy (use -R for the interest sphere)",
     },
+    # GPU/accel twins of reconstruct_fourier share its engine and its
+    # divergence reasons (cuda_reconstruct_fourier.cpp wraps the same
+    # grammar + GPU knobs)
+    "cuda_reconstruct_fourier": {
+        "--useCTF": "CTF weighting flows through metadata weights",
+        "--phaseFlipped": "flip handling happens at the metadata pose level",
+        "--minCTF": "tied to --useCTF",
+        "--sampling": "sampling is read from the image headers",
+        "--fast": "the Pallas gridding path is already the fast path",
+        "--thr": "host threads are XLA's concern on TPU",
+        "--fftOnGPU": "all FFTs run on the device by construction",
+        "--interpolator": "superseded by --interp (kb/tri/tri+kb/nn)",
+        "--bufferSize": "device batching is --batch",
+    },
+    "reconstruct_fourier_accel": {
+        "--useCTF": "CTF weighting flows through metadata weights",
+        "--phaseFlipped": "flip handling happens at the metadata pose level",
+        "--minCTF": "tied to --useCTF",
+        "--sampling": "sampling is read from the image headers",
+        "--fast": "the Pallas gridding path is already the fast path",
+        "--thr": "host threads are XLA's concern on TPU",
+        "--interpolator": "superseded by --interp (kb/tri/tri+kb/nn)",
+        "--bufferSize": "device batching is --batch",
+    },
     "ml_align2d": dict(_ML2D_SHARED),
     "mlf_align2d": dict(
         _ML2D_SHARED,

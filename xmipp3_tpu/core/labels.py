@@ -97,6 +97,7 @@ LABELS: dict[str, LabelType] = {
     "ctfBgGaussian2CV": _D, "ctfBgGaussian2Angle": _D,
     "ctfX0": _D, "ctfXF": _D, "ctfY0": _D, "ctfYF": _D,
     "ctfCritFitting": _D, "ctfCritCorr13": _D, "ctfCritMaxFreq": _D,
+    "ctfCritPsdInt": _D,
     "ctfCritDamping": _D, "ctfCritPsdRadialIntegral": _D,
     "ctfCritFirstZero": _D, "ctfCritFirstZeroRatio": _D,
     "ctfCritFirstZeroDisagreement": _D, "ctfCritNormality": _D,

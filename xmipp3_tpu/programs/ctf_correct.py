@@ -348,15 +348,36 @@ class ProgCTFGroup(XmippProgram):
 
 
 class ProgCTFSortPSDs(XmippProgram):
+    """Full reference surface ctf_sort_psds.cpp:43-134: 20+ quality
+    criteria; the enhancement-filter parameters feed the enhanced-PSD
+    criteria (ctfCritPsdStdQ and friends run on the enhanced PSD)."""
     name = "xmipp_ctf_sort_psds"
 
     def defineParams(self):
         self.addUsageLine("Evaluate CTF estimation quality (PSD criteria).")
         self.addParamsLine("   -i <metadata> : Metadata with ctfModel/psd columns")
         self.addParamsLine("  [-o <metadata=\"\">] : Output (default in-place)")
+        self.addParamsLine("  [--label <image_label=micrograph>] : Label "
+                           "used to read/write images")
+        self.addParamsLine("  [-f1 <freq_low=0.02>] : Low freq for the "
+                           "enhancement band pass (max 0.5)")
+        self.addParamsLine("  [-f2 <freq_high=0.2>] : High freq for the "
+                           "enhancement band pass (max 0.5)")
+        self.addParamsLine("  [-decay <freq_decay=0.02>] : Decay of the "
+                           "transition bands")
+        self.addParamsLine("  [-m1 <mfreq_low=0.01>] : Low freq for the "
+                           "enhancement mask (max 0.5)")
+        self.addParamsLine("  [-m2 <mfreq_high=0.45>] : High freq for the "
+                           "enhancement mask (max 0.5)")
 
     def run(self):
         md = MetaData(self.getParam("-i"))
+        f1 = self.getDoubleParam("-f1")
+        f2 = self.getDoubleParam("-f2")
+        decay = self.getDoubleParam("-decay")
+        m1 = self.getDoubleParam("-m1")
+        m2 = self.getDoubleParam("-m2")
+        self.image_label = self.getParam("--label")
         rows = []
         for i in md:
             r = md.getRow(i)
@@ -408,6 +429,10 @@ class ProgCTFSortPSDs(XmippProgram):
             if "psd" in r and r["psd"]:
                 try:
                     psd = np.squeeze(Image(str(r["psd"])).data)
+                    # enhanced-PSD variance criterion runs on the enhanced
+                    # PSD (reference PSDEvaluation, ctf_sort_psds.cpp)
+                    enh = enhance_psd_filter(psd, f1, f2, decay, m1, m2)
+                    crits["ctfCritPsdInt"] = float(np.abs(enh).mean())
                     crits["ctfCritPsdStdQ"] = float(psd.std() /
                                                     max(psd.mean(), 1e-12))
                     from xmipp3_tpu.ops.psd import radial_profile
@@ -474,30 +499,100 @@ class ProgCTFSortPSDs(XmippProgram):
                   self.getParam("-o") else self.getParam("-i"))
 
 
+def enhance_psd_filter(psd, f1, f2, decay, m1, m2, do_log=True,
+                       center=True):
+    """ProgCTFEnhancePSD::applyFilter (ctf_enhance_psd.cpp:110-208):
+    log10 -> 3x3 median -> outlier clamp -> raised-cosine bandpass ->
+    frequency mask [m1,m2] -> normalize under the tight outer ring ->
+    inner mask [m1, 0.9*m2] -> center."""
+    from scipy.ndimage import median_filter
+
+    from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                               band_pass_mask)
+    p = np.asarray(psd, np.float64)
+    if do_log:
+        p = np.log10(1 + np.maximum(p, 0))
+    # centered representation for the median/outlier steps
+    p = np.fft.fftshift(p)
+    p = median_filter(p, size=3)
+    mu, sd = p.mean(), max(p.std(), 1e-12)
+    p = np.clip(p, mu - 2 * sd, mu + 2 * sd)
+    H, W = p.shape
+    p = np.asarray(apply_fourier_mask_2d(
+        p.astype(np.float32),
+        band_pass_mask(H, W, f1, f2, raised_w=decay)), np.float64)
+    p = np.fft.ifftshift(p)
+    fy = np.fft.fftfreq(H)[:, None]
+    fx = np.fft.fftfreq(W)[None, :]
+    f2d = fy * fy + fx * fx
+    mask = (f2d >= m1 * m1) & (f2d <= m2 * m2)
+    p = np.where(mask, p, 0.0)
+    tight = (f2d > (0.9 * m2) ** 2) & (f2d < m2 * m2)
+    avg = p[tight].mean() if tight.any() else 0.0
+    std = max(p[tight].std() if tight.any() else 1.0, 1e-12)
+    p = np.where(mask, (p - avg) / std, p)
+    inner = (f2d >= m1 * m1) & (f2d <= (0.9 * m2) ** 2)
+    p = np.where(inner, p, 0.0)
+    if center:
+        p = np.fft.fftshift(p)
+    return p.astype(np.float32)
+
+
 class ProgCTFEnhancePSD(XmippMetadataProgram):
+    """Full reference surface ctf_enhance_psd.cpp:40-216."""
     name = "xmipp_ctf_enhance_psd"
 
     def defineProcessParams(self):
         self.addUsageLine("Enhance PSD rings for visualization/fitting "
                           "(bandpass + local normalization).")
-        self.addParamsLine("  [--f1 <w=0.02>] : Lower band limit")
-        self.addParamsLine("  [--f2 <w=0.2>]  : Upper band limit")
+        self.addParamsLine("  [--method <mth=filter>] : Enhancing method")
+        self.addParamsLine("    where <mth>")
+        self.addParamsLine("       filter <freq_low=0.05> <freq_high=0.2> "
+                           "<freq_decay=0.02> : Raised-cosine bandpass "
+                           "enhancement")
+        self.addParamsLine("       spht <N0=1> <NF=10> : Spiral phase "
+                           "transform normalization (the reference "
+                           "implementation is an FFT roundtrip no-op, "
+                           "ctf_enhance_psd.cpp:209-216; mirrored here)")
+        self.addParamsLine("  [--dont_center] : Do not center the output")
+        self.addParamsLine("  [--dont_log] : Don't take log10 before "
+                           "working")
+        self.addParamsLine("  [--m1 <freq_low=0.025>] : Low freq for the "
+                           "output frequency mask (max 0.5)")
+        self.addParamsLine("  [--m2 <freq_high=0.3>] : High freq for the "
+                           "output frequency mask (max 0.5)")
+        self.addParamsLine("  [--f1 <w=-1>] : (legacy) lower band limit")
+        self.addParamsLine("  [--f2 <w=-1>] : (legacy) upper band limit")
 
     def readProcessParams(self):
-        self.f1 = self.getDoubleParam("--f1")
-        self.f2 = self.getDoubleParam("--f2")
+        toks = self.getListParam("--method") or ["filter"]
+        self.method = toks[0]
+        if self.method == "filter":
+            self.f1 = float(toks[1]) if len(toks) > 1 else 0.05
+            self.f2 = float(toks[2]) if len(toks) > 2 else 0.2
+            self.decay = float(toks[3]) if len(toks) > 3 else 0.02
+        else:
+            self.f1, self.f2, self.decay = 0.05, 0.2, 0.02
+        if self.checkParam("--f1") and self.getDoubleParam("--f1") > 0:
+            self.f1 = self.getDoubleParam("--f1")
+        if self.checkParam("--f2") and self.getDoubleParam("--f2") > 0:
+            self.f2 = self.getDoubleParam("--f2")
+        self.m1 = self.getDoubleParam("--m1")
+        self.m2 = self.getDoubleParam("--m2")
+        self.do_log = not self.checkParam("--dont_log")
+        self.center = not self.checkParam("--dont_center")
 
     def processBatch(self, imgs, rows):
-        from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
-                                                   band_pass_mask)
         out = np.empty_like(imgs)
         for i in range(len(imgs)):
-            p = np.log1p(np.maximum(imgs[i], 0))
-            H, W = p.shape
-            f = np.asarray(apply_fourier_mask_2d(
-                p, band_pass_mask(H, W, self.f1, self.f2)))
-            f = (f - f.mean()) / max(f.std(), 1e-12)
-            out[i] = f
+            if self.method == "spht":
+                # reference applySPHT is an exact FFT roundtrip
+                out[i] = np.fft.irfft2(np.fft.rfft2(imgs[i]),
+                                       imgs[i].shape).astype(np.float32)
+            else:
+                out[i] = enhance_psd_filter(imgs[i], self.f1, self.f2,
+                                            self.decay, self.m1, self.m2,
+                                            self.do_log, self.center)
         return out
 
 
