@@ -416,6 +416,110 @@ def estimate_gain(frames) -> np.ndarray:
     return gain.astype(np.float32)
 
 
+def _rank_indices(vals, axis):
+    """upper_bound(sorted(vals along axis), v) - 1 for each element v of
+    its own row/column (movie_estimate_gain.cpp transformGrayValues*)."""
+    s = np.sort(vals, axis=axis)
+    if axis == 0:
+        idx = np.empty(vals.shape, np.int64)
+        for j in range(vals.shape[1]):
+            idx[:, j] = np.searchsorted(s[:, j], vals[:, j],
+                                        side="right") - 1
+    else:
+        idx = np.empty(vals.shape, np.int64)
+        for i in range(vals.shape[0]):
+            idx[i] = np.searchsorted(s[i], vals[i], side="right") - 1
+    return s, idx
+
+
+def _smooth_hist(sorted_h, weights, width, axis, single_ref):
+    """Gaussian-smooth the per-row/column sorted histograms across
+    neighbouring rows/columns (constructSmoothHistogramsBy*)."""
+    out = np.zeros_like(sorted_h)
+    wsum = np.zeros(sorted_h.shape[1 - axis], np.float64)
+    n = sorted_h.shape[1 - axis]
+    for k in range(-width, width + 1):
+        w = weights[abs(k)]
+        if axis == 0:  # column histograms smoothed across columns j
+            src = np.arange(n) + k
+            ok = (src >= 0) & (src < n)
+            out[:, ok] += w * sorted_h[:, src[ok]]
+            wsum[ok] += w
+        else:  # row histograms smoothed across rows i
+            src = np.arange(n) + k
+            ok = (src >= 0) & (src < n)
+            out[ok] += w * sorted_h[src[ok]]
+            wsum[ok] += w
+    out /= wsum[None, :] if axis == 0 else wsum[:, None]
+    if single_ref:
+        if axis == 0:
+            out[:] = out.mean(axis=1, keepdims=True)
+        else:
+            out[:] = out.mean(axis=0, keepdims=True)
+    return out
+
+
+def estimate_gain_histogram(frames, n_iter: int = 3, sigma: float = -1.0,
+                            max_sigma: float = 3.0, sigma_step: float = 0.5,
+                            frame_step: int = 1, single_ref: bool = False,
+                            gain0=None, verbose: int = 0) -> np.ndarray:
+    """Reference ProgMovieEstimateGain::run
+    (movie_estimate_gain.cpp:67-530): iterative rank-histogram gain.
+    Each frame's per-column/per-row sorted histograms are smoothed across
+    neighbouring columns/rows (sigma chosen by minimal total variation if
+    sigma<0) and the frame is replaced by the smoothed value at each
+    pixel's own rank; the gain is sumIdeal/sumObs, mean-normalized.
+    Returns IGain (Observed = Ideal * Gain)."""
+    frames = np.asarray(frames, np.float64)
+    used = frames[::max(frame_step, 1)]
+    igain = np.ones(frames.shape[1:], np.float64) if gain0 is None \
+        else np.asarray(gain0, np.float64).copy()
+    sum_obs = 2.0 * used.sum(axis=0)
+    sigmas = [i * sigma_step
+              for i in range(int(max_sigma / sigma_step) + 1)]
+    widths = [int(np.ceil(3 * s)) for s in sigmas]
+    weights = [np.exp((-0.5 / (s * s) if s > 0 else 0.0)
+                      * np.arange(w + 1) ** 2) if s > 0
+               else np.ones(w + 1) for s, w in zip(sigmas, widths)]
+
+    def tv(img, axis):
+        return np.abs(np.diff(img, axis=axis)).mean()
+
+    for it in range(n_iter):
+        sum_ideal = np.zeros_like(sum_obs)
+        for f in used:
+            ideal = f / igain
+            colH, idxC = _rank_indices(ideal, axis=0)
+            rowH, idxR = _rank_indices(ideal, axis=1)
+            cols = np.arange(ideal.shape[1])[None, :]
+            rows = np.arange(ideal.shape[0])[:, None]
+            if sigma >= 0:
+                s_best = int(np.argmin([abs(s - sigma) for s in sigmas]))
+                sC = sR = s_best
+            else:
+                # TV-minimizing sigma; the rank indices are reused so only
+                # the smoothing changes per candidate
+                tvC, tvR = [], []
+                for s in range(len(sigmas)):
+                    sm = _smooth_hist(colH, weights[s], widths[s], 0,
+                                      single_ref)
+                    tvC.append(tv(sm[idxC, cols], 1))
+                    sm = _smooth_hist(rowH, weights[s], widths[s], 1,
+                                      single_ref)
+                    tvR.append(tv(sm[rows, idxR], 0))
+                sC, sR = int(np.argmin(tvC)), int(np.argmin(tvR))
+            smR = _smooth_hist(rowH, weights[sR], widths[sR], 1, single_ref)
+            sum_ideal += smR[rows, idxR]
+            smC = _smooth_hist(colH, weights[sC], widths[sC], 0, single_ref)
+            sum_ideal += smC[idxC, cols]
+        igain = np.where(np.abs(sum_obs) < 1e-6, 1.0, sum_ideal /
+                         np.where(np.abs(sum_obs) < 1e-6, 1.0, sum_obs))
+        igain /= igain.mean()
+        if verbose:
+            print(f"Gain iteration {it}: spread {igain.std():.5f}")
+    return igain.astype(np.float32)
+
+
 # scalar dose-model API (reference ProgMovieFilterDose::doseFilter/
 # criticalDose/optimalDoseGivenCriticalDose/initVoltage,
 # movie_filter_dose.cpp:85-122; embedded expected values transliterated in

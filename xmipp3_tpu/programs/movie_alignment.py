@@ -217,12 +217,31 @@ class ProgMovieFilterDose(XmippProgram):
 
 
 class ProgMovieEstimateGain(XmippProgram):
+    """Full reference surface movie_estimate_gain.cpp:33-530."""
     name = "xmipp_movie_estimate_gain"
 
     def defineParams(self):
-        self.addUsageLine("Estimate the gain image of a camera from a movie.")
+        self.addUsageLine("Estimate the gain image of a camera from a "
+                          "movie (iterative rank-histogram method).")
         self.addParamsLine("   -i <movie>   : Input movie")
-        self.addParamsLine("  [--oroot <root=gain_estimated>] : Output rootname")
+        self.addParamsLine("  [--oroot <fn=estimated>] : Estimated "
+                           "corrections and gains (Ideal=Observed*Corr)")
+        self.addParamsLine("  [--iter <N=3>] : Number of iterations")
+        self.addParamsLine("  [--sigma <s=-1>] : Smoothing sigma; if "
+                           "negative it is searched")
+        self.addParamsLine("  [--maxSigma <s=3>] : Maximum number of "
+                           "neighbour rows/columns to analyze")
+        self.addParamsLine("  [--frameStep <s=1>] : Skip frames (1 = all, "
+                           "2 = every other, ...)")
+        self.addParamsLine("  [--sigmaStep <s=0.5>] : Step size for the "
+                           "sigma search")
+        self.addParamsLine("  [--singleRef] : Use a single histogram "
+                           "reference (no contamination/carbon holes)")
+        self.addParamsLine("  [--gainImage <fn=\"\">] : External gain "
+                           "image (we will divide by it)")
+        self.addParamsLine("  [--applyGain <fnOut=\"\">] : Write the "
+                           "gain-corrected movie here (uses the external "
+                           "gain image)")
 
     def readParams(self):
         self.fn_in = self.getParam("-i")
@@ -230,8 +249,33 @@ class ProgMovieEstimateGain(XmippProgram):
 
     def run(self):
         frames = _load_movie(self.fn_in)
-        gain = mops.estimate_gain(frames)
+        gain0 = None
+        if self.checkParam("--gainImage") and self.getParam("--gainImage"):
+            gain0 = np.squeeze(Image(self.getParam("--gainImage")).data
+                               ).astype(np.float64)
+            if gain0.shape != frames[0].shape:
+                raise ValueError("The gain image and the movie do not "
+                                 "have the same dimensions")
+        if self.checkParam("--applyGain") and self.getParam("--applyGain"):
+            # correct the movie with the external gain (run(),
+            # movie_estimate_gain.cpp:163-177)
+            ig = gain0 if gain0 is not None else np.ones(frames[0].shape)
+            save_image(self.getParam("--applyGain"),
+                       (np.asarray(frames, np.float64) / ig[None]
+                        ).astype(np.float32))
+            return
+        gain = mops.estimate_gain_histogram(
+            frames, n_iter=self.getIntParam("--iter"),
+            sigma=self.getDoubleParam("--sigma"),
+            max_sigma=self.getDoubleParam("--maxSigma"),
+            sigma_step=self.getDoubleParam("--sigmaStep"),
+            frame_step=self.getIntParam("--frameStep"),
+            single_ref=self.checkParam("--singleRef"),
+            gain0=gain0, verbose=self.verbose)
+        save_image(self.oroot + "_gain.xmp", gain)
+        # backward-compatible alias of the pre-surface output name
         save_image(self.oroot + ".xmp", gain)
+        self.gain = gain
 
 
 PROGRAM = None
