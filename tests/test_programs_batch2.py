@@ -229,6 +229,8 @@ def test_scissor_and_picking(tmp_path):
 
 @pytest.mark.slow
 def test_wbp_reconstruction(proj_set):
+    """Default path = the Radermacher arbitrary-geometry filter
+    (reconstruct_wbp.cpp:437-492)."""
     vol, fn_md, imgs = proj_set
     import tempfile, os
     with tempfile.TemporaryDirectory() as td:
@@ -236,6 +238,56 @@ def test_wbp_reconstruction(proj_set):
         run_prog("reconstruct_wbp", f"-i {fn_md} -o {out} -v 0")
         rec = np.squeeze(Image(out).data)
     assert corr(rec, vol) > 0.8
+
+
+def test_wbp_arbitrary_filter_identity_direction():
+    """A single image at identity pose with itself as the only filter
+    direction: g=(0,0,1) projects to f=(0,0), so the weight map is flat
+    sinc(0)*count=1 and the filter is an exact division by the diameter
+    (filterOneImage, reconstruct_wbp.cpp:465-489)."""
+    from xmipp3_tpu.ops.art import wbp_arbitrary_filter, wbp_direction_set
+    rng = np.random.default_rng(0)
+    img = rng.normal(size=(1, 32, 32)).astype(np.float32)
+    zeros = np.zeros(1, np.float32)
+    g, c = wbp_direction_set(zeros, zeros, psi=zeros, use_each_image=True)
+    assert np.allclose(g, [[0, 0, 1]], atol=1e-6) and c.tolist() == [1.0]
+    out = np.asarray(wbp_arbitrary_filter(img, zeros, zeros, zeros, g, c,
+                                          diameter=32.0))
+    assert np.abs(out - img / 32.0).max() < 1e-5
+
+
+def test_wbp_arbitrary_filter_dc_weight_is_total_count():
+    """At DC every direction contributes sinc(0)=1, so the DC weight is
+    the total (symmetry-expanded) image count: mean(filtered) =
+    mean(img) / (totimgs * diameter)."""
+    from xmipp3_tpu.ops.art import wbp_arbitrary_filter, wbp_direction_set
+    rng = np.random.default_rng(1)
+    B, N = 4, 32
+    imgs = rng.normal(size=(B, N, N)).astype(np.float32) + 1.0
+    rot = rng.uniform(-180, 180, B).astype(np.float32)
+    tilt = rng.uniform(0, 90, B).astype(np.float32)
+    psi = rng.uniform(0, 360, B).astype(np.float32)
+    g, c = wbp_direction_set(rot, tilt, psi=psi, use_each_image=True)
+    out = np.asarray(wbp_arbitrary_filter(imgs, rot, tilt, psi, g, c,
+                                          diameter=float(N)))
+    exp = imgs.mean(axis=(1, 2)) / (c.sum() * N)
+    assert np.abs(out.mean(axis=(1, 2)) - exp).max() < 1e-5
+
+
+def test_wbp_direction_set_binning_and_symmetry():
+    """Sampled mode bins images onto the even distribution (counts sum to
+    the image count) and c2 symmetry doubles the direction table
+    (getSampledMatrices, reconstruct_wbp.cpp:265-301)."""
+    from xmipp3_tpu.ops.art import wbp_direction_set
+    rng = np.random.default_rng(2)
+    B = 12
+    rot = rng.uniform(-180, 180, B).astype(np.float32)
+    tilt = rng.uniform(10, 80, B).astype(np.float32)
+    g1, c1 = wbp_direction_set(rot, tilt, filsam=15.0, sym="c1")
+    assert c1.sum() <= B and len(g1) == len(c1)
+    assert np.allclose(np.linalg.norm(g1, axis=1), 1.0, atol=1e-5)
+    g2, c2 = wbp_direction_set(rot, tilt, filsam=15.0, sym="c2")
+    assert len(g2) % 2 == 0 and len(g2) <= 2 * len(g1)
 
 
 def test_art_reconstruction_improves(proj_set):

@@ -355,31 +355,142 @@ def art_reconstruct(imgs, rot, tilt, psi, mode: str = "SIRT",
     return vol.astype(np.float32), hist
 
 
-def wbp_reconstruct(imgs, rot, tilt, psi, pad_factor: float = 2.0,
-                    filter_diameter: float | None = None):
-    """Weighted back-projection: ramp-filter each projection (|k| weighting,
-    band-limited by the object diameter), then adjoint-scatter.
+def wbp_direction_set(rot, tilt, psi=None, weights=None, filsam: float = 5.0,
+                      sym: str = "c1", use_each_image: bool = False):
+    """The mat_g table of the Radermacher arbitrary-geometry filter
+    (reconstruct_wbp.cpp:231-358, getSampledMatrices / getAllMatrices):
+    beam-direction rows (z-row of Euler(rot, -tilt, psi)) with per-direction
+    image counts — one per symmetry-expanded image (--use_each_image), or
+    binned onto an even distribution sampled every `filsam` degrees.
+    Returns (g_rows (K,3), counts (K,))."""
+    from xmipp3_tpu.core.sym import SymList
+    from xmipp3_tpu.core import sampling as smp
+    rot = np.asarray(rot, np.float64)
+    tilt = np.asarray(tilt, np.float64)
+    psi_arr = (np.zeros_like(rot) if psi is None
+               else np.asarray(psi, np.float64))
+    w = (np.ones(len(rot)) if weights is None
+         else np.asarray(weights, np.float64))
+    sl = SymList(sym if sym else "c1")
+    if use_each_image:
+        base = np.stack([rot, tilt, psi_arr, w], axis=1)
+    else:
+        pts = smp.remove_redundant_points(
+            smp.compute_sampling_points(filsam), sl)
+        d_ref = smp.directions_from_angles(pts)
+        d_img = smp.directions_from_angles(np.stack([rot, tilt], axis=1))
+        mats = sl.sym_matrices().astype(np.float64)
+        orb = np.einsum("sij,nj->nsi", mats, d_img)          # (N,S,3)
+        idx = np.argmax(
+            np.einsum("nsi,mi->nsm", orb, d_ref).max(axis=1), axis=1)
+        counts = np.zeros(len(pts))
+        np.add.at(counts, idx, w)
+        # the reference floors each bin count to int (reconstruct_wbp.cpp:276)
+        counts = np.floor(counts)
+        keep = counts > 0
+        base = np.stack([pts[keep, 0], pts[keep, 1],
+                         np.zeros(int(keep.sum())), counts[keep]], axis=1)
+    rows, cnts = [], []
+    for r, t, p, c in base:
+        triplets = ([(r, t, p)] if len(sl) == 1
+                    else sl.expand_euler(r, t, p))
+        for er, et, ep in triplets:
+            rows.append((er, et, ep))
+            cnts.append(c)
+    ang = np.array(rows, np.float64)
+    A = np.asarray(euler_matrix(ang[:, 0].astype(np.float32),
+                                (-ang[:, 1]).astype(np.float32),
+                                ang[:, 2].astype(np.float32)))
+    return A[:, 2, :].astype(np.float32), np.asarray(cnts, np.float32)
 
-    Classic WBP weighting (Radermacher); implemented as a 2-D pre-filter +
-    the same Fourier scatter used by direct inversion, WITHOUT the density
-    normalization (the ramp replaces it)."""
+
+@jax.jit
+def _wbp_filter_one(img, f2, counts, K, thr_abs, diameter):
+    """Divide one centered spectrum by the direction-summed sinc weighting
+    (filterOneImage, reconstruct_wbp.cpp:437-492)."""
+    N = img.shape[0]
+    coords = K * (jnp.arange(N) - N // 2).astype(jnp.float32)
+    args = (coords[None, :, None] * f2[:, 0] +
+            coords[:, None, None] * f2[:, 1])                # (N,N,K)
+    w = jnp.sum(jnp.sinc(args) * counts, axis=-1)
+    sgn = jnp.where(w < 0, -1.0, 1.0)
+    denom = jnp.where(jnp.abs(w) < thr_abs, sgn * thr_abs, w) * diameter
+    spec = jnp.fft.fftshift(jnp.fft.fft2(img))
+    out = jnp.fft.ifft2(jnp.fft.ifftshift(spec / denom))
+    return jnp.real(out)
+
+
+def wbp_arbitrary_filter(imgs, rot, tilt, psi, g_rows, counts,
+                         diameter: float | None = None,
+                         threshold: float = 0.005):
+    """Radermacher arbitrary-geometry weighting of a projection batch.
+
+    For image matrix A = Euler(-rot, tilt, -psi), each direction's in-plane
+    frequency footprint is f_k = (A^T g_k)_{xy}; the 2-D weight at centered
+    frequency index (j, i) is sum_k count_k * sinc(K*(j*f_x + i*f_y)) with
+    K = diameter/dim, clamped at threshold*totimgs (the reference's relative
+    threshold, reconstruct_wbp.cpp:304/461-472)."""
+    imgs = jnp.asarray(imgs, jnp.float32)
+    B, N = imgs.shape[0], imgs.shape[1]
+    if diameter is None or diameter <= 0:
+        diameter = float(N)
+    A = jnp.asarray(euler_matrix(-jnp.asarray(rot, jnp.float32),
+                                 jnp.asarray(tilt, jnp.float32),
+                                 -jnp.asarray(psi, jnp.float32)))
+    g = jnp.asarray(g_rows, jnp.float32)
+    f2 = jnp.einsum("kc,bcd->bkd", g, A)[..., :2]            # (B,K,2)
+    thr_abs = jnp.float32(threshold * float(np.sum(counts)))
+    K = jnp.float32(diameter / N)
+    cj = jnp.asarray(counts, jnp.float32)
+    dia = jnp.float32(diameter)
+    out = jax.lax.map(lambda t: _wbp_filter_one(t[0], t[1], cj, K,
+                                                thr_abs, dia),
+                      (imgs, f2))
+    return out
+
+
+def wbp_reconstruct(imgs, rot, tilt, psi, pad_factor: float = 2.0,
+                    filter_diameter: float | None = None,
+                    mode: str = "ramp", weights=None, filsam: float = 5.0,
+                    sym: str = "c1", use_each_image: bool = False,
+                    threshold: float = 0.005):
+    """Weighted back-projection (reconstruct_wbp.cpp).
+
+    mode="arbitrary" applies the reference's Radermacher arbitrary-geometry
+    filter (sampled every `filsam` degrees, or per-image with
+    use_each_image; optional per-image weights, symmetry expansion, relative
+    threshold). mode="ramp" is the classic |k| ramp pre-filter — a
+    documented simplification kept as the fast default for isolated use.
+    Both paths back-project with the same Fourier adjoint scatter used by
+    direct inversion (TPU-native replacement for the reference's real-space
+    voxel loop, simpleBackprojection :362-435)."""
     imgs = np.asarray(imgs, np.float32)
     B, N, _ = imgs.shape
-    if filter_diameter is None:
+    if filter_diameter is None or filter_diameter <= 0:
         filter_diameter = N
-    fy = np.fft.fftfreq(N).astype(np.float32)[:, None]
-    fx = np.fft.rfftfreq(N).astype(np.float32)[None, :]
-    r = np.sqrt(fx * fx + fy * fy)
-    # ramp with flat region below 1/diameter (avoid DC null blowup)
-    f0 = 1.0 / filter_diameter
-    ramp = np.where(r < f0, r / f0 * f0, r).astype(np.float32)
-    ramp[0, 0] = f0
-    spec = np.fft.rfft2(imgs)
-    filtered = np.fft.irfft2(spec * ramp[None], s=(N, N)).astype(np.float32)
-    # adjoint scatter with uniform weights: reuse reconstruct_fourier but
-    # bypass density normalization by reconstructing with min_weight clamp —
-    # the accumulated weights still normalize interpolation, while the ramp
-    # provides angular weighting. Scaled by number of images.
+    if mode == "arbitrary":
+        if weights is not None:
+            imgs = imgs * np.asarray(weights, np.float32)[:, None, None]
+        g_rows, counts = wbp_direction_set(
+            rot, tilt, psi=psi, weights=weights, filsam=filsam, sym=sym,
+            use_each_image=use_each_image)
+        filtered = np.asarray(wbp_arbitrary_filter(
+            imgs, rot, tilt, psi, g_rows, counts,
+            diameter=filter_diameter, threshold=threshold), np.float32)
+    else:
+        fy = np.fft.fftfreq(N).astype(np.float32)[:, None]
+        fx = np.fft.rfftfreq(N).astype(np.float32)[None, :]
+        r = np.sqrt(fx * fx + fy * fy)
+        # ramp with flat region below 1/diameter (avoid DC null blowup)
+        f0 = 1.0 / filter_diameter
+        ramp = np.where(r < f0, r / f0 * f0, r).astype(np.float32)
+        ramp[0, 0] = f0
+        spec = np.fft.rfft2(imgs)
+        filtered = np.fft.irfft2(spec * ramp[None],
+                                 s=(N, N)).astype(np.float32)
+    # adjoint scatter: reuse reconstruct_fourier — the accumulated weights
+    # normalize interpolation while the pre-filter provides the angular
+    # weighting.
     vol = np.asarray(reconstruct_fourier(filtered, rot, tilt, psi,
                                          pad_factor=pad_factor,
                                          batch=max(B, 1)))

@@ -192,23 +192,37 @@ class ProgMovieFilterDose(XmippProgram):
         self.addUsageLine("Apply dose-dependent frequency weighting "
                           "(Grant & Grigorieff) to movie frames.")
         self.addParamsLine("   -i <movie>       : Input movie stack")
-        self.addParamsLine("   -o <movie>       : Output weighted stack")
+        self.addParamsLine("  [-o <movie=out.mrcs>] : Output weighted stack")
+        self.addParamsLine("  [--frameRange <n0=-1> <nF=-1>] : First and "
+                           "last frame to filter, frame numbers start at 0")
         self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (A)")
-        self.addParamsLine("  [--dose_per_frame <d=1>] : e/A^2 per frame")
-        self.addParamsLine("  [--pre_dose <d=0>]  : Dose before first frame")
-        self.addParamsLine("  [--voltage <kV=300>] : Acceleration voltage")
+        self.addParamsLine("  [--dosePerFrame <d=2>] : e/A^2 per frame")
+        self.addParamsLine("        alias --dose_per_frame;")
+        self.addParamsLine("  [--preExposure <d=0>]  : Dose before first "
+                           "frame (e/A^2)")
+        self.addParamsLine("        alias --pre_dose;")
+        self.addParamsLine("  [--accVoltage <kV=300>] : Acceleration voltage")
+        self.addParamsLine("        alias --voltage;")
 
     def readParams(self):
         self.fn_in = self.getParam("-i")
         self.fn_out = self.getParam("-o")
         self.Ts = self.getDoubleParam("--sampling")
-        self.dose = self.getDoubleParam("--dose_per_frame")
-        self.pre = self.getDoubleParam("--pre_dose")
-        self.kV = self.getDoubleParam("--voltage")
+        self.dose = self.getDoubleParam("--dosePerFrame")
+        self.pre = self.getDoubleParam("--preExposure")
+        self.kV = self.getDoubleParam("--accVoltage")
+        self.n0 = self.getIntParam("--frameRange", 0)
+        self.nF = self.getIntParam("--frameRange", 1)
 
     def run(self):
         import jax.numpy as jnp
         frames = _load_movie(self.fn_in)
+        if self.n0 >= 0 or self.nF >= 0:
+            n0 = max(self.n0, 0)
+            nF = self.nF if self.nF >= 0 else frames.shape[0] - 1
+            frames = frames[n0:nF + 1]
+            # pre-exposure grows with the skipped leading frames
+            self.pre = self.pre + n0 * self.dose
         F, H, W = frames.shape
         q = mops.dose_filter(H, F, self.dose, self.Ts, self.pre, self.kV)
         spec = jnp.fft.rfft2(jnp.asarray(frames))

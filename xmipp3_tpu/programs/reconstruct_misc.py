@@ -269,25 +269,72 @@ class ProgReconstructART(XmippProgram):
 
 
 class ProgReconstructWBP(XmippProgram):
+    """Full reference grammar reconstruct_wbp.cpp:96-161 with the
+    Radermacher arbitrary-geometry filter (filterOneImage :437-492)."""
     name = "xmipp_reconstruct_wbp"
 
     def defineParams(self):
-        self.addUsageLine("Weighted back-projection 3D reconstruction.")
-        self.addParamsLine("   -i <md_file>  : Metadata with projections")
-        self.addParamsLine("  [-o <volume=wbp.vol>] : Output volume")
-        self.addParamsLine("  [--diameter <d=-1>] : Object diameter for the ramp filter")
+        self.addUsageLine("Weighted back-projection 3D reconstruction "
+                          "(Radermacher arbitrary-geometry weighting).")
+        self.addParamsLine("   -i <md_file>  : selection file with input "
+                           "images and Euler angles")
+        self.addParamsLine("  [-o <volume=wbp.vol>] : filename for output "
+                           "volume")
+        self.addParamsLine("  [--doc <docfile=\"\">] : Ignore headers and "
+                           "get angles from this docfile")
+        self.addParamsLine("  [--radius <int=-1>] : Reconstruction radius "
+                           "(-1 = dim/2); the volume is zero outside")
+        self.addParamsLine("  [--sym <sym=\"\">] : Enforce symmetry")
+        self.addParamsLine("  [--threshold <float=0.005>] : Lower relative "
+                           "threshold for filter values")
+        self.addParamsLine("  [--filsam <float=5>] : Angular sampling rate "
+                           "for the geometry filter directions")
+        self.addParamsLine("  [--use_each_image] : Use each image instead "
+                           "of sampled representatives for the filter")
+        self.addParamsLine("  [--weight] : Use weights stored in the input "
+                           "metadata")
+        self.addParamsLine("  [--diameter <d=-1>] : Use the classic ramp "
+                           "filter with this object diameter instead of "
+                           "the arbitrary-geometry filter")
 
     def run(self):
         from xmipp3_tpu.ops.art import wbp_reconstruct
         md = MetaData(self.getParam("-i"))
         md.removeDisabled()
-        imgs, rot, tilt, psi, sx, sy = _load(md)
+        fn_doc = self.getParam("--doc")
+        if fn_doc:
+            md_doc = MetaData(fn_doc)
+            imgs, _, _, _, _, _ = _load(md)
+            _, rot, tilt, psi, sx, sy = _load(md_doc)
+        else:
+            imgs, rot, tilt, psi, sx, sy = _load(md)
         if np.any(sx) or np.any(sy):
             from xmipp3_tpu.ops.fourier import fourier_shift_2d
             imgs = np.asarray(fourier_shift_2d(imgs, sx, sy))
+        weights = None
+        if self.checkParam("--weight"):
+            rows = list(md.iterRows())
+            weights = np.array([float(r.get("weight", 1.0)) for r in rows],
+                               np.float32)
         d = self.getDoubleParam("--diameter")
-        vol = wbp_reconstruct(imgs, rot, tilt, psi,
-                              filter_diameter=None if d <= 0 else d)
+        radius = self.getIntParam("--radius")
+        N = imgs.shape[-1]
+        diameter = 2 * radius if radius > 0 else N
+        if d > 0:
+            vol = wbp_reconstruct(imgs, rot, tilt, psi, filter_diameter=d)
+        else:
+            vol = wbp_reconstruct(
+                imgs, rot, tilt, psi, mode="arbitrary", weights=weights,
+                filsam=self.getDoubleParam("--filsam"),
+                sym=self.getParam("--sym") or "c1",
+                use_each_image=self.checkParam("--use_each_image"),
+                threshold=self.getDoubleParam("--threshold"),
+                filter_diameter=diameter)
+        if radius > 0:
+            zz, yy, xx = np.meshgrid(*([np.arange(N) - N // 2] * 3),
+                                     indexing="ij")
+            vol = np.where(zz * zz + yy * yy + xx * xx
+                           <= float(radius) ** 2, vol, 0.0).astype(np.float32)
         save_image(self.getParam("-o"), vol)
 
 
