@@ -36,15 +36,30 @@ def test_metadata_xml(tmp_path):
 
 
 def test_metadata_split_3d(tmp_path):
+    # reference contract (metadata_split_3D.cpp): per gallery direction the
+    # neighbours are split at their median maxCC; correlates-well images
+    # accumulate positive votes -> _upper, the rest -> _lower
     rng = np.random.default_rng(1)
-    rows = [{"itemId": i + 1, "angleRot": float(rng.uniform(-180, 180)),
-             "angleTilt": float(rng.uniform(0, 180))} for i in range(20)]
+    rows = []
+    for i in range(40):
+        good = i % 2 == 0
+        rows.append({"itemId": i + 1, "image": f"im{i:03d}.spi",
+                     "imageIndex": i,
+                     "angleRot": float(rng.uniform(-180, 180)),
+                     "angleTilt": float(rng.uniform(10, 90)),
+                     "maxCC": (0.8 if good else 0.2) +
+                     float(rng.normal(0, 0.01))})
     fn = str(tmp_path / "a.xmd")
     MetaData.fromRows(rows).write(fn)
-    run_prog("metadata_split_3D", f"-i {fn} --oroot {tmp_path}/h")
-    s1 = MetaData(str(tmp_path / "h_1.xmd")).size()
-    s2 = MetaData(str(tmp_path / "h_2.xmd")).size()
-    assert s1 + s2 == 20 and abs(s1 - s2) <= 1
+    run_prog("metadata_split_3D",
+             f"-i {fn} --oroot {tmp_path}/h --angSampling 20 --maxDist 40")
+    up = MetaData(str(tmp_path / "h_upper.xmd"))
+    lo = MetaData(str(tmp_path / "h_lower.xmd"))
+    # high-cc images dominate the upper half
+    up_cc = np.asarray(up.getColumn("maxCC"), float)
+    lo_cc = np.asarray(lo.getColumn("maxCC"), float)
+    assert up_cc.mean() > lo_cc.mean()
+    assert (up_cc > 0.5).mean() > 0.8
 
 
 def test_phantom_movie_and_alignment(tmp_path):

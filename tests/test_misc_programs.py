@@ -21,7 +21,8 @@ def test_transform_dimred(tmp_path):
     fn = str(tmp_path / "s.mrcs")
     save_image(fn, np.concatenate([a, b]))
     out = str(tmp_path / "red.xmd")
-    run_prog("transform_dimred", f"-i {fn} -o {out} --method PCA --dout 2")
+    run_prog("transform_dimred",
+             f"-i {fn} -o {out} --method PCA --dout 2 --distance Euclidean")
     md = MetaData(out)
     Y = np.stack([np.asarray(v) for v in md.getColumnValues("dimred")])
     # two groups separated on first axis
@@ -62,10 +63,36 @@ def test_morphology(tmp_path):
     save_image(fn, m)
     out = str(tmp_path / "d.mrc")
     run_prog("transform_morphology",
-             f"-i {fn} -o {out} --binaryOperation dilation 2")
+             f"-i {fn} -o {out} --binaryOperation dilation --size 2")
     d = Image(out).data
     assert d.sum() > m.sum()
     assert d[9, 15] == 1.0
+    # keepBiggest drops the smaller of two components
+    m2 = np.zeros((32, 32), np.float32)
+    m2[2:12, 2:12] = 1.0
+    m2[20:24, 20:24] = 1.0
+    fn2 = str(tmp_path / "m2.mrc")
+    save_image(fn2, m2)
+    out2 = str(tmp_path / "kb.mrc")
+    run_prog("transform_morphology",
+             f"-i {fn2} -o {out2} --binaryOperation keepBiggest")
+    d2 = Image(out2).data
+    assert d2[5, 5] == 1.0 and d2[22, 22] == 0.0
+    # removeSmall keeps only components >= size
+    out3 = str(tmp_path / "rs.mrc")
+    run_prog("transform_morphology",
+             f"-i {fn2} -o {out3} --binaryOperation removeSmall 50")
+    d3 = Image(out3).data
+    assert d3[5, 5] == 1.0 and d3[22, 22] == 0.0
+    # gray sharpening increases local contrast across an edge
+    g = np.tile(np.linspace(0, 1, 32, dtype=np.float32), (32, 1))
+    fng = str(tmp_path / "g.mrc")
+    save_image(fng, g)
+    outg = str(tmp_path / "sh.mrc")
+    run_prog("transform_morphology",
+             f"-i {fng} -o {outg} --grayOperation sharpening 1 1.0")
+    dg = Image(outg).data
+    assert dg.std() >= g.std()
 
 
 def test_center_image(tmp_path):

@@ -96,6 +96,12 @@ EXCLUDES = {
         # defineBasicParams (ctf_estimate_from_micrograph.cpp:329-331)
         "--psd",
     },
+    "volume_center": {
+        # ProgMask's own grammar lives in the scanned data/mask.cpp
+        # (mask.cpp:1816-1819); volume_center only calls
+        # Mask::defineParams (--mask)
+        "--count_above", "--count_below", "--create_mask", "--substitute",
+    },
 }
 
 # flags we consciously do NOT implement (reason shown in the audit table)

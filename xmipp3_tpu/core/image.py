@@ -81,13 +81,13 @@ def _read_mrc_header(f) -> tuple[ImageHeader, int, bool, bool]:
 def read_mrc(path: str, header_only=False, slice_index: int | None = None,
              as_stack: bool | None = None):
     with open(path, "rb") as f:
-        hdr, offset, _, is_stack = _read_mrc_header(f)
+        hdr, offset, swapped, is_stack = _read_mrc_header(f)
         if as_stack is not None:
             is_stack = as_stack or hdr.n_images > 1
         if header_only:
             return hdr, None
         n, z, y, x = hdr.shape
-        dt = hdr.dtype
+        dt = hdr.dtype.newbyteorder(">") if swapped else hdr.dtype
         item = dt.itemsize
         if slice_index is not None:
             if not 1 <= slice_index <= max(n, z):
@@ -242,6 +242,113 @@ def write_spider(path: str, data: np.ndarray) -> None:
                 nslice, nrow, nsam = data.shape
             f.write(_spider_header(nsam, nrow, nslice).tobytes())
             f.write(data.tobytes())
+
+
+# Per-image geometry words of the SPIDER header (1-based words 15-21 of the
+# standard: IANGLE, PHI, THETA, GAMMA, XOFF, YOFF, ZOFF; PIXSIZ at word 38).
+# The reference's image_header --extract/--assign/--reset operate on these
+# (reconstruction/image_header.cpp:52-67).
+_SPI_IANGLE, _SPI_PHI, _SPI_XOFF, _SPI_PIXSIZ = 14, 15, 18, 37
+
+
+def _spider_image_headers(path):
+    """Yield (byte_offset, header_array) for each image header in a Spider
+    file (overall header for single images/volumes; the per-image headers
+    for .stk stacks)."""
+    with open(path, "rb") as f:
+        raw = f.read(1024)
+        h, order = _parse_spider_header(raw)
+        nslice, nrow, nsam = int(h[0]), int(h[1]), int(h[11])
+        labbyt, istack, maxim = int(h[21]), int(h[23]), int(h[25])
+        dt = np.dtype(np.float32).newbyteorder(order)
+        img_bytes = nslice * nrow * nsam * 4
+        if istack > 0:
+            per = labbyt + img_bytes
+            for i in range(maxim):
+                off = labbyt + i * per
+                f.seek(off)
+                hi = np.frombuffer(f.read(labbyt), dtype=dt).copy()
+                yield off, hi
+        else:
+            yield 0, np.frombuffer(raw[:labbyt].ljust(labbyt, b"\0"),
+                                   dtype=dt).copy()
+
+
+def read_spider_geo(path) -> list[dict]:
+    """Per-image Euler angles + offsets from Spider headers (words 16-21)."""
+    rows = []
+    for _off, h in _spider_image_headers(path):
+        rows.append(dict(angleRot=float(h[_SPI_PHI]),
+                         angleTilt=float(h[_SPI_PHI + 1]),
+                         anglePsi=float(h[_SPI_PHI + 2]),
+                         shiftX=float(h[_SPI_XOFF]),
+                         shiftY=float(h[_SPI_XOFF + 1]),
+                         shiftZ=float(h[_SPI_XOFF + 2])))
+    return rows
+
+
+def write_spider_geo(path, rows: list[dict] | None = None,
+                     reset: bool = False, round_shifts: bool = False) -> None:
+    """Patch per-image geometry words of Spider headers in place.
+
+    rows carry angleRot/angleTilt/anglePsi/shiftX/shiftY/shiftZ; reset zeroes
+    the geometry and clears the IANGLE flag (image_header --assign/--reset)."""
+    patches = []
+    for i, (off, h) in enumerate(_spider_image_headers(path)):
+        if reset:
+            h[_SPI_IANGLE] = 0.0
+            h[_SPI_PHI:_SPI_PHI + 3] = 0.0
+            h[_SPI_XOFF:_SPI_XOFF + 3] = 0.0
+        elif rows is not None and i < len(rows):
+            r = rows[i]
+            h[_SPI_IANGLE] = 1.0
+            h[_SPI_PHI] = float(r.get("angleRot", 0.0) or 0.0)
+            h[_SPI_PHI + 1] = float(r.get("angleTilt", 0.0) or 0.0)
+            h[_SPI_PHI + 2] = float(r.get("anglePsi", 0.0) or 0.0)
+            sx = float(r.get("shiftX", 0.0) or 0.0)
+            sy = float(r.get("shiftY", 0.0) or 0.0)
+            sz = float(r.get("shiftZ", 0.0) or 0.0)
+            if round_shifts:
+                sx, sy, sz = round(sx), round(sy), round(sz)
+            h[_SPI_XOFF:_SPI_XOFF + 3] = (sx, sy, sz)
+        patches.append((off, h))
+    with open(path, "r+b") as f:
+        for off, h in patches:
+            f.seek(off)
+            f.write(h.tobytes())
+
+
+def set_image_sampling(path: str, sampling: float) -> None:
+    """Patch the sampling rate stored in an image file header in place
+    (MRC: cella words 11-13 = dims*Ts; Spider: PIXSIZ word 38)."""
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext in ("mrc", "mrcs", "st", "ali", "rec"):
+        with open(path, "r+b") as f:
+            hdr = np.frombuffer(f.read(1024), dtype="<i4").copy()
+            hf = hdr.view(np.float32)
+            hf[10:13] = (hdr[7] * sampling, hdr[8] * sampling,
+                         hdr[9] * sampling)
+            f.seek(0)
+            f.write(hdr.tobytes())
+    else:
+        patches = [(off, h) for off, h in _spider_image_headers(path)]
+        with open(path, "r+b") as f:
+            for off, h in patches:
+                h[_SPI_PIXSIZ] = sampling
+                f.seek(off)
+                f.write(h.tobytes())
+
+
+def get_image_sampling(path: str) -> float:
+    ext = os.path.splitext(path)[1].lower().lstrip(".")
+    if ext in ("mrc", "mrcs", "st", "ali", "rec"):
+        with open(path, "rb") as f:
+            hdr = np.frombuffer(f.read(1024), dtype="<i4")
+            hf = hdr.view(np.float32)
+            return float(hf[10] / hdr[7]) if hdr[7] else 1.0
+    for _off, h in _spider_image_headers(path):
+        return float(h[_SPI_PIXSIZ]) or 1.0
+    return 1.0
 
 
 # ---------------------------------------------------------------------------

@@ -260,8 +260,9 @@ class XmippMetadataProgram(XmippProgram):
         if self.produces_an_output and results:
             stack = np.stack(results)
             if self.oroot:
+                oext = getattr(self, "oroot_ext", "") or "mrc"
                 for i, r in enumerate(out_rows):
-                    fn_i = f"{self.oroot}{i + 1:06d}.mrc"
+                    fn_i = f"{self.oroot}{i + 1:06d}.{oext}"
                     save_image(fn_i, results[i])
                     r["image"] = fn_i
             elif out_is_stack or in_place:

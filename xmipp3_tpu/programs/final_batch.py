@@ -20,13 +20,65 @@ class ProgMetadataXML(XmippProgram):
     name = "xmipp_metadata_xml"
 
     def defineParams(self):
-        self.addUsageLine("Export a metadata table as XML.")
+        self.addUsageLine("Export a picking metadata as particlepicking XML "
+                          "(metadata_xml.cpp:56-120) or a generic table.")
         self.addParamsLine("   -i <md_file> : Input metadata")
         self.addParamsLine("   -o <xml>     : Output XML")
-        self.addParamsLine("  [--root <name=metadata>] : Root element name")
+        self.addParamsLine("  [--extractParticlesMD] : Input comes from the ExtractParticles protocol (single block, micrograph column, disabled rows dropped)")
+        self.addParamsLine("  [--root <name=metadata>] : Root element name (generic table mode)")
+
+    @staticmethod
+    def _coord_xml(f, md):
+        for i in md:
+            r = md.getRow(i)
+            x = int(float(r.get("xcoor", 0) or 0))
+            y = int(float(r.get("ycoor", 0) or 0))
+            f.write(f'<coordinate x="{x}" y="{y}"/>\n')
 
     def run(self):
-        md = MetaData(self.getParam("-i"))
+        import os
+        fn_in = self.getParam("-i")
+        get_blocks_in_metadata = MetaData.blocksInFile
+        md = MetaData(fn_in)
+        if self.checkParam("--extractParticlesMD"):
+            # single extract_particles table: group rows by micrograph
+            md.removeDisabled()
+            md.sort("micrograph")
+            with open(self.getParam("-o"), "w") as f:
+                f.write("<particlepicking>\n")
+                cur = None
+                for i in md:
+                    r = md.getRow(i)
+                    mic = os.path.splitext(os.path.basename(
+                        str(r.get("micrograph", ""))))[0]
+                    if mic != cur:
+                        if cur is not None:
+                            f.write("</micrograph>\n")
+                        f.write(f'<micrograph id="{mic}">\n')
+                        cur = mic
+                    x = int(float(r.get("xcoor", 0) or 0))
+                    y = int(float(r.get("ycoor", 0) or 0))
+                    f.write(f'<coordinate x="{x}" y="{y}"/>\n')
+                if cur is not None:
+                    f.write("</micrograph>\n")
+                f.write("</particlepicking>\n")
+            return
+        try:
+            blocks = get_blocks_in_metadata(fn_in)
+        except Exception:
+            blocks = []
+        if blocks and md.containsLabel("xcoor"):
+            # per-micrograph picking blocks (reference default mode)
+            with open(self.getParam("-o"), "w") as f:
+                f.write("<particlepicking>\n")
+                for b in blocks:
+                    bmd = MetaData(f"{b}@{fn_in}")
+                    mic = b.split("_", 1)[-1]
+                    f.write(f'<micrograph id="{mic}">\n')
+                    self._coord_xml(f, bmd)
+                    f.write("</micrograph>\n")
+                f.write("</particlepicking>\n")
+            return
         root = self.getParam("--root")
         with open(self.getParam("-o"), "w") as f:
             f.write("<?xml version='1.0' encoding='utf-8'?>\n")
@@ -46,27 +98,80 @@ class ProgMetadataSplit3D(XmippProgram):
     name = "xmipp_metadata_split_3d"
 
     def defineParams(self):
-        self.addUsageLine("Split particles into halves by projection "
-                          "direction hemisphere balance (gold-standard 3D "
-                          "splitting that keeps directions balanced).")
-        self.addParamsLine("   -i <md_file> : Input with angles")
-        self.addParamsLine("   --oroot <root> : Output rootname")
+        self.addUsageLine("Split particles into correlates-well/-poorly "
+                          "halves per projection direction "
+                          "(metadata_split_3D.cpp:63-210): for each gallery "
+                          "direction the neighbouring images are split at "
+                          "their median maxCC and each imageIndex "
+                          "accumulates +-1 votes.")
+        self.addParamsLine("   -i <md_file> : Input with angles, imageIndex and maxCC")
+        self.addParamsLine("  [--vol <volume=\"\">] : Reference volume (directions are generated from --sym/--angSampling; the volume itself is not reprojected)")
+        self.addParamsLine("  [--oroot <root=split>] : Output rootname")
+        self.addParamsLine("  [--sym <symmetry_file=c1>] : Symmetry")
+        self.addParamsLine("  [--angSampling <a=5>] : Angular sampling (deg)")
+        self.addParamsLine("  [--maxDist <a=10>] : Maximum angular distance (deg)")
 
     def run(self):
-        from xmipp3_tpu.core.sampling import directions_from_angles
+        from xmipp3_tpu.core.sampling import (compute_sampling_points,
+                                              remove_redundant_points)
+        from xmipp3_tpu.core.sym import SymList
         md = MetaData(self.getParam("-i"))
+        md.removeDisabled()
         rows = list(md.iterRows())
-        angles = np.stack([
-            np.array([float(r.get("angleRot", 0)) for r in rows]),
-            np.array([float(r.get("angleTilt", 0)) for r in rows])], axis=1)
-        d = directions_from_angles(angles)
-        # sort by direction then alternate -> balanced halves
-        order = np.lexsort((d[:, 0], d[:, 1], d[:, 2]))
-        h1 = [rows[i] for k, i in enumerate(order) if k % 2 == 0]
-        h2 = [rows[i] for k, i in enumerate(order) if k % 2 == 1]
-        root = self.getParam("--oroot")
-        MetaData.fromRows(h1).write(root + "_1.xmd")
-        MetaData.fromRows(h2).write(root + "_2.xmd")
+        root = self.getParam("--oroot") or "split"
+        sym = self.getParam("--sym") if self.checkParam("--sym") else "c1"
+        samp = (self.getDoubleParam("--angSampling")
+                if self.checkParam("--angSampling") else 5.0)
+        max_dist = np.deg2rad(self.getDoubleParam("--maxDist")
+                              if self.checkParam("--maxDist") else 10.0)
+
+        def direction(rot, tilt):
+            r, t = np.deg2rad(rot), np.deg2rad(tilt)
+            return np.array([np.cos(r) * np.sin(t),
+                             np.sin(r) * np.sin(t), np.cos(t)])
+
+        dirs_in = np.stack([
+            direction(float(r.get("angleRot", 0) or 0),
+                      float(r.get("angleTilt", 0) or 0)) for r in rows])
+        refno = np.array([int(r.get("imageIndex", i) or i)
+                          for i, r in enumerate(rows)])
+        cc = np.array([float(r.get("maxCC", 0) or 0) for r in rows])
+
+        gal = compute_sampling_points(samp, 0.0, 90.0)
+        gal = remove_redundant_points(gal, SymList(sym))
+        gal_dirs = np.stack([direction(a[0], a[1]) for a in gal])
+
+        votes = np.zeros(int(refno.max()) + 1)
+        cosmax = np.cos(max_dist)
+        for gd in gal_dirs:
+            near = (dirs_in @ gd) > cosmax
+            if not near.any():
+                continue
+            # one vote per distinct imageIndex at its best cc
+            idxs = refno[near]
+            ccs = cc[near]
+            best: dict[int, float] = {}
+            for k, c in zip(idxs, ccs):
+                if c > best.get(int(k), -np.inf):
+                    best[int(k)] = float(c)
+            vals = np.array(sorted(best.values()))
+            med = vals[len(vals) // 2]
+            for k, c in best.items():
+                votes[k] += 1.0 if c > med else -1.0
+
+        upper, lower = [], []
+        for i, r in enumerate(rows):
+            d = dict(r)
+            d["cost"] = float(votes[refno[i]])
+            if votes[refno[i]] > 0:
+                upper.append(d)
+            elif votes[refno[i]] < 0:
+                lower.append(d)
+        MetaData.fromRows(upper or [{"image": ""}]).write(root + "_upper.xmd")
+        MetaData.fromRows(lower or [{"image": ""}]).write(root + "_lower.xmd")
+        # compatibility with the previous _1/_2 naming used by our tests
+        MetaData.fromRows(upper or [{"image": ""}]).write(root + "_1.xmd")
+        MetaData.fromRows(lower or [{"image": ""}]).write(root + "_2.xmd")
 
 
 class ProgPhantomMovie(XmippProgram):
@@ -376,10 +481,32 @@ class ProgPDBAnalysis(XmippProgram):
     def defineParams(self):
         self.addUsageLine("Report geometric statistics of an atomic model.")
         self.addParamsLine("   -i <pdb> : Input model")
+        self.addParamsLine("  [--operation <op=stats>] : Operation to perform")
+        self.addParamsLine("    where <op>")
+        self.addParamsLine("      stats : Print geometric statistics")
+        self.addParamsLine("      distance_histogram <fileOut> <Nnearest=3> <MaxDistance=-1> : Histogram of distances between each atom and its N nearest neighbours (pdb_analysis.cpp:35-39)")
 
     def run(self):
         m = read_pdb(self.getParam("-i"))
         c = m.coords
+        if self.checkParam("--operation") and \
+                self.getParam("--operation") == "distance_histogram":
+            fn_hist = self.getParam("--operation", 1)
+            n_near = self.getIntParam("--operation", 2)
+            max_d = self.getDoubleParam("--operation", 3)
+            d = np.sqrt(((c[:, None] - c[None]) ** 2).sum(-1))
+            np.fill_diagonal(d, np.inf)
+            k = min(n_near, len(c) - 1)
+            nearest = np.sort(d, axis=1)[:, :k].ravel()
+            if max_d > 0:
+                nearest = nearest[nearest <= max_d]
+            counts, edges = np.histogram(nearest, bins=200)
+            centers = 0.5 * (edges[:-1] + edges[1:])
+            with open(fn_hist, "w") as f:
+                for x, v in zip(centers, counts):
+                    f.write(f"{x:12.6f} {v}\n")
+            self.hist = (centers, counts)
+            return
         center = c.mean(axis=0)
         extent = c.max(axis=0) - c.min(axis=0)
         rg = float(np.sqrt(((c - center) ** 2).sum(axis=1).mean()))
@@ -426,14 +553,37 @@ class ProgPDBReducePseudoatoms(XmippProgram):
     name = "xmipp_pdb_reduce_pseudoatoms"
 
     def defineParams(self):
-        self.addUsageLine("Reduce an atomic model to fewer pseudoatoms "
-                          "(k-means on coordinates, mass-weighted).")
+        self.addUsageLine("Reduce a pseudoatom model: keep the strongest "
+                          "atoms by intensity (pdb_reduce_pseudoatoms.cpp:"
+                          "43-46) or cluster to --num centers (k-means).")
         self.addParamsLine("   -i <pdb>  : Input model")
         self.addParamsLine("   -o <pdb>  : Reduced model")
-        self.addParamsLine("  [--num <n=100>] : Target pseudoatom count")
+        self.addParamsLine("  [--number <num=-1>] : Keep this many pseudoatoms with highest intensity")
+        self.addParamsLine("  [--threshold <thresh=0.0>] : Remove pseudoatoms below this intensity")
+        self.addParamsLine("  [--num <n=100>] : Target pseudoatom count (k-means clustering mode)")
 
     def run(self):
         m = read_pdb(self.getParam("-i"))
+        if self.checkParam("--number") or self.checkParam("--threshold"):
+            # reference semantics: intensity (occupancy) selection
+            inten = np.asarray(m.occupancies, np.float64)
+            keep = np.ones(len(m), bool)
+            if self.checkParam("--threshold"):
+                keep &= inten >= self.getDoubleParam("--threshold")
+            if self.checkParam("--number"):
+                num = self.getIntParam("--number")
+                if 0 < num < int(keep.sum()):
+                    order = np.argsort(-inten)
+                    chosen = [i for i in order if keep[i]][:num]
+                    keep = np.zeros(len(m), bool)
+                    keep[chosen] = True
+            sel = np.where(keep)[0]
+            out = AtomicModel(m.coords[sel],
+                              [m.elements[i] for i in sel],
+                              np.asarray(m.bfactors)[sel],
+                              np.asarray(m.occupancies)[sel])
+            write_pdb(self.getParam("-o"), out)
+            return
         n = min(self.getIntParam("--num"), len(m))
         rng = np.random.default_rng(0)
         centers = m.coords[rng.choice(len(m), n, replace=False)]
@@ -463,16 +613,28 @@ class ProgPDBSphDeform(XmippProgram):
         self.addParamsLine("  [--l1 <l=3>] : Zernike radial depth")
         self.addParamsLine("  [--l2 <l=2>] : Spherical harmonic depth")
         self.addParamsLine("  [--radius <r=-1>] : Normalization radius (Å)")
+        self.addParamsLine("  [--center_mass] : Center the PDB at its center of mass first")
+        self.addParamsLine("  [--boxsize <b=0>] : Box size (px) of the volume the coefficients were fitted in")
+        self.addParamsLine("  [--sr <s=1>] : Sampling rate (Å/px) of that volume")
 
     def run(self):
         from xmipp3_tpu.ops.zernike import (real_sph_harm, zernike_indices,
                                             zernike_radial)
-        m = read_pdb(self.getParam("--pdb")).centered()
+        m = read_pdb(self.getParam("--pdb"))
+        if self.checkParam("--center_mass"):
+            m = m.centered()
         md = MetaData(self.getParam("--clnm"))
         flat = np.asarray(md.getValue("sphCoefficients", md.firstObject()),
                           np.float64)
         coeffs = flat.reshape(3, -1)
         radius = self.getDoubleParam("--radius")
+        boxsize = (self.getIntParam("--boxsize")
+                   if self.checkParam("--boxsize") else 0)
+        sr = self.getDoubleParam("--sr") if self.checkParam("--sr") else 1.0
+        if radius <= 0 and boxsize > 0:
+            # normalization radius of the fitting volume, in Å
+            # (pdb_sph_deform.cpp:36-38)
+            radius = 0.5 * boxsize * sr
         if radius <= 0:
             radius = np.linalg.norm(m.coords, axis=1).max() + 1e-6
         r = np.linalg.norm(m.coords, axis=1) / radius

@@ -12,6 +12,10 @@ from xmipp3_tpu.core.program import XmippProgram
 
 
 class ProgMetadataSplit(XmippProgram):
+    """Reference contract: metadata_split.cpp:52-200 — random/ordered split,
+    --dont_sort/-l sort control, --dont_remove_disabled, and the
+    --use_correlation AHC coocurrence split of reconstruct_significant
+    cross-correlation volumes."""
     name = "xmipp_metadata_split"
 
     def defineParams(self):
@@ -20,6 +24,10 @@ class ProgMetadataSplit(XmippProgram):
         self.addParamsLine("  [-n <parts=2>]  : Number of output parts")
         self.addParamsLine("  [--oroot <root=\"\">] : Output rootname (default input name)")
         self.addParamsLine("  [--dont_randomize] : Keep input order")
+        self.addParamsLine("  [--dont_sort] : Do not sort the output metadatas")
+        self.addParamsLine("  [--dont_remove_disabled] : Keep disabled rows")
+        self.addParamsLine("  [--use_correlation <fnCC=\"\"> <iter=100> <subset=16>] : Coocurrence AHC split on a reconstruct_significant correlation volume (single reference)")
+        self.addParamsLine("  [-l <label=image>] : Sort using this label")
         self.addParamsLine("  [--seed <s=0>]  : Random seed")
 
     def run(self):
@@ -29,14 +37,62 @@ class ProgMetadataSplit(XmippProgram):
         n = self.getIntParam("-n")
         root = self.getParam("--oroot") or os.path.splitext(fn)[0]
         ext = os.path.splitext(fn)[1] or ".xmd"
+        use_cc = self.checkParam("--use_correlation") and \
+            self.getParam("--use_correlation", 0)
+        if not self.checkParam("--dont_remove_disabled"):
+            md.removeDisabled()
         idx = np.arange(len(md))
-        if not self.checkParam("--dont_randomize"):
+        if not self.checkParam("--dont_randomize") and not use_cc:
             rng = np.random.default_rng(self.getIntParam("--seed"))
             idx = rng.permutation(idx)
-        parts = np.array_split(idx, n)
+        n = min(n, len(md))
+        if use_cc:
+            parts = self._cc_split(str(use_cc), n)
+        else:
+            parts = np.array_split(idx, n)
+        sort_label = (self.getParam("-l") if self.checkParam("-l")
+                      else "image")
         for k, p in enumerate(parts):
-            sub = MetaData(md.df.iloc[np.sort(p)].reset_index(drop=True))
+            sub = MetaData(md.df.iloc[np.sort(np.asarray(p))]
+                           .reset_index(drop=True))
+            if not self.checkParam("--dont_sort") and \
+                    sub.containsLabel(sort_label):
+                sub.sort(sort_label)
             sub.write(f"{root}{k + 1:06d}{ext}")
+
+    def _cc_split(self, fn_cc: str, n_groups: int) -> list[np.ndarray]:
+        """AHC coocurrence split (metadata_split.cpp:131-180): cluster random
+        direction-subsets of the correlation matrix repeatedly, accumulate a
+        coocurrence matrix, then cluster its complement as a distance."""
+        from scipy.cluster.hierarchy import fcluster, linkage
+        from scipy.spatial.distance import squareform
+        from xmipp3_tpu.core.image import Image
+        cc = np.asarray(Image(fn_cc).data, np.float64)
+        if cc.ndim == 2:
+            cc = cc[:, None, :]
+        n_imgs, n_vols, n_dirs = cc.shape
+        if n_vols != 1:
+            from xmipp3_tpu.core.errors import ErrCode, XmippError
+            raise XmippError(ErrCode.ARG_INCORRECT,
+                             "--use_correlation needs a single-reference "
+                             "correlation volume")
+        iters = int(self.getIntParam("--use_correlation", 1))
+        subset = min(int(self.getIntParam("--use_correlation", 2)), n_dirs)
+        rng = np.random.default_rng(self.getIntParam("--seed"))
+        co = np.zeros((n_imgs, n_imgs), np.int64)
+        for _ in range(iters):
+            cols = rng.permutation(n_dirs)[:subset]
+            X = cc[:, 0, cols]
+            lab = fcluster(linkage(X, method="ward"), n_groups,
+                           criterion="maxclust")
+            same = lab[:, None] == lab[None, :]
+            co += same
+        D = co.max() - co
+        np.fill_diagonal(D, 0)
+        lab = fcluster(linkage(squareform(D, checks=False),
+                               method="complete"),
+                       n_groups, criterion="maxclust")
+        return [np.where(lab == g + 1)[0] for g in range(n_groups)]
 
 
 class ProgMetadataImport(XmippProgram):
@@ -45,11 +101,17 @@ class ProgMetadataImport(XmippProgram):
     def defineParams(self):
         self.addUsageLine("Import a plain text (columns) file as metadata.")
         self.addParamsLine("   -i <text_file>  : Input text file")
-        self.addParamsLine("   -o <metadata>   : Output metadata")
-        self.addParamsLine("   --columns <...> : Label names of the columns")
+        self.addParamsLine("  [-o <metadata=\"\">] : Output metadata (stdout if absent)")
+        self.addParamsLine("  [--labels <...>] : Label names of the columns (space-separated)")
+        self.addParamsLine("   alias -l;")
+        self.addParamsLine("   alias --columns;")
+        self.addParamsLine("  [--merge <metadata=\"\">] : Merge the imported columns into this existing metadata")
+        self.addParamsLine("   alias -m;")
 
     def run(self):
-        labels = self.getListParam("--columns")
+        labels = self.getListParam("--labels")
+        if len(labels) == 1 and " " in labels[0]:
+            labels = labels[0].split()
         rows = []
         with open(self.getParam("-i")) as f:
             for line in f:
@@ -67,19 +129,36 @@ class ProgMetadataImport(XmippProgram):
                         except ValueError:
                             row[lab] = tok
                 rows.append(row)
-        MetaData.fromRows(rows).write(self.getParam("-o"))
+        out = MetaData.fromRows(rows)
+        if self.checkParam("--merge") and self.getParam("--merge"):
+            base = MetaData(self.getParam("--merge"))
+            for lab in out.df.columns:
+                base.df[lab] = out.df[lab].values[:len(base)]
+            out = base
+        if self.checkParam("-o") and self.getParam("-o"):
+            out.write(self.getParam("-o"))
+        else:
+            print(out.df.to_string(index=False))
 
 
 class ProgMetadataHistogram(XmippProgram):
     name = "xmipp_metadata_histogram"
 
     def defineParams(self):
-        self.addUsageLine("Histogram of a metadata column.")
+        self.addUsageLine("Histogram of a metadata column (1D or 2D).")
         self.addParamsLine("   -i <metadata>  : Input metadata")
         self.addParamsLine("   --col <label>  : Column to histogram")
         self.addParamsLine("  [-o <out=\"\">]   : Output metadata (stdout if absent)")
         self.addParamsLine("  [--steps <n=100>] : Number of bins")
         self.addParamsLine("  [--range <min> <max>] : Histogram range")
+        self.addParamsLine("  [--col2 <label=\"\">] : Second column for a 2D histogram")
+        self.addParamsLine("  [--range2 <m> <M>] : Range for the second column")
+        self.addParamsLine("     requires --col2;")
+        self.addParamsLine("  [--steps2 <N=100>] : Number of bins in the second column")
+        self.addParamsLine("     requires --col2;")
+        self.addParamsLine("  [--percentil <p=50.>] : Print this percentile (1D only)")
+        self.addParamsLine("  [--write_as_image <image_file=\"\">] : Write the 2D histogram as an image")
+        self.addParamsLine("     requires --col2;")
 
     def run(self):
         md = MetaData(self.getParam("-i"))
@@ -90,8 +169,40 @@ class ProgMetadataHistogram(XmippProgram):
                    self.getDoubleParam("--range", 1))
         else:
             rng = (float(vals.min()), float(vals.max()))
+        col2 = (self.getParam("--col2")
+                if self.checkParam("--col2") else "")
+        if col2:
+            vals2 = md.getColumn(col2).astype(float)
+            n2 = (self.getIntParam("--steps2")
+                  if self.checkParam("--steps2") else 100)
+            if self.checkParam("--range2"):
+                rng2 = (self.getDoubleParam("--range2", 0),
+                        self.getDoubleParam("--range2", 1))
+            else:
+                rng2 = (float(vals2.min()), float(vals2.max()))
+            H, ex, ey = np.histogram2d(vals, vals2, bins=(n, n2),
+                                       range=(rng, rng2))
+            self.hist2d = H
+            if self.checkParam("--write_as_image") and \
+                    self.getParam("--write_as_image"):
+                from xmipp3_tpu.core.image import save_image
+                save_image(self.getParam("--write_as_image"),
+                           H.astype(np.float32))
+            cx = 0.5 * (ex[:-1] + ex[1:])
+            cy = 0.5 * (ey[:-1] + ey[1:])
+            rows = [{"x": float(cx[i]), "y": float(cy[j]),
+                     "count": int(H[i, j])}
+                    for i in range(n) for j in range(n2)]
+            out = MetaData.fromRows(rows)
+            if self.checkParam("-o") and self.getParam("-o"):
+                out.write(self.getParam("-o"))
+            return
         counts, edges = np.histogram(vals, bins=n, range=rng)
         centers = 0.5 * (edges[:-1] + edges[1:])
+        if self.checkParam("--percentil"):
+            p = self.getDoubleParam("--percentil")
+            self.percentil = float(np.percentile(vals, p))
+            print(f"percentil {p:g}%: {self.percentil:.6g}")
         out = MetaData.fromRows([{"x": float(c), "count": int(v)}
                                  for c, v in zip(centers, counts)])
         if self.checkParam("-o") and self.getParam("-o"):

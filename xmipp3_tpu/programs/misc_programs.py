@@ -25,6 +25,11 @@ class ProgTransformDimred(XmippProgram):
         self.addParamsLine("   -o <md_file>     : Output metadata with coords")
         self.addParamsLine("  [--method <m=PCA>] : PCA|pPCA|kPCA|LE|LPP|LLE|NPE|LTSA|LLTSA|HLLE|DM|Sammon|SPE|NCA|GPLVM")
         self.addParamsLine("  [--dout <d=2>]     : Output dimension")
+        self.addParamsLine("  [--distance <d=Correlation>] : Image distance")
+        self.addParamsLine("    where <d>")
+        self.addParamsLine("      Euclidean   : Euclidean distance, no alignment")
+        self.addParamsLine("      Correlation : Correlation after alignment (images are normalized and rotation/shift-aligned to the set average before vectorizing)")
+        self.addParamsLine("  [--randomSample <file=\"\"> <num=3>] : Write a metadata sampling the reduced map on a num x num grid (nearest image per cell)")
 
     def run(self):
         from xmipp3_tpu.core.metadata_program import is_metadata_file
@@ -38,7 +43,20 @@ class ProgTransformDimred(XmippProgram):
             imgs = Image.read_stack(fn)
             rows = [{"image": f"{i + 1:06d}@{fn}", "itemId": i + 1}
                     for i in range(len(imgs))]
-        X = imgs.reshape(len(imgs), -1).astype(np.float64)
+        dist = (self.getParam("--distance")
+                if self.checkParam("--distance") else "Correlation")
+        if dist == "Correlation" and imgs.ndim == 3:
+            # correlation distance = Euclidean on normalized ALIGNED images
+            # (transform_dimred.cpp:61-64); align everything to the average
+            from xmipp3_tpu.ops.align import iterative_align
+            ref = imgs.mean(axis=0)
+            imgs = np.asarray(iterative_align(ref, imgs)[-1])
+            flat = imgs.reshape(len(imgs), -1).astype(np.float64)
+            flat -= flat.mean(axis=1, keepdims=True)
+            nrm = np.linalg.norm(flat, axis=1, keepdims=True)
+            X = flat / np.maximum(nrm, 1e-12)
+        else:
+            X = imgs.reshape(len(imgs), -1).astype(np.float64)
         Y = reduce_dimensionality(X, self.getParam("--method"),
                                   self.getIntParam("--dout"))
         out = []
@@ -47,6 +65,20 @@ class ProgTransformDimred(XmippProgram):
             d["dimred"] = np.asarray(Y[i], np.float32)
             out.append(d)
         MetaData.fromRows(out).write(self.getParam("-o"))
+        if self.checkParam("--randomSample") and \
+                self.getParam("--randomSample", 0):
+            fn_s = self.getParam("--randomSample", 0)
+            num = self.getIntParam("--randomSample", 1)
+            Y2 = np.asarray(Y)[:, :2]
+            lo, hi = Y2.min(axis=0), Y2.max(axis=0)
+            picked = []
+            for gy in range(num):
+                for gx in range(num):
+                    c = lo + (np.array([gx, gy]) + 0.5) / num * (hi - lo)
+                    k = int(np.argmin(((Y2 - c) ** 2).sum(axis=1)))
+                    if k not in picked:
+                        picked.append(k)
+            MetaData.fromRows([out[k] for k in picked]).write(fn_s)
 
 
 class ProgAngularDistributionShow(XmippProgram):
@@ -226,35 +258,132 @@ class ProgTransformMorphology(XmippMetadataProgram):
     name = "xmipp_transform_morphology"
 
     def defineProcessParams(self):
-        self.addUsageLine("Binary morphology on masks (dilation/erosion/"
-                          "opening/closing).")
-        self.addParamsLine(" --binaryOperation <op> : Operation")
+        self.addUsageLine("Morphological operations on binary or gray "
+                          "images (transform_morphology.cpp:61-91).")
+        self.addParamsLine("[--binaryOperation <op>] : Morphological operation on binary images")
         self.addParamsLine("    where <op>")
-        self.addParamsLine("       dilation <size=1> : Dilate")
-        self.addParamsLine("       erosion <size=1>  : Erode")
-        self.addParamsLine("       opening <size=1>  : Open")
-        self.addParamsLine("       closing <size=1>  : Close")
+        self.addParamsLine("       dilation : Dilate white region")
+        self.addParamsLine("       erosion  : Erode white region")
+        self.addParamsLine("       closing  : Dilation+Erosion, removes black spots")
+        self.addParamsLine("       opening  : Erosion+Dilation, removes white spots")
+        self.addParamsLine("       keepBiggest : Keep the biggest connected component")
+        self.addParamsLine("       removeSmall <size=10> : Remove components smaller than this size")
+        self.addParamsLine("[--grayOperation <op>] : Morphological operation on gray images")
+        self.addParamsLine("    where <op>")
+        self.addParamsLine("       sharpening <w=1> <s=0.5> : Morphological toggle sharpening with width w and strength s")
+        self.addParamsLine("[--neigh2D <n=Neigh8>] : 2D neighbourhood: Neigh4|Neigh8")
+        self.addParamsLine("     requires --binaryOperation;")
+        self.addParamsLine("[--neigh3D <n=Neigh18>] : 3D neighbourhood: Neigh6|Neigh18|Neigh26")
+        self.addParamsLine("     requires --binaryOperation;")
+        self.addParamsLine("[--size <s=1>] : Size of the structural element")
+        self.addParamsLine("     requires --binaryOperation;")
+        self.addParamsLine("[--count <c=0>] : Minimum required neighbors with distinct value")
+        self.addParamsLine("     requires --binaryOperation;")
 
     def readProcessParams(self):
-        toks = self.getListParam("--binaryOperation")
-        self.op = toks[0]
-        self.size = int(float(toks[1])) if len(toks) > 1 else 1
+        self.op = None
+        self.gray_op = None
+        if self.checkParam("--binaryOperation"):
+            toks = self.getListParam("--binaryOperation")
+            self.op = toks[0]
+            self.small_size = int(float(toks[1])) if len(toks) > 1 else 10
+        elif self.checkParam("--grayOperation"):
+            toks = self.getListParam("--grayOperation")
+            self.gray_op = toks[0]
+            self.gray_w = int(float(toks[1])) if len(toks) > 1 else 1
+            self.gray_s = float(toks[2]) if len(toks) > 2 else 0.5
+        else:
+            from xmipp3_tpu.core.errors import ErrCode, XmippError
+            raise XmippError(ErrCode.ARG_MISSING,
+                             "--binaryOperation or --grayOperation required")
+        self.size = (self.getIntParam("--size")
+                     if self.checkParam("--size") else 1)
+        self.count = (self.getIntParam("--count")
+                      if self.checkParam("--count") else 0)
+        self.neigh2d = (self.getParam("--neigh2D")
+                        if self.checkParam("--neigh2D") else "Neigh8")
+        self.neigh3d = (self.getParam("--neigh3D")
+                        if self.checkParam("--neigh3D") else "Neigh18")
+
+    def _structure(self, ndim):
+        from scipy import ndimage
+        if ndim == 2:
+            conn = 1 if self.neigh2d == "Neigh4" else 2
+        else:
+            conn = {"Neigh6": 1, "Neigh18": 2, "Neigh26": 3}.get(
+                self.neigh3d, 2)
+        return ndimage.generate_binary_structure(ndim, conn)
+
+    def _binary(self, b):
+        from scipy import ndimage
+        st = self._structure(b.ndim)
+        it = self.size
+
+        def dil(x):
+            if self.count > 0:
+                # reference dilate2D/3D count semantics: a black pixel turns
+                # white only when >= count neighbors are white
+                for _ in range(it):
+                    xi = x.astype(np.int32)
+                    nb = ndimage.convolve(xi, st.astype(np.int32),
+                                          mode="constant") - xi
+                    x = x | (nb >= self.count)
+                return x
+            return ndimage.binary_dilation(x, st, iterations=it)
+
+        def ero(x):
+            if self.count > 0:
+                for _ in range(it):
+                    inv = (~x).astype(np.int32)
+                    nb = ndimage.convolve(inv, st.astype(np.int32),
+                                          mode="constant") - inv
+                    x = x & ~(nb >= self.count)
+                return x
+            return ndimage.binary_erosion(x, st, iterations=it)
+
+        if self.op == "dilation":
+            return dil(b)
+        if self.op == "erosion":
+            return ero(b)
+        if self.op == "opening":
+            return dil(ero(b))
+        if self.op == "closing":
+            return ero(dil(b))
+        if self.op == "keepBiggest":
+            lab, n = ndimage.label(b, structure=st)
+            if n == 0:
+                return b
+            sizes = ndimage.sum_labels(np.ones_like(lab), lab,
+                                       index=np.arange(1, n + 1))
+            return lab == (1 + int(np.argmax(sizes)))
+        if self.op == "removeSmall":
+            lab, n = ndimage.label(b, structure=st)
+            if n == 0:
+                return b
+            sizes = ndimage.sum_labels(np.ones_like(lab), lab,
+                                       index=np.arange(1, n + 1))
+            keep = np.concatenate([[False], sizes >= self.small_size])
+            return keep[lab]
+        raise ValueError(f"unknown binaryOperation {self.op}")
+
+    def _sharpen(self, img):
+        """Morphological toggle sharpening (Schavemaker et al. 2000):
+        replace each voxel by its dilation or erosion, whichever is closer,
+        blended by the strength."""
+        from scipy import ndimage
+        sz = 2 * self.gray_w + 1
+        D = ndimage.grey_dilation(img, size=(sz,) * img.ndim)
+        E = ndimage.grey_erosion(img, size=(sz,) * img.ndim)
+        toggle = np.where(D - img < img - E, D, E)
+        return (1.0 - self.gray_s) * img + self.gray_s * toggle
 
     def processBatch(self, imgs, rows):
-        from scipy import ndimage
         out = np.empty_like(imgs)
         for i in range(len(imgs)):
-            b = imgs[i] > 0.5
-            it = self.size
-            if self.op == "dilation":
-                r = ndimage.binary_dilation(b, iterations=it)
-            elif self.op == "erosion":
-                r = ndimage.binary_erosion(b, iterations=it)
-            elif self.op == "opening":
-                r = ndimage.binary_opening(b, iterations=it)
+            if self.gray_op == "sharpening":
+                out[i] = self._sharpen(imgs[i].astype(np.float64))
             else:
-                r = ndimage.binary_closing(b, iterations=it)
-            out[i] = r.astype(np.float32)
+                out[i] = self._binary(imgs[i] > 0.5).astype(np.float32)
         return out
 
 
@@ -264,18 +393,41 @@ class ProgTransformCenterImage(XmippMetadataProgram):
     def defineProcessParams(self):
         self.addUsageLine("Center images by the symmetry of their "
                           "autocorrelation (180° self-alignment).")
+        self.addParamsLine("[--iter <n=10>] : Number of centering iterations")
+        self.addParamsLine("[--limit <l=-1>] : Maximum shift allowed per iteration")
+        self.addParamsLine("[--save_metadata_transform] : Save the applied shifts in the output metadata")
 
     def readProcessParams(self):
-        pass
+        self.n_iter = (self.getIntParam("--iter")
+                       if self.checkParam("--iter") else 10)
+        self.limit = (self.getDoubleParam("--limit")
+                      if self.checkParam("--limit") else -1.0)
+        self.save_transform = self.checkParam("--save_metadata_transform")
 
     def processBatch(self, imgs, rows):
         from xmipp3_tpu.ops.shift import best_shift
         from xmipp3_tpu.ops.fourier import fourier_shift_2d
-        rot180 = imgs[:, ::-1, ::-1]
-        sx, sy, _ = (np.asarray(v) for v in best_shift(imgs, rot180))
-        # best_shift returns the shift registering rot180 onto img; moving the
-        # image by the negative half puts the symmetry center at the origin
-        return np.asarray(fourier_shift_2d(imgs, -sx / 2, -sy / 2))
+        total_sx = np.zeros(len(imgs), np.float32)
+        total_sy = np.zeros(len(imgs), np.float32)
+        cur = imgs
+        for _ in range(max(1, self.n_iter)):
+            rot180 = cur[:, ::-1, ::-1]
+            sx, sy, _ = (np.asarray(v) for v in best_shift(cur, rot180))
+            dx, dy = -sx / 2, -sy / 2
+            if self.limit > 0:
+                dx = np.clip(dx, -self.limit, self.limit)
+                dy = np.clip(dy, -self.limit, self.limit)
+            if float(np.abs(dx).max()) < 0.05 and \
+                    float(np.abs(dy).max()) < 0.05:
+                break
+            total_sx += dx.astype(np.float32)
+            total_sy += dy.astype(np.float32)
+            cur = np.asarray(fourier_shift_2d(imgs, total_sx, total_sy))
+        if self.save_transform:
+            for i, r in enumerate(rows):
+                r["shiftX"] = float(total_sx[i])
+                r["shiftY"] = float(total_sy[i])
+        return cur
 
 
 PROGRAM = None

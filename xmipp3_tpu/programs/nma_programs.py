@@ -233,13 +233,14 @@ class ProgPDBNMADeform(XmippProgram):
                           "amplitudes.")
         self.addParamsLine("   --pdb <file>  : Input PDB")
         self.addParamsLine("   -o <file>     : Deformed PDB")
-        self.addParamsLine("   --modes <md>  : Metadata listing mode files")
+        self.addParamsLine("   --nma <md>  : Metadata listing mode files (label nmaModefile)")
+        self.addParamsLine("   alias --modes;")
         self.addParamsLine("   --deformations <...> : One amplitude per mode")
 
     def run(self):
         from xmipp3_tpu.models.nma import read_mode
         model = read_pdb(self.getParam("--pdb"))
-        md_modes = MetaData(self.getParam("--modes"))
+        md_modes = MetaData(self.getParam("--nma"))
         modes = np.stack([read_mode(str(r["nmaModefile"]))
                           for r in md_modes.iterRows()])
         amps = np.array([float(t) for t in

@@ -204,14 +204,29 @@ class ProgTransformAddNoise(XmippMetadataProgram):
         self.addParamsLine("       gaussian <stddev=1> <avg=0> : Gaussian noise")
         self.addParamsLine("       student <df=3> <stddev=1> <avg=0> : t-Student noise")
         self.addParamsLine("       uniform <min=0> <max=1>     : Uniform noise")
+        self.addParamsLine("[--limit0 <low=0>] : Crop the noise histogram below this value")
+        self.addParamsLine("[--limitF <high=0>] : Crop the noise histogram above this value")
         self.addParamsLine("[--seed <s=-1>] : Random seed (-1 = nondeterministic)")
 
     def readProcessParams(self):
         toks = self.getListParam("--type") or ["gaussian", "1", "0"]
         self.noise_type = toks[0]
         self.noise_args = [float(t) for t in toks[1:]]
+        self.limit0 = (self.getDoubleParam("--limit0")
+                       if self.checkParam("--limit0") else None)
+        self.limitF = (self.getDoubleParam("--limitF")
+                       if self.checkParam("--limitF") else None)
         seed = self.getIntParam("--seed") if self.checkParam("--seed") else -1
         self.rng = np.random.default_rng(None if seed < 0 else seed)
+
+    def _crop(self, noise):
+        # reference init_random with limits: the noise histogram is cropped
+        # (transform_add_noise.cpp:56-57, --limit0/--limitF)
+        if self.limit0 is not None:
+            noise = np.maximum(noise, self.limit0)
+        if self.limitF is not None:
+            noise = np.minimum(noise, self.limitF)
+        return noise
 
     def processBatch(self, imgs, rows):
         shape = imgs.shape
@@ -219,17 +234,16 @@ class ProgTransformAddNoise(XmippMetadataProgram):
         if t == "gaussian":
             std = self.noise_args[0] if self.noise_args else 1.0
             avg = self.noise_args[1] if len(self.noise_args) > 1 else 0.0
-            return imgs + self.rng.normal(avg, std, shape).astype(np.float32)
+            return imgs + self._crop(self.rng.normal(avg, std, shape)).astype(np.float32)
         if t == "student":
             df, std = self.noise_args[0], self.noise_args[1] if \
                 len(self.noise_args) > 1 else 1.0
             avg = self.noise_args[2] if len(self.noise_args) > 2 else 0.0
-            return imgs + (avg + std * self.rng.standard_t(df, shape)
-                           ).astype(np.float32)
+            return imgs + self._crop(avg + std * self.rng.standard_t(df, shape)).astype(np.float32)
         if t == "uniform":
             lo = self.noise_args[0] if self.noise_args else 0.0
             hi = self.noise_args[1] if len(self.noise_args) > 1 else 1.0
-            return imgs + self.rng.uniform(lo, hi, shape).astype(np.float32)
+            return imgs + self._crop(self.rng.uniform(lo, hi, shape)).astype(np.float32)
         raise ValueError(t)
 
 
