@@ -81,9 +81,18 @@ def test_wiener_program_restores(tmp_path):
     fn = str(tmp_path / "in.mrcs")
     save_image(fn, corrupted)
     out = str(tmp_path / "wiener.mrcs")
-    run_prog("ctf_correct_wiener2d", f"-i {fn} -o {out} --ctf {fn_ctf} --wc 0.05")
+    # the degradation includes the damping envelope, so ask the Wiener
+    # filter to invert it too (reference default is without envelope,
+    # wiener2d.cpp:55-58)
+    run_prog("ctf_correct_wiener2d",
+             f"-i {fn} -o {out} --ctf {fn_ctf} --wc 0.05 --correct_envelope")
     rest = Image.read_stack(out)
     assert corr(rest[0], clean[0]) > 0.85
+    # without --correct_envelope the pure-CTF Wiener still helps
+    out2 = str(tmp_path / "wiener2.mrcs")
+    run_prog("ctf_correct_wiener2d", f"-i {fn} -o {out2} --ctf {fn_ctf}")
+    rest2 = Image.read_stack(out2)
+    assert corr(rest2[0], clean[0]) > corr(corrupted[0], clean[0])
 
 
 def test_ctf_group_program(tmp_path):

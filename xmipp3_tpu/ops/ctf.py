@@ -339,19 +339,44 @@ def phase_flip(imgs, ctf: CTFDescription):
 
 
 def wiener_filter_2d(imgs, ctf: CTFDescription, wiener_constant: float = 0.1,
-                     isIsotropic: bool = True, phase_flipped: bool = False):
-    """2-D Wiener CTF correction (reference Wiener2D, data/wiener2d.h:36)."""
+                     isIsotropic: bool = False, phase_flipped: bool = False,
+                     pad: float = 1.0, correct_envelope: bool = False):
+    """2-D Wiener CTF correction (reference Wiener2D, data/wiener2d.h:36).
+
+    wiener_constant < 0 uses the FREALIGN default (10% of the mean CTF
+    power); isIsotropic replaces the astigmatic defocus by its mean; pad
+    Fourier-pads by the factor before filtering (ctf_correct_wiener2d.cpp:
+    48-53); correct_envelope includes the damping envelope in the inverted
+    CTF."""
     imgs = jnp.asarray(imgs, jnp.float32)
     single = imgs.ndim == 2
     if single:
         imgs = imgs[None]
     B, H, W = imgs.shape
-    c = ctf.generate_2d(H, W, rfft_layout=True)
+    if isIsotropic:
+        import copy
+        ctf = copy.copy(ctf)
+        d = 0.5 * (float(ctf.defocusU) + float(ctf.defocusV))
+        ctf.defocusU = ctf.defocusV = d
+        ctf.azimuthal_angle = 0.0
+    Hp = int(round(H * max(pad, 1.0)))
+    Wp = int(round(W * max(pad, 1.0)))
+    c = ctf.generate_2d(Hp, Wp, rfft_layout=True,
+                        damped=bool(correct_envelope))
     if phase_flipped:
         c = jnp.abs(c)
-    denom = c * c + wiener_constant
-    wien = c / denom
-    out = jnp.fft.irfft2(jnp.fft.rfft2(imgs) * wien[None], s=(H, W))
+    wc = wiener_constant
+    if wc < 0:
+        wc = 0.1 * jnp.mean(c * c)
+    wien = c / (c * c + wc)
+    if (Hp, Wp) != (H, W):
+        py, px = (Hp - H) // 2, (Wp - W) // 2
+        padded = jnp.pad(imgs, ((0, 0), (py, Hp - H - py),
+                                (px, Wp - W - px)))
+        out = jnp.fft.irfft2(jnp.fft.rfft2(padded) * wien[None], s=(Hp, Wp))
+        out = out[:, py:py + H, px:px + W]
+    else:
+        out = jnp.fft.irfft2(jnp.fft.rfft2(imgs) * wien[None], s=(H, W))
     return out[0] if single else out
 
 

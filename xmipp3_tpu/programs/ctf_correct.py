@@ -38,16 +38,22 @@ class ProgCTFPhaseFlip(XmippMetadataProgram):
         self.addUsageLine("Correct the phase of the CTF (sign flip).")
         self.addParamsLine("  [--ctf <ctfparam=\"\">] : CTF file (else per-row ctf columns)")
         self.addParamsLine("  [--sampling <Ts=0>]  : Override sampling rate")
+        self.addParamsLine("   alias --sampling_rate;")
+        self.addParamsLine("  [--downsampling <D=1>] : Downsampling factor of the input wrt the original micrograph (Ts defaults to ctfparam sampling x D, ctf_phase_flip.cpp:37-40)")
 
     def readProcessParams(self):
         self.fn_ctf = self.getParam("--ctf") if self.checkParam("--ctf") else ""
         self.Ts = self.getDoubleParam("--sampling")
+        self.downsampling = (self.getDoubleParam("--downsampling")
+                             if self.checkParam("--downsampling") else 1.0)
 
     def processBatch(self, imgs, rows):
         if self.fn_ctf:
             ctf = CTFDescription.from_metadata(self.fn_ctf)
             if self.Ts > 0:
                 ctf.sampling_rate = self.Ts
+            elif self.downsampling != 1.0:
+                ctf.sampling_rate = ctf.sampling_rate * self.downsampling
             return np.asarray(phase_flip(imgs, ctf))
         out = np.empty_like(imgs)
         for i, r in enumerate(rows):
@@ -63,28 +69,39 @@ class ProgCTFCorrectWiener2D(XmippMetadataProgram):
         self.addUsageLine("Wiener-filter CTF correction of images.")
         self.addParamsLine("  [--ctf <ctfparam=\"\">] : CTF file (else per-row ctf columns)")
         self.addParamsLine("  [--sampling_rate <Ts=0>] : Override sampling")
-        self.addParamsLine("  [--wc <w=0.05>]      : Wiener constant")
+        self.addParamsLine("  [--wc <w=-1>]        : Wiener constant (<0: FREALIGN default, 10% of mean CTF power)")
         self.addParamsLine("  [--phase_flipped]    : Images are already phase flipped")
+        self.addParamsLine("  [--isIsotropic]      : Treat the defocus as isotropic (mean of U/V)")
+        self.addParamsLine("  [--pad <factor=2.>]  : Padding factor for the Wiener correction")
+        self.addParamsLine("  [--correct_envelope] : Also correct the CTF envelope")
 
     def readProcessParams(self):
         self.fn_ctf = self.getParam("--ctf") if self.checkParam("--ctf") else ""
         self.Ts = self.getDoubleParam("--sampling_rate")
         self.wc = self.getDoubleParam("--wc")
         self.flipped = self.checkParam("--phase_flipped")
+        self.isotropic = self.checkParam("--isIsotropic")
+        self.pad = (self.getDoubleParam("--pad")
+                    if self.checkParam("--pad") else 2.0)
+        self.envelope = self.checkParam("--correct_envelope")
+
+    def _wiener(self, imgs, ctf):
+        return wiener_filter_2d(imgs, ctf, self.wc,
+                                isIsotropic=self.isotropic,
+                                phase_flipped=self.flipped,
+                                pad=self.pad,
+                                correct_envelope=self.envelope)
 
     def processBatch(self, imgs, rows):
         if self.fn_ctf:
             ctf = CTFDescription.from_metadata(self.fn_ctf)
             if self.Ts > 0:
                 ctf.sampling_rate = self.Ts
-            return np.asarray(wiener_filter_2d(imgs, ctf, self.wc,
-                                               phase_flipped=self.flipped))
+            return np.asarray(self._wiener(imgs, ctf))
         out = np.empty_like(imgs)
         for i, r in enumerate(rows):
             ctf = _row_ctf(r, self.Ts if self.Ts > 0 else None)
-            out[i] = np.asarray(wiener_filter_2d(
-                imgs[i][None], ctf, self.wc,
-                phase_flipped=self.flipped))[0]
+            out[i] = np.asarray(self._wiener(imgs[i][None], ctf))[0]
         return out
 
 

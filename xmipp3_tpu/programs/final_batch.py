@@ -831,33 +831,86 @@ class ProgCTFCorrectWiener3D(XmippProgram):
     name = "xmipp_ctf_correct_wiener3d"
 
     def defineParams(self):
-        self.addUsageLine("3D Wiener CTF correction: deconvolve a volume "
-                          "reconstructed from CTF-affected images given the "
-                          "average CTF of its defocus groups.")
-        self.addParamsLine("   -i <volume>  : Input volume")
-        self.addParamsLine("   --ctf <ctfparam> : Representative CTF")
-        self.addParamsLine("  [-o <out=wiener3d.vol>] : Output")
-        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size")
-        self.addParamsLine("  [--wc <w=0.05>] : Wiener constant")
+        self.addUsageLine("3D Wiener deconvolution of defocus-group volumes "
+                          "(ctf_correct_wiener3d.cpp:61-69): combines the "
+                          "group volumes with image-count-weighted Wiener "
+                          "filters and writes the per-group refiltered "
+                          "volumes.")
+        self.addParamsLine("   -i <input>  : Metadata with _image (group volume), _CTFModel and _class_count columns, or a single volume")
+        self.addParamsLine("  [--oroot <root=wiener3d>] : Output rootname (root_deconvolved.vol + root_ctffiltered_groupNN.vol)")
+        self.addParamsLine("  [--minFreq <Ang=-1>] : Apply the Wiener filter only beyond this resolution (A)")
+        self.addParamsLine("  [--phase_flipped] : Volumes were reconstructed from phase-corrected images")
+        self.addParamsLine("  [--wienerConstant <K=0.05>] : Wiener constant (multiplied by the total image count)")
+        self.addParamsLine("  [--ctf <ctfparam=\"\">] : Representative CTF (single-volume mode)")
+        self.addParamsLine("  [-o <out=\"\">] : Output (single-volume mode)")
+        self.addParamsLine("  [--sampling <Ts=0>] : Override pixel size")
+        self.addParamsLine("  [--wc <w=0.05>] : Wiener constant (single-volume mode)")
+
+    def _radial_ctf(self, ctf, shape, phase_flipped):
+        from xmipp3_tpu.ops.fourier import freq_grid_3d
+        fz, fy, fx = freq_grid_3d(*shape)
+        r = np.sqrt(fz ** 2 + fy ** 2 + fx ** 2) / ctf.sampling_rate
+        c = np.asarray(ctf.pure_at(r, np.zeros_like(r)))
+        return np.abs(c) if phase_flipped else c, r
 
     def run(self):
-        import jax.numpy as jnp
+        from xmipp3_tpu.core.metadata_program import is_metadata_file
         from xmipp3_tpu.ops.ctf import CTFDescription
-        vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
-        ctf = CTFDescription.from_metadata(self.getParam("--ctf"))
+        fn_in = self.getParam("-i")
         Ts = self.getDoubleParam("--sampling")
+        flipped = self.checkParam("--phase_flipped")
+        if is_metadata_file(fn_in):
+            md = MetaData(fn_in)
+            root = (self.getParam("--oroot")
+                    if self.checkParam("--oroot") else "wiener3d")
+            K = self.getDoubleParam("--wienerConstant")
+            min_freq = self.getDoubleParam("--minFreq")
+            vols, ctfs, counts = [], [], []
+            for r in md.iterRows():
+                vols.append(np.squeeze(Image(str(r["image"])).data)
+                            .astype(np.float64))
+                ctf = CTFDescription.from_metadata(str(r["ctfModel"]))
+                if Ts > 0:
+                    ctf.sampling_rate = Ts
+                ctfs.append(ctf)
+                counts.append(float(r.get("classCount", 1) or 1))
+            shape = vols[0].shape
+            Ntot = sum(counts)
+            cs = []
+            for ctf in ctfs:
+                c, freq = self._radial_ctf(ctf, shape, flipped)
+                cs.append(c)
+            denom = K * Ntot + sum(n * c * c
+                                   for n, c in zip(counts, cs))
+            num = None
+            F = [np.fft.rfftn(v) for v in vols]
+            wiens = []
+            for n, c, f in zip(counts, cs, F):
+                w = n * c / denom
+                if min_freq > 0:
+                    # below the resolution limit: plain count-weighted average
+                    low = freq < 1.0 / min_freq
+                    w = np.where(low, n / Ntot, w)
+                wiens.append(w)
+                num = f * w if num is None else num + f * w
+            dec = np.fft.irfftn(num, s=shape)
+            save_image(root + "_deconvolved.vol", dec.astype(np.float32))
+            for g, (c, _w) in enumerate(zip(cs, wiens), start=1):
+                filt = np.fft.irfftn(np.fft.rfftn(dec) * c, s=shape)
+                save_image(f"{root}_ctffiltered_group{g:02d}.vol",
+                           filt.astype(np.float32))
+            return
+        # single-volume convenience mode (previous surface, kept)
+        vol = np.squeeze(Image(fn_in).data).astype(np.float32)
+        ctf = CTFDescription.from_metadata(self.getParam("--ctf"))
         if Ts > 0:
             ctf.sampling_rate = Ts
-        D = vol.shape[0]
-        from xmipp3_tpu.ops.fourier import freq_grid_3d
-        fz, fy, fx = freq_grid_3d(*vol.shape)
-        r = np.sqrt(fz ** 2 + fy ** 2 + fx ** 2) / ctf.sampling_rate
-        c = np.asarray(ctf.pure_at(r, np.zeros_like(r)))  # radial CTF
+        c, _ = self._radial_ctf(ctf, vol.shape, flipped)
         wc = self.getDoubleParam("--wc")
         wien = c / (c * c + wc)
-        out = np.fft.irfftn(np.fft.rfftn(vol) * wien, s=vol.shape,
-                            axes=(0, 1, 2))
-        save_image(self.getParam("-o"), out.astype(np.float32))
+        out = np.fft.irfftn(np.fft.rfftn(vol) * wien, s=vol.shape)
+        save_image(self.getParam("-o") or "wiener3d.vol",
+                   out.astype(np.float32))
 
 
 class ProgAdjustVolumeGreyLevels(XmippProgram):
