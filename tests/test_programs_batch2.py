@@ -83,14 +83,18 @@ def test_wiener_program_restores(tmp_path):
     out = str(tmp_path / "wiener.mrcs")
     # the degradation includes the damping envelope, so ask the Wiener
     # filter to invert it too (reference default is without envelope,
-    # wiener2d.cpp:55-58)
+    # wiener2d.cpp:55-58). The fixture corrupts by CIRCULAR convolution
+    # (apply_ctf multiplies in the unpadded Fourier domain), so padding
+    # would discard the wrapped CTF energy — use --pad 1 here.
     run_prog("ctf_correct_wiener2d",
-             f"-i {fn} -o {out} --ctf {fn_ctf} --wc 0.05 --correct_envelope")
+             f"-i {fn} -o {out} --ctf {fn_ctf} --wc 0.05 --pad 1 "
+             "--correct_envelope")
     rest = Image.read_stack(out)
     assert corr(rest[0], clean[0]) > 0.85
     # without --correct_envelope the pure-CTF Wiener still helps
     out2 = str(tmp_path / "wiener2.mrcs")
-    run_prog("ctf_correct_wiener2d", f"-i {fn} -o {out2} --ctf {fn_ctf}")
+    run_prog("ctf_correct_wiener2d",
+             f"-i {fn} -o {out2} --ctf {fn_ctf} --pad 1")
     rest2 = Image.read_stack(out2)
     assert corr(rest2[0], clean[0]) > corr(corrupted[0], clean[0])
 

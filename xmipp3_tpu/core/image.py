@@ -292,15 +292,24 @@ def write_spider_geo(path, rows: list[dict] | None = None,
     """Patch per-image geometry words of Spider headers in place.
 
     rows carry angleRot/angleTilt/anglePsi/shiftX/shiftY/shiftZ; reset zeroes
-    the geometry and clears the IANGLE flag (image_header --assign/--reset)."""
+    the geometry and clears the IANGLE flag (image_header --assign/--reset).
+    rows may also be a dict mapping 0-based in-stack slot index -> row, so a
+    sorted/filtered metadata patches the slot named by each row's NNNNNN@
+    prefix rather than trusting row order."""
+    if isinstance(rows, dict):
+        by_slot = rows
+    elif rows is not None:
+        by_slot = dict(enumerate(rows))
+    else:
+        by_slot = None
     patches = []
     for i, (off, h) in enumerate(_spider_image_headers(path)):
         if reset:
             h[_SPI_IANGLE] = 0.0
             h[_SPI_PHI:_SPI_PHI + 3] = 0.0
             h[_SPI_XOFF:_SPI_XOFF + 3] = 0.0
-        elif rows is not None and i < len(rows):
-            r = rows[i]
+        elif by_slot is not None and i in by_slot:
+            r = by_slot[i]
             h[_SPI_IANGLE] = 1.0
             h[_SPI_PHI] = float(r.get("angleRot", 0.0) or 0.0)
             h[_SPI_PHI + 1] = float(r.get("angleTilt", 0.0) or 0.0)

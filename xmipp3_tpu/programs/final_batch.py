@@ -879,6 +879,12 @@ class ProgCTFCorrectWiener3D(XmippProgram):
             cs = []
             for ctf in ctfs:
                 c, freq = self._radial_ctf(ctf, shape, flipped)
+                if min_freq > 0:
+                    # reference generateCTF1D (ctf_correct_wiener3d.cpp):
+                    # below the resolution limit the CTF is taken as 1
+                    # INSIDE the shared Wiener denominator, so the weights
+                    # transition continuously (w = n/(K*Ntot + sum n_g))
+                    c = np.where(freq < 1.0 / min_freq, 1.0, c)
                 cs.append(c)
             denom = K * Ntot + sum(n * c * c
                                    for n, c in zip(counts, cs))
@@ -887,10 +893,6 @@ class ProgCTFCorrectWiener3D(XmippProgram):
             wiens = []
             for n, c, f in zip(counts, cs, F):
                 w = n * c / denom
-                if min_freq > 0:
-                    # below the resolution limit: plain count-weighted average
-                    low = freq < 1.0 / min_freq
-                    w = np.where(low, n / Ntot, w)
                 wiens.append(w)
                 num = f * w if num is None else num + f * w
             dec = np.fft.irfftn(num, s=shape)

@@ -95,8 +95,9 @@ class ProgImageConvert(XmippMetadataProgram):
         dt = _DEPTHS.get(self.depth)
         if dt is None:
             return None
-        ext = os.path.splitext(self.fn_out or "")[1].lstrip(".")
-        if ext in ("mrc", "mrcs", "st", "vol", "ali"):
+        from xmipp3_tpu.core.image import _MRC_EXTS
+        ext = os.path.splitext(self.fn_out or "")[1].lstrip(".").lower()
+        if ext in _MRC_EXTS:
             # nearest MRC container mode (modes 0/1/2/6/12): uint8 data
             # stores as mode 0 int8; wide ints fall back to float32
             m = {np.uint8: np.int8, np.int8: np.int8, np.int16: np.int16,
@@ -138,9 +139,9 @@ class ProgImageConvert(XmippMetadataProgram):
         self._write_typed(target, out)
 
     def _write_typed(self, target, out):
-        from xmipp3_tpu.core.image import write_mrc, write_spider
-        ext = os.path.splitext(target)[1].lstrip(".")
-        if ext in ("mrc", "mrcs", "st", "vol", "ali"):
+        from xmipp3_tpu.core.image import _MRC_EXTS, write_mrc, write_spider
+        ext = os.path.splitext(target)[1].lstrip(".").lower()
+        if ext in _MRC_EXTS:
             write_mrc(target, out, dtype=out.dtype)
             if self.swap in ("big", "arch"):
                 self._byteswap_mrc(target, out.dtype)
@@ -262,12 +263,22 @@ class ProgImageHeader(XmippProgram):
         if self.checkParam("--assign"):
             md = MetaData(fn)
             rows = list(md.iterRows())
+            # patch by the NNNNNN@stack slot embedded in each image name
+            # (row order is only a fallback when no index is present), so a
+            # sorted/filtered metadata still assigns geometry correctly
             by_file: dict = {}
+            fallback_pos: dict = {}
             for r in rows:
                 f = as_filename(str(r.get("image", "")))
-                by_file.setdefault(f.path, []).append(r)
-            for path, rws in by_file.items():
-                write_spider_geo(path, rws, round_shifts=round_shifts)
+                slots = by_file.setdefault(f.path, {})
+                if f.prefix.isdigit():
+                    slot = int(f.prefix) - 1
+                else:
+                    slot = fallback_pos.get(f.path, 0)
+                fallback_pos[f.path] = slot + 1
+                slots[slot] = r
+            for path, slots in by_file.items():
+                write_spider_geo(path, slots, round_shifts=round_shifts)
             return
 
         if self.checkParam("--reset"):

@@ -132,8 +132,14 @@ class ProgMetadataImport(XmippProgram):
         out = MetaData.fromRows(rows)
         if self.checkParam("--merge") and self.getParam("--merge"):
             base = MetaData(self.getParam("--merge"))
+            if len(out) != len(base):
+                from xmipp3_tpu.core.errors import ErrCode, XmippError
+                raise XmippError(
+                    ErrCode.MULTIDIM_SIZE,
+                    f"--merge: imported file has {len(out)} rows but the "
+                    f"merge target has {len(base)}; row counts must match")
             for lab in out.df.columns:
-                base.df[lab] = out.df[lab].values[:len(base)]
+                base.df[lab] = out.df[lab].values
             out = base
         if self.checkParam("-o") and self.getParam("-o"):
             out.write(self.getParam("-o"))
