@@ -138,18 +138,35 @@ class ProgClassifyAnalyzeCluster(XmippProgram):
 
 
 class ProgClassifyExtractFeatures(XmippProgram):
+    """Full reference surface (classify_extract_features.{h,cpp}): 7
+    selectable extractor families over translationally-centered (and
+    optionally TV-denoised) images, each writing its own scoreBy* vector
+    label.  With no extractor flags, falls back to this framework's
+    rotation-invariant ring statistics under classificationData."""
     name = "xmipp_classify_extract_features"
 
     def defineParams(self):
-        self.addUsageLine("Extract rotation-invariant feature vectors from "
-                          "images (ring statistics + moments).")
+        self.addUsageLine("Extract feature vectors from images for "
+                          "clustering/screening.")
         self.addParamsLine("   -i <md_or_stack> : Input images")
-        self.addParamsLine("   -o <md_file>     : Output with classificationData")
+        self.addParamsLine("  [-o <md_file=\"\">] : Output metadata "
+                           "(default: input)")
+        self.addParamsLine("  [--applyDenoising] : TV-denoise before "
+                           "extraction")
+        self.addParamsLine("  [--entropy]        : Extract entropy features")
+        self.addParamsLine("  [--granulo]        : Extract granulometry "
+                           "features")
+        self.addParamsLine("  [--histdist]       : Extract histogram "
+                           "distances")
+        self.addParamsLine("  [--lbp]            : Extract LBP features")
+        self.addParamsLine("  [--ramp]           : Extract ramp coefficients")
+        self.addParamsLine("  [--variance]       : Extract variance features")
+        self.addParamsLine("  [--zernike]        : Extract Zernike moments")
 
     def run(self):
         import jax.numpy as jnp
         from xmipp3_tpu.core.metadata_program import is_metadata_file
-        from xmipp3_tpu.ops.polar import cartesian_to_polar
+        from xmipp3_tpu.ops import features as F
         fn = self.getParam("-i")
         if is_metadata_file(fn):
             md = MetaData(fn)
@@ -159,17 +176,45 @@ class ProgClassifyExtractFeatures(XmippProgram):
             imgs = Image.read_stack(fn)
             rows = [{"image": f"{i + 1:06d}@{fn}", "itemId": i + 1}
                     for i in range(len(imgs))]
-        H = imgs.shape[-1]
-        pol = np.asarray(cartesian_to_polar(jnp.asarray(imgs), 2, H // 2 - 2))
-        ring_mean = pol.mean(axis=2)            # rotation-invariant
-        ring_std = pol.std(axis=2)
-        feats = np.concatenate([ring_mean, ring_std], axis=1)
+        fn_out = (self.getParam("-o")
+                  if self.checkParam("-o") and self.getParam("-o") else fn)
+        extractors = {
+            "--entropy": ("scoreByEntropy", F.extract_entropy),
+            "--granulo": ("scoreByGranulo", F.extract_granulo),
+            "--histdist": ("scoreByHistDist", F.extract_histdist),
+            "--lbp": ("scoreByLBP", F.extract_lbp),
+            "--ramp": ("scoreByRamp", F.extract_ramp),
+            "--variance": ("scoreByVariance", F.extract_variance),
+            "--zernike": ("scoreByZernike", F.extract_zernike),
+        }
+        chosen = [(lab, f) for flag, (lab, f) in extractors.items()
+                  if self.checkParam(flag)]
+        if not chosen:
+            # framework default: rotation-invariant ring statistics
+            from xmipp3_tpu.ops.polar import cartesian_to_polar
+            H = imgs.shape[-1]
+            pol = np.asarray(cartesian_to_polar(jnp.asarray(imgs), 2,
+                                                H // 2 - 2))
+            feats = np.concatenate([pol.mean(axis=2), pol.std(axis=2)],
+                                   axis=1)
+            out = []
+            for i, r in enumerate(rows):
+                d = dict(r)
+                d["classificationData"] = feats[i].astype(np.float32)
+                out.append(d)
+            MetaData.fromRows(out).write(fn_out)
+            return
+        proc = np.asarray(F.center_translationally(imgs))
+        if self.checkParam("--applyDenoising"):
+            proc = np.asarray(F.tv_denoise_spg(proc))
+        cols = {lab: np.asarray(f(proc)) for lab, f in chosen}
         out = []
         for i, r in enumerate(rows):
             d = dict(r)
-            d["classificationData"] = feats[i].astype(np.float32)
+            for lab, vals in cols.items():
+                d[lab] = vals[i].astype(np.float32)
             out.append(d)
-        MetaData.fromRows(out).write(self.getParam("-o"))
+        MetaData.fromRows(out).write(fn_out)
 
 
 class ProgClassifyCompareClasses(XmippProgram):
