@@ -1,11 +1,14 @@
 """Micrograph programs: scissor (particle extraction) and automatic picking.
 
 Contracts: reference micrograph_scissor (data/micrograph.h:78 particle
-scissoring) and micrograph_automatic_picking2 (PCA + correlation two-stage
-picker, micrograph_automatic_picking2.h:61-97 — the SVM stage is replaced by
-a correlation/threshold classifier; libsvm is not vendored here).
+scissoring) and micrograph_automatic_picking2 (filter-bank invariants +
+PCA + two-stage SVM picker, micrograph_automatic_picking2.h:61-97 and
+.cpp:1778-1824 mode protocol; libsvm is replaced by the RFF RBF-SVM in
+models/svm.py).
 """
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
@@ -235,7 +238,8 @@ class ProgMicrographAutomaticPicking(XmippProgram):
                           "(train with --ref particles or pick by blob "
                           "detection).")
         self.addParamsLine("   -i <micrograph>  : Input micrograph")
-        self.addParamsLine("   -o <coords_md>   : Output coordinates")
+        self.addParamsLine("  [-o <coords_md=\"\">] : Output coordinates "
+                           "(mode-less picking; modes use --outputRoot)")
         self.addParamsLine("   --particleSize <s> : Particle diameter (px)")
         self.addParamsLine("  [--ref <stack=\"\">] : Reference particles/templates")
         self.addParamsLine("  [--thr <t=3.0>]   : Peak threshold (sigma over background)")
@@ -246,11 +250,316 @@ class ProgMicrographAutomaticPicking(XmippProgram):
         self.addParamsLine("  [--fastBayes]     : Also train/use a Gaussian naive-Bayes fast-rejection stage before the SVM (reference two-stage classifier, micrograph_automatic_picking2.h:61-97)")
         self.addParamsLine("  [--trainPos <md=\"\">] : Positive training particles")
         self.addParamsLine("  [--trainNeg <md=\"\">] : Negative training particles")
+        # --- reference Scipion-facing mode protocol
+        # (micrograph_automatic_picking2.cpp:1778-1804)
+        self.addParamsLine("  [--mode <m=\"\"> <posfile=\"\">] : Operation "
+                           "mode: try | train | autoselect | "
+                           "buildinv <posfile>")
+        self.addParamsLine("  [--model <root=\"\">] : Model rootname "
+                           "(PCA bases + templates + SVM classifiers)")
+        self.addParamsLine("  [--outputRoot <root=\"\">] : Output rootname "
+                           "for .pos / feature-vector files")
+        self.addParamsLine("  [--NPCA <n=4>]       : PCA components per "
+                           "filter-bank channel")
+        self.addParamsLine("  [--NCORR <n=2>]      : Template-correlation "
+                           "features")
+        self.addParamsLine("  [--filter_num <n=6>] : Filters in the "
+                           "raised-cosine band-pass bank")
+        self.addParamsLine("  [--fast]             : Fast preprocessing "
+                           "(single band-pass instead of the full bank)")
+        self.addParamsLine("  [--autoPercent <n=90>] : Percentage of "
+                           "candidate peaks kept for classification")
+
+    # ---------------------------------------------------------------
+    # Reference mode protocol: buildinv -> train -> try/autoselect.
+    # TPU-first redesign: the filter bank is one batched Fourier multiply,
+    # per-candidate invariants are batched polar ring spectra, PCA
+    # projection + template correlation are einsums, and the two-stage
+    # classifier is the RFF RBF-SVM (models/svm.py).
+    # ---------------------------------------------------------------
+
+    def _bank(self, mic):
+        """(F,H,W) raised-cosine band-pass bank, filterBankGenerator
+        (w1=0.025*i, w2=w1+0.025, raised_w=0.02); --fast uses the single
+        particle-scale band-pass of the reference's fast path."""
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                                   band_pass_mask)
+        H, W = mic.shape
+        F = jnp.fft.rfft2(jnp.asarray(mic))
+        chans = []
+        if self.checkParam("--fast"):
+            size = self.getIntParam("--particleSize")
+            masks = [band_pass_mask(H, W, 1.0 / size,
+                                    min(0.45, 4.0 / size), 0.02)]
+        else:
+            fnum = self.getIntParam("--filter_num")
+            masks = [band_pass_mask(H, W, 0.025 * i, 0.025 * i + 0.025,
+                                    0.02) for i in range(fnum)]
+        for m in masks:
+            mk = jnp.asarray(m[:, :W // 2 + 1])
+            chans.append(jnp.fft.irfft2(F * mk, s=(H, W)))
+        return np.asarray(jnp.stack(chans))
+
+    def _extract_boxes(self, chans, coords, box):
+        """(N, F, box, box) channel boxes at integer centers."""
+        half = box // 2
+        _, H, W = chans.shape
+        out = []
+        kept = []
+        for (x, y) in coords:
+            x, y = int(round(x)), int(round(y))
+            if half <= x < W - half and half <= y < H - half:
+                out.append(chans[:, y - half:y - half + box,
+                                 x - half:x - half + box])
+                kept.append((x, y))
+        if not out:
+            return np.zeros((0, chans.shape[0], box, box), np.float32), []
+        return np.stack(out).astype(np.float32), kept
+
+    def _invariants(self, chan_boxes):
+        """Rotation-invariant per-channel features: polar ring means +
+        ring-FFT magnitudes (N, F, D)."""
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops.polar import cartesian_to_polar
+        N, F, H, W = chan_boxes.shape
+        flat = chan_boxes.reshape(N * F, H, W)
+        mu = flat.mean(axis=(1, 2), keepdims=True)
+        sd = np.maximum(flat.std(axis=(1, 2), keepdims=True), 1e-8)
+        pol = np.asarray(cartesian_to_polar(jnp.asarray((flat - mu) / sd),
+                                            2))
+        spec = np.abs(np.fft.rfft(pol, axis=-1))[..., :6]
+        feats = np.concatenate([pol.mean(axis=-1), spec.reshape(len(flat),
+                                                                -1)], axis=1)
+        return feats.reshape(N, F, -1).astype(np.float32)
+
+    def _model_paths(self, root):
+        return {"training": root + "_training.npz",
+                "pca": root + "_pca.npz",
+                "svm": root + "_svm",
+                "svm2": root + "_svm2",
+                "avg": root + "_particle_avg.mrc"}
+
+    def _negatives_from(self, mic, pos_coords, box, n_neg):
+        """Random positions far from every positive (reference
+        extractNonParticles: negatives at > particle radius)."""
+        rng = np.random.default_rng(0)
+        H, W = mic.shape
+        half = box // 2
+        pts = np.asarray(pos_coords, float) if pos_coords else \
+            np.zeros((0, 2))
+        out = []
+        tries = 0
+        while len(out) < n_neg and tries < n_neg * 50:
+            tries += 1
+            x = rng.integers(half, W - half)
+            y = rng.integers(half, H - half)
+            if len(pts) and (np.hypot(pts[:, 0] - x, pts[:, 1] - y)
+                             < box).any():
+                continue
+            out.append((int(x), int(y)))
+        return out
+
+    def _mode_buildinv(self, posfile):
+        from xmipp3_tpu.core.metadata import MetaData
+        mic = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        box = self.getIntParam("--particleSize")
+        paths = self._model_paths(self.getParam("--model"))
+        md = MetaData(posfile)
+        pos_coords = [(float(r["xcoor"]), float(r["ycoor"]))
+                      for r in md.iterRows()]
+        chans = self._bank(mic)
+        pb, pos_kept = self._extract_boxes(chans, pos_coords, box)
+        neg_coords = self._negatives_from(mic, pos_kept, box,
+                                          max(len(pos_kept), 8))
+        nb, _ = self._extract_boxes(chans, neg_coords, box)
+        inv_p = self._invariants(pb)
+        inv_n = self._invariants(nb)
+        raw_p, _ = self._extract_boxes(mic[None], pos_coords, box)
+        if os.path.exists(paths["training"]):
+            z = np.load(paths["training"])
+            inv_p = np.concatenate([z["inv_pos"], inv_p])
+            inv_n = np.concatenate([z["inv_neg"], inv_n])
+            avg_sum = z["avg_sum"] + raw_p[:, 0].sum(axis=0)
+            avg_n = int(z["avg_n"]) + len(raw_p)
+            res = np.concatenate([z["reservoir"],
+                                  raw_p[:, 0]])[:512]
+        else:
+            avg_sum = raw_p[:, 0].sum(axis=0)
+            avg_n = len(raw_p)
+            res = raw_p[:512, 0]
+        np.savez(paths["training"], inv_pos=inv_p, inv_neg=inv_n,
+                 avg_sum=avg_sum, avg_n=avg_n, reservoir=res)
+        if self.verbose:
+            print(f"buildinv: {len(inv_p)} positives / {len(inv_n)} "
+                  f"negatives accumulated")
+
+    def _pca_project(self, inv, pca):
+        """(N,F,D) -> (N, F*NPCA) einsum projection."""
+        mean = pca["mean"]                       # (F, D)
+        basis = pca["basis"]                     # (F, NPCA, D)
+        return np.einsum("nfd,fkd->nfk", inv - mean[None],
+                         basis).reshape(len(inv), -1)
+
+    def _corr_feats(self, mic, coords, box, templates):
+        boxes, _ = self._extract_boxes(mic[None], coords, box)
+        if not len(boxes):
+            return np.zeros((0, len(templates)), np.float32)
+        b = boxes[:, 0].reshape(len(boxes), -1)
+        b = (b - b.mean(1, keepdims=True))
+        b /= np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-8)
+        t = templates.reshape(len(templates), -1)
+        t = t - t.mean(1, keepdims=True)
+        t /= np.maximum(np.linalg.norm(t, axis=1, keepdims=True), 1e-8)
+        return (b @ t.T).astype(np.float32)
+
+    def _mode_train(self):
+        from xmipp3_tpu.core.metadata import MetaData
+        from xmipp3_tpu.models.svm import RBFSVM
+        paths = self._model_paths(self.getParam("--model"))
+        z = np.load(paths["training"])
+        inv_p, inv_n = z["inv_pos"], z["inv_neg"]
+        npca = self.getIntParam("--NPCA")
+        ncorr = self.getIntParam("--NCORR")
+        allinv = np.concatenate([inv_p, inv_n])          # (N, F, D)
+        mean = allinv.mean(axis=0)                       # (F, D)
+        basis = []
+        for f in range(allinv.shape[1]):
+            X = allinv[:, f] - mean[f]
+            _, _, vt = np.linalg.svd(X, full_matrices=False)
+            basis.append(vt[:npca])
+        basis = np.stack(basis)                          # (F, NPCA, D)
+        avg = (z["avg_sum"] / max(int(z["avg_n"]), 1)).astype(np.float32)
+        # NCORR templates: particle average + top eigen-boxes of the
+        # reservoir (the reference's rotational-PCA templates)
+        res = z["reservoir"].reshape(len(z["reservoir"]), -1)
+        res = res - res.mean(axis=0)
+        _, _, vt = np.linalg.svd(res, full_matrices=False)
+        templates = np.concatenate(
+            [avg[None], vt[:max(ncorr - 1, 0)].reshape(-1, *avg.shape)])
+        templates = templates[:ncorr] if ncorr > 0 else templates[:1]
+        np.savez(paths["pca"], mean=mean, basis=basis, templates=templates)
+        save_image(paths["avg"], avg)
+        pca = {"mean": mean, "basis": basis}
+        Xp = self._pca_project(inv_p, pca)
+        Xn = self._pca_project(inv_n, pca)
+        X = np.concatenate([Xp, Xn])
+        y = np.concatenate([np.ones(len(Xp)), np.zeros(len(Xn))])
+        svm = RBFSVM().fit(X, y)
+        svm.save(paths["svm"])
+        acc = ((svm.predict(X) > 0).astype(int) == y).mean()
+        self.train_accuracy = float(acc)
+        # second classifier: particles vs user-corrected false positives
+        root = self.getParam("--outputRoot")
+        fn_fp = (root + "_false_positives.xmd") if root else ""
+        if fn_fp and os.path.exists(fn_fp):
+            mic = np.squeeze(Image(self.getParam("-i")).data
+                             ).astype(np.float32)
+            box = self.getIntParam("--particleSize")
+            fp_md = MetaData(fn_fp)
+            fp_coords = [(float(r["xcoor"]), float(r["ycoor"]))
+                         for r in fp_md.iterRows()]
+            chans = self._bank(mic)
+            fb, _ = self._extract_boxes(chans, fp_coords, box)
+            if len(fb):
+                Xf = self._pca_project(self._invariants(fb), pca)
+                X2 = np.concatenate([Xp, Xf])
+                y2 = np.concatenate([np.ones(len(Xp)), np.zeros(len(Xf))])
+                RBFSVM().fit(X2, y2).save(paths["svm2"])
+        # config.xmd next to the model (read back by autoselect,
+        # micrograph_automatic_picking2.cpp:1820-1822)
+        cfgdir = os.path.dirname(self.getParam("--model")) or "."
+        MetaData.fromRows([{"pickingAutopickpercent":
+                            self.getIntParam("--autoPercent")}]).write(
+            os.path.join(cfgdir, "config.xmd"))
+        if self.verbose:
+            print(f"train: SVM on {len(y)} invariants "
+                  f"(train accuracy {acc:.3f})")
+
+    def _mode_autoselect(self, write_features=False):
+        import jax.numpy as jnp
+        from xmipp3_tpu.core.metadata import MetaData
+        from xmipp3_tpu.models.svm import RBFSVM
+        paths = self._model_paths(self.getParam("--model"))
+        mic = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
+        box = self.getIntParam("--particleSize")
+        pz = np.load(paths["pca"])
+        pca = {"mean": pz["mean"], "basis": pz["basis"]}
+        templates = pz["templates"]
+        svm = RBFSVM.load(paths["svm"])
+        svm2 = RBFSVM.load(paths["svm2"]) \
+            if os.path.exists(paths["svm2"] + ".npz") else None
+        auto_pct = self.getIntParam("--autoPercent")
+        H, W = mic.shape
+        # candidate generation: correlate the particle average against the
+        # micrograph (convolveAvgFilterBank), local-maxima above the
+        # (100-autoPercent) score percentile
+        avg = templates[0]
+        tt = np.zeros_like(mic)
+        tt[:box, :box] = (avg - avg.mean()) / max(avg.std(), 1e-8)
+        corr = np.asarray(jnp.fft.irfft2(
+            jnp.fft.rfft2(jnp.asarray(mic - mic.mean()))
+            * jnp.conj(jnp.fft.rfft2(jnp.asarray(tt))), s=(H, W)))
+        corr = np.roll(corr, (box // 2, box // 2), axis=(0, 1))
+        s = corr.copy()
+        half = box // 2
+        thr = np.percentile(corr, 100 - min(max(auto_pct, 1), 99) * 0.25)
+        cands = []
+        for _ in range(800):
+            idx = np.argmax(s)
+            y, x = divmod(int(idx), W)
+            if s[y, x] < thr:
+                break
+            if half <= x < W - half and half <= y < H - half:
+                cands.append((x, y))
+            s[max(y - half, 0):y + half, max(x - half, 0):x + half] = -np.inf
+        chans = self._bank(mic)
+        cb, kept = self._extract_boxes(chans, cands, box)
+        rows = []
+        feats_out = []
+        if len(cb):
+            Xc = self._pca_project(self._invariants(cb), pca)
+            dec = svm.decision(Xc)
+            ok = dec > 0
+            if svm2 is not None:
+                ok &= svm2.decision(Xc) > 0
+            for i, (x, y) in enumerate(kept):
+                if ok[i]:
+                    rows.append({"xcoor": x, "ycoor": y,
+                                 "cost": float(dec[i])})
+                    feats_out.append(Xc[i])
+        root = self.getParam("--outputRoot")
+        MetaData.fromRows(rows).write(
+            f"particles_auto@{root}.pos" if root else self.getParam("-o"))
+        if write_features and root:
+            with open(root + "_auto_feature_vectors.txt", "w") as fh:
+                fh.write(f"{len(feats_out)} "
+                         f"{len(feats_out[0]) if feats_out else 0}\n")
+                for v in feats_out:
+                    fh.write("1\n" + " ".join(f"{x:g}" for x in v) + "\n")
+        self.n_picked = len(rows)
+        if self.verbose:
+            print(f"autoselect: {len(rows)} particles")
 
     def run(self):
         import jax.numpy as jnp
         from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
                                                    band_pass_mask)
+        if self.checkParam("--mode") and self.getParam("--mode"):
+            mode = self.getParam("--mode")
+            if mode == "buildinv":
+                self._mode_buildinv(self.getParam("--mode", 1))
+            elif mode == "train":
+                self._mode_train()
+            elif mode == "try":
+                self._mode_autoselect(write_features=True)
+            elif mode == "autoselect":
+                self._mode_autoselect()
+            else:
+                from xmipp3_tpu.core.errors import ErrCode, XmippError
+                raise XmippError(ErrCode.ARG_INCORRECT,
+                                 f"unknown --mode {mode}")
+            return
         if self.checkParam("--trainSVM"):
             self._train_svm()
             return
