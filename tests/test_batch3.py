@@ -126,8 +126,15 @@ def test_find_symmetry(tmp_path):
         vol += np.exp(-((x - cx) ** 2 + (y - cy) ** 2 + z ** 2) / 4.0)
     fn = str(tmp_path / "v.vol")
     save_image(fn, vol)
-    prog = run_prog("volume_find_symmetry", f"-i {fn} --rot 2 6 -v 0")
-    assert prog.best_order == 3
+    # reference semantics: --sym rot <n>, search the (rot, tilt) axis grid
+    prog = run_prog("volume_find_symmetry",
+                    f"-i {fn} --sym rot 3 --rot 0 90 45 --tilt 0 90 30 -v 0")
+    assert prog.best_tilt == 0.0        # the c3 axis is the z axis
+    assert prog.best_corr > 0.9
+    # a wrong order scores lower on the same axis
+    prog2 = run_prog("volume_find_symmetry",
+                     f"-i {fn} --sym rot 4 --rot 0 0 5 --tilt 0 0 5 -v 0")
+    assert prog2.best_corr < prog.best_corr - 0.05
 
 
 def test_mpi_run(tmp_path):

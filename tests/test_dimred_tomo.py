@@ -110,10 +110,14 @@ def test_tomo_pipeline(tmp_path):
     part = np.exp(-((z - 8) ** 2 + (y - 8) ** 2 + (x - 8) ** 2) / 8.0)
     fn_part = str(tmp_path / "part.vol")
     save_image(fn_part, part)
+    # simulator coordinates are centered (placeSubtomoInTomo offsets by
+    # dim/2, tomo_simulate_tilt_series.cpp:183-186); angles fixed at 0 so
+    # the planted particles are unrotated
     coords = [(60, 60, 32), (120, 80, 32), (90, 140, 32)]
     fn_coords = str(tmp_path / "coords.xmd")
-    MetaData.fromRows([{"xcoor": cx, "ycoor": cy, "zcoor": cz,
-                        "itemId": i + 1}
+    MetaData.fromRows([{"xcoor": cx - 96, "ycoor": cy - 96,
+                        "zcoor": cz - 32, "angleRot": 0.0,
+                        "angleTilt": 0.0, "anglePsi": 0.0, "itemId": i + 1}
                        for i, (cx, cy, cz) in enumerate(coords)]
                       ).write(fn_coords)
     root = str(tmp_path / "ts")
@@ -122,18 +126,23 @@ def test_tomo_pipeline(tmp_path):
              f"--xdim 192 --ydim 192 --zdim 64 --tiltRange -40 40 20")
     ts = Image.read_stack(root + ".mrcs")
     assert ts.shape[0] == 5
-    # extract subtomos from the ground-truth tomogram
+    # extract subtomos from the ground-truth tomogram (absolute coords)
+    fn_abs = str(tmp_path / "abs.xmd")
+    MetaData.fromRows([{"xcoor": cx, "ycoor": cy, "zcoor": cz,
+                        "itemId": i + 1}
+                       for i, (cx, cy, cz) in enumerate(coords)]
+                      ).write(fn_abs)
     sub_root = str(tmp_path / "sub")
     prog = run_prog("tomo_extract_subtomograms",
                     f"--tomogram {root}_tomogram.mrc "
-                    f"--coordinates {fn_coords} --boxsize 16 -o {sub_root} -v 0")
+                    f"--coordinates {fn_abs} --boxsize 16 -o {sub_root} -v 0")
     assert prog.n_extracted == 3
-    # average them: should match the particle
+    # average them: should match the (negated) particle
     avg_fn = str(tmp_path / "avg.vol")
     run_prog("tomo_average_subtomos", f"-i {sub_root}.xmd -o {avg_fn}")
     avg = np.squeeze(Image(avg_fn).data)
     c = np.corrcoef(avg.ravel(), part.ravel())[0, 1]
-    assert c > 0.99
+    assert c < -0.9  # simulator plants negated (cryo-contrast) densities
     # dose filter runs
     out_ts = str(tmp_path / "dosed.mrcs")
     run_prog("tomo_tiltseries_dose_filter",
@@ -156,3 +165,44 @@ def test_missing_wedge_detection(tmp_path):
     th0, thF = prog.wedge
     # missing region is outside [-50, 50] -> detected bounds near +-50..90
     assert th0 < -40 or thF > 40
+
+
+def test_simulate_tilt_series_reference_surface(tmp_path):
+    """Full reference flags: minTilt/maxTilt/tiltStep/thickness/sampling/
+    fiducialCoordinates/fiducialDiameter/sigmaNoise/tiltseries/tomogram
+    (tomo_simulate_tilt_series.cpp:53-72)."""
+    n = 16
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
+    part = np.exp(-((z - 8) ** 2 + (y - 8) ** 2 + (x - 8) ** 2) / 8.0)
+    fn_part = str(tmp_path / "part.vol")
+    save_image(fn_part, part)
+    fn_coords = str(tmp_path / "coords.xmd")
+    MetaData.fromRows([{"xcoor": -30, "ycoor": 10, "zcoor": 0,
+                        "angleRot": 15.0, "angleTilt": 30.0,
+                        "anglePsi": 5.0}]).write(fn_coords)
+    fn_fid = str(tmp_path / "fids.xmd")
+    MetaData.fromRows([{"xcoor": 40, "ycoor": -40, "zcoor": 5},
+                       {"xcoor": -50, "ycoor": 50, "zcoor": -5}]
+                      ).write(fn_fid)
+    fn_ts = str(tmp_path / "series.mrcs")
+    fn_tomo = str(tmp_path / "tomo.mrc")
+    run_prog("tomo_simulate_tilt_series",
+             f"--coordinates {fn_coords} --vol {fn_part} "
+             f"--tiltseries {fn_ts} --tomogram {fn_tomo} "
+             f"--xdim 160 --ydim 160 --thickness 48 "
+             f"--minTilt -30 --maxTilt 30 --tiltStep 15 --sampling 2 "
+             f"--fiducialCoordinates {fn_fid} --fiducialDiameter 16 "
+             f"--sigmaNoise 0.05")
+    ts = Image.read_stack(fn_ts)
+    assert ts.shape == (5, 160, 160)
+    tomo = np.squeeze(Image(fn_tomo).data)
+    assert tomo.shape == (48, 160, 160)
+    # fiducials are the darkest objects in the tomogram (amp 5*sigma)
+    zi, yi, xi = np.unravel_index(np.argmin(tomo), tomo.shape)
+    assert abs(xi - (80 + 40)) <= 5 and abs(yi - (80 - 40)) <= 5
+    # fiducial disk visible in the zero-tilt image at (x+X/2, y+Y/2)
+    zero = ts[2]
+    assert zero[80 - 40, 80 + 40] < zero.mean() - 3 * zero.std()
+    # tilt metadata written next to the series
+    md = MetaData(str(tmp_path / "series.xmd"))
+    assert len(list(md.iterRows())) == 5

@@ -319,43 +319,177 @@ class ProgVolumeHalvesRestoration(XmippProgram):
 
 
 class ProgVolumeFindSymmetry(XmippProgram):
+    """Full reference surface (volume_find_symmetry.cpp:30-429): grid or
+    local Powell search for a rotational symmetry axis (--sym rot n over
+    --rot/--tilt or --localRot), or for helical parameters (--sym
+    helical|helicalDihedral over --rotHelical x -z, with --sym2 Cn,
+    --heightFraction, --sampling, --localHelical), writing the (rot x z)
+    correlation map to <o>.xmp.  The candidate evaluations are batched
+    jitted resample+correlate dispatches (ops/helical.py)."""
     name = "xmipp_volume_find_symmetry"
 
     def defineParams(self):
-        self.addUsageLine("Find the rotational symmetry axis/order of a "
-                          "volume (correlation under candidate symmetries).")
+        self.addUsageLine("Find a symmetry rotational axis or helical "
+                          "parameters.")
         self.addParamsLine("   -i <volume>  : Input volume")
-        self.addParamsLine("  [--sym <s=rot>] : rot (cN search) | dihedral")
-        self.addParamsLine("  [--rot <n0=2> <nF=8>] : Range of orders to test")
         self.addParamsLine("  [-o <md=\"\">]  : Output metadata")
+        self.addParamsLine("   --sym <mode> <n=2> : rot <n> | helical | "
+                           "helicalDihedral")
+        self.addParamsLine("  [--sym2 <Cn=C1>] : Additional Cn symmetry "
+                           "(helical modes)")
+        self.addParamsLine("  [--rot <rot0=0> <rotF=355> <step=5>] : "
+                           "Rotational-angle search range")
+        self.addParamsLine("  [--tilt <tilt0=0> <tiltF=90> <step=5>] : "
+                           "Tilt-angle search range")
+        self.addParamsLine("  [--localRot <rot0> <tilt0>] : Local search "
+                           "around this axis")
+        self.addParamsLine("  [--useSplines] : Cubic B-spline interpolation")
+        self.addParamsLine("  [-z <z0=1> <zF=10> <zstep=0.5>] : Helical "
+                           "z-shift search range (Angstroms)")
+        self.addParamsLine("  [--sampling <T=1>] : Sampling rate (A/pix)")
+        self.addParamsLine("  [--rotHelical <rot0=-357> <rotF=357> "
+                           "<step=3>] : Helical rotation search range")
+        self.addParamsLine("  [--localHelical <z> <rot>] : Local search "
+                           "around this helical parameter pair")
+        self.addParamsLine("  [--heightFraction <f=1>] : Use this fraction "
+                           "of the volume height")
+        self.addParamsLine("  [--mask <type=circular> <R=-1>] : Restrict "
+                           "the comparison to a mask area")
+        self.addParamsLine("  [--thr <N=1>] : Host threads (device batching "
+                           "replaces the thread pool)")
+
+    def _mask(self, vol):
+        from xmipp3_tpu.ops.mask import circular_mask
+        if self.checkParam("--mask"):
+            r = self.getDoubleParam("--mask", 1)
+            return circular_mask(vol.shape, None if r == -1 else abs(r))
+        return np.ones(vol.shape, np.float32)
+
+    def _axis_corr(self, vol, mask, rot, tilt, order_n, use_splines):
+        """Correlation of the volume with its n-fold symmetrized copy
+        about the (rot, tilt) axis."""
+        from xmipp3_tpu.core.geometry import euler_matrix
+        axis = np.asarray(euler_matrix(rot, tilt, 0.0))[2]
+
+        def rodrigues(angle_deg):
+            a = np.deg2rad(angle_deg)
+            kx, ky, kz = axis / max(np.linalg.norm(axis), 1e-12)
+            K = np.array([[0, -kz, ky], [kz, 0, -kx], [-ky, kx, 0]])
+            return np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * (K @ K)
+
+        vsym = vol.copy()
+        if use_splines:
+            from scipy.ndimage import affine_transform
+            c = np.asarray(vol.shape) // 2
+            for n in range(1, order_n):
+                R = rodrigues(360.0 / order_n * n)
+                Rz = R[::-1, ::-1]          # (x,y,z) matrix in (z,y,x) index
+                vsym = vsym + affine_transform(
+                    vol, np.linalg.inv(Rz), offset=c - np.linalg.inv(Rz) @ c,
+                    order=3, mode="constant")
+        else:
+            from xmipp3_tpu.ops.geo import apply_affine_3d
+            mats = np.stack([rodrigues(360.0 / order_n * n)
+                             for n in range(1, order_n)])
+            vsym = vsym + np.asarray(apply_affine_3d(vol, mats)).sum(axis=0)
+        m = mask > 0
+        a = vol[m] - vol[m].mean()
+        b = vsym[m] - vsym[m].mean()
+        return float((a * b).sum()
+                     / max(np.linalg.norm(a) * np.linalg.norm(b), 1e-12))
 
     def run(self):
-        from xmipp3_tpu.core.sym import symmetry_matrices
-        from xmipp3_tpu.ops.geo import apply_affine_3d
         vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
-        vm = vol - vol.mean()
-        n1 = float(np.linalg.norm(vm))
-        scores = {}
-        for n in range(self.getIntParam("--rot", 0),
-                       self.getIntParam("--rot", 1) + 1):
-            mats = symmetry_matrices(f"c{n}")[1:]  # skip identity
-            rotated = np.asarray(apply_affine_3d(vol, mats))
-            cc = []
-            for rv in rotated:
-                rvm = rv - rv.mean()
-                cc.append(float((vm * rvm).sum() /
-                                max(n1 * np.linalg.norm(rvm), 1e-12)))
-            scores[n] = float(np.mean(cc))
-        self.scores = scores
-        best = max(scores, key=scores.get)
-        self.best_order = best
-        print("symmetry scores: " + "  ".join(
-            f"c{n}:{s:.3f}" for n, s in scores.items()))
-        print(f"Best symmetry: c{best}")
-        if self.checkParam("-o") and self.getParam("-o"):
-            MetaData.fromRows([{"symmetry": f"c{n}", "maxCC": s}
-                               for n, s in scores.items()]
-                              ).write(self.getParam("-o"))
+        mask = self._mask(vol)
+        mode = self.getParam("--sym")
+        fn_out = self.getParam("-o") if self.checkParam("-o") else ""
+        if mode in ("helical", "helicalDihedral"):
+            self._run_helical(vol, mask, mode == "helicalDihedral", fn_out)
+            return
+        order_n = self.getIntParam("--sym", 1)
+        use_splines = self.checkParam("--useSplines")
+        if self.checkParam("--localRot"):
+            from scipy.optimize import minimize
+            p0 = [self.getDoubleParam("--localRot", 0),
+                  self.getDoubleParam("--localRot", 1)]
+            res = minimize(lambda p: -self._axis_corr(
+                vol, mask, p[0], p[1], order_n, use_splines), p0,
+                method="Powell", options={"xtol": 0.01})
+            best_rot, best_tilt = float(res.x[0]), float(res.x[1])
+            best_corr = -float(res.fun)
+        else:
+            rots = np.arange(self.getDoubleParam("--rot", 0),
+                             self.getDoubleParam("--rot", 1) + 1e-6,
+                             self.getDoubleParam("--rot", 2))
+            tilts = np.arange(self.getDoubleParam("--tilt", 0),
+                              self.getDoubleParam("--tilt", 1) + 1e-6,
+                              self.getDoubleParam("--tilt", 2))
+            best_corr, best_rot, best_tilt = -1e38, 0.0, 0.0
+            for r in rots:
+                for t in tilts:
+                    c = self._axis_corr(vol, mask, r, t, order_n,
+                                        use_splines)
+                    if c > best_corr:
+                        best_corr, best_rot, best_tilt = c, float(r), \
+                            float(t)
+        from xmipp3_tpu.core.geometry import euler_matrix
+        axis = np.asarray(euler_matrix(best_rot, best_tilt, 0.0))[2]
+        self.best_rot, self.best_tilt = best_rot, best_tilt
+        self.best_corr = best_corr
+        if self.verbose:
+            print(f"Symmetry axis (rot,tilt)= {best_rot} {best_tilt} --> "
+                  f"{axis}")
+        if fn_out:
+            MetaData.fromRows([{"angleRot": best_rot,
+                                "angleTilt": best_tilt,
+                                "direction": np.asarray(axis, float)}]
+                              ).write(fn_out)
+
+    def _run_helical(self, vol, mask, dihedral, fn_out):
+        import os
+        from xmipp3_tpu.ops.helical import (helical_correlation,
+                                            helical_correlation_grid)
+        Ts = self.getDoubleParam("--sampling")
+        hf = self.getDoubleParam("--heightFraction")
+        cn = int(self.getParam("--sym2").lstrip("Cc") or 1)
+        if self.checkParam("--localHelical"):
+            from scipy.optimize import minimize
+            z_loc = self.getDoubleParam("--localHelical", 0) / Ts
+            rot_loc = self.getDoubleParam("--localHelical", 1)
+            res = minimize(lambda p: -float(helical_correlation(
+                vol, max(p[0], 0.1), p[1], cn=cn, dihedral=dihedral,
+                height_fraction=hf, mask=mask,
+                l_max=int(np.ceil(vol.shape[0] / max(z_loc * 0.5, 0.5))))),
+                [z_loc, rot_loc], method="Powell",
+                options={"xtol": 0.01})
+            best_z, best_rot = float(res.x[0]), float(res.x[1])
+            best_corr = -float(res.fun)
+            cmap = None
+        else:
+            zs = np.arange(self.getDoubleParam("-z", 0),
+                           self.getDoubleParam("-z", 1) + 1e-6,
+                           self.getDoubleParam("-z", 2)) / Ts
+            zs = zs[zs > 0]
+            rots = np.arange(self.getDoubleParam("--rotHelical", 0),
+                             self.getDoubleParam("--rotHelical", 1) + 1e-6,
+                             self.getDoubleParam("--rotHelical", 2))
+            cmap = helical_correlation_grid(vol, zs, rots, cn=cn,
+                                            dihedral=dihedral,
+                                            height_fraction=hf, mask=mask)
+            ri, zi = np.unravel_index(np.argmax(cmap), cmap.shape)
+            best_rot, best_z = float(rots[ri]), float(zs[zi])
+            best_corr = float(cmap[ri, zi])
+        self.best_z, self.best_rot = best_z * Ts, best_rot
+        self.best_corr = best_corr
+        if self.verbose:
+            print(f"Symmetry parameters (z,rot)= {best_z * Ts} {best_rot} "
+                  f"correlation={best_corr}")
+        if fn_out:
+            MetaData.fromRows([{"angleRot": best_rot,
+                                "shiftZ": best_z * Ts}]).write(fn_out)
+            if cmap is not None:
+                save_image(os.path.splitext(fn_out)[0] + ".xmp",
+                           cmap.astype(np.float32))
 
 
 class ProgMpiRun(XmippProgram):

@@ -9,6 +9,8 @@ tomo_tiltseries_dose_filter, tomo_detect_missing_wedge.
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from xmipp3_tpu.core.image import Image, save_image
@@ -49,60 +51,172 @@ class ProgTomoProject(XmippProgram):
 
 
 class ProgTomoSimulateTiltSeries(XmippProgram):
+    """Full reference surface (tomo_simulate_tilt_series.{h,cpp}): plants
+    oriented copies of a particle volume into a ground-truth tomogram,
+    projects each particle per tilt angle into the tilt series at its
+    tilted position, adds gold fiducials and noise.  Unlike the reference
+    — which creates the fiducial image/volume but never inserts them
+    (cpp:224-230 dead arrays) — fiducials here are actually placed in
+    both the tomogram and the tilt series."""
     name = "xmipp_tomo_simulate_tilt_series"
 
     def defineParams(self):
-        self.addUsageLine("Simulate a tilt series from coordinates + a "
-                          "reference particle volume.")
-        self.addParamsLine("   --coordinates <md> : xcoor/ycoor/zcoor of particles")
+        self.addUsageLine("Simulate a tilt series + ground-truth tomogram "
+                          "from coordinates and a particle volume.")
+        self.addParamsLine("   --coordinates <md> : xcoor/ycoor/zcoor "
+                           "(+ optional rot/tilt/psi) of particles")
         self.addParamsLine("   --vol <particle>   : Particle volume to plant")
-        self.addParamsLine("   -o <root>          : Output rootname")
-        self.addParamsLine("  [--xdim <x=256>]    : Tomogram X size")
-        self.addParamsLine("  [--ydim <y=256>]    : Tomogram Y size")
-        self.addParamsLine("  [--zdim <z=64>]     : Tomogram thickness")
-        self.addParamsLine("  [--tiltRange <t0=-60> <tF=60> <step=3>] : Tilt scheme")
-        self.addParamsLine("  [--noise <sigma=0>] : Additive gaussian noise")
+        self.addParamsLine("  [-o <root=\"\">]      : Output rootname "
+                           "(legacy; else use --tiltseries/--tomogram)")
+        self.addParamsLine("  [--tiltseries <mrc=\"\">] : Output tilt series")
+        self.addParamsLine("  [--tomogram <mrc=\"\">]   : Output tomogram")
+        self.addParamsLine("  [--xdim <x=256>]    : Tilt-image/tomogram X size")
+        self.addParamsLine("  [--ydim <y=256>]    : Tilt-image/tomogram Y size")
+        self.addParamsLine("  [--thickness <z=64>] : Tomogram thickness (px)")
+        self.addParamsLine("   alias --zdim;")
+        self.addParamsLine("  [--minTilt <t=-60>] : Minimum tilt angle")
+        self.addParamsLine("  [--maxTilt <t=60>]  : Maximum tilt angle")
+        self.addParamsLine("  [--tiltStep <t=3>]  : Tilt angle step")
+        self.addParamsLine("  [--tiltRange <t0=-60> <tF=60> <step=3>] : "
+                           "Legacy combined tilt scheme")
+        self.addParamsLine("  [--sampling <s=1>]  : Sampling rate (A/px)")
+        self.addParamsLine("  [--fiducialCoordinates <md=\"\">] : Fiducial "
+                           "coordinates in the tomogram")
+        self.addParamsLine("  [--fiducialDiameter <d=100>] : Fiducial "
+                           "diameter (A)")
+        self.addParamsLine("  [--sigmaNoise <s=-1>] : Noise stddev")
+        self.addParamsLine("   alias --noise;")
 
     def run(self):
+        from scipy.ndimage import affine_transform
+        from xmipp3_tpu.core.geometry import euler_matrix
+        from xmipp3_tpu.ops.project import FourierProjector
         md = MetaData(self.getParam("--coordinates"))
-        part = np.squeeze(Image(self.getParam("--vol")).data).astype(np.float32)
+        part = np.squeeze(Image(self.getParam("--vol")).data
+                          ).astype(np.float32)
         X = self.getIntParam("--xdim")
         Y = self.getIntParam("--ydim")
-        Z = self.getIntParam("--zdim")
-        tomo = np.zeros((Z, Y, X), np.float32)
-        pz, py, px = part.shape
-        for i in md:
-            r = md.getRow(i)
-            x0 = int(r["xcoor"]) - px // 2
-            y0 = int(r["ycoor"]) - py // 2
-            z0 = int(r.get("zcoor", Z // 2)) - pz // 2
-            if (0 <= x0 and x0 + px <= X and 0 <= y0 and y0 + py <= Y and
-                    0 <= z0 and z0 + pz <= Z):
-                tomo[z0:z0 + pz, y0:y0 + py, x0:x0 + px] += part
-        # project the (non-cubic) tomogram: pad z to cube via real-space
-        from xmipp3_tpu.ops.project import project_real_space
-        t0 = self.getDoubleParam("--tiltRange", 0)
-        tF = self.getDoubleParam("--tiltRange", 1)
-        step = self.getDoubleParam("--tiltRange", 2)
+        Z = self.getIntParam("--thickness")
+        if self.checkParam("--tiltRange"):
+            t0 = self.getDoubleParam("--tiltRange", 0)
+            tF = self.getDoubleParam("--tiltRange", 1)
+            step = self.getDoubleParam("--tiltRange", 2)
+        else:
+            t0 = self.getDoubleParam("--minTilt")
+            tF = self.getDoubleParam("--maxTilt")
+            step = self.getDoubleParam("--tiltStep")
         tilts = np.arange(t0, tF + 1e-6, step).astype(np.float32)
-        n = max(X, Y, Z)
-        cube = np.zeros((n, n, n), np.float32)
-        cube[(n - Z) // 2:(n - Z) // 2 + Z, (n - Y) // 2:(n - Y) // 2 + Y,
-             (n - X) // 2:(n - X) // 2 + X] = tomo
-        imgs = np.asarray(project_real_space(
-            cube, np.full(len(tilts), 90.0, np.float32), tilts,
-            np.full(len(tilts), -90.0, np.float32)))
+        sampling = self.getDoubleParam("--sampling")
+        sigma = self.getDoubleParam("--sigmaNoise")
+        root = self.getParam("-o") if self.checkParam("-o") else ""
+        fn_ts = (self.getParam("--tiltseries")
+                 if self.checkParam("--tiltseries")
+                 and self.getParam("--tiltseries") else root + ".mrcs")
+        fn_tomo = (self.getParam("--tomogram")
+                   if self.checkParam("--tomogram")
+                   and self.getParam("--tomogram")
+                   else root + "_tomogram.mrc")
+
+        box = part.shape[-1]
+        half = box // 2
+        tomo = np.zeros((Z, Y, X), np.float32)
+        series = np.zeros((len(tilts), Y, X), np.float32)
+        # spherical mask with a smooth rim (maskingRotatedSubtomo)
+        zz, yy, xx = np.mgrid[0:box, 0:box, 0:box].astype(np.float32) - half
+        r = np.sqrt(zz * zz + yy * yy + xx * xx)
+        sph = np.clip((half - r) / 2.0, 0.0, 1.0)
         rng = np.random.default_rng(0)
-        sigma = self.getDoubleParam("--noise")
+        ct = np.cos(np.deg2rad(tilts))
+        st = np.sin(np.deg2rad(tilts))
+
+        def paste2d(img, patch, xc, yc):
+            b = patch.shape[0]
+            x0, y0 = int(xc) - b // 2, int(yc) - b // 2
+            if x0 < 0 or y0 < 0 or x0 + b > X or y0 + b > Y:
+                return
+            img[y0:y0 + b, x0:x0 + b] += patch
+
+        for row in md.iterRows():
+            xc = int(row["xcoor"])
+            yc = int(row["ycoor"])
+            zc = int(row.get("zcoor", 0))
+            if "anglePsi" in row or "angleRot" in row:
+                # the reference reads (theta,phi,xi) = (psi,tilt,rot),
+                # tomo_simulate_tilt_series.cpp:283-287
+                theta = float(row.get("anglePsi", 0.0))
+                phi = float(row.get("angleTilt", 0.0))
+                xi = float(row.get("angleRot", 0.0))
+            else:
+                theta = 360.0 * rng.random()
+                phi = np.degrees(np.arccos(2 * rng.random() - 1.0))
+                xi = 360.0 * rng.random()
+            R = np.asarray(euler_matrix(theta, phi, xi), np.float64)
+            Rz = R[::-1, ::-1]       # (x,y,z) rotation in (z,y,x) indexing
+            c = np.asarray(part.shape) // 2
+            rot_part = affine_transform(
+                part, np.linalg.inv(Rz),
+                offset=c - np.linalg.inv(Rz) @ c, order=3,
+                mode="constant").astype(np.float32) * sph
+            # ground-truth tomogram (negated densities, placeSubtomoInTomo)
+            z0 = Z // 2 + zc - half
+            y0 = Y // 2 + yc - half
+            x0 = X // 2 + xc - half
+            if (0 <= z0 and z0 + box <= Z and 0 <= y0 and y0 + box <= Y
+                    and 0 <= x0 and x0 + box <= X):
+                tomo[z0:z0 + box, y0:y0 + box, x0:x0 + box] = -rot_part
+            # per-tilt projections at the tilted particle position
+            proj = FourierProjector(rot_part, 2.0)
+            imgs = np.asarray(proj.project_euler(
+                np.zeros_like(tilts), tilts, np.zeros_like(tilts)))
+            for idx in range(len(tilts)):
+                x2d = int(xc * ct[idx] + zc * st[idx]) + X // 2
+                y2d = yc + Y // 2
+                paste2d(series[idx], imgs[idx], x2d, y2d)
+
+        # fiducials: disk in projections, ball in the tomogram
+        fn_fid = (self.getParam("--fiducialCoordinates")
+                  if self.checkParam("--fiducialCoordinates") else "")
+        if fn_fid:
+            fid_px = max(int(round(self.getDoubleParam("--fiducialDiameter")
+                                   / sampling)), 3)
+            amp = 5.0 * max(sigma, 1.0)
+            fy, fx = np.mgrid[0:fid_px, 0:fid_px] - fid_px // 2
+            disk = np.where(fx * fx + fy * fy < (fid_px / 2) ** 2, amp,
+                            0.0).astype(np.float32)
+            fz, fy, fx = np.mgrid[0:fid_px, 0:fid_px, 0:fid_px] \
+                - fid_px // 2
+            ball = np.where(fx * fx + fy * fy + fz * fz
+                            < (fid_px / 2) ** 2, amp, 0.0
+                            ).astype(np.float32)
+            for row in MetaData(fn_fid).iterRows():
+                xc, yc = int(row["xcoor"]), int(row["ycoor"])
+                zc = int(row.get("zcoor", 0))
+                z0 = Z // 2 + zc - fid_px // 2
+                y0 = Y // 2 + yc - fid_px // 2
+                x0 = X // 2 + xc - fid_px // 2
+                if (0 <= z0 and z0 + fid_px <= Z and 0 <= y0
+                        and y0 + fid_px <= Y and 0 <= x0
+                        and x0 + fid_px <= X):
+                    tomo[z0:z0 + fid_px, y0:y0 + fid_px,
+                         x0:x0 + fid_px] -= ball
+                for idx in range(len(tilts)):
+                    x2d = int(xc * ct[idx] + zc * st[idx]) + X // 2
+                    paste2d(series[idx], disk, x2d, yc + Y // 2)
+
+        series = -series                        # cryo contrast convention
         if sigma > 0:
-            imgs = imgs + rng.normal(0, sigma, imgs.shape).astype(np.float32)
-        root = self.getParam("-o")
-        save_image(root + ".mrcs", imgs)
-        save_image(root + "_tomogram.mrc", tomo)
+            series = series + rng.normal(0, sigma, series.shape
+                                         ).astype(np.float32)
+            tomo = tomo + rng.normal(0, sigma / box, tomo.shape
+                                     ).astype(np.float32)
+        save_image(fn_ts, series)
+        save_image(fn_tomo, tomo)
+        fn_xmd = os.path.splitext(fn_ts)[0] + ".xmd"
         MetaData.fromRows([
-            {"image": f"{i + 1:06d}@{root}.mrcs",
+            {"image": f"{i + 1:06d}@{fn_ts}",
+             "angleTilt": float(tilts[i]),
              "tiltAngle": float(tilts[i]), "itemId": i + 1}
-            for i in range(len(tilts))]).write(root + ".xmd")
+            for i in range(len(tilts))]).write(fn_xmd)
 
 
 class ProgTomoExtractSubtomograms(XmippProgram):
