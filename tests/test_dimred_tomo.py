@@ -94,13 +94,18 @@ def test_eliminate_empty(tmp_path):
     imgs = np.concatenate([empty, full])
     fn = str(tmp_path / "s.mrcs")
     save_image(fn, imgs)
-    out = str(tmp_path / "flagged.xmd")
+    out = str(tmp_path / "kept.xmd")
+    elim = str(tmp_path / "elim.xmd")
     prog = run_prog("image_eliminate_empty_particles",
-                    f"-i {fn} -o {out} --threshold 1.5")
-    md = MetaData(out)
-    en = md.getColumn("enabled")
-    assert (en[:5] == -1).all()
-    assert (en[5:] == 1).all()
+                    f"-i {fn} -o {out} -e {elim} -t 10 --addFeatures")
+    assert prog.n_kept == 5 and prog.n_eliminated == 5
+    kept = MetaData(out)
+    names = [str(r["image"]) for r in kept.iterRows()]
+    # the 5 blob-bearing particles (indices 6-10) are the kept ones
+    assert all(int(n.split("@")[0]) > 5 for n in names)
+    r0 = next(kept.iterRows())
+    assert len(np.asarray(r0["scoreByVariance"], float)) == 17
+    assert float(r0["scoreByEmptiness"]) > 10
 
 
 def test_tomo_pipeline(tmp_path):

@@ -62,6 +62,11 @@ class ProgImageVectorize(XmippProgram):
 
 
 class ProgImageSortByStatistics(XmippProgram):
+    """Full reference surface (image_sort_by_statistics.cpp:55-82):
+    multivariate outlier z-scores over morphology/SNR/histogram features,
+    optional training set (-t) fixing the feature statistics, --percent /
+    --zcut disabling, --dim pre-scaling, --addFeatures vectors
+    (scoreByScreening) and --addToInput write-back."""
     name = "xmipp_image_sort_by_statistics"
 
     def defineParams(self):
@@ -69,97 +74,283 @@ class ProgImageSortByStatistics(XmippProgram):
                           "(zScore over intensity/shape features).")
         self.addParamsLine("   -i <md_or_stack> : Input particles")
         self.addParamsLine("  [-o <md=\"\">]      : Output sorted metadata")
-        self.addParamsLine("  [--zcut <z=-1>]   : Disable particles above this zScore")
+        self.addParamsLine("  [-t <selfile=\"\">] : Train on this selfile "
+                           "of good particles")
+        self.addParamsLine("  [--zcut <z=-1>]   : Disable particles above "
+                           "this zScore")
+        self.addParamsLine("  [--percent <p=0>] : Disable this percentage "
+                           "of largest z-scores")
+        self.addParamsLine("  [--addFeatures]   : Add feature vectors to "
+                           "the output metadata")
+        self.addParamsLine("  [--addToInput]    : Also write the score "
+                           "columns back into the input metadata")
+        self.addParamsLine("  [--dim <d=50>]    : Scale images down to "
+                           "this size first (-1 = no rescaling)")
+
+    @staticmethod
+    def _features(imgs):
+        B = len(imgs)
+        flat = imgs.reshape(B, -1)
+        mu1 = flat.mean(axis=1, keepdims=True)
+        sd1 = np.maximum(flat.std(axis=1), 1e-12)
+        return np.stack([
+            flat.mean(axis=1), flat.std(axis=1),
+            np.abs(flat).max(axis=1),
+            ((flat - mu1) ** 3).mean(axis=1) / sd1 ** 3,     # skewness
+            ((flat - mu1) ** 4).mean(axis=1) / sd1 ** 4,     # kurtosis
+        ], axis=1)
 
     def run(self):
         imgs, rows = _load(self.getParam("-i"))
-        B = len(imgs)
-        flat = imgs.reshape(B, -1)
-        feats = np.stack([
-            flat.mean(axis=1), flat.std(axis=1),
-            np.abs(flat).max(axis=1),
-            ((flat - flat.mean(axis=1, keepdims=True)) ** 3).mean(axis=1) /
-            np.maximum(flat.std(axis=1) ** 3, 1e-12),          # skewness
-            ((flat - flat.mean(axis=1, keepdims=True)) ** 4).mean(axis=1) /
-            np.maximum(flat.std(axis=1) ** 4, 1e-12),          # kurtosis
-        ], axis=1)
-        mu = feats.mean(axis=0)
-        sd = np.maximum(feats.std(axis=0), 1e-12)
+        dim = self.getIntParam("--dim")
+        if 0 < dim < imgs.shape[-1]:
+            import jax.numpy as jnp
+            from xmipp3_tpu.ops.resize import fourier_resize_2d
+            imgs_s = np.asarray(fourier_resize_2d(jnp.asarray(imgs), dim, dim))
+        else:
+            imgs_s = imgs
+        feats = self._features(imgs_s)
+        if self.checkParam("-t") and self.getParam("-t"):
+            t_imgs, _ = _load(self.getParam("-t"))
+            if 0 < dim < t_imgs.shape[-1]:
+                import jax.numpy as jnp
+                from xmipp3_tpu.ops.resize import fourier_resize_2d
+                t_imgs = np.asarray(fourier_resize_2d(jnp.asarray(t_imgs),
+                                                      dim, dim))
+            t_feats = self._features(t_imgs)
+            mu = t_feats.mean(axis=0)
+            sd = np.maximum(t_feats.std(axis=0), 1e-12)
+        else:
+            mu = feats.mean(axis=0)
+            sd = np.maximum(feats.std(axis=0), 1e-12)
         z = np.abs((feats - mu) / sd)
         zscore = z.max(axis=1)
         order = np.argsort(zscore)
         zcut = self.getDoubleParam("--zcut")
-        out_rows = []
-        for rank, i in enumerate(order):
-            r = dict(rows[i])
+        pct = self.getDoubleParam("--percent")
+        pct_thr = (np.percentile(zscore, 100 - pct) if pct > 0
+                   else np.inf)
+        add_feats = self.checkParam("--addFeatures")
+
+        def annotate(r, i):
             r["zScore"] = float(zscore[i])
             r["zScoreShape1"] = float(z[i, 3])
             r["zScoreSNR1"] = float(z[i, 1])
-            if zcut > 0:
-                r["enabled"] = 1 if zscore[i] <= zcut else -1
-            out_rows.append(r)
+            if add_feats:
+                r["scoreByScreening"] = feats[i].astype(np.float32)
+            if zcut > 0 or pct > 0:
+                bad = (zcut > 0 and zscore[i] > zcut) or zscore[i] > pct_thr
+                r["enabled"] = -1 if bad else 1
+            return r
+
+        out_rows = [annotate(dict(rows[i]), i) for i in order]
         md = MetaData.fromRows(out_rows)
         fn_out = self.getParam("-o") if self.checkParam("-o") and \
             self.getParam("-o") else self.getParam("-i")
         md.write(fn_out)
+        if self.checkParam("--addToInput"):
+            from xmipp3_tpu.core.metadata_program import is_metadata_file
+            fn_in = self.getParam("-i")
+            if is_metadata_file(fn_in) and fn_in != fn_out:
+                MetaData.fromRows(
+                    [annotate(dict(rows[i]), i)
+                     for i in range(len(rows))]).write(fn_in)
         self.zscores = zscore
 
 
 class ProgImageFindCenter(XmippProgram):
+    """Full reference surface (image_find_center.cpp:591-759 wrapper over
+    the classic busca/ergrot code): optimize the center (x, y) of the
+    --harm rotational harmonic of the average image's angular profile,
+    integrated over rings --r1..--r2 (% of the radius) after --r3..--r4
+    raised-cosine apodization, starting from (--x0, --y0), minimizing
+    (--opt -1) or maximizing (+1).  The classic pattern search becomes a
+    batched grid refinement: each shrink step evaluates all candidate
+    centers in one vmapped ring-resampling dispatch."""
     name = "xmipp_image_find_center"
 
     def defineParams(self):
-        self.addUsageLine("Find the rotational-symmetry center of an image "
-                          "(autocorrelation centroid).")
-        self.addParamsLine("   -i <image> : Input image/stack")
-        self.addParamsLine("  [--oroot <root=\"\">] : Output metadata rootname")
+        self.addUsageLine("Find the best center of rotation of an image "
+                          "or collection of images.")
+        self.addParamsLine("   -i <file> : Image, stack or selfile")
+        self.addParamsLine("  [--oroot <root=\"\">] : Output rootname "
+                           "(<root>_center.xmd)")
+        self.addParamsLine("  [--r1 <radius=15>] : Lowest integration "
+                           "radius (% of image radius)")
+        self.addParamsLine("  [--r2 <radius=80>] : Highest integration "
+                           "radius (%)")
+        self.addParamsLine("  [--r3 <radius=90>] : Lowest smoothing "
+                           "radius (%)")
+        self.addParamsLine("  [--r4 <radius=100>] : Highest smoothing "
+                           "radius (%)")
+        self.addParamsLine("  [--x0 <x=-1>] : Initial center x")
+        self.addParamsLine("  [--y0 <y=-1>] : Initial center y")
+        self.addParamsLine("  [--harm <n=1>] : Harmonic to optimize")
+        self.addParamsLine("  [--opt <o=-1>] : -1 = minimize, +1 = "
+                           "maximize the harmonic energy")
+
+    @staticmethod
+    def _harmonic_energy(img, centers, radii, ncic, n_theta=128):
+        """E(c) = sum_r r*|sum_theta I(c + r e^{i theta}) e^{i n theta}|^2
+        for a batch of candidate centers; one jitted dispatch."""
+        import jax
+        import jax.numpy as jnp
+        img = jnp.asarray(img, jnp.float32)
+        H, W = img.shape
+        theta = jnp.arange(n_theta) * (2 * np.pi / n_theta)
+        cosn = jnp.cos(ncic * theta)
+        sinn = jnp.sin(ncic * theta)
+
+        def bilinear(y, x):
+            x0 = jnp.floor(x).astype(jnp.int32)
+            y0 = jnp.floor(y).astype(jnp.int32)
+            fx, fy = x - x0, y - y0
+            v = 0.0
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    xi = jnp.clip(x0 + dx, 0, W - 1)
+                    yi = jnp.clip(y0 + dy, 0, H - 1)
+                    inside = ((x0 + dx >= 0) & (x0 + dx < W)
+                              & (y0 + dy >= 0) & (y0 + dy < H))
+                    w = (jnp.where(dx, fx, 1 - fx)
+                         * jnp.where(dy, fy, 1 - fy))
+                    v = v + jnp.where(inside, img[yi, xi], 0.0) * w
+            return v
+
+        def energy(c):
+            xs = c[0] + radii[:, None] * jnp.cos(theta)[None, :]
+            ys = c[1] + radii[:, None] * jnp.sin(theta)[None, :]
+            vals = bilinear(ys, xs)                      # (R, T)
+            re = vals @ cosn
+            im = vals @ sinn
+            return jnp.sum(radii * (re * re + im * im))
+
+        return jax.jit(jax.vmap(energy))(jnp.asarray(centers, jnp.float32))
 
     def run(self):
-        from xmipp3_tpu.ops.shift import best_shift
+        from xmipp3_tpu.ops.mask import circular_mask
         imgs, rows = _load(self.getParam("-i"))
-        # center = half the shift between the image and its 180° rotation
-        rot180 = imgs[:, ::-1, ::-1]
-        sx, sy, _ = (np.asarray(v) for v in best_shift(imgs, rot180))
-        cx = -sx / 2
-        cy = -sy / 2
-        self.centers = np.stack([cx, cy], axis=1)
+        img = imgs.mean(axis=0)
+        H, W = img.shape
+        lo, hi = img.min(), img.max()
+        img = (img - lo) * (255.0 / max(hi - lo, 1e-12))
+        r1 = self.getDoubleParam("--r1") / 100.0 * W / 2.0
+        r2 = self.getDoubleParam("--r2") / 100.0 * W / 2.0
+        r3 = self.getDoubleParam("--r3") / 100.0 * W / 2.0
+        r4 = self.getDoubleParam("--r4") / 100.0 * W / 2.0
+        ncic = self.getIntParam("--harm")
+        indmul = self.getIntParam("--opt")
+        if np.pi / 2 * r2 / ncic < 3:
+            from xmipp3_tpu.core.errors import ErrCode, XmippError
+            raise XmippError(ErrCode.ARG_INCORRECT,
+                             "A higher integration radius is needed "
+                             "(r2>6*harm/pi)")
+        # edge apodization between r3 and r4
+        img = img * circular_mask((H, W), r4, inner=r3,
+                                  mode="raised_cosine")
+        x0 = self.getDoubleParam("--x0")
+        y0 = self.getDoubleParam("--y0")
+        xc = x0 if x0 >= 0 else W / 2.0
+        yc = y0 if y0 >= 0 else H / 2.0
+        radii = np.arange(max(r1, 1.0), max(r2, r1 + 1), 1.0
+                          ).astype(np.float32)
+        import jax.numpy as jnp
+        radii = jnp.asarray(radii)
+        delta = 2.0
+        for _ in range(5):                     # DEF_IT refinement levels
+            gx, gy = np.meshgrid(xc + delta * np.arange(-2, 3),
+                                 yc + delta * np.arange(-2, 3))
+            cand = np.stack([gx.ravel(), gy.ravel()], axis=1)
+            e = np.asarray(self._harmonic_energy(img, cand, radii, ncic))
+            k = int(np.argmax(e) if indmul > 0 else np.argmin(e))
+            xc, yc = float(cand[k, 0]), float(cand[k, 1])
+            delta *= 0.5
+        self.center = (xc, yc)
+        self.centers = np.asarray([[xc, yc]])
         if self.verbose:
-            for i in range(len(imgs)):
-                print(f"image {i + 1}: center offset ({cx[i]:.2f}, {cy[i]:.2f})")
+            print(f"Optimal center coordinates: x= {xc} ,y= {yc}")
         root = self.getParam("--oroot")
         if root:
-            MetaData.fromRows([
-                {**rows[i], "shiftX": float(cx[i]), "shiftY": float(cy[i])}
-                for i in range(len(imgs))]).write(root + ".xmd")
+            MetaData.fromRows([{"X": xc, "Y": yc}]).write(
+                root + "_center.xmd")
 
 
 class ProgImageSSNR(XmippProgram):
+    """Full reference surface (program_image_ssnr.cpp:31-173): signal =
+    image inside a raised-cosine radius-R mask, noise = outside; SSNR =
+    mean over the [fmin, fmax] band of 10*(log10 S(f) - log10 N(f)) dB,
+    with --ssnrcut/--ssnrpercent disabling and --normalizessnr weights.
+    One batched masked-FFT dispatch over the whole stack."""
     name = "xmipp_image_ssnr"
 
     def defineParams(self):
-        self.addUsageLine("Spectral SNR per image (signal vs noise band "
-                          "energy ratio).")
+        self.addUsageLine("Analyze image SSNR (in-mask signal vs "
+                          "out-of-mask noise spectra).")
         self.addParamsLine("   -i <md_or_stack> : Input particles")
         self.addParamsLine("  [-o <md=\"\">]      : Output metadata")
-        self.addParamsLine("  [--signal_band <f1=0.02> <f2=0.25>] : Signal band")
+        self.addParamsLine("  [-R <r=-1>] : Particle radius (default "
+                           "half image size)")
+        self.addParamsLine("  [--Rwidth <r=3>] : Mask transition width")
+        self.addParamsLine("  [--fmin <f=40>] : Minimum frequency (A)")
+        self.addParamsLine("  [--fmax <f=3>]  : Maximum frequency (A)")
+        self.addParamsLine("  [--sampling <Ts=1>] : Sampling (A/px)")
+        self.addParamsLine("  [--ssnrcut <s=-1>] : Disable images with "
+                           "SSNR below this value")
+        self.addParamsLine("  [--ssnrpercent <p=-1>] : Disable images "
+                           "with SSNR below this percentile")
+        self.addParamsLine("  [--normalizessnr] : Write weightSSNR = "
+                           "SSNR / max SSNR")
 
     def run(self):
         import jax.numpy as jnp
         from xmipp3_tpu.ops.fourier import radial_average_half
+        from xmipp3_tpu.ops.mask import circular_mask
         imgs, rows = _load(self.getParam("-i"))
-        f1 = self.getDoubleParam("--signal_band", 0)
-        f2 = self.getDoubleParam("--signal_band", 1)
-        spec = np.asarray(jnp.abs(jnp.fft.rfft2(jnp.asarray(imgs))) ** 2)
-        nbins = imgs.shape[-1] // 2
-        prof = np.asarray(radial_average_half(jnp.asarray(spec), nbins))
-        freqs = (np.arange(nbins) + 0.5) * (0.5 / nbins)
-        sig = prof[:, (freqs >= f1) & (freqs <= f2)].mean(axis=1)
-        noise = prof[:, freqs > 0.4].mean(axis=1)
-        ssnr = sig / np.maximum(noise, 1e-12)
+        H = imgs.shape[-1]
+        Rwidth = self.getDoubleParam("--Rwidth")
+        R = self.getDoubleParam("-R")
+        if R == -1:
+            R = 0.5 * H - Rwidth
+        Ts = self.getDoubleParam("--sampling")
+        fmin = self.getDoubleParam("--fmin")
+        fmax = self.getDoubleParam("--fmax")
+        imin = int(max(3.0, 0.5 * H * (Ts / fmin)))
+        imax = int(min(H - 3.0, 0.5 * H * (Ts / fmax)))
+        maskS = circular_mask((H, H), R + Rwidth, inner=R - Rwidth,
+                              mode="raised_cosine")
+        maskN = 1.0 - maskS
+        nbins = H // 2
+        imax = min(imax, nbins - 1)
+        sS = jnp.abs(jnp.fft.rfft2(jnp.asarray(imgs * maskS[None]))) ** 2
+        sN = jnp.abs(jnp.fft.rfft2(jnp.asarray(imgs * maskN[None]))) ** 2
+        profS = np.asarray(radial_average_half(sS, nbins))
+        profN = np.asarray(radial_average_half(sN, nbins))
+        band = slice(imin, imax + 1)
+        valid = (profS[:, band] > 0) & (profN[:, band] > 0)
+        terms = np.where(valid,
+                         np.log10(np.maximum(profS[:, band], 1e-300))
+                         - np.log10(np.maximum(profN[:, band], 1e-300)),
+                         0.0)
+        ssnr = terms.sum(axis=1) * 10.0 / max(imax - imin + 1, 1)
+        enabled = np.asarray([int(r.get("enabled", 1)) for r in rows])
+        cut = self.getDoubleParam("--ssnrcut")
+        if cut > 0:
+            enabled = np.where(ssnr < cut, -1, enabled)
+        pct = self.getDoubleParam("--ssnrpercent")
+        if pct > 0:
+            srt = np.sort(ssnr)
+            thr = srt[min(int(pct / 100.0 * len(srt)), len(srt) - 1)]
+            enabled = np.where(ssnr < thr, -1, enabled)
+        weights = None
+        if self.checkParam("--normalizessnr") and ssnr.max() > 0:
+            weights = ssnr / ssnr.max()
         out_rows = []
         for i, r in enumerate(rows):
             d = dict(r)
             d["cumulativeSSNR"] = float(ssnr[i])
+            d["enabled"] = int(enabled[i])
+            if weights is not None:
+                d["weightSSNR"] = float(weights[i])
             out_rows.append(d)
         md = MetaData.fromRows(out_rows)
         fn_out = self.getParam("-o") if self.checkParam("-o") and \
@@ -169,33 +360,66 @@ class ProgImageSSNR(XmippProgram):
 
 
 class ProgEliminateEmptyParticles(XmippProgram):
+    """Full reference surface (image_eliminate_empty_particles.cpp:33-135):
+    emptiness score = inner/outer 4x4-block variance ratio (the variance
+    extractor's last feature) of the centered, bandpassed (and optionally
+    Gaussian-denoised) particle; kept rows go to -o, eliminated to -e."""
     name = "xmipp_image_eliminate_empty_particles"
 
     def defineParams(self):
-        self.addUsageLine("Flag particles with no structural content "
-                          "(variance-based screening).")
+        self.addUsageLine("Eliminate empty particles (no structural "
+                          "content) from a particle set.")
         self.addParamsLine("   -i <md_or_stack> : Input particles")
-        self.addParamsLine("   -o <md>          : Output metadata")
-        self.addParamsLine("  [--threshold <t=1.1>] : Min center/border variance ratio")
+        self.addParamsLine("  [-o <md=output.xmd>] : Output selfile "
+                           "(kept particles)")
+        self.addParamsLine("  [-e <md=eliminated.xmd>] : Eliminated "
+                           "particles selfile")
+        self.addParamsLine("  [-t <t=-1>] : Emptiness-score threshold "
+                           "(-1 = no elimination)")
+        self.addParamsLine("   alias --threshold;")
+        self.addParamsLine("  [--addFeatures] : Add the variance feature "
+                           "vector (scoreByVariance) to the rows")
+        self.addParamsLine("  [--useDenoising] : Gaussian-denoise before "
+                           "computing the emptiness feature")
+        self.addParamsLine("  [-d <int=50>] : Denoising strength "
+                           "(real-space Gaussian sigma)")
 
     def run(self):
-        from xmipp3_tpu.ops.mask import circular_mask
+        import jax.numpy as jnp
+        from xmipp3_tpu.ops import features as F
+        from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                                   band_pass_mask)
         imgs, rows = _load(self.getParam("-i"))
-        H = imgs.shape[-1]
-        inner = circular_mask((H, H), H // 4) > 0.5
-        outer = circular_mask((H, H), H // 2 - 1) <= 0.5
-        var_in = imgs[:, inner].var(axis=1)
-        var_out = np.maximum(imgs[:, outer].var(axis=1), 1e-12)
-        ratio = var_in / var_out
-        thr = self.getDoubleParam("--threshold")
-        out_rows = []
+        H, W = imgs.shape[-2:]
+        proc = np.asarray(F.center_translationally(imgs))
+        if self.checkParam("--useDenoising"):
+            from scipy.ndimage import gaussian_filter
+            d = self.getIntParam("-d")
+            # reference realGaussianFilter(I, d): real-space sigma = d px
+            proc = np.stack([gaussian_filter(p, d / 6.0) for p in proc])
+        # reference quirk: the bandpass is OUTSIDE the if (missing braces,
+        # image_eliminate_empty_particles.cpp:106-108) so it always runs
+        proc = np.asarray(apply_fourier_mask_2d(
+            jnp.asarray(proc), band_pass_mask(H, W, 0.0, 0.1, 0.02)))
+        fv = np.asarray(F.extract_variance(proc))
+        ratio = fv[:, -1]
+        thr = self.getDoubleParam("-t")
+        kept, elim = [], []
         for i, r in enumerate(rows):
             d = dict(r)
-            d["enabled"] = 1 if ratio[i] >= thr else -1
-            d["zScoreSNR1"] = float(ratio[i])
-            out_rows.append(d)
-        MetaData.fromRows(out_rows).write(self.getParam("-o"))
+            d["scoreByEmptiness"] = float(ratio[i])
+            if self.checkParam("--addFeatures"):
+                d["scoreByVariance"] = fv[i].astype(np.float32)
+            (kept if thr < 0 or ratio[i] > thr else elim).append(d)
+        fn_out = self.getParam("-o")
+        fn_el = self.getParam("-e")
+        if kept:
+            MetaData.fromRows(kept).write(fn_out)
+        if elim:
+            MetaData.fromRows(elim).write(fn_el)
         self.ratio = ratio
+        self.n_kept = len(kept)
+        self.n_eliminated = len(elim)
 
 
 class ProgMatrixDimred(XmippProgram):
