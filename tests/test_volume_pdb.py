@@ -261,3 +261,49 @@ def test_volume_to_pseudoatoms_options(tmp_path):
     model = read_pdb(str(tmp_path / "pc.pdb"))
     # all intensities equal -> written as 1.0 in the Bfactor column
     assert np.allclose(model.bfactors, model.bfactors[0])
+
+
+def test_volume_from_pdb_full_surface(tmp_path):
+    """Round-4 flags: blobs/poor_Gaussian/fixed_Gaussian/high_sampling_rate/
+    orig/noHet/oPDB/intensityColumn (volume_from_pdb.cpp:185-560)."""
+    import numpy as np
+    from xmipp3_tpu.core.image import Image
+    pdb = tmp_path / "m.pdb"
+    lines = [
+        "ATOM      1  CA  ALA A   1       2.000   0.000   0.000  1.00 10.00           C",
+        "ATOM      2  N   ALA A   2      -2.000   0.000   0.000  0.50 20.00           N",
+        "HETATM    3 FE   HEM A   3       0.000   3.000   0.000  1.00  5.00          FE",
+    ]
+    pdb.write_text("\n".join(lines) + "\n")
+    out = str(tmp_path / "v.vol")
+
+    def vol_of(extra):
+        run_prog("volume_from_pdb",
+                 f"-i {pdb} -o {out} --sampling 1 --size 24 -v 0 " + extra)
+        return np.squeeze(Image(out).data)
+
+    v_scatter = vol_of("")
+    v_blobs = vol_of("--blobs")
+    v_poor = vol_of("--poor_Gaussian")
+    v_fixg = vol_of("--fixed_Gaussian 1.5 --intensityColumn Bfactor")
+    for v in (v_scatter, v_blobs, v_poor, v_fixg):
+        assert v.shape == (24, 24, 24) and v.max() > 0
+    # fixed_Gaussian with Bfactor weights: atom 2 (B=20) twice atom 1
+    a1 = v_fixg[12, 12, 12 + 2]
+    a2 = v_fixg[12, 12, 12 - 2]
+    assert abs(a2 / a1 - 2.0) < 0.2
+    # noHet removes the iron peak
+    v_nohet = vol_of("--noHet")
+    assert v_scatter[12, 12 + 3, 12] > 1e-3
+    assert v_nohet[12, 12 + 3, 12] < v_scatter[12, 12 + 3, 12] * 0.1
+    # high sampling then downscale stays close to direct rasterization
+    v_hi = vol_of("--high_sampling_rate 0.5")
+    cc = np.corrcoef(v_hi.ravel(), v_scatter.ravel())[0, 1]
+    assert cc > 0.95
+    # non-cubic size + centering + oPDB
+    run_prog("volume_from_pdb",
+             f"-i {pdb} -o {out} --sampling 1 --size 32 24 16 "
+             f"--centerPDB --oPDB -v 0")
+    assert np.squeeze(Image(out).data).shape == (16, 24, 32)
+    import os
+    assert os.path.exists(str(tmp_path / "v_centered.pdb"))

@@ -17,6 +17,11 @@ from xmipp3_tpu.core.program import XmippProgram
 
 
 class ProgVolumeFromPDB(XmippProgram):
+    """Full reference surface (volume_from_pdb.cpp:185-560): scattering-
+    profile (default), --blobs, --poor_Gaussian and --fixed_Gaussian
+    atom splatting, --high_sampling_rate rasterize-then-downscale,
+    per-axis --size, --orig origin, --noHet, --centerPDB/--oPDB and
+    --intensityColumn weight selection."""
     name = "xmipp_volume_from_pdb"
 
     def defineParams(self):
@@ -25,26 +30,80 @@ class ProgVolumeFromPDB(XmippProgram):
         self.addParamsLine("   -i <pdb_file> : Input atomic model")
         self.addParamsLine("  [-o <root=\"\">] : Output rootname (.vol)")
         self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (Å)")
-        self.addParamsLine("  [--size <n=-1>] : Box size (voxels; -1 = auto)")
-        self.addParamsLine("  [--centerPDB]   : Center the model")
+        self.addParamsLine("  [--high_sampling_rate <hTs=-1>] : Rasterize "
+                           "at this finer sampling, then downscale")
+        self.addParamsLine("  [--size <x=-1> <y=-1> <z=-1>] : Final size "
+                           "in voxels (-1 = auto; one value = cubic)")
+        self.addParamsLine("  [--orig <x=0> <y=0> <z=0>] : Origin of the "
+                           "output volume (logical indices)")
+        self.addParamsLine("  [--centerPDB]   : Center the model at its "
+                           "center of mass")
+        self.addParamsLine("  [--oPDB]        : Save the centered model "
+                           "to <root>_centered.pdb")
+        self.addParamsLine("  [--noHet]       : Skip heteroatoms")
+        self.addParamsLine("  [--blobs]       : Kaiser-Bessel blobs "
+                           "instead of scattering factors")
+        self.addParamsLine("  [--poor_Gaussian] : Simple per-atom Gaussian")
+        self.addParamsLine("  [--fixed_Gaussian <std=-1>] : Fixed-sigma "
+                           "Gaussian (std<0: per-atom sigma from the "
+                           "B-factor column)")
+        self.addParamsLine("  [--intensityColumn <c=occupancy>] : Weight "
+                           "column in fixed-Gaussian mode: occupancy | "
+                           "Bfactor")
 
     def run(self):
-        from xmipp3_tpu.core.pdb import rasterize, read_pdb
+        from xmipp3_tpu.core.pdb import (rasterize_modes, read_pdb,
+                                         write_pdb)
         fn = self.getParam("-i")
         model = read_pdb(fn)
         Ts = self.getDoubleParam("--sampling")
-        n = self.getIntParam("--size")
-        if n <= 0:
-            extent = (model.coords.max(axis=0) - model.coords.min(axis=0)).max()
-            n = int(np.ceil(extent / Ts)) + 10
+        if self.checkParam("--noHet") and model.het is not None:
+            model = model.select(~model.het)
+        if self.checkParam("--centerPDB"):
+            model = model.centered()
+        nx = self.getIntParam("--size", 0)
+        ny = self.getIntParam("--size", 1)
+        nz = self.getIntParam("--size", 2)
+        if nx <= 0:
+            lim = np.abs(model.coords).max(axis=0)
+            n = int(np.ceil(2 * lim.max() / Ts)) + 10
             n += n % 2
-        vol = rasterize(model, n, Ts)
+            nx = ny = nz = n
+        elif ny <= 0:
+            ny = nz = nx
+        origin = None
+        if self.checkParam("--orig"):
+            origin = (self.getIntParam("--orig", 0),
+                      self.getIntParam("--orig", 1),
+                      self.getIntParam("--orig", 2))
+            if any(origin):
+                origin = origin
+            else:
+                origin = None
+        if self.checkParam("--blobs"):
+            mode, sigma = "blobs", -1.0
+        elif self.checkParam("--poor_Gaussian"):
+            mode, sigma = "poor_gaussian", -1.0
+        elif self.checkParam("--fixed_Gaussian"):
+            mode = "fixed_gaussian"
+            sigma = self.getDoubleParam("--fixed_Gaussian")
+        else:
+            mode, sigma = "scattering", -1.0
+        hTs = (self.getDoubleParam("--high_sampling_rate")
+               if self.checkParam("--high_sampling_rate") else -1.0)
+        vol = rasterize_modes(model, (nx, ny, nz), Ts, mode=mode,
+                              origin=origin, sigma=sigma,
+                              intensity=self.getParam("--intensityColumn"),
+                              high_sampling=hTs if 0 < hTs < Ts else None)
         root = self.getParam("-o") or fn.rsplit(".", 1)[0]
+        if self.checkParam("--oPDB") and self.checkParam("--centerPDB"):
+            write_pdb(root.replace(".vol", "") + "_centered.pdb", model)
         if not root.endswith(".vol"):
             root += ".vol"
         save_image(root, vol, sampling=Ts)
         if self.verbose:
-            print(f"Rasterized {len(model)} atoms into {n}^3 at {Ts} A/px")
+            print(f"Rasterized {len(model)} atoms into "
+                  f"{nx}x{ny}x{nz} at {Ts} A/px ({mode})")
 
 
 class ProgVolumeCenter(XmippProgram):
