@@ -321,19 +321,186 @@ class ProgAngularEstimateTiltAxis(XmippProgram):
                               ).write(self.getParam("-o"))
 
 
+def _projdir_distance_matrix(angles1, angles2, sym_mats, check_mirrors):
+    """Pairwise minimal projection-direction distances (degrees) between
+    two orientation sets under a symmetry list — the vectorized form of
+    SymList::computeDistance(projdir_mode=true) used by the alignability
+    scores (multireference_aligneability.cpp:278-313)."""
+    from xmipp3_tpu.core.geometry import euler_matrix
+    d1 = np.asarray(euler_matrix(angles1[:, 0], angles1[:, 1],
+                                 angles1[:, 2]))[..., 2, :]   # (N,3)
+    d2 = np.asarray(euler_matrix(angles2[:, 0], angles2[:, 1],
+                                 angles2[:, 2]))[..., 2, :]   # (M,3)
+    best = None
+    for L in np.asarray(sym_mats, np.float64):
+        d2e = d2 @ L.T
+        dots = d1 @ d2e.T
+        if check_mirrors:
+            dots = np.abs(dots)
+        ang = np.degrees(np.arccos(np.clip(dots, -1.0, 1.0)))
+        best = ang if best is None else np.minimum(best, ang)
+    return best
+
+
 class ProgMultireferenceAligneability(XmippProgram):
+    """Full reference surface (multireference_aligneability.cpp:43-571):
+    per-particle alignability precision (clusteredness of the Significant
+    orientations vs the same for reference projections, baselined by the
+    random-gallery noise expectation) and accuracy (weighted distance of
+    the assigned pose to the Significant cloud), with --check_mirrors /
+    --dontUseWeights / --sym, writing pruned_particles_alignability.xmd
+    and validationAlignability.xmd into --odir.  The pairwise angular
+    distances are evaluated as vectorized direction-matrix products."""
     name = "xmipp_multireference_aligneability"
 
     def defineParams(self):
         self.addUsageLine("Alignability validation: precision/accuracy of "
                           "each particle's angular assignment against a "
                           "reference volume gallery.")
-        self.addParamsLine("   -i <md_file>  : Particles with poses")
-        self.addParamsLine("   --volume <vol> : Reference volume")
-        self.addParamsLine("   -o <md_file>  : Output with alignability scores")
+        self.addParamsLine("  [-i <md_file=\"\">]  : Particles with poses")
+        self.addParamsLine("  [-i2 <md_file=\"\">] : Reference particles "
+                           "(volume projections at the same orientations)")
+        self.addParamsLine("  [--volume <vol=\"\">] : Reference volume")
+        self.addParamsLine("  [-o <md_file=\"\">]  : Output with "
+                           "alignability scores (simple engine)")
         self.addParamsLine("  [--sampling <s=15>] : Gallery sampling (deg)")
+        self.addParamsLine("  [--angles_file <f=.>] : Significant "
+                           "orientations of the experimental particles")
+        self.addParamsLine("  [--angles_file_ref <f=.>] : Significant "
+                           "orientations of the reference projections")
+        self.addParamsLine("  [--gallery <f=.>]   : Reference projection "
+                           "gallery metadata")
+        self.addParamsLine("  [--sym <s=c1>]      : Symmetry")
+        self.addParamsLine("  [--odir <d=.>]      : Output directory")
+        self.addParamsLine("  [--check_mirrors]   : Axis-without-direction "
+                           "distances (mirror-aware)")
+        self.addParamsLine("  [--dontUseWeights]  : Unweighted "
+                           "clusterability")
+
+    @staticmethod
+    def _angles_w(rows):
+        ang = np.array([[float(r.get("angleRot", 0.0)),
+                         float(r.get("angleTilt", 0.0)),
+                         float(r.get("anglePsi", 0.0))] for r in rows])
+        w = np.array([float(r.get("maxCC", 1.0) or 1.0) for r in rows])
+        return ang, w
+
+    def _sumu(self, rows, sym_mats, check_mirrors, use_weights):
+        ang, w = self._angles_w(rows)
+        D = _projdir_distance_matrix(ang, ang, sym_mats, check_mirrors)
+        if use_weights:
+            WW = np.outer(w, w)
+        else:
+            WW = np.ones_like(D)
+        return float((D * WW).sum() / max(WW.sum(), 1e-12))
+
+    def _noise(self, num, gallery_rows, sym_mats, check_mirrors,
+               trials=100):
+        ang, _ = self._angles_w(gallery_rows)
+        rng = np.random.default_rng(0)
+        tot = 0.0
+        for _ in range(trials):
+            idx = rng.choice(len(ang), size=min(num, len(ang)),
+                             replace=False)
+            D = _projdir_distance_matrix(ang[idx], ang[idx], sym_mats,
+                                         check_mirrors)
+            tot += D.sum()
+        n = min(num, len(ang))
+        return tot / (trials * max(n - 1, 1) ** 2)
+
+    def _accuracy(self, rows, ref_row, sym_mats, check_mirrors):
+        ang, w = self._angles_w(rows)
+        ref = np.array([[float(ref_row.get("angleRot", 0.0)),
+                         float(ref_row.get("angleTilt", 0.0)),
+                         float(ref_row.get("anglePsi", 0.0))]])
+        acc = float((_projdir_distance_matrix(ref, ang, sym_mats,
+                                              check_mirrors)[0] * w).sum()
+                    / max(w.sum(), 1e-12))
+        acc_mirror = float((_projdir_distance_matrix(
+            ref, ang, sym_mats, True)[0] * w).sum() / max(w.sum(), 1e-12))
+        return acc, acc_mirror
+
+    def _run_reference(self):
+        import os
+        from xmipp3_tpu.core.sym import SymList
+        odir = self.getParam("--odir")
+        sym = SymList(self.getParam("--sym"))
+        mats = sym.sym_matrices()
+        chk = self.checkParam("--check_mirrors")
+        use_w = not self.checkParam("--dontUseWeights")
+        md_exp = MetaData(self.getParam("--angles_file"))
+        md_ref = MetaData(self.getParam("--angles_file_ref"))
+        md_gal = MetaData(self.getParam("--gallery"))
+        md_parts = MetaData(self.getParam("-i"))
+        parts = list(md_parts.iterRows())
+        gal_rows = list(md_gal.iterRows())
+        by_idx_exp, by_idx_ref = {}, {}
+        for r in md_exp.iterRows():
+            by_idx_exp.setdefault(int(r.get("imageIndex", 0)), []).append(r)
+        for r in md_ref.iterRows():
+            by_idx_ref.setdefault(int(r.get("imageIndex", 0)), []).append(r)
+        max_idx = max(by_idx_exp) if by_idx_exp else -1
+        num_projs = len(by_idx_exp.get(max_idx, []))
+        noise = self._noise(num_projs, gal_rows, mats, chk)
+        out_rows = []
+        for i in range(max_idx + 1):
+            exp = by_idx_exp.get(i, [])
+            ref = by_idx_ref.get(i, [])
+            if not exp or not ref or i >= len(parts):
+                continue
+            sum_w_exp = self._sumu(exp, mats, chk, use_w)
+            sum_w_ref = self._sumu(ref, mats, chk, use_w)
+            acc, acc_m = self._accuracy(exp, parts[i], mats, chk)
+            acc_r, acc_mr = self._accuracy(ref, parts[i], mats, chk)
+            d = dict(parts[i])
+            d["image"] = str(exp[0].get("image", d.get("image", "")))
+            d["imageIndex"] = i
+            def ratio(num, den):
+                # the reference divides signed deviations directly
+                # (multireference_aligneability.cpp:175-177)
+                if abs(den) < 1e-12:
+                    den = 1e-12
+                return num / den
+
+            d["scoreByAlignabilityPrecision"] = ratio(sum_w_exp - noise,
+                                                      sum_w_ref - noise)
+            d["scoreByAlignabilityAccuracy"] = ratio(acc - noise,
+                                                     acc_r - noise)
+            d["scoreByMirror"] = ratio(acc_m - noise, acc_mr - noise)
+            d["scoreByAlignabilityPrecisionExp"] = sum_w_exp
+            d["scoreByAlignabilityPrecisionRef"] = sum_w_ref
+            d["scoreByAlignabilityAccuracyExp"] = acc
+            d["scoreByAlignabilityAccuracyRef"] = acc_r
+            d["scoreByAlignabilityNoise"] = noise
+            out_rows.append(d)
+        MetaData.fromRows(out_rows).write(
+            os.path.join(odir, "pruned_particles_alignability.xmd"))
+        prec = np.array([r["scoreByAlignabilityPrecision"]
+                         for r in out_rows])
+        acc = np.array([r["scoreByAlignabilityAccuracy"]
+                        for r in out_rows])
+        mirr = np.array([r["scoreByMirror"] for r in out_rows])
+        n = max(max_idx + 1, 1)
+        summary = {"image": self.getParam("--volume") or "validation",
+                   "weightAlignabilityPrecision":
+                       float((prec > 0.5).sum()) / n,
+                   "weightAlignabilityAccuracy":
+                       float((acc > 0.5).sum()) / n,
+                   "weightAlignability":
+                       float(((acc > 0.5) & (prec > 0.5)).sum()) / n,
+                   "weightMirrorPrecision":
+                       float((mirr > 0.5).sum()) / n}
+        MetaData.fromRows([summary]).write(
+            os.path.join(odir, "validationAlignability.xmd"))
+        self.summary = summary
+        self.precision = prec
+        self.accuracy = acc
 
     def run(self):
+        if self.checkParam("--angles_file") and \
+                self.getParam("--angles_file") not in ("", "."):
+            self._run_reference()
+            return
         from xmipp3_tpu.core.sampling import (Sampling,
                                               directions_from_angles)
         from xmipp3_tpu.ops.match import rotational_corr_matrix
@@ -383,15 +550,113 @@ class ProgMultireferenceAligneability(XmippProgram):
 
 
 class ProgValidationNonTilt(ProgMultireferenceAligneability):
-    """Non-tilt validation — same alignability machinery, summarized as one
-    quality score per volume (reference validation_nontilt)."""
+    """Full reference surface (validation_nontilt.cpp:40-470): per-particle
+    clustering-tendency statistic P — the Hopkins-like ratio of the
+    weighted nearest-neighbour distance sum of the particle's assigned
+    orientation cloud (H) against the same statistic for random clouds
+    sampled from the gallery (H0) — written to odir/clusteringTendency.xmd
+    with the volume-level fraction P>1 in odir/validation.xmd.  The
+    nearest-neighbour sums for all random trials are evaluated in one
+    batched einsum instead of the reference's per-trial loops."""
     name = "xmipp_validation_nontilt"
 
+    def defineParams(self):
+        super().defineParams()
+        self.addParamsLine("  [--i <md=\"\">] : Metadata with input "
+                           "projections (reference spelling)")
+        self.addParamsLine("  [--significance_noise <s=0.95>] : "
+                           "Significance of the alignment vs noise")
+        self.addParamsLine("  [--useSignificant] : Orientation clouds are "
+                           "grouped by imageIndex (Significant output) "
+                           "instead of itemId")
+
+    @staticmethod
+    def _dirs_w(rows):
+        rot = np.array([float(r.get("angleRot", 0.0)) for r in rows])
+        tilt = np.array([float(r.get("angleTilt", 0.0)) for r in rows])
+        flip = np.array([bool(r.get("flip", 0)) for r in rows])
+        tilt = np.where(flip, tilt + 180.0, tilt)
+        tr, tt = np.deg2rad(rot), np.deg2rad(tilt)
+        d = np.stack([np.sin(tt) * np.cos(tr), np.sin(tt) * np.sin(tr),
+                      np.abs(np.cos(tt))], axis=1)
+        w = np.array([float(r.get("maxCC", 1.0) or 1.0) for r in rows])
+        return d, w
+
+    @staticmethod
+    def _nn_sum(dirs, w):
+        """Weighted nearest-neighbour distance sum of one or a batch of
+        direction clouds: dirs (..., n, 3), w (..., n)."""
+        dots = np.einsum("...ik,...jk->...ij", dirs, dirs)
+        a = np.abs(np.arccos(np.clip(dots, -1.0, 1.0)))
+        invalid = (a <= 1e-5) | (dots >= 1)
+        a = np.where(invalid, np.inf, a)
+        j = np.argmin(a, axis=-1)
+        ann = np.take_along_axis(a, j[..., None], axis=-1)[..., 0]
+        w2 = np.take_along_axis(np.broadcast_to(
+            w[..., None, :], a.shape), j[..., None], axis=-1)[..., 0]
+        W = ann * np.exp(np.abs(w - w2)) * np.exp(-(w + w2))
+        W = np.where(np.isfinite(ann), np.where(W == 0, ann, W), 0.0)
+        s = W.sum(axis=-1)
+        n = dirs.shape[-2]
+        return np.where(s == 0, 0.075 * n, s)
+
     def run(self):
-        super().run()
-        p = float(np.mean(self.precision > 0.02))
-        print(f"Validation score (fraction confidently alignable): {p:.3f}")
-        self.score = p
+        import os
+        fn_parts = (self.getParam("--i")
+                    if self.checkParam("--i") and self.getParam("--i")
+                    else self.getParam("-i"))
+        odir = self.getParam("--odir")
+        sig = self.getDoubleParam("--significance_noise")
+        use_sig = self.checkParam("--useSignificant")
+        md = MetaData(fn_parts)
+        gal_fn = os.path.join(odir, "gallery.doc")
+        md_gal = MetaData(gal_fn) if os.path.exists(gal_fn) else \
+            (MetaData(self.getParam("--gallery"))
+             if self.checkParam("--gallery")
+             and self.getParam("--gallery") not in ("", ".") else md)
+        gal_dirs, _ = self._dirs_w(list(md_gal.iterRows()))
+        key = "imageIndex" if use_sig else "itemId"
+        clouds: dict = {}
+        for r in md.iterRows():
+            clouds.setdefault(int(r.get(key, 0)), []).append(r)
+        T = 500
+        rng = np.random.default_rng(0)
+        out_rows = []
+        for idx in sorted(clouds):
+            rows = clouds[idx]
+            dirs, w = self._dirs_w(rows)
+            n = len(rows)
+            sum_w = float(self._nn_sum(dirs, w))
+            pick = rng.integers(0, len(gal_dirs), size=(T, n))
+            rnd_dirs = gal_dirs[pick]                      # (T, n, 3)
+            w_sh = np.stack([rng.permutation(w) for _ in range(T)])
+            sum_u = self._nn_sum(rnd_dirs, w_sh)           # (T,)
+            H = np.sort(sum_w / (sum_w + sum_u))
+            i0 = rng.permutation(T)
+            i1 = rng.permutation(T)
+            ok = sum_u[i0] != sum_u[i1]
+            H0 = np.sort((sum_u[i0] / (sum_u[i0] + sum_u[i1]))[ok])
+            if len(H0) == 0:
+                # degenerate cloud (e.g. a single orientation): all random
+                # sums coincide, the Hopkins ratio is exactly 1/2
+                H0 = np.array([0.5])
+            q = H0[min(int((1 - sig) * len(H0)), len(H0) - 1)]
+            P = float((q / H).mean())
+            out_rows.append({key: idx, "weight": P})
+        fn_ct = (self.getParam("-o")
+                 if self.checkParam("-o") and self.getParam("-o")
+                 else os.path.join(odir, "clusteringTendency.xmd"))
+        MetaData.fromRows(out_rows).write(fn_ct)
+        P_all = np.array([r["weight"] for r in out_rows])
+        validation = float((P_all > 1).mean()) if len(P_all) else 0.0
+        MetaData.fromRows([{"image": self.getParam("--volume")
+                            or "validation",
+                            "weight": validation}]).write(
+            os.path.join(odir, "validation.xmd"))
+        self.score = validation
+        self.P = P_all
+        if self.verbose:
+            print(f"Validation score: {validation:.3f}")
 
 
 class ProgCompareViews(XmippProgram):
