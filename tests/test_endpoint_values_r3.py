@@ -605,3 +605,24 @@ def test_angular_accuracy_pca_scores(world, tmp_path):
     vals = [float(v) for k, v in row.items()
             if isinstance(v, (int, float))]
     assert all(np.isfinite(v) for v in vals)
+
+
+@pytest.mark.slow
+def test_volume_initial_sa_full_flags(world, tmp_path):
+    """Round-4 flags: --T0 --initial --keepIntermediateVolumes
+    --dontApplyPositive --angularSampling."""
+    import os
+    d = world["dir"]
+    run_prog("volume_initial_simulated_annealing",
+             f"-i {d}/parts.xmd --oroot {tmp_path}/sa2 --randomIter 2 "
+             f"--greedyIter 1 --angularSampling 30 --T0 0.2 "
+             f"--initial {d}/vol.vol --keepIntermediateVolumes "
+             f"--dontApplyPositive")
+    assert os.path.exists(str(tmp_path / "sa2.vol"))
+    # intermediate volumes are kept for every iteration
+    assert os.path.exists(str(tmp_path / "sa2_random01.vol"))
+    assert os.path.exists(str(tmp_path / "sa2_greedy01.vol"))
+    # starting from the true volume, the greedy phase keeps high quality
+    vol = np.squeeze(Image(str(tmp_path / "sa2.vol")).data)
+    c = abs(np.corrcoef(vol.ravel(), world["vol"].ravel())[0, 1])
+    assert c > 0.4

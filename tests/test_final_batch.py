@@ -259,3 +259,32 @@ def test_phantom_movie_full_surface(tmp_path):
     mv3 = Image(fn3).data
     assert mv3.max() >= 1 and (mv3 >= 0).all()
     assert np.allclose(mv3[0], mv3[1])  # no displacement at all
+
+
+def test_peak_high_contrast_fiducial_mode(tmp_path):
+    """Full fiducial pipeline (image_peak_high_contrast.cpp:58-68):
+    bandpass + dark-outlier components + mirror/Mahalanobis filters."""
+    rng = np.random.default_rng(5)
+    Z, H, W = 24, 96, 96
+    vol = 0.1 * rng.standard_normal((Z, H, W)).astype(np.float32)
+    truth = [(30, 30, 12), (70, 40, 12), (50, 70, 10)]
+    zz, yy, xx = np.mgrid[0:Z, 0:H, 0:W]
+    for (x, y, z) in truth:
+        vol -= 3.0 * np.exp(-((xx - x) ** 2 + (yy - y) ** 2
+                              + (zz - z) ** 2) / 6.0).astype(np.float32)
+    fn = str(tmp_path / "tomo.mrc")
+    save_image(fn, vol)
+    out = str(tmp_path / "coords3d.xmd")
+    prog = run_prog("image_peak_high_contrast",
+                    f"--vol {fn} -o {out} --samplingRate 2 "
+                    f"--fiducialSize 16 --boxSize 16 --numberSampSlices 8 "
+                    f"--sdThr 4 --numberOfCoordinatesThr 5 "
+                    f"--mirrorCorrelationThr 0.1 "
+                    f"--mahalanobisDistanceThr 3 --relaxedModeThr 2 -v 0")
+    md = MetaData(out)
+    pts = np.stack([np.asarray(md.getColumn("xcoor"), float),
+                    np.asarray(md.getColumn("ycoor"), float),
+                    np.asarray(md.getColumn("zcoor"), float)], axis=1)
+    t = np.asarray(truth, float)
+    dmin = np.linalg.norm(pts[:, None] - t[None], axis=-1).min(axis=0)
+    assert (dmin < 4).all(), (pts, truth)

@@ -374,12 +374,125 @@ class ProgImagePeakHighContrast(XmippProgram):
     def defineParams(self):
         self.addUsageLine("Detect high-contrast peaks (e.g. gold beads) in "
                           "images/volumes.")
-        self.addParamsLine("   -i <image>   : Input image or volume")
-        self.addParamsLine("   -o <md_file> : Peak coordinates")
-        self.addParamsLine("  [--boxSize <b=16>] : Suppression box")
-        self.addParamsLine("  [--thr <t=5>]  : Threshold (sigmas)")
+        self.addParamsLine("  [-i <image=\"\">]   : Input image or volume "
+                           "(simple sigma-peak mode)")
+        self.addParamsLine("  [-o <md_file=coordinates3D.xmd>] : Peak "
+                           "coordinates")
+        self.addParamsLine("  [--boxSize <b=32>] : Box size of the peaked "
+                           "fiducials")
+        self.addParamsLine("  [--thr <t=5>]  : Threshold (sigmas, simple "
+                           "mode)")
+        # full fiducial-detection surface
+        # (image_peak_high_contrast.cpp:58-68)
+        self.addParamsLine("  [--vol <vol=\"\">] : Input tomogram "
+                           "(fiducial-detection mode)")
+        self.addParamsLine("  [--samplingRate <s=1>] : Sampling (A/px)")
+        self.addParamsLine("  [--fiducialSize <f=100>] : Fiducial size (A)")
+        self.addParamsLine("  [--numberSampSlices <n=10>] : Slices used to "
+                           "estimate the outlier threshold")
+        self.addParamsLine("  [--sdThr <s=5>] : STD multiples defining an "
+                           "outlier pixel")
+        self.addParamsLine("  [--numberOfCoordinatesThr <n=10>] : Minimum "
+                           "voxels attracted to a coordinate")
+        self.addParamsLine("  [--mirrorCorrelationThr <m=0.1>] : Minimum "
+                           "correlation of a peak box with its mirror")
+        self.addParamsLine("  [--mahalanobisDistanceThr <m=2>] : Maximum "
+                           "Mahalanobis distance of a peak's radial "
+                           "profile")
+        self.addParamsLine("  [--relaxedModeThr <n=3>] : Disable a filter "
+                           "if it would leave fewer coordinates than this")
+
+    def _run_fiducial(self):
+        """Full pipeline (image_peak_high_contrast.cpp): bandpass at the
+        fiducial scale, dark-outlier thresholding from sampling slices,
+        connected-component coordinate attraction, mirror-correlation and
+        Mahalanobis filters with relaxed-mode fallbacks."""
+        import jax.numpy as jnp
+        from scipy import ndimage
+        from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
+                                                   band_pass_mask)
+        vol = np.squeeze(Image(self.getParam("--vol")).data
+                         ).astype(np.float32)
+        Ts = self.getDoubleParam("--samplingRate")
+        fid_px = max(self.getDoubleParam("--fiducialSize") / Ts, 4.0)
+        box = self.getIntParam("--boxSize")
+        n_samp = self.getIntParam("--numberSampSlices")
+        sd_thr = self.getDoubleParam("--sdThr")
+        n_coord_thr = self.getIntParam("--numberOfCoordinatesThr")
+        mirror_thr = self.getDoubleParam("--mirrorCorrelationThr")
+        maha_thr = self.getDoubleParam("--mahalanobisDistanceThr")
+        relaxed = self.getIntParam("--relaxedModeThr")
+        Z, H, W = vol.shape
+        # slice-wise bandpass at the fiducial scale
+        lo = 1.0 / (4.0 * fid_px)
+        hi = min(1.0 / (0.5 * fid_px), 0.45)
+        filt = np.asarray(apply_fourier_mask_2d(
+            jnp.asarray(vol), band_pass_mask(H, W, lo, hi)))
+        # outlier threshold from the central sampling slices
+        z0 = max(Z // 2 - n_samp // 2, 0)
+        samp = filt[z0:z0 + max(n_samp, 1)]
+        mu, sd = float(samp.mean()), float(samp.std())
+        dark = filt < mu - sd_thr * sd
+        labels, n_lab = ndimage.label(dark)
+        coords = []
+        if n_lab:
+            sizes = ndimage.sum_labels(dark, labels,
+                                       np.arange(1, n_lab + 1))
+            cents = ndimage.center_of_mass(dark, labels,
+                                           np.arange(1, n_lab + 1))
+            for s, (cz, cy, cx) in zip(sizes, cents):
+                if s >= n_coord_thr:
+                    coords.append((int(round(cx)), int(round(cy)),
+                                   int(round(cz)), float(s)))
+
+        def boxes_of(cs):
+            out, kept = [], []
+            h = box // 2
+            for (x, y, z, s) in cs:
+                if h <= x < W - h and h <= y < H - h and 0 <= z < Z:
+                    out.append(filt[z, y - h:y + h, x - h:x + h])
+                    kept.append((x, y, z, s))
+            return np.asarray(out), kept
+
+        bxs, coords = boxes_of(coords)
+        # mirror-correlation filter (fiducials are centro-symmetric)
+        if len(coords):
+            b = bxs - bxs.mean(axis=(1, 2), keepdims=True)
+            m = b[:, ::-1, ::-1]
+            cc = (b * m).sum(axis=(1, 2)) / np.maximum(
+                np.sqrt((b * b).sum(axis=(1, 2))
+                        * (m * m).sum(axis=(1, 2))), 1e-12)
+            keep = cc >= mirror_thr
+            if keep.sum() >= relaxed:          # relaxed mode fallback
+                coords = [c for c, k in zip(coords, keep) if k]
+                bxs = bxs[keep]
+        # Mahalanobis filter on radial profiles
+        if len(coords) > 3:
+            h = box // 2
+            yy, xx = np.mgrid[0:box, 0:box] - h
+            r = np.sqrt(yy * yy + xx * xx).astype(int)
+            nb = min(h, r.max())
+            prof = np.stack([[bx[r == k].mean() for k in range(nb)]
+                             for bx in bxs])
+            mu_p = prof.mean(axis=0)
+            cov = np.cov(prof.T) + 1e-6 * np.eye(nb)
+            icov = np.linalg.inv(cov)
+            d = np.sqrt(np.einsum("ni,ij,nj->n", prof - mu_p, icov,
+                                  prof - mu_p))
+            keep = d <= maha_thr
+            if keep.sum() >= relaxed:
+                coords = [c for c, k in zip(coords, keep) if k]
+        rows = [{"xcoor": x, "ycoor": y, "zcoor": z, "cost": s}
+                for (x, y, z, s) in coords]
+        MetaData.fromRows(rows).write(self.getParam("-o"))
+        self.n_peaks = len(rows)
+        if self.verbose:
+            print(f"Detected {len(rows)} fiducial coordinates")
 
     def run(self):
+        if self.checkParam("--vol") and self.getParam("--vol"):
+            self._run_fiducial()
+            return
         data = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
         thr = self.getDoubleParam("--thr")
         box = self.getIntParam("--boxSize")

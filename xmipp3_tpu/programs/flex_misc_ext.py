@@ -945,6 +945,15 @@ class ProgVolumeInitialSimulatedAnnealing(XmippProgram):
         self.addParamsLine("  [--greedyIter <n=3>] : Greedy refinement iterations")
         self.addParamsLine("  [--rejection <p=25>] : Percent worst-correlating images rejected")
         self.addParamsLine("  [--angSampling <a=20>] : Gallery step (deg) for greedy phase")
+        self.addParamsLine("   alias --angularSampling;")
+        self.addParamsLine("  [--T0 <T=0.1>] : Initial annealing "
+                           "temperature (Metropolis acceptance of worse "
+                           "assignments in the random iterations)")
+        self.addParamsLine("  [--initial <vol=\"\">] : Initial volume")
+        self.addParamsLine("  [--keepIntermediateVolumes] : Save the "
+                           "volume of every iteration")
+        self.addParamsLine("  [--dontApplyPositive] : Skip the positivity "
+                           "constraint in the random iterations")
 
     def run(self):
         from xmipp3_tpu.core.sampling import compute_sampling_points
@@ -967,28 +976,65 @@ class ProgVolumeInitialSimulatedAnnealing(XmippProgram):
         step = self.getDoubleParam("--angSampling") \
             if self.checkParam("--angSampling") else 20.0
 
-        def reconstruct(rot, tilt, psi, keep):
+        T = self.getDoubleParam("--T0")
+        positive = not self.checkParam("--dontApplyPositive")
+        keep_vols = self.checkParam("--keepIntermediateVolumes")
+        root0 = self.getParam("--oroot") if self.checkParam("--oroot") \
+            else "rec_random"
+
+        def reconstruct(rot, tilt, psi, keep, clamp):
             vol, _ = sirt_reconstruct(imgs[keep], rot[keep], tilt[keep],
                                       psi[keep], n_iters=3)
-            return np.asarray(vol)
+            vol = np.asarray(vol)
+            if clamp:
+                vol = np.maximum(vol, 0.0)     # positivity constraint
+            return vol
 
-        best = None
-        for it in range(max(n_rand, 1)):
-            rot = rng.uniform(-180, 180, B).astype(np.float32)
-            tilt = np.degrees(np.arccos(rng.uniform(-1, 1, B))
-                              ).astype(np.float32)
-            psi = rng.uniform(-180, 180, B).astype(np.float32)
-            vol = reconstruct(rot, tilt, psi, np.ones(B, bool))
-            # score: how well reprojections explain the images
+        def score_of(vol, rot, tilt, psi):
             proj = np.asarray(FourierProjector(vol).project_euler(
                 rot, tilt, psi))
-            cc = np.asarray(correlation_index(proj, imgs))
-            score = float(np.mean(cc))
-            if best is None or score > best[0]:
-                best = (score, vol, rot, tilt, psi)
+            return np.asarray(correlation_index(proj, imgs))
+
+        def random_pose():
+            return (rng.uniform(-180, 180, B).astype(np.float32),
+                    np.degrees(np.arccos(rng.uniform(-1, 1, B))
+                               ).astype(np.float32),
+                    rng.uniform(-180, 180, B).astype(np.float32))
+
+        # current state: --initial volume if given, else a first random
+        # reconstruction
+        rot, tilt, psi = random_pose()
+        if self.checkParam("--initial") and self.getParam("--initial"):
+            vol = np.squeeze(Image(self.getParam("--initial")).data
+                             ).astype(np.float32)
+        else:
+            vol = reconstruct(rot, tilt, psi, np.ones(B, bool), positive)
+        cc = score_of(vol, rot, tilt, psi)
+        # simulated annealing over per-image orientation assignments:
+        # proposals that improve the reprojection correlation are always
+        # accepted, worse ones with probability exp(dcc/T); T cools
+        # geometrically (volume_initial_simulated_annealing.cpp --T0)
+        for it in range(max(n_rand, 1)):
+            prot, ptilt, ppsi = random_pose()
+            pcc = score_of(vol, prot, ptilt, ppsi)
+            dcc = pcc - cc
+            accept = (dcc > 0) | (rng.random(B)
+                                  < np.exp(np.minimum(dcc / max(T, 1e-6),
+                                                      0.0)))
+            rot = np.where(accept, prot, rot)
+            tilt = np.where(accept, ptilt, tilt)
+            psi = np.where(accept, ppsi, psi)
+            cc = np.where(accept, pcc, cc)
+            vol = reconstruct(rot, tilt, psi, np.ones(B, bool), positive)
+            cc = score_of(vol, rot, tilt, psi)
+            T *= 0.9
+            if keep_vols:
+                save_image(f"{root0}_random{it + 1:02d}.vol",
+                           vol.astype(np.float32))
             if self.verbose:
-                print(f"random iter {it + 1}: mean CC {score:.4f}")
-        _, vol, rot, tilt, psi = best
+                print(f"random iter {it + 1}: mean CC "
+                      f"{float(cc.mean()):.4f} "
+                      f"(accepted {int(accept.sum())}/{B}, T={T:.4f})")
         dirs = compute_sampling_points(step)
         for it in range(n_greedy):
             proj = FourierProjector(vol)
@@ -1003,12 +1049,14 @@ class ProgVolumeInitialSimulatedAnnealing(XmippProgram):
             psi = -np.asarray(res["psi"], np.float32)
             cc = np.asarray(res["corr"])
             keep = cc >= np.quantile(cc, rej)
-            vol = reconstruct(rot, tilt, psi, keep)
+            vol = reconstruct(rot, tilt, psi, keep, False)
+            if keep_vols:
+                save_image(f"{root0}_greedy{it + 1:02d}.vol",
+                           vol.astype(np.float32))
             if self.verbose:
                 print(f"greedy iter {it + 1}: mean CC "
                       f"{float(cc.mean()):.4f} (kept {keep.sum()}/{B})")
-        root = self.getParam("--oroot") if self.checkParam("--oroot") \
-            else "rec_random"
+        root = root0
         save_image(root + ".vol", vol.astype(np.float32))
         out = []
         for i, r in enumerate(rows):

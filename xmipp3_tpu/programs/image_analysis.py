@@ -457,27 +457,59 @@ class ProgImageRotationalPCA(XmippProgram):
         self.addParamsLine("   -i <md_or_stack> : Input particles")
         self.addParamsLine("   --oroot <root>   : Output rootname (basis stack)")
         self.addParamsLine("  [--eigenvectors <n=8>] : Number of eigenimages")
-        self.addParamsLine("  [--shuffles <n=4>] : Random in-plane rotations per image")
+        self.addParamsLine("  [--shuffles <n=0>] : Random in-plane rotations "
+                           "per image (0 = use the --psi_step grid)")
+        self.addParamsLine("  [--iterations <n=2>] : Power-iteration "
+                           "refinements of the eigenbasis")
+        self.addParamsLine("  [--psi_step <a=15>] : Psi expansion step (deg)")
+        self.addParamsLine("  [--max_shift_change <r=0>] : Maximum shift "
+                           "perturbation (px)")
+        self.addParamsLine("  [--shift_step <s=1>] : Shift expansion step")
+        self.addParamsLine("  [--maxImages <n=-1>] : Use at most this many "
+                           "input images")
         from xmipp3_tpu.parallel.cli import add_mesh_params
         add_mesh_params(self)
 
     def run(self):
-        from xmipp3_tpu.ops.geo import rotate_2d
+        from xmipp3_tpu.ops.geo import rotate_2d, shift_2d_real
         from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
                                              read_mesh_params, resolve_mesh)
         read_mesh_params(self)
         maybe_init_distributed(self)
         mesh, _ = resolve_mesh(self.mesh_mode)
         imgs, rows = _load(self.getParam("-i"))
+        max_imgs = self.getIntParam("--maxImages")
+        if 0 < max_imgs < len(imgs):
+            imgs = imgs[:max_imgs]
         n_eig = self.getIntParam("--eigenvectors")
         n_shuf = self.getIntParam("--shuffles")
         rng = np.random.default_rng(0)
         expanded = [imgs]
-        for _ in range(n_shuf - 1):
-            angles = rng.uniform(0, 360, len(imgs)).astype(np.float32)
-            expanded.append(np.asarray(rotate_2d(imgs, angles)))
-        X = np.concatenate(expanded).reshape(len(imgs) * n_shuf, -1)
+        if n_shuf > 1:
+            for _ in range(n_shuf - 1):
+                angles = rng.uniform(0, 360, len(imgs)).astype(np.float32)
+                expanded.append(np.asarray(rotate_2d(imgs, angles)))
+        else:
+            # deterministic rotational expansion over the psi grid +
+            # shift perturbations (image_rotational_pca.cpp:96-101)
+            psi_step = self.getDoubleParam("--psi_step")
+            for a in np.arange(psi_step, 360.0, psi_step):
+                expanded.append(np.asarray(rotate_2d(
+                    imgs, np.full(len(imgs), a, np.float32))))
+            msc = self.getDoubleParam("--max_shift_change")
+            sst = max(self.getDoubleParam("--shift_step"), 0.5)
+            if msc > 0:
+                for sx in np.arange(-msc, msc + 1e-6, sst):
+                    for sy in np.arange(-msc, msc + 1e-6, sst):
+                        if sx == 0 and sy == 0:
+                            continue
+                        expanded.append(np.asarray(shift_2d_real(
+                            imgs, np.full(len(imgs), sx, np.float32),
+                            np.full(len(imgs), sy, np.float32))))
+        X = np.concatenate(expanded).reshape(-1, imgs.shape[-2]
+                                             * imgs.shape[-1])
         H = imgs.shape[-1]
+        n_its = max(self.getIntParam("--iterations"), 1)
         if mesh is not None:
             # the mpi_image_rotational_pca analog
             # (image_rotational_pca.h:41): sample axis sharded over the
@@ -485,9 +517,22 @@ class ProgImageRotationalPCA(XmippProgram):
             from xmipp3_tpu.parallel.engines import parallel_pca_components
             comps = parallel_pca_components(mesh, X, n_eig)
         else:
-            from xmipp3_tpu.models.dimred import pca
-            Y, model = pca(X, d=n_eig, return_model=True)
-            comps = model["components"]
+            # randomized SVD with --iterations power refinements (the
+            # TPU-native analog of the reference's iterative H-matrix
+            # scheme, image_rotational_pca.cpp --iterations)
+            Xc = X - X.mean(axis=0)
+            if Xc.size <= 4e7:                  # exact SVD when it fits
+                _, _, vt = np.linalg.svd(Xc, full_matrices=False)
+                comps = vt[:n_eig]
+            else:
+                G = rng.standard_normal((X.shape[1],
+                                         min(n_eig + 8, min(X.shape))))
+                Q = np.linalg.qr(Xc @ G)[0]
+                for _ in range(n_its):
+                    Q = np.linalg.qr(Xc.T @ Q)[0]
+                    Q = np.linalg.qr(Xc @ Q)[0]
+                _, _, vt = np.linalg.svd(Q.T @ Xc, full_matrices=False)
+                comps = vt[:n_eig]
         # deterministic sign: largest-|entry| coefficient positive (the
         # serial SVD and the mesh eigh agree only up to sign)
         for k in range(len(comps)):
