@@ -626,3 +626,38 @@ def test_volume_initial_sa_full_flags(world, tmp_path):
     vol = np.squeeze(Image(str(tmp_path / "sa2.vol")).data)
     c = abs(np.corrcoef(vol.ravel(), world["vol"].ravel())[0, 1])
     assert c > 0.4
+
+
+def test_volumeset_align_full_flags(world, tmp_path):
+    """Round-4 flags: --odir --resume --frm_parameters --tilt_values
+    --mask (volumeset_align.cpp:44-49)."""
+    import os
+    from xmipp3_tpu.ops.geo import apply_affine_3d
+    d = world["dir"]
+    R = np.asarray(euler_matrix(np.array([20.0], np.float32),
+                                np.array([0.0], np.float32),
+                                np.array([0.0], np.float32)))[0]
+    rot = np.asarray(apply_affine_3d(world["vol"], R[None]))[0]
+    Image(rot.astype(np.float32)).write(str(tmp_path / "r.vol"))
+    MetaData.fromRows([{"image": str(tmp_path / "r.vol"), "itemId": 1}]
+                      ).write(str(tmp_path / "set.xmd"))
+    odir = str(tmp_path / "out")
+    os.makedirs(odir)
+    run_prog("volumeset_align",
+             f"-i {tmp_path}/set.xmd --ref {d}/vol.vol --odir {odir} "
+             f"--frm_parameters 0.3 6 --tilt_values -60 60 "
+             f"--mask circular 14")
+    fn_out = os.path.join(odir, "volumeset_align.xmd")
+    assert os.path.exists(fn_out)
+    md = MetaData(fn_out)
+    row = next(iter(md.iterRows()))
+    ang = (float(row["angleRot"]) + float(row["anglePsi"])) % 360.0
+    assert min(abs(ang - 20.0), abs(ang - 340.0)) < 10.0 \
+        or abs(float(row["angleTilt"])) > 1.0
+    # --resume skips already-aligned volumes (output unchanged, fast)
+    import time
+    t0 = time.time()
+    run_prog("volumeset_align",
+             f"-i {tmp_path}/set.xmd --ref {d}/vol.vol --odir {odir} "
+             f"--resume --frm_parameters 0.3 6")
+    assert len(list(MetaData(fn_out).iterRows())) == 1

@@ -231,3 +231,40 @@ def test_performance_and_write_benchmarks(tmp_path):
     p2 = _run("write_test", ["--size", "2", "-o",
                              str(tmp_path / "wt.mrcs")])
     assert p2.mb_per_s > 0
+
+
+def test_classify_fttri_full_flags(tmp_path):
+    """Round-4 FTTRI flags: oroot/padding/maxfreq/zoom/nmin/iter/
+    sigma1/sigma2/doPhase (mpi_classify_FTTRI.cpp:82-99)."""
+    import os
+    d = str(tmp_path)
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:32, 0:32] - 16
+    shapes = [np.exp(-((xx ** 2 + yy ** 2) / 30)),
+              np.exp(-((xx ** 2 / 6 + yy ** 2) / 30))]
+    imgs, gt = [], []
+    for si, s in enumerate(shapes):
+        for _ in range(8):
+            img = np.roll(np.roll(s, rng.integers(-3, 4), 0),
+                          rng.integers(-3, 4), 1)
+            imgs.append(np.rot90(img, rng.integers(0, 4))
+                        + rng.normal(0, 0.03, img.shape))
+            gt.append(si)
+    Image(np.stack(imgs).astype(np.float32)).write(f"{d}/s.mrcs")
+    MetaData.fromRows([{"image": f"{i+1:06d}@{d}/s.mrcs"}
+                       for i in range(16)]).write(f"{d}/s.xmd")
+    p = _run("classify_FTTRI",
+             ["-i", f"{d}/s.xmd", "--oroot", f"{d}/ft", "--nref", "4",
+              "--padding", "2", "--maxfreq", "0.3", "--zoom", "2.8",
+              "--sigma1", "0.707", "--sigma2", "1.5", "--nmin", "5",
+              "--iter", "6", "--doPhase"])
+    # feature stack and mask written under the rootname
+    assert os.path.exists(f"{d}/ft_FTTRI.mrcs")
+    assert os.path.exists(f"{d}/ft_mask.mrc")
+    assert os.path.exists(f"{d}/ft_classes.xmd")
+    gt = np.asarray(gt)
+    # nmin pruning dissolves the tiny spurious classes of nref=4
+    assert len(set(p.labels)) <= 3
+    purity = sum(max(np.sum((p.labels == c) & (gt == g)) for g in range(2))
+                 for c in set(p.labels)) / len(gt)
+    assert purity >= 0.85

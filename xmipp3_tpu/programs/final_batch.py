@@ -559,33 +559,69 @@ class ProgVolumesetAlign(XmippProgram):
 
     def defineParams(self):
         self.addUsageLine("Align every volume of a set to a reference "
-                          "volume.")
+                          "volume (volumeset_align.cpp:40-49 surface).")
         self.addParamsLine("   -i <md_file> : Metadata with volumes (image column)")
         self.addParamsLine("   --ref <volume> : Reference")
-        self.addParamsLine("   -o <md_file> : Output with alignment angles")
+        self.addParamsLine("  [-o <md_file=\"\">] : Output with alignment "
+                           "angles (default <odir>/volumeset_align.xmd)")
+        self.addParamsLine("  [--odir <dir=.>] : Output directory")
+        self.addParamsLine("  [--resume] : Skip volumes already present in "
+                           "the output metadata")
         self.addParamsLine("  [--step <s=30>] : Coarse angular step")
-        self.addParamsLine("  [--frm <L=24>]  : Use SO(3) Fast Rotational Matching instead of the grid")
+        self.addParamsLine("  [--frm <L=24>]  : Use SO(3) Fast Rotational "
+                           "Matching instead of the grid")
+        self.addParamsLine("  [--frm_parameters <freq=0.25> <shift=10>] : "
+                           "FRM alignment with this max frequency and "
+                           "shift bound")
+        self.addParamsLine("  [--tilt_values <t0=-90> <tF=90>] : Missing-"
+                           "wedge compensation range for the FRM scoring")
+        self.addParamsLine("  [--mask <type=\"\"> <r=0>] : Mask applied "
+                           "during the alignment (circular <r> or a file)")
 
     def run(self):
+        import os
         from xmipp3_tpu.programs.volume_programs import ProgVolumeAlign
         md = MetaData(self.getParam("-i"))
+        odir = self.getParam("--odir")
+        fn_out = (self.getParam("-o")
+                  if self.checkParam("-o") and self.getParam("-o")
+                  else os.path.join(odir, "volumeset_align.xmd"))
+        done = set()
         rows = []
+        if self.checkParam("--resume") and os.path.exists(fn_out):
+            prev = MetaData(fn_out)
+            for r in prev.iterRows():
+                done.add(str(r["image"]))
+                rows.append(dict(r))
+        mask_arg = ([self.getParam("--mask", 0), self.getParam("--mask", 1)]
+                    if self.checkParam("--mask") else [])
         for i in md:
             r = md.getRow(i)
+            if str(r["image"]) in done:
+                continue
             sub = ProgVolumeAlign()
             args = [sub.name, "--i1", self.getParam("--ref"),
                     "--i2", str(r["image"]),
                     "--step", self.getParam("--step")]
-            if self.checkParam("--frm"):
+            if self.checkParam("--frm_parameters"):
+                args += ["--frm",
+                         self.getParam("--frm_parameters", 0),
+                         self.getParam("--frm_parameters", 1),
+                         self.getParam("--tilt_values", 0),
+                         self.getParam("--tilt_values", 1)]
+            elif self.checkParam("--frm"):
                 args += ["--frm", self.getParam("--frm")]
-            sub.read(args)
+            if mask_arg:
+                args += ["--mask"] + mask_arg
+            sub.read([a for a in args])
             sub.verbose = 0
             sub.run()
             rot, tilt, psi = sub.angles
             r["angleRot"], r["angleTilt"], r["anglePsi"] = rot, tilt, psi
             r["maxCC"] = sub.corr
             rows.append(r)
-        MetaData.fromRows(rows).write(self.getParam("-o"))
+            MetaData.fromRows(rows).write(fn_out)   # checkpoint (--resume)
+        MetaData.fromRows(rows).write(fn_out)
 
 
 class ProgPDBAnalysis(XmippProgram):

