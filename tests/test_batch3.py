@@ -105,14 +105,27 @@ def test_halves_restoration(tmp_path):
     f1, f2 = str(tmp_path / "h1.vol"), str(tmp_path / "h2.vol")
     save_image(f1, h1)
     save_image(f2, h2)
-    prog = run_prog("volume_halves_restoration",
-                    f"--i1 {f1} --i2 {f2} --oroot {tmp_path}/rest")
+    prog = run_prog(
+        "volume_halves_restoration",
+        f"--i1 {f1} --i2 {f2} --oroot {tmp_path}/rest "
+        f"--filterBank 0.05 0.5 1 3 --difference 1 1.5")
     rest = prog.restored
 
     def c(a):
         return np.corrcoef(a.ravel(), signal.ravel())[0, 1]
-    assert c(rest) > c(0.5 * (h1 + h2)) - 1e-6
-    assert c(rest) > 0.9
+    assert c(rest) > c(0.5 * (h1 + h2)) + 0.2   # real denoising gain
+    assert c(rest) > 0.75
+    import os
+    assert os.path.exists(f"{tmp_path}/rest_filterBank.vol")
+    assert os.path.exists(f"{tmp_path}/rest_avgDiff.vol")
+    # deconvolution mode: sharper than the raw average, still correlated
+    prog2 = run_prog(
+        "volume_halves_restoration",
+        f"--i1 {f1} --i2 {f2} --oroot {tmp_path}/dec "
+        f"--denoising 2 --deconvolution 2 0.2 0.001")
+    assert os.path.exists(f"{tmp_path}/dec_deconvolved.vol")
+    assert os.path.exists(f"{tmp_path}/dec_convolved.vol")
+    assert c(prog2.restored) > 0.3
 
 
 def test_find_symmetry(tmp_path):

@@ -502,7 +502,7 @@ def test_resolution_monotomo_values_in_band_and_signal_ordering(tmp_path):
     run_prog("resolution_monotomo",
              f"--vol {tmp_path}/h1.vol --vol2 {tmp_path}/h2.vol "
              f"--mask {tmp_path}/m.vol -o {out} --sampling_rate 2.0 "
-             f"--minRes 4 --maxRes 20 --steps 12")
+             f"--minRes 4 --maxRes 20 --step 1.5")
     res = np.squeeze(Image(out).data)
     inside = res[mask > 0]
     inside = inside[inside > 0]

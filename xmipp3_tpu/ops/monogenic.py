@@ -98,12 +98,22 @@ def bandpass_3d(vol, w1, w2):
     return jnp.fft.irfftn(jnp.fft.rfftn(vol) * mask, s=(D, H, W))
 
 
-@partial(jax.jit, static_argnames=("significance",))
-def _monores_bands(vol_j, mask_j, freqs_j, significance):
+@partial(jax.jit, static_argnames=("significance", "has_noise_vol",
+                                   "noise_in_mask", "gaussian"))
+def _monores_bands(vol_j, noise_j, mask_j, noise_region_j, freqs_j,
+                   significance, has_noise_vol, noise_in_mask, gaussian):
     """Per-band monogenic hypothesis test, fully on device: band mask from
-    the frequency radius grid, amplitude via 4 inverse FFTs, noise
-    threshold = significance-percentile of amplitudes outside the mask
-    (resolution_monogenic_signal.cpp:349-460)."""
+    the frequency radius grid, amplitude via 4 inverse FFTs
+    (resolution_monogenic_signal.cpp:349-460).
+
+    Noise model (reference flags):
+    - default: noise = signal amplitudes in ``noise_region_j`` (outside the
+      mask minus any ``--maskExcl`` region);
+    - ``has_noise_vol`` (two half maps): noise = amplitudes of the
+      half-difference map, over the same region — or inside the mask when
+      ``noise_in_mask`` (``--noiseonlyinhalves``);
+    - threshold = significance percentile of the noise (exact empirical
+      distribution) or mean + z_crit*std when ``gaussian``."""
     D, H, W = vol_j.shape
     fz = jnp.fft.fftfreq(D).astype(jnp.float32)[:, None, None]
     fy = jnp.fft.fftfreq(H).astype(jnp.float32)[None, :, None]
@@ -112,24 +122,41 @@ def _monores_bands(vol_j, mask_j, freqs_j, significance):
     rr = jnp.maximum(r, 1e-12)
     uz, uy, ux = fz / rr, fy / rr, fx / rr
     F = jnp.fft.rfftn(vol_j)
+    FN = jnp.fft.rfftn(noise_j) if has_noise_vol else None
     nvox = D * H * W
-    n_noise = nvox - mask_j.sum()
-    # ascending sort puts masked (-inf) voxels first; the noise block is
-    # the trailing n_noise entries
+    region = mask_j if (has_noise_vol and noise_in_mask) else noise_region_j
+    n_noise = region.sum()
+    # ascending sort puts non-region (-inf) voxels first; the noise block
+    # is the trailing n_noise entries
     k_idx = (nvox - n_noise
              + (significance * (n_noise - 1)).astype(jnp.int32))
+    # one-sided critical z for the gaussian noise model (norm.ppf via
+    # erfinv; reference icdf_gauss)
+    z_crit = jnp.sqrt(2.0) * jax.scipy.special.erfinv(
+        2.0 * significance - 1.0)
 
-    def one(f):
-        bmask = ((r >= jnp.maximum(f - 0.02, 0.001))
-                 & (r <= jnp.minimum(f + 0.02, 0.5))).astype(jnp.float32)
-        Fb = F * bmask
+    def amplitude(Fv, bmask):
+        Fb = Fv * bmask
         band = jnp.fft.irfftn(Fb, s=(D, H, W))
         rx = jnp.fft.irfftn(1j * ux * Fb, s=(D, H, W))
         ry = jnp.fft.irfftn(1j * uy * Fb, s=(D, H, W))
         rz = jnp.fft.irfftn(1j * uz * Fb, s=(D, H, W))
-        amp = jnp.sqrt(band ** 2 + rx ** 2 + ry ** 2 + rz ** 2)
-        noise = jnp.where(mask_j, -jnp.inf, amp).ravel()
-        thresh = jnp.sort(noise)[jnp.clip(k_idx, 0, nvox - 1)]
+        return jnp.sqrt(band ** 2 + rx ** 2 + ry ** 2 + rz ** 2)
+
+    def one(f):
+        bmask = ((r >= jnp.maximum(f - 0.02, 0.001))
+                 & (r <= jnp.minimum(f + 0.02, 0.5))).astype(jnp.float32)
+        amp = amplitude(F, bmask)
+        amp_n = amplitude(FN, bmask) if has_noise_vol else amp
+        noise = jnp.where(region, amp_n, -jnp.inf).ravel()
+        if gaussian:
+            cnt = jnp.maximum(n_noise, 1)
+            mean_n = jnp.sum(jnp.where(region, amp_n, 0.0)) / cnt
+            var_n = jnp.sum(jnp.where(region,
+                                      (amp_n - mean_n) ** 2, 0.0)) / cnt
+            thresh = mean_n + z_crit * jnp.sqrt(var_n)
+        else:
+            thresh = jnp.sort(noise)[jnp.clip(k_idx, 0, nvox - 1)]
         return mask_j & (amp > thresh)
 
     resolved = jax.lax.map(one, freqs_j)              # (K, D, H, W) bool
@@ -143,7 +170,12 @@ def local_resolution_monores(vol, mask, sampling: float,
                              min_res: float | None = None,
                              max_res: float | None = None,
                              n_freqs: int = 30,
-                             significance: float = 0.95):
+                             significance: float = 0.95,
+                             noise_vol=None,
+                             mask_excl=None,
+                             noise_only_in_halves: bool = False,
+                             gaussian: bool = False,
+                             step: float | None = None):
     """MonoRes local resolution map.
 
     For each tested frequency band, voxels whose monogenic amplitude exceeds
@@ -159,7 +191,15 @@ def local_resolution_monores(vol, mask, sampling: float,
         max_res = 2.2 * sampling
     f_lo = sampling / min_res
     f_hi = min(sampling / max_res, 0.45)
-    freqs = np.linspace(f_lo, f_hi, n_freqs).astype(np.float32)
+    if step is not None and step > 0:
+        # reference semantics: resolutions swept from minRes down to
+        # maxRes in steps of `step` Angstroms (--step)
+        res_list = np.arange(min_res, max(max_res, sampling / 0.45),
+                             -step, dtype=np.float32)
+        freqs = np.clip(sampling / res_list, f_lo, f_hi).astype(np.float32)
+        freqs = np.unique(freqs)
+    else:
+        freqs = np.linspace(f_lo, f_hi, n_freqs).astype(np.float32)
 
     # ONE forward FFT; every band is a mask-multiply + batched inverse
     # FFTs (the round-1 loop recomputed rfftn(vol) and three Riesz FFT
@@ -169,8 +209,18 @@ def local_resolution_monores(vol, mask, sampling: float,
     # module-level jit: the former per-call closure retraced every call
     # and shipped a dense (K, D, H, Wh) band stack (54 MB at 96^3) plus a
     # noise-index vector through the host->device link each invocation.
-    count, frac = _monores_bands(jnp.asarray(vol), jnp.asarray(mask),
-                                 jnp.asarray(freqs), float(significance))
+    noise_region = ~mask
+    if mask_excl is not None:
+        noise_region = noise_region & ~(np.asarray(mask_excl) > 0.5)
+    has_noise = noise_vol is not None
+    noise_j = jnp.asarray(np.asarray(noise_vol, np.float32)) if has_noise \
+        else jnp.asarray(vol)
+    count, frac = _monores_bands(jnp.asarray(vol), noise_j,
+                                 jnp.asarray(mask),
+                                 jnp.asarray(noise_region),
+                                 jnp.asarray(freqs), float(significance),
+                                 has_noise, bool(noise_only_in_halves),
+                                 bool(gaussian))
     count = np.asarray(count)
     res_map = np.full(vol.shape, min_res, np.float32)
     sel = count > 0
@@ -179,9 +229,15 @@ def local_resolution_monores(vol, mask, sampling: float,
 
 
 def fso_directional(vol1, vol2, sampling: float, n_dirs: int = 60,
-                    cone_deg: float = 20.0, threshold: float = 0.143):
+                    cone_deg: float = 20.0, threshold: float = 0.143,
+                    compute_3dfsc: bool = False):
     """Fourier Shell Occupancy: fraction of directions whose conical FSC
-    stays above threshold, per shell (reference resolution_fso.h:38)."""
+    stays above threshold, per shell (reference resolution_fso.h:38).
+
+    With ``compute_3dfsc`` also returns the 3DFSC volume (per-voxel mean
+    of the directional FSC over all cones containing the voxel, rfftn
+    layout) and the anisotropically filtered map
+    irfftn(mean(F1,F2) * 3DFSC) — reference --threedfsc_filter."""
     from xmipp3_tpu.core.sampling import compute_sampling_points, \
         directions_from_angles
     vol1 = jnp.asarray(vol1, jnp.float32)
@@ -208,6 +264,9 @@ def fso_directional(vol1, vol2, sampling: float, n_dirs: int = 60,
 
     bins_flat = bins.ravel()
     above = np.zeros((len(dirs), nbins), bool)
+    if compute_3dfsc:
+        w_sum = np.zeros(bins_flat.shape, np.float64)
+        w_cnt = np.zeros(bins_flat.shape, np.float64)
     for i, d in enumerate(dirs):
         cosang = np.abs(un @ d)
         sel = (cosang >= cos_cone).ravel()
@@ -217,9 +276,18 @@ def fso_directional(vol1, vol2, sampling: float, n_dirs: int = 60,
         d2 = np.bincount(b, p2.ravel()[sel], minlength=nbins)
         fsc_d = num / np.maximum(np.sqrt(d1 * d2), 1e-12)
         above[i] = fsc_d > threshold
+        if compute_3dfsc:
+            w_sum[sel] += np.clip(fsc_d, 0.0, 1.0)[b]
+            w_cnt[sel] += 1.0
     fso = above.mean(axis=0)
     freqs = (np.arange(nbins) + 0.5) * (0.5 / nbins)
-    return freqs, fso
+    if not compute_3dfsc:
+        return freqs, fso
+    fsc3d = (w_sum / np.maximum(w_cnt, 1.0)).reshape(bins.shape)
+    fsc3d[r == 0] = 1.0
+    fmean = 0.5 * (np.asarray(F1) + np.asarray(F2))
+    filtered = np.fft.irfftn(fmean * fsc3d, s=(D, H, W)).astype(np.float32)
+    return freqs, fso, fsc3d.astype(np.float32), filtered
 
 
 def local_filter_by_resolution(vol, res_map, sampling: float,

@@ -277,45 +277,123 @@ class ProgClassifyFirstSplit(XmippProgram):
 
 
 class ProgVolumeHalvesRestoration(XmippProgram):
+    """Full reference surface (volume_halves_restoration.cpp:73-86):
+    real-space significance denoising (--denoising), Fourier Gaussian
+    deconvolution with per-half sigma Powell fits (--deconvolution),
+    a probability-weighted frequency filter bank (--filterBank) and
+    difference shrinkage (--difference), under an optional mask.
+    Engine: ops/halves_restoration.py (jitted device iterations)."""
     name = "xmipp_volume_halves_restoration"
 
     def defineParams(self):
-        self.addUsageLine("Denoise/restore a map from its two half-maps "
-                          "(per-shell SNR Wiener weighting + optional "
-                          "positivity).")
+        self.addUsageLine("Given two half maps (and an optional mask), "
+                          "produce a better estimate of the volume.")
         self.addParamsLine("   --i1 <half1>  : Half map 1")
         self.addParamsLine("   --i2 <half2>  : Half map 2")
-        self.addParamsLine("  [--oroot <root=restored>] : Output rootname")
-        self.addParamsLine("  [--applyPos]  : Positivity constraint")
+        self.addParamsLine("  [--oroot <root=volumeRestored>] : Output "
+                           "rootname")
+        self.addParamsLine("  [--denoising <N=0>] : Iterations of real-"
+                           "space significance denoising")
+        self.addParamsLine("  [--deconvolution <N=0> <sigma0=0.2> "
+                           "<lambda=0.001>] : Iterations of Fourier "
+                           "deconvolution, initial sigma and lambda")
+        self.addParamsLine("  [--filterBank <step=0> <overlap=0.5> "
+                           "<weightFun=1> <weightPower=3>] : Filter-bank "
+                           "step (0,0.5), overlap (0,1), weight function "
+                           "(0=mean, 1=min, 2=mean*diff) and weight power")
+        self.addParamsLine("  [--difference <N=0> <K=1.5>] : Iterations "
+                           "of real-space difference shrinkage and Kdiff")
+        self.addParamsLine("  [--mask <type=binary_file> <file=\"\">] : "
+                           "Restrict the estimate to a binary mask")
 
     def run(self):
         import jax.numpy as jnp
+        from xmipp3_tpu.ops import halves_restoration as hr
+
         v1 = np.squeeze(Image(self.getParam("--i1")).data).astype(np.float32)
         v2 = np.squeeze(Image(self.getParam("--i2")).data).astype(np.float32)
-        D = v1.shape[0]
-        F1 = jnp.fft.rfftn(jnp.asarray(v1))
-        F2 = jnp.fft.rfftn(jnp.asarray(v2))
-        from xmipp3_tpu.ops.fsc import _shell_index_3d
-        nbins = D // 2
-        bins = jnp.asarray(_shell_index_3d(*v1.shape, nbins).ravel())
-        cross = jnp.real(F1 * jnp.conj(F2)).ravel()
-        p1 = (jnp.abs(F1) ** 2).ravel()
-        p2 = (jnp.abs(F2) ** 2).ravel()
-        num = jnp.zeros(nbins).at[bins].add(cross)
-        den = jnp.sqrt(jnp.zeros(nbins).at[bins].add(p1) *
-                       jnp.zeros(nbins).at[bins].add(p2))
-        fsc = jnp.clip(num / jnp.maximum(den, 1e-12), 0.0, 1.0)
-        # per-shell Wiener weight from FSC-derived SNR: w = 2FSC/(1+FSC)
-        w_shell = 2 * fsc / (1 + fsc)
-        w = w_shell[bins].reshape(F1.shape)
-        avg = 0.5 * (F1 + F2) * w
-        rest = np.asarray(jnp.fft.irfftn(avg, s=v1.shape))
-        if self.checkParam("--applyPos"):
-            rest = np.maximum(rest, 0.0)
+        shape = v1.shape
         root = self.getParam("--oroot")
-        save_image(root + "_restored1.vol", rest)
-        save_image(root + "_restored2.vol", rest)
-        self.restored = rest
+        n_real = self.getIntParam("--denoising") \
+            if self.checkParam("--denoising") else 0
+        if self.checkParam("--deconvolution"):
+            n_four = self.getIntParam("--deconvolution", 0)
+            sigma0 = self.getDoubleParam("--deconvolution", 1)
+            lam = self.getDoubleParam("--deconvolution", 2)
+        else:
+            n_four, sigma0, lam = 0, 0.2, 0.001
+        if self.checkParam("--filterBank"):
+            bank_step = self.getDoubleParam("--filterBank", 0)
+            bank_overlap = self.getDoubleParam("--filterBank", 1)
+            weight_fun = self.getIntParam("--filterBank", 2)
+            weight_power = self.getDoubleParam("--filterBank", 3)
+        else:
+            bank_step, bank_overlap = 0.0, 0.5
+            weight_fun, weight_power = 1, 3.0
+        if self.checkParam("--difference"):
+            n_diff = self.getIntParam("--difference", 0)
+            kdiff = self.getDoubleParam("--difference", 1)
+        else:
+            n_diff, kdiff = 0, 1.5
+
+        mask = np.ones(shape, np.float32)
+        if self.checkParam("--mask") and self.getParam("--mask", 1):
+            mask = (np.squeeze(Image(self.getParam("--mask", 1)).data)
+                    > 0).astype(np.float32)
+
+        r2 = jnp.asarray(hr.make_r2(shape))
+        mask_j = jnp.asarray(mask)
+        v1r = jnp.asarray(v1)
+        v2r = jnp.asarray(v2)
+
+        for it in range(n_real):
+            if self.verbose:
+                print(f"Denoising iteration {it}")
+            s, cdf_s, n_valid = hr.estimate_s(v1r, v2r, mask_j, r2, shape)
+            v1r = hr.significance_real_space(v1r, s, cdf_s, n_valid)
+            v2r = hr.significance_real_space(v2r, s, cdf_s, n_valid)
+
+        if n_four > 0:
+            sig1 = sig2 = sigma0
+            s = f_vol = None
+            for it in range(n_four):
+                if self.verbose:
+                    print(f"Deconvolution iteration {it}")
+                s, cdf_s, n_valid = hr.estimate_s(v1r, v2r, mask_j, r2,
+                                                  shape)
+                f_s, f_v1, f_v2 = hr.forward_ffts(s, v1r, v2r, shape)
+                sig1, sig2 = hr.optimize_sigma(f_s, f_v1, f_v2, r2,
+                                               sig1, sig2)
+                if self.verbose:
+                    print(f"   Deconvolving with sigma={sig1} {sig2}")
+                f_vol, v1r, v2r = hr.deconvolve_s(
+                    f_s, f_v1, f_v2, r2, lam, sig1, sig2, shape)
+            save_image(root + "_deconvolved.vol",
+                       np.asarray(s, np.float32))
+            conv = hr.convolve_s(f_vol, r2, 0.5 * (sig1 + sig2), shape)
+            save_image(root + "_convolved.vol",
+                       np.asarray(conv, np.float32))
+
+        if bank_step > 0:
+            v1r, v2r, s_bank = hr.filter_bank(
+                v1r, v2r, r2, shape, float(bank_step), float(bank_overlap),
+                int(weight_fun), float(weight_power))
+            save_image(root + "_filterBank.vol",
+                       np.asarray(s_bank, np.float32))
+
+        for it in range(n_diff):
+            if self.verbose:
+                print(f"Difference iteration {it}")
+            v1r, v2r = hr.evaluate_difference(v1r, v2r, mask_j, kdiff)
+        if n_diff > 0:
+            save_image(root + "_avgDiff.vol",
+                       np.asarray(0.5 * (v1r + v2r), np.float32))
+
+        v1r = np.asarray(v1r, np.float32)
+        v2r = np.asarray(v2r, np.float32)
+        save_image(root + "_restored1.vol", v1r)
+        save_image(root + "_restored2.vol", v2r)
+        self.restored = 0.5 * (v1r + v2r)
 
 
 class ProgVolumeFindSymmetry(XmippProgram):

@@ -1310,6 +1310,9 @@ class ProgResolutionPdbBfactor(XmippProgram):
         self.addParamsLine("  [--sampling <Ts=1>] : Sampling rate (A)")
         self.addParamsLine("  [--useMedian]    : Median instead of mean per residue")
         self.addParamsLine("  [--centered]     : Atomic model centered at the map middle")
+        self.addParamsLine("  [--fscResolution <R=-1>] : Normalize the local "
+                           "resolution LR as (LR-R)/R against this global "
+                           "FSC resolution (Å)")
         self.addParamsLine("   -o <md>          : Output per-residue metadata")
 
     def run(self):
@@ -1337,9 +1340,16 @@ class ProgResolutionPdbBfactor(XmippProgram):
             residues.setdefault(key, {"b": [], "r": []})
             residues[key]["b"].append(b)
             residues[key]["r"].append(locres)
+        fsc_res = self.getDoubleParam("--fscResolution") \
+            if self.checkParam("--fscResolution") else -1.0
         rows = []
         for (chain, resi), v in sorted(residues.items()):
-            rows.append({"resolution": float(agg(v["r"])),
+            lr = float(agg(v["r"]))
+            if fsc_res > 0:
+                # reference resolution_pdb_bfactor.cpp:57 — normalized
+                # local resolution (LR - R)/R
+                lr = (lr - fsc_res) / fsc_res
+            rows.append({"resolution": lr,
                          "bfactor": float(agg(v["b"])),
                          "residue": int(resi)})
         MetaData.fromRows(rows).write(self.getParam("-o"))

@@ -6,6 +6,10 @@ Contracts: SURVEY.md Appendix A (transform_*, image_*, volume_* leftovers).
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from xmipp3_tpu.core.image import Image, save_image
@@ -225,33 +229,136 @@ class ProgLocalVolumeAdjust(XmippProgram):
         save_image(self.getParam("-o"), a + b * v2)
 
 
+@partial(jax.jit, static_argnames=("shape",))
+def _localdeblur_sweep(vol_j, resvol_j, res_list, wl_list, K, Ts, shape):
+    """One LocalDeblur local-filtering sweep (volume_local_sharpening.cpp
+    localfiltering:222-283): cosine bands centered at sampling/res with
+    upper edge wL, per-voxel Gaussian weights exp(-K(res-res_map)^2) in
+    resolution space (zero where res_map < 2*Ts), normalized by the
+    accumulated weight."""
+    D, H, W = shape
+    F = jnp.fft.rfftn(vol_j)
+    fz = jnp.fft.fftfreq(D).astype(jnp.float32)[:, None, None]
+    fy = jnp.fft.fftfreq(H).astype(jnp.float32)[None, :, None]
+    fx = jnp.fft.rfftfreq(W).astype(jnp.float32)[None, None, :]
+    un = jnp.sqrt(fz ** 2 + fy ** 2 + fx ** 2)
+    inside = resvol_j >= 2.0 * Ts
+
+    def body(carry, rw):
+        acc, wsum = carry
+        res, wL = rw
+        w = Ts / res
+        delta = jnp.maximum(wL - w, 1e-6)
+        w_inf = w - delta
+        h = jnp.where((un >= w_inf) & (un <= wL),
+                      0.5 * (1 + jnp.cos((un - w) * jnp.pi / delta)), 0.0)
+        band = jnp.fft.irfftn(F * h, s=(D, H, W))
+        weight = jnp.where(inside,
+                           jnp.exp(-K * (res - resvol_j) ** 2), 0.0)
+        return (acc + band * weight, wsum + weight), None
+
+    zero = jnp.zeros((D, H, W), jnp.float32)
+    (acc, wsum), _ = jax.lax.scan(body, (zero, zero),
+                                  (res_list, wl_list))
+    return jnp.where(wsum > 0, acc / jnp.maximum(wsum, 1e-38), 0.0)
+
+
 class ProgVolumeLocalSharpening(XmippProgram):
+    """Full reference surface (volume_local_sharpening.cpp:46-55) and
+    algorithm (run:286-407): LocalDeblur iterations — subtract the
+    locally-filtered map, re-filter the residual, take a lambda step with
+    a -4*sigma_outside floor, stop when the filtered-norm percentage
+    stabilizes (<1% change after iteration 2); --md records the iteration
+    count and the (possibly auto-set) lambda."""
     name = "xmipp_volume_local_sharpening"
 
     def defineParams(self):
         self.addUsageLine("Local sharpening driven by a local-resolution map "
                           "(LocalDeblur).")
         self.addParamsLine("   --vol <volume>  : Map to sharpen")
-        self.addParamsLine("   --resvol <res>  : Local resolution map (Å)")
+        self.addParamsLine("  [--resolution_map <res=\"\">] : Local "
+                           "resolution map (Å)")
+        self.addParamsLine("  [--resvol <res=\"\">] : Alias of "
+                           "--resolution_map")
         self.addParamsLine("  [-o <out=sharpened.vol>] : Output")
+        self.addParamsLine("  [--md <out=params.xmd>] : Sharpening params "
+                           "metadata (iterations, lambda)")
         self.addParamsLine("  [--sampling <Ts=1>] : Pixel size")
-        self.addParamsLine("  [-l <lambda=1>] : Sharpening strength")
-        self.addParamsLine("  [-n <iters=3>]  : Iterations")
+        self.addParamsLine("  [-l <lambda=1>] : Regularization (1 = "
+                           "auto-set from the first-iteration norm ratio)")
+        self.addParamsLine("  [-k <K=0.025>]  : Resolution-weight width")
+        self.addParamsLine("  [-i <Niter=50>] : Max iterations")
+        self.addParamsLine("  [-n <threads=1>] : Host threads (device "
+                           "batching replaces the thread pool)")
 
     def run(self):
-        from xmipp3_tpu.ops.monogenic import local_filter_by_resolution
+        fn_res = self.getParam("--resolution_map") \
+            if self.checkParam("--resolution_map") and \
+            self.getParam("--resolution_map") else self.getParam("--resvol")
         vol = np.squeeze(Image(self.getParam("--vol")).data).astype(np.float32)
-        res = np.squeeze(Image(self.getParam("--resvol")).data
-                         ).astype(np.float32)
+        res = np.squeeze(Image(fn_res).data).astype(np.float32)
         Ts = self.getDoubleParam("--sampling")
         lam = self.getDoubleParam("-l")
-        res = np.where(res <= 0, res[res > 0].max() if (res > 0).any()
-                       else 2 * Ts, res)
-        out = vol.copy()
-        for _ in range(self.getIntParam("-n")):
-            low = local_filter_by_resolution(out, res, Ts)
-            out = out + lam * (vol - low)   # unsharp with local bandwidth
-        save_image(self.getParam("-o"), out, sampling=Ts)
+        K = self.getDoubleParam("-k") if self.checkParam("-k") else 0.025
+        niter = self.getIntParam("-i") if self.checkParam("-i") else 50
+        shape = vol.shape
+
+        res = np.where((res > 0) & (res < 2 * Ts), 2 * Ts, res)
+        max_res = float(res.max()) + 2.0
+        min_res = 2.0 * Ts
+        # dedup band list by Fourier index like the reference (idx skip)
+        step = 0.2
+        res_vals, wl_vals, lastidx = [], [], -1
+        r = min_res
+        while r < max_res:
+            idx = int(round(Ts / r * shape[0]))
+            if idx != lastidx:
+                res_vals.append(r)
+                wl_vals.append(Ts / max(r - step, 1e-3))
+                lastidx = idx
+            r += step
+        res_list = jnp.asarray(res_vals, jnp.float32)
+        wl_list = jnp.asarray(wl_vals, jnp.float32)
+        resvol_j = jnp.asarray(res)
+
+        outside = res < 2 * Ts
+        desv_outside = float(vol[outside].std()) if outside.any() else 0.0
+
+        v_orig = jnp.asarray(vol)
+        filtered = v_orig
+        sharpened = v_orig
+        norm_orig = float(np.linalg.norm(vol))
+        last_norm, last_porc = 0.0, 1.0
+        converged = False
+        iters_done = 0
+        for i in range(1, niter + 1):
+            operated = _localdeblur_sweep(filtered, resvol_j, res_list,
+                                          wl_list, K, Ts, shape)
+            residual = v_orig - operated
+            norm = float(jnp.linalg.norm(operated))
+            porc = last_norm * 100.0 / max(norm, 1e-38)
+            if (porc - last_porc) < 1 and i > 2:
+                converged = True
+            last_norm, last_porc = norm, porc
+            if i == 1 and lam == 1:
+                lam = (norm_orig / max(norm, 1e-38)) / 12.0
+                if self.verbose:
+                    print(f"  lambda {lam}")
+            filtered = _localdeblur_sweep(residual, resvol_j, res_list,
+                                          wl_list, K, Ts, shape)
+            vk = v_orig if i == 1 else sharpened
+            sharpened = jnp.maximum(vk + lam * filtered,
+                                    -4.0 * desv_outside)
+            filtered = sharpened
+            iters_done = i
+            if converged:
+                break
+
+        save_image(self.getParam("-o"), np.asarray(sharpened, np.float32),
+                   sampling=Ts)
+        MetaData.fromRows([{"iterationNumber": iters_done,
+                            "cost": float(lam)}]).write(
+            self.getParam("--md"))
 
 
 class ProgTransformMorphology(XmippMetadataProgram):
