@@ -225,21 +225,51 @@ def test_arma_psd(tmp_path):
 
 
 def test_cl2d_core_analysis(tmp_path):
+    """End-to-end reference pipeline: CL2D writes the level_%02d hierarchy
+    with class blocks; core_analysis --computeCore removes PCA outliers
+    per class, --computeStableCore intersects coocurrence across levels
+    (mpi_classify_CL2D_core_analysis.cpp)."""
+    import os
     rng = np.random.default_rng(9)
-    imgs = rng.standard_normal((10, 16, 16)).astype(np.float32) * 0.1
-    imgs[:5] += 1.0   # class 1 coherent
-    imgs[9] = rng.standard_normal((16, 16)) * 5  # outlier in class 2
+    # two clearly separated classes of 12 + one gross outlier each
+    a = np.zeros((16, 16), np.float32)
+    a[4:12, 4:8] = 1.0
+    b = np.zeros((16, 16), np.float32)
+    b[2:6, 2:14] = 1.0
+    imgs = np.concatenate([
+        a[None] + 0.05 * rng.standard_normal((12, 16, 16)),
+        b[None] + 0.05 * rng.standard_normal((12, 16, 16)),
+    ]).astype(np.float32)
+    imgs[11] = rng.standard_normal((16, 16)) * 5   # outlier
     fn = str(tmp_path / "s.mrcs")
     save_image(fn, imgs)
-    MetaData.fromRows([
-        {"image": f"{i + 1:06d}@{fn}", "itemId": i + 1,
-         "ref": 1 if i < 5 else 2, "anglePsi": 0.0, "shiftX": 0.0,
-         "shiftY": 0.0} for i in range(10)]).write(str(tmp_path / "c.xmd"))
+    run_prog("classify_CL2D",
+             f"-i {fn} --odir {tmp_path} --oroot cl --nref 2 --nref0 1 "
+             f"--iter 4 --classifyAllImages -v 0")
+    assert os.path.exists(f"{tmp_path}/level_00/cl_classes.xmd")
+    assert os.path.exists(f"{tmp_path}/level_01/cl_classes.xmd")
+    blocks = MetaData.blocksInFile(f"{tmp_path}/level_01/cl_classes.xmd")
+    assert "classes" in blocks and "class000001_images" in blocks
+
     prog = run_prog("classify_CL2D_core_analysis",
-                    f"-i {tmp_path}/c.xmd --oroot {tmp_path}/core --thr 1.2")
-    md = MetaData(str(tmp_path / "core_core.xmd"))
-    flags = {md.getValue("itemId", i): md.getValue("enabled", i) for i in md}
-    assert flags[10] == -1  # the outlier excluded from the core
+                    f"--root cl --dir {tmp_path} --computeCore 2.0 2 -v 0")
+    fn_core = f"{tmp_path}/level_01/cl_classes_core.xmd"
+    assert os.path.exists(fn_core)
+    # the gross outlier must be removed from its core class
+    kept = []
+    for blk in MetaData.blocksInFile(fn_core):
+        if blk.startswith("class") and blk.endswith("_images"):
+            kept += [str(r["image"])
+                     for r in MetaData(fn_core, block=blk).iterRows()]
+    assert f"000012@{fn}" not in kept
+    assert len(kept) >= 18
+
+    prog2 = run_prog("classify_CL2D_core_analysis",
+                     f"--root cl --dir {tmp_path} --computeStableCore 0 "
+                     f"-v 0")
+    fn_st = f"{tmp_path}/level_01/cl_classes_stable_core.xmd"
+    assert os.path.exists(fn_st)
+    assert prog2.n_core > 0
 
 
 def test_monodir_full_surface(tmp_path):

@@ -246,42 +246,84 @@ def test_volume_local_sharpening_raises_high_freq(world, tmp_path):
 # classification / PCA endpoints
 # --------------------------------------------------------------------------
 
-def test_classify_compare_classes_finds_identity(world, tmp_path):
-    d = world["dir"]
-    o = str(tmp_path / "cmp.xmd")
-    # i2 = first 5 gallery images, shuffled: matches must invert the
-    # shuffle
-    perm = np.array([3, 0, 4, 2, 1])
-    Image(world["refs"][:5][perm]).write(str(tmp_path / "set2.stk"))
-    Image(world["refs"][:5]).write(str(tmp_path / "set1.stk"))
+def _write_classification(fn, assignment):
+    """Write the Xmipp multi-block classes format: classes@fn + one
+    class%06d_images@fn block per class."""
+    n_cls = int(max(assignment)) + 1
+    MetaData.fromRows([{"ref": k + 1,
+                        "classCount": int((assignment == k).sum())}
+                       for k in range(n_cls)]).write(fn, block="classes")
+    for k in range(n_cls):
+        rows = [{"image": f"{i + 1:06d}@parts.stk", "itemId": i + 1}
+                for i in np.nonzero(assignment == k)[0]]
+        MetaData.fromRows(rows).write(fn, block=f"class{k + 1:06d}_images",
+                                      append=True)
+
+
+def test_classify_compare_classes_reports_flow(tmp_path):
+    # classification 1: images 0-9 -> class1, 10-19 -> class2.
+    # classification 2: identical except image 0 moved to class2.
+    a1 = np.repeat([0, 1], 10)
+    a2 = a1.copy()
+    a2[0] = 1
+    f1, f2 = str(tmp_path / "c1.xmd"), str(tmp_path / "c2.xmd")
+    _write_classification(f1, a1)
+    _write_classification(f2, a2)
+    o = str(tmp_path / "cmp.txt")
+    prog = run_prog("classify_compare_classes",
+                    f"--i1 {f1} --i2 {f2} -o {o} -v 0")
+    assert prog.comparison_matrix.tolist() == [[9, 1], [0, 10]]
+    txt = open(o).read()
+    assert "90.0% are in class class000001_images" in txt
+    assert "10.0% are in class class000002_images" in txt
+    # --append grows the file
+    size0 = len(txt)
     run_prog("classify_compare_classes",
-             f"--i1 {tmp_path}/set1.stk --i2 {tmp_path}/set2.stk -o {o}")
-    md = MetaData(o)
-    got = [int(v) - 1 for v in md.getColumnValues("ref")]
-    assert got == list(perm)
+             f"--i1 {f1} --i2 {f2} -o {o} --append -v 0")
+    assert len(open(o).read()) > 2 * size0
 
 
 def test_classify_first_split_separates(world, tmp_path):
+    # two conformations: a central blob with/without a satellite; project
+    # each at random directions, run the subset-reconstruction PCA split
+    # (classify_first_split.cpp) and check v1/v2 straddle the difference
+    from xmipp3_tpu.ops.project import FourierProjector
     rng = np.random.default_rng(5)
-    a, b = world["refs"][0], world["refs"][10]
-    stack = np.concatenate([
-        a[None] + 0.05 * rng.standard_normal((8,) + a.shape),
-        b[None] + 0.05 * rng.standard_normal((8,) + b.shape)
-    ]).astype(np.float32)
+    n = 32
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
+    base = np.exp(-(z ** 2 + y ** 2 + x ** 2) / 20.0).astype(np.float32)
+    sat = 3.0 * np.exp(-((z - 8) ** 2 + (y - 8) ** 2 + x ** 2) / 6.0
+                       ).astype(np.float32)
+    vol_a, vol_b = base, base + sat
+    n_per = 32
+    rows = []
+    imgs = []
+    for k, vol in enumerate([vol_a, vol_b]):
+        rot = rng.uniform(0, 360, n_per).astype(np.float32)
+        tilt = rng.uniform(0, 180, n_per).astype(np.float32)
+        p = np.asarray(FourierProjector(vol).project_euler(
+            rot, tilt, np.zeros(n_per, np.float32)))
+        imgs.append(p)
+        for i in range(n_per):
+            rows.append({"angleRot": float(rot[i]),
+                         "angleTilt": float(tilt[i]), "anglePsi": 0.0,
+                         "itemId": k * n_per + i + 1})
+    stack = np.concatenate(imgs).astype(np.float32)
     Image(stack).write(str(tmp_path / "mix.stk"))
-    run_prog("classify_first_split",
-             f"-i {tmp_path}/mix.stk --oroot {tmp_path}/spl")
-    files = os.listdir(tmp_path)
-    outs = [f for f in files if f.startswith("spl")]
-    assert outs
-    md_files = [f for f in outs if f.endswith(".xmd")]
-    if md_files:
-        md = MetaData(str(tmp_path / md_files[0]))
-        if md.containsLabel("ref"):
-            r = np.array(md.getColumnValues("ref"))
-            same_a = (r[:8] == r[0]).mean()
-            same_b = (r[8:] == r[8]).mean()
-            assert same_a > 0.7 and same_b > 0.7 and r[0] != r[8]
+    for i, r in enumerate(rows):
+        r["image"] = f"{i + 1:06d}@{tmp_path}/mix.stk"
+    MetaData.fromRows(rows).write(str(tmp_path / "cls.xmd"))
+    prog = run_prog("classify_first_split",
+                    f"-i {tmp_path}/cls.xmd --oroot {tmp_path}/spl "
+                    f"--Nrec 60 --Nsamples 16 --alpha 0.1 -v 0")
+    for suff in ("_avg.vol", "_v1.vol", "_v2.vol", "_pc1.vol"):
+        assert os.path.exists(f"{tmp_path}/spl{suff}")
+    # the split axis must be the satellite: |v1 - v2| should concentrate
+    # on the satellite region
+    d = np.abs(prog.v1 - prog.v2)
+    sat_mask = sat > 0.3
+    body_mask = (base > 0.3) & ~sat_mask
+    assert d[sat_mask].mean() > 2.0 * d[body_mask].mean()
 
 
 def test_alignPCA_2D_outputs(world, tmp_path):

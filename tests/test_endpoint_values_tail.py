@@ -60,10 +60,9 @@ def test_image_find_center_recovers_planted_offset(tmp_path):
     save_image(fn, ring.astype(np.float32))
     prog = run_prog("image_find_center", f"-i {fn} --oroot {tmp_path}/c")
     cx, cy = prog.centers[0]
-    # the planted center offset, up to half-pixel discretization
-    assert np.hypot(cx - dx, cy - dy) < 0.75 or \
-        np.hypot(cx + dx, cy + dy) < 0.75
-    md = MetaData(str(tmp_path / "c.xmd"))
+    # absolute center = image center + planted offset (half-pixel tol)
+    assert np.hypot(cx - (n / 2 + dx), cy - (n / 2 + dy)) < 0.75
+    md = MetaData(str(tmp_path / "c_center.xmd"))
     assert md.size() == 1
 
 
@@ -104,15 +103,21 @@ def test_metadata_histogram_counts_are_exact(tmp_path):
 
 def test_image_ssnr_ranks_signal_above_noise(tmp_path):
     n = 64
-    y, x = np.mgrid[0:n, 0:n].astype(np.float32)
+    y, x = np.mgrid[0:n, 0:n].astype(np.float32) - n // 2
     rng = np.random.default_rng(0)
-    clean = np.cos(2 * np.pi * 6 * x / n) + np.cos(2 * np.pi * 4 * y / n)
-    sig = (clean + 0.1 * rng.standard_normal((n, n))).astype(np.float32)
+    # signal concentrated INSIDE the default mask radius (R = n/2 - Rwidth):
+    # the reference metric is in-mask vs out-of-mask spectra, so a
+    # full-field pattern would leak into the "noise" estimate
+    clean = (np.cos(2 * np.pi * 6 * x / n)
+             * np.exp(-(x ** 2 + y ** 2) / (2 * 10.0 ** 2)))
+    sig = (clean + 0.05 * rng.standard_normal((n, n))).astype(np.float32)
     noise = rng.standard_normal((n, n)).astype(np.float32)
     save_image(str(tmp_path / "s.stk"), np.stack([sig, noise]))
     out = str(tmp_path / "ssnr.xmd")
     prog = run_prog("image_ssnr", f"-i {tmp_path}/s.stk -o {out}")
-    assert prog.ssnr[0] > 10 * prog.ssnr[1]
+    # dB scale: signal image must clear the pure-noise image's mask-area
+    # bias (~10*log10(areaS/areaN) ~ 2.6 dB) by a wide margin
+    assert prog.ssnr[0] > prog.ssnr[1] + 5.0
     md = MetaData(out)
     assert md.size() == 2 and "cumulativeSSNR" in md.getActiveLabels()
 
@@ -284,6 +289,15 @@ def test_classify_kerdensom_separates_two_clusters(tmp_path):
     assert ref[0] != ref[10]
     code = np.load(str(tmp_path / "som_codebook.npy"))
     assert code.shape[-1] == 6
+    # deterministic-annealing mode + HEXA topology + --norm still separates
+    run_prog("classify_kerdensom",
+             f"-i {tmp_path}/v.xmd --oroot {tmp_path}/da --xdim 2 --ydim 1 "
+             f"--iter 40 --deterministic_annealing 5 5 0.05 --eps 1e-9 "
+             f"--topology HEXA --norm -v 0")
+    md = MetaData(str(tmp_path / "da_images.xmd"))
+    ref = np.asarray([int(r["ref"]) for r in md.iterRows()])
+    assert len(set(ref[:10])) == 1 and len(set(ref[10:])) == 1
+    assert ref[0] != ref[10]
 
 
 @pytest.mark.slow
@@ -474,18 +488,35 @@ def test_resolution_localfilter_uniform_map_equals_global_lowpass(tmp_path):
              f"--vol {tmp_path}/v.vol --resvol {tmp_path}/r.vol "
              f"-o {out} --sampling 2.0")
     got = np.squeeze(Image(out).data)
-    # global low-pass at 6 A (digital cutoff 2.0/6.0)
-    F = np.fft.rfftn(vol)
+    # reference semantics (resolution_localfilter.cpp run loop): the
+    # output is a Gaussian-weighted sum of raised-cosine BANDS centered
+    # at each local cutoff, NOT a cumulative low-pass; a uniform 6 A map
+    # therefore yields the single band at f = Ts/res = 1/3 (+-0.02)
+    # applied to the boundary-apodized volume
+    n_s = 10
+    apo = np.ones((n, n, n), np.float32)
+    for ax in range(3):
+        u = np.abs(np.arange(n) - n // 2)
+        lim = n // 2 - n_s
+        a = np.where(u >= lim, 0.5 * (1 + np.cos(np.pi * (lim - u) / n_s)),
+                     1.0).astype(np.float32)
+        shp = [1, 1, 1]
+        shp[ax] = n
+        apo = apo * a.reshape(shp)
+    F = np.fft.rfftn(vol * apo)
     fz = np.fft.fftfreq(n)[:, None, None]
     fy = np.fft.fftfreq(n)[None, :, None]
     fx = np.fft.rfftfreq(n)[None, None, :]
     r = np.sqrt(fz ** 2 + fy ** 2 + fx ** 2)
-    ref = np.fft.irfftn(F * (r <= 2.0 / 6.0 + 1e-6), s=(n, n, n),
-                        axes=(0, 1, 2))
+    f = 2.0 / 6.0
+    f_l, f_h = max(f - 0.02, 0.001), min(f + 0.02, 0.5)
+    win = np.where((r >= f) & (r <= f_h),
+                   0.5 * (1 + np.cos(np.pi * (r - f) / (f_h - f))), 0.0)
+    win += np.where((r >= f_l) & (r < f),
+                    0.5 * (1 + np.cos(np.pi * (r - f) / (f - f_l))), 0.0)
+    ref = np.fft.irfftn(F * win, s=(n, n, n), axes=(0, 1, 2))
     cc = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
-    # the local filter blends smooth per-band windows, not a brick wall;
-    # a uniform 6 A map must still track the global 6 A low-pass closely
-    assert cc > 0.95
+    assert cc > 0.99
 
 
 def test_resolution_monotomo_values_in_band_and_signal_ordering(tmp_path):

@@ -157,13 +157,30 @@ def test_tilt_pair_assignment(tmp_path):
 
 
 def test_compare_density(tmp_path):
-    rng = np.random.default_rng(6)
-    v = rng.standard_normal((24, 24, 24)).astype(np.float32)
+    # two blobs; v1 has an EXTRA satellite blob -> after removing the
+    # biggest component the residual mass is v1's, so the sign image
+    # should be overwhelmingly +1 where it is nonzero
+    n = 64
+    z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
+    main = np.exp(-(z ** 2 + y ** 2 + x ** 2) / 40.0)
+    sat = np.exp(-((z - 22) ** 2 + (y - 22) ** 2 + x ** 2) / 14.0)
     f1, f2 = str(tmp_path / "a.vol"), str(tmp_path / "b.vol")
-    save_image(f1, v)
-    save_image(f2, v * 2 + 1)
-    prog = run_prog("compare_density", f"--i1 {f1} --i2 {f2} -v 0")
-    assert prog.correlation > 0.999
+    save_image(f1, (main + sat).astype(np.float32))
+    save_image(f2, main.astype(np.float32))
+    out = str(tmp_path / "corr.xmp")
+    prog = run_prog("compare_density",
+                    f"-v1 {f1} -v2 {f2} -o {out} --degstep 45 -v 0")
+    cc = prog.corr_image
+    assert cc.shape == (9, 5)          # 360/45+1 x 180/45+1
+    assert set(np.unique(cc)).issubset({-1.0, 0.0, 1.0})
+    nz = cc[cc != 0]
+    assert len(nz) > 0 and (nz == 1).mean() > 0.8
+    assert np.squeeze(Image(out).data).shape == (9, 5)
+    # identical volumes -> all zeros
+    prog2 = run_prog("compare_density",
+                     f"-v1 {f2} -v2 {f2} -o {tmp_path}/z.xmp "
+                     f"--degstep 90 -v 0")
+    assert np.all(prog2.corr_image == 0)
 
 
 def test_emx_golden_and_roundtrip(tmp_path):

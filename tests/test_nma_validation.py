@@ -147,23 +147,23 @@ def test_alignability_validation(tmp_path):
 
 def test_compare_views_scores(tmp_path):
     n = 32
-    rng = np.random.default_rng(2)
     z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32)
     vol = np.exp(-((z - 12) ** 2 + (y - 16) ** 2 + (x - 18) ** 2) / 8.0
                  ).astype(np.float32)
     fn_vol = str(tmp_path / "v.vol")
     save_image(fn_vol, vol)
-    from xmipp3_tpu.ops.project import FourierProjector
-    proj = FourierProjector(vol)
-    rot = np.float32([10, 80, 200])
-    tilt = np.float32([45, 90, 120])
-    imgs = np.asarray(proj.project_euler(rot, tilt, np.zeros(3, np.float32)))
-    fn_stk = str(tmp_path / "p.mrcs")
-    save_image(fn_stk, imgs)
-    MetaData.fromRows([
-        {"image": f"{i + 1:06d}@{fn_stk}", "angleRot": float(rot[i]),
-         "angleTilt": float(tilt[i]), "anglePsi": 0.0, "itemId": i + 1}
-        for i in range(3)]).write(str(tmp_path / "a.xmd"))
+    # identical volumes -> corr image ~1 on the full grid
+    out = str(tmp_path / "cv.xmp")
     prog = run_prog("compare_views",
-                    f"-i {tmp_path}/a.xmd --ref {fn_vol} -v 0")
-    assert prog.correlations.min() > 0.99
+                    f"-v1 {fn_vol} -v2 {fn_vol} -o {out} --degstep 45 -v 0")
+    assert prog.corr_image.shape == (9, 5)
+    assert prog.corr_image.min() > 0.999
+    assert np.squeeze(Image(out).data).shape == (9, 5)
+    # a shifted copy decorrelates off-center views
+    vol2 = np.roll(vol, 6, axis=2)
+    fn_vol2 = str(tmp_path / "v2.vol")
+    save_image(fn_vol2, vol2)
+    prog2 = run_prog("compare_views",
+                     f"-v1 {fn_vol} -v2 {fn_vol2} --degstep 45 "
+                     f"-o {tmp_path}/cv2.xmp -v 0")
+    assert prog2.corr_image.mean() < prog.corr_image.mean() - 0.05

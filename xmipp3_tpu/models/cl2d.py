@@ -117,11 +117,15 @@ def classify_cl2d(imgs: np.ndarray, n_refs: int, n_iters: int = 10,
               min_size_pct=min_size_pct, max_split_trials=max_split_trials,
               threshold_mask=threshold_mask, align_refs=align_refs,
               neigh=neigh)
+    levels = []
     while len(refs) < n_refs:
         res = _refine(imgs, refs, max(2, n_iters // 2), max_shift,
                       check_mirror, seed, verbose, mesh,
                       **dict(kw, classical=classical_multiref
                              or classical_split))
+        levels.append({k: res[k] for k in
+                       ("refs", "assignments", "psi", "sx", "sy",
+                        "flip", "corr")})
         refs = res["refs"]
         # split the widest classes (largest intra-class variance) until the
         # target count (at most doubling per level, reference behavior)
@@ -146,6 +150,10 @@ def classify_cl2d(imgs: np.ndarray, n_refs: int, n_iters: int = 10,
     res = _refine(imgs, refs, n_iters, max_shift, check_mirror, seed,
                   verbose, mesh, **kw)
     res.pop("registered")
+    levels.append({k: res[k] for k in
+                   ("refs", "assignments", "psi", "sx", "sy",
+                    "flip", "corr")})
+    res["levels"] = levels
     return res
 
 

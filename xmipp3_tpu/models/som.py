@@ -11,10 +11,16 @@ from __future__ import annotations
 import numpy as np
 
 
-def _grid_distances(shape):
+def _grid_distances(shape, topology: str = "RECT"):
+    """Squared map-lattice distances. HEXA offsets every other row by half
+    a cell and compresses rows by sqrt(3)/2 (the reference's hexagonal
+    lattice, classification/map.cpp neighborhood geometry)."""
     ny, nx = shape
     yy, xx = np.mgrid[0:ny, 0:nx]
     coords = np.stack([yy.ravel(), xx.ravel()], axis=1).astype(np.float64)
+    if topology.upper() == "HEXA":
+        coords[:, 1] += 0.5 * (coords[:, 0] % 2)
+        coords[:, 0] *= np.sqrt(3.0) / 2.0
     d2 = ((coords[:, None, :] - coords[None, :, :]) ** 2).sum(-1)
     return d2  # (K, K) squared grid distances
 
@@ -51,23 +57,30 @@ def som(X: np.ndarray, shape=(4, 4), n_iters: int = 200,
 
 def kerdensom(X: np.ndarray, shape=(4, 4), n_iters: int = 100,
               reg0: float = 1000.0, regF: float = 100.0, seed: int = 0,
-              verbose: int = 0):
+              verbose: int = 0, annealing_steps: int = 0,
+              eps: float = 1e-7, topology: str = "RECT"):
     """Kernel-density SOM (the reference's kerdenSOM): soft responsibilities
-    with annealed smoothness regularization over the map graph."""
+    with annealed smoothness regularization over the map graph.
+
+    With ``annealing_steps`` > 0 this runs the reference's deterministic
+    annealing schedule (kerdensom.cpp KerDenSOM::train): ``annealing_steps``
+    regularization values geometrically spaced from reg0 to regF, each run
+    to convergence (relative code change < ``eps``, capped at ``n_iters``
+    inner iterations). reg0=regF=0 degenerates to kernel C-means
+    (no smoothness coupling), as documented in the reference CLI."""
     rng = np.random.default_rng(seed)
     X = np.asarray(X, np.float64)
     N, D = X.shape
     K = shape[0] * shape[1]
     code = X[rng.choice(N, K, replace=N < K)] + \
         0.01 * rng.standard_normal((K, D))
-    d2 = _grid_distances(shape)
-    # graph laplacian of the map grid (4-neighborhood)
-    Wg = (np.isclose(d2, 1.0)).astype(np.float64)
+    d2 = _grid_distances(shape, topology)
+    # graph laplacian of the map grid (4/6-neighborhood)
+    Wg = (d2 < 1.0 + 1e-6).astype(np.float64) - np.eye(K)
     Lap = np.diag(Wg.sum(1)) - Wg
     sigma2 = np.var(X) + 1e-12
-    for it in range(n_iters):
-        frac = it / max(n_iters - 1, 1)
-        reg = reg0 * (regF / max(reg0, 1e-12)) ** frac
+
+    def step(code, sigma2, reg):
         dist = ((X[:, None, :] - code[None, :, :]) ** 2).sum(-1)
         r = np.exp(-dist / (2 * sigma2))
         r /= r.sum(axis=1, keepdims=True) + 1e-300
@@ -76,8 +89,35 @@ def kerdensom(X: np.ndarray, shape=(4, 4), n_iters: int = 100,
         A = np.diag(Nk) + reg * Lap + 1e-9 * np.eye(K)
         code = np.linalg.solve(A, r.T @ X)
         sigma2 = max(float((r * dist).sum() / (N * D)), 1e-12)
-        if verbose and (it + 1) % 20 == 0:
-            print(f"  kerdensom iter {it + 1}: sigma2={sigma2:.5f} reg={reg:.1f}")
+        return code, sigma2
+
+    if annealing_steps > 0:
+        regs = (np.geomspace(max(reg0, 1e-12), max(regF, 1e-12),
+                             annealing_steps)
+                if reg0 > 0 and regF > 0 else np.zeros(annealing_steps))
+        for si, reg in enumerate(regs):
+            for it in range(n_iters):
+                prev = code
+                code, sigma2 = step(code, sigma2, reg)
+                delta = np.linalg.norm(code - prev) / max(
+                    np.linalg.norm(prev), 1e-300)
+                if delta < eps:
+                    break
+            if verbose:
+                print(f"  annealing step {si + 1}/{annealing_steps} "
+                      f"reg={reg:.2f} sigma2={sigma2:.5f}")
+    else:
+        for it in range(n_iters):
+            frac = it / max(n_iters - 1, 1)
+            reg = reg0 * (regF / max(reg0, 1e-12)) ** frac
+            prev = code
+            code, sigma2 = step(code, sigma2, reg)
+            if np.linalg.norm(code - prev) < eps * max(
+                    np.linalg.norm(prev), 1e-300):
+                break
+            if verbose and (it + 1) % 20 == 0:
+                print(f"  kerdensom iter {it + 1}: sigma2={sigma2:.5f} "
+                      f"reg={reg:.1f}")
     dist = ((X[:, None, :] - code[None, :, :]) ** 2).sum(-1)
     return code, dist.argmin(axis=1)
 

@@ -659,46 +659,66 @@ class ProgValidationNonTilt(ProgMultireferenceAligneability):
             print(f"Validation score: {validation:.3f}")
 
 
+def compare_grid_angles(degstep):
+    """The reference's evenly-spaced (rot, tilt) comparison grid
+    (compare_views.cpp readParams: degstep -> 360/ROUND(360/degstep),
+    rot in [0, 360], tilt in [0, 180], both inclusive)."""
+    degstep = 360.0 / round(360.0 / degstep)
+    n_rot = int(360.0 / degstep)
+    n_tilt = int(180.0 / degstep)
+    rot = np.arange(n_rot + 1, dtype=np.float32) * degstep
+    tilt = np.arange(n_tilt + 1, dtype=np.float32) * degstep
+    return rot, tilt, degstep
+
+
+def project_both_on_grid(fn1, fn2, degstep):
+    """Project two volumes on the shared (rot, tilt) grid in ONE batched
+    Fourier-slice dispatch per volume (the reference loops projectVolume
+    per cell across a thread pool; on TPU the grid is a single
+    vmapped gather)."""
+    from xmipp3_tpu.ops.project import FourierProjector
+    v1 = np.squeeze(Image(fn1).data).astype(np.float32)
+    v2 = np.squeeze(Image(fn2).data).astype(np.float32)
+    rot, tilt, degstep = compare_grid_angles(degstep)
+    rr = np.repeat(rot, len(tilt))
+    tt = np.tile(tilt, len(rot))
+    psi = np.zeros_like(rr)
+    p1 = np.asarray(FourierProjector(v1).project_euler(rr, tt, psi))
+    p2 = np.asarray(FourierProjector(v2).project_euler(rr, tt, psi))
+    return p1, p2, len(rot), len(tilt)
+
+
 class ProgCompareViews(XmippProgram):
+    """Full reference surface (compare_views.cpp:38-44): -v1/-v2 volumes,
+    --degstep grid, output = (rot, tilt) image of correlationIndex between
+    the two volumes' projections at each grid orientation. --thr is the
+    reference's host thread pool; here the whole grid is one device batch
+    (flag accepted for CLI parity)."""
     name = "xmipp_compare_views"
 
     def defineParams(self):
-        self.addUsageLine("Compare experimental images against the "
-                          "projections of a volume at their assigned angles.")
-        self.addParamsLine("   -i <md_file>  : Particles with poses")
-        self.addParamsLine("   --ref <volume> : Reference volume")
-        self.addParamsLine("  [-o <md=\"\">]   : Output metadata with correlations")
+        self.addUsageLine("Compare the projections of two volumes over a "
+                          "(rot, tilt) grid; output is the correlation "
+                          "image of the grid.")
+        self.addParamsLine("   -v1 <volume>  : First volume to compare")
+        self.addParamsLine("   -v2 <volume>  : Second volume to compare")
+        self.addParamsLine("  [-o <image=\"\">] : Output correlation image")
+        self.addParamsLine("  [--degstep <d=5.0>] : Degrees step size for "
+                           "rot and tilt angles")
+        self.addParamsLine("  [--thr <N=-1>] : Max processing threads "
+                           "(device batching replaces the thread pool)")
 
     def run(self):
-        from xmipp3_tpu.ops.project import FourierProjector
-        from xmipp3_tpu.ops.geo import apply_md_geometry
         from xmipp3_tpu.ops.shift import correlation_index
-        md = MetaData(self.getParam("-i"))
-        md.removeDisabled()
-        rows = list(md.iterRows())
-        imgs = load_image_rows(rows)
-        vol = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
-        proj = FourierProjector(vol)
-        get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
-                                 np.float32)
-        registered = np.asarray(apply_md_geometry(
-            imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
-            np.array([bool(r.get("flip", 0)) for r in rows])))
-        refs = np.asarray(proj.project_euler(get("angleRot"),
-                                             get("angleTilt"),
-                                             np.zeros(len(rows), np.float32)))
-        cc = np.asarray(correlation_index(refs, registered))
-        out = []
-        for i, r in enumerate(rows):
-            d = dict(r)
-            d["maxCC"] = float(cc[i])
-            out.append(d)
-        result = MetaData.fromRows(out)
-        if self.checkParam("-o") and self.getParam("-o"):
-            result.write(self.getParam("-o"))
-        self.correlations = cc
+        p1, p2, n_rot, n_tilt = project_both_on_grid(
+            self.getParam("-v1"), self.getParam("-v2"),
+            self.getDoubleParam("--degstep"))
+        cc = np.asarray(correlation_index(p1, p2)).reshape(n_rot, n_tilt)
+        fn_out = self.getParam("-o") or "Rot_tilt_corr_map.xmp"
+        save_image(fn_out, cc.astype(np.float32))
+        self.corr_image = cc
         if self.verbose:
-            print(f"mean CC vs reference views: {cc.mean():.4f}")
+            print(f"mean grid correlation: {cc.mean():.4f}")
 
 
 PROGRAM = None

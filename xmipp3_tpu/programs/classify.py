@@ -144,6 +144,36 @@ class ProgClassifyCL2D(XmippProgram):
                    "image": f"{k + 1:06d}@{fn_refs}"}
                   for k in range(self.n_refs)]
         MetaData.fromRows(counts).write(root + "_classes.xmd")
+        # reference hierarchy layout (mpi_classify_CL2D.cpp writeResults):
+        # <odir>/level_%02d/<root>_classes.xmd with a classes@ block and a
+        # class%06d_images@ block per class — the layout consumed by
+        # classify_CL2D_core_analysis and by Scipion
+        for lev, L in enumerate(res.get("levels", [])):
+            lev_dir = os.path.join(self.odir, f"level_{lev:02d}")
+            os.makedirs(lev_dir, exist_ok=True)
+            fn_lvl_stk = os.path.join(lev_dir, self.oroot + "_classes.stk")
+            save_image(fn_lvl_stk, np.asarray(L["refs"], np.float32))
+            fn_lvl = os.path.join(lev_dir, self.oroot + "_classes.xmd")
+            assign = np.asarray(L["assignments"])
+            MetaData.fromRows([
+                {"ref": k + 1, "classCount": int((assign == k).sum()),
+                 "image": f"{k + 1:06d}@{fn_lvl_stk}"}
+                for k in range(len(L["refs"]))]).write(fn_lvl,
+                                                       block="classes")
+            for k in range(len(L["refs"])):
+                members = np.nonzero(assign == k)[0]
+                mrows = []
+                for i in members:
+                    d = dict(rows[i])
+                    d.update({"ref": k + 1,
+                              "anglePsi": float(L["psi"][i]),
+                              "shiftX": float(L["sx"][i]),
+                              "shiftY": float(L["sy"][i]),
+                              "flip": int(L["flip"][i]),
+                              "maxCC": float(L["corr"][i])})
+                    mrows.append(d)
+                MetaData.fromRows(mrows).write(
+                    fn_lvl, block=f"class{k + 1:06d}_images", append=True)
 
 
 class ProgMLAlign2D(XmippProgram):
@@ -307,6 +337,14 @@ class ProgKerdensom(XmippProgram):
         self.addParamsLine("  [--iter <n=100>] : Training iterations")
         self.addParamsLine("  [--reg0 <r=1000>] : Initial regularization")
         self.addParamsLine("  [--regF <r=100>]  : Final regularization")
+        self.addParamsLine("  [--topology <topology=RECT>] : Lattice "
+                           "topology: RECT or HEXA")
+        self.addParamsLine("  [--deterministic_annealing <steps=10> "
+                           "<Initial_reg=1000> <Final_reg=100>] : "
+                           "Deterministic annealing schedule; 0 0 0 gives "
+                           "kernel C-means")
+        self.addParamsLine("  [--eps <epsilon=1e-7>] : Stopping criterion")
+        self.addParamsLine("  [--norm] : Normalize input data")
         self.addParamsLine("  [--variant <v=kerdensom>] : kerdensom | som | batch_som | fuzzy_som (reference classification/ kerdensom, som, batch_som, fuzzy_som)")
 
     def readParams(self):
@@ -317,6 +355,17 @@ class ProgKerdensom(XmippProgram):
         self.n_iters = self.getIntParam("--iter")
         self.reg0 = self.getDoubleParam("--reg0")
         self.regF = self.getDoubleParam("--regF")
+        self.topology = self.getParam("--topology")
+        if self.checkParam("--deterministic_annealing"):
+            self.annealing_steps = self.getIntParam(
+                "--deterministic_annealing", 0)
+            self.reg0 = self.getDoubleParam("--deterministic_annealing", 1)
+            self.regF = self.getDoubleParam("--deterministic_annealing", 2)
+        else:
+            self.annealing_steps = 0
+        self.eps = self.getDoubleParam("--eps") \
+            if self.checkParam("--eps") else 1e-7
+        self.norm = self.checkParam("--norm")
         self.variant = self.getParam("--variant")
 
     def run(self):
@@ -325,6 +374,10 @@ class ProgKerdensom(XmippProgram):
         md = MetaData(self.fn_in)
         X = np.stack([np.asarray(v, np.float32)
                       for v in md.getColumnValues("classificationData")])
+        if self.norm:
+            # reference --norm: standardize the training vectors
+            mu, sd = X.mean(axis=0), X.std(axis=0)
+            X = (X - mu) / np.maximum(sd, 1e-12)
         shape = (self.ydim, self.xdim)
         if self.variant == "som":
             code, assign = som(X, shape, self.n_iters)
@@ -336,7 +389,9 @@ class ProgKerdensom(XmippProgram):
             assign = U.argmax(axis=1)
         else:
             code, assign = kerdensom(X, shape, self.n_iters, self.reg0,
-                                     self.regF, verbose=self.verbose)
+                                     self.regF, verbose=self.verbose,
+                                     annealing_steps=self.annealing_steps,
+                                     eps=self.eps, topology=self.topology)
         rows = []
         for i in md:
             r = md.getRow(i)

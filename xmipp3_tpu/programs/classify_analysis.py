@@ -218,62 +218,192 @@ class ProgClassifyExtractFeatures(XmippProgram):
 
 
 class ProgClassifyCompareClasses(XmippProgram):
+    """Compare two CLASSIFICATIONS (reference classify_compare_classes.cpp
+    :31-137): both inputs are multi-block class metadata files
+    ('classes@f' with a ref column, one 'class%06d_images@f' block per
+    class); the comparison matrix counts shared image names between every
+    class pair, and the text report gives the percentage flow of each
+    class of one classification into the classes of the other. --append
+    appends the report to the output file."""
     name = "xmipp_classify_compare_classes"
 
     def defineParams(self):
-        self.addUsageLine("Cross-correlation matrix between two sets of "
-                          "class averages (aligned comparison).")
-        self.addParamsLine("   --i1 <stack> : First class set")
-        self.addParamsLine("   --i2 <stack> : Second class set")
-        self.addParamsLine("  [-o <md=\"\">]  : Output best matches")
+        self.addUsageLine("Compare two classifications: which class of "
+                          "classification 1 corresponds to which of 2.")
+        self.addParamsLine("   --i1 <infile1> : Classification-1 metadata")
+        self.addParamsLine("   --i2 <infile2> : Classification-2 metadata")
+        self.addParamsLine("   -o <outfile>  : Output text file")
+        self.addParamsLine("  [--append]     : Append text to output")
+
+    @staticmethod
+    def _read_classification(fn):
+        md = MetaData(fn, block="classes")
+        refs = [int(v) for v in md.getColumnValues("ref")]
+        members = []
+        for ref in refs:
+            cls = MetaData(fn, block=f"class{ref:06d}_images")
+            members.append(set(str(v) for v in cls.getColumnValues("image")))
+        return refs, members
 
     def run(self):
-        from xmipp3_tpu.ops.match import match_to_gallery
-        c1 = Image.read_stack(self.getParam("--i1"))
-        c2 = Image.read_stack(self.getParam("--i2"))
-        res = match_to_gallery(c1, c2, max_shift=4)
-        out = [{"ref": int(np.asarray(res["ref_idx"])[i]) + 1,
-                "itemId": i + 1, "maxCC": float(np.asarray(res["corr"])[i])}
-               for i in range(len(c2))]
-        result = MetaData.fromRows(out)
-        if self.checkParam("-o") and self.getParam("-o"):
-            result.write(self.getParam("-o"))
-        self.matches = out
+        fn1, fn2 = self.getParam("--i1"), self.getParam("--i2")
+        ref1, mem1 = self._read_classification(fn1)
+        ref2, mem2 = self._read_classification(fn2)
+        cmat = np.array([[len(m1 & m2) for m2 in mem2] for m1 in mem1],
+                        np.int64)
+        fn_out = self.getParam("-o")
+        mode = "a" if self.checkParam("--append") else "w"
+        with open(fn_out, mode) as fh:
+            if mode == "a":
+                fh.write("\n\n" + "-" * 72 + "\n")
+            fh.write(f"Comparison of {fn1} and {fn2}\n")
+            fh.write(f"Analysis of {fn1} =======================\n")
+            for i, ref in enumerate(ref1):
+                n1 = max(len(mem1[i]), 1)
+                fh.write(f"Class class{ref:06d}_images@{fn1}: "
+                         f"{len(mem1[i])} images\n")
+                for j in range(len(ref2)):
+                    if cmat[i, j] > 0:
+                        fh.write(f"   {100.0 * cmat[i, j] / n1}% are in "
+                                 f"class class{j + 1:06d}_images@{fn2}\n")
+            fh.write(f"\n\nAnalysis of {fn2} =======================\n")
+            for j, ref in enumerate(ref2):
+                n2 = max(len(mem2[j]), 1)
+                fh.write(f"Class class{ref:06d}_images@{fn2}: "
+                         f"{len(mem2[j])} images\n")
+                for i in range(len(ref1)):
+                    if cmat[i, j] > 0:
+                        fh.write(f"   {100.0 * cmat[i, j] / n2}% are in "
+                                 f"class class{i + 1:06d}_images@{fn1}\n")
+        self.comparison_matrix = cmat
 
 
 class ProgClassifyFirstSplit(XmippProgram):
+    """Random-subset-reconstruction PCA split (reference
+    classify_first_split.cpp:61-199): reconstruct the average volume from
+    the directional classes, then --Nrec reconstructions from random
+    --Nsamples-image subsets with symmetry-randomized angles (--sym);
+    PCA of the (V - Vavg) difference volumes (inside an optional --mask)
+    gives the heterogeneity axis; the --alpha/2 and 1-alpha/2 quantiles
+    of the projections give the two split volumes v1/v2, with an x-mirror
+    disambiguation via FRM volume alignment. TPU shape: each subset
+    reconstruction is the batched Fourier-gridding engine; the PCA is one
+    (Nrec x Nmask) gram-matrix eigendecomposition instead of the
+    reference's online PCA stream."""
     name = "xmipp_classify_first_split"
 
     def defineParams(self):
-        self.addUsageLine("Split a particle set into 2 classes "
-                          "(first CL2D level).")
-        self.addParamsLine("   -i <md_or_stack> : Input particles")
+        self.addUsageLine("Split a directional-class set into 2 volumes "
+                          "along the first heterogeneity axis.")
+        self.addParamsLine("   -i <metadata> : Directional classes with "
+                           "angles")
         self.addParamsLine("  [--oroot <root=split>] : Output rootname")
-        self.addParamsLine("  [--maxShift <s=6>] : Max shift")
+        self.addParamsLine("  [--Nrec <n=100>]  : Number of reconstructions")
+        self.addParamsLine("  [--Nsamples <n=8>] : Images per reconstruction")
+        self.addParamsLine("  [--sym <sym=c1>]  : Symmetry")
+        self.addParamsLine("  [--alpha <a=0.05>] : Quantile for the two "
+                           "separated volumes")
+        self.addParamsLine("  [--mask <type=binary_file> <file=\"\">] : "
+                           "Restrict the PCA to this binary mask")
 
     def run(self):
-        from xmipp3_tpu.core.metadata_program import is_metadata_file
-        from xmipp3_tpu.models.cl2d import classify_cl2d
-        fn = self.getParam("-i")
-        if is_metadata_file(fn):
-            md = MetaData(fn)
-            rows = list(md.iterRows())
-            imgs = load_image_rows(rows)
-        else:
-            imgs = Image.read_stack(fn)
-            rows = [{"image": f"{i + 1:06d}@{fn}", "itemId": i + 1}
-                    for i in range(len(imgs))]
-        res = classify_cl2d(imgs, 2, n_iters=8,
-                            max_shift=self.getIntParam("--maxShift"),
-                            verbose=self.verbose)
+        from xmipp3_tpu.core.geometry import euler_matrix, matrix_to_euler
+        from xmipp3_tpu.core.sym import SymList
+        from xmipp3_tpu.ops.frm import frm_align_volumes
+        from xmipp3_tpu.ops.reconstruct import reconstruct_fourier
+        from xmipp3_tpu.ops.geo import apply_affine_3d
+
+        md = MetaData(self.getParam("-i"))
+        md.removeDisabled()
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
         root = self.getParam("--oroot")
-        save_image(root + "_classes.stk", res["refs"])
-        out = []
-        for i, r in enumerate(rows):
-            d = dict(r)
-            d["ref"] = int(res["assignments"][i]) + 1
-            out.append(d)
-        MetaData.fromRows(out).write(root + ".xmd")
+        n_rec = self.getIntParam("--Nrec")
+        n_samp = min(self.getIntParam("--Nsamples"), len(rows))
+        sym = self.getParam("--sym")
+        alpha = self.getDoubleParam("--alpha")
+
+        def col(k):
+            return np.array([float(r.get(k, 0.0)) for r in rows], np.float32)
+        rot, tilt, psi = col("angleRot"), col("angleTilt"), col("anglePsi")
+        sx, sy = col("shiftX"), col("shiftY")
+        flip = np.array([bool(r.get("flip", 0)) for r in rows])
+
+        v_avg = np.asarray(reconstruct_fourier(
+            imgs, rot, tilt, psi, sx, sy, flip=flip, sym=sym,
+            max_freq=0.25), np.float32)
+        save_image(root + "_avg.vol", v_avg)
+
+        sl = SymList(sym)
+        sym_mats = np.asarray(sl.sym_matrices())     # (Nsym, 3, 3) incl. id
+        n_sym = len(sym_mats)
+        mask = None
+        if self.checkParam("--mask") and self.getParam("--mask", 1):
+            mask = np.squeeze(Image(self.getParam("--mask", 1)).data) > 0.5
+        else:
+            mask = np.ones(v_avg.shape, bool)
+
+        rng = np.random.default_rng(0)
+        diffs = np.empty((n_rec, int(mask.sum())), np.float32)
+        for n in range(n_rec):
+            idx = rng.choice(len(rows), n_samp, replace=False)
+            r_n, t_n, p_n = rot[idx].copy(), tilt[idx].copy(), psi[idx].copy()
+            if n_sym > 1:
+                # symmetry-randomize the subset angles
+                # (classify_first_split.cpp:106-127 Euler_apply_transf)
+                pick = rng.integers(0, n_sym, len(idx))
+                for j, s in enumerate(pick):
+                    if s > 0:
+                        E = euler_matrix(r_n[j], t_n[j], p_n[j])
+                        r_n[j], t_n[j], p_n[j] = matrix_to_euler(
+                            E @ sym_mats[s])
+            v = np.asarray(reconstruct_fourier(
+                imgs[idx], r_n, t_n, p_n, sx[idx], sy[idx], flip=flip[idx],
+                max_freq=0.25), np.float32)
+            diffs[n] = (v - v_avg)[mask]
+            if self.verbose and (n + 1) % 20 == 0:
+                print(f"  reconstruction {n + 1}/{n_rec}")
+
+        mu = diffs.mean(axis=0)
+        Xc = diffs - mu
+        # first principal axis via the (Nrec x Nrec) gram matrix
+        G = Xc @ Xc.T
+        w, U = np.linalg.eigh(G)
+        c1 = Xc.T @ U[:, -1]
+        c1 /= max(np.linalg.norm(c1), 1e-12)
+        zn = Xc @ c1
+        zs = np.sort(zn)
+        z1 = float(zs[int(alpha / 2 * n_rec)])
+        z2 = float(zs[min(int((1 - alpha / 2) * n_rec), n_rec - 1)])
+        if self.verbose:
+            print(f"z1={z1:.4f} z2={z2:.4f}")
+
+        base = v_avg.copy()
+        base[mask] += mu
+        c1_vol = np.zeros_like(v_avg)
+        c1_vol[mask] = c1
+        v1 = base + z1 * c1_vol
+        v2 = base + z2 * c1_vol
+        save_image(root + "_v1.vol", v1)
+        # mirror disambiguation (classify_first_split.cpp:176-194): if the
+        # x-mirrored v2 aligns better to v1, keep the aligned mirror
+        corr0 = float(np.corrcoef(v1.ravel(), v2.ravel())[0, 1])
+        v2m = v2[:, :, ::-1].copy()
+        try:
+            M = frm_align_volumes(v1, v2m)
+            v2m_al = np.asarray(apply_affine_3d(v2m, M[None]),
+                                np.float32)[0]
+        except Exception:
+            v2m_al = v2m
+        corr_m = float(np.corrcoef(v1.ravel(), v2m_al.ravel())[0, 1])
+        if self.verbose:
+            print(f"Correlation unmirrored: {corr0:.4f}\n"
+                  f"Correlation   mirrored: {corr_m:.4f}")
+        if corr_m > corr0:
+            v2 = v2m_al
+        save_image(root + "_v2.vol", v2)
+        save_image(root + "_pc1.vol", (v1 - v2).astype(np.float32))
+        self.v1, self.v2, self.zn = v1, v2, zn
 
 
 class ProgVolumeHalvesRestoration(XmippProgram):

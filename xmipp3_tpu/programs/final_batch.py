@@ -804,31 +804,59 @@ class ProgPDBSphDeform(XmippProgram):
 
 
 class ProgCompareDensity(XmippProgram):
+    """Full reference surface (compare_density.cpp:119-126): -v1/-v2,
+    --degstep grid; for each (rot, tilt) cell project both volumes,
+    low-pass filter (w1=1/12, raised 0.02), Otsu-binarize, subtract the
+    biggest connected component, and record the SIGN of the residual
+    pixel-wise density difference (+1 where v1's residual mass dominates,
+    -1 where v2's does, 0 when equal). TPU shape: one batched projection
+    + filter + Otsu dispatch over the whole grid; connected components on
+    host (scipy.ndimage.label)."""
     name = "xmipp_compare_density"
 
     def defineParams(self):
-        self.addUsageLine("Compare two volumes: global correlation + radial "
-                          "profile agreement.")
-        self.addParamsLine("   --i1 <vol1> : First volume")
-        self.addParamsLine("   --i2 <vol2> : Second volume")
-        self.addParamsLine("  [-o <md=\"\">] : Output metrics metadata")
+        self.addUsageLine("Compare the segmented densities of two volumes "
+                          "over a (rot, tilt) projection grid.")
+        self.addParamsLine("   -v1 <volume>  : First volume to compare")
+        self.addParamsLine("   -v2 <volume>  : Second volume to compare")
+        self.addParamsLine("  [-o <image=\"\">] : Output correlation image")
+        self.addParamsLine("  [--degstep <d=5.0>] : Degrees step size for "
+                           "rot and tilt angles")
+        self.addParamsLine("  [--thr <N=-1>] : Max processing threads "
+                           "(device batching replaces the thread pool)")
 
     def run(self):
-        v1 = np.squeeze(Image(self.getParam("--i1")).data).astype(np.float32)
-        v2 = np.squeeze(Image(self.getParam("--i2")).data).astype(np.float32)
-        a = v1 - v1.mean()
-        b = v2 - v2.mean()
-        cc = float((a * b).sum() / max(np.linalg.norm(a) *
-                                       np.linalg.norm(b), 1e-12))
-        from xmipp3_tpu.ops.fsc import fsc_3d, fsc_resolution
-        freqs, fsc = fsc_3d(v1, v2)
-        res = fsc_resolution(np.asarray(freqs), np.asarray(fsc), 0.5)
-        print(f"correlation: {cc:.4f}  FSC0.5 resolution: {res:.2f} px")
-        self.correlation = cc
-        if self.checkParam("-o") and self.getParam("-o"):
-            MetaData.fromRows([{"maxCC": cc,
-                                "resolutionFreqReal": float(res)}]
-                              ).write(self.getParam("-o"))
+        import jax.numpy as jnp
+        from scipy import ndimage
+        from xmipp3_tpu.core.funcs import otsu_threshold
+        from xmipp3_tpu.ops.fourier_filter import (low_pass_mask,
+                                                   apply_fourier_mask_2d)
+        from xmipp3_tpu.programs.angular_misc import project_both_on_grid
+        p1, p2, n_rot, n_tilt = project_both_on_grid(
+            self.getParam("-v1"), self.getParam("-v2"),
+            self.getDoubleParam("--degstep"))
+        h, w = p1.shape[-2:]
+        mask = low_pass_mask(h, w, 1.0 / 12.0, raised_w=0.02)
+        p1 = np.asarray(apply_fourier_mask_2d(jnp.asarray(p1), mask))
+        p2 = np.asarray(apply_fourier_mask_2d(jnp.asarray(p2), mask))
+        corr = np.zeros(len(p1), np.float32)
+        for i in range(len(p1)):
+            b1 = (p1[i] > otsu_threshold(p1[i])).astype(np.float64)
+            b2 = (p2[i] > otsu_threshold(p2[i])).astype(np.float64)
+            for b in (b1, b2):
+                lab, n = ndimage.label(b)
+                if n > 0:
+                    sizes = ndimage.sum(b, lab, range(1, n + 1))
+                    b -= (lab == (1 + int(np.argmax(sizes))))
+            diff = np.sign(b1 - b2).sum()
+            corr[i] = np.sign(diff)
+        cc = corr.reshape(n_rot, n_tilt)
+        fn_out = self.getParam("-o") or "Rot_tilt_corr_map.xmp"
+        save_image(fn_out, cc)
+        self.corr_image = cc
+        if self.verbose:
+            frac = float((cc != 0).mean())
+            print(f"fraction of differing views: {frac:.3f}")
 
 
 class ProgImageAssignmentTiltPair(XmippProgram):

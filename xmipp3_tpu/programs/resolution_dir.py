@@ -278,41 +278,157 @@ class ProgCTFEstimatePSDWithARMA(XmippProgram):
 
 
 class ProgClassifyCL2DCoreAnalysis(XmippProgram):
+    """Full reference surface (mpi_classify_CL2D_core_analysis.cpp:54-94):
+    walks the CL2D hierarchy <dir>/level_%02d/<root>_classes.xmd and
+    either (--computeCore <thPCAZscore> <NPCA>) removes PCA-Mahalanobis
+    outliers from every class block, writing <root>_classes_core.xmd per
+    level, or (--computeStableCore <tolerance>) keeps only images whose
+    pairwise coocurrence across all lower levels is maximal
+    (level - tolerance), writing <root>_classes_stable_core.xmd.
+    The MPI task distributor becomes a flat loop: each class's PCA is one
+    batched device computation."""
     name = "xmipp_classify_CL2D_core_analysis"
 
     def defineParams(self):
-        self.addUsageLine("Identify the stable 'core' of each CL2D class "
-                          "(members consistently closest to their average).")
-        self.addParamsLine("   -i <images_md> : CL2D _images.xmd")
-        self.addParamsLine("   --oroot <root> : Output rootname")
-        self.addParamsLine("  [--thr <t=1.5>] : Distance z-score threshold")
+        self.addUsageLine("Compute the class cores (PCA-outlier removal) "
+                          "or stable cores (coocurrence across levels) of "
+                          "a CL2D hierarchy.")
+        self.addParamsLine("   --root <rootname> : Rootname of the CL2D")
+        self.addParamsLine("   --dir <dir>       : Output directory of the "
+                           "CL2D")
+        self.addParamsLine("  [--computeCore <thPCAZscore=3> <NPCA=2>] : "
+                           "Threshold the Zscore of the class images' "
+                           "projections onto an NPCA-dim PCA space")
+        self.addParamsLine("  [--computeStableCore <tolerance=1>] : Keep "
+                           "images that stayed together in the whole "
+                           "hierarchy (up to <tolerance> levels)")
+
+    @staticmethod
+    def _levels(odir, root, suffix=""):
+        import os
+        levels = []
+        lev = 0
+        while True:
+            fn = os.path.join(odir, f"level_{lev:02d}",
+                              root + "_classes" + suffix + ".xmd")
+            if not os.path.exists(fn):
+                break
+            levels.append(fn)
+            lev += 1
+        return levels
+
+    @staticmethod
+    def _class_blocks(fn):
+        return [b for b in MetaData.blocksInFile(fn)
+                if b.startswith("class") and b.endswith("_images")]
+
+    def _compute_cores(self, odir, root, th_z, npca):
+        import os
+        from xmipp3_tpu.models.dimred import empca
+        level_files = self._levels(odir, root)
+        if not level_files:
+            from xmipp3_tpu.core.errors import ErrCode, XmippError
+            raise XmippError(ErrCode.ARG_MISSING,
+                             "Cannot find any CL2D analysis in " + odir)
+        n_kept = 0
+        for fn in level_files:
+            fn_core = fn.replace("_classes.xmd", "_classes_core.xmd")
+            cls_rows = []
+            blocks = self._class_blocks(fn)
+            first = True
+            for blk in blocks:
+                md = MetaData(fn, block=blk)
+                rows = list(md.iterRows())
+                keep = rows
+                if len(rows) > 2:
+                    imgs = load_image_rows(rows).astype(np.float64)
+                    n = imgs.shape[-1]
+                    yy, xx = np.mgrid[0:n, 0:n].astype(np.float64) - n // 2
+                    mask = (yy * yy + xx * xx) <= (n / 2) ** 2
+                    X = imgs[:, mask]
+                    d = max(min(npca, len(rows) - 1), 1)
+                    Y = empca(X, d=d, n_iters=10)
+                    std = Y.std(axis=0) + 1e-12
+                    dist = np.sqrt(((Y / std) ** 2).mean(axis=1))
+                    keep = [r for r, dd in zip(rows, dist) if dd <= th_z]
+                n_kept += len(keep)
+                ref = int(blk[5:11])
+                cls_rows.append({"ref": ref, "classCount": len(keep)})
+                MetaData.fromRows(keep).write(fn_core, block=blk,
+                                              append=not first)
+                first = False
+            MetaData.fromRows(cls_rows).write(fn_core, block="classes",
+                                              append=True)
+        self.n_core = n_kept
+
+    def _compute_stable_cores(self, odir, root, tolerance):
+        level_files = self._levels(odir, root, suffix="_core")
+        if not level_files:            # fall back to the raw hierarchy
+            level_files = self._levels(odir, root)
+        memberships = []               # per level: {image -> class index}
+        for fn in level_files:
+            m = {}
+            for blk in self._class_blocks(fn):
+                for r in MetaData(fn, block=blk).iterRows():
+                    m[str(r["image"])] = blk
+            memberships.append(m)
+        n_kept = 0
+        for lev, fn in enumerate(level_files):
+            if lev <= tolerance:
+                continue
+            fn_out = fn.replace("_classes", "_classes_stable_core") \
+                if "_classes_core" not in fn else \
+                fn.replace("_classes_core", "_classes_stable_core")
+            cls_rows = []
+            first = True
+            for blk in self._class_blocks(fn):
+                rows = list(MetaData(fn, block=blk).iterRows())
+                names = [str(r["image"]) for r in rows]
+                N = len(names)
+                aimed = lev - tolerance
+                keep_mask = np.zeros(N, bool)
+                if N > 1:
+                    # coocurrence over all LOWER levels
+                    # (mpi_classify_CL2D_core_analysis.cpp:196-271)
+                    cooc = np.zeros((N, N), np.int32)
+                    for lower in range(lev):
+                        m = memberships[lower]
+                        labels = [m.get(nm) for nm in names]
+                        for i in range(N):
+                            if labels[i] is None:
+                                continue
+                            for j in range(i + 1, N):
+                                if labels[i] == labels[j]:
+                                    cooc[i, j] += 1
+                    ii, jj = np.nonzero(cooc == aimed)
+                    keep_mask[ii] = True
+                    keep_mask[jj] = True
+                keep = [r for r, k in zip(rows, keep_mask) if k]
+                n_kept += len(keep)
+                ref = int(blk[5:11])
+                cls_rows.append({"ref": ref, "classCount": len(keep)})
+                MetaData.fromRows(keep).write(fn_out, block=blk,
+                                              append=not first)
+                first = False
+            MetaData.fromRows(cls_rows).write(fn_out, block="classes",
+                                              append=True)
+        self.n_core = n_kept
 
     def run(self):
-        from xmipp3_tpu.ops.geo import apply_md_geometry
-        md = MetaData(self.getParam("-i"))
-        rows = list(md.iterRows())
-        imgs = load_image_rows(rows)
-        get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
-                                 np.float32)
-        reg = np.asarray(apply_md_geometry(
-            imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
-            np.array([bool(r.get("flip", 0)) for r in rows])))
-        refs = np.array([int(r.get("ref", 1)) for r in rows])
-        thr = self.getDoubleParam("--thr")
-        out = []
-        for k in sorted(set(refs)):
-            sel = np.where(refs == k)[0]
-            avg = reg[sel].mean(axis=0)
-            d = np.linalg.norm(reg[sel].reshape(len(sel), -1) -
-                               avg.ravel(), axis=1)
-            z = (d - d.mean()) / max(d.std(), 1e-12)
-            for i, zz in zip(sel, z):
-                r = dict(rows[i])
-                r["enabled"] = 1 if zz <= thr else -1
-                r["zScore"] = float(zz)
-                out.append(r)
-        MetaData.fromRows(out).write(self.getParam("--oroot") + "_core.xmd")
-        self.n_core = sum(1 for r in out if r["enabled"] == 1)
+        odir = self.getParam("--dir")
+        root = self.getParam("--root")
+        if self.checkParam("--computeCore"):
+            self._compute_cores(odir, root,
+                                self.getDoubleParam("--computeCore", 0),
+                                self.getIntParam("--computeCore", 1))
+        elif self.checkParam("--computeStableCore"):
+            self._compute_stable_cores(
+                odir, root, self.getIntParam("--computeStableCore", 0))
+        else:
+            from xmipp3_tpu.core.errors import ErrCode, XmippError
+            raise XmippError(ErrCode.ARG_MISSING,
+                             "give either --computeCore or "
+                             "--computeStableCore")
 
 
 class ProgAngularAccuracyPCA(XmippProgram):
