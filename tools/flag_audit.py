@@ -176,6 +176,14 @@ DIVERGENCES = {
         "--interpolator": "superseded by --interp (kb/tri/tri+kb/nn)",
         "--bufferSize": "device batching is --batch",
     },
+    "cuda_angular_continuous_assign2": {
+        "--skipThreshold": "per-thread projection-cache reuse knob of the "
+                           "serial GPU loop (cuda_fourier_projection.cpp:255 "
+                           "reuses the last projection when the pose moved "
+                           "less than the threshold); the TPU engine "
+                           "computes every projection in one batched "
+                           "gather, so there is no cache to skip into",
+    },
     "ml_align2d": dict(_ML2D_SHARED),
     "mlf_align2d": dict(
         _ML2D_SHARED,

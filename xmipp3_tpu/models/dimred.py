@@ -474,3 +474,48 @@ METHODS.update({
     "NPE": npe, "LLTSA": lltsa, "HLLE": hlle, "SPE": spe, "NCA": nca,
     "GPLVM": gplvm,
 })
+
+
+def intrinsic_dimensionality(X, method: str = "CorrDim",
+                             normalize: bool = True) -> float:
+    """Intrinsic dimensionality estimate (reference dimred_tools.cpp:341-448
+    intrinsicDimensionality): 'MLE' = Levina-Bickel k-NN MLE averaged over
+    k in [5, 12]; 'CorrDim' = correlation dimension from the pairwise
+    distance CDF between the median and maximum 3-NN distance."""
+    X = np.asarray(X, np.float64)
+    if normalize:
+        mu = X.mean(axis=0)
+        sd = np.maximum(X.std(axis=0), 1e-300)
+        X = (X - mu) / sd
+    N = len(X)
+    d2 = ((X[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.inf)
+    if method == "MLE":
+        k1, k2 = 5, 12
+        if k2 > N:
+            k2 = N - 1
+            k1 = k2 // 2
+        knn = np.sqrt(np.sort(d2, axis=1)[:, :k2])   # (N, k2) distances
+        logd = np.log(np.maximum(knn, 1e-300))
+        S = np.cumsum(logd, axis=1)                  # S_k = sum_{j<=k} log T_j
+        dsum = 0.0
+        for k in range(k1, k2):
+            dk = (k - 1) / (S[:, k] - logd[:, k] * (k + 1))
+            dsum += dk.sum()
+        return -dsum / ((k2 - k1) * N)
+    if method == "CorrDim":
+        K = min(3, N - 1)
+        knn = np.sqrt(np.sort(d2, axis=1)[:, :K])
+        flat = np.sort(knn.ravel())
+        median = flat[len(flat) // 2] ** 2
+        max_val = flat[-1] ** 2
+        if max_val == 0:
+            return 0.0
+        iu = np.triu_indices(N, k=1)
+        pair = d2[iu]
+        p_max = float((pair <= max_val).mean())
+        p_med = float((pair <= median).mean())
+        if p_med <= 0 or p_max <= 0 or max_val <= median:
+            return 0.0
+        return 2.0 * np.log(p_max / p_med) / np.log(max_val / median)
+    raise ValueError(f"unknown dimensionality estimate method {method}")

@@ -146,15 +146,29 @@ def patch_grid(H, W, ny: int, nx: int, patch: int):
 
 
 @partial(jax.jit, static_argnames=("cys", "cxs", "patch_size",
-                                   "max_shift_px"))
+                                   "max_shift_px", "patches_avg"))
 def _local_shifts_device(frames, gx, gy, cys, cxs, patch_size: int,
-                         max_shift_px: int):
+                         max_shift_px: int, patches_avg: int = 1):
     """Whole local-alignment measurement in ONE dispatch: global
     correction, on-device patch extraction, pairwise correlations per
     patch via lax.map. Only the tiny (npatch, npairs, 2) shift tensors
     leave the device — the 2 GB corrected stack never touches the host
-    (critical both for the relay and for HBM-bound production movies)."""
+    (critical both for the relay and for HBM-bound production movies).
+
+    patches_avg: each patch frame t is the mean of globally-corrected
+    frames [t-(avg-1)//2, t+avg//2] (GPU reference
+    movie_alignment_correlation_gpu.cpp:179 frame windowing) — boosts the
+    per-patch SNR before the pairwise correlations.  Implemented as a
+    static cumulative-sum window, still one dispatch."""
     corrected = shift_sum_frames_keep(frames, gx, gy)
+    if patches_avg > 1:
+        F = corrected.shape[0]
+        lo = np.maximum(0, np.arange(F) - (patches_avg - 1) // 2)
+        hi = np.minimum(F - 1, np.arange(F) + patches_avg // 2)
+        cs = jnp.concatenate([jnp.zeros_like(corrected[:1]),
+                              jnp.cumsum(corrected, axis=0)])
+        corrected = ((cs[hi + 1] - cs[lo])
+                     / (hi - lo + 1)[:, None, None].astype(jnp.float32))
     h = patch_size // 2
     tiles = jnp.stack([corrected[:, cy - h: cy + h, cx - h: cx + h]
                        for cy in cys for cx in cxs])
@@ -168,7 +182,7 @@ def _local_shifts_device(frames, gx, gy, cys, cxs, patch_size: int,
 
 
 def local_align(frames, global_pos, patches=(5, 5), patch_size: int = 256,
-                max_shift_px: int = 8):
+                max_shift_px: int = 8, patches_avg: int = 1):
     """Per-patch residual shifts after global correction.
 
     Returns (ny, nx, F, 2) local shift field + patch centers."""
@@ -182,7 +196,8 @@ def local_align(frames, global_pos, patches=(5, 5), patch_size: int = 256,
     shifts_all, peaks_all = _local_shifts_device(
         frames, jnp.asarray(-global_pos[:, 0]),
         jnp.asarray(-global_pos[:, 1]), tuple(int(c) for c in cys),
-        tuple(int(c) for c in cxs), patch_size, max_shift_px)
+        tuple(int(c) for c in cxs), patch_size, max_shift_px,
+        int(patches_avg))
     shifts_all = np.asarray(shifts_all)
     peaks_all = np.asarray(peaks_all)
     ii, jj = np.triu_indices(F, k=1)

@@ -22,7 +22,7 @@ from xmipp3_tpu.ops.movie import (frame_ffts_scaled, pairwise_shifts,
 
 def local_align_mesh(mesh, frames, global_pos, patches=(5, 5),
                      patch_size: int = 256, max_shift_px: int = 8,
-                     axis_name: str = "data"):
+                     axis_name: str = "data", patches_avg: int = 1):
     """Patch-sharded local alignment; same contract as ops.movie.local_align
     (returns (ny, nx, F, 2) field + patch centers)."""
     frames = np.asarray(frames, np.float32)
@@ -33,6 +33,14 @@ def local_align_mesh(mesh, frames, global_pos, patches=(5, 5),
     corrected = np.asarray(shift_sum_frames_keep(
         jnp.asarray(frames), -np.asarray(global_pos)[:, 0],
         -np.asarray(global_pos)[:, 1]))
+    if patches_avg > 1:
+        # temporal box window [t-(avg-1)//2, t+avg//2] per patch frame
+        lo = np.maximum(0, np.arange(F) - (patches_avg - 1) // 2)
+        hi = np.minimum(F - 1, np.arange(F) + patches_avg // 2)
+        cs = np.concatenate([np.zeros_like(corrected[:1]),
+                             np.cumsum(corrected, axis=0)])
+        corrected = ((cs[hi + 1] - cs[lo])
+                     / (hi - lo + 1)[:, None, None].astype(np.float32))
     cys, cxs = patch_grid(H, W, ny, nx, patch_size)
     tiles = np.stack([
         corrected[:, cy - patch_size // 2: cy + patch_size // 2,

@@ -746,34 +746,108 @@ class ProgSubtractProjection(XmippProgram):
 
 
 class ProgImageResiduals(XmippProgram):
+    """Full reference surface (program_image_residuals.cpp:37-186):
+    per-residual column-covariance matrices (covarianceMatrix,
+    data/filters.cpp:1582) written as an output stack, the Jensen-Bregman
+    LogDet covariance centroid (10 harmonic-mean iterations, formula (25)
+    of Cherian et al. 2013), per-image JBLD divergence to the centroid
+    (half the eigenvalues, firstEigs convention), residual mean/stddev
+    z-scores, and --normalizeDivergence (d/minD - 1).  TPU shape: the
+    (B, W, W) covariance batch is ONE einsum dispatch; the small (W, W)
+    eigen/inverse chain runs on host.  Convenience extension: --ref
+    computes the residuals first via subtract_projection."""
     name = "xmipp_image_residuals"
 
     def defineParams(self):
-        self.addUsageLine("Residuals between particles and their reference "
-                          "projections + covariance screening.")
-        self.addParamsLine("   -i <md_file>  : Particles with poses")
-        self.addParamsLine("   --ref <volume> : Reference volume")
-        self.addParamsLine("   -o <root>     : Output rootname")
+        self.addUsageLine("Analyze image residuals (covariance divergence "
+                          "screening).")
+        self.addParamsLine("   -i <md_file>  : Residual images (or "
+                          "particles with poses when --ref is given)")
+        self.addParamsLine("   -o <root>     : Output rootname "
+                          "(root.stk covariances + root.xmd)")
+        self.addParamsLine("  [--ref <volume=\"\">] : Reference volume; "
+                          "compute residuals first (subtract_projection)")
+        self.addParamsLine("  [--normalizeDivergence] : Normalize the "
+                          "divergence measure (d/min(d) - 1)")
+
+    @staticmethod
+    def _jbld(C1, C2):
+        """JBLD divergence using only the largest half of the eigenvalues
+        (reference computeCovarianceMatrixDivergence)."""
+        W = C1.shape[0]
+        half = W // 2
+        lam = np.sort(np.abs(np.linalg.eigvalsh(0.5 * (C1 + C2))))[::-1]
+        d = float(np.log(lam[:half][lam[:half] > 1e-14]).sum())
+        lam2 = np.sort(np.abs(np.linalg.eigvals(C1 @ C2)))[::-1]
+        d -= 0.5 * float(np.log(lam2[:half][lam2[:half] > 1e-14]).sum())
+        return d
 
     def run(self):
-        prog = ProgSubtractProjection()
-        prog.read([prog.name, "-i", self.getParam("-i"),
-                   "--ref", self.getParam("--ref"),
-                   "-o", self.getParam("-o")])
-        prog.verbose = 0
-        prog.run()
-        # screen residuals by energy
-        md = MetaData(self.getParam("-o") + ".xmd")
-        rows = list(md.iterRows())
-        imgs = load_image_rows(rows)
-        energy = (imgs ** 2).mean(axis=(1, 2))
-        z = (energy - energy.mean()) / max(energy.std(), 1e-12)
+        import jax
+        import jax.numpy as jnp
+        fn_in = self.getParam("-i")
+        root = self.getParam("-o")
+        if root.endswith((".xmd", ".stk")):
+            root = root[:-4]
+        if self.checkParam("--ref") and self.getParam("--ref"):
+            prog = ProgSubtractProjection()
+            prog.read([prog.name, "-i", fn_in,
+                       "--ref", self.getParam("--ref"), "-o", root])
+            prog.verbose = 0
+            prog.run()
+            fn_in = root + ".xmd"
+        from xmipp3_tpu.core.metadata_program import is_metadata_file
+        if is_metadata_file(fn_in):
+            md = MetaData(fn_in)
+            rows = list(md.iterRows())
+            if rows and "imageResidual" in rows[0]:
+                imgs = np.stack([
+                    np.squeeze(Image(str(r["imageResidual"])).data)
+                    for r in rows]).astype(np.float32)
+            else:
+                imgs = load_image_rows(rows)
+        else:
+            imgs = Image.read_stack(fn_in)
+            rows = [{"image": f"{i + 1:06d}@{fn_in}"}
+                    for i in range(len(imgs))]
+        B, H, W = imgs.shape
+
+        @jax.jit
+        def batched_cov(x):
+            xc = x - x.mean(axis=1, keepdims=True)     # column means
+            return jnp.einsum("bhi,bhj->bij", xc, xc) / (H - 1.0)
+
+        covs = np.asarray(batched_cov(jnp.asarray(imgs)), np.float64)
+        resmean = imgs.mean(axis=(1, 2))
+        resvar = imgs.std(axis=(1, 2))
+
+        # JBLD centroid: 10 harmonic-mean iterations (updateRavg)
+        Ravg = np.eye(W)
+        eye = 1e-12 * np.eye(W)
+        for _ in range(10):
+            Rinv = np.linalg.inv(0.5 * (covs + Ravg[None]) + eye[None])
+            Ravg = np.linalg.inv(Rinv.mean(axis=0) + eye)
+
+        div = np.asarray([self._jbld(Ravg, covs[i]) for i in range(B)])
+        if self.checkParam("--normalizeDivergence"):
+            minD = div.min()
+            if abs(minD) > 1e-300:
+                div = div / minD - 1.0
+        zm = (resmean - resmean.mean()) / max(resmean.std(), 1e-12)
+        zv = (resvar - resvar.mean()) / max(resvar.std(), 1e-12)
+
+        fn_stk = root + ".stk"
+        save_image(fn_stk, covs.astype(np.float32))
         out_rows = []
         for i, r in enumerate(rows):
             d = dict(r)
-            d["zScoreResCov"] = float(z[i])
+            d["imageCovariance"] = f"{i + 1:06d}@{fn_stk}"
+            d["zScoreResMean"] = float(abs(zm[i]))
+            d["zScoreResVar"] = float(abs(zv[i]))
+            d["zScoreResCov"] = float(div[i])
             out_rows.append(d)
-        MetaData.fromRows(out_rows).write(self.getParam("-o") + ".xmd")
+        MetaData.fromRows(out_rows).write(root + ".xmd")
+        self.divergence = div
 
 
 PROGRAM = None

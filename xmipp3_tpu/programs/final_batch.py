@@ -873,10 +873,23 @@ class ProgImageAssignmentTiltPair(XmippProgram):
         self.addParamsLine("   --tiltcoor <md>   : Tilted coordinates")
         self.addParamsLine("   --odir <dir=.>    : Output directory")
         self.addParamsLine("  [--maxshift <s=50>] : Max residual (px)")
+        self.addParamsLine("  [--tiltmicsize <img_file=\"\">] : Tilt "
+                           "micrograph (its dimensions bound the projected "
+                           "untilted points, reference "
+                           "image_assignment_tilt_pair.cpp:124)")
+        self.addParamsLine("  [--tiltangle <s=-1>] : Tilt angle estimate; "
+                           "candidate affines are gated to the "
+                           "[tiltangle-15, tiltangle+15] deg area-"
+                           "compression band (reference :332-369)")
+        self.addParamsLine("  [--particlesize <p=100>] : Particle size (px)")
+        self.addParamsLine("  [--threshold <d=0.3>] : Points closer than "
+                           "threshold*particlesize count as the same point "
+                           "(inlier tolerance)")
         self.addParamsLine("  [--no_delaunay]     : Skip the Delaunay RANSAC initialization")
 
     @staticmethod
-    def _delaunay_ransac(u, t, max_cands=300):
+    def _delaunay_ransac(u, t, max_cands=300, tol=None, cos_band=None,
+                         dims=None):
         """Initial affine from corresponding adjacent-triangle quads of the
         two Delaunay triangulations (the robust role of the reference's
         7.8k-LoC DCEL Delaunay matcher, external/delaunay +
@@ -940,8 +953,9 @@ class ProgImageAssignmentTiltPair(XmippProgram):
         dist, jidx = tree_d.query(du, k=1)
         order = np.argsort(dist)[:max_cands]
         tree = cKDTree(t)
-        nn_d, _ = tree.query(t, k=2)
-        tol = max(0.75 * np.median(nn_d[:, 1]), 4.0)
+        if tol is None:
+            nn_d, _ = tree.query(t, k=2)
+            tol = max(0.75 * np.median(nn_d[:, 1]), 4.0)
         best = (0, np.eye(2), t.mean(0) - u.mean(0))
         for o in order:
             pu = u[list(qu[o])]
@@ -949,9 +963,20 @@ class ProgImageAssignmentTiltPair(XmippProgram):
             U = np.hstack([pu, np.ones((4, 1))])
             M, *_ = np.linalg.lstsq(U, pt, rcond=None)
             A = M[:2].T
+            if cos_band is not None:
+                # tilt compresses areas by cos(tilt): gate det(A) to the
+                # [cos(tilt+15), cos(tilt-15)] band (reference :332-369)
+                det = abs(np.linalg.det(A))
+                if not (cos_band[0] - 0.02 <= det <= cos_band[1] + 0.02):
+                    continue
             proj = u @ A.T + M[2]
             d, _ = tree.query(proj, k=1)
-            inl = int((d < tol).sum())
+            ok = d < tol
+            if dims is not None:
+                # reject projections falling outside the tilt micrograph
+                ok &= ((proj[:, 0] >= 0) & (proj[:, 0] <= dims[0])
+                       & (proj[:, 1] >= 0) & (proj[:, 1] <= dims[1]))
+            inl = int(ok.sum())
             if inl > best[0]:
                 best = (inl, A, M[2])
         return best[1], best[2]
@@ -964,10 +989,30 @@ class ProgImageAssignmentTiltPair(XmippProgram):
                       md_u.getColumn("ycoor").astype(float)], axis=1)
         t = np.stack([md_t.getColumn("xcoor").astype(float),
                       md_t.getColumn("ycoor").astype(float)], axis=1)
+        # inlier tolerance = threshold * particlesize (reference readParams)
+        psize = (self.getDoubleParam("--particlesize")
+                 if self.checkParam("--particlesize") else 0.0)
+        thr = (self.getDoubleParam("--threshold")
+               if self.checkParam("--threshold") else 0.3)
+        tol = thr * psize if psize > 0 else None
+        tiltest = (self.getDoubleParam("--tiltangle")
+                   if self.checkParam("--tiltangle") else -1.0)
+        cos_band = None
+        if tiltest >= 0:
+            cos_band = (np.cos(np.deg2rad(min(tiltest + 15.0, 89.0))),
+                        np.cos(np.deg2rad(max(tiltest - 15.0, 0.0))))
+        dims = None
+        if self.checkParam("--tiltmicsize") and \
+                self.getParam("--tiltmicsize"):
+            hdr = Image()
+            hdr.read(self.getParam("--tiltmicsize"), header_only=True)
+            _, _, yd, xd = hdr.header.shape
+            dims = (xd, yd)
         # Delaunay RANSAC initialization, then iterative mutual-NN affine
         if len(u) >= 4 and len(t) >= 4 and \
                 not self.checkParam("--no_delaunay"):
-            A, b = self._delaunay_ransac(u, t)
+            A, b = self._delaunay_ransac(u, t, tol=tol, cos_band=cos_band,
+                                         dims=dims)
         else:
             A = np.eye(2)
             b = t.mean(axis=0) - u.mean(axis=0)
@@ -987,6 +1032,8 @@ class ProgImageAssignmentTiltPair(XmippProgram):
             A = M[:2].T
             b = M[2]
         max_shift = self.getDoubleParam("--maxshift")
+        if tol is not None:
+            max_shift = min(max_shift, tol)
         proj = u @ A.T + b
         good = [(i, j) for i, j in pairs
                 if np.linalg.norm(proj[i] - t[j]) <= max_shift]

@@ -14,6 +14,40 @@ from xmipp3_tpu.core.metadata_program import XmippMetadataProgram
 from xmipp3_tpu.ops.align import align_considering_mirrors, iterative_align
 
 
+def _pspc_reference(imgs: np.ndarray, use_mirror: bool, max_shift: int,
+                    verbose: int = 0) -> np.ndarray:
+    """Pyramidal pairwise combination initial reference (align2d.cpp
+    do_pspc/alignPairs): at each level align image 2k+1 onto image 2k,
+    average the pair, translationally center, carry any odd remainder up,
+    until one image is left.  TPU shape: every pair at a level is aligned
+    in ONE vmapped dispatch (the reference loops alignImages per pair)."""
+    import jax
+
+    from xmipp3_tpu.ops import features as _feat
+    level = np.asarray(imgs, np.float32)
+    lev_no = 0
+    while len(level) > 1:
+        half = len(level) // 2
+        refs = level[0:2 * half:2]
+        movs = level[1:2 * half:2]
+        if use_mirror:
+            fn = lambda r, m: align_considering_mirrors(
+                r, m[None], n_iters=3, max_shift=max_shift)[5][0]
+        else:
+            fn = lambda r, m: iterative_align(
+                r, m[None], n_iters=3, max_shift=max_shift)[4][0]
+        aligned = np.asarray(jax.vmap(fn)(refs, movs))
+        merged = 0.5 * (refs + aligned)
+        merged = np.asarray(_feat.center_translationally(merged))
+        if len(level) % 2:
+            merged = np.concatenate([merged, level[-1:]])
+        if verbose:
+            print(f"pspc level {lev_no}: {len(level)} -> {len(merged)}")
+        level = merged
+        lev_no += 1
+    return level[0]
+
+
 class ProgImageAlign(XmippMetadataProgram):
     name = "xmipp_image_align"
     batch_size = 1024
@@ -25,6 +59,8 @@ class ProgImageAlign(XmippMetadataProgram):
         self.addParamsLine("[--iter <n=5>]        : Reference-free refinement iterations")
         self.addParamsLine("[--max_shift <s=-1>]  : Maximum shift (pixels; -1 = dim/4)")
         self.addParamsLine("[--dont_mirror]       : Do not check mirrored alignment")
+        self.addParamsLine("   alias --do_not_check_mirrors;")
+        self.addParamsLine("[--pspc]              : Build the first reference by pyramidal pairwise combination (align2d.cpp do_pspc) instead of the plain average")
         self.addParamsLine("[--oaligned <stk=\"\">] : Also write the aligned stack here")
 
     def readProcessParams(self):
@@ -43,6 +79,9 @@ class ProgImageAlign(XmippMetadataProgram):
 
         if self.fn_ref:
             ref = np.squeeze(Image(self.fn_ref).data).astype(np.float32)
+        elif self.checkParam("--pspc"):
+            ref = _pspc_reference(imgs, self.use_mirror, max_shift,
+                                  self.verbose)
         else:
             # reference-free: start from the plain average, iterate
             ref = imgs.mean(axis=0)

@@ -423,29 +423,128 @@ class ProgEliminateEmptyParticles(XmippProgram):
 
 
 class ProgMatrixDimred(XmippProgram):
+    """Full reference surface (dimred/matrix_dimred.cpp:175-252 +
+    ProgDimRed grammar :63-118): text-matrix input with --din/--samples
+    dimensions, -m method selector with per-method sub-args (k, sigma, t,
+    iterations, global), --dout -1 intrinsic-dimension estimation
+    (CorrDim/MLE, dimred_tools.cpp:341-448), --saveMapping for the linear
+    methods (Y = Xc @ M).  Extension kept: metadata input with
+    classificationData vectors."""
     name = "xmipp_matrix_dimred"
 
     def defineParams(self):
-        self.addUsageLine("Dimensionality reduction of vector metadata.")
-        self.addParamsLine("   -i <md_file>  : Metadata with classificationData vectors")
-        self.addParamsLine("   -o <md_file>  : Output metadata with reduced coords")
-        self.addParamsLine("  [--method <m=PCA>] : PCA|pPCA|kPCA|LE|LPP|LLE|NPE|LTSA|LLTSA|HLLE|DM|Sammon|SPE|NCA|GPLVM")
-        self.addParamsLine("  [--dout <d=2>]   : Output dimension")
+        self.addUsageLine("Project each observation (row) of the input "
+                          "matrix onto a lower dimensional space.")
+        self.addParamsLine("   -i <file>  : Input matrix (text, one "
+                          "observation per row) or metadata with "
+                          "classificationData vectors")
+        self.addParamsLine("  [-o <file=\"\">] : Output matrix / metadata")
+        self.addParamsLine("  [-m <dimRefMethod=PCA>] : Dimensionality "
+                          "reduction method")
+        self.addParamsLine("   alias --method;")
+        self.addParamsLine("      where <dimRefMethod>")
+        self.addParamsLine("             PCA            : Principal Component Analysis")
+        self.addParamsLine("             LTSA <k=12>    : Local Tangent Space Alignment")
+        self.addParamsLine("             DM <s=1> <t=1> : Diffusion map")
+        self.addParamsLine("             LLTSA <k=12>   : Linear Local Tangent Space Alignment")
+        self.addParamsLine("             LPP <k=12> <s=1> : Linearity Preserving Projection")
+        self.addParamsLine("             kPCA <s=1>     : Kernel PCA")
+        self.addParamsLine("             pPCA <n=200>   : Probabilistic PCA")
+        self.addParamsLine("             LE <k=7> <s=1> : Laplacian Eigenmap")
+        self.addParamsLine("             HLLE <k=12>    : Hessian Locally Linear Embedding")
+        self.addParamsLine("             SPE <k=12> <global=1> : Stochastic Proximity Embedding")
+        self.addParamsLine("             NPE <k=12>     : Neighborhood Preserving Embedding")
+        self.addParamsLine("             LLE <k=12>     : Locally Linear Embedding")
+        self.addParamsLine("             Sammon         : Sammon mapping")
+        self.addParamsLine("             NCA            : Neighborhood Component Analysis")
+        self.addParamsLine("             GPLVM          : Gaussian Process Latent Variable Model")
+        self.addParamsLine("  [--din <d=-1>]     : Input dimension (text input; -1 = infer)")
+        self.addParamsLine("  [--samples <N=-1>] : Number of observations (text input; -1 = infer)")
+        self.addParamsLine("  [--dout <d=2> <estimator=CorrDim>] : Output dimension; -1 estimates it (CorrDim or MLE)")
+        self.addParamsLine("  [--saveMapping <fn=\"\">] : Save the linear mapping M (Y = Xc*M) as a text matrix (PCA, LLTSA, LPP, pPCA, NPE)")
 
     def run(self):
-        from xmipp3_tpu.models.dimred import reduce_dimensionality
-        md = MetaData(self.getParam("-i"))
-        X = np.stack([np.asarray(v, np.float64)
-                      for v in md.getColumnValues("classificationData")])
-        Y = reduce_dimensionality(X, self.getParam("--method"),
-                                  self.getIntParam("--dout"))
-        rows = []
-        for k, i in enumerate(md):
-            r = md.getRow(i)
-            r.pop("classificationData", None)
-            r["dimred"] = np.asarray(Y[k], np.float32)
-            rows.append(r)
-        MetaData.fromRows(rows).write(self.getParam("-o"))
+        from xmipp3_tpu.core.metadata_program import is_metadata_file
+        from xmipp3_tpu.models.dimred import (intrinsic_dimensionality,
+                                              reduce_dimensionality)
+        fn_in = self.getParam("-i")
+        md = None
+        if is_metadata_file(fn_in):
+            md = MetaData(fn_in)
+            X = np.stack([np.asarray(v, np.float64)
+                          for v in md.getColumnValues("classificationData")])
+        else:
+            X = np.loadtxt(fn_in, ndmin=2)
+            din = self.getIntParam("--din")
+            ns = self.getIntParam("--samples")
+            if din > 0 and X.shape[1] != din:
+                X = X.reshape(-1, din)
+            if ns > 0:
+                X = X[:ns]
+        method = self.getParam("-m")
+        d = self.getIntParam("--dout")
+        if d < 0:
+            est = self.getParam("--dout", 1)
+            d = max(int(round(intrinsic_dimensionality(X.copy(), est))), 1)
+            if self.verbose:
+                print(f"Estimated intrinsic dimension ({est}): {d}")
+        # per-method sub-arguments (ProgDimRed::readParams)
+        kw = {}
+        if method in ("LTSA", "LLTSA", "LPP", "LE", "HLLE", "NPE", "SPE"):
+            try:
+                kw["k"] = self.getIntParam("-m", 1)
+            except Exception:
+                pass
+        if method in ("DM", "kPCA"):
+            try:
+                kw["sigma"] = self.getDoubleParam("-m", 1)
+            except Exception:
+                pass
+        if method in ("LPP", "LE"):
+            try:
+                kw["sigma"] = self.getDoubleParam("-m", 2)
+            except Exception:
+                pass
+        if method == "DM":
+            try:
+                kw["t"] = self.getDoubleParam("-m", 2)
+            except Exception:
+                pass
+        if method == "pPCA":
+            try:
+                kw["n_iters"] = self.getIntParam("-m", 1)
+            except Exception:
+                pass
+        kw = {k: v for k, v in kw.items() if v is not None}
+        try:
+            Y = reduce_dimensionality(X, method, d, **kw)
+        except TypeError:
+            Y = reduce_dimensionality(X, method, d)
+        Y = np.asarray(Y)
+        if self.checkParam("--saveMapping") and \
+                self.getParam("--saveMapping"):
+            if method not in ("PCA", "LLTSA", "LPP", "pPCA", "NPE"):
+                print(f"WARNING: {method} has no linear mapping; "
+                      "--saveMapping skipped")
+            else:
+                # linear methods satisfy Y = Xc @ M exactly; recover M by
+                # least squares on the centered data
+                Xc = X - X.mean(axis=0)
+                M, *_ = np.linalg.lstsq(Xc, Y, rcond=None)
+                np.savetxt(self.getParam("--saveMapping"), M)
+        fn_out = self.getParam("-o")
+        if md is not None:
+            rows = []
+            for k, i in enumerate(md):
+                r = md.getRow(i)
+                r.pop("classificationData", None)
+                r["dimred"] = np.asarray(Y[k], np.float32)
+                rows.append(r)
+            if fn_out:
+                MetaData.fromRows(rows).write(fn_out)
+        elif fn_out:
+            np.savetxt(fn_out, Y)
+        self.Y = Y
 
 
 class ProgImageRotationalPCA(XmippProgram):

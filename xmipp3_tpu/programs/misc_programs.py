@@ -6,6 +6,7 @@ Contracts: SURVEY.md Appendix A (transform_*, image_*, volume_* leftovers).
 """
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -197,36 +198,74 @@ class ProgAdjustGreyLevels(XmippMetadataProgram):
 
 
 class ProgLocalVolumeAdjust(XmippProgram):
+    """Full reference surface (local_volume_adjust.cpp:38-183): tile the
+    volume into non-overlapping (neighborhood/sampling)^3 blocks; per
+    block c = sum(V*Vref | mask==1) / sum(Vref^2 | mask==1); V /= c
+    inside the mask; --save writes the per-voxel c occupancy volume;
+    --sub outputs Vref*(1-M) + (Vref - min(V', Vref))*M.  TPU shape: the
+    per-block sums are ONE reshape-reduce dispatch instead of the
+    reference's serial block scan."""
     name = "xmipp_local_volume_adjust"
 
     def defineParams(self):
         self.addUsageLine("Locally adjust the grey levels of a volume to "
-                          "match a reference (sliding-window scale field).")
+                          "match a reference (per-block scale).")
         self.addParamsLine("   --i1 <volume> : Reference volume")
         self.addParamsLine("   --i2 <volume> : Volume to adjust")
-        self.addParamsLine("  [-o <out=adjusted.vol>] : Output")
-        self.addParamsLine("  [--neighborhood <n=8>] : Window half-size (voxels)")
+        self.addParamsLine("  [-o <out=output_volume.mrc>] : Output "
+                           "(adjusted volume, or difference with --sub)")
+        self.addParamsLine("  [--mask <mask=\"\">] : Mask for volume 1 "
+                           "(adjustment happens where mask==1)")
+        self.addParamsLine("  [--sampling <s=1>] : Sampling rate (A/px)")
+        self.addParamsLine("  [--neighborhood <n=5>] : Side length (A) of "
+                           "the cubic adjustment region")
+        self.addParamsLine("  [--sub] : Output the subtraction "
+                           "Vref - min(V', Vref) inside the mask")
+        self.addParamsLine("  [--save <dir=\"\">] : Directory for the "
+                           "Occupancy.mrc per-voxel scale volume")
 
     def run(self):
+        import jax
         import jax.numpy as jnp
         v1 = np.squeeze(Image(self.getParam("--i1")).data).astype(np.float32)
         v2 = np.squeeze(Image(self.getParam("--i2")).data).astype(np.float32)
-        n = self.getIntParam("--neighborhood")
-        # box-filter moments via FFT convolution
-        D = v1.shape[0]
-        kern = np.zeros_like(v1)
-        kern[:n, :n, :n] = 1.0
-        kern = np.roll(kern, (-n // 2, -n // 2, -n // 2), axis=(0, 1, 2))
-        K = jnp.fft.rfftn(jnp.asarray(kern))
-        def box(x):
-            return np.asarray(jnp.fft.irfftn(jnp.fft.rfftn(
-                jnp.asarray(x)) * K, s=v1.shape)) / (n ** 3)
-        m1, m2 = box(v1), box(v2)
-        cov = box(v1 * v2) - m1 * m2
-        var2 = np.maximum(box(v2 * v2) - m2 * m2, 1e-9)
-        b = cov / var2
-        a = m1 - b * m2
-        save_image(self.getParam("-o"), a + b * v2)
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            mask = (np.squeeze(Image(self.getParam("--mask")).data)
+                    > 0.5).astype(np.float32)
+        else:
+            mask = np.ones_like(v1)
+        Ts = self.getDoubleParam("--sampling")
+        npx = max(int(round(self.getDoubleParam("--neighborhood") / Ts)), 1)
+        D, H, W = v2.shape
+        pz, py, px = [(-s) % npx for s in (D, H, W)]
+        pad = lambda x: np.pad(x, ((0, pz), (0, py), (0, px)))
+        nz, ny, nx = (D + pz) // npx, (H + py) // npx, (W + px) // npx
+
+        @jax.jit
+        def adjust(v, vr, m):
+            blk = lambda x: x.reshape(nz, npx, ny, npx, nx, npx)
+            s_vvr = blk(v * vr * m).sum(axis=(1, 3, 5))
+            s_vr2 = blk(vr * vr * m).sum(axis=(1, 3, 5))
+            c = jnp.where(s_vr2 > 0, s_vvr / jnp.maximum(s_vr2, 1e-30), 0.0)
+            c_full = jnp.repeat(jnp.repeat(jnp.repeat(
+                c, npx, axis=0), npx, axis=1), npx, axis=2)
+            v_adj = jnp.where((m == 1) & (c_full != 0), v / c_full, v)
+            occup = jnp.where(m == 1, c_full, 0.0)
+            return v_adj, occup
+
+        v_adj, occup = adjust(jnp.asarray(pad(v2)), jnp.asarray(pad(v1)),
+                              jnp.asarray(pad(mask)))
+        v_adj = np.asarray(v_adj)[:D, :H, :W]
+        occup = np.asarray(occup)[:D, :H, :W]
+        if self.checkParam("--save") and self.getParam("--save"):
+            save_image(os.path.join(self.getParam("--save"),
+                                    "Occupancy.mrc"), occup)
+        out = v_adj
+        if self.checkParam("--sub"):
+            out = (v1 * (1 - mask)
+                   + (v1 - np.minimum(v_adj, v1)) * mask)
+        fn_out = self.getParam("-o") or "output_volume.mrc"
+        save_image(fn_out, out.astype(np.float32))
 
 
 @partial(jax.jit, static_argnames=("shape",))

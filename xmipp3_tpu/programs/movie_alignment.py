@@ -45,6 +45,7 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
         self.addParamsLine("  [--bin <s=1>]                : Binning factor (>=1, may be fractional); output micrograph is binned")
         self.addParamsLine("  [--maxResForCorrelation <R=30>] : Maximum resolution used for the alignment correlations (Å)")
         self.addParamsLine("  [--minLocalRes <R=500>]      : Minimal resolution (Å) of patches during local alignment (sets the patch extent R/Ts px)")
+        self.addParamsLine("  [--patchesAvg <avg=3>]       : Number of near frames averaged into each patch frame (GPU reference movie_alignment_correlation_gpu.cpp:40)")
         self.addParamsLine("  [--dose_per_frame <d=0>]     : e/A^2 per frame (enables dose weighting)")
         self.addParamsLine("  [--voltage <kV=300>]         : For dose weighting")
         from xmipp3_tpu.parallel.cli import add_mesh_params
@@ -145,15 +146,25 @@ class ProgMovieAlignmentCorrelation(XmippProgram):
                     print(f"mesh: {mesh_mode} local alignment over "
                           f"{len(mesh.devices.ravel())} devices")
                 from xmipp3_tpu.parallel.movie import local_align_mesh
+                pavg = (self.getIntParam("--patchesAvg")
+                        if self.checkParam("--patchesAvg") else 3)
                 field, cys, cxs = local_align_mesh(mesh, frames, pos,
                                                    patches=self.patches,
                                                    patch_size=patch_px,
-                                                   max_shift_px=8)
+                                                   max_shift_px=8,
+                                                   patches_avg=pavg)
             else:
+                pavg = (self.getIntParam("--patchesAvg")
+                        if self.checkParam("--patchesAvg") else 3)
+                if pavg < 1:
+                    from xmipp3_tpu.core.errors import ErrCode, XmippError
+                    raise XmippError(ErrCode.ARG_INCORRECT,
+                                     "Patch averaging has to be at least 1")
                 field, cys, cxs = mops.local_align(frames, pos,
                                                    patches=self.patches,
                                                    patch_size=patch_px,
-                                                   max_shift_px=8)
+                                                   max_shift_px=8,
+                                                   patches_avg=pavg)
             total = field + pos[None, None]
             # gather-free tiled warp (Fourier-shifted Hann tiles); sum only
             # the --frameRangeSum window
