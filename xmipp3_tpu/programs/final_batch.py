@@ -671,31 +671,88 @@ class ProgPDBAnalysis(XmippProgram):
 
 
 class ProgPDBLabelFromVolume(XmippProgram):
+    """Full reference surface (pdb_label_from_volume.cpp:36-238
+    ProgPdbValueToVol): per atom, average the volume values within
+    --radius of the atom position (always including the atom's own
+    voxel), restricted to --mask when given; occupancy = sign(signed
+    mean) * absolute mean; --md records the global mean and absolute
+    mean (MDL_VOLUME_SCORE1/2); --origin shifts the voxel indexing
+    (indices run from 0 unless --origin x y z is given)."""
     name = "xmipp_pdb_label_from_volume"
 
     def defineParams(self):
-        self.addUsageLine("Set atom B-factors from the values of a volume "
-                          "(e.g. a local resolution map) at atom positions.")
-        self.addParamsLine("   --pdb <file> : Input model")
-        self.addParamsLine("   --vol <volume> : Value volume")
-        self.addParamsLine("   -o <file>    : Output PDB")
-        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size")
-        self.addParamsLine("  [--origin <x=-1> <y=-1> <z=-1>] : Volume origin (voxels; -1=center)")
+        self.addUsageLine("Put volume values (e.g. local resolution) on "
+                          "the atoms of a PDB.")
+        self.addParamsLine("   --pdb <file> : File to process")
+        self.addParamsLine("   --vol <volume> : Input volume")
+        self.addParamsLine("  [--mask <vol=\"\">] : Input mask (average "
+                           "only inside the mask)")
+        self.addParamsLine("   -o <file>    : Modified output PDB")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (A/px)")
+        self.addParamsLine("  [--origin <x=0> <y=0> <z=0>] : Volume origin "
+                           "(voxels); without it indices start at 0")
+        self.addParamsLine("  [--radius <radius=0.8>] : Radius of the atom "
+                           "(A)")
+        self.addParamsLine("  [--md <output=params.xmd>] : Save mean and "
+                           "absolute mean of the atom values")
 
     def run(self):
         m = read_pdb(self.getParam("--pdb"))
-        vol = np.squeeze(Image(self.getParam("--vol")).data).astype(np.float32)
+        vol = np.squeeze(Image(self.getParam("--vol")).data
+                         ).astype(np.float64)
+        mask = None
+        if self.checkParam("--mask") and self.getParam("--mask"):
+            mask = np.squeeze(Image(self.getParam("--mask")).data) > 1e-5
         Ts = self.getDoubleParam("--sampling")
-        D = vol.shape[0]
-        vox = m.coords / Ts + D // 2
-        vals = np.zeros(len(m), np.float32)
-        for i, (x, y, z) in enumerate(vox):
-            ix, iy, iz = int(round(x)), int(round(y)), int(round(z))
-            if 0 <= iz < vol.shape[0] and 0 <= iy < vol.shape[1] and \
-                    0 <= ix < vol.shape[2]:
-                vals[i] = vol[iz, iy, ix]
-        out = AtomicModel(m.coords, m.elements, vals, m.occupancies)
+        radius = self.getDoubleParam("--radius")
+        orig = np.zeros(3)
+        if self.checkParam("--origin"):
+            orig = np.array([self.getDoubleParam("--origin", k)
+                             for k in range(3)])
+        D, H, W = vol.shape
+        # voxel position of each atom: r/Ts shifted by the origin
+        vox = m.coords / Ts + orig[None, :]          # (N, 3) x,y,z order
+        r2 = radius * radius
+        rpad = int(np.ceil(radius)) + 1
+        vals = np.zeros(len(m), np.float64)
+        absvals = np.zeros(len(m), np.float64)
+        for a, (x, y, z) in enumerate(vox):
+            k0, kF = max(int(np.floor(z - radius)), 0), \
+                min(int(np.ceil(z + radius)), D - 1)
+            i0, iF = max(int(np.floor(y - radius)), 0), \
+                min(int(np.ceil(y + radius)), H - 1)
+            j0, jF = max(int(np.floor(x - radius)), 0), \
+                min(int(np.ceil(x + radius)), W - 1)
+            if k0 > kF or i0 > iF or j0 > jF:
+                continue
+            kk, ii, jj = np.mgrid[k0:kF + 1, i0:iF + 1, j0:jF + 1]
+            d2 = (z - kk) ** 2 + (y - ii) ** 2 + (x - jj) ** 2
+            sel = d2 < r2
+            # the atom's own (floor) voxel always participates
+            ka, ia, ja = (max(int(np.floor(z)), 0), max(int(np.floor(y)), 0),
+                          max(int(np.floor(x)), 0))
+            sel |= (kk == ka) & (ii == ia) & (jj == ja)
+            if mask is not None:
+                sel &= mask[kk, ii, jj]
+            if not sel.any():
+                continue
+            v = vol[kk[sel], ii[sel], jj[sel]]
+            sgn = 1.0 if v.mean() >= 0 else -1.0
+            vals[a] = sgn * np.abs(v).mean()
+            absvals[a] = np.abs(v).mean()
+        mean = float(vals.mean()) if len(m) else 0.0
+        mean_abs = float(absvals.mean()) if len(m) else 0.0
+        if self.verbose:
+            print(f"mean value: = {mean}")
+            print(f"absolute mean value: = {mean_abs}")
+        fn_md = (self.getParam("--md") if self.checkParam("--md")
+                 else "params.xmd")
+        MetaData.fromRows([{"scoreVolume1": mean,
+                            "scoreVolume2": mean_abs}]).write(fn_md)
+        out = AtomicModel(m.coords, m.elements, m.bfactors,
+                          vals.astype(np.float32))
         write_pdb(self.getParam("-o"), out)
+        self.mean, self.mean_abs = mean, mean_abs
 
 
 class ProgPDBReducePseudoatoms(XmippProgram):

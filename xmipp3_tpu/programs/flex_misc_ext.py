@@ -1205,6 +1205,7 @@ class ProgPhantomTransform(XmippProgram):
         self.addParamsLine("            shift <x> <y> <z> : Shift vector")
         self.addParamsLine("            scale <x> <y> <z> : Scale vector")
         self.addParamsLine("            rotate_euler <rot> <tilt> <psi> : Euler rotation")
+        self.addParamsLine("  [--center_pdb]  : Subtract the center of mass from the coordinates before transforming (phantom_transform.cpp:61)")
 
     def run(self):
         from xmipp3_tpu.core.geometry import euler_matrix
@@ -1213,9 +1214,15 @@ class ProgPhantomTransform(XmippProgram):
         fn_in = self.getParam("-i")
         fn_out = self.getParam("-o") if (self.checkParam("-o")
                                          and self.getParam("-o")) else fn_in
+        com = np.zeros(3)
+        if self.checkParam("--center_pdb") and fn_in.endswith(".pdb"):
+            pts = [[float(l[30:38]), float(l[38:46]), float(l[46:54])]
+                   for l in open(fn_in) if l.startswith(("ATOM", "HETATM"))]
+            if pts:
+                com = np.mean(np.asarray(pts, np.float64), axis=0)
 
         def xform(p):
-            p = np.asarray(p, np.float64)
+            p = np.asarray(p, np.float64) - com
             if op == "shift":
                 return p + args
             if op == "scale":
@@ -1370,12 +1377,22 @@ class ProgPerformanceTest(XmippProgram):
         self.addUsageLine("Device/host performance micro-benchmark "
                           "(mpi_performance_test role): batched FFT and "
                           "matmul throughput on the active backend.")
+        self.addParamsLine("  [-i <selfile=\"\">] : Selfile with "
+                           "experimental images; times the metadata read "
+                           "(the reference mpi_performance_test.cpp:68 "
+                           "behavior)")
         self.addParamsLine("  [--size <n=256>]  : Problem size")
         self.addParamsLine("  [--batch <b=64>]  : Batch")
 
     def run(self):
         import jax
         import jax.numpy as jnp
+        if self.checkParam("-i") and self.getParam("-i"):
+            t0 = time.perf_counter()
+            md = MetaData(self.getParam("-i"))
+            dt = time.perf_counter() - t0
+            print(f"metadata read: {md.size()} rows in {dt * 1e3:.1f} ms")
+            self.md_read_s = dt
         n = self.getIntParam("--size") if self.checkParam("--size") else 256
         b = self.getIntParam("--batch") if self.checkParam("--batch") else 64
         x = jnp.asarray(np.random.default_rng(0).normal(

@@ -61,6 +61,75 @@ class ProgImageVectorize(XmippProgram):
             save_image(fn_out, np.stack(vecs).reshape(len(vecs), n, n))
 
 
+class ProgImageSortChain(XmippProgram):
+    """Full reference surface (parallel/mpi_image_sort.cpp:85-260, the
+    greedy similarity-chain sorter — only an MPI version exists in the
+    reference): start from the first enabled image; repeatedly align every
+    remaining image to the LAST sorted image (mirror-aware, circular
+    mask) and append the best-correlated one, optionally centering as it
+    goes.  Output: <oroot>.stk aligned chain + <oroot>.xmd with
+    imageOriginal and the chain-predecessor maxCC.  TPU shape: each greedy
+    step scores ALL remaining images in ONE batched aligner dispatch
+    (the reference farms the per-image loop over MPI ranks)."""
+    name = "xmipp_image_sort"
+
+    def defineParams(self):
+        self.addUsageLine("Sort a set of images by gradually increasing "
+                          "dissimilarity to a growing aligned chain.")
+        self.addParamsLine("   -i <selfile>       : Selfile of images")
+        self.addParamsLine("   --oroot <rootname> : Output rootname "
+                           "(.stk aligned chain + .xmd bookkeeping)")
+        self.addParamsLine("  [--dont_center]     : Do not center images "
+                           "as they are sorted")
+
+    def run(self):
+        from xmipp3_tpu.ops import features as _feat
+        from xmipp3_tpu.ops.align import align_considering_mirrors
+        from xmipp3_tpu.ops.mask import circular_mask
+        md = MetaData(self.getParam("-i"))
+        rows = list(md.iterRows())
+        if rows and "classCount" in rows[0]:
+            rows = [r for r in rows if int(r.get("classCount", 1)) > 0]
+        imgs = load_image_rows(rows).astype(np.float32)
+        N, H, W = imgs.shape
+        center = not self.checkParam("--dont_center")
+        mask = np.asarray(circular_mask((H, W), W / 2.0), np.float32)
+        if center:
+            imgs = np.asarray(_feat.center_translationally(imgs))
+        last = imgs[0]
+        order = [0]
+        ccs = [1.0]
+        chain = [last]
+        remaining = list(range(1, N))
+        while remaining:
+            batch = imgs[remaining]
+            psi, sx, sy, flip, corr, aligned = align_considering_mirrors(
+                last * mask, batch, n_iters=3)
+            corr = np.asarray(corr)
+            k = int(corr.argmax())
+            best = np.asarray(aligned[k])
+            order.append(remaining[k])
+            ccs.append(float(corr[k]))
+            chain.append(best)
+            last = best
+            del remaining[k]
+            if self.verbose:
+                print(f"Images to go={len(remaining)} current "
+                      f"correlation= {ccs[-1]:.4f}")
+        root = self.getParam("--oroot")
+        save_image(root + ".stk", np.stack(chain))
+        out_rows = []
+        for j, (idx, cc) in enumerate(zip(order, ccs)):
+            d = dict(rows[idx])
+            d["imageOriginal"] = str(d.get("image", ""))
+            d["image"] = f"{j + 1:06d}@{root}.stk"
+            d["maxCC"] = cc
+            out_rows.append(d)
+        MetaData.fromRows(out_rows).write(root + ".xmd")
+        self.order = order
+        self.ccs = ccs
+
+
 class ProgImageSortByStatistics(XmippProgram):
     """Full reference surface (image_sort_by_statistics.cpp:55-82):
     multivariate outlier z-scores over morphology/SNR/histogram features,

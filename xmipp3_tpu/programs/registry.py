@@ -70,6 +70,7 @@ register("reconstruct_wbp", P + "reconstruct_misc:ProgReconstructWBP")
 register("reconstruct_significant",
          P + "reconstruct_misc:ProgReconstructSignificant")
 register("image_vectorize", P + "image_analysis:ProgImageVectorize")
+register("image_sort", P + "image_analysis:ProgImageSortChain")
 register("image_sort_by_statistics",
          P + "image_analysis:ProgImageSortByStatistics")
 register("image_find_center", P + "image_analysis:ProgImageFindCenter")
@@ -324,7 +325,6 @@ _MPI_NAMES = [
     "volumeset_align", "write_test",
 ]
 _SERIAL_MAP = {
-    "image_sort": "image_sort_by_statistics",
     "ctf_correct_phase": "ctf_phase_flip",
     "cuda_reconstruct_fourier": "reconstruct_fourier",
     "reconstruct_fourier_accel": "reconstruct_fourier",
