@@ -169,8 +169,12 @@ def test_adjust_image_grey_levels_matches_projection(world, tmp_path):
          "angleTilt": float(world["angles"][world["pick"][i], 1]),
          "anglePsi": 0.0} for i in range(8)]).write(
         str(tmp_path / "scaled.xmd"))
+    # the reference bounds the adjustment (|a-1| <= max_gray_scale,
+    # default 0.05); undoing a 7x scale needs explicit wide bounds
     run_prog("transform_adjust_image_grey_levels",
-             f"-i {tmp_path}/scaled.xmd -o {o} --ref {d}/vol.vol")
+             f"-i {tmp_path}/scaled.xmd -o {o} --ref {d}/vol.vol "
+             "--max_gray_scale 10 --max_gray_shift 10 "
+             "--max_resolution 2.5")
     out = Image(o).data
     proj = world["refs"][world["pick"]]
     # adjusted images live on the projection grey scale

@@ -1197,22 +1197,91 @@ class ProgCTFCorrectWiener3D(XmippProgram):
 
 
 class ProgAdjustVolumeGreyLevels(XmippProgram):
+    """Full reference surface (adjust_volume_grey_levels.cpp:40-236):
+    adjust the volume's grey range so its projections match a set of
+    experimental projections (-m): first guess a = stddevF/stddev0,
+    b = avgF - a*avg0 with avgF = avg_pict/r, stddevF = stddev_pict/
+    sqrt(r), r = cbrt(#voxels); --optimize refines (a, b) on the
+    projection-mismatch cost over a random image subset (--probb_eval
+    selection probability).  TPU shape: proj(a*V + b) = a*proj(V) +
+    b*proj(1), so ONE batched projection pass of V and of the unit
+    volume turns the reference's per-evaluation reprojection Powell
+    into a closed-form 2x2 least squares.  Extension kept: -r adjusts
+    against a reference volume directly."""
     name = "xmipp_transform_adjust_volume_grey_levels"
 
     def defineParams(self):
-        self.addUsageLine("Adjust a volume's grey levels to match a "
-                          "reference (global least-squares a+b*V).")
+        self.addUsageLine("Adjust the grey level range of a volume to "
+                          "its experimental projections.")
         self.addParamsLine("   -i <volume>  : Volume to adjust")
-        self.addParamsLine("   -r <volume>  : Reference")
+        self.addParamsLine("  [-m <metadata=\"\">] : Set of projections of "
+                           "the volume (with angles)")
+        self.addParamsLine("   alias --metadata;")
+        self.addParamsLine("  [-r <volume=\"\">]  : Reference volume "
+                           "(direct voxel least-squares mode)")
         self.addParamsLine("  [-o <out=\"\">] : Output (default in-place)")
+        self.addParamsLine("  [--optimize] : Refine the linear transform "
+                           "on the projection-mismatch cost")
+        self.addParamsLine("  [--probb_eval <p=0.2>] : Probability of "
+                           "each image entering the goal function")
+        self.addParamsLine("  [--seed <s=0>] : Random subset seed")
 
     def run(self):
         v = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
-        ref = np.squeeze(Image(self.getParam("-r")).data).astype(np.float32)
-        A = np.stack([v.ravel(), np.ones(v.size, np.float32)], axis=1)
-        coef, *_ = np.linalg.lstsq(A, ref.ravel(), rcond=None)
-        out = coef[0] * v + coef[1]
-        save_image(self.getParam("-o") or self.getParam("-i"), out)
+        fn_out = self.getParam("-o") or self.getParam("-i")
+        if self.checkParam("-r") and self.getParam("-r"):
+            ref = np.squeeze(Image(self.getParam("-r")).data
+                             ).astype(np.float32)
+            A = np.stack([v.ravel(), np.ones(v.size, np.float32)], axis=1)
+            coef, *_ = np.linalg.lstsq(A, ref.ravel(), rcond=None)
+            save_image(fn_out, coef[0] * v + coef[1])
+            return
+        from xmipp3_tpu.core.metadata_program import load_image_rows
+        md = MetaData(self.getParam("-m"))
+        rows = list(md.iterRows())
+        imgs = load_image_rows(rows)
+        # first estimate (reference apply()): ray statistics
+        avg_pict = float(np.mean([i.mean() for i in imgs]))
+        stddev_pict = float(np.sqrt(np.mean([i.std() ** 2 for i in imgs])))
+        r = v.size ** (1.0 / 3.0)
+        avgF = avg_pict / r
+        stddevF = stddev_pict / np.sqrt(r)
+        avg0, stddev0 = float(v.mean()), float(max(v.std(), 1e-12))
+        a = stddevF / stddev0
+        b = avgF - a * avg0
+        if self.verbose:
+            print(f"First Linear transformation: y={a}*x+{b}")
+        if self.checkParam("--optimize"):
+            from xmipp3_tpu.ops.project import project_real_space
+            rng = np.random.default_rng(
+                self.getIntParam("--seed") if self.checkParam("--seed")
+                else 0)
+            p = self.getDoubleParam("--probb_eval") \
+                if self.checkParam("--probb_eval") else 0.2
+            sel = rng.uniform(0, 1, len(rows)) <= p
+            if not sel.any():
+                sel[rng.integers(len(rows))] = True
+            idx = np.nonzero(sel)[0]
+            get = lambda k: np.array([float(rows[i].get(k, 0.0))
+                                      for i in idx], np.float32)
+            rot, tilt, psi = get("angleRot"), get("angleTilt"), \
+                get("anglePsi")
+            P = np.asarray(project_real_space(v, rot, tilt, psi))
+            T = np.asarray(project_real_space(
+                np.ones_like(v), rot, tilt, psi))
+            I = imgs[idx]
+            # normal equations for min ||I - aP - bT||^2
+            M = np.array([[(P * P).sum(), (P * T).sum()],
+                          [(P * T).sum(), (T * T).sum()]])
+            rhs = np.array([(P * I).sum(), (T * I).sum()])
+            try:
+                a, b = np.linalg.solve(M, rhs)
+            except np.linalg.LinAlgError:
+                pass
+            if self.verbose:
+                print(f"Optimized transformation: y={a}*x+{b}")
+        save_image(fn_out, (a * v + b).astype(np.float32))
+        self.ab = (float(a), float(b))
 
 
 PROGRAM = None

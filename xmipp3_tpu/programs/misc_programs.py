@@ -169,32 +169,76 @@ class ProgImageOddEven(XmippProgram):
 
 
 class ProgAdjustGreyLevels(XmippMetadataProgram):
+    """Full reference surface (transform_adjust_image_grey_levels.cpp:
+    43-245): fit (a, b) minimizing ||a*P(rot,tilt,psi) + b -
+    lowpass(I)||^2 subject to |a-1| <= --max_gray_scale and |b| <=
+    --max_gray_shift * std(I); output image = (I - b)/a; a/b recorded
+    as continuousA/continuousB.  The low-pass cutoff is
+    --sampling/--max_resolution (raised cosine 0.02); --padding feeds
+    the Fourier projector.  --Rmax is accepted for grammar parity: the
+    reference builds its mask2D but both uses are dead code (cost loop
+    and apply loop have the mask test commented/|| true).  TPU shape:
+    the constrained fit is a batched CLOSED-FORM least squares (the
+    per-image Powell AB/BA dance solves the same quadratic)."""
     name = "xmipp_transform_adjust_image_grey_levels"
 
     def defineProcessParams(self):
         self.addUsageLine("Adjust image grey levels to match reference "
-                          "projections (a + b*I fit).")
+                          "projections.")
         self.addParamsLine(" --ref <volume> : Reference volume")
+        self.addParamsLine(" [--max_resolution <f=4>] : Maximum resolution (A)")
+        self.addParamsLine(" [--max_gray_scale <a=0.05>] : Maximum gray scale change")
+        self.addParamsLine(" [--max_gray_shift <b=0.05>] : Maximum gray shift as a factor of the image stddev")
+        self.addParamsLine(" [--sampling <Ts=1>] : Sampling rate (A/px)")
+        self.addParamsLine(" [--Rmax <R=-1>] : Maximum radius (px); dead in the reference cost (kept for parity)")
+        self.addParamsLine(" [--padding <p=2>] : Projector padding factor")
 
     def readProcessParams(self):
         self.fn_ref = self.getParam("--ref")
+        self.max_res = self.getDoubleParam("--max_resolution") \
+            if self.checkParam("--max_resolution") else 4.0
+        self.maxA = self.getDoubleParam("--max_gray_scale") \
+            if self.checkParam("--max_gray_scale") else 0.05
+        self.maxB = self.getDoubleParam("--max_gray_shift") \
+            if self.checkParam("--max_gray_shift") else 0.05
+        self.Ts = self.getDoubleParam("--sampling") \
+            if self.checkParam("--sampling") else 1.0
+        self.pad = self.getDoubleParam("--padding") \
+            if self.checkParam("--padding") else 2.0
         self._proj = None
 
     def processBatch(self, imgs, rows):
+        import jax.numpy as jnp
+
+        from xmipp3_tpu.ops.fourier_filter import low_pass_mask
         from xmipp3_tpu.ops.project import FourierProjector
         if self._proj is None:
             vol = np.squeeze(Image(self.fn_ref).data).astype(np.float32)
-            self._proj = FourierProjector(vol)
+            self._proj = FourierProjector(vol, pad_factor=self.pad)
         get = lambda k: np.array([float(r.get(k, 0.0)) for r in rows],
                                  np.float32)
         proj = np.asarray(self._proj.project_euler(
             get("angleRot"), get("angleTilt"), get("anglePsi")))
-        pm = proj - proj.mean(axis=(1, 2), keepdims=True)
-        im = imgs - imgs.mean(axis=(1, 2), keepdims=True)
-        b = ((pm * im).sum(axis=(1, 2)) /
-             np.maximum((im ** 2).sum(axis=(1, 2)), 1e-12))
-        a = proj.mean(axis=(1, 2)) - b * imgs.mean(axis=(1, 2))
-        return a[:, None, None] + b[:, None, None] * imgs
+        H, W = imgs.shape[-2:]
+        w1 = min(self.Ts / self.max_res, 0.5)
+        lp = low_pass_mask(H, W, w1, 0.02)
+        ifilt = np.asarray(jnp.fft.irfft2(
+            jnp.fft.rfft2(jnp.asarray(imgs)) * jnp.asarray(lp)[None],
+            s=(H, W)))
+        # closed-form LSQ for a*P + b ~ Ifiltered, then box clipping
+        pmean = proj.mean(axis=(1, 2))
+        imean = ifilt.mean(axis=(1, 2))
+        pvar = np.maximum((proj ** 2).mean(axis=(1, 2)) - pmean ** 2, 1e-12)
+        cov = (proj * ifilt).mean(axis=(1, 2)) - pmean * imean
+        a = cov / pvar
+        istd = np.maximum(imgs.std(axis=(1, 2)), 1e-12)
+        a = np.clip(a, 1.0 - self.maxA, 1.0 + self.maxA)
+        b = np.clip(imean - a * pmean, -self.maxB * istd,
+                    self.maxB * istd)
+        for i, r in enumerate(rows):
+            r["continuousA"] = float(a[i])
+            r["continuousB"] = float(b[i])
+        return (imgs - b[:, None, None]) / a[:, None, None]
 
 
 class ProgLocalVolumeAdjust(XmippProgram):

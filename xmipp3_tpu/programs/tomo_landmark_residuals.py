@@ -57,6 +57,12 @@ class ProgTomoCalculateLandmarkResiduals(XmippProgram):
         self.addParamsLine("  [-o <md=alignmentReport.xmd>] : Output residual report")
         self.addParamsLine("  [--samplingRate <s=1>]  : Sampling rate (A/px)")
         self.addParamsLine("  [--fiducialSize <f=100>] : Fiducial size (A)")
+        self.addParamsLine("  [--thrSDHCC <t=5>] : SDs over the mean for a "
+                           "window peak to count as a high-contrast feature")
+        self.addParamsLine("  [--targetLMsize <t=8>] : Target landmark size "
+                           "(px) for the directional enhancement scale")
+        self.addParamsLine("  [--numberFTdirOfDirections <n=8>] : Fourier "
+                           "directional-filter cone count")
         self.addParamsLine("  [--swapXY]          : Tomogram X/Y axes swapped vs tilt series")
 
     def run(self):
@@ -83,6 +89,27 @@ class ProgTomoCalculateLandmarkResiduals(XmippProgram):
         proj = project_landmarks(coords, tilts, (W, H),
                                  swap_xy=self.checkParam("--swapXY"))
 
+        # directionally enhance the tilt series at the landmark scale
+        # (tomo_detect_landmarks.cpp directional filter — shared engine,
+        # ops.tomo_landmarks, ONE dispatch for all frames x directions);
+        # the enhanced response drives the high-contrast gating
+        from xmipp3_tpu.ops.tomo_landmarks import directional_enhance
+        target = (self.getDoubleParam("--targetLMsize")
+                  if self.checkParam("--targetLMsize") else 8.0)
+        n_dirs = (self.getIntParam("--numberFTdirOfDirections")
+                  if self.checkParam("--numberFTdirOfDirections") else 8)
+        thr_sd = (self.getDoubleParam("--thrSDHCC")
+                  if self.checkParam("--thrSDHCC") else 5.0)
+        # enhance at full resolution with the band at the fiducial size
+        enh = np.asarray(directional_enhance(
+            -(imgs - imgs.mean(axis=(1, 2), keepdims=True)),
+            float(max(fid_px, 4)), int(n_dirs)))
+        # robust per-frame background stats (median/MAD): the sparse
+        # fiducials would inflate a plain stddev and defeat the gate
+        enh_mu = np.median(enh, axis=(1, 2))
+        enh_sd = 1.4826 * np.median(
+            np.abs(enh - enh_mu[:, None, None]), axis=(1, 2)) + 1e-12
+
         # observed landmark = darkest-blob centroid in a search window around
         # the reprojection (fiducials are high-contrast dark features)
         half = max(fid_px, 6)
@@ -105,7 +132,11 @@ class ProgTomoCalculateLandmarkResiduals(XmippProgram):
                 sub = resp[wy0:peak[0] + rad + 1, wx0:peak[1] + rad + 1]
                 sub = np.clip(sub - sub.mean(), 0, None)
                 tot = sub.sum()
-                if tot <= 0 or resp[peak] < resp.std():
+                # high-contrast gate: the directional response at the peak
+                # must clear thrSDHCC SDs over the frame mean
+                ewin = enh[ti, y0:y0 + 2 * half, x0:x0 + 2 * half]
+                hc = ewin.max() > enh_mu[ti] + thr_sd * enh_sd[ti]
+                if tot <= 0 or resp[peak] < resp.std() or not hc:
                     ox, oy = px, py              # no feature: zero residual
                 else:
                     yy, xx = np.mgrid[0:sub.shape[0], 0:sub.shape[1]]
@@ -198,6 +229,8 @@ class ProgTomoExtractParticlestacks(XmippProgram):
         self.addParamsLine("  [--sampling <s=1>]   : Sampling rate (A/px)")
         self.addParamsLine("  [--invertContrast]   : Invert contrast")
         self.addParamsLine("  [--normalize]        : Zero-mean/unit-std per patch")
+        self.addParamsLine("  [--setCTF]           : Tilt-series metadata carries CTF columns; compute and set the local per-particle defocus (tomo_extract_particlestacks.cpp:320-331)")
+        self.addParamsLine("  [--defocusPositive]  : Defocus increases along +z (handedness of the local defocus correction)")
         self.addParamsLine("  [--swapXY]           : Swap X/Y of the coordinates")
 
     def run(self):
@@ -205,6 +238,19 @@ class ProgTomoExtractParticlestacks(XmippProgram):
         if tilts is None:
             tilts = np.zeros(len(imgs), np.float32)
         T, H, W = imgs.shape
+        set_ctf = self.checkParam("--setCTF")
+        ts_def = None
+        if set_ctf:
+            tsmd = MetaData(self.getParam("--tiltseries"))
+            trows = list(tsmd.iterRows())
+            ts_def = np.array(
+                [[float(r.get("ctfDefocusU", 0)),
+                  float(r.get("ctfDefocusV", 0)),
+                  float(r.get("ctfDefocusAngle", 0))] for r in trows],
+                np.float64)
+        sampling = (self.getDoubleParam("--sampling")
+                    if self.checkParam("--sampling") else 1.0)
+        handness = 1.0 if self.checkParam("--defocusPositive") else -1.0
         cmd = MetaData(self.getParam("--coordinates"))
         coords = np.stack([np.asarray(cmd.getColumn("xcoor"), np.float64),
                            np.asarray(cmd.getColumn("ycoor"), np.float64),
@@ -231,12 +277,25 @@ class ProgTomoExtractParticlestacks(XmippProgram):
                 if self.checkParam("--normalize"):
                     p = (p - p.mean()) / max(p.std(), 1e-8)
                 patches.append(p)
-                rows.append({"tiltAngle": float(tilts[ti]),
-                             "angleTilt": float(tilts[ti]),
-                             "xcoor": int(coords[pi, 0]),
-                             "ycoor": int(coords[pi, 1]),
-                             "zcoor": int(coords[pi, 2]),
-                             "frameId": ti + 1, "particleId": pi + 1})
+                row = {"tiltAngle": float(tilts[ti]),
+                       "angleTilt": float(tilts[ti]),
+                       "xcoor": int(coords[pi, 0]),
+                       "ycoor": int(coords[pi, 1]),
+                       "zcoor": int(coords[pi, 2]),
+                       "frameId": ti + 1, "particleId": pi + 1}
+                if ts_def is not None and ti < len(ts_def):
+                    # local defocus: Df = (x cos t + z sin t) * Ts * sin t
+                    # (tomo_extract_particlestacks.cpp:322-327), sign by
+                    # --defocusPositive
+                    t_rad = np.deg2rad(float(tilts[ti]))
+                    xc = coords[pi, 0] - W / 2.0
+                    zc = coords[pi, 2]
+                    Df = ((xc * np.cos(t_rad) + zc * np.sin(t_rad))
+                          * sampling * np.sin(t_rad))
+                    row["ctfDefocusU"] = float(ts_def[ti, 0] + handness * Df)
+                    row["ctfDefocusV"] = float(ts_def[ti, 1] + handness * Df)
+                    row["ctfDefocusAngle"] = float(ts_def[ti, 2])
+                rows.append(row)
             if not patches:
                 continue
             stk = os.path.join(outdir, f"particle_{pi + 1:05d}.mrcs")

@@ -59,41 +59,70 @@ class ProgTomogramReconstruction(XmippProgram):
 
 
 class ProgTomoDetectLandmarks(XmippProgram):
+    """Full reference surface (tomo_detect_landmarks.cpp:35-900):
+    fiducialSize (A) / samplingRate (A/px) give the landmark size in
+    pixels; each tilt image is downsampled so landmarks measure
+    --targetLMsize px, directionally enhanced over
+    --numberFTdirOfDirections Fourier cones (ops.tomo_landmarks — one
+    jitted dispatch for all frames x directions), and peaks more than
+    --thrSD sigmas above the mean are reported, scaled back to the
+    original pixel grid."""
     name = "xmipp_tomo_detect_landmarks"
 
     def defineParams(self):
-        self.addUsageLine("Detect high-contrast fiducial landmarks in a tilt "
-                          "series (per-image peak detection).")
+        self.addUsageLine("Detect high-contrast fiducial landmarks in a "
+                          "tilt series.")
         self.addParamsLine("   -i <ts>      : Tilt series")
-        self.addParamsLine("   -o <md_file> : Landmark coordinates")
-        self.addParamsLine("  [--fiducialSize <f=10>] : Fiducial diameter (px)")
-        self.addParamsLine("  [--thr <t=4>] : Peak threshold (sigmas)")
+        self.addParamsLine("  [-o <md_file=landmarkCoordinates.xmd>] : "
+                           "Landmark coordinates")
+        self.addParamsLine("  [--samplingRate <s=1>] : Pixel size (A/px)")
+        self.addParamsLine("  [--fiducialSize <f=100>] : Fiducial size (A)")
+        self.addParamsLine("  [--targetLMsize <t=8>] : Target landmark "
+                           "size (px) after downsampling")
+        self.addParamsLine("  [--thrSD <t=5>] : Peak threshold (SDs over "
+                           "the mean)")
+        self.addParamsLine("   alias --thr;")
+        self.addParamsLine("  [--numberFTdirOfDirections <n=8>] : Fourier "
+                           "directional-filter cone count")
 
     def run(self):
-        from xmipp3_tpu.ops.fourier_filter import (apply_fourier_mask_2d,
-                                                   band_pass_mask)
+        from xmipp3_tpu.ops.resize import fourier_resize_2d
+        from xmipp3_tpu.ops.tomo_landmarks import (directional_enhance,
+                                                   downsample_factor)
         imgs, tilts = _load_ts(self.getParam("-i"))
-        size = self.getIntParam("--fiducialSize")
-        thr = self.getDoubleParam("--thr")
-        rows = []
+        Ts = self.getDoubleParam("--samplingRate")
+        fid_px = max(self.getDoubleParam("--fiducialSize") / max(Ts, 1e-6),
+                     4.0)
+        target = self.getDoubleParam("--targetLMsize")
+        thr = self.getDoubleParam("--thrSD")
+        n_dirs = self.getIntParam("--numberFTdirOfDirections")
         H, W = imgs.shape[-2:]
-        mask = band_pass_mask(H, W, 1.0 / (2.0 * size),
-                              min(1.0 / (0.5 * size), 0.45))
-        for f in range(len(imgs)):
-            filt = -np.asarray(apply_fourier_mask_2d(
-                imgs[f] - imgs[f].mean(), mask))   # fiducials are dark
-            mu, sd = filt.mean(), filt.std()
-            s = filt.copy()
-            half = size
-            for _ in range(50):
+        ds = downsample_factor(fid_px, target)
+        Hd, Wd = max(int(round(H / ds)), 32), max(int(round(W / ds)), 32)
+        Hd -= Hd % 2
+        Wd -= Wd % 2
+        ds_y, ds_x = H / Hd, W / Wd
+        small = np.asarray(fourier_resize_2d(imgs.astype(np.float32),
+                                             Hd, Wd))
+        # fiducials are dark: negate, then directionally enhance
+        enhanced = np.asarray(directional_enhance(
+            -(small - small.mean(axis=(1, 2), keepdims=True)),
+            float(target), int(n_dirs)))
+        rows = []
+        half = max(int(round(target)), 3)
+        for f in range(len(enhanced)):
+            s = enhanced[f].copy()
+            mu, sd = s.mean(), s.std()
+            for _ in range(80):
                 idx = np.argmax(s)
-                y, x = divmod(int(idx), W)
+                y, x = divmod(int(idx), Wd)
                 if s[y, x] < mu + thr * sd:
                     break
-                rows.append({"xcoor": x, "ycoor": y, "frameId": f + 1,
-                             "cost": float(s[y, x])})
-                y0, y1 = max(y - half, 0), min(y + half, H)
-                x0, x1 = max(x - half, 0), min(x + half, W)
+                rows.append({"xcoor": int(round(x * ds_x)),
+                             "ycoor": int(round(y * ds_y)),
+                             "frameId": f + 1, "cost": float(s[y, x])})
+                y0, y1 = max(y - half, 0), min(y + half, Hd)
+                x0, x1 = max(x - half, 0), min(x + half, Wd)
                 s[y0:y1, x0:x1] = -np.inf
         MetaData.fromRows(rows).write(self.getParam("-o"))
         self.n_landmarks = len(rows)
@@ -102,13 +131,27 @@ class ProgTomoDetectLandmarks(XmippProgram):
 
 
 class ProgTomoFilterCoordinates(XmippProgram):
+    """Full reference surface (tomo_filter_coordinates.cpp:40-232):
+    optional mask filtering (coordinates whose mask voxel is 0 are
+    erased), then per-coordinate statistics from --inTomo: mean and
+    stddev over the r2 <= radius neighborhood (the reference compares the
+    SQUARED distance against the radius — transliterated faithfully),
+    written as avg/stddev columns; near-border coordinates are dropped
+    with a warning.  Extension kept: --minScore cost filtering."""
     name = "xmipp_tomo_filter_coordinates"
 
     def defineParams(self):
         self.addUsageLine("Filter subtomogram coordinates by a mask volume "
-                          "or score threshold.")
+                          "and score them against a density/resolution "
+                          "tomogram.")
         self.addParamsLine("   --coordinates <md> : Input coordinates")
-        self.addParamsLine("   -o <md>            : Filtered coordinates")
+        self.addParamsLine("   -o <md=filteredCoordinates3D.xmd> : Output "
+                           "filtered/scored coordinates")
+        self.addParamsLine("  [--inTomo <tomo=\"\">] : Tomogram (density or "
+                           "local resolution) for the per-coordinate "
+                           "statistics")
+        self.addParamsLine("  [--radius <radius=50>] : Neighbourhood radius "
+                           "(px) for the statistics")
         self.addParamsLine("  [--mask <vol=\"\">]   : Keep coords inside this mask")
         self.addParamsLine("  [--minScore <s=-1e30>] : Keep cost >= this")
 
@@ -130,40 +173,123 @@ class ProgTomoFilterCoordinates(XmippProgram):
                         and 0 <= x < mask.shape[2] and mask[z, y, x]):
                     continue
             rows.append(r)
+        if self.checkParam("--inTomo") and self.getParam("--inTomo"):
+            tomo = np.squeeze(Image(self.getParam("--inTomo")).data
+                              ).astype(np.float64)
+            Z, Y, X = tomo.shape
+            radius = int(self.getDoubleParam("--radius"))
+            # reference quirk (calculateCoordinateStatistics): the ball is
+            # r2 <= radius (squared distance vs radius), i.e. an effective
+            # sqrt(radius) voxel ball
+            rr = int(np.floor(np.sqrt(radius))) + 1
+            off = np.mgrid[-rr:rr + 1, -rr:rr + 1, -rr:rr + 1]
+            ball = (off[0] ** 2 + off[1] ** 2 + off[2] ** 2) <= radius
+            dz, dy, dx = (o[ball] for o in off)
+            scored = []
+            for r in rows:
+                x, y = int(r["xcoor"]), int(r["ycoor"])
+                z = int(r.get("zcoor", Z // 2))
+                if (z - radius < 0 or z + radius > Z - 1
+                        or y - radius < 0 or y + radius > Y - 1
+                        or x - radius < 0 or x + radius > X - 1):
+                    print(f"WARNING: Coordinate at (x={x}, y={y}, z={z}) "
+                          "masked out.")
+                    continue
+                v = tomo[z + dz, y + dy, x + dx]
+                d = dict(r)
+                d["avg"] = float(v.mean())
+                d["stddev"] = float(v.std())
+                scored.append(d)
+            rows = scored
         MetaData.fromRows(rows).write(self.getParam("-o"))
         self.n_kept = len(rows)
 
 
 class ProgTomoMapBack(XmippProgram):
+    """Full reference surface (tomo_map_back.cpp:38-150): paint the
+    reference subtomogram into the tomogram at each --geom row's
+    (xcoor, ycoor, zcoor) after applying the row's geometry (Euler
+    angles/shifts, geo2TransformationMatrix); painting modes copy, avg
+    (region set to its tomogram average inside the thresholded
+    reference), highlight (+= K*ref) and copy_binary.  TPU shape: all
+    rotated references are produced in one vmapped affine dispatch."""
     name = "xmipp_tomo_map_back"
 
     def defineParams(self):
-        self.addUsageLine("Paint an averaged particle back into a tomogram "
-                          "at every coordinate (visual validation).")
-        self.addParamsLine("   --tomogram <vol> : Base tomogram (defines size)")
-        self.addParamsLine("   --coordinates <md> : Particle coordinates")
-        self.addParamsLine("   --ref <vol>      : Particle average to paint")
-        self.addParamsLine("  [-o <out=mapback.mrc>] : Output")
-        self.addParamsLine("  [--paint_mode <m=copy>] : copy | add")
+        self.addUsageLine("Place a reference subtomogram on a tomogram at "
+                          "given locations (map back).")
+        self.addParamsLine("   -i <tomogram>    : Original tomogram")
+        self.addParamsLine("   alias --tomogram;")
+        self.addParamsLine("  [-o <tomogram=\"\">] : Output tomogram")
+        self.addParamsLine("   --geom <geometry> : Coordinates and rotation "
+                           "angles metadata")
+        self.addParamsLine("   alias --coordinates;")
+        self.addParamsLine("   --ref <reference> : Subtomogram reference")
+        self.addParamsLine("  [--method <mode=copy>] : Painting mode")
+        self.addParamsLine("     where <mode>")
+        self.addParamsLine("        copy")
+        self.addParamsLine("        avg <threshold=0.5>")
+        self.addParamsLine("        highlight <K=1>")
+        self.addParamsLine("        copy_binary <threshold=0.5>")
 
     def run(self):
-        tomo = np.squeeze(Image(self.getParam("--tomogram")).data
+        from xmipp3_tpu.core.geometry import euler_matrix
+        from xmipp3_tpu.ops.geo import apply_affine_3d
+        tomo = np.squeeze(Image(self.getParam("-i")).data
                           ).astype(np.float32)
-        ref = np.squeeze(Image(self.getParam("--ref")).data).astype(np.float32)
-        md = MetaData(self.getParam("--coordinates"))
-        out = (tomo.copy() if self.getParam("--paint_mode") == "add"
-               else np.zeros_like(tomo))
+        ref = np.squeeze(Image(self.getParam("--ref")).data
+                         ).astype(np.float32)
+        md = MetaData(self.getParam("--geom"))
+        mode = self.getParam("--method") if self.checkParam("--method") \
+            else "copy"
+        thr = 0.5
+        K = 1.0
+        if mode in ("avg", "copy_binary") and self.checkParam("--method"):
+            try:
+                thr = self.getDoubleParam("--method", 1)
+            except Exception:
+                pass
+        if mode == "highlight" and self.checkParam("--method"):
+            try:
+                K = self.getDoubleParam("--method", 1)
+            except Exception:
+                pass
+        if mode in ("avg", "copy_binary"):
+            ref = (ref > thr).astype(np.float32)
+        rows = list(md.iterRows())
+        rot = np.float32([float(r.get("angleRot", 0)) for r in rows])
+        tilt = np.float32([float(r.get("angleTilt", 0)) for r in rows])
+        psi = np.float32([float(r.get("anglePsi", 0)) for r in rows])
+        # geo2TransformationMatrix: the inverse Euler rotation places the
+        # reference in the tomogram frame
+        mats = np.asarray(euler_matrix(rot, tilt, psi), np.float32)
+        mats = np.transpose(mats, (0, 2, 1))          # A^T = inverse
+        rot_refs = np.asarray(apply_affine_3d(ref, mats))
+        out = tomo.copy()
         pz, py, px = ref.shape
         Z, Y, X = tomo.shape
-        for i in md:
-            r = md.getRow(i)
+        for n, r in enumerate(rows):
             x0 = int(r["xcoor"]) - px // 2
             y0 = int(r["ycoor"]) - py // 2
             z0 = int(r.get("zcoor", Z // 2)) - pz // 2
-            if (0 <= x0 and x0 + px <= X and 0 <= y0 and y0 + py <= Y
-                    and 0 <= z0 and z0 + pz <= Z):
-                out[z0:z0 + pz, y0:y0 + py, x0:x0 + px] += ref
-        save_image(self.getParam("-o"), out)
+            zs = slice(max(z0, 0), min(z0 + pz, Z))
+            ys = slice(max(y0, 0), min(y0 + py, Y))
+            xs = slice(max(x0, 0), min(x0 + px, X))
+            rzs = slice(zs.start - z0, zs.stop - z0)
+            rys = slice(ys.start - y0, ys.stop - y0)
+            rxs = slice(xs.start - x0, xs.stop - x0)
+            rr = rot_refs[n][rzs, rys, rxs]
+            region = out[zs, ys, xs]
+            if mode == "avg":
+                # the region average is taken over the tomogram voxels
+                # under the whole reference box (reference mode==2 loop)
+                avg = float(region.mean()) if region.size else 0.0
+                out[zs, ys, xs] = np.where(rr > 0, avg, region)
+            elif mode == "highlight":
+                out[zs, ys, xs] = region + K * rr
+            else:                       # copy / copy_binary
+                out[zs, ys, xs] = rr
+        save_image(self.getParam("-o") or "mapback.mrc", out)
 
 
 class ProgTomoCtfWiener2DCorrection(XmippProgram):

@@ -220,65 +220,155 @@ class ProgTomoSimulateTiltSeries(XmippProgram):
 
 
 class ProgTomoExtractSubtomograms(XmippProgram):
+    """Full reference surface (tomo_extract_subtomograms.cpp:44-330):
+    --downsample Fourier-crops each subtomogram by the factor,
+    --fixedBoxSize enlarges the extraction window to boxsize*factor so
+    the downsampled output is exactly boxsize, --invertContrast negates,
+    --normalize zero-means/unit-stds using the outside-sphere background
+    statistics (createSphere).  TPU shape: the Fourier crop batch is one
+    jitted resize dispatch per subtomogram size."""
     name = "xmipp_tomo_extract_subtomograms"
 
     def defineParams(self):
         self.addUsageLine("Extract cubic subtomograms at coordinates.")
         self.addParamsLine("   --tomogram <vol> : Input tomogram")
         self.addParamsLine("   --coordinates <md> : xcoor/ycoor/zcoor metadata")
-        self.addParamsLine("   --boxsize <b>    : Subtomogram box size")
+        self.addParamsLine("   --boxsize <b>    : Subtomogram box size "
+                           "(before downsampling)")
         self.addParamsLine("   -o <root>        : Output rootname")
-        self.addParamsLine("  [--invert]        : Invert contrast")
+        self.addParamsLine("  [--invertContrast] : Invert contrast")
+        self.addParamsLine("   alias --invert;")
+        self.addParamsLine("  [--normalize]     : Zero mean / unit std "
+                           "from the outside-sphere background")
+        self.addParamsLine("  [--downsample <factor=1.0>] : Scale factor "
+                           "(>1 shrinks the subtomogram by the factor)")
+        self.addParamsLine("  [--fixedBoxSize]  : Extract boxsize*factor "
+                           "so the downsampled box is exactly boxsize")
 
     def run(self):
         tomo = np.squeeze(Image(self.getParam("--tomogram")).data
                           ).astype(np.float32)
         md = MetaData(self.getParam("--coordinates"))
         b = self.getIntParam("--boxsize")
-        half = b // 2
+        factor = (self.getDoubleParam("--downsample")
+                  if self.checkParam("--downsample") else 1.0)
+        fixed = self.checkParam("--fixedBoxSize")
+        # extraction window / output size (reference extractSubtomoFixedSize)
+        if fixed and factor != 1.0:
+            b_ext = int(round(b * factor))
+            b_out = b
+        else:
+            b_ext = b
+            b_out = int(round(b / factor)) if factor != 1.0 else b
+        b_ext += b_ext % 2
+        b_out += b_out % 2
+        half = b_ext // 2
         Z, Y, X = tomo.shape
-        subs = []
         rows = []
         k = 0
         root = self.getParam("-o")
+        # background sphere mask at the OUTPUT size (createSphere)
+        zz, yy, xx = np.mgrid[0:b_out, 0:b_out, 0:b_out] - b_out // 2
+        bg = np.sqrt(zz ** 2 + yy ** 2 + xx ** 2) > b_out // 2
+        resize = None
+        if b_out != b_ext:
+            import jax.numpy as jnp
+
+            from xmipp3_tpu.ops.resize import fourier_resize_3d
+            resize = lambda s: np.asarray(fourier_resize_3d(
+                jnp.asarray(s), b_out, b_out, b_out))
         for i in md:
             r = md.getRow(i)
             x, y, z = int(r["xcoor"]), int(r["ycoor"]), int(r.get("zcoor", Z // 2))
             if (half <= x < X - half and half <= y < Y - half and
                     half <= z < Z - half):
-                s = tomo[z - half:z - half + b, y - half:y - half + b,
-                         x - half:x - half + b].copy()
-                if self.checkParam("--invert"):
+                s = tomo[z - half:z - half + b_ext,
+                         y - half:y - half + b_ext,
+                         x - half:x - half + b_ext].copy()
+                if resize is not None:
+                    s = resize(s)
+                if self.checkParam("--invertContrast"):
                     s = -s
-                subs.append(s)
+                if self.checkParam("--normalize"):
+                    mu = float(s[bg].mean())
+                    sd = float(s[bg].std())
+                    s = (s - mu) / max(sd, 1e-12)
                 k += 1
                 rows.append({"subtomoName": f"{root}_{k:06d}.mrc",
                              "xcoor": x, "ycoor": y, "zcoor": z, "itemId": k})
-                save_image(f"{root}_{k:06d}.mrc", s)
+                save_image(f"{root}_{k:06d}.mrc", s.astype(np.float32))
         MetaData.fromRows(rows).write(root + ".xmd")
         if self.verbose:
-            print(f"Extracted {k} subtomograms of {b}^3")
+            print(f"Extracted {k} subtomograms of {b_out}^3")
         self.n_extracted = k
 
 
 class ProgTomoAverageSubtomos(XmippProgram):
+    """Full reference surface (tomo_average_subtomos.cpp:38-165): by
+    default each subtomogram is rotated/shifted by its row geometry
+    (geo2TransformationMatrix) before averaging; --notApplyAlignment
+    averages raw; --goldStandard also writes halfMap_1/halfMap_2 from a
+    random even split.  TPU shape: all per-row affines run in one
+    vmapped dispatch per subtomogram batch."""
     name = "xmipp_tomo_average_subtomos"
 
     def defineParams(self):
-        self.addUsageLine("Average a set of (aligned) subtomograms.")
-        self.addParamsLine("   -i <md>  : Metadata with subtomoName column")
-        self.addParamsLine("   -o <vol> : Output average")
+        self.addUsageLine("Average a set of subtomograms, applying their "
+                          "alignment.")
+        self.addParamsLine("   -i <md>  : Metadata with subtomoName/image "
+                           "column")
+        self.addParamsLine("   -o <vol> : Output average (with "
+                           "--goldStandard, also halfMap_1/2 next to it)")
+        self.addParamsLine("  [--notApplyAlignment] : Plain average "
+                           "(ignore row geometry)")
+        self.addParamsLine("  [--goldStandard] : Also write two half maps "
+                           "from a random split")
+        self.addParamsLine("  [--sampling <Ts=1>] : Pixel size (A) "
+                           "recorded in the output headers")
+        self.addParamsLine("  [--seed <s=0>] : Random split seed")
 
     def run(self):
+        import os
+
+        from xmipp3_tpu.core.geometry import euler_matrix
+        from xmipp3_tpu.ops.geo import apply_affine_3d
         md = MetaData(self.getParam("-i"))
-        acc = None
-        n = 0
-        for i in md:
-            r = md.getRow(i)
-            v = np.squeeze(Image(str(r["subtomoName"])).data).astype(np.float32)
-            acc = v if acc is None else acc + v
-            n += 1
-        save_image(self.getParam("-o"), acc / max(n, 1))
+        rows = list(md.iterRows())
+        vols = np.stack([
+            np.squeeze(Image(str(r.get("subtomoName") or r["image"])).data)
+            for r in rows]).astype(np.float32)
+        n = len(vols)
+        if not self.checkParam("--notApplyAlignment"):
+            rot = np.float32([float(r.get("angleRot", 0)) for r in rows])
+            tilt = np.float32([float(r.get("angleTilt", 0)) for r in rows])
+            psi = np.float32([float(r.get("anglePsi", 0)) for r in rows])
+            mats = np.transpose(
+                np.asarray(euler_matrix(rot, tilt, psi), np.float32),
+                (0, 2, 1))
+            sx = np.float32([float(r.get("shiftX", 0)) for r in rows])
+            sy = np.float32([float(r.get("shiftY", 0)) for r in rows])
+            sz = np.float32([float(r.get("shiftZ", 0)) for r in rows])
+            mats = np.concatenate(
+                [mats, np.stack([sx, sy, sz], axis=1)[:, :, None]], axis=2)
+            import jax
+            vols = np.asarray(jax.vmap(
+                lambda v, M: apply_affine_3d(v, M[None])[0])(vols, mats))
+        Ts = self.getDoubleParam("--sampling") \
+            if self.checkParam("--sampling") else 1.0
+        avg = vols.mean(axis=0)
+        fn_out = self.getParam("-o")
+        save_image(fn_out, avg, sampling=Ts)
+        if self.checkParam("--goldStandard"):
+            rng = np.random.default_rng(self.getIntParam("--seed")
+                                        if self.checkParam("--seed") else 0)
+            half2_idx = rng.permutation(n)[:n // 2]
+            in_h2 = np.zeros(n, bool)
+            in_h2[half2_idx] = True
+            d = os.path.dirname(fn_out) or "."
+            save_image(os.path.join(d, "halfMap_1.mrc"),
+                       vols[~in_h2].sum(axis=0) / (n * 0.5), sampling=Ts)
+            save_image(os.path.join(d, "halfMap_2.mrc"),
+                       vols[in_h2].sum(axis=0) / (n * 0.5), sampling=Ts)
 
 
 class ProgTomoTiltseriesDoseFilter(XmippProgram):
@@ -314,42 +404,119 @@ class ProgTomoTiltseriesDoseFilter(XmippProgram):
 
 
 class ProgTomoDetectMissingWedge(XmippProgram):
+    """Full reference surface (tomo_detect_missing_wedge.cpp:30-346): fit
+    TWO planes through the Fourier origin, each maximizing the dB-
+    magnitude difference between a +-(--width) probe slab's two sides
+    within --maxFreq; the second plane is constrained >=20 deg away from
+    the first.  --saveMarks writes the magnitude with both probe slabs
+    marked; --saveMask writes the wedge mask (1 = missing wedge,
+    drawWedge convention z_pos<0 or z_neg>0).  TPU shape: every (rot,
+    tilt) candidate scores in ONE batched dot dispatch per refinement
+    level (the reference runs a 50-generation differential-evolution +
+    Powell per plane)."""
     name = "xmipp_tomo_detect_missing_wedge"
 
     def defineParams(self):
-        self.addUsageLine("Detect the missing wedge orientation/angles of a "
-                          "tomogram from its Fourier power distribution.")
-        self.addParamsLine("   -i <volume> : Input tomogram/subtomogram")
+        self.addUsageLine("Detect the orientation of the missing wedge in "
+                          "a tomogram (two bounding planes).")
+        self.addParamsLine("   -i <file> : Input tomogram")
+        self.addParamsLine("  [--maxFreq <f=0.25>] : Maximum frequency for "
+                           "the fit (normalized to 0.5)")
+        self.addParamsLine("  [--width <w=2>] : Width of the probe plane "
+                           "(Fourier samples)")
+        self.addParamsLine("  [--saveMarks] : Save the FFT magnitude with "
+                           "the two planes marked (<root>_marks.vol)")
+        self.addParamsLine("  [--saveMask] : Save the missing-wedge mask "
+                           "(<root>_mask.vol, 1 = missing wedge)")
+
+    @staticmethod
+    def _normals(rot_deg, tilt_deg):
+        r = np.deg2rad(np.asarray(rot_deg, np.float64))
+        t = np.deg2rad(np.asarray(tilt_deg, np.float64))
+        # plane normal = Euler(rot, tilt, 0) z-row direction
+        return np.stack([np.sin(t) * np.cos(r), np.sin(t) * np.sin(r),
+                         np.cos(t)], axis=-1)
 
     def run(self):
+        import jax
         import jax.numpy as jnp
-        vol = np.squeeze(Image(self.getParam("-i")).data).astype(np.float32)
-        F = np.asarray(jnp.abs(jnp.fft.fftshift(jnp.fft.fftn(
-            jnp.asarray(vol)))))
-        D, H, W = F.shape
-        z, y, x = np.mgrid[0:D, 0:H, 0:W].astype(np.float64)
-        z, y, x = z - D // 2, y - H // 2, x - W // 2
-        r = np.sqrt(x * x + y * y + z * z)
-        shell = (r > 4) & (r < min(D, H, W) // 2 - 2)
-        # wedge assumed about the y axis: power as a function of the angle in
-        # the xz plane
-        ang = np.degrees(np.arctan2(z, x))
-        ang = np.where(ang > 90, ang - 180, np.where(ang < -90, ang + 180, ang))
-        bins = np.linspace(-90, 90, 37)
-        pw = np.zeros(len(bins) - 1)
-        for i in range(len(bins) - 1):
-            sel = shell & (ang >= bins[i]) & (ang < bins[i + 1])
-            pw[i] = F[sel].mean() if sel.any() else 0.0
-        centers = 0.5 * (bins[:-1] + bins[1:])
-        thr = 0.5 * np.median(pw)
-        missing = pw < thr
-        if missing.any():
-            th0 = centers[missing].min()
-            thF = centers[missing].max()
-        else:
-            th0 = thF = 0.0
-        self.wedge = (float(th0), float(thF))
-        print(f"Missing wedge (deg, about y): [{th0:.1f}, {thF:.1f}]")
+        fn_in = self.getParam("-i")
+        vol = np.squeeze(Image(fn_in).data).astype(np.float32)
+        D, H, W = vol.shape
+        max_freq = self.getDoubleParam("--maxFreq") \
+            if self.checkParam("--maxFreq") else 0.25
+        width = self.getDoubleParam("--width") \
+            if self.checkParam("--width") else 2.0
+        Fmag = np.asarray(jnp.abs(jnp.fft.fftn(jnp.asarray(vol))))
+        mag_db = 20.0 * np.log10(np.maximum(Fmag, 1e-12))
+        fz = np.fft.fftfreq(D)
+        fy = np.fft.fftfreq(H)
+        fx = np.fft.fftfreq(W)
+        FZ, FY, FX = np.meshgrid(fz, fy, fx, indexing="ij")
+        r2 = FZ ** 2 + FY ** 2 + FX ** 2
+        df = 0.5 / max(D, H, W)
+        # hermitian fold: the full-FFT magnitude is centrosymmetric, so a
+        # through-origin plane always balances; restrict to the fx>0
+        # half-space like the reference's `inverted` XOR (evaluatePlane)
+        sel = (r2 <= max_freq * max_freq) & (r2 > 0) & (FX > 1e-9)
+        pts = np.stack([FX[sel], FY[sel], FZ[sel]], axis=1)  # (P, 3)
+        vals = mag_db[sel]                                   # (P,)
+        pts_j = jnp.asarray(pts, jnp.float32)
+        vals_j = jnp.asarray(vals, jnp.float32)
+        slab = width * df
+
+        @jax.jit
+        def score(normals):
+            dots = pts_j @ jnp.asarray(normals, jnp.float32).T   # (P, C)
+            pos = (dots > 0) & (dots <= slab)
+            neg = (dots < 0) & (dots >= -slab)
+            s_pos = (vals_j[:, None] * pos).sum(0) / \
+                jnp.maximum(pos.sum(0), 1)
+            s_neg = (vals_j[:, None] * neg).sum(0) / \
+                jnp.maximum(neg.sum(0), 1)
+            return s_pos - s_neg        # want MAX difference
+
+        def fit(direction=1.0, exclude=None):
+            rot_c, tilt_c, span_r, span_t = 180.0, 0.0, 180.0, 90.0
+            best = (0.0, 0.0)
+            for level in range(4):
+                rots = np.linspace(rot_c - span_r, rot_c + span_r, 25)
+                tilts = np.clip(np.linspace(tilt_c - span_t,
+                                            tilt_c + span_t, 19), -90, 90)
+                rr, tt = np.meshgrid(rots, tilts)
+                n = self._normals(rr.ravel(), tt.ravel())
+                s = direction * np.asarray(score(n))
+                if exclude is not None:
+                    ang = np.degrees(np.arccos(
+                        np.clip(np.abs(n @ exclude), -1, 1)))
+                    s = np.where(ang < 20.0, -np.inf, s)
+                k = int(np.argmax(s))
+                best = (float(rr.ravel()[k]), float(tt.ravel()[k]))
+                rot_c, tilt_c = best
+                span_r /= 6.0
+                span_t /= 6.0
+            return best
+
+        rot_pos, tilt_pos = fit(direction=1.0)
+        n_pos = self._normals(rot_pos, tilt_pos)
+        rot_neg, tilt_neg = fit(direction=-1.0, exclude=n_pos)
+        n_neg = self._normals(rot_neg, tilt_neg)
+        print(f"Plane1: {rot_pos} {tilt_pos}")
+        print(f"Plane2: {rot_neg} {tilt_neg}")
+        self.planes = ((rot_pos, tilt_pos), (rot_neg, tilt_neg))
+        root = fn_in.rsplit(".", 1)[0]
+        if self.checkParam("--saveMarks"):
+            marks = mag_db.copy()
+            for n in (n_pos, n_neg):
+                dots = np.stack([FX, FY, FZ], axis=-1) @ n
+                in_slab = (np.abs(dots) <= slab) & sel.reshape(D, H, W)
+                marks = np.where(in_slab, 2.0 * np.abs(marks), marks)
+            save_image(root + "_marks.vol", marks.astype(np.float32))
+        if self.checkParam("--saveMask"):
+            zpos = np.stack([FX, FY, FZ], axis=-1) @ n_pos
+            zneg = np.stack([FX, FY, FZ], axis=-1) @ n_neg
+            mask = ((zpos < 0) | (zneg > 0)).astype(np.float32)
+            save_image(root + "_mask.vol", mask)
 
 
 PROGRAM = None
