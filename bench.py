@@ -229,18 +229,52 @@ def bench_ctf_estimate():
     errU = abs(ctf.defocusU - 17000) / 17000
     errV = abs(ctf.defocusV - 14000) / 14000
     errA = abs((ctf.azimuthal_angle - 30.0 + 90) % 180 - 90)
+
+    # batched-production path: B micrographs through ONE lockstep staged
+    # fit (models.ctf_estimation.estimate_ctf_batch) — the per-stage
+    # relay/dispatch latency amortizes B ways
+    from xmipp3_tpu.models.ctf_estimation import estimate_ctf_batch
+    B = 8
+    true_defs = [(17000 - 1200 * i, 14000 - 900 * i, 30.0 + 15 * i)
+                 for i in range(B)]
+    psds = []
+    for (dU, dV, ang) in true_defs:
+        t = CTFDescription(sampling_rate=1.5, voltage=300, Cs=2.7, Q0=0.07,
+                           defocusU=dU, defocusV=dV, azimuthal_angle=ang,
+                           K=1.0)
+        m = rng.standard_normal((2048, 2048)).astype(np.float32)
+        h_i = np.asarray(t.pure_at(fx, fy))
+        m = np.fft.irfft2(np.fft.rfft2(m) * h_i, s=m.shape) \
+            .astype(np.float32)
+        psds.append(np.asarray(estimate_psd(m, 512, 0.5)))
+
+    def fit_batch():
+        t0 = time.time()
+        ctfs = estimate_ctf_batch(psds, 1.5, 300, 2.7, 0.07)
+        return ctfs, time.time() - t0
+
+    ctfs, dtb_cold = fit_batch()
+    ctfs, dtb = fit_batch()
+    errU_b = max(abs(c.defocusU - d[0]) / d[0]
+                 for c, d in zip(ctfs, true_defs))
+    errA_b = max(abs((c.azimuthal_angle - d[2] + 90) % 180 - 90)
+                 for c, d in zip(ctfs, true_defs))
     base = _cache_get("ref_cpu_ctf_2048")
     if base is None:
         base = _ref_cpu_ctf_numpy(mic)
         _cache_put("ref_cpu_ctf_2048", base)
-    return dict(value=round(1.0 / dt, 3), unit="micrographs/s/chip",
-                seconds_warm=round(dt, 2), seconds_cold=round(dt_cold, 2),
-                defocusU_err=round(errU, 4), defocusV_err=round(errV, 4),
-                angle_err_deg=round(errA, 2),
-                vs_baseline=round(base / dt, 1),
+    return dict(value=round(B / dtb, 3), unit="micrographs/s/chip",
+                seconds_warm_batch8=round(dtb, 2),
+                seconds_warm_single=round(dt, 2),
+                seconds_cold=round(dt_cold + dtb_cold, 2),
+                defocusU_err=round(max(errU, errU_b), 4),
+                defocusV_err=round(errV, 4),
+                angle_err_deg=round(max(errA, errA_b), 2),
+                vs_baseline=round(B * base / dtb, 1),
                 baseline="numpy periodogram + staged scipy-Powell fit of "
                          "the same model (conservative transliteration of "
-                         "the reference serial ROUT_Adjust_CTF loop)")
+                         "the reference serial ROUT_Adjust_CTF loop), "
+                         "per-micrograph")
 
 
 # ---------------------------------------------------------------------------

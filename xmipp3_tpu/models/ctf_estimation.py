@@ -486,7 +486,7 @@ class CTFEstimator:
         return base, abs(sqrtK), abs(sq)
 
     # -- stage 2: first Gaussian background --------------------------------
-    def fit_gaussian1(self):
+    def fit_gaussian1(self, optimize: bool = True):
         from xmipp3_tpu.ops.psd import radial_profile
         freqs_dig, prof = radial_profile(self.psd)
         freqs = np.asarray(freqs_dig) / self.Ts
@@ -511,8 +511,9 @@ class CTFEstimator:
         self.params[G1K] = K
         self.params[G1SU] = self.params[G1SV] = sigma
         self.params[G1CU] = self.params[G1CV] = c
-        self._powell(STAGE_SETS["bg_sqrt"] + STAGE_SETS["bg_gauss"],
-                     maxiter=2)
+        if optimize:
+            self._powell(STAGE_SETS["bg_sqrt"] + STAGE_SETS["bg_gauss"],
+                         maxiter=2)
 
     # -- stage 3: astigmatic defocus grid search ---------------------------
     def grid_search_defocus(self, n_coarse: int = 60, n_astig: int = 13,
@@ -958,3 +959,217 @@ def fit_defocus_plane(xs, ys, values):
     A = np.stack([np.ones_like(xs), xs, ys], axis=1).astype(np.float64)
     coef, *_ = np.linalg.lstsq(A, np.asarray(values, np.float64), rcond=None)
     return coef
+
+
+# ---------------------------------------------------------------------------
+# lockstep batched estimator (B micrographs per dispatch)
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("n", "free", "n_rounds", "mirror",
+                                   "use_enh"))
+def _compass_opt_lockstep(P0, steps, psds, fy, fx, bands, n: int, consts,
+                          free: tuple, n_rounds: int, enhs, enh_w,
+                          mirror: tuple, use_enh: bool):
+    """vmapped compass over (params, per-est steps, psd, band, enhanced):
+    B independent staged fits advance one stage in ONE dispatch — the
+    batched-micrograph path (VERDICT r3 #2: amortize the fit over a
+    population instead of paying the relay per micrograph)."""
+    def one(p0, st, psd, band, enh_img):
+        enh = (enh_img, enh_w) if use_enh else None
+        return _compass_core(p0, st, psd, fy, fx, band, n, consts,
+                             free, n_rounds, enh, mirror)
+    return jax.vmap(one)(P0, steps, psds, bands, enhs)
+
+
+@partial(jax.jit, static_argnames=("n",))
+def _fitness_lockstep(P, psds, fy, fx, bands, n: int, consts):
+    """(B, C, NPARAMS) candidates against (B, ...) psds/bands."""
+    return jax.vmap(
+        lambda Pc, psd, band: jax.vmap(
+            lambda p: _fitness(p, psd, fy, fx, band, n, consts))(Pc)
+    )(P, psds, bands)
+
+
+class _CTFBatch:
+    """Run B CTFEstimator instances in lockstep: every device stage is one
+    vmapped dispatch over the whole batch (host stages are cheap numpy).
+    Same acquisition settings across the batch (shared n/fy/fx/consts)."""
+
+    def __init__(self, ests: list):
+        self.ests = ests
+        e0 = ests[0]
+        self.n = e0.n
+        self.fy, self.fx = e0.fy, e0.fx
+        self.consts = e0.consts
+        self.psds = jnp.stack([e.psd_j for e in ests])
+        self.mirror = e0._mirrors()
+        self.frozen = e0._frozen()
+        if any(e._enh is not None for e in ests):
+            self.enhs = jnp.stack([e._enh[0] for e in ests])
+            self.enh_w = float(e0._enh[1])
+        else:
+            self.enhs = jnp.zeros_like(self.psds)
+            self.enh_w = 0.0
+
+    def _bands(self):
+        return jnp.stack([e.band for e in self.ests])
+
+    def powell(self, free, maxiter=4, use_enh=False, label=""):
+        free = tuple(i for i in free if i not in self.frozen)
+        if not free:
+            return
+        steps_all = []
+        for e in self.ests:
+            st = CTFEstimator._STEPS[list(free)].copy()
+            psd_scale = float(np.abs(e.psd).mean()) + 1e-12
+            for j, idx in enumerate(free):
+                if idx in (BASE, SQK, G1K, G2K):
+                    st[j] = max(st[j] * psd_scale, 1e-6)
+            steps_all.append(st)
+        P0 = jnp.asarray(np.stack([e.params for e in self.ests]),
+                         jnp.float32)
+        P, best = _compass_opt_lockstep(
+            P0, jnp.asarray(np.stack(steps_all), jnp.float32), self.psds,
+            self.fy, self.fx, self._bands(), self.n, self.consts, free,
+            int(max(6 * maxiter, 8)), self.enhs, self.enh_w, self.mirror,
+            bool(use_enh and self.enh_w != 0.0))
+        P = np.asarray(P, np.float32)
+        best = np.asarray(best)
+        for i, e in enumerate(self.ests):
+            e.params = P[i].copy()
+            e.final_fitness = float(best[i])
+
+    def _eval_candidates(self, stacks):
+        """stacks: list of (C_i, NPARAMS); pad to max C, return per-est
+        (params of argmin, cost)."""
+        C = max(s.shape[0] for s in stacks)
+        padded = np.stack([
+            np.concatenate([s, np.repeat(s[:1], C - s.shape[0], axis=0)])
+            if s.shape[0] < C else s for s in stacks]).astype(np.float32)
+        costs = np.asarray(_fitness_lockstep(
+            jnp.asarray(padded), self.psds, self.fy, self.fx,
+            self._bands(), self.n, self.consts))
+        out = []
+        for i in range(len(stacks)):
+            k = int(np.argmin(costs[i]))
+            out.append((padded[i, k].copy(), float(costs[i, k])))
+        return out
+
+    def grid_search_defocus(self, n_coarse=60, n_astig=13, n_angles=6):
+        """Batched transliteration of CTFEstimator.grid_search_defocus:
+        the coarse isotropic pass, the adaptive high-defocus band update
+        and both astigmatic levels each run once for the WHOLE batch."""
+        ests = self.ests
+        stacks = []
+        for e in ests:
+            lo, hi = e.defocus_range
+            logK0 = np.log(max(np.asarray(e.psd).max() * 1e-2, 1e-8))
+            defs = np.linspace(lo, hi, n_coarse, dtype=np.float32)
+            ang0 = 0.0 if e.initial_defocus is None \
+                else float(e.initial_defocus[2])
+            cands = []
+            for logK in (logK0, logK0 + np.log(10.0)):
+                for d in defs:
+                    p = e.params.copy()
+                    p[DEFU] = p[DEFV] = d
+                    p[ANGLE] = ang0
+                    p[LOGK] = logK
+                    cands.append(p)
+            stacks.append(np.stack(cands))
+        bests = self._eval_candidates(stacks)
+
+        def astig_stack(e, center, span, n_ast, angs):
+            dU = center[DEFU] + np.linspace(-span, span, n_ast,
+                                            dtype=np.float32)
+            dV = center[DEFV] + np.linspace(-span, span, n_ast,
+                                            dtype=np.float32)
+            cands = []
+            for u in dU:
+                for v in dV:
+                    if v > u:
+                        continue
+                    for a in (angs if u != v else angs[:1]):
+                        p = center.copy()
+                        p[DEFU], p[DEFV], p[ANGLE] = u, v, a
+                        cands.append(p)
+            return np.stack(cands)
+
+        spans = []
+        for e, (best, _) in zip(ests, bests):
+            if e.fast:
+                spans.append(0.15 * best[DEFU])
+            else:
+                spans.append(max(0.25 * best[DEFU], 2500.0))
+            # adaptive band at high defocus (see serial grid_search_defocus)
+            voltage = e.consts[0]
+            lam = 12.2643247 / np.sqrt(voltage * 1e3
+                                       * (1 + 0.978466e-6 * voltage * 1e3))
+            df_grid = 1.0 / (e.n * e.Ts)
+            f_lim = 1.0 / (2.0 * lam * max(best[DEFU], 1.0) * 2.5 * df_grid)
+            if f_lim * e.Ts < e.max_freq_dig:
+                fyh, fxh = _freq_grids(e.n, e.Ts)
+                r_dig = np.sqrt((fyh * e.Ts) ** 2 + (fxh * e.Ts) ** 2)
+                e.band = jnp.asarray(
+                    ((r_dig >= e.min_freq_dig)
+                     & (r_dig <= max(f_lim * e.Ts, 2 * e.min_freq_dig)))
+                    .astype(np.float32))
+        if ests[0].fast:
+            n_astig, n_angles = 7, 4
+        angs = np.linspace(0.0, 180.0, n_angles, endpoint=False,
+                           dtype=np.float32)
+        stacks = [astig_stack(e, b[0], s, n_astig, angs)
+                  for e, b, s in zip(ests, bests, spans)]
+        bests = self._eval_candidates(stacks)
+        stacks = []
+        for e, (best, _), s in zip(ests, bests, spans):
+            fine = (best[ANGLE] + np.linspace(-20.0, 20.0, 9)) \
+                .astype(np.float32)
+            stacks.append(astig_stack(e, best, s / 5.0, n_astig, fine))
+        bests = self._eval_candidates(stacks)
+        for e, (best, cost) in zip(self.ests, bests):
+            e.params = best
+            e.final_fitness = cost
+
+
+def estimate_ctf_batch(psd_halves, sampling, voltage=300.0, Cs=2.7,
+                       Q0=0.07, **kw) -> list:
+    """Fit B CTFs in lockstep — every compass stage and the defocus grid
+    run as single vmapped dispatches over the batch (the per-micrograph
+    estimator pays the relay latency per stage; this amortizes it B
+    ways).  Returns a list of CTFDescription."""
+    ests = [CTFEstimator(np.asarray(p, np.float32), sampling, voltage,
+                         Cs, Q0, **kw) for p in psd_halves]
+    batch = _CTFBatch(ests)
+    for e in ests:
+        e.fit_background()
+        e.fit_gaussian1(optimize=False)
+    batch.powell(STAGE_SETS["bg_sqrt"] + STAGE_SETS["bg_gauss"], maxiter=2,
+                 label="bg")
+    if ests[0].no_defocus:
+        for e in ests:
+            if e.initial_defocus is not None:
+                e.params[DEFU] = e.initial_defocus[0]
+                e.params[DEFV] = e.initial_defocus[1]
+                e.params[ANGLE] = e.initial_defocus[2]
+            e.params[LOGK] = np.log(
+                max(np.asarray(e.psd).max() * 1e-2, 1e-8))
+        batch.powell([LOGK], maxiter=2, label="gain")
+    else:
+        batch.grid_search_defocus()
+        batch.powell(STAGE_SETS["defocus"], maxiter=3, use_enh=True,
+                     label="defocus")
+    if not ests[0].fast:
+        batch.powell(STAGE_SETS["envelope"], maxiter=3, label="envelope")
+        if ests[0].model_simplification < 2:
+            for e in ests:
+                e.params[G2CU] = e.params[G2CV] = 0.9 * 0.5 / e.Ts
+                e.params[G2SU] = e.params[G2SV] = 100.0 * e.Ts ** 2
+                e.params[G2K] = 0.0
+            batch.powell(STAGE_SETS["bg_gauss2"], maxiter=2, label="gauss2")
+        batch.powell(STAGE_SETS["all"], maxiter=4, label="all")
+    elif not ests[0].no_defocus:
+        batch.powell(STAGE_SETS["defocus"], maxiter=2, use_enh=True,
+                     label="defocus2")
+    if abs(ests[0].consts[4]) > 1e-3:
+        batch.powell(STAGE_SETS["all_vpp"], maxiter=2, label="vpp")
+    return [e.to_ctf() for e in ests]

@@ -22,10 +22,10 @@ mesh spans all hosts' devices — the analog of `mpirun -np N` across nodes.
 """
 from __future__ import annotations
 
-MESH_MODES = ("auto", "dp", "tp", "slab", "none", "serial")
+MESH_MODES = ("auto", "dp", "tp", "slab", "slab2d", "none", "serial")
 
 
-def add_mesh_params(prog, modes: str = "auto dp tp slab none serial"):
+def add_mesh_params(prog, modes: str = "auto dp tp slab slab2d none serial"):
     """Add the --mesh parameter to a program's grammar."""
     prog.addParamsLine(
         f"  [--mesh <mode=auto>] : Device-mesh parallel mode ({modes}); "
@@ -94,6 +94,16 @@ def resolve_mesh(mode: str = "auto", min_devices: int = 2,
             f"{len(devs)} ({devs[0].platform})")
     if mode == "auto":
         mode = "dp"
+    if mode == "slab2d":
+        # dp x slab 2-D mesh: factor devices as (data, z) with z = 2
+        # (or the largest even split); needs >= 4 devices
+        import numpy as _np
+        from jax.sharding import Mesh
+        n = len(devs)
+        if n < 4 or n % 2:
+            raise RuntimeError(f"--mesh slab2d needs an even device count "
+                               f">= 4, found {n}")
+        return Mesh(_np.array(devs).reshape(n // 2, 2), ("data", "z")), mode
     from xmipp3_tpu.parallel.mesh import data_mesh
     axis = "model" if mode == "tp" else axis_name
     return data_mesh(len(devs), axis_name=axis), mode

@@ -194,3 +194,70 @@ def slab_reconstruct(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
     # boundaries; the jit partitioner inserts the needed collectives)
     return finalize_volume(dr, di, dw, N, P_, interp=interp,
                            niter_weight=niter_weight)
+
+
+def slab_reconstruct_2d(mesh, imgs, rot, tilt, psi, sx=None, sy=None,
+                        weights=None, pad_factor: float = 2.0,
+                        max_freq: float = 0.5, data_axis: str = "data",
+                        z_axis: str = "z", interp: str = "kb",
+                        niter_weight: int = 1):
+    """dp x slab 2-D-mesh reconstruction: the particle axis is sharded
+    over `data_axis` AND the Fourier cube over `z_axis` (VERDICT r3 #4 /
+    reference mpi_reconstruct_fourier.cpp:325-420 semantics — nodes shard
+    images and reduce kz-slabs).  Each device backprojects only ITS image
+    shard into ITS z-slab; ONE psum along the data axis fuses the image
+    shards, so per-device compute shrinks with the data-axis size at
+    fixed slab memory (plain slab_reconstruct replicates the image work
+    on every device).
+
+    mesh must carry both axes (e.g. Mesh(devices.reshape(4, 2),
+    ("data", "z")))."""
+    imgs = np.asarray(imgs, np.float32)
+    B, N, _ = imgs.shape
+    n_data = mesh.shape[data_axis]
+    n_z = mesh.shape[z_axis]
+    P_ = int(round(N * pad_factor))
+    P_ += P_ % 2
+    P_ += (-P_) % n_z                        # slabs must tile the cube
+    slab_p = P_ // n_z
+
+    imgs_p, n_valid = pad_to_multiple(imgs, n_data)
+    z = np.zeros(B, np.float32)
+    get = lambda v: z if v is None else np.asarray(v, np.float32)
+    rot_p = pad_to_multiple(get(rot), n_data)[0]
+    tilt_p = pad_to_multiple(get(tilt), n_data)[0]
+    psi_p = pad_to_multiple(get(psi), n_data)[0]
+    sx_p = pad_to_multiple(get(sx), n_data)[0]
+    sy_p = pad_to_multiple(get(sy), n_data)[0]
+    w = np.ones(B, np.float32) if weights is None \
+        else np.asarray(weights, np.float32)
+    w_p = pad_to_multiple(w, n_data)[0]
+    w_p[n_valid:] = 0.0
+    mats = np.asarray(euler_matrix(rot_p, tilt_p, psi_p), np.float32)
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(data_axis), P(data_axis), P(data_axis),
+                       P(data_axis), P(data_axis)),
+             out_specs=(P(z_axis), P(z_axis), P(z_axis)))
+    def shard_backproject(imgs_l, mats_l, sx_l, sy_l, w_l):
+        dev_z = jax.lax.axis_index(z_axis)
+        z0 = dev_z * slab_p
+        dr = jnp.zeros((slab_p, P_, P_), jnp.float32)
+        di = jnp.zeros((slab_p, P_, P_), jnp.float32)
+        dw = jnp.zeros((slab_p, P_, P_), jnp.float32)
+        dr, di, dw = backproject_chunk(dr, di, dw, imgs_l, mats_l,
+                                       sx_l, sy_l, w_l, P_, max_freq,
+                                       slab_p=slab_p, slab_z0=z0,
+                                       interp=interp)
+        # fuse the image shards; the z axis stays sharded
+        return (jax.lax.psum(dr, data_axis),
+                jax.lax.psum(di, data_axis),
+                jax.lax.psum(dw, data_axis))
+
+    dr, di, dw = shard_backproject(jnp.asarray(imgs_p), jnp.asarray(mats),
+                                   jnp.asarray(sx_p), jnp.asarray(sy_p),
+                                   jnp.asarray(w_p))
+    # accumulators sharded over z; finalize under jit (partitioner inserts
+    # the collectives the tri+kb convolution and Hermitian mirror need)
+    return finalize_volume(dr, di, dw, N, P_, interp=interp,
+                           niter_weight=niter_weight)

@@ -91,18 +91,21 @@ class ProgRecFourier(XmippProgram):
         particle-sharded + psum volume reduction; slab = kz-slab volume
         sharding for cubes too large to replicate per chip."""
         from xmipp3_tpu.parallel.reconstruct import (parallel_reconstruct,
-                                                     slab_reconstruct)
+                                                     slab_reconstruct,
+                                                     slab_reconstruct_2d)
         imgs = np.stack([np.squeeze(Image(r["image"]).data)
                          for r in rows]).astype(np.float32)
         get = lambda k, d=0.0: np.array(
             [float(r.get(k, d)) for r in rows], np.float32)
         w = get("weight", 1.0) if self.use_weights else None
         flip = get("flip", 0.0).astype(bool)
-        if self._mesh_mode == "slab":
+        if self._mesh_mode in ("slab", "slab2d"):
             if self.sym.lower() not in ("c1", ""):
                 raise ValueError("--mesh slab currently supports c1 only; "
                                  "use --mesh dp for symmetric reconstructions")
-            vol = slab_reconstruct(
+            fn = slab_reconstruct_2d if self._mesh_mode == "slab2d" \
+                else slab_reconstruct
+            vol = fn(
                 self._mesh, np.where(flip[:, None, None],
                                      imgs[:, :, ::-1], imgs),
                 get("angleRot"), get("angleTilt"), get("anglePsi"),
