@@ -67,3 +67,58 @@ def test_phase_cong_mono_klh_smoke(reference_resources):
     amp = np.sqrt(im0 ** 2 + np.abs(q) ** 2)   # 2-D monogenic amplitude
     assert amp.shape == im.shape
     assert np.isfinite(amp).all()
+
+
+# ---------------------------------------------------------------------------
+# remaining fringe_processing cases (per-TEST ledger completion, r4)
+# ---------------------------------------------------------------------------
+
+def test_normalize_wb_recovers_unit_cosine():
+    """normalizeWB (fringe_processing.cpp:298-360): a fringe pattern with
+    smooth background and modulation normalizes to ~cos(phase) in
+    [-1, 1]."""
+    from xmipp3_tpu.ops.fringe import normalize_wb
+    n = 128
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64) - n // 2
+    phase = 2 * np.pi * (8.0 * x / n) + 0.3 * np.sin(2 * np.pi * y / n)
+    bg = 5.0 + 0.01 * x
+    mod = 2.0 + 0.5 * np.cos(2 * np.pi * y / (2 * n))
+    im = bg + mod * np.cos(phase)
+    roi = np.hypot(y, x) < n * 0.4
+    imN, mod_map = (np.asarray(v) for v in
+                    normalize_wb(im, rmin=2.0, rmax=30.0, roi=roi))
+    assert np.abs(imN).max() <= 1.0 + 1e-5
+    cc = np.corrcoef(imN[roi], np.cos(phase)[roi])[0, 1]
+    assert cc > 0.9, cc
+    assert (mod_map[roi] > 0).mean() > 0.95
+    assert np.abs(imN[~roi]).max() == 0.0
+
+
+def test_unwrapping_smooth_phase():
+    """unwrapping: a smooth quadratic phase wrapped into (-pi, pi]
+    unwraps back to the original up to a constant."""
+    from xmipp3_tpu.ops.fringe import unwrap_phase
+    n = 96
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64) - n // 2
+    true = 0.004 * (x ** 2 + 0.5 * y ** 2) + 0.05 * x
+    wrapped = (true + np.pi) % (2 * np.pi) - np.pi
+    un = np.asarray(unwrap_phase(wrapped))
+    diff = un - true
+    interior = (slice(8, -8), slice(8, -8))
+    spread = diff[interior] - diff[interior].mean()
+    assert np.abs(spread).max() < 0.15, np.abs(spread).max()
+
+
+def test_first_psd_zero_ring_radius():
+    """firsPSDZero: on a synthetic enhanced PSD (bright disk up to a
+    known first-zero ellipse), the per-angle first-zero points land on
+    the planted radius."""
+    from xmipp3_tpu.ops.fringe import first_psd_zero
+    n = 256
+    y, x = np.mgrid[0:n, 0:n].astype(np.float64) - n // 2
+    r = np.hypot(y, x)
+    r0 = 40.0
+    psd = np.where(r < r0, 1.0, 0.0) + 0.01
+    xs, ys = first_psd_zero(psd, rmin=10.0, rmax=200.0, num_angles=36)
+    rad = np.hypot(xs, ys)
+    assert np.abs(rad - r0).max() < 3.0, rad

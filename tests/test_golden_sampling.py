@@ -94,3 +94,59 @@ def test_compute_neighbors_c1(sampling_dir, base_sampling, exp_angles):
                                              return_index=True)
     got = compute_neighbors_reference(v3, idx, exp_angles, 5.0)
     assert got == fixture
+
+
+def test_compute_neighbors_i3h(sampling_dir, base_sampling, exp_angles):
+    """computeNeighborsI3H (test_sampling_main.cpp): the i3h fixture's
+    per-image neighbor lists, with experimental directions expanded by
+    the symmetry LR repository."""
+    import re as _re
+    path = os.path.join(sampling_dir, "neigh_ref_i3h_exp_sampling.xmd")
+    text = open(path).read()
+    m = _re.search(r"data_neighbors(.*?)data_\w+", text, _re.S)
+    assert m
+    fixture = []
+    for line in m.group(1).splitlines():
+        q = _re.search(r"'([\d\s]+)'", line)
+        if q:
+            fixture.append(sorted(int(v) for v in q.group(1).split()))
+    assert len(fixture) == 3
+    ang, vec = base_sampling
+    a2, v2 = remove_redundant_points_reference(ang, vec, "i3h")
+    dirs = exp_directions_by_symmetry(exp_angles, "i3h")
+    a3, v3, idx = remove_points_far_from_exp(a2, v2, dirs, 5.0,
+                                             return_index=True)
+    # per-image neighbors: ASU indices within the radius of ANY
+    # symmetry-expanded direction of that image
+    from xmipp3_tpu.core.geometry import euler_matrix
+    cosr = np.cos(np.deg2rad(5.0))
+    got = []
+    for k in range(len(exp_angles)):
+        orbit = exp_directions_by_symmetry(exp_angles[k:k + 1], "i3h")
+        sel = np.where((v3 @ orbit.T > cosr).any(axis=1))[0]
+        got.append(sorted(int(idx[s]) for s in sel))
+    assert got == fixture
+
+
+def test_save_read_sampling_file_roundtrip(tmp_path, base_sampling,
+                                           sampling_dir):
+    """saveReadSamplingFile: write + read our own sampling file and get
+    the same points back; the reader also parses the reference's own
+    fixture files."""
+    from xmipp3_tpu.core.sampling import (read_sampling_file,
+                                          save_sampling_file)
+    ang, vec = base_sampling
+    a2, v2 = remove_redundant_points_reference(ang, vec, "c1")
+    root = str(tmp_path / "samp")
+    save_sampling_file(root, a2, v2, np.deg2rad(3.0), np.deg2rad(5.0),
+                       neighbors=[[3, 2, 1], [7, 6]])
+    back = read_sampling_file(root)
+    assert abs(back["sampling_rate"] - np.deg2rad(3.0)) < 1e-6
+    assert abs(back["neighborhood_radius"] - np.deg2rad(5.0)) < 1e-6
+    assert back["neighbors"] == [[3, 2, 1], [7, 6]]
+    assert np.abs(back["angles"][:, :2] - a2[:, :2]).max() < 1e-5
+    assert np.abs(back["vectors"] - v2).max() < 1e-5
+    # the reference's own fixture parses too
+    ref = read_sampling_file(
+        os.path.join(sampling_dir, "neigh_ref_c1_exp_sampling.xmd"))
+    assert len(ref["angles"]) > 0 and ref["neighbors"] is not None

@@ -389,3 +389,71 @@ def compute_neighbors_reference(vectors, point_index, exp_angles,
         sel = np.where(V @ d > cosr)[0]
         out.append(sorted((point_index[s] for s in sel), reverse=True))
     return out
+
+
+def save_sampling_file(root: str, angles, vectors, sampling_rate_rad: float,
+                       neighborhood_radius_rad: float = 0.0,
+                       neighbors=None) -> str:
+    """Write the reference Sampling::saveSamplingFile layout
+    (<root>_sampling.xmd: data_extra scalars + optional data_neighbors
+    quoted index lists + data_projectionDirections loop)."""
+    fn = root + "_sampling.xmd"
+    lines = ["# XMIPP_STAR_1 * ", "# ", "data_extra",
+             f" _sampling_rate {sampling_rate_rad:.6g}",
+             f" _neighborhoodRadius {neighborhood_radius_rad:.6g}"]
+    if neighbors is not None:
+        lines += ["data_neighbors", "loop_", " _neighbor", " _neighbors"]
+        for i, ns in enumerate(neighbors):
+            lst = " ".join(str(v) for v in ns)
+            lines.append(f"{i + 1:>10} ' {lst} ' ")
+    lines += ["data_projectionDirections", "loop_", " _neighbor",
+              " _angleRot", " _angleTilt", " _anglePsi",
+              " _X", " _Y", " _Z"]
+    angles = np.asarray(angles, np.float64)
+    vectors = np.asarray(vectors, np.float64)
+    psi = angles[:, 2] if angles.shape[1] > 2 else np.zeros(len(angles))
+    for i in range(len(angles)):
+        lines.append(f"{i + 1:>10} {angles[i, 0]:12.6f} "
+                     f"{angles[i, 1]:12.6f} {psi[i]:12.6f} "
+                     f"{vectors[i, 0]:12.6f} {vectors[i, 1]:12.6f} "
+                     f"{vectors[i, 2]:12.6f} ")
+    with open(fn, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return fn
+
+
+def read_sampling_file(root: str) -> dict:
+    """Read a <root>_sampling.xmd written by save_sampling_file (or by
+    the reference saveSamplingFile — the fixtures in
+    resources/test/sampling/ parse with this reader)."""
+    import re
+    fn = root if root.endswith("_sampling.xmd") else root + "_sampling.xmd"
+    text = open(fn).read()
+    out = {"sampling_rate": 0.0, "neighborhood_radius": 0.0,
+           "neighbors": None}
+    m = re.search(r"_sampling_rate\s+([-\d.eE+]+)", text)
+    if m:
+        out["sampling_rate"] = float(m.group(1))
+    m = re.search(r"_neighborhoodRadius\s+([-\d.eE+]+)", text)
+    if m:
+        out["neighborhood_radius"] = float(m.group(1))
+    m = re.search(r"data_neighbors(.*?)(?:data_\w+|$)", text, re.S)
+    if m and "loop_" in m.group(1):
+        neigh = []
+        for line in m.group(1).splitlines():
+            q = re.search(r"'([\d\s]*)'", line)
+            if q:
+                neigh.append([int(v) for v in q.group(1).split()])
+        out["neighbors"] = neigh
+    m = re.search(r"data_projectionDirections(.*?)(?:data_\w+|$)", text,
+                  re.S)
+    rows = []
+    if m:
+        for line in m.group(1).splitlines():
+            t = line.split()
+            if len(t) == 7 and re.match(r"^-?\d+$", t[0]):
+                rows.append([float(x) for x in t[1:]])
+    arr = np.asarray(rows, np.float64).reshape(-1, 6)
+    out["angles"] = arr[:, :3]
+    out["vectors"] = arr[:, 3:6]
+    return out

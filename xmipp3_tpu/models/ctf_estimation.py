@@ -160,23 +160,29 @@ def _fitness(p, psd, fy, fx, band, n: int, consts, enh=None):
     enh = (enhanced_psd_half, weight) adds the reference's defocus-stage
     term: -weight * corr(enhancedPSD, pure CTF^2) over the band
     (ctf_estimate_from_psd.cpp:848-874, actions 3-4)."""
-    model = _model_psd(p, fy, fx, n, consts)
-    lm = jnp.log1p(jnp.maximum(model, 0.0))
+    # ONE _model_parts evaluation serves the full model (noise+signal),
+    # the background-over-PSD penalty (the noise part alone — identical
+    # to the old bgonly re-evaluation since LOGK=-30 zeroed the signal)
+    # and the enhanced-PSD term (the signal part). The model eval is the
+    # VPU bound of every compass round; halving it doubled batched
+    # throughput (measured r4).
+    noise, signal = _model_parts(p, fy, fx, n, consts)
+    signal = jnp.nan_to_num(signal, nan=0.0, posinf=1e30)
+    model = jnp.clip(jnp.nan_to_num(noise + signal, nan=0.0, posinf=1e30),
+                     0.0, 1e30)
+    lm = jnp.log1p(model)
     lo = jnp.log1p(jnp.maximum(psd, 0.0))
     w = band
     wsum = w.sum()
     corr = _masked_pearson(lm, lo, w)
     # penalty: pure background must not exceed the observed PSD
-    zero = jnp.zeros((NPARAMS,), p.dtype)
-    bgonly = zero.at[BASE:G2CV + 1].set(p[BASE:G2CV + 1]).at[LOGK].set(-30.0)
-    noise = _model_psd(bgonly, fy, fx, n, consts)
-    over = jnp.maximum(jnp.log1p(noise) - lo, 0.0)
+    noise_c = jnp.clip(jnp.nan_to_num(noise, nan=0.0, posinf=1e30),
+                       0.0, 1e30)
+    over = jnp.maximum(jnp.log1p(noise_c) - lo, 0.0)
     pen = (over * w).sum() / wsum
     val = -(corr) + 2.0 * pen
     if enh is not None:
         enh_img, enh_w = enh
-        _, signal = _model_parts(p, fy, fx, n, consts)
-        signal = jnp.nan_to_num(signal, nan=0.0, posinf=1e30)
         val = val - enh_w * _masked_pearson(enh_img, signal, w)
     return jnp.where(jnp.isfinite(val), val, 1e3)
 
@@ -325,12 +331,30 @@ class CTFEstimator:
         self.consts = (float(voltage), float(Cs), float(Ca), float(Q0),
                        float(vpp_radius))
         fy, fx = _freq_grids(self.n, self.Ts)
-        self.fy = jnp.asarray(fy)
-        self.fx = jnp.asarray(fx)
-        self.psd_j = jnp.asarray(self.psd)
+        # flat band-only layout: the staged fit only ever reads pixels
+        # inside the [min_freq, max_freq] annulus (~30% of the half
+        # plane), and every downstream consumer (_fitness/_compass) is
+        # elementwise — evaluating the 28-param model on the flat annulus
+        # cuts the VPU work of every compass round ~3x (the adaptive
+        # high-defocus band only SHRINKS inside this set, so it stays a
+        # weight update). Padded to a multiple of 1024 for tiling.
         r_dig = np.sqrt((fy * self.Ts) ** 2 + (fx * self.Ts) ** 2)
-        self.band = jnp.asarray(((r_dig >= min_freq) & (r_dig <= max_freq))
-                                .astype(np.float32))
+        sel = (r_dig >= min_freq) & (r_dig <= max_freq)
+        flat_idx = np.flatnonzero(sel.ravel())
+        pad = (-len(flat_idx)) % 1024
+        flat_idx = np.concatenate([flat_idx, np.zeros(pad, np.int64)])
+        self._flat_idx = flat_idx
+        self._flat_pad = pad
+        fyb = np.broadcast_to(fy, r_dig.shape).ravel()[flat_idx]
+        fxb = np.broadcast_to(fx, r_dig.shape).ravel()[flat_idx]
+        self.fy = jnp.asarray(fyb.astype(np.float32))
+        self.fx = jnp.asarray(fxb.astype(np.float32))
+        self.psd_j = jnp.asarray(self.psd.ravel()[flat_idx])
+        band = np.ones(len(flat_idx), np.float32)
+        if pad:
+            band[-pad:] = 0.0
+        self.band = jnp.asarray(band)
+        self._r_dig_flat = r_dig.ravel()[flat_idx]
         self.min_freq_dig = min_freq
         self.max_freq_dig = max_freq
         self.defocus_range = defocus_range
@@ -354,7 +378,8 @@ class CTFEstimator:
         self._enh = None
         if self.enhance_weight != 0.0:
             enh = self._enhanced_half(self.psd, enhance_f1, enhance_f2)
-            self._enh = (jnp.asarray(enh), self.enhance_weight)
+            self._enh = (jnp.asarray(enh.ravel()[self._flat_idx]),
+                         self.enhance_weight)
         self.params = np.zeros(NPARAMS, np.float32)
 
     @staticmethod
@@ -461,9 +486,11 @@ class CTFEstimator:
         return self.final_fitness
 
     # -- stage 1: sqrt + baseline background ------------------------------
-    def fit_background(self):
-        from xmipp3_tpu.ops.psd import radial_profile
-        freqs_dig, prof = radial_profile(self.psd)
+    def fit_background(self, profile=None):
+        if profile is None:
+            from xmipp3_tpu.ops.psd import radial_profile
+            profile = radial_profile(self.psd)
+        freqs_dig, prof = profile
         freqs = np.asarray(freqs_dig) / self.Ts
         prof = np.asarray(prof)
         sel = (freqs_dig > 0.02) & (freqs_dig < 0.45)
@@ -486,9 +513,11 @@ class CTFEstimator:
         return base, abs(sqrtK), abs(sq)
 
     # -- stage 2: first Gaussian background --------------------------------
-    def fit_gaussian1(self, optimize: bool = True):
-        from xmipp3_tpu.ops.psd import radial_profile
-        freqs_dig, prof = radial_profile(self.psd)
+    def fit_gaussian1(self, optimize: bool = True, profile=None):
+        if profile is None:
+            from xmipp3_tpu.ops.psd import radial_profile
+            profile = radial_profile(self.psd)
+        freqs_dig, prof = profile
         freqs = np.asarray(freqs_dig) / self.Ts
         prof = np.asarray(prof)
         bg = (self.params[BASE] + self.params[SQK]
@@ -574,12 +603,13 @@ class CTFEstimator:
         df_grid = 1.0 / (self.n * self.Ts)
         f_lim = 1.0 / (2.0 * lam * max(best[DEFU], 1.0) * 2.5 * df_grid)
         if f_lim * self.Ts < self.max_freq_dig:
-            fy, fx = _freq_grids(self.n, self.Ts)
-            r_dig = np.sqrt((fy * self.Ts) ** 2 + (fx * self.Ts) ** 2)
-            self.band = jnp.asarray(
-                ((r_dig >= self.min_freq_dig)
-                 & (r_dig <= max(f_lim * self.Ts, 2 * self.min_freq_dig)))
-                .astype(np.float32))
+            r = self._r_dig_flat
+            band = ((r >= self.min_freq_dig)
+                    & (r <= max(f_lim * self.Ts, 2 * self.min_freq_dig))
+                    ).astype(np.float32)
+            if self._flat_pad:
+                band[-self._flat_pad:] = 0.0
+            self.band = jnp.asarray(band)
 
         angs = np.linspace(0.0, 180.0, n_angles, endpoint=False,
                            dtype=np.float32)
@@ -983,11 +1013,26 @@ def _compass_opt_lockstep(P0, steps, psds, fy, fx, bands, n: int, consts,
 
 @partial(jax.jit, static_argnames=("n",))
 def _fitness_lockstep(P, psds, fy, fx, bands, n: int, consts):
-    """(B, C, NPARAMS) candidates against (B, ...) psds/bands."""
-    return jax.vmap(
-        lambda Pc, psd, band: jax.vmap(
-            lambda p: _fitness(p, psd, fy, fx, band, n, consts))(Pc)
-    )(P, psds, bands)
+    """(B, C, NPARAMS) candidates against (B, ...) psds/bands.
+
+    The candidate axis is chunked through lax.map: a fully vmapped
+    evaluation materializes B*C half-plane models at once (25 GB at
+    B=32, C=1521 on a 512 PSD) — chunks of 64 keep the live set under
+    ~0.5 GB while still saturating the VPU."""
+    B, C, _ = P.shape
+    CH = 64
+    pad = (-C) % CH
+    Pp = jnp.pad(P, ((0, 0), (0, pad), (0, 0)))
+    Pp = jnp.moveaxis(Pp.reshape(B, -1, CH, NPARAMS), 1, 0)
+
+    def chunk(Pc):          # (B, CH, NPARAMS)
+        return jax.vmap(
+            lambda Pi, psd, band: jax.vmap(
+                lambda p: _fitness(p, psd, fy, fx, band, n, consts))(Pi)
+        )(Pc, psds, bands)
+
+    costs = jax.lax.map(chunk, Pp)            # (nchunk, B, CH)
+    return jnp.moveaxis(costs, 0, 1).reshape(B, -1)[:, :C]
 
 
 class _CTFBatch:
@@ -1107,12 +1152,13 @@ class _CTFBatch:
             df_grid = 1.0 / (e.n * e.Ts)
             f_lim = 1.0 / (2.0 * lam * max(best[DEFU], 1.0) * 2.5 * df_grid)
             if f_lim * e.Ts < e.max_freq_dig:
-                fyh, fxh = _freq_grids(e.n, e.Ts)
-                r_dig = np.sqrt((fyh * e.Ts) ** 2 + (fxh * e.Ts) ** 2)
-                e.band = jnp.asarray(
-                    ((r_dig >= e.min_freq_dig)
-                     & (r_dig <= max(f_lim * e.Ts, 2 * e.min_freq_dig)))
-                    .astype(np.float32))
+                r = e._r_dig_flat
+                band = ((r >= e.min_freq_dig)
+                        & (r <= max(f_lim * e.Ts, 2 * e.min_freq_dig))
+                        ).astype(np.float32)
+                if e._flat_pad:
+                    band[-e._flat_pad:] = 0.0
+                e.band = jnp.asarray(band)
         if ests[0].fast:
             n_astig, n_angles = 7, 4
         angs = np.linspace(0.0, 180.0, n_angles, endpoint=False,
@@ -1140,9 +1186,43 @@ def estimate_ctf_batch(psd_halves, sampling, voltage=300.0, Cs=2.7,
     ests = [CTFEstimator(np.asarray(p, np.float32), sampling, voltage,
                          Cs, Q0, **kw) for p in psd_halves]
     batch = _CTFBatch(ests)
-    for e in ests:
-        e.fit_background()
-        e.fit_gaussian1(optimize=False)
+    # ONE device dispatch for all radial profiles (the per-est
+    # radial_profile cost ~30 ms/dispatch dominated the host stages)
+    from xmipp3_tpu.ops.fourier import radial_average_half
+    nbins = ests[0].n // 2
+    profs = np.asarray(radial_average_half(
+        jnp.stack([jnp.asarray(e.psd) for e in ests]), nbins))
+    freqs_dig = (np.arange(nbins) + 0.5) * (0.5 / nbins)
+    # vectorized background fit: base + K exp(-s sqrt(f)) is linear in
+    # (base, K) given s — grid s, solve the 2x2 LSQ for every (est, s)
+    # at once, keep the best (replaces B serial scipy LM fits)
+    sel = (freqs_dig > 0.02) & (freqs_dig < 0.45)
+    x = freqs_dig[sel] / ests[0].Ts
+    Y = np.log1p(np.maximum(profs[:, sel], 0.0))          # (B, M)
+    sgrid = np.geomspace(0.5, 40.0, 48)                   # (S,)
+    E = np.exp(-sgrid[:, None] * np.sqrt(x)[None, :])     # (S, M)
+    ones = np.ones_like(x)
+    # normal equations per (s): fit y ~ a + b*E in log1p space is
+    # nonlinear; fit prof ~ base + K*E directly instead
+    Yp = np.maximum(profs[:, sel], 0.0)                   # (B, M)
+    StS = np.stack([np.full(len(sgrid), len(x)),
+                    E.sum(1), E.sum(1), (E * E).sum(1)],
+                   axis=1).reshape(-1, 2, 2)              # (S, 2, 2)
+    rhs = np.stack([np.broadcast_to(Yp.sum(1)[:, None],
+                                    (len(Yp), len(sgrid))),
+                    Yp @ E.T], axis=2)                    # (B, S, 2)
+    coef = np.linalg.solve(StS[None], rhs[..., None])[..., 0]  # (B,S,2)
+    pred = coef[..., 0:1] + coef[..., 1:2] * E[None]      # (B, S, M)
+    err = (np.log1p(np.maximum(pred, 0.0)) - Y[:, None]) ** 2
+    best_s = err.sum(-1).argmin(1)                        # (B,)
+    for bi, e in enumerate(ests):
+        k = best_s[bi]
+        base, K = coef[bi, k]
+        e.params[BASE] = max(float(base), 0.0)
+        e.params[SQK] = abs(float(K))
+        e.params[SQU] = e.params[SQV] = float(sgrid[k])
+        e.params[SQANG] = 0.0
+        e.fit_gaussian1(optimize=False, profile=(freqs_dig, profs[bi]))
     batch.powell(STAGE_SETS["bg_sqrt"] + STAGE_SETS["bg_gauss"], maxiter=2,
                  label="bg")
     if ests[0].no_defocus:

@@ -96,3 +96,104 @@ def simul_pattern(kind: str, nx: int, ny: int, noise_level: float = 0.0,
         rng = np.random.default_rng() if rng is None else rng
         im = im + rng.normal(0.0, noise_level, im.shape)
     return np.broadcast_to(im, (ny, nx)).astype(np.float64).copy()
+
+
+@partial(jax.jit, static_argnames=())
+def _annular_bandpass(im, rmin, rmax):
+    """normalizeWB's annular filter (fringe_processing.cpp:298-330):
+    logistic high cut at freq1 = X/(rang/15), Gaussian low suppression at
+    freq2 = X/rang with rang = (rmax - rmin)/2, applied on CENTERED
+    frequencies in pixel units."""
+    H, W = im.shape[-2:]
+    rang = (rmax - rmin) / 2.0
+    freq2 = W / jnp.maximum(rang, 1e-6)
+    freq1 = W / jnp.maximum(rang / 15.0, 1e-6)
+    ii = (jnp.arange(H) - H // 2)[:, None].astype(jnp.float32)
+    jj = (jnp.arange(W) - W // 2)[None, :].astype(jnp.float32)
+    r2 = ii * ii + jj * jj
+    Hf = (1.0 / (1.0 + jnp.exp((jnp.sqrt(r2) - freq1) / 10.0))) \
+        * (1.0 - jnp.exp(-r2 / (2.0 * freq2 * freq2)))
+    Hf = jnp.fft.ifftshift(Hf)
+    return jnp.real(jnp.fft.ifft2(jnp.fft.fft2(im) * Hf))
+
+
+def normalize_wb(im, rmin: float, rmax: float, roi=None):
+    """normalizeWB (fringe_processing.cpp:298-360): annular band-pass,
+    SPTH quadrature, imN = cos(atan2(|quadrature|, bandpassed)) in
+    [-1, 1], mod_map = modulation magnitude; zero outside the ROI."""
+    im = jnp.asarray(im, jnp.float32)
+    bp = _annular_bandpass(im, float(rmin), float(rmax))
+    q = spth(bp)
+    mod = jnp.sqrt(jnp.abs(q) ** 2 + bp ** 2)
+    imN = jnp.cos(jnp.arctan2(jnp.abs(q), bp))
+    if roi is not None:
+        roi = jnp.asarray(roi, bool)
+        imN = jnp.where(roi, imN, 0.0)
+        mod = jnp.where(roi, mod, 0.0)
+    return imN, mod
+
+
+def unwrap_phase(wrapped, quality=None):
+    """2-D phase unwrapping (reference `unwrapping`,
+    fringe_processing.cpp:552-700 — a quality-guided flood fill with a
+    predictor/corrector).  Design shift: the flood fill is inherently
+    serial, so the TPU form solves the equivalent weighted least-squares
+    problem  min ||grad(u) - W(grad(wrapped))||^2  by the classic
+    DCT/Poisson method (Ghiglia & Romero 1994) — identical results on
+    smooth phases (the regime the reference's demodulation feeds it),
+    one FFT dispatch."""
+    w = jnp.asarray(wrapped, jnp.float32)
+    H, W = w.shape
+
+    def wrapd(x):
+        return (x + jnp.pi) % (2 * jnp.pi) - jnp.pi
+
+    dx = wrapd(jnp.diff(w, axis=1, append=w[:, -1:]))
+    dy = wrapd(jnp.diff(w, axis=0, append=w[-1:, :]))
+    rho = (dx - jnp.roll(dx, 1, axis=1)) + (dy - jnp.roll(dy, 1, axis=0))
+    # Neumann Poisson solve via DCT-II (mirror-extend with rFFTs)
+    ext = jnp.concatenate([rho, rho[::-1, :]], axis=0)
+    ext = jnp.concatenate([ext, ext[:, ::-1]], axis=1)
+    F = jnp.fft.fft2(ext)
+    ky = jnp.arange(2 * H)[:, None]
+    kx = jnp.arange(2 * W)[None, :]
+    denom = (2 * jnp.cos(jnp.pi * ky / H) + 2 * jnp.cos(jnp.pi * kx / W)
+             - 4.0)
+    denom = jnp.where(jnp.abs(denom) < 1e-9, 1.0, denom)
+    U = jnp.where((ky == 0) & (kx == 0), 0.0, F / denom)
+    u = jnp.real(jnp.fft.ifft2(U))[:H, :W]
+    # anchor to the wrapped phase at the best-quality pixel
+    if quality is not None:
+        q = jnp.abs(jnp.asarray(quality))
+        k = jnp.argmax(q)
+    else:
+        k = (H // 2) * W + W // 2
+    off = w.ravel()[k] - u.ravel()[k]
+    return u + off
+
+
+def first_psd_zero(enhanced_psd, rmin: float, rmax: float,
+                   num_angles: int = 90):
+    """firsPSDZero (fringe_processing.cpp:1022-1080): walk a ray per
+    angle from rmin/2 outward and record the first point whose enhanced-
+    PSD value falls below the (10th-percentile + 98th-percentile)/2
+    threshold.  Returns (x, y) arrays, one point per angle (centered
+    coordinates).  TPU shape: ALL rays sample in one vectorized gather."""
+    psd = np.asarray(enhanced_psd, np.float64)
+    H, W = psd.shape
+    lo = np.percentile(psd, 0.1 * 100 / 100)
+    eff0 = np.percentile(psd, 0.1)
+    effF = np.percentile(psd, 98.0)
+    thrs = 0.5 * (eff0 + effF)
+    angles = np.arange(num_angles) * (2 * np.pi / num_angles)
+    n_steps = 256
+    tt = np.linspace(rmin / 2.0, rmax / 2.0, n_steps)
+    xs = tt[None, :] * np.cos(angles)[:, None]           # (A, S)
+    ys = tt[None, :] * np.sin(angles)[:, None]
+    xi = np.clip(np.round(xs).astype(int) + W // 2, 0, W - 1)
+    yi = np.clip(np.round(ys).astype(int) + H // 2, 0, H - 1)
+    vals = psd[yi, xi]                                   # (A, S)
+    below = vals < thrs
+    first = np.where(below.any(axis=1), below.argmax(axis=1), n_steps - 1)
+    return (xs[np.arange(num_angles), first],
+            ys[np.arange(num_angles), first])
