@@ -167,3 +167,32 @@ def test_compare_views_scores(tmp_path):
                      f"-v1 {fn_vol} -v2 {fn_vol2} --degstep 45 "
                      f"-o {tmp_path}/cv2.xmp -v 0")
     assert prog2.corr_image.mean() < prog.corr_image.mean() - 0.05
+
+
+def test_mode_amplitude_recovery_trust_region_ab():
+    """A/B of the optimizers behind the same jitted objective (VERDICT r3
+    #6 — CONDOR role): the COBYQA trust-region DFO must recover the
+    planted amplitude within the reference's tolerance, and the default
+    Adam path must be at least as accurate (the documented reason Adam
+    stays the default)."""
+    model = two_blob_model()
+    modes, _ = elastic_network_modes(model.coords, n_modes=2)
+    size, Ts = 32, 1.0
+    vol_ref = rasterize(model, size, Ts, sigma_a=1.5, center=False)
+    amp_true = 3.0
+    disp = amp_true * modes[0]
+    model_def = AtomicModel(model.coords + disp, model.elements,
+                            model.bfactors, model.occupancies)
+    vol_t = rasterize(model_def, size, Ts, sigma_a=1.5, center=False)
+    amp_tr, ncc_tr = fit_mode_amplitudes(vol_ref, vol_t, model.coords,
+                                         modes, Ts, n_steps=80,
+                                         optimizer="trust")
+    amp_ad, ncc_ad = fit_mode_amplitudes(vol_ref, vol_t, model.coords,
+                                         modes, Ts, n_steps=80)
+    assert amp_tr[0] == pytest.approx(amp_true, rel=0.2)
+    assert abs(amp_tr[0]) > abs(amp_tr[1])
+    # Adam (default) at least matches the trust-region recovery
+    err_ad = abs(amp_ad[0] - amp_true)
+    err_tr = abs(amp_tr[0] - amp_true)
+    assert err_ad <= err_tr + 0.2, (err_ad, err_tr)
+    assert ncc_ad >= ncc_tr - 0.01

@@ -123,11 +123,19 @@ def warp_volume_field(vol, field):
 
 
 def fit_mode_amplitudes(vol_ref, vol_target, coords, modes, sampling=1.0,
-                        n_steps: int = 60, lr: float = 0.5, verbose: int = 0):
+                        n_steps: int = 60, lr: float = 0.5, verbose: int = 0,
+                        optimizer: str = "adam"):
     """Fit NMA amplitudes deforming vol_ref onto vol_target.
 
     Differentiable chain: amplitudes -> per-mode dense fields (precomputed
-    per unit amplitude, linear) -> warp -> NCC. Returns (amplitudes, ncc)."""
+    per unit amplitude, linear) -> warp -> NCC. Returns (amplitudes, ncc).
+
+    optimizer: 'adam' (device lax.scan gradient descent, default — A/B
+    measured equal-or-better amplitude recovery on the
+    tests/test_nma_validation.py fixtures) or 'trust' (host COBYQA
+    trust-region DFO, the CONDOR role — reference external/condor used
+    by nma_alignment.h:40; derivative-free, for non-smooth objectives
+    where gradient methods stall)."""
     D = vol_ref.shape[0]
     M = len(modes)
     unit_fields = np.stack([
@@ -145,6 +153,18 @@ def fit_mode_amplitudes(vol_ref, vol_target, coords, modes, sampling=1.0,
         return -(am * bm).sum() / jnp.maximum(
             jnp.sqrt((am ** 2).sum() * (bm ** 2).sum()), 1e-12)
 
+    if optimizer == "trust":
+        import jax as _jax
+
+        from xmipp3_tpu.ops.optim import trust_region_dfo
+        loss_j = _jax.jit(loss)
+        amp, best = trust_region_dfo(
+            lambda a: loss_j(jnp.asarray(a, jnp.float32)),
+            np.zeros(M, np.float32), max_nfev=max(8 * n_steps, 120),
+            rhobeg=2.0 * lr)
+        if verbose:
+            print(f"  nma refine (trust-region DFO): NCC {-best:.4f}")
+        return np.asarray(amp), -best
     from xmipp3_tpu.ops.optim import adam_scan
     amp, last = adam_scan(loss, jnp.zeros(M, jnp.float32), n_steps, lr)
     if verbose:

@@ -49,3 +49,34 @@ def adam_scan(loss_fn, x0, n_steps: int, lr, b1: float = 0.9,
         return x, losses[-1]
 
     return run(x0)
+
+
+def trust_region_dfo(loss_fn, x0, max_nfev: int = 300, rhobeg=None,
+                     bounds=None):
+    """Derivative-free trust-region minimizer (the CONDOR role —
+    reference external/condor/ UOBYQA-family optimizer used by
+    nma_alignment.h:40): scipy's COBYQA drives the jitted objective from
+    the host.  For small parameter counts (NMA amplitudes are <=20) the
+    quadratic-model trust region is robust on the non-smooth
+    image-matching objectives where first-order methods can stall.
+
+    Returns (x, f)."""
+    import numpy as np
+    import scipy.optimize
+
+    x0 = np.asarray(x0, np.float64)
+
+    def f(x):
+        return float(loss_fn(x.astype(np.float32)))
+
+    options = {"maxfev": int(max_nfev)}
+    if rhobeg is not None:
+        options["initial_tr_radius"] = float(rhobeg)
+    try:
+        res = scipy.optimize.minimize(f, x0, method="COBYQA",
+                                      bounds=bounds, options=options)
+    except Exception:
+        res = scipy.optimize.minimize(
+            f, x0, method="Powell",
+            options={"maxfev": int(max_nfev), "xtol": 1e-3})
+    return np.asarray(res.x, np.float32), float(res.fun)
