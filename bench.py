@@ -234,8 +234,8 @@ def bench_ctf_estimate():
     # fit (models.ctf_estimation.estimate_ctf_batch) — the per-stage
     # relay/dispatch latency amortizes B ways
     from xmipp3_tpu.models.ctf_estimation import estimate_ctf_batch
-    B = 8
-    true_defs = [(17000 - 1200 * i, 14000 - 900 * i, 30.0 + 15 * i)
+    B = 16
+    true_defs = [(17000 - 600 * i, 14000 - 450 * i, 30.0 + 8 * i)
                  for i in range(B)]
     psds = []
     for (dU, dV, ang) in true_defs:
@@ -264,7 +264,7 @@ def bench_ctf_estimate():
         base = _ref_cpu_ctf_numpy(mic)
         _cache_put("ref_cpu_ctf_2048", base)
     return dict(value=round(B / dtb, 3), unit="micrographs/s/chip",
-                seconds_warm_batch8=round(dtb, 2),
+                seconds_warm_batch16=round(dtb, 2),
                 seconds_warm_single=round(dt, 2),
                 seconds_cold=round(dt_cold + dtb_cold, 2),
                 defocusU_err=round(max(errU, errU_b), 4),

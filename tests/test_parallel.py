@@ -168,3 +168,88 @@ def test_slab_reconstruct_2d_mesh_matches_dp():
     from xmipp3_tpu.parallel.mesh import pad_to_multiple
     imgs_p, _ = pad_to_multiple(imgs, 4)
     assert imgs_p.shape[0] % 4 == 0
+
+
+def test_parallel_match_full_with_masks_matches_serial():
+    """dp gallery match with allowed/psi masks and top-N must equal the
+    serial engine (the discrete-assign / assignment-mag / neighborhood
+    paths now shard over the mesh — VERDICT r3 #8)."""
+    import jax
+    from jax.sharding import Mesh
+    from xmipp3_tpu.ops.match import match_to_gallery
+    from xmipp3_tpu.parallel.match import parallel_match_full
+    rng = np.random.default_rng(3)
+    R, B, N = 12, 18, 32
+    y, x = np.mgrid[0:N, 0:N].astype(np.float32) - N // 2
+    refs = np.stack([np.exp(-((x - dx) ** 2 + (y - dy) ** 2) / 12)
+                     for dx, dy in zip(rng.uniform(-8, 8, R),
+                                       rng.uniform(-8, 8, R))]
+                    ).astype(np.float32)
+    imgs = (refs[np.arange(B) % R]
+            + 0.05 * rng.standard_normal((B, N, N)).astype(np.float32))
+    allowed = np.ones((B, R), np.float32)
+    allowed[:, ::3] = 0.0     # forbid a third of the gallery
+    allowed[allowed.sum(1) < 1] = 1.0
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    out_dp = parallel_match_full(mesh, refs, imgs, max_shift=4,
+                                 allowed=allowed, n_orientations=2)
+    out_s = match_to_gallery(refs, imgs, max_shift=4, allowed=allowed,
+                             n_orientations=2)
+    assert (out_dp["ref_idx"] == np.asarray(out_s["ref_idx"])).all()
+    np.testing.assert_allclose(out_dp["corr"], np.asarray(out_s["corr"]),
+                               atol=1e-4)
+    # candidate mask honored
+    assert not np.isin(out_dp["ref_idx"].ravel(),
+                       np.arange(0, R, 3)).any()
+
+
+def test_parallel_class_sums_matches_serial():
+    """Particle-sharded class accumulation (angular_class_average --mesh)
+    equals the serial register+group-mean path."""
+    import jax
+    from jax.sharding import Mesh
+    from xmipp3_tpu.ops.geo import apply_md_geometry
+    from xmipp3_tpu.parallel.engines import parallel_class_sums
+    rng = np.random.default_rng(0)
+    B, K, N = 22, 3, 24
+    imgs = rng.standard_normal((B, N, N)).astype(np.float32)
+    psi = rng.uniform(-30, 30, B).astype(np.float32)
+    sx = rng.uniform(-2, 2, B).astype(np.float32)
+    sy = rng.uniform(-2, 2, B).astype(np.float32)
+    flip = (rng.random(B) < 0.3).astype(np.float32)
+    assign = rng.integers(0, K, B)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sums, counts = parallel_class_sums(mesh, imgs, psi, sx, sy, flip,
+                                       assign, K)
+    reg = np.asarray(apply_md_geometry(imgs, psi, sx, sy, flip > 0.5))
+    for k in range(K):
+        sel = assign == k
+        assert counts[k] == sel.sum()
+        if sel.any():
+            np.testing.assert_allclose(sums[k], reg[sel].sum(0), atol=1e-4)
+
+
+def test_parallel_filter_bank_matches_serial():
+    """Band-sharded halves-restoration filter bank equals the serial
+    lax.scan (volume_halves_restoration --mesh)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+    from xmipp3_tpu.ops import halves_restoration as hr
+    from xmipp3_tpu.parallel.engines import parallel_filter_bank
+    rng = np.random.default_rng(1)
+    n = 24
+    shape = (n, n, n)
+    v1 = rng.standard_normal(shape).astype(np.float32)
+    v2 = rng.standard_normal(shape).astype(np.float32)
+    r2 = np.asarray(hr.make_r2(shape))
+    args = (r2, shape, 0.1, 0.5, 1, 3.0)
+    s1, s2v, sb = (np.asarray(v) for v in hr.filter_bank(
+        jnp.asarray(v1), jnp.asarray(v2), jnp.asarray(r2), shape,
+        0.1, 0.5, 1, 3.0))
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    m1, m2, mb = parallel_filter_bank(mesh, v1, v2, r2, shape,
+                                      0.1, 0.5, 1, 3.0)
+    np.testing.assert_allclose(m1, s1, atol=1e-4)
+    np.testing.assert_allclose(m2, s2v, atol=1e-4)
+    np.testing.assert_allclose(mb, sb, atol=1e-4)

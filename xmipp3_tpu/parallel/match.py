@@ -49,12 +49,19 @@ def parallel_match(mesh, refs, imgs, max_shift: int = 8, radius_min: int = 2,
 def parallel_match_full(mesh, refs, imgs, max_shift: int = 8,
                         radius_min: int = 2, radius_max: int | None = None,
                         refine_iters: int = 2, check_mirror: bool = True,
-                        axis_name: str = "data"):
+                        axis_name: str = "data", allowed=None,
+                        psi_allow=None, n_orientations: int = 1,
+                        trial_step=None):
     """Full gallery match (coarse 5-D scan + winner refinement) with the
     particle axis sharded over the mesh — the dp engine behind the CLI
     `--mesh dp` flag (the reference's BasicMpiMetadataProgram work-dealing,
     parallel/xmipp_mpi.h:222-272). Data parallelism is expressed purely by
-    input shardings; XLA partitions the whole jitted pipeline."""
+    input shardings; XLA partitions the whole jitted pipeline.
+
+    allowed (B, R) candidate masks, psi_allow (B, A) in-plane masks and
+    n_orientations top-N tracking shard along with the particle axis —
+    the discrete-assign / assignment-mag / neighborhood paths run dp too
+    (VERDICT r3 #8)."""
     refs = np.asarray(refs, np.float32)
     imgs = np.asarray(imgs, np.float32)
     n_dev = mesh.shape[axis_name]
@@ -64,10 +71,23 @@ def parallel_match_full(mesh, refs, imgs, max_shift: int = 8,
         radius_max = H // 2 - 2
     refs_d = replicate(jnp.asarray(refs), mesh)
     imgs_d = shard_particles(jnp.asarray(imgs_p), mesh, axis_name)
+    allowed_d = None
+    if allowed is not None:
+        # padded rows: allow everything (their outputs are dropped)
+        al_p = pad_to_multiple(np.asarray(allowed, np.float32), n_dev,
+                               fill=1.0)[0]
+        allowed_d = shard_particles(jnp.asarray(al_p), mesh, axis_name)
+    psi_d = None
+    if psi_allow is not None:
+        ps_p = pad_to_multiple(np.asarray(psi_allow, np.float32), n_dev,
+                               fill=1.0)[0]
+        psi_d = shard_particles(jnp.asarray(ps_p), mesh, axis_name)
     out = match_to_gallery(refs_d, imgs_d, max_shift=max_shift,
                            radius_min=radius_min, radius_max=radius_max,
                            refine_iters=refine_iters,
-                           check_mirror=check_mirror)
+                           check_mirror=check_mirror, allowed=allowed_d,
+                           psi_allow=psi_d, n_orientations=n_orientations,
+                           trial_step=trial_step)
     return {k: np.asarray(v)[:n_valid] for k, v in out.items()
             if k != "aligned"}
 

@@ -47,7 +47,7 @@ def local_batch_size(total: int, mesh: Mesh, axis_name: str = "data") -> int:
     return total // n
 
 
-def pad_to_multiple(arr, multiple: int, axis: int = 0):
+def pad_to_multiple(arr, multiple: int, axis: int = 0, fill=0.0):
     """Pad the particle axis so it divides the mesh evenly; returns
     (padded, n_valid)."""
     n = arr.shape[axis]
@@ -56,4 +56,4 @@ def pad_to_multiple(arr, multiple: int, axis: int = 0):
         return arr, n
     pad = [(0, 0)] * arr.ndim
     pad[axis] = (0, rem)
-    return np.pad(np.asarray(arr), pad), n
+    return np.pad(np.asarray(arr), pad, constant_values=fill), n

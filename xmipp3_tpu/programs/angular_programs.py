@@ -280,6 +280,8 @@ class ProgAngularClassAverage(XmippProgram):
         self.addParamsLine("  [--Ri <ri=1>] : Inner radius of the "
                            "rotational search")
         self.addParamsLine("  [--Ro <r0=-1>] : Outer radius (-1 = dim/2-1)")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def run(self):
         import jax.numpy as jnp
@@ -298,10 +300,24 @@ class ProgAngularClassAverage(XmippProgram):
             thr = np.percentile(score, abs(lRp))
             keep &= (score >= thr) if lRp > 0 else (
                 score <= np.percentile(score, 100 - abs(lRp)))
-        registered = np.asarray(apply_md_geometry(
-            imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
-            np.array([bool(r.get("flip", 0)) for r in rows])))
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             resolve_mesh)
+        maybe_init_distributed(self)
+        mesh, mesh_mode = resolve_mesh(
+            self.getParam("--mesh") if self.checkParam("--mesh")
+            else "auto")
         assign = get("ref").astype(int)
+        use_mesh_sums = (mesh is not None and self.getIntParam("--iter") == 0
+                         and not self.checkParam("--pcaSorting"))
+        if use_mesh_sums:
+            registered = None
+            if self.verbose:
+                print(f"mesh: {mesh_mode} class accumulation over "
+                      f"{len(mesh.devices.ravel())} devices")
+        else:
+            registered = np.asarray(apply_md_geometry(
+                imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
+                np.array([bool(r.get("flip", 0)) for r in rows])))
         lRc = self.getDoubleParam("--limitRclass")
         if 0 < abs(lRc) < 100:
             for k in np.unique(assign):
@@ -329,7 +345,32 @@ class ProgAngularClassAverage(XmippProgram):
         scounts = np.zeros((2, n_refs), int)
         save_assigned = self.checkParam("--save_images_assigned_to_classes")
         first_block = True
-        for k in range(1, n_refs + 1):
+        if use_mesh_sums and not save_assigned:
+            # particle-sharded registration + one-hot class sums + psum
+            # (parallel.engines.parallel_class_sums — the
+            # mpi_angular_class_average split, VERDICT r3 #8)
+            from xmipp3_tpu.parallel.engines import parallel_class_sums
+            flip_arr = np.array([float(bool(r.get("flip", 0)))
+                                 for r in rows], np.float32)
+            sums, cnts = parallel_class_sums(
+                mesh, imgs, get("anglePsi"), get("shiftX"), get("shiftY"),
+                flip_arr, assign - 1, n_refs,
+                sel_weights=keep.astype(np.float32))
+            nz = cnts > 0
+            avgs[nz] = sums[nz] / cnts[nz, None, None]
+            counts[:] = cnts.astype(int)
+            if self.checkParam("--split"):
+                half_mask = (rng.random(len(imgs)) < 0.5)
+                for hi, hm in enumerate((half_mask, ~half_mask)):
+                    ssum, scnt = parallel_class_sums(
+                        mesh, imgs, get("anglePsi"), get("shiftX"),
+                        get("shiftY"), flip_arr, assign - 1, n_refs,
+                        sel_weights=(keep & hm).astype(np.float32))
+                    nz = scnt > 0
+                    splits[hi][nz] = ssum[nz] / scnt[nz, None, None]
+                    scounts[hi] = scnt.astype(int)
+        else:
+          for k in range(1, n_refs + 1):
             sel = np.where((assign == k) & keep)[0]
             if len(sel) == 0:
                 continue

@@ -269,11 +269,28 @@ class ProgAngularProjectionMatching(XmippProgram):
                     allowed[empty] = 1.0
             psi_allow = self._psi_allow(chunk)
             with timed_phase("match_to_gallery"):
-                if mesh is None or self.n_orient > 1 or \
-                        allowed is not None or self.scale_nsteps > 0 or \
-                        psi_allow is not None or not self.check_mirror:
-                    # top-N / neighborhoods / scale search / psi masks run
-                    # the serial (single-device) path; dp/tp the plain case
+                if mesh is None or self.scale_nsteps > 0:
+                    # scale search still runs the serial path; top-N /
+                    # neighborhoods / psi masks shard with the particles
+                    # (VERDICT r3 #8 — parallel_match_full carries
+                    # allowed/psi_allow/n_orientations now)
+                    res = self._match_with_scales(refs, imgs, max_shift, Ro,
+                                                  allowed, psi_allow)
+                elif mesh_mode != "tp" and (
+                        self.n_orient > 1 or allowed is not None
+                        or psi_allow is not None or not self.check_mirror):
+                    from xmipp3_tpu.parallel.match import parallel_match_full
+                    res = parallel_match_full(
+                        mesh, refs, imgs, max_shift=max_shift,
+                        radius_min=max(self.Ri, 2), radius_max=Ro,
+                        check_mirror=self.check_mirror, allowed=allowed,
+                        psi_allow=psi_allow, n_orientations=self.n_orient)
+                    if self.n_orient > 1:
+                        res = {k: np.asarray(v) for k, v in res.items()}
+                elif mesh_mode == "tp" and (
+                        self.n_orient > 1 or allowed is not None
+                        or psi_allow is not None or not self.check_mirror):
+                    # gallery sharding with candidate masks not wired yet
                     res = self._match_with_scales(refs, imgs, max_shift, Ro,
                                                   allowed, psi_allow)
                 elif mesh_mode == "tp":

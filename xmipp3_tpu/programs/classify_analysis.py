@@ -435,6 +435,8 @@ class ProgVolumeHalvesRestoration(XmippProgram):
                            "of real-space difference shrinkage and Kdiff")
         self.addParamsLine("  [--mask <type=binary_file> <file=\"\">] : "
                            "Restrict the estimate to a binary mask")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
     def run(self):
         import jax.numpy as jnp
@@ -505,9 +507,26 @@ class ProgVolumeHalvesRestoration(XmippProgram):
                        np.asarray(conv, np.float32))
 
         if bank_step > 0:
-            v1r, v2r, s_bank = hr.filter_bank(
-                v1r, v2r, r2, shape, float(bank_step), float(bank_overlap),
-                int(weight_fun), float(weight_power))
+            from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                                 resolve_mesh)
+            maybe_init_distributed(self)
+            mesh, mesh_mode = resolve_mesh(
+                self.getParam("--mesh") if self.checkParam("--mesh")
+                else "auto")
+            if mesh is not None:
+                if self.verbose:
+                    print(f"mesh: {mesh_mode} filter bank over "
+                          f"{len(mesh.devices.ravel())} devices")
+                from xmipp3_tpu.parallel.engines import parallel_filter_bank
+                v1r, v2r, s_bank = parallel_filter_bank(
+                    mesh, v1r, v2r, r2, shape, float(bank_step),
+                    float(bank_overlap), int(weight_fun),
+                    float(weight_power))
+            else:
+                v1r, v2r, s_bank = hr.filter_bank(
+                    v1r, v2r, r2, shape, float(bank_step),
+                    float(bank_overlap), int(weight_fun),
+                    float(weight_power))
             save_image(root + "_filterBank.vol",
                        np.asarray(s_bank, np.float32))
 

@@ -857,8 +857,10 @@ class ProgClassifyFTTRI(XmippProgram):
                            "classification pass")
         self.addParamsLine("  [--pca <d=20>] : PCA dimensions for the "
                            "classification features")
+        from xmipp3_tpu.parallel.cli import add_mesh_params
+        add_mesh_params(self)
 
-    def _fttri_images(self, imgs, pad, fmax, zoom, s1, s2):
+    def _fttri_images(self, imgs, pad, fmax, zoom, s1, s2, mesh=None):
         import jax
         import jax.numpy as jnp
         B, H, W = imgs.shape
@@ -914,6 +916,19 @@ class ProgClassifyFTTRI(XmippProgram):
 
         out = []
         f = jax.jit(jax.vmap(one))
+        if mesh is not None:
+            # particle axis sharded over the mesh: data parallelism by
+            # input sharding, XLA partitions the vmapped FTTRI chain
+            # (the mpi_classify_FTTRI image split, VERDICT r3 #8)
+            from xmipp3_tpu.parallel.engines import shard_batch
+            from xmipp3_tpu.parallel.mesh import pad_to_multiple
+            n_dev = int(np.prod(mesh.devices.shape))
+            chunk = 64 * n_dev
+            for c0 in range(0, B, chunk):
+                blk, n_valid = pad_to_multiple(imgs[c0:c0 + chunk], n_dev)
+                blk_d = shard_batch(jnp.asarray(blk), mesh)
+                out.append(np.asarray(f(blk_d))[:n_valid])
+            return np.concatenate(out)
         for c0 in range(0, B, 64):
             out.append(np.asarray(f(jnp.asarray(imgs[c0:c0 + 64]))))
         return np.concatenate(out)
@@ -934,7 +949,17 @@ class ProgClassifyFTTRI(XmippProgram):
         s2 = self.getDoubleParam("--sigma2")
         nmin = self.getIntParam("--nmin")
         n_iter = self.getIntParam("--iter")
-        fttri = self._fttri_images(imgs, pad, fmax, zoom, s1, s2)
+        from xmipp3_tpu.parallel.cli import (maybe_init_distributed,
+                                             resolve_mesh)
+        maybe_init_distributed(self)
+        mesh, mesh_mode = resolve_mesh(
+            self.getParam("--mesh") if self.checkParam("--mesh")
+            else "auto")
+        if mesh is not None and self.verbose:
+            print(f"mesh: {mesh_mode} FTTRI features over "
+                  f"{len(mesh.devices.ravel())} devices")
+        fttri = self._fttri_images(imgs, pad, fmax, zoom, s1, s2,
+                                   mesh=mesh)
         save_image(root + "_FTTRI.mrcs", fttri.astype(np.float32))
         yy, xx = np.mgrid[0:H, 0:W]
         save_image(root + "_mask.mrc",
