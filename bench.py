@@ -500,11 +500,40 @@ def bench_projection_matching():
     _sync(out["corr"])
     dt = time.time() - t0
     pps = N_BATCHES * BATCH / dt
-    # dominant FLOPs: the scan's complex ring-FFT correlation einsums:
-    # trials(13) x B x R x rings(30, stride 2) x k(128) x 8 flops (4 real
-    # contractions) + irfft curves
-    n_trials, nrings, k = 13, 30, 128
-    flops_img = n_trials * N_REFS * nrings * k * 8 * 2
+
+    # stage ablation (VERDICT r3 #3): where a batch's time goes
+    from xmipp3_tpu.ops.match import _scan_trials, _trial_shift_grid
+    from xmipp3_tpu.ops.polar import polar_at_static_offsets, ring_ffts
+    trials = tuple(map(tuple, _trial_shift_grid(MAX_SHIFT)
+                       .astype(float).tolist()))
+    Ro = SIZE // 2 - 2
+
+    def _time(f, n=3):
+        o = f()
+        _sync(o[0] if isinstance(o, tuple) else o)
+        t0 = time.time()
+        for _ in range(n):
+            o = f()
+        _sync(o[0] if isinstance(o, tuple) else o)
+        return (time.time() - t0) / n
+
+    f_pol = jax.jit(lambda im: polar_at_static_offsets(
+        im, trials, 2, Ro, n_angles=128, stride=2))
+    t_pol = _time(lambda: f_pol(imgs_d))
+    pol = f_pol(imgs_d)
+    t_fft = _time(lambda: jnp.abs(ring_ffts(pol)[..., :64]))
+    t_scan = _time(lambda: _scan_trials(refs_d, imgs_d, trials, 2, Ro,
+                                        True))
+    ablation = dict(polar_gather_ms=round(t_pol * 1e3, 1),
+                    ring_ffts_ms=round(t_fft * 1e3, 1),
+                    scan_total_ms=round(t_scan * 1e3, 1),
+                    refine_ms=round(dt / N_BATCHES * 1e3
+                                    - t_scan * 1e3, 1))
+    # dominant FLOPs: 4 real ring contractions + the irfft-by-matmul DFT
+    # per trial per mirror path (n_harmonics = 64 default since r4)
+    n_trials, nrings, k = len(trials), 30, 64
+    A = 2 * (k - 1)
+    flops_img = n_trials * N_REFS * (nrings * k * 8 + 2 * 2 * k * A) * 2
     mfu = pps * flops_img / PEAK_FLOPS
     base = _cache_get("ref_cpu_match_128px_128refs")
     if base is None:
@@ -512,6 +541,14 @@ def bench_projection_matching():
         _cache_put("ref_cpu_match_128px_128refs", base)
     return dict(value=round(pps, 2), unit="particles/s/chip",
                 mfu=round(mfu, 4), vs_baseline=round(pps / base, 2),
+                stage_ablation=ablation,
+                note="r4: irfft-by-MXU-matmul (batched tiny FFTs are "
+                     "latency-bound, ~9 ms for 131k length-254 rFFTs "
+                     "regardless of size) + n_harmonics 128->64 "
+                     "(true-match parity on shifted fixtures) + one-hot "
+                     "parabola peaks (the per-(B,R) post-argmax fancy "
+                     "gathers were ~125 ms/batch, the scan's dominant "
+                     "term; masked-roll reductions are pure VPU)",
                 baseline="numpy transliteration of the reference serial "
                          "per-(particle, reference) FFT shift + polar "
                          "ring correlation loop (4 particles measured)")

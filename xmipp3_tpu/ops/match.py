@@ -94,22 +94,52 @@ def best_rotation_matrix(f_refs, f_imgs, radius_min: int = 2,
     bc = jnp.einsum("brk,Rrk->bRk", b, c)
     ad = jnp.einsum("brk,Rrk->bRk", a, d)
     # fi·conj(fr) = (ac+bd) + i(bc-ad); conj(fi)·conj(fr) = (ac-bd) - i(bc+ad)
-    cross = jax.lax.complex(ac + bd, bc - ad)
-    cross_m = jax.lax.complex(ac - bd, -(bc + ad))
+    cross = (ac + bd, bc - ad)
+    cross_m = (ac - bd, -(bc + ad))
+
+    # irfft-by-MXU-matmul: (B, R) batched length-A inverse rFFTs are
+    # LATENCY-bound on TPU (131k tiny FFTs cost ~9 ms regardless of A —
+    # measured r4 on v5e; size 254 vs 256 makes no difference), while the
+    # same transform as an (B·R, k) x (k, A) dot rides the MXU. Exact:
+    # irfft(X, A)·A = Re(X)·w @ cos - Im(X)·w @ sin with w = [1,2,…,2,1]
+    # (validated to 6e-5 against jnp.fft.irfft on device).
+    kk = np.arange(k)
+    aa = np.arange(A)
+    dft_ang = 2 * np.pi * np.outer(kk, aa) / A
+    wrow = np.ones(k, np.float32)
+    wrow[1:k - 1] = 2.0
+    Wcos = jnp.asarray(np.cos(dft_ang).astype(np.float32)
+                       * wrow[:, None])
+    Wsin = jnp.asarray(np.sin(dft_ang).astype(np.float32)
+                       * wrow[:, None])
+    _mm = lambda X, W: jax.lax.dot_general(
+        X, W, (((2,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)
+
+    if psi_allow is not None and psi_allow.shape[-1] != A:
+        # callers build the psi mask on their own angular grid; resample
+        # it (nearest angle) onto this kernel's A = 2*(k-1) grid
+        src = np.round(np.arange(A) * (psi_allow.shape[-1] / A)) \
+            .astype(np.int32) % psi_allow.shape[-1]
+        psi_allow = psi_allow[:, jnp.asarray(src)]
 
     def peaks(cross):
-        corr = jnp.fft.irfft(cross, n=A, axis=-1) * A / norm[:, :, None]
+        cr, ci = cross
+        corr = (_mm(cr, Wcos) - _mm(ci, Wsin)) / norm[:, :, None]
         if psi_allow is not None:
             # large finite negative (not -inf): the winner's parabola
             # neighbors may be masked and -inf arithmetic would NaN psi
             corr = jnp.where(psi_allow[:, None, :] > 0, corr, -1e30)
-        B = corr.shape[0]
         idx = jnp.argmax(corr, axis=-1)
-        bi = jnp.arange(B)[:, None]
-        ri = jnp.arange(R)[None, :]
-        y0 = corr[bi, ri, idx]
-        ym1 = corr[bi, ri, (idx - 1) % A]
-        yp1 = corr[bi, ri, (idx + 1) % A]
+        # peak + parabola neighbors WITHOUT per-(B,R) dynamic gathers:
+        # corr[...,idx±1] as one-hot masked reductions (XLA fuses these
+        # into vector passes over corr). The fancy-index form costs ~10 M
+        # data-dependent gathers per batch = ~125 ms on v5e (measured r4,
+        # the scan's dominant term); this form is pure VPU.
+        hot = jax.nn.one_hot(idx, A, dtype=corr.dtype)        # (B,R,A)
+        y0 = jnp.max(corr, axis=-1)
+        ym1 = jnp.sum(corr * jnp.roll(hot, -1, axis=-1), axis=-1)
+        yp1 = jnp.sum(corr * jnp.roll(hot, 1, axis=-1), axis=-1)
         off = _parabola_peak_1d(ym1, y0, yp1)
         ang = (idx.astype(jnp.float32) + off) * (360.0 / A)
         ang = jnp.where(ang > 180.0, ang - 360.0, ang)
@@ -137,7 +167,7 @@ def _trial_shift_grid(max_shift: int, step: float | None = None):
 @partial(jax.jit, static_argnames=("trials", "radius_min", "radius_max",
                                    "check_mirror", "stride", "n_harmonics"))
 def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
-                 check_mirror: bool, stride: int = 2, n_harmonics: int = 128,
+                 check_mirror: bool, stride: int = 2, n_harmonics: int = 64,
                  psi_allow=None):
     """Rotational matching over a STATIC trial-translation grid.
 
@@ -145,8 +175,9 @@ def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
     image comes from ONE constant-index gather (the trial shifts are baked
     into the polar grids — no per-trial Fourier shifts), every stride-th
     ring, angular sampling at the Nyquist rate of the kept n_harmonics
-    (~1.4 deg psi resolution at 128; the winner refinement restores full
-    precision). Returns per-image best (ref, psi, trial_idx, flip, peak)."""
+    (~2.9 deg coarse psi at the default 64 — measured true-match parity
+    with 128 on shifted fixtures, r4; the winner refinement restores
+    full psi precision). Returns per-image best (ref, psi, trial_idx, flip, peak)."""
     B = imgs.shape[0]
     n_ang = 2 * n_harmonics
     f_refs = ring_ffts(cartesian_to_polar(refs, radius_min, radius_max,
@@ -193,7 +224,7 @@ def _scan_trials(refs, imgs, trials, radius_min: int, radius_max: int,
                                    "check_mirror", "stride", "n_harmonics"))
 def _scan_trials_full(refs, imgs, trials, radius_min: int, radius_max: int,
                       check_mirror: bool, stride: int = 2,
-                      n_harmonics: int = 128, psi_allow=None):
+                      n_harmonics: int = 64, psi_allow=None):
     """Like _scan_trials but keeps the FULL (B, R) best-over-trials score
     matrix (per-pair best psi/trial/flip) — the basis of top-N orientation
     tracking (reference angular_projection_matching.cpp:717-740) and of
