@@ -548,7 +548,11 @@ def bench_projection_matching():
                      "(true-match parity on shifted fixtures) + one-hot "
                      "parabola peaks (the per-(B,R) post-argmax fancy "
                      "gathers were ~125 ms/batch, the scan's dominant "
-                     "term; masked-roll reductions are pure VPU)",
+                     "term; masked-roll reductions are pure VPU) + "
+                     "matmul-shear rotations for <=256 px (refine "
+                     "56->35 ms: the three-shear 1-D FFTs were "
+                     "latency-bound too) + exact translate-compose in "
+                     "the refine loop instead of re-rotation",
                 baseline="numpy transliteration of the reference serial "
                          "per-(particle, reference) FFT shift + polar "
                          "ring correlation loop (4 particles measured)")

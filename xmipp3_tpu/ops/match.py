@@ -21,7 +21,8 @@ import numpy as np
 
 from xmipp3_tpu.ops.polar import (cartesian_to_polar, polar_at_static_offsets,
                                   ring_ffts)
-from xmipp3_tpu.ops.shear_rotate import rotate_shift_fourier
+from xmipp3_tpu.ops.shear_rotate import (_shear_tables, rotate_shift_fourier,
+                                         translate_fourier)
 from xmipp3_tpu.ops.shift import _parabola_peak_1d, best_shift, correlation_index
 
 
@@ -312,12 +313,20 @@ def refine_winners(refs, imgs, best_ref, psi0, t, flip, max_shift: int,
         dsx, dsy, _ = best_shift(chosen_refs, aligned, max_shift=max_shift)
         sx = sx + dsx
         sy = sy + dsy
-        aligned = rotate_shift_fourier(work, psi_cur, sx, sy)
+        # exact shift composition: periodic sinc translations compose, so
+        # the updated pose needs only a cheap translate, not a re-rotation
+        aligned = translate_fourier(aligned, dsx, dsy)
         f_al = ring_ffts(cartesian_to_polar(aligned, radius_min, radius_max,
                                             stride=2))
         # pairwise angular correlation vs the chosen reference
         cross = (f_al * jnp.conj(f_chosen) * rw[None, :, None]).sum(axis=1)
-        curve = jnp.fft.irfft(cross, n=A, axis=-1)            # (B,A)
+        # irfft as a dense (B,k)x(k,A) dot (batched tiny FFTs are
+        # latency-bound on TPU; see ops/shear_rotate._shear_tables)
+        Ci, Si = (jnp.asarray(t) for t in _shear_tables(A)[2:])
+        curve = (jnp.dot(jnp.real(cross), Ci,
+                         precision=jax.lax.Precision.HIGHEST)
+                 - jnp.dot(jnp.imag(cross), Si,
+                           precision=jax.lax.Precision.HIGHEST))  # (B,A)
         idx = jnp.argmax(curve, axis=-1)
         bi = jnp.arange(B)
         off = _parabola_peak_1d(curve[bi, (idx - 1) % A], curve[bi, idx],
