@@ -15,16 +15,6 @@ def run_prog(name, args):
     return prog
 
 
-def test_pallas_polar_parity_interpret():
-    from xmipp3_tpu.ops.pallas_polar import polar_resample_pallas
-    from xmipp3_tpu.ops.polar import cartesian_to_polar
-    rng = np.random.default_rng(0)
-    imgs = rng.standard_normal((2, 48, 48)).astype(np.float32)
-    a = np.asarray(polar_resample_pallas(imgs, 2, 20, interpret=True))
-    b = np.asarray(cartesian_to_polar(imgs, 2, 20))
-    np.testing.assert_allclose(a, b, atol=1e-5)
-
-
 def test_metadata_xml(tmp_path):
     md = MetaData.fromRows([{"itemId": 1, "cost": 0.5, "image": "a.mrc"}])
     fn = str(tmp_path / "m.xmd")
