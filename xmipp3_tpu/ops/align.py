@@ -18,7 +18,8 @@ import numpy as np
 from xmipp3_tpu.ops.geo import apply_affine_2d, alignment_matrices_2d
 from xmipp3_tpu.ops.polar import (best_rotation_from_ffts, cartesian_to_polar,
                                   ring_ffts)
-from xmipp3_tpu.ops.shear_rotate import rotate_shift_fourier
+from xmipp3_tpu.ops.shear_rotate import (rotate_shift_fourier,
+                                         translate_fourier)
 from xmipp3_tpu.ops.shift import best_shift, correlation_index
 
 
@@ -87,7 +88,9 @@ def iterative_align(ref, others, n_iters: int = 3, max_shift: int | None = None,
     def candidate(psi):
         rotated = rotate_shift_fourier(others, psi, zeros, zeros)
         dsx, dsy, _ = best_shift(ref, rotated, max_shift=max_shift)
-        aligned = rotate_shift_fourier(others, psi, dsx, dsy)
+        # exact composition: periodic sinc translations compose, so the
+        # candidate needs a cheap translate of `rotated`, not a re-rotation
+        aligned = translate_fourier(rotated, dsx, dsy)
         return psi, dsx, dsy, correlation_index(ref, aligned)
 
     cands = [candidate(ang), candidate(ang + 180.0)]
@@ -124,6 +127,8 @@ def _iterative_align_refine(ref, others, psi, sx, sy, n_iters: int,
         psi, sx, sy = psi + dpsi, c * sx + s * sy, -s * sx + c * sy
         cur = rotate_shift_fourier(others, psi, sx, sy)
         dsx, dsy, _ = best_shift(ref, cur, max_shift=max_shift)
+        # (no re-warp needed: the next iteration/final pass re-rotates with
+        # the accumulated pose; shifts compose exactly in Fourier space)
         return (psi, sx + dsx, sy + dsy), None
 
     (psi, sx, sy), _ = jax.lax.scan(body, (psi, sx, sy), None, length=n_iters)

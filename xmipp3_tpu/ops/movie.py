@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from xmipp3_tpu.ops.fourier import freq_grid_2d
-from xmipp3_tpu.ops.shift import correlation_peaks_2d
+from xmipp3_tpu.ops.shift import correlation_peaks_2d, windowed_cross_peaks
 
 
 # ---------------------------------------------------------------------------
@@ -57,9 +57,17 @@ def pairwise_shifts(specs, corr_n: int, max_shift_px: int):
     F = specs.shape[0]
     ii, jj = np.triu_indices(F, k=1)
     cross = specs[jj] * jnp.conj(specs[ii])
-    corr = jnp.fft.fftshift(jnp.fft.irfft2(cross, s=(corr_n, corr_n)),
-                            axes=(-2, -1))
-    sx, sy, peak = correlation_peaks_2d(corr, max_shift_px)
+    if 2 * max_shift_px + 3 <= corr_n // 2:
+        # direct window evaluation: the full irfft2 computes corr_n^2
+        # values per pair and uses (2·ms+1)^2 of them (ops/shift.py
+        # windowed_cross_peaks; at 512^2/ms=8 that is ~1000x waste plus
+        # a latency-bound batched 2-D FFT)
+        sx, sy, peak = windowed_cross_peaks(cross, corr_n, corr_n,
+                                            int(max_shift_px))
+    else:
+        corr = jnp.fft.fftshift(jnp.fft.irfft2(cross, s=(corr_n, corr_n)),
+                                axes=(-2, -1))
+        sx, sy, peak = correlation_peaks_2d(corr, max_shift_px)
     # correlation peak at +s means frame j content sits at +s relative to i
     return jnp.stack([sx, sy], axis=1), np.stack([ii, jj], axis=1), peak
 

@@ -58,6 +58,77 @@ def correlation_peaks_2d(corrs, max_shift: int | None = None):
     return sx, sy, peak
 
 
+def _windowed_dft_tables(n: int, k: int, offsets, rfft_axis: bool):
+    """cos/sin evaluation tables (k, D) for a direct windowed inverse DFT.
+
+    rfft_axis=True: k = n//2+1 rfft bins with [1,2,…,2,(1|2)] Hermitian
+    duplication folded in. rfft_axis=False: k = n full signed-frequency
+    bins (fftfreq order). offsets: displacement samples (pixels)."""
+    offsets = np.asarray(offsets, np.float64)
+    if rfft_axis:
+        freqs = np.arange(k) / n
+        dup = np.full(k, 2.0)
+        dup[0] = 1.0
+        if n % 2 == 0:
+            dup[-1] = 1.0
+    else:
+        freqs = np.fft.fftfreq(n)
+        dup = np.ones(k)
+    ang = 2 * np.pi * freqs[:, None] * offsets[None, :]
+    return ((np.cos(ang) * dup[:, None]).astype(np.float32),
+            (np.sin(ang) * dup[:, None]).astype(np.float32))
+
+
+@partial(jax.jit, static_argnames=("H", "W", "max_shift"))
+def windowed_cross_peaks(cross, H: int, W: int, max_shift: int):
+    """Subpixel correlation peaks from rfft2 cross-spectra, evaluated ONLY
+    on the ±max_shift displacement window via separable DFT matmuls.
+
+    The classic path materializes the full (B, H, W) irfft2 correlation and
+    then masks all but (2·ms+1)² values to -inf — at ms=8 on 512² patches
+    that computes 1000× more correlation values than it uses, and batched
+    2-D FFTs are latency-bound on TPU besides (CLAUDE.md r4). Here
+    c(sy, sx) = (1/HW)·Σ_k X_k e^{2πi k·s} is contracted straight onto the
+    window (one extra ring of samples for the 3-point parabola).
+
+    cross: (B, H, W//2+1) complex rfft2 cross-power. Returns (sx, sy, peak)
+    with the same semantics and normalization as
+    fftshift(irfft2(cross)) + correlation_peaks_2d."""
+    B = cross.shape[0]
+    ms = int(max_shift)
+    offs = np.arange(-(ms + 1), ms + 2, dtype=np.float64)   # parabola ring
+    D = len(offs)
+    hp = jax.lax.Precision.HIGHEST
+    Cx, Sx = (jnp.asarray(t) for t in
+              _windowed_dft_tables(W, W // 2 + 1, offs, True))
+    Cy, Sy = (jnp.asarray(t) for t in
+              _windowed_dft_tables(H, H, offs, False))
+    xr, xi = jnp.real(cross), jnp.imag(cross)
+    # contract the rfft x-axis onto the window: T = Σ_kx X e^{2πi kx sx}
+    tr = (jnp.einsum("bhk,kd->bhd", xr, Cx, precision=hp)
+          - jnp.einsum("bhk,kd->bhd", xi, Sx, precision=hp))
+    ti = (jnp.einsum("bhk,kd->bhd", xr, Sx, precision=hp)
+          + jnp.einsum("bhk,kd->bhd", xi, Cx, precision=hp))
+    # contract the full y-axis; result is real (Hermitian input)
+    corr = (jnp.einsum("bhd,ha->bad", tr, Cy, precision=hp)
+            - jnp.einsum("bhd,ha->bad", ti, Sy, precision=hp)) / (H * W)
+    # argmax restricted to |s| <= ms (the border ring is parabola margin)
+    inner = (np.abs(offs)[:, None] <= ms) & (np.abs(offs)[None, :] <= ms)
+    masked = jnp.where(jnp.asarray(inner)[None], corr, -jnp.inf)
+    flat = jnp.argmax(masked.reshape(B, -1), axis=1)
+    py = flat // D
+    px = flat % D
+
+    def tap(dy, dx):
+        return corr[jnp.arange(B), py + dy, px + dx]
+
+    offx = _parabola_peak_1d(tap(0, -1), tap(0, 0), tap(0, 1))
+    offy = _parabola_peak_1d(tap(-1, 0), tap(0, 0), tap(1, 0))
+    sx = px.astype(jnp.float32) + offx - (ms + 1)
+    sy = py.astype(jnp.float32) + offy - (ms + 1)
+    return sx, sy, tap(0, 0)
+
+
 @partial(jax.jit, static_argnames=("max_shift", "normalize"))
 def best_shift(ref, others, max_shift: int | None = None,
                normalize: bool = False):
@@ -75,6 +146,10 @@ def best_shift(ref, others, max_shift: int | None = None,
     cross = F_oth * jnp.conj(F_ref)
     if normalize:  # phase correlation
         cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
+    if max_shift is not None and 0 < max_shift and \
+            2 * max_shift + 3 <= min(H, W) // 2:
+        sx, sy, peak = windowed_cross_peaks(cross, H, W, int(max_shift))
+        return -sx, -sy, peak / (H * W)
     corr = jnp.fft.fftshift(jnp.fft.irfft2(cross, s=(H, W)), axes=(-2, -1))
     sx, sy, peak = correlation_peaks_2d(corr, max_shift)
     # peak at center means zero shift; correlation of other vs ref shifted by s
