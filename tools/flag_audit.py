@@ -107,13 +107,10 @@ EXCLUDES = {
 # flags we consciously do NOT implement (reason shown in the audit table)
 DIVERGENCES = {
     "reconstruct_fourier": {
-        "--useCTF": "CTF weighting flows through metadata weights "
-                    "(ctf_correct_* programs); per-image CTF volumes are "
-                    "not re-gridded",
-        "--phaseFlipped": "flip handling happens at the metadata pose "
-                          "level (ops.geo.apply_md_geometry)",
-        "--minCTF": "tied to --useCTF",
-        "--sampling": "sampling is read from the image headers",
+        # --useCTF/--minCTF/--phaseFlipped/--sampling are REAL flags now
+        # (r5): per-frequency 1/CTF inversion inside the gridding loop,
+        # ops/reconstruct.py ctf_gridding_multipliers,
+        # tests/test_reconstruct_ctf.py
         "--fast": "the Pallas gridding path is already the fast path; "
                   "there is no slow/fast split",
         "--thr": "host threads are XLA's concern on TPU",
@@ -156,10 +153,6 @@ DIVERGENCES = {
     # divergence reasons (cuda_reconstruct_fourier.cpp wraps the same
     # grammar + GPU knobs)
     "cuda_reconstruct_fourier": {
-        "--useCTF": "CTF weighting flows through metadata weights",
-        "--phaseFlipped": "flip handling happens at the metadata pose level",
-        "--minCTF": "tied to --useCTF",
-        "--sampling": "sampling is read from the image headers",
         "--fast": "the Pallas gridding path is already the fast path",
         "--thr": "host threads are XLA's concern on TPU",
         "--fftOnGPU": "all FFTs run on the device by construction",
@@ -167,10 +160,6 @@ DIVERGENCES = {
         "--bufferSize": "device batching is --batch",
     },
     "reconstruct_fourier_accel": {
-        "--useCTF": "CTF weighting flows through metadata weights",
-        "--phaseFlipped": "flip handling happens at the metadata pose level",
-        "--minCTF": "tied to --useCTF",
-        "--sampling": "sampling is read from the image headers",
         "--fast": "the Pallas gridding path is already the fast path",
         "--thr": "host threads are XLA's concern on TPU",
         "--interpolator": "superseded by --interp (kb/tri/tri+kb/nn)",

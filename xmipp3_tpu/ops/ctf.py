@@ -95,6 +95,16 @@ class CTFDescription:
     }
 
     @classmethod
+    def from_row(cls, row) -> "CTFDescription":
+        """Build from a metadata row's inline ctf* labels (reference
+        CTFDescription::readFromMdRow)."""
+        kwargs = {}
+        for attr, label in cls._MD_MAP.items():
+            if label in row:
+                kwargs[attr] = float(row[label])
+        return cls(**kwargs)
+
+    @classmethod
     def from_metadata(cls, md_or_path) -> "CTFDescription":
         md = md_or_path if isinstance(md_or_path, MetaData) else \
             MetaData(md_or_path)
@@ -437,3 +447,115 @@ def generate_image_with_2ctfs(ctf1: "CTFDescription",
     right = np.fft.fftfreq(xdim) >= 0
     out = np.where(right[None, :], v1, v2)
     return np.fft.fftshift(out)
+
+
+# ---------------------------------------------------------------------------
+# Batched per-image CTF evaluation + gridding inversion factors
+# (reference reconstruct_fourier.cpp:576-625: per-Fourier-sample
+#  wCTF/wModulator computed from each row's CTF inside the gridding loop)
+# ---------------------------------------------------------------------------
+
+# CTFDescription fields consumed by the pure (signal) model, in the order
+# expected by ctf_pure_batched's parameter dict.
+CTF_PURE_FIELDS = ("defocusU", "defocusV", "azimuthal_angle", "voltage",
+                   "Cs", "Ca", "espr", "ispr", "alpha", "DeltaF", "DeltaR",
+                   "Q0", "K", "envR0", "envR1", "envR2", "phase_shift",
+                   "VPP_radius")
+
+
+def ctf_params_arrays(ctfs) -> dict:
+    """Stack a sequence of CTFDescription (or row dicts) into a dict of
+    (C,) float32 numpy arrays keyed by CTF_PURE_FIELDS."""
+    out = {}
+    for f in CTF_PURE_FIELDS:
+        if isinstance(ctfs[0], CTFDescription):
+            out[f] = np.array([getattr(c, f) for c in ctfs], np.float32)
+        else:
+            label = CTFDescription._MD_MAP[f]
+            default = getattr(CTFDescription, "__dataclass_fields__")[f].default
+            out[f] = np.array([float(c.get(label, default)) for c in ctfs],
+                              np.float32)
+    return out
+
+
+def ctf_pure_batched(fx, fy, p: dict, damped: bool = True):
+    """Damped pure CTF for a batch of images at shared frequencies.
+
+    fx, fy: (S,) continuous frequencies (1/A); p: dict of (C,) arrays
+    (CTF_PURE_FIELDS). Returns (C, S) float32 — the batched equivalent of
+    CTFDescription.pure_at / reference getValuePureNoKAt (data/ctf.h:499,
+    produceSideInfo ctf.cpp:645-678), evaluated as one fused elementwise
+    pass so per-image CTFs ride the VPU instead of a per-row Python loop."""
+    fx = jnp.asarray(fx, jnp.float32)[None, :]
+    fy = jnp.asarray(fy, jnp.float32)[None, :]
+    g = lambda k: jnp.asarray(p[k], jnp.float32)[:, None]
+    local_Cs = g("Cs") * 1e7
+    local_Ca = g("Ca") * 1e7
+    local_kV = g("voltage") * 1e3
+    local_ispr = g("ispr") * 1e6
+    lam = 12.2643247 / jnp.sqrt(local_kV * (1 + 0.978466e-6 * local_kV))
+    K1 = jnp.pi * lam
+    K2 = jnp.pi / 2 * local_Cs * lam ** 3
+    K3 = (0.25 * jnp.pi * local_Ca * lam *
+          (g("espr") / g("voltage") + 2 * local_ispr)) ** 2 / np.log(2.0)
+    K5 = jnp.pi * g("DeltaF") * lam
+    K6 = jnp.pi ** 2 * g("alpha") ** 2
+    K7 = local_Cs * lam ** 2
+    Q0 = g("Q0")
+    Ksin = jnp.sqrt(jnp.maximum(1 - Q0 * Q0, 0.0))
+    defocus_average = -(g("defocusU") + g("defocusV")) / 2
+    defocus_deviation = -(g("defocusU") - g("defocusV")) / 2
+    az = jnp.deg2rad(g("azimuthal_angle"))
+
+    u2 = fx * fx + fy * fy
+    u = jnp.sqrt(u2)
+    u4 = u2 * u2
+    safe = jnp.maximum(u2, 1e-30)
+    c2t = (fx * fx - fy * fy) / safe
+    s2t = 2 * fx * fy / safe
+    cos2 = c2t * jnp.cos(2 * az) + s2t * jnp.sin(2 * az)
+    deltaf = jnp.where(u2 > 0,
+                       defocus_average + defocus_deviation * cos2, 0.0)
+    vppr = g("VPP_radius")
+    vpp_on = jnp.round(vppr * 1000) != 0
+    VPP = jnp.where(
+        vpp_on,
+        -g("phase_shift") * (1 - jnp.exp(-u2 / (2 * jnp.maximum(vppr, 1e-6) ** 2))),
+        0.0)
+    arg = VPP + K1 * deltaf * u2 + K2 * u4
+    ctf = -(Ksin * jnp.sin(arg) - Q0 * jnp.cos(arg))
+    if damped:
+        Eespr = jnp.exp(-K3 * u4)
+        EdeltaF = _bessel_j0(K5 * u2)
+        EdeltaR = jnp.sinc(u * g("DeltaR"))
+        aux = K7 * u2 * u + deltaf * u
+        Ealpha = jnp.exp(-K6 * aux * aux)
+        E = Eespr * EdeltaF * EdeltaR * Ealpha + \
+            g("envR0") + g("envR1") * u + g("envR2") * u2
+        ctf = ctf * jnp.maximum(E, 0.0)
+    return g("K") * ctf
+
+
+def gridding_ctf_factors(cvals, min_ctf, phase_flipped: bool):
+    """Per-sample data/weight multipliers for CTF-weighted Fourier gridding.
+
+    Exact transliteration of the reference branch logic
+    (reconstruct_fourier.cpp:600-625): with c the CTF value at a sample,
+      |c| >= minCTF : data *= 1/c,      weights *= 1
+      |c| <  minCTF : data *= sgn(c),   weights *= |c|
+    NaN CTF values zero both factors (the reference's DC special case
+    never triggers in practice: the pure CTF at (0,0) is finite). With
+    --phaseFlipped the data factor takes fabs (the sign was already
+    removed from the images). Returns (m_data, m_w), both shaped like
+    cvals."""
+    a = jnp.abs(cvals)
+    below = a < min_ctf
+    m_w = jnp.where(below, a, 1.0)
+    m_data = jnp.where(below, jnp.sign(cvals),
+                       1.0 / jnp.where(below, 1.0, cvals))
+    bad = jnp.isnan(cvals)
+    m_w = jnp.where(bad, 0.0, m_w)
+    m_data = jnp.where(bad, 0.0, m_data)
+    if phase_flipped:
+        m_data = jnp.abs(m_data)
+    return m_data, m_w

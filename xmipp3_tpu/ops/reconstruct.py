@@ -135,17 +135,49 @@ def _taps(interp: str, radius: float = BLOB_RADIUS):
     raise ValueError(f"unknown interp {interp!r}")
 
 
+@partial(jax.jit, static_argnames=("N", "max_freq", "phase_flipped"))
+def ctf_gridding_multipliers(ctfp: dict, Ts, min_ctf, N: int,
+                             max_freq: float = 0.5,
+                             phase_flipped: bool = False):
+    """Per-sample CTF inversion factors for the kept rfft2 samples.
+
+    The reference evaluates each row's CTF at every 2-D Fourier sample
+    inside the gridding loop and splits it into a data factor (1/CTF,
+    clipped at minCTF) and a weights-cube modulator
+    (reconstruct_fourier.cpp:576-625). Here the whole (C, S) table is one
+    fused VPU pass per batch, computed once and reused across the symmetry
+    loop (the CTF lives in the image frame, so symmetry rotations share
+    it). ctfp: dict of (C,) arrays (ops.ctf.CTF_PURE_FIELDS); Ts = the
+    --sampling flag (A/px, converts grid to continuous frequencies,
+    reference iTs=1/Ts :495). Returns (m_data, m_w), each (C, S)."""
+    from xmipp3_tpu.ops.ctf import ctf_pure_batched, gridding_ctf_factors
+    keep = _disk_mask(N, max_freq)
+    fy = np.fft.fftfreq(N).astype(np.float32)
+    fx = np.fft.rfftfreq(N).astype(np.float32)
+    FX = np.broadcast_to(fx[None, :], keep.shape)[keep].ravel()
+    FY = np.broadcast_to(fy[:, None], keep.shape)[keep].ravel()
+    iTs = 1.0 / jnp.asarray(Ts, jnp.float32)
+    cvals = ctf_pure_batched(jnp.asarray(FX) * iTs, jnp.asarray(FY) * iTs,
+                             ctfp)
+    return gridding_ctf_factors(cvals, min_ctf, phase_flipped)
+
+
 @partial(jax.jit, static_argnames=("P", "max_freq", "slab_p", "interp",
                                    "blob"))
 def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
                       P: int, max_freq: float = 0.5, slab_p: int | None = None,
                       slab_z0=0, interp: str = "tri",
-                      blob=(BLOB_RADIUS, BLOB_ORDER, BLOB_ALPHA)):
+                      blob=(BLOB_RADIUS, BLOB_ORDER, BLOB_ALPHA),
+                      ctf_data=None, ctf_w=None):
     """Accumulate a chunk of particles into the Fourier cube.
 
     data_r/data_i/weights: (P,P,P) float32 accumulators (fftshift layout).
     imgs: (C,N,N) float32 particles; mats: (C,3,3); sx/sy: (C,) alignment
     shifts (metadata shiftX/shiftY convention); img_w: (C,) weights.
+    ctf_data/ctf_w: optional (C, S) per-kept-sample CTF factors from
+    ctf_gridding_multipliers (--useCTF: data stream gets ctf_data, the
+    weights cube gets ctf_w — reference wCTF/wModulator,
+    reconstruct_fourier.cpp:600-625,774-786).
     Returns updated accumulators.
 
     kz-slab sharding: with slab_p set, the accumulators are a
@@ -181,6 +213,11 @@ def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
 
     sr = jnp.real(spec) * wimg
     si = jnp.imag(spec) * wimg
+    wstream = wimg
+    if ctf_data is not None:
+        sr = sr * ctf_data
+        si = si * ctf_data
+        wstream = wimg * ctf_w
 
     zdim = P if slab_p is None else slab_p
     zoff = 0 if slab_p is None else jnp.asarray(slab_z0, jnp.int32)
@@ -195,7 +232,7 @@ def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
             # the traced slab origin, taps masked to the slab)
             dr, di, dw = kb_scatter_3ch(
                 data_r.reshape(-1), data_i.reshape(-1),
-                weights.reshape(-1), zi, yi, xi, sr, si, wimg,
+                weights.reshape(-1), zi, yi, xi, sr, si, wstream,
                 P=P, radius=float(blob[0]), alpha=float(blob[2]),
                 order=int(blob[1]), zdim=slab_p, z_lo=zoff)
             return (dr.reshape(zdim, P, P), di.reshape(zdim, P, P),
@@ -369,8 +406,13 @@ class FourierReconstructor:
     def __init__(self, N: int, pad_factor: float = 2.0, sym: str = "c1",
                  max_freq: float = 0.5, interp: str = "kb",
                  niter_weight: int = 1,
-                 blob=(BLOB_RADIUS, BLOB_ORDER, BLOB_ALPHA)):
+                 blob=(BLOB_RADIUS, BLOB_ORDER, BLOB_ALPHA),
+                 sampling: float = 1.0, min_ctf: float = 0.01,
+                 phase_flipped: bool = False):
         self.N = N
+        self.sampling = float(sampling)
+        self.min_ctf = float(min_ctf)
+        self.phase_flipped = bool(phase_flipped)
         P = int(round(N * pad_factor))
         P += P % 2
         self.P = P
@@ -396,7 +438,13 @@ class FourierReconstructor:
         self.sym = SymList(sym)
 
     def add_batch(self, imgs, rot, tilt, psi, sx=None, sy=None, weights=None,
-                  flip=None):
+                  flip=None, ctfp=None):
+        """ctfp: optional dict of (C,) arrays (ops.ctf.CTF_PURE_FIELDS) —
+        enables --useCTF per-frequency inversion during gridding
+        (reference reconstruct_fourier.cpp:576-625). The (C, S) factor
+        table is computed once per batch and reused across the symmetry
+        loop (the CTF lives in the image frame; symmetry only rotates the
+        3-D insertion coords)."""
         imgs = jnp.asarray(imgs, jnp.float32)
         if imgs.ndim == 2:
             imgs = imgs[None]
@@ -418,6 +466,12 @@ class FourierReconstructor:
                                     np.asarray(psi, np.float32)), np.float32)
         if A.ndim == 2:
             A = np.broadcast_to(A[None], (C, 3, 3))
+        ctf_data = ctf_w = None
+        if ctfp is not None:
+            N = int(imgs.shape[-1])
+            ctf_data, ctf_w = ctf_gridding_multipliers(
+                ctfp, self.sampling, self.min_ctf, N, self.max_freq,
+                self.phase_flipped)
         for S in self.sym.sym_matrices():
             # symmetry-equivalent pose: volume rotated by S ~ slice at A·S
             Asym = np.einsum("cij,jk->cik", A, S.astype(np.float32))
@@ -425,13 +479,15 @@ class FourierReconstructor:
                 self._packed = backproject_chunk_packed(
                     self._packed, imgs, jnp.asarray(Asym),
                     jnp.asarray(sx), jnp.asarray(sy), jnp.asarray(w),
-                    self.P, self.max_freq)
+                    self.P, self.max_freq,
+                    ctf_data=ctf_data, ctf_w=ctf_w)
             else:
                 self.data_r, self.data_i, self.weights = backproject_chunk(
                     self.data_r, self.data_i, self.weights, imgs,
                     jnp.asarray(Asym), jnp.asarray(sx), jnp.asarray(sy),
                     jnp.asarray(w), self.P, self.max_freq,
-                    interp=self.interp, blob=self.blob)
+                    interp=self.interp, blob=self.blob,
+                    ctf_data=ctf_data, ctf_w=ctf_w)
 
     def finish(self):
         if self._packed_mode:
@@ -451,12 +507,16 @@ def reconstruct_fourier(imgs, rot, tilt, psi, sx=None, sy=None, weights=None,
                         pad_factor: float = 2.0, sym: str = "c1",
                         batch: int = 256, max_freq: float = 0.5, flip=None,
                         interp: str = "kb", niter_weight: int = 1,
-                        blob=(BLOB_RADIUS, BLOB_ORDER, BLOB_ALPHA)):
-    """One-call reconstruction of a full stack."""
+                        blob=(BLOB_RADIUS, BLOB_ORDER, BLOB_ALPHA),
+                        ctfp=None, sampling: float = 1.0,
+                        min_ctf: float = 0.01, phase_flipped: bool = False):
+    """One-call reconstruction of a full stack. ctfp: optional dict of
+    (B,) arrays (ops.ctf.CTF_PURE_FIELDS) enabling --useCTF gridding."""
     imgs = np.asarray(imgs, np.float32)
     N = imgs.shape[-1]
     rec = FourierReconstructor(N, pad_factor, sym, max_freq, interp,
-                               niter_weight, blob)
+                               niter_weight, blob, sampling=sampling,
+                               min_ctf=min_ctf, phase_flipped=phase_flipped)
     B = imgs.shape[0]
     for s in range(0, B, batch):
         sl = slice(s, min(s + batch, B))
@@ -465,7 +525,9 @@ def reconstruct_fourier(imgs, rot, tilt, psi, sx=None, sy=None, weights=None,
                       None if sx is None else np.asarray(sx)[sl],
                       None if sy is None else np.asarray(sy)[sl],
                       None if weights is None else np.asarray(weights)[sl],
-                      None if flip is None else np.asarray(flip)[sl])
+                      None if flip is None else np.asarray(flip)[sl],
+                      ctfp=None if ctfp is None else
+                      {k: np.asarray(v)[sl] for k, v in ctfp.items()})
     return rec.finish()
 
 
@@ -479,7 +541,8 @@ def reconstruct_fourier(imgs, rot, tilt, psi, sx=None, sy=None, weights=None,
 
 @partial(jax.jit, static_argnames=("P", "max_freq"))
 def backproject_chunk_packed(packed, imgs, mats, sx, sy, img_w,
-                             P: int, max_freq: float = 0.5):
+                             P: int, max_freq: float = 0.5,
+                             ctf_data=None, ctf_w=None):
     from xmipp3_tpu.ops.pallas_scatter_tri import tri_scatter_packed
     C, N, _ = imgs.shape
     spec = jnp.fft.rfft2(jnp.fft.ifftshift(imgs, axes=(-2, -1)))
@@ -498,9 +561,16 @@ def backproject_chunk_packed(packed, imgs, mats, sx, sy, img_w,
     x0 = jnp.floor(xi).astype(jnp.int32)
     sr = jnp.real(spec) * wimg
     si = jnp.imag(spec) * wimg
+    wstream = wimg
+    if ctf_data is not None:
+        # --useCTF: data stream gets 1/CTF (clipped), the weights stream
+        # the modulator (reference reconstruct_fourier.cpp:600-625)
+        sr = sr * ctf_data
+        si = si * ctf_data
+        wstream = wimg * ctf_w
     base = ((z0 * P + y0) * P + x0).reshape(-1)
     srt = jax.lax.sort(
         [base, (zi - z0).reshape(-1), (yi - y0).reshape(-1),
          (xi - x0).reshape(-1), sr.reshape(-1), si.reshape(-1),
-         wimg.reshape(-1)], num_keys=1)
+         wstream.reshape(-1)], num_keys=1)
     return tri_scatter_packed(packed, *srt, P=P)

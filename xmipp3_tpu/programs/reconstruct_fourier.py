@@ -30,6 +30,10 @@ class ProgRecFourier(XmippProgram):
         self.addParamsLine("  [--blob <radius=1.9> <order=0> <alpha=15>] : Blob parameters (reference interpolant; radius<=0 selects trilinear)")
         self.addParamsLine("  [--interp <mode=kb>]         : Gridding window: kb (Kaiser-Bessel blob, reference default), tri (trilinear, fastest), tri+kb, nn")
         self.addParamsLine("  [--batch <b=256>]            : Images per device batch")
+        self.addParamsLine("  [--useCTF]                   : Use CTF information if present (per-frequency 1/CTF inversion during gridding)")
+        self.addParamsLine("  [--sampling <Ts=1>]          : sampling rate of the input images in Angstroms/pixel")
+        self.addParamsLine("  [--phaseFlipped]             : Give this flag if images have been already phase flipped")
+        self.addParamsLine("  [--minCTF <ctf=0.01>]        : Minimum value of the CTF that will be inverted")
         from xmipp3_tpu.parallel.cli import add_mesh_params
         add_mesh_params(self)
         self.addExampleLine("   xmipp_reconstruct_fourier -i reconstruction.sel --sym i3 --weight")
@@ -52,6 +56,11 @@ class ProgRecFourier(XmippProgram):
             self.interp = "tri"
         self.fn_fsc = self.getParam("--prepare_fsc") if \
             self.checkParam("--prepare_fsc") else ""
+        self.use_ctf = self.checkParam("--useCTF")
+        self.phase_flipped = self.checkParam("--phaseFlipped")
+        self.min_ctf = self.getDoubleParam("--minCTF")
+        self.sampling = self.getDoubleParam("--sampling")
+        self._ctf_cache = {}
         from xmipp3_tpu.parallel.cli import read_mesh_params
         read_mesh_params(self)
 
@@ -63,6 +72,29 @@ class ProgRecFourier(XmippProgram):
             print(f"Padding factor    : {self.pad}")
             print(f"Max resolution    : {self.max_res}")
 
+    def _ctf_params_for(self, rows):
+        """Per-row CTF parameter arrays for --useCTF gridding, or None.
+
+        Matches the reference's hasCTF gate (ctfModel or ctfDefocusU label
+        present AND --useCTF, reconstruct_fourier.cpp:335-336) and its
+        per-row readFromMetadataRow (:367-372): inline ctf* labels, or a
+        per-row ctfModel file (parsed once per distinct path)."""
+        if not self.use_ctf:
+            return None
+        from xmipp3_tpu.ops.ctf import CTFDescription, ctf_params_arrays
+        if not any(("ctfModel" in r) or ("ctfDefocusU" in r) for r in rows):
+            return None
+        descs = []
+        for r in rows:
+            if "ctfModel" in r and r["ctfModel"]:
+                fn = str(r["ctfModel"])
+                if fn not in self._ctf_cache:
+                    self._ctf_cache[fn] = CTFDescription.from_metadata(fn)
+                descs.append(self._ctf_cache[fn])
+            else:
+                descs.append(CTFDescription.from_row(r))
+        return ctf_params_arrays(descs)
+
     def _reconstruct_subset(self, md: MetaData, rows_idx, N: int):
         rows = [md.getRow(i) for i in rows_idx]
         if self._mesh is not None:
@@ -70,7 +102,9 @@ class ProgRecFourier(XmippProgram):
         rec = FourierReconstructor(N, self.pad, self.sym, self.max_res,
                                    interp=self.interp,
                                    niter_weight=self.niter_weight,
-                                   blob=self.blob)
+                                   blob=self.blob, sampling=self.sampling,
+                                   min_ctf=self.min_ctf,
+                                   phase_flipped=self.phase_flipped)
         for s in range(0, len(rows), self.batch):
             chunk = rows[s:s + self.batch]
             imgs = np.stack([np.squeeze(Image(r["image"]).data)
@@ -80,7 +114,8 @@ class ProgRecFourier(XmippProgram):
             rec.add_batch(imgs, get("angleRot"), get("angleTilt"),
                           get("anglePsi"), get("shiftX"), get("shiftY"),
                           get("weight", 1.0) if self.use_weights else None,
-                          flip=get("flip", 0.0).astype(bool))
+                          flip=get("flip", 0.0).astype(bool),
+                          ctfp=self._ctf_params_for(chunk))
             if self.verbose:
                 print(f"  processed {min(s + self.batch, len(rows))}/{len(rows)}")
         return np.asarray(rec.finish())
@@ -99,6 +134,9 @@ class ProgRecFourier(XmippProgram):
             [float(r.get(k, d)) for r in rows], np.float32)
         w = get("weight", 1.0) if self.use_weights else None
         flip = get("flip", 0.0).astype(bool)
+        ctf_kw = dict(ctfp=self._ctf_params_for(rows),
+                      sampling=self.sampling, min_ctf=self.min_ctf,
+                      phase_flipped=self.phase_flipped)
         if self._mesh_mode in ("slab", "slab2d"):
             if self.sym.lower() not in ("c1", ""):
                 raise ValueError("--mesh slab currently supports c1 only; "
@@ -111,14 +149,15 @@ class ProgRecFourier(XmippProgram):
                 get("angleRot"), get("angleTilt"), get("anglePsi"),
                 np.where(flip, -get("shiftX"), get("shiftX")), get("shiftY"),
                 weights=w, pad_factor=self.pad, max_freq=self.max_res,
-                interp=self.interp, niter_weight=self.niter_weight)
+                interp=self.interp, niter_weight=self.niter_weight,
+                **ctf_kw)
         else:
             vol = parallel_reconstruct(
                 self._mesh, imgs, get("angleRot"), get("angleTilt"),
                 get("anglePsi"), get("shiftX"), get("shiftY"), weights=w,
                 pad_factor=self.pad, sym=self.sym, max_freq=self.max_res,
                 flip=flip, interp=self.interp,
-                niter_weight=self.niter_weight)
+                niter_weight=self.niter_weight, **ctf_kw)
         return np.asarray(vol)
 
     def run(self):
