@@ -231,3 +231,56 @@ def test_mask_substitute_avg_and_count(tmp_path, capsys):
     assert rc == 0
     cap = capsys.readouterr().out
     assert "above 1" in cap and "= 1" in cap
+
+
+def test_blob_circular_mask_reference_parity():
+    """blob_circular/blob_crown vs a numpy transliteration of the
+    reference BlobCircularMask/BlobCrownMask loops (data/mask.cpp:219-308)."""
+    from scipy import special
+
+    from xmipp3_tpu.ops.mask import blob_circular_mask, blob_crown_mask
+
+    def blob_val(r, a, alpha, m):
+        if r > a:
+            return 0.0
+        rt = np.sqrt(max(1 - (r / a) ** 2, 0.0))
+        return rt ** m * special.iv(m, alpha * rt) / special.iv(m, alpha)
+
+    n, r1, w, order, alpha = 17, 4.0, 3.0, 2, 10.4
+    got_in = blob_circular_mask((n, n), r1, w, order, alpha, inner=True)
+    got_out = blob_circular_mask((n, n), r1, w, order, alpha, inner=False)
+    want_in = np.zeros((n, n))
+    want_out = np.zeros((n, n))
+    for i in range(n):
+        for j in range(n):
+            r = np.hypot(i - n // 2, j - n // 2)
+            want_in[i, j] = 1.0 if r <= r1 else blob_val(r - r1, w, alpha,
+                                                         order)
+            want_out[i, j] = 1.0 if r >= r1 else blob_val(r1 - r, w, alpha,
+                                                          order)
+    np.testing.assert_allclose(got_in, want_in, atol=1e-6)
+    np.testing.assert_allclose(got_out, want_out, atol=1e-6)
+    # crown inner = outside(r1) * inside(r2); outer = inside(r1)+outside(r2)
+    r2 = 7.0
+    np.testing.assert_allclose(
+        blob_crown_mask((n, n), r1, r2, w, order, alpha, inner=True),
+        want_out * blob_circular_mask((n, n), r2, w, order, alpha,
+                                      inner=True), atol=1e-6)
+
+
+def test_transform_mask_blob_cli(tmp_path):
+    from xmipp3_tpu.core.image import Image, save_image
+    from xmipp3_tpu.ops.mask import blob_circular_mask
+    from xmipp3_tpu.programs import get_program
+
+    data = np.ones((1, 16, 16), np.float32)
+    fn = str(tmp_path / "s.mrcs")
+    save_image(fn, data)
+    out = str(tmp_path / "m.mrcs")
+    prog = get_program("transform_mask")
+    rc = prog.run_with_args(
+        f"-i {fn} -o {out} --mask blob_circular 5 -2 -m 2 -a 10.4".split())
+    assert rc == 0
+    res = Image.read_stack(out)
+    want = blob_circular_mask((16, 16), 5.0, 2.0, 2, 10.4, inner=True)
+    np.testing.assert_allclose(res[0], want, atol=1e-5)

@@ -60,6 +60,43 @@ def crown_mask(shape, r_inner: float, r_outer: float):
     return circular_mask(shape, r_outer, inner=r_inner)
 
 
+def blob_circular_mask(shape, r1: float, blob_radius: float,
+                       order: int = 2, alpha: float = 10.4,
+                       inner: bool = True):
+    """Soft-edged Kaiser-Bessel circular/spherical mask (reference
+    BlobCircularMask, data/mask.cpp:219-242): 1 inside radius r1, blob
+    profile b(r - r1) over the next `blob_radius` pixels (inner mode);
+    mirrored for the outside mode. CLI: `--mask blob_circular R W -m 2
+    -a 10.4` (W<0 selects inner, mask.cpp:948-955)."""
+    from xmipp3_tpu.ops.basis import kaiser_value
+    r2 = _radius2_2d(*shape) if len(shape) == 2 else _radius2_3d(*shape)
+    r = np.sqrt(r2)
+    if inner:
+        soft = kaiser_value(np.clip(r - r1, 0.0, None),
+                            a=blob_radius, alpha=alpha, m=order)
+        return np.where(r <= r1, 1.0, soft).astype(np.float32)
+    soft = kaiser_value(np.clip(r1 - r, 0.0, None),
+                        a=blob_radius, alpha=alpha, m=order)
+    return np.where(r >= r1, 1.0, soft).astype(np.float32)
+
+
+def blob_crown_mask(shape, r1: float, r2: float, blob_radius: float,
+                    order: int = 2, alpha: float = 10.4,
+                    inner: bool = True):
+    """Soft crown between radii (reference BlobCrownMask,
+    data/mask.cpp:278-308): inner mode = product of an outside-blob at r1
+    and an inside-blob at r2; outside mode = sum of the complements."""
+    if inner:
+        return (blob_circular_mask(shape, r1, blob_radius, order, alpha,
+                                   inner=False)
+                * blob_circular_mask(shape, r2, blob_radius, order, alpha,
+                                     inner=True))
+    return (blob_circular_mask(shape, r1, blob_radius, order, alpha,
+                               inner=True)
+            + blob_circular_mask(shape, r2, blob_radius, order, alpha,
+                                 inner=False))
+
+
 def background_mask(shape, radius: float | None = None):
     """Complement of the circular mask — the 'background' ring used by
     normalization (reference ProgNormalize background definitions)."""

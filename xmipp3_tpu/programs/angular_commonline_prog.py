@@ -114,9 +114,13 @@ class ProgAngularCommonline(XmippProgram):
         self.addParamsLine("   --oang <docfile>  : Output angular assignment")
         self.addParamsLine("     alias -oang;")
         self.addParamsLine("  [--NGen <g=50000>] : Optimization budget (grid density scales with it)")
+        self.addParamsLine("     alias -NGen;")
         self.addParamsLine("  [--NGroup <N=10>]  : Refinement sweeps")
+        self.addParamsLine("     alias -NGroup;")
         self.addParamsLine("  [--tryInitial]     : Only evaluate the metadata's current angles")
+        self.addParamsLine("     alias -tryInitial;")
         self.addParamsLine("  [--sym <s=c1>]     : Symmetry")
+        self.addParamsLine("     alias -sym;")
 
     def run(self):
         import jax.numpy as jnp

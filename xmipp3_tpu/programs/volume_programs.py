@@ -549,7 +549,11 @@ class ProgTransformMask(XmippMetadataProgram):
         self.addParamsLine("       crown <R1> <R2> : Ring between radii")
         self.addParamsLine("       gaussian <sigma> : Gaussian mask")
         self.addParamsLine("       rectangular <x> <y> <z=-1> : Box half-sizes")
+        self.addParamsLine("       blob_circular <R> <W> : Kaiser-Bessel soft edge of width |W| past R (W<0: inner)")
+        self.addParamsLine("       blob_crown <R1> <R2> <W> : Soft crown between radii")
         self.addParamsLine("       binary_file <file> : Mask image from file")
+        self.addParamsLine("[-m <order=2>]  : Blob order for blob_* masks (reference mask.cpp:957)")
+        self.addParamsLine("[-a <alpha=10.4>] : Blob alpha for blob_* masks")
         self.addParamsLine("[--substitute <v=0>] : Value outside the mask (number or min|max|avg)")
         self.addParamsLine("[--create_mask <out=\"\">] : Only write the mask image")
         self.addParamsLine("[--count_above <th=0>] : Count pixels within mask >= th")
@@ -576,10 +580,21 @@ class ProgTransformMask(XmippMetadataProgram):
         return float(self.sub_str)
 
     def _mask_for(self, shape):
-        from xmipp3_tpu.ops.mask import (circular_mask, crown_mask,
+        from xmipp3_tpu.ops.mask import (blob_circular_mask, blob_crown_mask,
+                                         circular_mask, crown_mask,
                                          gaussian_mask, rectangular_mask)
         t = self.mask_spec[0]
         a = self.mask_spec[1:]
+        if t in ("blob_circular", "blob_crown"):
+            order = self.getIntParam("-m") if self.checkParam("-m") else 2
+            alpha = self.getDoubleParam("-a") if self.checkParam("-a") \
+                else 10.4
+            w = float(a[-1])
+            if t == "blob_circular":
+                return blob_circular_mask(shape, float(a[0]), abs(w),
+                                          order, alpha, inner=w < 0)
+            return blob_crown_mask(shape, float(a[0]), float(a[1]), abs(w),
+                                   order, alpha, inner=w < 0)
         if t == "circular":
             return circular_mask(shape, abs(float(a[0])) if float(a[0]) > 0
                                  else float(a[0]))
