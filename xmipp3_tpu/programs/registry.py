@@ -241,6 +241,10 @@ register("tomo_detect_misalignment_residuals",
 register("tomo_extract_particlestacks",
          P + "tomo_landmark_residuals:ProgTomoExtractParticlestacks")
 
+register("sync_data", P + "infra_scripts:ProgSyncData")
+register("compile", P + "infra_scripts:ProgCompile")
+register("test_script_importing_module",
+         P + "infra_scripts:ProgTestScriptImportingModule")
 register("metadata_selfile_create",
          P + "scripts_misc:ProgMetadataSelfileCreate")
 register("pdb_center", P + "scripts_misc:ProgPdbCenter")
