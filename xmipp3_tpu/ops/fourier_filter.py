@@ -148,7 +148,13 @@ def apply_fourier_mask_2d(imgs, mask):
     if single:
         imgs = imgs[None]
     H, W = imgs.shape[-2:]
-    out = jnp.fft.irfft2(jnp.fft.rfft2(imgs) * mask[None], s=(H, W))
+    if max(H, W) <= 256:
+        # small-size DFT-by-matmul: batched tiny FFTs are latency-bound
+        # on TPU (ops/dft_mm.py; bench config 1)
+        from xmipp3_tpu.ops.dft_mm import irfft2_mm, rfft2_mm
+        out = irfft2_mm(rfft2_mm(imgs) * mask[None], (H, W))
+    else:
+        out = jnp.fft.irfft2(jnp.fft.rfft2(imgs) * mask[None], s=(H, W))
     return out[0] if single else out
 
 

@@ -146,8 +146,16 @@ def polar_at_static_offsets(imgs, offsets, radius_min: int = 2,
 
 @jax.jit
 def ring_ffts(polar):
-    """FFT along the angular axis (reference fourierTransformRings)."""
-    return jnp.fft.rfft(jnp.asarray(polar, jnp.float32), axis=-1)
+    """FFT along the angular axis (reference fourierTransformRings).
+
+    ≤256 angular samples go through the matmul DFT (ops/dft_mm.py): a
+    (B,R) batch of length-A rffts is latency-bound as an FFT dispatch
+    but a single MXU dot as a table contraction."""
+    polar = jnp.asarray(polar, jnp.float32)
+    if polar.shape[-1] <= 256:
+        from xmipp3_tpu.ops.dft_mm import rfft_mm_last
+        return rfft_mm_last(polar)
+    return jnp.fft.rfft(polar, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("radius_min",))
@@ -164,6 +172,9 @@ def rotational_correlation(f_ref, f_others, radius_min: int = 2):
     w = radii / radii.sum()
     cross = f_others * jnp.conj(f_ref)           # (B, R, A//2+1)
     weighted = (cross * w[None, :, None]).sum(axis=-2)
+    if A <= 256:
+        from xmipp3_tpu.ops.dft_mm import irfft_mm_last
+        return irfft_mm_last(weighted, A)
     return jnp.fft.irfft(weighted, n=A, axis=-1)
 
 

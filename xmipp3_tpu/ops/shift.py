@@ -141,8 +141,14 @@ def best_shift(ref, others, max_shift: int | None = None,
     if ref.ndim == 2:
         ref = ref[None]
     B, H, W = others.shape
-    F_ref = jnp.fft.rfft2(ref)
-    F_oth = jnp.fft.rfft2(others)
+    if max(H, W) <= 256:
+        # latency-bound tiny batched FFTs -> MXU matmuls (ops/dft_mm.py)
+        from xmipp3_tpu.ops.dft_mm import rfft2_mm
+        F_ref = rfft2_mm(ref)
+        F_oth = rfft2_mm(others)
+    else:
+        F_ref = jnp.fft.rfft2(ref)
+        F_oth = jnp.fft.rfft2(others)
     cross = F_oth * jnp.conj(F_ref)
     if normalize:  # phase correlation
         cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
@@ -150,7 +156,12 @@ def best_shift(ref, others, max_shift: int | None = None,
             2 * max_shift + 3 <= min(H, W) // 2:
         sx, sy, peak = windowed_cross_peaks(cross, H, W, int(max_shift))
         return -sx, -sy, peak / (H * W)
-    corr = jnp.fft.fftshift(jnp.fft.irfft2(cross, s=(H, W)), axes=(-2, -1))
+    if max(H, W) <= 256:
+        from xmipp3_tpu.ops.dft_mm import irfft2_mm
+        corr = jnp.fft.fftshift(irfft2_mm(cross, (H, W)), axes=(-2, -1))
+    else:
+        corr = jnp.fft.fftshift(jnp.fft.irfft2(cross, s=(H, W)),
+                                axes=(-2, -1))
     sx, sy, peak = correlation_peaks_2d(corr, max_shift)
     # peak at center means zero shift; correlation of other vs ref shifted by s
     # peaks at s where other(x) ≈ ref(x - s); to register other onto ref we
