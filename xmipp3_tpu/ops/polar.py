@@ -63,6 +63,13 @@ def cartesian_to_polar(imgs, radius_min: int = 2, radius_max: int | None = None,
         xi = jnp.clip(jnp.round(xx).astype(jnp.int32), 0, W - 1)
         out = jax.vmap(lambda img: img[yi, xi])(imgs)
         return out[0] if single else out
+    # NOTE (r5, measured on v5e): a dense-matmul variant of this resample
+    # (bilinear taps baked into a (H·W, R·A) table, one MXU dot) was
+    # REFUTED — 7.5 ms vs 4.4 ms for the gather at B=2048·64², uniformly
+    # ~1.7x slower everywhere it ran (config-1 FULL regressed 23.9->32.1
+    # ms). The table is 99.9% zeros, so the MXU wastes its FLOPs, and
+    # f32-HIGHEST dots measure only ~8 TF/s effective at this shape. The
+    # constant-index gather stays (experiment removed; see CLAUDE.md r5).
     y0 = jnp.floor(yy).astype(jnp.int32)
     x0 = jnp.floor(xx).astype(jnp.int32)
     fy = yy - y0
