@@ -504,6 +504,15 @@ class ProgTomoDetectMissingWedge(XmippProgram):
         print(f"Plane1: {rot_pos} {tilt_pos}")
         print(f"Plane2: {rot_neg} {tilt_neg}")
         self.planes = ((rot_pos, tilt_pos), (rot_neg, tilt_neg))
+        # y-axis wedge bound angles from the plane normals: a boundary
+        # plane at wedge angle th (about y) has normal (-sin th, 0, cos th)
+        ths = []
+        for n in (n_pos, n_neg):
+            nn = n if n[2] >= 0 else -n       # normal sign is ambiguous
+            ths.append(float(np.degrees(np.arctan2(-nn[0], nn[2]))))
+        th0, thF = min(ths), max(ths)
+        self.wedge = (th0, thF)
+        print(f"Missing wedge (deg, about y): [{th0:.1f}, {thF:.1f}]")
         root = fn_in.rsplit(".", 1)[0]
         if self.checkParam("--saveMarks"):
             marks = mag_db.copy()
