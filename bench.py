@@ -722,7 +722,10 @@ def bench_movie_monores():
     t_movie = t_g + t_l + t_w
 
     # local-patch stage bound analysis (VERDICT r4 #9): split the one
-    # fused local dispatch into its two physical phases
+    # fused local dispatch into its two physical phases. r5: the
+    # full-frame Fourier shiftsum (~360 ms) left the local path — the
+    # integer global shift is a periodic roll and the fractional residual
+    # folds into each patch's spectrum (ops/movie._local_shifts_device).
     from xmipp3_tpu.ops.movie import (frame_ffts_scaled, pairwise_shifts,
                                       shift_sum_frames_keep)
     gx = jnp.asarray(-np.asarray(pos)[:, 0])
@@ -733,7 +736,8 @@ def bench_movie_monores():
     t0 = time.time()
     corrected = corr_fn(frames, gx, gy)
     _sync(corrected)
-    t_shiftsum = time.time() - t0         # full-frame Fourier shifts (HBM)
+    t_shiftsum = time.time() - t0   # full-frame Fourier shift (for scale;
+    #                                 only the patches_avg>1 path pays it)
 
     @jax.jit
     def one_patch(tile):
@@ -747,12 +751,14 @@ def bench_movie_monores():
     _sync(o)
     t_patch1 = (time.time() - t0) / 4     # per-patch FFT+pairs latency
     local_ablation = {
-        "shiftsum_ms": round(t_shiftsum * 1e3, 1),
+        "fullframe_shiftsum_ms_avoided": round(t_shiftsum * 1e3, 1),
         "one_patch_ms": round(t_patch1 * 1e3, 1),
         "n_patches": 25,
-        "bound": "local = global-corrected full-frame Fourier shifts "
-                 "(HBM-bound) + 25 patch pair-correlation blocks "
-                 "(512^2 FFT latency-bound; windowed DFT peaks)",
+        "bound": "local = integer-roll patch extraction + 25 patch "
+                 "pair-correlation blocks (512^2 FFT latency-bound; "
+                 "fractional global shift folded into patch spectra); "
+                 "warp = 4 Hann overlap-add passes, frame-summed "
+                 "spectra, ONE inverse FFT per tile (r5)",
     }
 
     rng = np.random.default_rng(2)

@@ -114,6 +114,38 @@ def test_warp_fast_path_matches_scan_path():
     assert np.allclose(fast, slow, atol=1e-4), np.abs(fast - slow).max()
 
 
+def test_warp_corrects_motion():
+    """Regression for the r5 warp sign fix: with a ZERO local field the
+    tiled warp must equal the plain global correction
+    shift_sum_frames(frames, -pos) — i.e. it must UNDO the measured
+    positions, not double them — and the corrected average must match
+    the scene better than the raw mean."""
+    frames, true_pos = make_movie(n_frames=6, size=256, noise=0.3)
+    ny = nx = 3
+    cys = np.linspace(64, 256 - 65, ny).astype(int)
+    cxs = np.linspace(64, 256 - 65, nx).astype(int)
+    total = np.broadcast_to(true_pos[None, None], (ny, nx, 6, 2))
+    warped = np.asarray(mops.warp_sum_frames_tiled(
+        np.asarray(frames), np.ascontiguousarray(total), cys, cxs,
+        tile=128))
+    direct = np.asarray(mops.shift_sum_frames(
+        frames, -true_pos[:, 0], -true_pos[:, 1]))
+    c_equiv = np.corrcoef(warped[32:-32, 32:-32].ravel(),
+                          direct[32:-32, 32:-32].ravel())[0, 1]
+    assert c_equiv > 0.999, c_equiv
+    mid = frames.mean(axis=0)
+
+    def cc(a, b):
+        a = a[32:-32, 32:-32].ravel()
+        b = b[32:-32, 32:-32].ravel()
+        return np.corrcoef(a, b)[0, 1]
+
+    # reference: the scene at gauge position (frame positions are
+    # mean-zero, so the unshifted scene IS the target)
+    scene = direct  # direct global correction is the known-good target
+    assert cc(warped, scene) > cc(mid, scene) + 0.01
+
+
 def test_global_align_accepts_device_frames():
     frames, _ = make_movie(n_frames=4, size=128)
     import jax

@@ -51,11 +51,8 @@ def _project_posed(vf, rot, tilt, psi, sx, sy, N: int, scale=None):
         # (image scale m <-> frequency scale 1/m); differentiable
         mats = mats * scale[:, None, None]
     slices = extract_central_slices(vf, mats, N)
-    fy = jnp.fft.fftfreq(N).astype(jnp.float32)[None, :, None]
-    fx = jnp.fft.rfftfreq(N).astype(jnp.float32)[None, None, :]
-    phase = jnp.exp(-2j * jnp.pi * (fx * sx[:, None, None] +
-                                    fy * sy[:, None, None]))
-    return slices_to_projections(slices * phase, N)
+    from xmipp3_tpu.ops.fourier import shift_spec_2d
+    return slices_to_projections(shift_spec_2d(slices, sx, sy, N, N), N)
 
 
 @partial(jax.jit, static_argnames=("N", "max_freq"))

@@ -81,6 +81,27 @@ def irfft2(spec, shape=None):
     return jnp.fft.irfft2(spec, s=shape)
 
 
+def phase_ramp_1d(freqs, shifts):
+    """exp(-2πi f s) for a 1-D frequency vector and a batch of shifts.
+
+    Fourier shift phases are separable — exp(-2πi(fx·sx + fy·sy)) is the
+    outer product of two 1-D phase vectors, so evaluating two 1-D exps and
+    broadcasting costs H+K transcendentals per image instead of H·K (the
+    2-D grid form burns ~268 M complex exps per dispatch on a 32×4096²
+    movie and measurably dominates the HBM-bound shift pipeline — r5
+    ablation, CLAUDE.md). shifts (...,) -> (..., len(freqs)) complex64."""
+    ang = (-2 * jnp.pi) * jnp.asarray(shifts, jnp.float32)[..., None] * freqs
+    return jax.lax.complex(jnp.cos(ang), jnp.sin(ang))
+
+
+def shift_spec_2d(spec, sx, sy, H: int, W: int):
+    """Multiply an rfft2 half-spectrum (..., H, W//2+1) by the separable
+    shift phase for per-image shifts sx/sy (...,)."""
+    px = phase_ramp_1d(jnp.fft.rfftfreq(W).astype(jnp.float32), sx)
+    py = phase_ramp_1d(jnp.fft.fftfreq(H).astype(jnp.float32), sy)
+    return spec * py[..., :, None] * px[..., None, :]
+
+
 @jax.jit
 def fourier_shift_2d(imgs, sx, sy):
     """Subpixel periodic shift by (sx, sy) pixels via Fourier phase ramp.
@@ -92,11 +113,10 @@ def fourier_shift_2d(imgs, sx, sy):
     if single:
         imgs = imgs[None]
     B, H, W = imgs.shape
-    fy, fx = freq_grid_2d(H, W)
-    sx = jnp.reshape(jnp.asarray(sx, jnp.float32), (-1, 1, 1))
-    sy = jnp.reshape(jnp.asarray(sy, jnp.float32), (-1, 1, 1))
-    phase = jnp.exp(-2j * jnp.pi * (fx * sx + fy * sy))
-    out = jnp.fft.irfft2(jnp.fft.rfft2(imgs) * phase, s=(H, W))
+    sx = jnp.reshape(jnp.asarray(sx, jnp.float32), (-1,))
+    sy = jnp.reshape(jnp.asarray(sy, jnp.float32), (-1,))
+    spec = shift_spec_2d(jnp.fft.rfft2(imgs), sx, sy, H, W)
+    out = jnp.fft.irfft2(spec, s=(H, W))
     return out[0] if single else out
 
 

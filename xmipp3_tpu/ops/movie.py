@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from xmipp3_tpu.ops.fourier import freq_grid_2d
+from xmipp3_tpu.ops.fourier import freq_grid_2d, phase_ramp_1d as _phase_1d
 from xmipp3_tpu.ops.shift import correlation_peaks_2d, windowed_cross_peaks
 
 
@@ -98,12 +98,12 @@ def shift_sum_frames(frames, shifts_x, shifts_y, dose_filter=None):
     Fourier pass; optional per-frame frequency weights (dose filter)."""
     frames = jnp.asarray(frames, jnp.float32)
     F, H, W = frames.shape
-    fy, fx = freq_grid_2d(H, W)
     spec = jnp.fft.rfft2(frames)
-    sx = jnp.asarray(shifts_x, jnp.float32)[:, None, None]
-    sy = jnp.asarray(shifts_y, jnp.float32)[:, None, None]
-    phase = jnp.exp(-2j * jnp.pi * (fx[None] * sx + fy[None] * sy))
-    spec = spec * phase
+    px = _phase_1d(jnp.fft.rfftfreq(W).astype(jnp.float32),
+                   jnp.asarray(shifts_x, jnp.float32))      # (F, K)
+    py = _phase_1d(jnp.fft.fftfreq(H).astype(jnp.float32),
+                   jnp.asarray(shifts_y, jnp.float32))      # (F, H)
+    spec = spec * py[:, :, None] * px[:, None, :]
     if dose_filter is not None:
         spec = spec * dose_filter
         spec_sum = spec.sum(axis=0)
@@ -167,17 +167,49 @@ def _local_shifts_device(frames, gx, gy, cys, cxs, patch_size: int,
     frames [t-(avg-1)//2, t+avg//2] (GPU reference
     movie_alignment_correlation_gpu.cpp:179 frame windowing) — boosts the
     per-patch SNR before the pairwise correlations.  Implemented as a
-    static cumulative-sum window, still one dispatch."""
-    corrected = shift_sum_frames_keep(frames, gx, gy)
-    if patches_avg > 1:
-        F = corrected.shape[0]
-        lo = np.maximum(0, np.arange(F) - (patches_avg - 1) // 2)
-        hi = np.minimum(F - 1, np.arange(F) + patches_avg // 2)
-        cs = jnp.concatenate([jnp.zeros_like(corrected[:1]),
-                              jnp.cumsum(corrected, axis=0)])
-        corrected = ((cs[hi + 1] - cs[lo])
-                     / (hi - lo + 1)[:, None, None].astype(jnp.float32))
+    static cumulative-sum window, still one dispatch.
+
+    Fast path (patches_avg == 1): the global correction is NOT applied as
+    a full-frame Fourier shift — on a 32×4096² movie that costs ~360 ms
+    on v5e (r5 ablation) only to feed 25 patch crops. Instead the INTEGER
+    part of each frame's shift becomes one periodic jnp.roll (pure data
+    movement, same wrap semantics as the Fourier shift) and the
+    FRACTIONAL residual folds into each patch's spectrum as a separable
+    phase — the same Fourier-shifted crop to sub-pixel sinc terms at the
+    patch border, with no full-frame FFT round trip."""
+    F = frames.shape[0]
     h = patch_size // 2
+    if patches_avg <= 1:
+        gxi = jnp.round(gx).astype(jnp.int32)
+        gyi = jnp.round(gy).astype(jnp.int32)
+        fxr = gx - gxi.astype(jnp.float32)       # fractional residual
+        fyr = gy - gyi.astype(jnp.float32)
+        fxg = jnp.fft.rfftfreq(patch_size).astype(jnp.float32)
+        fyg = jnp.fft.fftfreq(patch_size).astype(jnp.float32)
+        pxr = _phase_1d(fxg, fxr)                 # (F, K)
+        pyr = _phase_1d(fyg, fyr)                 # (F, patch)
+        rolled = jax.vmap(lambda img, dy, dx: jnp.roll(img, (dy, dx),
+                                                       axis=(0, 1)))(
+            frames, gyi, gxi)
+        tiles = jnp.stack([rolled[:, cy - h: cy + h, cx - h: cx + h]
+                           for cy in cys for cx in cxs])
+
+        def one(tile):
+            specs = frame_ffts_scaled(tile, patch_size)
+            specs = specs * pyr[:, :, None] * pxr[:, None, :]
+            shifts, _, peaks = pairwise_shifts(specs, patch_size,
+                                               max_shift_px)
+            return shifts, peaks
+
+        return jax.lax.map(one, tiles)
+
+    corrected = shift_sum_frames_keep(frames, gx, gy)
+    lo = np.maximum(0, np.arange(F) - (patches_avg - 1) // 2)
+    hi = np.minimum(F - 1, np.arange(F) + patches_avg // 2)
+    cs = jnp.concatenate([jnp.zeros_like(corrected[:1]),
+                          jnp.cumsum(corrected, axis=0)])
+    corrected = ((cs[hi + 1] - cs[lo])
+                 / (hi - lo + 1)[:, None, None].astype(jnp.float32))
     tiles = jnp.stack([corrected[:, cy - h: cy + h, cx - h: cx + h]
                        for cy in cys for cx in cxs])
 
@@ -223,12 +255,13 @@ def shift_sum_frames_keep(frames, shifts_x, shifts_y):
     """Shift frames (no sum) — for patch extraction after global align."""
     frames = jnp.asarray(frames, jnp.float32)
     F, H, W = frames.shape
-    fy, fx = freq_grid_2d(H, W)
     spec = jnp.fft.rfft2(frames)
-    sx = jnp.asarray(shifts_x, jnp.float32)[:, None, None]
-    sy = jnp.asarray(shifts_y, jnp.float32)[:, None, None]
-    phase = jnp.exp(-2j * jnp.pi * (fx[None] * sx + fy[None] * sy))
-    return jnp.fft.irfft2(spec * phase, s=(H, W))
+    px = _phase_1d(jnp.fft.rfftfreq(W).astype(jnp.float32),
+                   jnp.asarray(shifts_x, jnp.float32))      # (F, K)
+    py = _phase_1d(jnp.fft.fftfreq(H).astype(jnp.float32),
+                   jnp.asarray(shifts_y, jnp.float32))      # (F, H)
+    return jnp.fft.irfft2(spec * py[:, :, None] * px[:, None, :],
+                          s=(H, W))
 
 
 def interpolate_shift_field(field, cys, cxs, H, W):
@@ -257,8 +290,8 @@ def _warp_passes_jit(frames, win, tshift_grids, offs, tile: int):
     225 tiles on a 32x4096^2 movie; the 4-pass form is pure batched FFT
     work). tshift_grids: tuple of (ny, nx, F, 2) per pass."""
     F, H, W = frames.shape
-    fyg = jnp.fft.fftfreq(tile).astype(jnp.float32)[:, None]
-    fxg = jnp.fft.rfftfreq(tile).astype(jnp.float32)[None, :]
+    fyg = jnp.fft.fftfreq(tile).astype(jnp.float32)
+    fxg = jnp.fft.rfftfreq(tile).astype(jnp.float32)
     out = jnp.zeros((H, W), jnp.float32)
     wsum = jnp.zeros((H, W), jnp.float32)
     for (y0, x0), grid in zip(offs, tshift_grids):
@@ -269,12 +302,18 @@ def _warp_passes_jit(frames, win, tshift_grids, offs, tile: int):
 
         def row(args):
             tiles_r, s_r = args          # (nx,F,tile,tile), (nx,F,2)
-            ph = jnp.exp(2j * jnp.pi *
-                         (fxg * (-s_r[..., 0])[..., None, None] +
-                          fyg * (-s_r[..., 1])[..., None, None]))
-            shifted = jnp.fft.irfft2(
-                jnp.fft.rfft2(tiles_r * win) * ph, s=(tile, tile))
-            return shifted.sum(axis=1)   # (nx,tile,tile)
+            # s_r is the measured content POSITION at this tile; undoing
+            # the motion shifts by -s (same convention as the
+            # shift_sum_frames(-pos) global path)
+            px = _phase_1d(fxg, -s_r[..., 0])    # (nx,F,K)
+            py = _phase_1d(fyg, -s_r[..., 1])    # (nx,F,tile)
+            # sum the spectra over frames BEFORE the inverse transform —
+            # irfft2 is linear, so this computes the same tile sum with
+            # ONE inverse FFT per tile instead of F (the inverse side was
+            # half the pass's FFT work; measured r5)
+            spec = (jnp.fft.rfft2(tiles_r * win) * py[..., :, None]
+                    * px[..., None, :]).sum(axis=1)
+            return jnp.fft.irfft2(spec, s=(tile, tile))  # (nx,tile,tile)
 
         rows = jax.lax.map(row, (t, grid))          # (ny,nx,tile,tile)
         plane = rows.transpose(0, 2, 1, 3).reshape(ny * tile, nx * tile)
@@ -308,7 +347,12 @@ def warp_sum_frames_tiled(frames, field, cys, cxs, tile: int = 512,
         y0s.append(H - tile)
     if x0s[-1] != W - tile:
         x0s.append(W - tile)
-    win1 = np.hanning(tile).astype(np.float32) + 1e-3
+    if len(y0s) == 1 and len(x0s) == 1:
+        # one tile covers the whole frame: no seams to blend — a Hann
+        # window here would only amplify border noise when divided back out
+        win1 = np.ones(tile, np.float32)
+    else:
+        win1 = np.hanning(tile).astype(np.float32) + 1e-3
     win = jnp.asarray(win1[:, None] * win1[None, :])
     field = np.asarray(field, np.float32)          # (ny, nx, F, 2)
     cys = np.asarray(cys, np.float64)
@@ -353,18 +397,20 @@ def warp_sum_frames_tiled(frames, field, cys, cxs, tile: int = 512,
 
     @partial(jax.jit, static_argnames=("tile_n",))
     def run(frames, origins, tshifts, tile_n):
-        fyg = jnp.fft.fftfreq(tile_n).astype(jnp.float32)[None, :, None]
-        fxg = jnp.fft.rfftfreq(tile_n).astype(jnp.float32)[None, None, :]
+        fyg = jnp.fft.fftfreq(tile_n).astype(jnp.float32)
+        fxg = jnp.fft.rfftfreq(tile_n).astype(jnp.float32)
 
         def body(carry, inp):
             out, wsum = carry
             (y0, x0), s = inp
             tiles = jax.lax.dynamic_slice(
                 frames, (0, y0, x0), (F, tile_n, tile_n)) * win[None]
-            ph = jnp.exp(2j * jnp.pi * (fxg * (-s[:, 0])[:, None, None] +
-                                        fyg * (-s[:, 1])[:, None, None]))
-            shifted = jnp.fft.irfft2(jnp.fft.rfft2(tiles) * ph,
-                                     s=(tile_n, tile_n)).sum(axis=0)
+            px = _phase_1d(fxg, -s[:, 0])      # (F, K): correct = -position
+            py = _phase_1d(fyg, -s[:, 1])      # (F, tile)
+            # frame-sum the spectra before the single inverse FFT
+            spec = (jnp.fft.rfft2(tiles) * py[:, :, None]
+                    * px[:, None, :]).sum(axis=0)
+            shifted = jnp.fft.irfft2(spec, s=(tile_n, tile_n))
             cur = jax.lax.dynamic_slice(out, (y0, x0), (tile_n, tile_n))
             out = jax.lax.dynamic_update_slice(out, cur + shifted, (y0, x0))
             curw = jax.lax.dynamic_slice(wsum, (y0, x0), (tile_n, tile_n))
@@ -382,15 +428,19 @@ def warp_sum_frames_tiled(frames, field, cys, cxs, tile: int = 512,
 
 @jax.jit
 def warp_sum_frames(frames, shift_maps):
-    """Warp each frame by its per-pixel shift map (undo local motion), sum."""
+    """Warp each frame by its per-pixel shift map (undo local motion), sum.
+
+    shift_maps carry measured content POSITIONS (x, y); the warp samples
+    at x + s so content returns to its reference position — the same
+    convention as warp_sum_frames_tiled / shift_sum_frames(-pos)."""
     frames = jnp.asarray(frames, jnp.float32)
     F, H, W = frames.shape
     yy = jnp.arange(H, dtype=jnp.float32)[:, None]
     xx = jnp.arange(W, dtype=jnp.float32)[None, :]
 
     def one(img, smap):
-        ys = yy - smap[:, :, 1]
-        xs = xx - smap[:, :, 0]
+        ys = yy + smap[:, :, 1]
+        xs = xx + smap[:, :, 0]
         y0 = jnp.floor(ys).astype(jnp.int32)
         x0 = jnp.floor(xs).astype(jnp.int32)
         fy = ys - y0

@@ -138,11 +138,10 @@ class FourierProjector:
         mats = np.asarray(euler_matrix(rot, tilt, psi), np.float32)
         slices = extract_central_slices(self.vf, mats, self.N)
         if shifts is not None:
-            fy = np.fft.fftfreq(self.N).astype(np.float32)[None, :, None]
-            fx = np.fft.rfftfreq(self.N).astype(np.float32)[None, None, :]
-            sx = jnp.asarray(shifts[:, 0], jnp.float32)[:, None, None]
-            sy = jnp.asarray(shifts[:, 1], jnp.float32)[:, None, None]
-            slices = slices * jnp.exp(-2j * jnp.pi * (fx * sx + fy * sy))
+            from xmipp3_tpu.ops.fourier import shift_spec_2d
+            slices = shift_spec_2d(slices, jnp.asarray(shifts[:, 0]),
+                                   jnp.asarray(shifts[:, 1]),
+                                   self.N, self.N)
         return slices_to_projections(slices, self.N)
 
 

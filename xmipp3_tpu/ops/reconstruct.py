@@ -186,12 +186,9 @@ def backproject_chunk(data_r, data_i, weights, imgs, mats, sx, sy, img_w,
     too large to replicate (SURVEY §7 phase 4)."""
     C, N, _ = imgs.shape
     # 2-D FFT with centered-origin phase convention + shift correction
+    from xmipp3_tpu.ops.fourier import shift_spec_2d
     spec = jnp.fft.rfft2(jnp.fft.ifftshift(imgs, axes=(-2, -1)))
-    fy = jnp.fft.fftfreq(N).astype(jnp.float32)[None, :, None]
-    fx = jnp.fft.rfftfreq(N).astype(jnp.float32)[None, None, :]
-    phase = jnp.exp(-2j * jnp.pi * (fx * sx[:, None, None] +
-                                    fy * sy[:, None, None]))
-    spec = spec * phase
+    spec = shift_spec_2d(spec, sx, sy, N, N)
 
     # resolution cutoff: samples outside the disk are dropped STATICALLY
     # (compile-time index set) — scatter updates dominate the whole cost
@@ -544,13 +541,10 @@ def backproject_chunk_packed(packed, imgs, mats, sx, sy, img_w,
                              P: int, max_freq: float = 0.5,
                              ctf_data=None, ctf_w=None):
     from xmipp3_tpu.ops.pallas_scatter_tri import tri_scatter_packed
+    from xmipp3_tpu.ops.fourier import shift_spec_2d
     C, N, _ = imgs.shape
     spec = jnp.fft.rfft2(jnp.fft.ifftshift(imgs, axes=(-2, -1)))
-    fy = jnp.fft.fftfreq(N).astype(jnp.float32)[None, :, None]
-    fx = jnp.fft.rfftfreq(N).astype(jnp.float32)[None, None, :]
-    phase = jnp.exp(-2j * jnp.pi * (fx * sx[:, None, None] +
-                                    fy * sy[:, None, None]))
-    spec = spec * phase
+    spec = shift_spec_2d(spec, sx, sy, N, N)
     keep = _disk_mask(N, max_freq)
     flat_keep = np.flatnonzero(keep.ravel())
     spec = spec.reshape(C, -1)[:, flat_keep]

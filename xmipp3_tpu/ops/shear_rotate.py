@@ -165,9 +165,7 @@ def rotate_shift_fourier(imgs, psi_deg, sx, sy):
     out = _shear_y(out, m[:, None] * x)
     out = _shear_x(out, t[:, None] * y)
 
-    # final translation as a single 2-D phase ramp
-    fy = jnp.fft.fftfreq(H).astype(jnp.float32)[None, :, None]
-    fx = jnp.fft.rfftfreq(W).astype(jnp.float32)[None, None, :]
-    phase = jnp.exp(-2j * jnp.pi * (fx * sx[:, None, None]
-                                    + fy * sy[:, None, None]))
-    return jnp.fft.irfft2(jnp.fft.rfft2(out) * phase, s=(H, W))
+    # final translation as separable 1-D phase ramps (ops/fourier.py)
+    from xmipp3_tpu.ops.fourier import shift_spec_2d
+    spec = shift_spec_2d(jnp.fft.rfft2(out), sx, sy, H, W)
+    return jnp.fft.irfft2(spec, s=(H, W))
