@@ -245,6 +245,7 @@ register("sync_data", P + "infra_scripts:ProgSyncData")
 register("compile", P + "infra_scripts:ProgCompile")
 register("test_script_importing_module",
          P + "infra_scripts:ProgTestScriptImportingModule")
+register("matlab_bridge", P + "matlab_bridge:ProgMatlabBridge")
 register("metadata_selfile_create",
          P + "scripts_misc:ProgMetadataSelfileCreate")
 register("pdb_center", P + "scripts_misc:ProgPdbCenter")
