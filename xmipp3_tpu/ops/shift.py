@@ -98,7 +98,7 @@ def windowed_cross_peaks(cross, H: int, W: int, max_shift: int):
     ms = int(max_shift)
     offs = np.arange(-(ms + 1), ms + 2, dtype=np.float64)   # parabola ring
     D = len(offs)
-    hp = jax.lax.Precision.HIGHEST
+    hp = jax.lax.Precision.HIGH
     Cx, Sx = (jnp.asarray(t) for t in
               _windowed_dft_tables(W, W // 2 + 1, offs, True))
     Cy, Sy = (jnp.asarray(t) for t in
