@@ -122,9 +122,13 @@ def test_pdb_programs(tmp_path):
     fnv = str(tmp_path / "v.vol")
     save_image(fnv, vol)
     out2 = str(tmp_path / "lab.pdb")
-    run_prog("pdb_label_from_volume", f"--pdb {fn} --vol {fnv} -o {out2}")
+    # reference semantics (pdb_label_from_volume.cpp:242): the sampled
+    # value lands in the OCCUPANCY column, and voxel indices start at 0
+    # unless --origin recenters them — atoms span ±10 Å, so center at 16
+    run_prog("pdb_label_from_volume",
+             f"--pdb {fn} --vol {fnv} -o {out2} --origin 16 16 16")
     m2 = read_pdb(out2)
-    assert np.allclose(m2.bfactors, 7.0, atol=0.01)
+    assert np.allclose(m2.occupancies, 7.0, atol=0.01)
 
 
 def test_tilt_pair_assignment(tmp_path):

@@ -129,9 +129,15 @@ def test_resume_skips_done_rows(tmp_path):
 
 
 def test_local_volume_adjust(tmp_path):
+    # reference semantics (local_volume_adjust.cpp:38-183): per-block
+    # SCALE-only correction c = sum(V·Vref)/sum(Vref²), V /= c — a pure
+    # multiplicative perturbation is recoverable, an additive offset is
+    # not (by design: the reference divides, it does not fit an offset)
     rng = np.random.default_rng(4)
     v1 = rng.standard_normal((24, 24, 24)).astype(np.float32)
-    v2 = 0.5 * v1 + 1.0
+    scale = (0.5 + 0.3 * np.sin(np.arange(24) / 8.0)
+             ).astype(np.float32)[:, None, None]   # smooth per-slab gain
+    v2 = scale * v1
     f1, f2 = str(tmp_path / "a.vol"), str(tmp_path / "b.vol")
     save_image(f1, v1)
     save_image(f2, v2)
@@ -140,7 +146,8 @@ def test_local_volume_adjust(tmp_path):
     adj = np.squeeze(Image(out).data)
     inner = slice(6, 18)
     err = np.abs(adj - v1)[inner, inner, inner].mean()
-    assert err < 0.15
+    raw = np.abs(v2 - v1)[inner, inner, inner].mean()
+    assert err < 0.1 and err < 0.25 * raw, (err, raw)
 
 
 def test_movie_filter_dose_cli(tmp_path):
