@@ -126,7 +126,8 @@ def test_pdb_programs(tmp_path):
     # value lands in the OCCUPANCY column, and voxel indices start at 0
     # unless --origin recenters them — atoms span ±10 Å, so center at 16
     run_prog("pdb_label_from_volume",
-             f"--pdb {fn} --vol {fnv} -o {out2} --origin 16 16 16")
+             f"--pdb {fn} --vol {fnv} -o {out2} --origin 16 16 16 "
+             f"--md {tmp_path}/params.xmd")
     m2 = read_pdb(out2)
     assert np.allclose(m2.occupancies, 7.0, atol=0.01)
 

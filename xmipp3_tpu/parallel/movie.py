@@ -15,6 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
+from xmipp3_tpu.ops.fourier import phase_ramp_1d
 from xmipp3_tpu.ops.movie import (frame_ffts_scaled, pairwise_shifts,
                                   patch_grid, shift_sum_frames_keep,
                                   solve_frame_trajectory)
@@ -24,16 +25,30 @@ def local_align_mesh(mesh, frames, global_pos, patches=(5, 5),
                      patch_size: int = 256, max_shift_px: int = 8,
                      axis_name: str = "data", patches_avg: int = 1):
     """Patch-sharded local alignment; same contract as ops.movie.local_align
-    (returns (ny, nx, F, 2) field + patch centers)."""
+    (returns (ny, nx, F, 2) field + patch centers). Mirrors the serial fast
+    path exactly (patches_avg == 1: integer global shift as a periodic roll
+    + fractional residual folded into each patch's spectrum) so the
+    serial==mesh parity tests compare the SAME algorithm."""
     frames = np.asarray(frames, np.float32)
     F, H, W = frames.shape
     patch_size = min(patch_size, H // 2, W // 2)
     patch_size -= patch_size % 2
     ny, nx = patches
-    corrected = np.asarray(shift_sum_frames_keep(
-        jnp.asarray(frames), -np.asarray(global_pos)[:, 0],
-        -np.asarray(global_pos)[:, 1]))
-    if patches_avg > 1:
+    gx = -np.asarray(global_pos)[:, 0]
+    gy = -np.asarray(global_pos)[:, 1]
+    resid = None
+    if patches_avg <= 1:
+        gxi = np.round(gx).astype(np.int64)
+        gyi = np.round(gy).astype(np.int64)
+        corrected = np.stack([np.roll(frames[f], (gyi[f], gxi[f]),
+                                      axis=(0, 1)) for f in range(F)])
+        # numpy residuals, phases built INSIDE the traced shard fn (eager
+        # complex construction is an axon platform hazard)
+        resid = ((gx - gxi).astype(np.float32),
+                 (gy - gyi).astype(np.float32))
+    else:
+        corrected = np.asarray(shift_sum_frames_keep(
+            jnp.asarray(frames), gx, gy))
         # temporal box window [t-(avg-1)//2, t+avg//2] per patch frame
         lo = np.maximum(0, np.arange(F) - (patches_avg - 1) // 2)
         hi = np.minimum(F - 1, np.arange(F) + patches_avg // 2)
@@ -56,8 +71,17 @@ def local_align_mesh(mesh, frames, global_pos, patches=(5, 5),
     @partial(jax.shard_map, mesh=mesh, in_specs=(P(axis_name),),
              out_specs=(P(axis_name), P(axis_name)))
     def shard_pairwise(tiles_l):
+        if resid is not None:
+            fxr, fyr = resid
+            fxg = jnp.fft.rfftfreq(patch_size).astype(jnp.float32)
+            fyg = jnp.fft.fftfreq(patch_size).astype(jnp.float32)
+            pxr = phase_ramp_1d(fxg, jnp.asarray(fxr))    # (F, K)
+            pyr = phase_ramp_1d(fyg, jnp.asarray(fyr))    # (F, patch)
+
         def one(tile):
             specs = frame_ffts_scaled(tile, patch_size)
+            if resid is not None:
+                specs = specs * pyr[:, :, None] * pxr[:, None, :]
             shifts, _, peaks = pairwise_shifts(specs, patch_size,
                                                max_shift_px)
             return shifts, peaks
