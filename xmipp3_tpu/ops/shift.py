@@ -129,26 +129,27 @@ def windowed_cross_peaks(cross, H: int, W: int, max_shift: int):
     return sx, sy, tap(0, 0)
 
 
-@partial(jax.jit, static_argnames=("max_shift", "normalize"))
-def best_shift(ref, others, max_shift: int | None = None,
-               normalize: bool = False):
-    """1-vs-N shift estimation (reference bestShift / AShiftCorrEstimator).
-
-    ref: (H,W) or (B,H,W) matching others; others: (B,H,W).
-    Returns (sx, sy, corr_peak) arrays of shape (B,)."""
-    others = jnp.asarray(others, jnp.float32)
-    ref = jnp.asarray(ref, jnp.float32)
-    if ref.ndim == 2:
-        ref = ref[None]
-    B, H, W = others.shape
-    if max(H, W) <= 256:
-        # latency-bound tiny batched FFTs -> MXU matmuls (ops/dft_mm.py)
+def rfft2_any(x):
+    """rfft2 through the matmul-DFT fast path when the image is small enough
+    to be latency-bound (ops/dft_mm.py), jnp.fft otherwise."""
+    if max(x.shape[-2:]) <= 256:
         from xmipp3_tpu.ops.dft_mm import rfft2_mm
-        F_ref = rfft2_mm(ref)
-        F_oth = rfft2_mm(others)
-    else:
-        F_ref = jnp.fft.rfft2(ref)
-        F_oth = jnp.fft.rfft2(others)
+        return rfft2_mm(x)
+    return jnp.fft.rfft2(x)
+
+
+@partial(jax.jit, static_argnames=("max_shift", "normalize", "W"))
+def best_shift_from_spectra(F_ref, F_oth, max_shift: int | None = None,
+                            normalize: bool = False, W: int | None = None):
+    """Spectra-level core of best_shift: callers that keep a fixed reference
+    across iterations (ops/match.refine_winners) precompute rfft2(ref) once
+    instead of re-transforming it every call.
+
+    F_ref, F_oth: (B, H, W//2+1) rfft2 spectra; pass W explicitly for
+    odd-width images (defaults to even 2·(k−1))."""
+    H = F_oth.shape[-2]
+    if W is None:
+        W = 2 * (F_oth.shape[-1] - 1)
     cross = F_oth * jnp.conj(F_ref)
     if normalize:  # phase correlation
         cross = cross / jnp.maximum(jnp.abs(cross), 1e-12)
@@ -167,6 +168,23 @@ def best_shift(ref, others, max_shift: int | None = None,
     # peaks at s where other(x) ≈ ref(x - s); to register other onto ref we
     # apply the negative.
     return -sx, -sy, peak / (H * W)
+
+
+@partial(jax.jit, static_argnames=("max_shift", "normalize"))
+def best_shift(ref, others, max_shift: int | None = None,
+               normalize: bool = False):
+    """1-vs-N shift estimation (reference bestShift / AShiftCorrEstimator).
+
+    ref: (H,W) or (B,H,W) matching others; others: (B,H,W).
+    Returns (sx, sy, corr_peak) arrays of shape (B,)."""
+    others = jnp.asarray(others, jnp.float32)
+    ref = jnp.asarray(ref, jnp.float32)
+    if ref.ndim == 2:
+        ref = ref[None]
+    W = others.shape[-1]
+    return best_shift_from_spectra(rfft2_any(ref), rfft2_any(others),
+                                   max_shift=max_shift, normalize=normalize,
+                                   W=W)
 
 
 @partial(jax.jit, static_argnames=("max_shift",))
