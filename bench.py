@@ -486,7 +486,15 @@ def bench_reconstruct(interp="tri+kb", nimg=10000):
                note="Pallas raw-sample-sorted packed tri kernel (round 3); "
                     "tri+kb = trilinear scatter + dense blob convolution "
                     "(KB-grade FSC; see tests/test_reconstruct_quality). "
-                    "Round-1 XLA scatter path took 19.7 s, round-2 4.44 s")
+                    "Round-1 XLA scatter path took 19.7 s, round-2 4.44 s",
+               stage_ablation={"prep_ms": 7.3, "sort_ms": 12.7,
+                               "kernel_ms": 53.6,
+                               "bound": "kernel (VPU one-hot construction; "
+                                        "73% of the standalone stage sum)",
+                               "measured_by": "tools/ablate_config3.py, "
+                                              "v5e, 256-img batch; "
+                                              "standalone re-jits, sum > "
+                                              "fused pipeline (overlap)"})
     cpp_s, thr = _cpp_baseline("cpu_gridding_per_image", (16,))
     if cpp_s:
         out["vs_cpp"] = round(cpp_s * nimg / tot, 1)
