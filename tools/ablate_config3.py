@@ -92,6 +92,13 @@ def main():
         _, f = jax.lax.sort([base, w], num_keys=1)
         return b2, a, b, c, d, e, f
 
+    @jax.jit
+    def argsort_gather(base, fz, fy, fx, sr, si, w):
+        # the direct-KB path's current sort strategy (pallas_scatter_kb)
+        order_ix = jnp.argsort(base)
+        bs = base[order_ix]
+        return (bs,) + tuple(a[order_ix] for a in (fz, fy, fx, sr, si, w))
+
     kernel = partial(tri_scatter_packed, P=P)
 
     streams = stage_prep(imgs, mats, z, z, w1)
@@ -117,6 +124,7 @@ def main():
                     imgs, mats, z, z, w1)
     t_sort7 = timeit("sort: 7-operand stable", sort7, *streams)
     t_sort2 = timeit("sort: 6x 2-operand stable", sort2x6, *streams)
+    timeit("sort: argsort + 6 gathers (kb path)", argsort_gather, *streams)
     t_kern = timeit("tri_scatter_packed kernel", kernel, packed0, *srt)
     tot = t_prep + min(t_sort7, t_sort2) + t_kern
     print(f"batch total {tot:.1f} ms  -> 10k imgs ~ {tot * 10000 / BATCH / 1e3:.2f} s "
